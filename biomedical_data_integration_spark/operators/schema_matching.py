@@ -1,0 +1,557 @@
+"""Schema matching (SURVEY §2.3/§2.4).
+
+Every matcher scores candidate (source column, target column) pairs as a
+DataFrame ``(source, target, similarity)``; the 1:1 API then runs a greedy
+stable assignment on the driver (schema-level results are column-count
+sized — driver data by construction, SURVEY §2.1 A1).
+
+Registry mirrors ``schema_matching/one2one/matcher_factory.py:7-40``:
+
+- ``jaccard_distance``    fully distributed value-overlap Jaccard with
+                          Levenshtein-tolerant equality (``valentine.py:93-106``)
+- ``distribution_based``  quantile-sketch EMD over numeric columns
+                          (``valentine.py:75-90``, quantiles=256)
+- ``name_similarity``     char-n-gram TF-IDF cosine over column names
+- ``coma``                alias for the engine-native composite
+                          (name similarity + value overlap); the reference's
+                          COMA spawns a Java subprocess (``valentine.py:38-44``)
+                          which is not portable — documented semantic delta
+- ``cupid``               alias for name_similarity (flat schemas degenerate
+                          Cupid's tree matching to linguistic similarity,
+                          SURVEY §2.3)
+- ``similarity_flooding`` native simplified Melnik fixpoint on the
+                          name-similarity graph (``valentine.py:31-35``)
+- ``ct_learning``         column-embedding cosine (pluggable embedder;
+                          deterministic hashing embedder by default)
+- ``two_phase``           embedding top-k prune -> inner matcher refine
+                          (``twophase.py:10-48``)
+- ``max_val_sim``         embedding prune -> value-match rescoring
+                          (``maxvalsim.py:11-82``)
+- ``gpt``                 interface-only stub (``gpt.py:6-52``)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark.functions.strings import levenshtein_ratio
+from biomedical_data_integration_spark.functions.vectors import cosine
+from biomedical_data_integration_spark.operators.value_matching import (
+    NUMERIC_TYPES,
+    TfIdfValueMatcher,
+    match_values_pipeline,
+)
+
+SCORES_SCHEMA = "source string, target string, similarity double"
+
+
+def _string_columns(df: DataFrame) -> List[str]:
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+
+
+def _numeric_columns(df: DataFrame) -> List[str]:
+    return [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NUMERIC_TYPES)
+    ]
+
+
+def _empty_scores(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], SCORES_SCHEMA)
+
+
+def _apply_allowed(scores: DataFrame, allowed_pairs: Optional[DataFrame]) -> DataFrame:
+    if allowed_pairs is None:
+        return scores
+    return scores.join(
+        F.broadcast(allowed_pairs.select("source", "target").distinct()),
+        ["source", "target"],
+    )
+
+
+def _unpivot_strings(df: DataFrame, colname: str, valname: str) -> DataFrame:
+    """(column, distinct trimmed value) long form of a table's string columns."""
+    cols = _string_columns(df)
+    parts = [
+        df.select(
+            F.lit(c).alias(colname),
+            F.trim(F.col(c).cast("string")).alias(valname),
+        ).where(F.col(c).isNotNull())
+        for c in cols
+    ]
+    if not parts:
+        return df.sparkSession.createDataFrame(
+            [], f"{colname} string, {valname} string"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+class BaseSchemaMatcher:
+    """Score all candidate column pairs (higher = more similar)."""
+
+    name = "base"
+
+    def scores(
+        self,
+        source: DataFrame,
+        target: DataFrame,
+        allowed_pairs: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        raise NotImplementedError
+
+
+class NameSimilaritySchemaMatcher(BaseSchemaMatcher):
+    """Char-n-gram TF-IDF cosine over column *names*.
+
+    Reuses the V-pipeline TF-IDF kernel with the names as the value
+    domains — one tiny distributed job, same scoring math as value tfidf.
+    """
+
+    name = "name_similarity"
+
+    def scores(self, source, target, allowed_pairs=None):
+        spark = source.sparkSession
+        kernel = TfIdfValueMatcher()
+        src = spark.createDataFrame(
+            [("__schema__", "__schema__", c, c) for c in source.columns],
+            ["source_column", "target_column", "source_value", "skey"],
+        )
+        tgt = spark.createDataFrame(
+            [("__schema__", "__schema__", c, c) for c in target.columns],
+            ["source_column", "target_column", "target_value", "tkey"],
+        )
+        sims = kernel.similarities(src, tgt).select(
+            F.col("skey").alias("source"),
+            F.col("target_value").alias("target"),
+            F.round("similarity", config.SIMILARITY_SCALE).alias("similarity"),
+        )
+        return _apply_allowed(sims, allowed_pairs)
+
+
+class JaccardSchemaMatcher(BaseSchemaMatcher):
+    """Value-overlap Jaccard with Levenshtein-tolerant equality — fully
+    distributed (SURVEY §2.3): explode (column, distinct value) on both
+    sides, fuzzy equi-join, per-pair intersection / union counts.
+
+    ``threshold_levenshtein`` is the similarity two values must reach to
+    count as equal (reference ``threshold_dist=0.8``, ``valentine.py:96``).
+    With threshold 1.0 the join is a plain equi-join (the scale fast path);
+    below 1.0 a length-band pregate bounds the theta-join fanout.
+    """
+
+    name = "jaccard_distance"
+
+    def __init__(self, threshold_levenshtein: float = 0.8):
+        self.threshold = threshold_levenshtein
+
+    def scores(self, source, target, allowed_pairs=None):
+        s = _unpivot_strings(source, "source", "sval")
+        t = _unpivot_strings(target, "target", "tval")
+
+        if self.threshold >= 1.0:
+            joined = s.join(t, F.col("sval") == F.col("tval"))
+        else:
+            band = (1.0 - self.threshold) * F.greatest(
+                F.length("sval"), F.length("tval")
+            )
+            joined = s.join(
+                t,
+                (F.abs(F.length("sval") - F.length("tval")) <= band)
+                & (levenshtein_ratio(F.col("sval"), F.col("tval")) >= self.threshold),
+            )
+
+        inter = joined.groupBy("source", "target").agg(
+            F.countDistinct("sval").alias("inter")
+        )
+        ns = s.groupBy("source").agg(F.count("*").alias("ns"))
+        nt = t.groupBy("target").agg(F.count("*").alias("nt"))
+        scores = (
+            inter.join(F.broadcast(ns), "source")
+            .join(F.broadcast(nt), "target")
+            .select(
+                "source",
+                "target",
+                F.round(
+                    F.col("inter") / (F.col("ns") + F.col("nt") - F.col("inter")),
+                    config.SIMILARITY_SCALE,
+                ).alias("similarity"),
+            )
+        )
+        return _apply_allowed(scores, allowed_pairs)
+
+
+class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
+    """Numeric-column matching by value-distribution distance
+    (``valentine.py:75-90``; Zhang SIGMOD'11 idea, simplified).
+
+    Per column: a ``quantiles``-point exact percentile sketch, min-max
+    normalized; pair distance = mean absolute difference between aligned
+    sketches (a 1-D EMD on the quantile grid); similarity = 1 / (1 + EMD).
+    Exact ``percentile`` keeps the oracle honest at test scale; at 100 TB
+    switch ``exact=False`` for ``approx_percentile`` (same plan shape, one
+    pass, no full sort).
+    """
+
+    name = "distribution_based"
+
+    def __init__(self, quantiles: int = 256, exact: bool = True):
+        self.quantiles = quantiles
+        self.exact = exact
+
+    def _sketch(self, df: DataFrame, colname: str) -> DataFrame:
+        cols = _numeric_columns(df)
+        if not cols:
+            return df.sparkSession.createDataFrame(
+                [], f"{colname} string, qs array<double>"
+            )
+        fracs = [i / (self.quantiles - 1) for i in range(self.quantiles)]
+        parts = [
+            df.select(
+                F.lit(c).alias(colname), F.col(c).cast("double").alias("v")
+            ).where(F.col(c).isNotNull())
+            for c in cols
+        ]
+        long_df = parts[0]
+        for p in parts[1:]:
+            long_df = long_df.unionByName(p)
+        pct = F.percentile("v", fracs) if self.exact else F.approx_percentile(
+            "v", F.lit(fracs), F.lit(10_000)
+        )
+        sk = long_df.groupBy(colname).agg(pct.alias("qs"))
+        lo = F.array_min("qs")
+        hi = F.array_max("qs")
+        return sk.select(
+            colname,
+            F.when(hi == lo, F.transform("qs", lambda _: F.lit(0.0)))
+            .otherwise(F.transform("qs", lambda q: (q - lo) / (hi - lo)))
+            .alias("qs"),
+        )
+
+    def scores(self, source, target, allowed_pairs=None):
+        s = self._sketch(source, "source").withColumnRenamed("qs", "qs_s")
+        t = self._sketch(target, "target").withColumnRenamed("qs", "qs_t")
+        emd = F.aggregate(
+            F.zip_with("qs_s", "qs_t", lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / F.size("qs_s")
+        scores = s.crossJoin(t).select(
+            "source",
+            "target",
+            F.round(1.0 / (1.0 + emd), config.SIMILARITY_SCALE).alias("similarity"),
+        )
+        return _apply_allowed(scores, allowed_pairs)
+
+
+class CompositeSchemaMatcher(BaseSchemaMatcher):
+    """Engine-native default ('coma' alias): a deterministic multi-evidence
+    ensemble in the spirit of COMA's multi-matcher combination (Do & Rahm
+    VLDB'02) without the Java subprocess.
+
+    score = 0.5 * name TF-IDF cosine
+          + 0.5 * value evidence (exact-equality Jaccard for string-string
+            pairs, distribution similarity for numeric-numeric pairs, 0 for
+            mixed-type pairs).
+    """
+
+    name = "coma"
+
+    def __init__(self, name_weight: float = 0.5):
+        self.name_weight = name_weight
+
+    def scores(self, source, target, allowed_pairs=None):
+        nw, vw = self.name_weight, 1.0 - self.name_weight
+        names = NameSimilaritySchemaMatcher().scores(source, target)
+        jac = JaccardSchemaMatcher(threshold_levenshtein=1.0).scores(source, target)
+        dist = DistributionBasedSchemaMatcher().scores(source, target)
+        value = jac.unionByName(dist)
+        combined = (
+            names.withColumnRenamed("similarity", "name_sim")
+            .join(
+                value.withColumnRenamed("similarity", "value_sim"),
+                ["source", "target"],
+                "outer",
+            )
+            .select(
+                "source",
+                "target",
+                F.round(
+                    nw * F.coalesce("name_sim", F.lit(0.0))
+                    + vw * F.coalesce("value_sim", F.lit(0.0)),
+                    config.SIMILARITY_SCALE,
+                ).alias("similarity"),
+            )
+        )
+        return _apply_allowed(combined, allowed_pairs)
+
+
+class SimilarityFloodingSchemaMatcher(BaseSchemaMatcher):
+    """Native, simplified similarity flooding (Melnik ICDE'02;
+    reference wraps Valentine's implementation, ``valentine.py:31-35``).
+
+    Flat relational schemas reduce the propagation graph to column-pair
+    nodes coupled through the single table-pair node, so flooding smooths
+    the initial linguistic similarity toward the global mean. We run that
+    fixpoint driver-side (the pair matrix is n_src x n_tgt — driver-sized)
+    over an initial name-trigram-Jaccard matrix. Documented semantic delta
+    from Valentine's full PCG construction.
+    """
+
+    name = "similarity_flooding"
+
+    def __init__(self, iterations: int = 16, damping: float = 0.2):
+        self.iterations = iterations
+        self.damping = damping
+
+    @staticmethod
+    def _trigram_jaccard(a: str, b: str) -> float:
+        def grams(s: str) -> set:
+            s = s.lower()
+            return {s[i : i + 3] for i in range(max(1, len(s) - 2))}
+        ga, gb = grams(a), grams(b)
+        if not ga or not gb:
+            return 0.0
+        return len(ga & gb) / len(ga | gb)
+
+    def scores(self, source, target, allowed_pairs=None):
+        spark = source.sparkSession
+        pairs = [(s, t) for s in source.columns for t in target.columns]
+        sigma0 = {p: self._trigram_jaccard(*p) for p in pairs}
+        sigma = dict(sigma0)
+        for _ in range(self.iterations):
+            table_sim = sum(sigma.values()) / len(sigma) if sigma else 0.0
+            nxt = {
+                p: sigma0[p] + self.damping * table_sim for p in pairs
+            }
+            mx = max(nxt.values()) if nxt else 1.0
+            sigma = {p: (v / mx if mx > 0 else 0.0) for p, v in nxt.items()}
+        rows = [
+            (s, t, round(v, config.SIMILARITY_SCALE)) for (s, t), v in sigma.items()
+        ]
+        return _apply_allowed(
+            spark.createDataFrame(rows, SCORES_SCHEMA), allowed_pairs
+        )
+
+
+class EmbeddingSchemaMatcher(BaseSchemaMatcher):
+    """Column-embedding cosine ('ct_learning';
+    ``schema_matching/topk/contrastivelearning.py:17-54``). Embedder is
+    pluggable; defaults to the deterministic hashing column embedder.
+    ``metric`` is ``cosine`` or ``euclidean`` (-> 1/(1+d),
+    ``topk/contrastivelearning.py:34-36``)."""
+
+    name = "ct_learning"
+
+    def __init__(self, embedder=None, metric: str = "cosine"):
+        if embedder is None:
+            from biomedical_data_integration_spark.models import HashingColumnEmbedder
+
+            embedder = HashingColumnEmbedder()
+        if metric not in ("cosine", "euclidean"):
+            raise ValueError(f"Unsupported metric: {metric!r}")
+        self.embedder = embedder
+        self.metric = metric
+
+    def scores(self, source, target, allowed_pairs=None):
+        s = self.embedder.column_embeddings(source).withColumnsRenamed(
+            {"column_name": "source", "embedding": "vec_s"}
+        )
+        t = self.embedder.column_embeddings(target).withColumnsRenamed(
+            {"column_name": "target", "embedding": "vec_t"}
+        )
+        joined = s.crossJoin(t)
+        if self.metric == "cosine":
+            sim = cosine(F.col("vec_s"), F.col("vec_t"))
+        else:
+            dist = F.sqrt(
+                F.aggregate(
+                    F.zip_with("vec_s", "vec_t", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+            sim = 1.0 / (1.0 + dist)
+        scores = joined.select(
+            "source",
+            "target",
+            F.round(sim, config.SIMILARITY_SCALE).alias("similarity"),
+        )
+        return _apply_allowed(scores, allowed_pairs)
+
+
+class TwoPhaseSchemaMatcher(BaseSchemaMatcher):
+    """Phase 1: embedding top-k prunes the candidate target set; phase 2:
+    the inner matcher scores only surviving pairs
+    (``twophase.py:10-48``; prune width 20, ``twophase.py:13``).
+
+    Candidate pruning is the broadcast-side-reduction pattern: the
+    expensive matcher never sees pairs the cheap matcher ruled out.
+    """
+
+    name = "two_phase"
+
+    def __init__(
+        self,
+        top_k: int = config.DEFAULT_PRUNE_TOP_K,
+        inner: Optional[BaseSchemaMatcher] = None,
+        embedder=None,
+    ):
+        self.top_k = top_k
+        self.inner = inner or SimilarityFloodingSchemaMatcher()
+        self.pruner = EmbeddingSchemaMatcher(embedder=embedder)
+
+    def candidates(self, source, target) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(F.desc("similarity"), F.asc("target"))
+        return (
+            self.pruner.scores(source, target)
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= self.top_k)
+            .select("source", "target", "similarity")
+        )
+
+    def scores(self, source, target, allowed_pairs=None):
+        cand = self.candidates(source, target)
+        if allowed_pairs is not None:
+            cand = cand.join(
+                F.broadcast(allowed_pairs.select("source", "target")),
+                ["source", "target"],
+            )
+        return self.inner.scores(source, target, allowed_pairs=cand)
+
+
+class MaxValSimSchemaMatcher(TwoPhaseSchemaMatcher):
+    """Phase 1: embedding top-k prune; phase 2: re-score each surviving
+    pair by value-match quality:
+    ``score = (embedding_score + avg value similarity) / 2``
+    (``maxvalsim.py:66-80``). Numeric source columns keep their embedding
+    score directly (``maxvalsim.py:62-64``). All candidate pairs re-score
+    in ONE V-pipeline job keyed by pair (SURVEY §2.3)."""
+
+    name = "max_val_sim"
+
+    def __init__(self, top_k: int = config.DEFAULT_PRUNE_TOP_K, embedder=None):
+        super().__init__(top_k=top_k, embedder=embedder)
+
+    def scores(self, source, target, allowed_pairs=None):
+        cand = self.candidates(source, target)
+        if allowed_pairs is not None:
+            cand = cand.join(
+                F.broadcast(allowed_pairs.select("source", "target")),
+                ["source", "target"],
+            )
+        cand = cand.withColumnRenamed("similarity", "emb_sim")
+        pair_rows = [
+            (r["source"], r["target"]) for r in cand.select("source", "target").collect()
+        ]
+        string_cols = set(_string_columns(source))
+        value_pairs = [
+            (s, t) for s, t in pair_rows if s in string_cols and t in target.columns
+        ]
+        if value_pairs:
+            vm = match_values_pipeline(
+                source,
+                target,
+                value_pairs,
+                method="tfidf",
+                top_k=1,
+                threshold=0.0,
+                include_unmatched=True,
+            )
+            val_scores = (
+                vm.groupBy(
+                    F.col("source_column").alias("source"),
+                    F.col("target_column").alias("target"),
+                )
+                .agg(F.avg(F.coalesce("similarity", F.lit(0.0))).alias("val_sim"))
+            )
+            rescored = cand.join(val_scores, ["source", "target"], "left").select(
+                "source",
+                "target",
+                F.round(
+                    F.when(
+                        F.col("val_sim").isNotNull(),
+                        (F.col("emb_sim") + F.col("val_sim")) / 2.0,
+                    ).otherwise(F.col("emb_sim")),
+                    config.SIMILARITY_SCALE,
+                ).alias("similarity"),
+            )
+        else:
+            rescored = cand.select(
+                "source", "target", F.col("emb_sim").alias("similarity")
+            )
+        return rescored
+
+
+class GptSchemaMatcher(BaseSchemaMatcher):
+    """LLM schema matcher — interface only (``gpt.py:6-52``); inject a
+    client to activate. Nondeterministic: excluded from the oracle."""
+
+    name = "gpt"
+
+    def __init__(self, client=None):
+        self.client = client
+
+    def scores(self, source, target, allowed_pairs=None):
+        raise NotImplementedError(
+            "GptSchemaMatcher requires an injected LLM client; "
+            "no network access is assumed."
+        )
+
+
+SCHEMA_MATCHERS = {
+    "name_similarity": NameSimilaritySchemaMatcher,
+    "jaccard_distance": JaccardSchemaMatcher,
+    "distribution_based": DistributionBasedSchemaMatcher,
+    "coma": CompositeSchemaMatcher,
+    "cupid": NameSimilaritySchemaMatcher,
+    "similarity_flooding": SimilarityFloodingSchemaMatcher,
+    "ct_learning": EmbeddingSchemaMatcher,
+    "two_phase": TwoPhaseSchemaMatcher,
+    "max_val_sim": MaxValSimSchemaMatcher,
+    "gpt": GptSchemaMatcher,
+}
+
+
+def get_schema_matcher(method: Union[str, BaseSchemaMatcher], **kwargs) -> BaseSchemaMatcher:
+    if isinstance(method, BaseSchemaMatcher):
+        return method
+    if method not in SCHEMA_MATCHERS:
+        raise ValueError(
+            f"The {method!r} schema matching method is not supported. "
+            f"Supported methods are: {sorted(SCHEMA_MATCHERS)}"
+        )
+    return SCHEMA_MATCHERS[method](**kwargs)
+
+
+def one_to_one_assignment(
+    scores: DataFrame, source_columns: List[str]
+) -> List[Tuple[str, str]]:
+    """Greedy stable 1:1 assignment from a pair-score table.
+
+    Sort by (similarity desc, source asc, target asc); each source takes the
+    best unused target. Unmatched sources map to "" (``one2one/base.py:9-15``).
+    Runs on the driver — the score table is schema-sized.
+    """
+    rows = scores.collect()
+    rows.sort(key=lambda r: (-r["similarity"], r["source"], r["target"]))
+    taken_s, taken_t = set(), set()
+    out: Dict[str, str] = {}
+    for r in rows:
+        s, t = r["source"], r["target"]
+        if s in taken_s or t in taken_t:
+            continue
+        taken_s.add(s)
+        taken_t.add(t)
+        out[s] = t
+    return [(s, out.get(s, "")) for s in source_columns]

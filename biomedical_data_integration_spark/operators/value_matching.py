@@ -1,0 +1,540 @@
+"""Value matching — the V-pipeline (SURVEY §2.1).
+
+Canonical distributed form of the reference's ``match_values`` /
+``top_value_matches`` kernels (``bdikit/api.py:155-288``, ``:333-402``):
+
+    distinct source values  ──┐
+                              ├─ SIMILARITY JOIN ─ window top-k ─ threshold
+    distinct target domain  ──┘                                    │
+    unmatched = anti join ──────────── union ──────────────────────┘
+    coverage  = matched / distinct  (carried as a plain column; Spark has
+                no DataFrame.attrs — SURVEY §1.4)
+
+Design points for scale:
+- Everything is keyed by ``(source_column, target_column)`` so ALL mapped
+  column pairs process in ONE Spark job (the reference loops pair by pair,
+  ``api.py:347``).
+- Matching runs on *distinct normalized values*, never on rows
+  (``api.py:355``, ``:360-363``) — the classic dedup-before-kernel pattern;
+  at 100 TB the distinct() is the only full-data scan.
+- Kernels are pure built-in expressions (levenshtein, n-gram TF-IDF built
+  from explode/join/agg) so they stay in whole-stage codegen and are
+  reproducible in an ANSI-SQL oracle.
+- Similarity scores are rounded (config.SIMILARITY_SCALE) and every window
+  has a total-order tiebreaker, so results are deterministic under any
+  partitioning.
+
+Value matcher registry mirrors ``value_matching/matcher_factory.py:7-21``:
+``tfidf`` (default), ``edit_distance``, ``indel``, ``exact``,
+``embedding``; ``gpt`` is an interface-only stub.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark.functions.strings import (
+    char_ngrams,
+    clean_string,
+    indel_ratio,
+    levenshtein_ratio,
+    normalize_value,
+)
+from biomedical_data_integration_spark.functions.vectors import cosine
+
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+PairList = List[Tuple[str, str]]
+
+
+# ---------------------------------------------------------------------------
+# input normalization
+# ---------------------------------------------------------------------------
+
+def normalize_column_mapping(column_mapping) -> PairList:
+    """Accept (source, target) tuple, list of tuples/dicts, or a DataFrame
+    with source/target columns (``bdikit/api.py:405-431``)."""
+    if isinstance(column_mapping, tuple) and len(column_mapping) == 2:
+        return [(column_mapping[0], column_mapping[1])]
+    if isinstance(column_mapping, DataFrame):
+        if not {"source", "target"} <= set(column_mapping.columns):
+            raise ValueError(
+                "The column_mapping DataFrame must contain 'source' and "
+                f"'target' columns, got {column_mapping.columns}"
+            )
+        return [
+            (r["source"], r["target"])
+            for r in column_mapping.select("source", "target").collect()
+        ]
+    try:
+        import pandas as pd
+
+        if isinstance(column_mapping, pd.DataFrame):
+            return list(zip(column_mapping["source"], column_mapping["target"]))
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(column_mapping, Sequence):
+        pairs: PairList = []
+        for entry in column_mapping:
+            if isinstance(entry, dict):
+                pairs.append((entry["source"], entry["target"]))
+            elif isinstance(entry, (tuple, list)) and len(entry) >= 2:
+                pairs.append((entry[0], entry[1]))
+            else:
+                raise ValueError(f"Invalid column mapping entry: {entry!r}")
+        return pairs
+    raise ValueError(f"Invalid column_mapping: {column_mapping!r}")
+
+
+def _skip_numeric_pairs(source: DataFrame, pairs: PairList) -> PairList:
+    """Numeric source columns are skipped for value matching
+    (``bdikit/api.py:488-492``)."""
+    dtype = {f.name: f.dataType for f in source.schema.fields}
+    kept = []
+    for s, t in pairs:
+        if s not in dtype:
+            raise ValueError(f"Source column {s!r} not found in source table")
+        if isinstance(dtype[s], NUMERIC_TYPES):
+            continue
+        kept.append((s, t))
+    return kept
+
+
+def _pairs_df(spark: SparkSession, pairs: PairList) -> DataFrame:
+    return spark.createDataFrame(pairs, ["source_column", "target_column"])
+
+
+def source_value_domain(source: DataFrame, pairs: PairList) -> DataFrame:
+    """Distinct normalized source values per mapped pair.
+
+    One union-all of per-column distincts; originals are preserved via the
+    stripped-string -> original mapping (``api.py:360-363``), made
+    deterministic by keeping min(original) per key.
+    Output: (source_column, target_column, source_value, skey)
+    """
+    spark = source.sparkSession
+    per_col = []
+    for sc in sorted({s for s, _ in pairs}):
+        per_col.append(
+            source.select(
+                F.lit(sc).alias("source_column"),
+                F.col(sc).cast("string").alias("orig"),
+            ).where(F.col(sc).isNotNull())
+        )
+    dom = per_col[0]
+    for d in per_col[1:]:
+        dom = dom.unionByName(d)
+    dom = (
+        dom.withColumn("skey", F.trim(F.col("orig")))
+        .groupBy("source_column", "skey")
+        .agg(F.min("orig").alias("source_value"))
+    )
+    return dom.join(F.broadcast(_pairs_df(spark, pairs)), "source_column")
+
+
+def target_value_domain(
+    spark: SparkSession,
+    target: Union[DataFrame, str, "Standard"],  # noqa: F821
+    pairs: PairList,
+) -> DataFrame:
+    """Distinct target-domain values per mapped pair.
+
+    DataFrame target -> per-column distinct (``api.py:444-448``);
+    standard target -> vocabulary domain (``api.py:440-443``).
+    Output: (source_column, target_column, target_value, tkey)
+    """
+    from biomedical_data_integration_spark.sources.standards import (
+        Standard,
+        get_standard,
+    )
+
+    tgt_cols = sorted({t for _, t in pairs})
+    if isinstance(target, str):
+        target = get_standard(target)
+    if isinstance(target, Standard):
+        values = target.get_column_values(tgt_cols)
+        rows = [
+            (tc, v)
+            for tc in tgt_cols
+            for v in values.get(tc, [])
+        ]
+        dom = spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField("target_column", T.StringType()),
+                T.StructField("orig", T.StringType()),
+            ])
+        )
+    else:
+        missing = [c for c in tgt_cols if c not in target.columns]
+        if missing:
+            raise ValueError(f"Target column(s) {missing} not found in target table")
+        per_col = []
+        for tc in tgt_cols:
+            per_col.append(
+                target.select(
+                    F.lit(tc).alias("target_column"),
+                    F.col(tc).cast("string").alias("orig"),
+                ).where(F.col(tc).isNotNull())
+            )
+        dom = per_col[0]
+        for d in per_col[1:]:
+            dom = dom.unionByName(d)
+    dom = (
+        dom.withColumn("tkey", F.trim(F.col("orig")))
+        .groupBy("target_column", "tkey")
+        .agg(F.min("orig").alias("target_value"))
+    )
+    return dom.join(F.broadcast(_pairs_df(spark, pairs)), "target_column")
+
+
+# ---------------------------------------------------------------------------
+# similarity kernels
+# ---------------------------------------------------------------------------
+
+PAIR = ["source_column", "target_column"]
+
+
+class BaseValueMatcher:
+    """Kernel contract: score candidate (source value, target value) pairs.
+
+    Input frames both carry the pair key; output must have
+    (source_column, target_column, skey, target_value, similarity in [0,1]).
+    """
+
+    name: str = "base"
+
+    def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+
+class ExactValueMatcher(BaseValueMatcher):
+    """Equality on normalized values — the scale-friendly fast path
+    (pure equi-join, no cross product)."""
+
+    name = "exact"
+
+    def __init__(self, lowercase: bool = False):
+        self.lowercase = lowercase
+
+    def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        skey = F.lower(F.col("skey")) if self.lowercase else F.col("skey")
+        tkey = F.lower(F.col("tkey")) if self.lowercase else F.col("tkey")
+        s = src.withColumn("__k", skey)
+        t = tgt.withColumn("__k", tkey)
+        return (
+            s.join(t, PAIR + ["__k"])
+            .select(*PAIR, "skey", "target_value", F.lit(1.0).alias("similarity"))
+        )
+
+
+class EditDistanceValueMatcher(BaseValueMatcher):
+    """Normalized Levenshtein ratio (``value_matching/polyfuzz.py:77-97``).
+
+    The reference uses rapidfuzz ``fuzz.ratio`` (Indel); the default here is
+    the Levenshtein ratio, which is a JVM built-in (oracle-checkable);
+    ``indel`` gives exact rapidfuzz parity via a pandas UDF.
+
+    Join strategy: pair-grouped cross join of the distinct domains, with a
+    length-band pregate — ``sim >= t`` implies
+    ``abs(len(a) - len(b)) <= (1 - t) * max(len)`` — so the expensive
+    levenshtein only runs on plausible pairs.
+    """
+
+    name = "edit_distance"
+
+    def __init__(self, threshold: float = 0.0, lowercase: bool = False):
+        self.threshold = threshold
+        self.lowercase = lowercase
+
+    def _sim(self, a: Column, b: Column) -> Column:
+        return levenshtein_ratio(a, b)
+
+    def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        a = F.lower(src["skey"]) if self.lowercase else src["skey"]
+        b = F.lower(tgt["tkey"]) if self.lowercase else tgt["tkey"]
+        cond = [src["source_column"] == tgt["source_column"],
+                src["target_column"] == tgt["target_column"]]
+        if self.threshold > 0:
+            band = (1.0 - self.threshold) * F.greatest(F.length(a), F.length(b))
+            cond.append(F.abs(F.length(a) - F.length(b)) <= band)
+        joined = src.join(tgt, cond)
+        return joined.select(
+            src["source_column"],
+            src["target_column"],
+            src["skey"],
+            tgt["target_value"],
+            self._sim(a, b).alias("similarity"),
+        )
+
+
+class IndelValueMatcher(EditDistanceValueMatcher):
+    """Exact rapidfuzz ``fuzz.ratio`` parity (normalized Indel similarity),
+    via an Arrow-batched pandas UDF (``polyfuzz.py:89``)."""
+
+    name = "indel"
+
+    def _sim(self, a: Column, b: Column) -> Column:
+        return indel_ratio(a, b)
+
+
+class TfIdfValueMatcher(BaseValueMatcher):
+    """Char n-gram TF-IDF cosine, the reference's default value matcher
+    (``value_matching/polyfuzz.py:49-74``: n_gram_range=(1,3),
+    clean_string=True, sparse cosine).
+
+    Fully distributed formulation (no vectorizer object, no driver state):
+
+      corpus  = distinct source values ∪ distinct target values (per pair)
+      terms   = explode(char n-grams of cleaned value) -> tf per (value, term)
+      df      = #docs containing term (per pair);  N = corpus size (per pair)
+      idf     = ln((1 + N) / (1 + df)) + 1          (smooth idf)
+      weight  = tf * idf, L2-normalized per value
+      cosine  = Σ w_s * w_t  joined on (pair, term)
+
+    The term join is the shuffle; ``max_df_fraction`` drops stop-grams
+    (terms in more than that fraction of the corpus) to bound fanout at
+    scale — off by default for exact small-scale semantics.
+    """
+
+    name = "tfidf"
+
+    def __init__(
+        self,
+        n_min: int = 1,
+        n_max: int = 3,
+        max_df_fraction: Optional[float] = None,
+    ):
+        self.n_min = n_min
+        self.n_max = n_max
+        self.max_df_fraction = max_df_fraction
+
+    def _terms(self, dom: DataFrame, key: str, side: str) -> DataFrame:
+        cleaned = clean_string(F.col(key))
+        return (
+            dom.select(
+                *PAIR,
+                F.col(key).alias("value_key"),
+                F.explode(char_ngrams(cleaned, self.n_min, self.n_max)).alias("term"),
+            )
+            .groupBy(*PAIR, "value_key", "term")
+            .agg(F.count("*").cast("double").alias(f"tf_{side}"))
+        )
+
+    def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        s_terms = self._terms(src, "skey", "s")
+        t_terms = self._terms(tgt, "tkey", "t")
+
+        # document frequency over the union corpus (a value present on both
+        # sides counts once per side, like fitting on from+to lists)
+        docs = s_terms.select(*PAIR, "value_key", "term").withColumn(
+            "side", F.lit("s")
+        ).unionByName(
+            t_terms.select(*PAIR, "value_key", "term").withColumn("side", F.lit("t"))
+        )
+        doc_freq = docs.groupBy(*PAIR, "term").agg(
+            F.count("*").cast("double").alias("df")
+        )
+        n_docs = (
+            docs.select(*PAIR, "side", "value_key")
+            .distinct()
+            .groupBy(*PAIR)
+            .agg(F.count("*").cast("double").alias("n_docs"))
+        )
+        idf = doc_freq.join(F.broadcast(n_docs), PAIR).withColumn(
+            "idf", F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+        )
+        if self.max_df_fraction is not None:
+            idf = idf.where(F.col("df") <= self.max_df_fraction * F.col("n_docs"))
+
+        def weighted(terms: DataFrame, side: str) -> DataFrame:
+            w = terms.join(idf.select(*PAIR, "term", "idf"), PAIR + ["term"])
+            w = w.withColumn("w", F.col(f"tf_{side}") * F.col("idf"))
+            norms = w.groupBy(*PAIR, "value_key").agg(
+                F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+            )
+            return w.join(norms, PAIR + ["value_key"]).select(
+                *PAIR, "value_key", "term", (F.col("w") / F.col("norm")).alias("w")
+            )
+
+        ws = weighted(s_terms, "s").withColumnsRenamed(
+            {"value_key": "skey", "w": "ws"}
+        )
+        wt = weighted(t_terms, "t").withColumnsRenamed(
+            {"value_key": "tkey", "w": "wt"}
+        )
+        sims = (
+            ws.join(wt, PAIR + ["term"])
+            .groupBy(*PAIR, "skey", "tkey")
+            .agg(F.sum(F.col("ws") * F.col("wt")).alias("similarity"))
+        )
+        # map tkey back to the original target value
+        tgt_orig = tgt.select(*PAIR, "tkey", "target_value")
+        return sims.join(tgt_orig, PAIR + ["tkey"]).select(
+            *PAIR, "skey", "target_value", "similarity"
+        )
+
+
+class EmbeddingValueMatcher(BaseValueMatcher):
+    """Cosine over per-value embeddings (``polyfuzz.py:100-141`` shape).
+
+    The encoder is pluggable; the default deterministic hashing encoder
+    makes tests/oracles stable (the reference's flair/fasttext encoders are
+    model-weight-dependent and explicitly off-oracle, SURVEY §5).
+    """
+
+    name = "embedding"
+
+    def __init__(self, embedder=None):
+        if embedder is None:
+            from biomedical_data_integration_spark.models import HashingTextEmbedder
+
+            embedder = HashingTextEmbedder()
+        self.embedder = embedder
+
+    def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        s = src.withColumn("vec_s", self.embedder.embed_expr(F.col("skey")))
+        t = tgt.withColumn("vec_t", self.embedder.embed_expr(F.col("tkey")))
+        joined = s.join(t, PAIR)
+        return joined.select(
+            *PAIR,
+            "skey",
+            "target_value",
+            cosine(F.col("vec_s"), F.col("vec_t")).alias("similarity"),
+        )
+
+
+class GptValueMatcher(BaseValueMatcher):
+    """LLM-assisted value matching — interface-only (nondeterministic,
+    excluded from the correctness oracle; the reference's implementation at
+    ``value_matching/gpt.py:7-54`` additionally has a latent ``ast`` import
+    bug that kills every call). Inject a client callable to activate."""
+
+    name = "gpt"
+
+    def __init__(self, client=None):
+        self.client = client
+
+    def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        if self.client is None:
+            raise NotImplementedError(
+                "GptValueMatcher requires an injected client "
+                "(callable(prompt) -> str); no network access is assumed."
+            )
+        raise NotImplementedError("external-service batch UDF not wired yet")
+
+
+VALUE_MATCHERS = {
+    "tfidf": TfIdfValueMatcher,
+    "edit_distance": EditDistanceValueMatcher,
+    "indel": IndelValueMatcher,
+    "exact": ExactValueMatcher,
+    "embedding": EmbeddingValueMatcher,
+    "gpt": GptValueMatcher,
+}
+
+
+def get_value_matcher(method: Union[str, BaseValueMatcher], **kwargs) -> BaseValueMatcher:
+    if isinstance(method, BaseValueMatcher):
+        return method
+    if method not in VALUE_MATCHERS:
+        raise ValueError(
+            f"The {method!r} value matching method is not supported. "
+            f"Supported methods are: {sorted(VALUE_MATCHERS)}"
+        )
+    return VALUE_MATCHERS[method](**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# the V-pipeline
+# ---------------------------------------------------------------------------
+
+def match_values_pipeline(
+    source: DataFrame,
+    target: Union[DataFrame, str, "Standard"],  # noqa: F821
+    column_mapping,
+    method: Union[str, BaseValueMatcher] = config.DEFAULT_VALUE_MATCHING_METHOD,
+    top_k: int = 1,
+    threshold: float = config.DEFAULT_VALUE_MATCHING_THRESHOLD,
+    include_unmatched: bool = True,
+    method_args: Optional[Dict] = None,
+) -> DataFrame:
+    """Run the full V-pipeline for all mapped column pairs in one job.
+
+    Returns a long DataFrame:
+    (source_column, target_column, source_value, target_value, similarity,
+    coverage) — unmatched source values carry null target/similarity
+    (``api.py:457-485``); coverage = matched distinct / total distinct per
+    pair (``api.py:381-384``).
+    """
+    spark = source.sparkSession
+    pairs = _skip_numeric_pairs(source, normalize_column_mapping(column_mapping))
+    if not pairs:
+        return spark.createDataFrame(
+            [],
+            "source_column string, target_column string, source_value string,"
+            " target_value string, similarity double, coverage double",
+        )
+
+    matcher = get_value_matcher(method, **(method_args or {}))
+
+    src = source_value_domain(source, pairs)
+    tgt = target_value_domain(spark, target, pairs)
+
+    sims = matcher.similarities(src, tgt)
+    sims = sims.where(F.col("similarity") >= threshold)
+    sims = sims.withColumn(
+        "similarity", F.round(F.col("similarity"), config.SIMILARITY_SCALE)
+    )
+
+    w = Window.partitionBy(*PAIR, "skey").orderBy(
+        F.desc("similarity"), F.asc("target_value")
+    )
+    ranked = (
+        sims.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= top_k)
+        .drop("__rk")
+    )
+
+    matched = ranked.join(src.select(*PAIR, "skey", "source_value"), PAIR + ["skey"])
+
+    cov_base = src.select(*PAIR, "skey")
+    matched_keys = ranked.select(*PAIR, "skey").distinct()
+    coverage = (
+        cov_base.join(matched_keys.withColumn("__m", F.lit(1)), PAIR + ["skey"], "left")
+        .groupBy(*PAIR)
+        .agg(
+            F.round(
+                F.count("__m") / F.count("*"), config.SIMILARITY_SCALE
+            ).alias("coverage")
+        )
+    )
+
+    result = matched.select(
+        *PAIR, "source_value", "target_value", "similarity"
+    )
+    if include_unmatched:
+        unmatched = (
+            src.join(matched_keys, PAIR + ["skey"], "left_anti")
+            .select(
+                *PAIR,
+                "source_value",
+                F.lit(None).cast("string").alias("target_value"),
+                F.lit(None).cast("double").alias("similarity"),
+            )
+        )
+        result = result.unionByName(unmatched)
+
+    return result.join(F.broadcast(coverage), PAIR, "left")

@@ -1,0 +1,35 @@
+"""Data sources: file readers and standard-vocabulary registry."""
+
+from biomedical_data_integration_spark.sources.readers import (
+    TPCH_TABLES,
+    load_table,
+    load_tables,
+    read_csv,
+    read_json,
+    read_parquet,
+    register_views,
+)
+from biomedical_data_integration_spark.sources.standards import (
+    DataFrameStandard,
+    DictStandard,
+    JsonStandard,
+    Standard,
+    get_standard,
+    register_standard,
+)
+
+__all__ = [
+    "TPCH_TABLES",
+    "DataFrameStandard",
+    "DictStandard",
+    "JsonStandard",
+    "Standard",
+    "get_standard",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "register_standard",
+    "register_views",
+]

@@ -1,0 +1,62 @@
+"""Table sources.
+
+The reference reads CSV with pandas in its examples and a JSON vocabulary
+resource (SURVEY §2.7). The engine exposes the standard Spark readers with
+harmonization-friendly defaults and a helper for the test-harness parquet
+layout (one file per table under an sf directory).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV with header+inferSchema, mirroring the reference's dynamic
+    pandas typing (SURVEY §1.2)."""
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update({k: str(v) for k, v in options.items()})
+    return spark.read.options(**opts).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One harness table: ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH_TABLES
+) -> Dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH_TABLES
+) -> None:
+    """Register the harness tables as temp views for spark.sql access."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,286 @@
+"""Standard vocabularies (target schemas for harmonization).
+
+The reference's ``BaseStandard`` contract (``bdikit/standards/base.py:5-20``)
+exposes per-column metadata and enumerated value domains; its only
+implementation is GDC, a 2.6 MB JSON loaded eagerly and pivoted into a
+736-column-wide padded DataFrame (``bdikit/standards/gdc.py:16-69``).
+
+The Spark-native model keeps the vocabulary LONG-FORM —
+``(column_name, column_description, value, value_description)`` — because
+joins and explodes beat a wide padded table, and the long table broadcasts
+(driver-sized). The wide form is synthesized only at matcher boundaries
+(some schema matchers want a table-shaped target).
+
+Registry mirrors ``standards/standard_factory.py:7-28``: resolve by name,
+helpful error listing valid names. A built-in demo vocabulary covering the
+reference's test surface (ethnicity/race/figo_stage/...) ships in-code;
+arbitrary GDC-format JSON files load via ``JsonStandard``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+LONG_FORM_SCHEMA = StructType(
+    [
+        StructField("column_name", StringType()),
+        StructField("column_description", StringType()),
+        StructField("value", StringType()),
+        StructField("value_description", StringType()),
+    ]
+)
+
+
+class Standard:
+    """A target vocabulary: column metadata + enumerated value domains."""
+
+    def get_columns(self) -> List[str]:
+        raise NotImplementedError
+
+    def get_column_metadata(self, column_names: List[str]) -> Dict[str, Dict]:
+        raise NotImplementedError
+
+    def get_column_values(self, column_names: List[str]) -> Dict[str, List[str]]:
+        meta = self.get_column_metadata(column_names)
+        return {name: m.get("value_names", []) for name, m in meta.items()}
+
+    def to_long_df(self, spark: SparkSession) -> DataFrame:
+        """Long-form vocabulary table; broadcast-sized by construction."""
+        rows = []
+        meta = self.get_column_metadata(self.get_columns())
+        for col in self.get_columns():
+            m = meta[col]
+            desc = m.get("description", "")
+            values = m.get("value_names", [])
+            value_descs = m.get("value_descriptions", [""] * len(values))
+            if not values:
+                rows.append((col, desc, None, None))
+            else:
+                for v, vd in zip(values, value_descs):
+                    rows.append((col, desc, v, vd))
+        return spark.createDataFrame(rows, LONG_FORM_SCHEMA)
+
+    def to_wide_df(self, spark: SparkSession) -> DataFrame:
+        """Wide table: one column per vocabulary attribute, rows = values
+        padded with nulls (``standards/gdc.py:58-69`` shape). Only for
+        matcher boundaries that require a table-shaped target — domains are
+        vocabulary-sized, so this stays driver-safe."""
+        values = self.get_column_values(self.get_columns())
+        max_len = max((len(v) for v in values.values()), default=0) or 1
+        cols = list(values.keys())
+        data = []
+        for i in range(max_len):
+            data.append(
+                tuple(values[c][i] if i < len(values[c]) else None for c in cols)
+            )
+        schema = StructType([StructField(c, StringType()) for c in cols])
+        return spark.createDataFrame(data, schema)
+
+
+class DictStandard(Standard):
+    """Standard backed by an in-memory dict:
+    ``{column: {"description": str, "values": {value: value_desc}}}``."""
+
+    def __init__(self, spec: Mapping[str, Mapping]):
+        self._spec = {k: dict(v) for k, v in spec.items()}
+
+    def get_columns(self) -> List[str]:
+        return list(self._spec.keys())
+
+    def get_column_metadata(self, column_names: List[str]) -> Dict[str, Dict]:
+        out: Dict[str, Dict] = {}
+        for name in column_names:
+            entry = self._spec.get(name)
+            if entry is None:
+                continue
+            values = entry.get("values", {}) or {}
+            out[name] = {
+                "description": entry.get("description", ""),
+                "value_names": list(values.keys()),
+                "value_descriptions": list(values.values()),
+            }
+        return out
+
+
+class JsonStandard(DictStandard):
+    """GDC-format JSON file:
+    ``{column: {column_description, value_data: {value: description}}}``
+    (shape produced by ``scripts/format_schema/format_gdc.py:14-31``)."""
+
+    def __init__(self, path: str):
+        with open(path) as f:
+            raw = json.load(f)
+        spec = {
+            col: {
+                "description": entry.get("column_description", ""),
+                "values": entry.get("value_data", {}) or {},
+            }
+            for col, entry in raw.items()
+        }
+        super().__init__(spec)
+
+
+class DataFrameStandard(Standard):
+    """Standard backed by a long-form DataFrame (column_name,
+    column_description, value, value_description)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._cache: Optional[Dict[str, Dict]] = None
+
+    def _load(self) -> Dict[str, Dict]:
+        if self._cache is None:
+            rows = self._df.collect()  # vocabulary tables are driver-sized
+            spec: Dict[str, Dict] = {}
+            for r in rows:
+                entry = spec.setdefault(
+                    r["column_name"],
+                    {"description": r["column_description"] or "", "values": {}},
+                )
+                if r["value"] is not None:
+                    entry["values"][r["value"]] = r["value_description"] or ""
+            self._cache = spec
+        return self._cache
+
+    def get_columns(self) -> List[str]:
+        return list(self._load().keys())
+
+    def get_column_metadata(self, column_names: List[str]) -> Dict[str, Dict]:
+        spec = self._load()
+        out: Dict[str, Dict] = {}
+        for name in column_names:
+            if name not in spec:
+                continue
+            values = spec[name]["values"]
+            out[name] = {
+                "description": spec[name]["description"],
+                "value_names": list(values.keys()),
+                "value_descriptions": list(values.values()),
+            }
+        return out
+
+
+# A hand-written demo vocabulary with the GDC shape and the attribute names
+# exercised by the reference's tests (``tests/test_api.py:31-64``:
+# Ethnicity->ethnicity, FIGO_stage->figo_stage). Values are the public GDC
+# permissible values for these fields. Includes the FIXTURES.md F5
+# requirements: a column with values+description, one with description but
+# no domain, one with neither.
+_BIOMEDICAL_DEMO = {
+    "ethnicity": {
+        "description": "An individual's self-described social and cultural "
+        "grouping related to Hispanic or Latino origin.",
+        "values": {
+            "hispanic or latino": "A person of Cuban, Mexican, Puerto Rican, "
+            "South or Central American, or other Spanish culture or origin.",
+            "not hispanic or latino": "A person not of Hispanic or Latino origin.",
+            "not reported": "Not provided or available.",
+            "unknown": "Could not be determined.",
+            "not allowed to collect": "Collection prohibited by regulation.",
+        },
+    },
+    "race": {
+        "description": "An arbitrary classification of a taxonomic group "
+        "that is a division of a species.",
+        "values": {
+            "white": "",
+            "black or african american": "",
+            "asian": "",
+            "american indian or alaska native": "",
+            "native hawaiian or other pacific islander": "",
+            "other": "",
+            "not reported": "",
+            "unknown": "",
+        },
+    },
+    "gender": {
+        "description": "Text designations that identify gender.",
+        "values": {
+            "female": "",
+            "male": "",
+            "unspecified": "",
+            "unknown": "",
+            "not reported": "",
+        },
+    },
+    "figo_stage": {
+        "description": "The FIGO stage of the cancer.",
+        "values": {
+            "Stage 0": "",
+            "Stage I": "",
+            "Stage IA": "",
+            "Stage IA1": "",
+            "Stage IA2": "",
+            "Stage IB": "",
+            "Stage IB1": "",
+            "Stage IB2": "",
+            "Stage IC": "",
+            "Stage II": "",
+            "Stage IIA": "",
+            "Stage IIB": "",
+            "Stage III": "",
+            "Stage IIIA": "",
+            "Stage IIIB": "",
+            "Stage IIIC": "",
+            "Stage IV": "",
+            "Stage IVA": "",
+            "Stage IVB": "",
+            "Unknown": "",
+            "Not Reported": "",
+        },
+    },
+    "tumor_grade": {
+        "description": "Numeric value to express the degree of abnormality "
+        "of cancer cells.",
+        "values": {
+            "G1": "",
+            "G2": "",
+            "G3": "",
+            "G4": "",
+            "GX": "",
+            "GB": "",
+            "High Grade": "",
+            "Low Grade": "",
+            "Unknown": "",
+            "Not Reported": "",
+        },
+    },
+    # description but empty domain (like GDC age_at_diagnosis,
+    # tests/test_api.py:420-428)
+    "age_at_diagnosis": {
+        "description": "Age at the time of diagnosis expressed in number of "
+        "days since birth.",
+        "values": {},
+    },
+    # neither description nor domain
+    "sample_id": {"description": "", "values": {}},
+}
+
+_REGISTRY: Dict[str, Standard] = {}
+
+
+def register_standard(name: str, standard: Standard) -> None:
+    _REGISTRY[name.lower()] = standard
+
+
+def get_standard(name: str) -> Standard:
+    """Resolve a standard by name (``standards/standard_factory.py:14-28``)."""
+    key = name.lower()
+    if key not in _REGISTRY:
+        raise ValueError(
+            f"The {name!r} standard is not supported. "
+            f"Supported standards are: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[key]
+
+
+register_standard("biomedical_demo", DictStandard(_BIOMEDICAL_DEMO))
+# The reference defaults to "gdc"; the demo vocabulary keeps that name
+# working out of the box. Point it at a full GDC JSON via
+# register_standard("gdc", JsonStandard(path)) when the resource exists.
+register_standard("gdc", DictStandard(_BIOMEDICAL_DEMO))
