@@ -1,0 +1,380 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dedup is distinct-before-matching,
+``bdikit/api.py:355``), these are the first-class corpus-dedup operators a
+100 TB text pipeline needs: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design:
+- exact dedup = one hash-groupBy (map-side combinable, one shuffle);
+- n-gram Jaccard never does the n² cross join — candidates come from an
+  inverted shingle index join, with an optional frequency cap that drops
+  stop-shingles (the classic blowup at scale);
+- MinHash/LSH replaces the shingle join with a constant-width signature:
+  shuffle volume per doc is O(num_perm), independent of document length,
+  and candidate generation joins on (band, band_key) only;
+- SimHash pairs join on banded fingerprint chunks (pigeonhole: hamming
+  distance ≤ k guarantees equality on ≥1 of k+1 chunks) — never all-pairs;
+- all hashing is md5-based (functions/hashing.py) so every operator is
+  bit-reproducible in an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark.functions.hashing import hex_nibble
+from biomedical_data_integration_spark.functions.strings import word_ngrams
+from biomedical_data_integration_spark.functions.vectors import cosine
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty tokens dropped)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), "\\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash — one hash-groupBy.
+
+    Returns (content_hash, n_docs, keep_id) for groups with n_docs > 1;
+    ``keep_id`` = min id is the canonical representative.
+    """
+    return (
+        df.select(F.md5(F.col(text_col).cast("string")).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct content. Window-free formulation:
+    an aggregation + semi join, both map-side combinable."""
+    keep = (
+        df.select(F.md5(F.col(text_col).cast("string")).alias("__h"), id_col)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "leftsemi")
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int = 3
+) -> DataFrame:
+    """Distinct word-n-gram shingles per document: (id, shingle)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(_tokens(F.col(text_col)), shingle_words)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word-shingle sets.
+
+    Candidates come from an inverted-index self-join on shingles (docs
+    sharing ≥1 shingle), then exact |A∩B| / |A∪B| — the n² cross join never
+    happens. ``max_shingle_freq`` drops shingles occurring in more than
+    that many documents (stop-shingle blowup control at scale; the dropped
+    mass slightly lowers estimated Jaccard — standard trade, off by
+    default).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = shingle_sets(df, text_col, id_col, shingle_words)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__f"))
+            .where(F.col("__f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                config.SIMILARITY_SCALE,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: (id, sig array<string> length
+    num_perm), sig[i] = min over shingles of md5("mh{i}|" + shingle).
+
+    md5-hex lexicographic min is a uniform permutation min — portable to
+    any SQL oracle (no engine-specific 64-bit hash needed). Shuffle per doc
+    is the shingle explode; the signature itself is constant-width.
+    """
+    sh = shingle_sets(df, text_col, id_col, shingle_words)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+
+    Signature of ``num_perm`` min-hashes split into ``bands`` bands of
+    ``num_perm // bands`` rows; docs agreeing on any full band become
+    candidates (join on (band_idx, band_key) — the only shuffle that grows
+    with corpus size, and it's equi-join sized, not n²). Candidates are
+    then verified with the true shingle Jaccard so output quality doesn't
+    depend on the LSH parameters, only recall does.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= verify_threshold.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_words)
+    band_entries = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                "|",
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = band_entries.withColumnRenamed("id", "id_a")
+    b = band_entries.withColumnRenamed("id", "id_b")
+    candidates = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verification on the candidate set only: join candidate pairs to
+    # both shingle sets on shingle equality
+    sh = shingle_sets(df, text_col, id_col, shingle_words)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    sha = sh.withColumnsRenamed({"id": "id_a"})
+    shb = sh.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        candidates.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                config.SIMILARITY_SCALE,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint per document: (id, simhash bigint).
+
+    bit b of the fingerprint = sign of Σ_tokens tf(token) * (±1), where the
+    ±1 is bit b of md5(token) (decoded nibble-wise, portable SQL). Tokens
+    are weighted by term frequency. ``bits`` ≤ 60 so the fingerprint fits a
+    bigint exactly in every engine.
+    """
+    if bits > 60:
+        raise ValueError("bits must be <= 60 to stay exactly representable")
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    bit_cols = []
+    for b in range(bits):
+        nib = hex_nibble(F.col("h"), b // 4 + 1)
+        bit_on = F.shiftright(nib, b % 4).bitwiseAND(F.lit(1)) == 1
+        contrib = F.when(bit_on, F.col("tf")).otherwise(-F.col("tf"))
+        bit_cols.append(
+            F.when(F.sum(contrib) > 0, F.shiftleft(F.lit(1).cast("bigint"), b))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias(f"b{b}")
+        )
+    per_doc = tf.groupBy("id").agg(*bit_cols)
+    total = None
+    for b in range(bits):
+        c = F.col(f"b{b}").cast("bigint")
+        total = c if total is None else total + c
+    return per_doc.select("id", total.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: with ``chunks`` ≥ max_hamming + 1 fingerprint
+    chunks, any pair within distance max_hamming agrees exactly on ≥1
+    chunk — so candidates come from ``chunks`` equi-joins, never all-pairs.
+    Returns (id_a, id_b, hamming).
+    """
+    if chunks < max_hamming + 1:
+        raise ValueError("need chunks >= max_hamming + 1 for exact blocking")
+    fp = simhash(df, text_col, id_col, bits)
+    chunk_bits = bits // chunks
+
+    entries = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    a = entries.withColumnsRenamed({"id": "id_a", "simhash": "sh_a"})
+    b = entries.withColumnsRenamed({"id": "id_b", "simhash": "sh_b"})
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    lsh_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    Brute force is the all-pairs join (exact; quadratic — fine for small
+    corpora / verification). ``use_lsh=True`` blocks by random-hyperplane
+    signature first (see operators/similarity.py): only pairs in the same
+    bucket are compared — the scale path, with recall controlled by
+    lsh_planes.
+    """
+    from biomedical_data_integration_spark.operators.similarity import (
+        hyperplane_bucket,
+    )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if use_lsh:
+        dim = len(base.select("v").first()["v"])
+        base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), dim, lsh_planes))
+        a = base.withColumnsRenamed({"id": "id_a", "v": "v_a"})
+        b = base.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+        joined = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        a = base.withColumnsRenamed({"id": "id_a", "v": "v_a"})
+        b = base.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), config.SIMILARITY_SCALE).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing (images/audio/video as opaque binary).
+
+Training-data pipelines carry media as ``binary`` content columns plus a
+typed metadata struct; the heavy decode/feature steps run as Arrow-batched
+pandas functions over ``mapInPandas`` so each Python worker touches one
+batch at a time (bounded memory at any scale — never collect, never
+per-row UDF).
+
+The actual codec work (PIL/ffmpeg/torchaudio) is NOT available in this
+environment, so the decode kernels are STUBS behind
+``decoder="deterministic_fake"`` (md5-derived pseudo-metadata, fully
+testable plumbing) or ``decoder="real"`` -> ``NotImplementedError`` with
+the integration point documented. The Spark-side contract — schemas,
+batch iteration, partition behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_content(
+    df: DataFrame, id_col: str, payload_col: str, media_type: str
+) -> DataFrame:
+    """Build a media table from any table: content = binary of the payload
+    column (for tests: deterministic synthetic bytes), meta = size map.
+    This is the ingest adapter; in production content comes off object
+    storage via spark.read.format('binaryFile')."""
+    content = F.to_binary(F.md5(F.col(payload_col).cast("string")), F.lit("hex"))
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.lit(media_type).alias("media_type"),
+        F.create_map(
+            F.lit("n_bytes"), F.length(content).cast("string")
+        ).alias("meta"),
+    )
+
+
+def _fake_image_decode(batch_iter: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Deterministic fake decoder: derives pseudo width/height/channels and
+    an 8-d feature vector from the content bytes. Replace the body with a
+    real PIL/torchvision decode when the libs exist on executors."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batch_iter:
+        out = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            h = hashlib.md5(bytes(content)).digest()
+            width = 64 + h[0] % 192
+            height = 64 + h[1] % 192
+            feats = np.frombuffer(h[:8], dtype=np.uint8).astype("float32") / 255.0
+            out.append((int(mid), int(width), int(height), 3, feats.tolist()))
+        yield pd.DataFrame(
+            out, columns=["media_id", "width", "height", "n_channels", "features"]
+        )
+
+
+def decode_image_features(
+    media: DataFrame, decoder: str = "deterministic_fake"
+) -> DataFrame:
+    """Decode images and extract features, batched via mapInPandas.
+
+    ``decoder='deterministic_fake'`` exercises the full distributed
+    plumbing (schema, Arrow batches, partition-parallel decode) without
+    codec libraries; ``decoder='real'`` is the marked integration point.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "Real image decode needs PIL/torchvision on the executors; "
+            "swap _fake_image_decode's body for the real codec. The Spark "
+            "plumbing (mapInPandas over binary content) is identical."
+        )
+    if decoder != "deterministic_fake":
+        raise ValueError(f"Unknown decoder: {decoder!r}")
+    return media.select("media_id", "content").mapInPandas(
+        _fake_image_decode, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_n_seconds: float = 1.0, decoder: str = "deterministic_fake"
+) -> DataFrame:
+    """Frame sampling contract: one output row per sampled frame
+    (media_id, frame_idx, ts_seconds, frame binary). The fake decoder
+    emits 3 pseudo-frames per video; the real one is the marked stub."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "Real frame sampling needs ffmpeg/av on the executors."
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_seconds", T.DoubleType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def fake_frames(batch_iter):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batch_iter:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i in range(3):
+                    fh = hashlib.md5(bytes(content) + bytes([i])).digest()
+                    rows.append((int(mid), i, i * every_n_seconds, fh))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_seconds", "frame"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(fake_frames, schema)

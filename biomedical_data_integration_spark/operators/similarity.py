@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension operators for training-data pipelines (BASELINE.json north-star):
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the query side,
+  cosine via codegen'd array math, window top-k. The baseline and the
+  verifier for approximate variants. Cost: |Q| x |corpus| — fine when |Q|
+  is bounded; the corpus side streams (never collected, never shuffled
+  except the final window, which is partitioned by query).
+- :func:`hyperplane_lsh_topk` — LSH-bucketed approximate top-k: both sides
+  hash to a random-hyperplane sign bucket; only same-bucket pairs are
+  scored. The hyperplanes are md5-derived ±1 vectors, so the whole plan is
+  deterministic and oracle-reproducible. Recall is tunable via
+  ``planes`` (fewer planes = bigger buckets = higher recall, more compute).
+
+At 1000-executor scale the brute-force plan is a broadcast-nested-loop of
+the (small) query side against a partitioned corpus scan — no corpus
+shuffle at all; the LSH plan turns that into an equi-join on bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark.functions.hashing import hex_nibble
+from biomedical_data_integration_spark.functions.vectors import cosine
+
+
+def hyperplane_sign(vec: Column, dim: int, plane: int) -> Column:
+    """Sign bit (0/1) of <vec, r_plane> for the md5-derived hyperplane:
+    r_plane[i] = +1 if nibble(md5("hp{plane}|{i}")) >= 8 else -1.
+
+    The hyperplane components are constants folded at plan time — the
+    per-row work is one signed sum over the array.
+    """
+    import hashlib
+
+    signs = []
+    for i in range(dim):
+        nib = int(hashlib.md5(f"hp{plane}|{i}".encode()).hexdigest()[0], 16)
+        signs.append(1.0 if nib >= 8 else -1.0)
+    dotp = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda v, s: v.cast("double") * s,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(dotp >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+    """LSH bucket id = the ``planes``-bit sign signature as an int."""
+    out = F.lit(0)
+    for p in range(planes):
+        out = out + F.shiftleft(hyperplane_sign(vec, dim, p).cast("bigint"), p)
+    return out.cast("bigint")
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    Returns (query_id, neighbor_id, cosine) — ties broken by neighbor id
+    so results are total-ordered and reproducible.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+    )
+    joined = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), config.SIMILARITY_SCALE).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def hyperplane_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs.
+
+    Queries that share no bucket with k neighbors return fewer than k rows
+    (documented recall trade; verify against cosine_topk on a sample).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), dim, planes))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), dim, planes))
+    joined = q.join(c, "bucket")
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), config.SIMILARITY_SCALE).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

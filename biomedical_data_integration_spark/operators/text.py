@@ -1,0 +1,140 @@
+"""Text-analysis operators for corpus pipelines.
+
+Training-data-pipeline extensions (BASELINE.json north-star): language ID,
+quality scoring, token counting, document fingerprinting. Every operator
+is a pure built-in-expression projection over the documents table — no
+shuffle, no Python, linear scans that hold at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark import config
+
+# Tiny high-frequency stopword lists per language. Order matters: argmax
+# ties resolve in this (alphabetical) order for determinism.
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "los", "las", "es", "de", "que", "en", "un", "una", "por"],
+    "fr": ["le", "la", "les", "est", "de", "que", "en", "un", "une", "et", "dans"],
+}
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties dropped."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), "\\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def detect_language(
+    df: DataFrame, text_col: str = "text", out_col: str = "detected_lang"
+) -> DataFrame:
+    """Heuristic n-gram/stopword language ID.
+
+    Score per language = #tokens in its stopword list; argmax wins,
+    alphabetical tiebreak; all-zero -> 'und' (undetermined, BCP-47).
+    """
+    toks = tokens_expr(F.col(text_col))
+    hits = {}
+    for lang in sorted(STOPWORDS):
+        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+    best = F.greatest(*hits.values())
+    # argmax, alphabetical tiebreak: first language reaching the max wins
+    chain = None
+    for lang in sorted(STOPWORDS):
+        step = F.when(hits[lang] == best, F.lit(lang))
+        chain = step if chain is None else chain.when(hits[lang] == best, F.lit(lang))
+    return df.withColumn(out_col, F.when(best <= 0, F.lit("und")).otherwise(chain))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Features (all pure expressions): char count, token count, mean token
+    length, alpha ratio, digit ratio, punct ratio, stopword ratio,
+    distinct-token ratio. Composite score = weighted sum of normalized
+    features — a deterministic heuristic in the C4/Gopher-rules spirit.
+    """
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    all_stop = F.array(
+        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+
+    mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digit / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(F.lit(0.0))
+
+    # length factor: saturating ramp to 1.0 at >= 20 tokens
+    length_factor = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    score = (
+        0.3 * alpha_ratio
+        + 0.2 * length_factor
+        + 0.2 * distinct_ratio
+        + 0.2 * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(digit_ratio + punct_ratio, F.lit(1.0)))
+    )
+    r = lambda c: F.round(c, config.SIMILARITY_SCALE)  # noqa: E731
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        r(mean_tok_len).alias("mean_token_len"),
+        r(alpha_ratio).alias("alpha_ratio"),
+        r(digit_ratio).alias("digit_ratio"),
+        r(punct_ratio).alias("punct_ratio"),
+        r(stop_ratio).alias("stopword_ratio"),
+        r(distinct_ratio).alias("distinct_token_ratio"),
+        r(score).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish subword estimate.
+
+    The subword estimate charges ceil(len/4) units per word (the familiar
+    ~4-chars-per-token rule) — a deterministic, vocabulary-free stand-in
+    for a real tokenizer, adequate for budget accounting in pipelines.
+    """
+    toks = tokens_expr(F.col(text_col))
+    ws = F.size(toks)
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
+    )
+    return df.select(
+        "*", ws.alias("ws_tokens"), bpe.alias("bpe_tokens_est")
+    )
+
+
+def document_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+) -> DataFrame:
+    """Content fingerprint: min md5 over word-5-gram shingles (a winnowing-
+    style selection of one representative shingle hash). Documents sharing
+    a fingerprint almost surely share a 5-word span; cheap join key for
+    coarse near-dup grouping. Returns (id, fingerprint)."""
+    from biomedical_data_integration_spark.functions.strings import word_ngrams
+
+    toks = tokens_expr(F.col(text_col))
+    shingles = word_ngrams(toks, shingle_words)
+    fp = F.array_min(F.transform(shingles, lambda s: F.md5(s)))
+    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))

@@ -44,8 +44,25 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One harness table: ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """One harness table: ``{sf_dir}/{name}.parquet``.
+
+    The events table carries parquet TIMESTAMP(NANOS), which Spark rejects
+    by default — read it as long nanos (legacy conf) and convert to a
+    proper timestamp at microsecond precision.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+        if ts_type.get("ts") == "bigint":
+            # integer division: double math would lose precision on
+            # nanosecond epochs (~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

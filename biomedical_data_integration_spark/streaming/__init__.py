@@ -1,0 +1,17 @@
+"""Streaming extensions (batch + Structured Streaming faces)."""
+
+from biomedical_data_integration_spark.streaming.events import (
+    sessionize,
+    streaming_materialize,
+    streaming_sessionize,
+    streaming_tumbling_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "sessionize",
+    "streaming_materialize",
+    "streaming_sessionize",
+    "streaming_tumbling_window_agg",
+    "tumbling_window_agg",
+]
