@@ -513,6 +513,7 @@ SCHEMA_MATCHERS = {
     "name_similarity": NameSimilaritySchemaMatcher,
     "jaccard_distance": JaccardSchemaMatcher,
     "distribution_based": DistributionBasedSchemaMatcher,
+    "composite": CompositeSchemaMatcher,
     "coma": CompositeSchemaMatcher,
     "cupid": NameSimilaritySchemaMatcher,
     "similarity_flooding": SimilarityFloodingSchemaMatcher,

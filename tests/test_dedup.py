@@ -1,0 +1,110 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine (training-data pipeline extensions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.operators.dedup import (
+    drop_exact_duplicates,
+    embedding_cosine_pairs,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+    (4, "completely different content about spark engines here"),
+    (5, "pack my box with five dozen liquor jugs"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_id"] == 1
+
+
+def test_drop_exact_duplicates_keeps_min_id(docs):
+    kept = {r["doc_id"] for r in drop_exact_duplicates(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got          # identical -> jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # one-word diff
+    assert all(a < b for a, b in got)
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(1, 2)] == 1.0
+    assert 0.5 <= by_pair[(1, 3)] < 1.0
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(docs):
+    """LSH candidates are verified with exact Jaccard, so at high threshold
+    LSH output must be a subset of the exact pairs with equal scores."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, num_perm=16, bands=8, verify_threshold=0.5
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    assert (1, 2) in lsh  # identical docs always collide in every band
+
+
+def test_minhash_requires_divisible_bands(docs):
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_perm=16, bands=5)
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    fp = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+    assert all(isinstance(v, int) for v in fp.values())
+
+
+def test_simhash_pairs_blocking_finds_identical(docs):
+    pairs = simhash_pairs(docs, bits=32, max_hamming=3, chunks=4).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0
+
+
+def test_simhash_bits_cap(spark):
+    with pytest.raises(ValueError, match="60"):
+        simhash(spark.createDataFrame([(1, "x")], ["doc_id", "text"]), bits=64)
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.01, 0.0]),   # near-parallel to 1
+            (3, [0.0, 1.0, 0.0]),    # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(vecs, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99

@@ -1,0 +1,56 @@
+"""Multimodal plumbing: binary columns + mapInPandas decode contract.
+Codec work is stubbed (deterministic fake) — the Spark-side schema/batch
+behavior is what's under test."""
+
+import pytest
+
+from biomedical_data_integration_spark.operators.multimodal import (
+    attach_binary_content,
+    decode_image_features,
+    sample_video_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    df = spark.createDataFrame([(1, "cat"), (2, "dog")], ["id", "payload"])
+    return attach_binary_content(df, "id", "payload", "image")
+
+
+def test_attach_binary_content_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "content", "media_type", "meta",
+    ]
+    rows = media.collect()
+    assert all(isinstance(r["content"], (bytes, bytearray)) for r in rows)
+    assert all(r["meta"]["n_bytes"] == "16" for r in rows)  # md5 = 16 bytes
+
+
+def test_decode_image_features_deterministic(media):
+    a = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    b = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert set(a) == {1, 2}
+    for mid in a:
+        assert a[mid]["features"] == b[mid]["features"]
+        assert len(a[mid]["features"]) == 8
+        assert 64 <= a[mid]["width"] < 256
+        assert a[mid]["n_channels"] == 3
+
+
+def test_real_decoder_is_marked_stub(media):
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, decoder="real")
+    with pytest.raises(ValueError):
+        decode_image_features(media, decoder="bogus")
+
+
+def test_sample_video_frames_contract(media):
+    out = sample_video_frames(media, every_n_seconds=2.0)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 fake frames per media row
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    for frames in per.values():
+        assert [f["frame_idx"] for f in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+        assert sorted(f["ts_seconds"] for f in frames) == [0.0, 2.0, 4.0]

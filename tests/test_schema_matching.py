@@ -1,0 +1,107 @@
+"""Schema matchers — one golden toy case per method (reference
+``tests/test_schema_matching.py:13-42`` pattern)."""
+
+import pytest
+
+from biomedical_data_integration_spark import match_schema, top_matches
+from biomedical_data_integration_spark.operators.schema_matching import (
+    get_schema_matcher,
+    one_to_one_assignment,
+)
+
+METHODS = [
+    "name_similarity",
+    "jaccard_distance",
+    "similarity_flooding",
+    "composite",
+    "coma",       # alias of the native composite (SURVEY §2.3)
+    "cupid",      # alias
+    "two_phase",
+    "ct_learning",
+    "max_val_sim",
+]
+
+
+@pytest.fixture()
+def toy(spark):
+    source = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], ["column_1", "col_2"]
+    )
+    target = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], ["column_1a", "col2"]
+    )
+    return source, target
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_each_matcher_maps_toy_tables(toy, method):
+    source, target = toy
+    out = match_schema(source, target, method=method)
+    got = {(r["source"], r["target"]) for r in out.collect()}
+    assert got == {("column_1", "column_1a"), ("col_2", "col2")}
+
+
+def test_unmatched_source_columns_filled_empty(spark):
+    """Unmatched sources get '' (one2one/base.py:9-15)."""
+    source = spark.createDataFrame([("x", "zzz")], ["shared", "only_src"])
+    target = spark.createDataFrame([("x",)], ["shared"])
+    out = match_schema(source, target, method="jaccard_distance")
+    got = dict((r["source"], r["target"]) for r in out.collect())
+    assert got["shared"] == "shared"
+    assert got["only_src"] == ""
+
+
+def test_one_to_one_assignment_is_injective(spark):
+    scores = spark.createDataFrame(
+        [("s1", "t1", 0.9), ("s2", "t1", 0.8), ("s2", "t2", 0.5)],
+        ["source", "target", "similarity"],
+    )
+    got = dict(one_to_one_assignment(scores, ["s1", "s2"]))
+    assert got == {"s1": "t1", "s2": "t2"}
+
+
+def test_top_matches_respects_k(spark):
+    source = spark.createDataFrame([("a", "b")], ["c1", "c2"])
+    target = spark.createDataFrame([("a", "b", "c")], ["c1x", "c2x", "other"])
+    out = top_matches(source, target=target, top_k=2, method="name_similarity")
+    counts = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_distribution_based_prefers_same_distribution(spark):
+    src = spark.createDataFrame([(float(i),) for i in range(100)], ["uniform"])
+    tgt = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(100)], ["same", "squared"]
+    )
+    m = get_schema_matcher("distribution_based", quantiles=16)
+    scores = {
+        (r["source"], r["target"]): r["similarity"]
+        for r in m.scores(src, tgt).collect()
+    }
+    assert scores[("uniform", "same")] > scores[("uniform", "squared")]
+
+
+def test_gdc_standard_target(spark):
+    """Reference golden: Ethnicity->ethnicity (tests/test_api.py:31-64)."""
+    src = spark.createDataFrame(
+        [("hispanic or latino", "Stage I"), ("unknown", "Stage II")],
+        ["Ethnicity", "FIGO_stage"],
+    )
+    out = match_schema(src, "gdc", method="two_phase")
+    got = dict((r["source"], r["target"]) for r in out.collect())
+    assert got["Ethnicity"] == "ethnicity"
+    assert got["FIGO_stage"] == "figo_stage"
+
+
+def test_matcher_instance_accepted(spark, toy=None):
+    source = spark.createDataFrame([("a",)], ["c1"])
+    target = spark.createDataFrame([("a",)], ["c1x"])
+    matcher = get_schema_matcher("name_similarity")
+    out = match_schema(source, target, method=matcher)
+    assert out.first()["target"] == "c1x"
+
+
+def test_unknown_matcher_raises(spark):
+    source = spark.createDataFrame([("a",)], ["c1"])
+    with pytest.raises(ValueError, match="not supported"):
+        match_schema(source, source, method="bogus")

@@ -1,0 +1,50 @@
+"""ANN similarity search: brute-force cosine top-k and hyperplane LSH."""
+
+from biomedical_data_integration_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+        (4, [0.7, 0.7]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_golden(spark):
+    emb = _vecs(spark)
+    queries = emb.where("vec_id = 0")
+    out = cosine_topk(queries, emb, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 4]
+    assert out[0]["cosine"] > out[1]["cosine"] > 0.7
+    # query never matches itself
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_cosine_topk_k_bound(spark):
+    emb = _vecs(spark)
+    out = cosine_topk(emb, emb, k=2)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    """LSH returns true cosines for bucket-mates; every returned neighbor
+    must carry the same score brute force assigns it."""
+    emb = _vecs(spark)
+    queries = emb.where("vec_id = 0")
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(queries, emb, k=4).collect()
+    }
+    lsh = hyperplane_lsh_topk(queries, emb, dim=2, k=4, planes=2).collect()
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in brute
+        assert brute[key] == r["cosine"]

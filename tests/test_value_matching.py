@@ -1,0 +1,135 @@
+"""Value-matching kernels (reference ``tests/test_value_matching.py`` and
+the V-pipeline, SURVEY §2.1/§2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark import (
+    match_values,
+    split_value_matches,
+    top_value_matches,
+)
+
+
+@pytest.fixture()
+def fruits(spark):
+    src = spark.createDataFrame(
+        [("Red Apple",), ("Banana",), ("Oorange",), ("Strawberry",)], ["fruits"]
+    )
+    tgt = spark.createDataFrame(
+        [("apple",), ("banana",), ("orange",), ("kiwi",)], ["fruit_names"]
+    )
+    return src, tgt
+
+
+def test_edit_distance_fuzzy_fruits(fruits):
+    """Mirrors the reference golden case: Oorange->orange matches;
+    Strawberry has no close target (tests/test_value_matching.py:9-33)."""
+    src, tgt = fruits
+    out = match_values(
+        src,
+        tgt,
+        [("fruits", "fruit_names")],
+        method="edit_distance",
+        threshold=0.5,
+        method_args={"lowercase": True, "threshold": 0.5},
+    ).collect()
+    by_src = {r["source_value"]: r for r in out}
+    assert by_src["Oorange"]["target_value"] == "orange"
+    assert by_src["Oorange"]["similarity"] > 0.5
+    assert by_src["Banana"]["target_value"] == "banana"
+    assert by_src["Strawberry"]["target_value"] is None
+    assert by_src["Strawberry"]["similarity"] is None
+    # coverage carried as a plain column (no attrs in Spark, SURVEY §1.4)
+    assert by_src["Banana"]["coverage"] == 0.75
+
+
+def test_tfidf_matches_close_strings(fruits):
+    src, tgt = fruits
+    out = match_values(
+        src, tgt, [("fruits", "fruit_names")], method="tfidf", threshold=0.3
+    ).collect()
+    by_src = {r["source_value"]: r for r in out}
+    assert by_src["Oorange"]["target_value"] == "orange"
+    assert by_src["Banana"]["target_value"] == "banana"
+
+
+def test_top_value_matches_k_and_order(spark):
+    src = spark.createDataFrame([("cat",)], ["a"])
+    tgt = spark.createDataFrame([("cat",), ("cart",), ("car",), ("dog",)], ["b"])
+    out = top_value_matches(
+        src, tgt, [("a", "b")], top_k=3, method="edit_distance",
+        threshold=0.1, method_args={"threshold": 0.1},
+    )
+    rows = out.orderBy(F.desc("similarity")).collect()
+    assert [r["target_value"] for r in rows[:3]] == ["cat", "cart", "car"]
+    assert rows[0]["similarity"] == 1.0
+    assert len(rows) <= 3
+
+
+def test_exact_matcher(spark):
+    src = spark.createDataFrame([("A",), ("b",), ("C",)], ["x"])
+    tgt = spark.createDataFrame([("A",), ("B",)], ["y"])
+    out = match_values(src, tgt, [("x", "y")], method="exact").collect()
+    by_src = {r["source_value"]: r["target_value"] for r in out}
+    assert by_src == {"A": "A", "b": None, "C": None}
+    lower = match_values(
+        src, tgt, [("x", "y")], method="exact", method_args={"lowercase": True}
+    ).collect()
+    by_src = {r["source_value"]: r["target_value"] for r in lower}
+    assert by_src == {"A": "A", "b": "B", "C": None}
+
+
+def test_numeric_source_columns_skipped(spark):
+    """Numeric columns are skipped for value matching (api.py:488-492)."""
+    src = spark.createDataFrame([(1.5, "a")], ["num", "txt"])
+    tgt = spark.createDataFrame([("a",), ("b",)], ["vals"])
+    out = match_values(
+        src, tgt, [("num", "vals"), ("txt", "vals")], method="exact"
+    )
+    pairs = {
+        (r["source_column"], r["target_column"])
+        for r in out.select("source_column", "target_column").distinct().collect()
+    }
+    assert pairs == {("txt", "vals")}
+
+
+def test_multi_pair_single_job_and_split(spark):
+    src = spark.createDataFrame([("a", "x")], ["c1", "c2"])
+    tgt = spark.createDataFrame([("a", "x")], ["t1", "t2"])
+    out = match_values(
+        src, tgt, [("c1", "t1"), ("c2", "t2")], method="exact"
+    )
+    parts = split_value_matches(out)
+    assert set(parts) == {("c1", "t1"), ("c2", "t2")}
+    assert parts[("c1", "t1")].first()["target_value"] == "a"
+
+
+def test_values_reported_in_original_representation(spark):
+    """Stripped-string matching maps back to original values
+    (api.py:360-379)."""
+    src = spark.createDataFrame([("  apple  ",)], ["x"])
+    tgt = spark.createDataFrame([("apple",)], ["y"])
+    out = match_values(src, tgt, [("x", "y")], method="exact").collect()
+    assert out[0]["source_value"] == "  apple  "
+    assert out[0]["target_value"] == "apple"
+    assert out[0]["similarity"] == 1.0
+
+
+def test_standard_as_target(spark):
+    src = spark.createDataFrame(
+        [("hispanic or latino",), ("unknwn",)], ["Ethnicity"]
+    )
+    out = match_values(
+        src, "gdc", [("Ethnicity", "ethnicity")], method="tfidf"
+    ).collect()
+    by_src = {r["source_value"]: r["target_value"] for r in out}
+    assert by_src["hispanic or latino"] == "hispanic or latino"
+    assert by_src["unknwn"] == "unknown"
+
+
+def test_unknown_method_raises(spark):
+    src = spark.createDataFrame([("a",)], ["x"])
+    tgt = spark.createDataFrame([("a",)], ["y"])
+    with pytest.raises(ValueError, match="not supported"):
+        match_values(src, tgt, [("x", "y")], method="bogus")
