@@ -58,9 +58,18 @@ class HashingTextEmbedder:
                 F.lit(self.dim),
             )
 
-        counts = F.transform(
-            F.sequence(F.lit(0), F.lit(self.dim - 1)),
-            lambda i: F.size(F.filter(grams, lambda g: bucket(g) == i)).cast("double"),
+        # One md5 per gram (NOT per gram × bucket): hash every gram to its
+        # bucket once, then fold the bucket array into a count histogram.
+        # The naive per-bucket filter formulation duplicates the md5
+        # expression dim× in the plan — 32× more codegen and runtime.
+        buckets = F.transform(grams, bucket)
+        zeros = F.array_repeat(F.lit(0.0), self.dim)
+        counts = F.aggregate(
+            buckets,
+            zeros,
+            lambda acc, b: F.transform(
+                acc, lambda v, i: F.when(i.cast("bigint") == b, v + 1.0).otherwise(v)
+            ),
         )
         norm = F.sqrt(
             F.aggregate(counts, F.lit(0.0), lambda acc, v: acc + v * v)

@@ -442,6 +442,11 @@ VALUE_MATCHERS = {
     "indel": IndelValueMatcher,
     "exact": ExactValueMatcher,
     "embedding": EmbeddingValueMatcher,
+    # the reference's 'fasttext' method is flair WordEmbeddings cosine
+    # (``polyfuzz.py:122-141``) — model-weight-dependent and off-oracle;
+    # the name resolves to the same pluggable-encoder matcher (inject a
+    # fasttext encoder via embedder= for real-model behavior)
+    "fasttext": EmbeddingValueMatcher,
     "gpt": GptValueMatcher,
 }
 
@@ -508,33 +513,32 @@ def match_values_pipeline(
         .drop("__rk")
     )
 
-    matched = ranked.join(src.select(*PAIR, "skey", "source_value"), PAIR + ["skey"])
-
-    cov_base = src.select(*PAIR, "skey")
-    matched_keys = ranked.select(*PAIR, "skey").distinct()
-    coverage = (
-        cov_base.join(matched_keys.withColumn("__m", F.lit(1)), PAIR + ["skey"], "left")
-        .groupBy(*PAIR)
-        .agg(
-            F.round(
-                F.count("__m") / F.count("*"), config.SIMILARITY_SCALE
-            ).alias("coverage")
-        )
+    # ONE left join attaches the top-k matches to every distinct source
+    # value; unmatched values get null target/similarity in the same pass
+    # (``api.py:457-485`` matched ∪ unmatched semantics without the
+    # anti-join + union, which would re-evaluate the whole kernel DAG).
+    joined = src.select(*PAIR, "skey", "source_value").join(
+        ranked.select(*PAIR, "skey", "target_value", "similarity"),
+        PAIR + ["skey"],
+        "left",
     )
 
-    result = matched.select(
-        *PAIR, "source_value", "target_value", "similarity"
+    # Coverage = matched distinct / total distinct per pair
+    # (``api.py:381-384``), computed by window aggregation over the same
+    # rows — no second evaluation of the match kernel. Pair partitions are
+    # value-domain-sized (distinct values, not raw rows), so the unbounded
+    # window is safe.
+    w_pair = Window.partitionBy(*PAIR)
+    matched_keys = F.collect_set(
+        F.when(F.col("target_value").isNotNull(), F.col("skey"))
+    ).over(w_pair)
+    all_keys = F.collect_set("skey").over(w_pair)
+    result = joined.withColumn(
+        "coverage",
+        F.round(F.size(matched_keys) / F.size(all_keys), config.SIMILARITY_SCALE),
     )
-    if include_unmatched:
-        unmatched = (
-            src.join(matched_keys, PAIR + ["skey"], "left_anti")
-            .select(
-                *PAIR,
-                "source_value",
-                F.lit(None).cast("string").alias("target_value"),
-                F.lit(None).cast("double").alias("similarity"),
-            )
-        )
-        result = result.unionByName(unmatched)
-
-    return result.join(F.broadcast(coverage), PAIR, "left")
+    if not include_unmatched:
+        result = result.where(F.col("target_value").isNotNull())
+    return result.select(
+        *PAIR, "source_value", "target_value", "similarity", "coverage"
+    )
