@@ -103,9 +103,28 @@ class HashingColumnEmbedder(ColumnEmbedder):
     window top-15 → group-concat → embed expression.
     """
 
-    def __init__(self, dim: int = 32, n: int = 3, sample_values: int = 15):
+    #: deterministic counterparts of the reference's sampling strategies
+    #: (``cl_preprocessor.py:216-259``): head / random / constant (every
+    #: nth) / frequent. The tf-idf/pmi token strategies collapse onto
+    #: 'frequent' at the value level (the hash embedder consumes whole
+    #: values, not tokens).
+    SAMPLE_STRATEGIES = ("head", "random", "constant", "frequent")
+
+    def __init__(
+        self,
+        dim: int = 32,
+        n: int = 3,
+        sample_values: int = 15,
+        sample_strategy: str = "head",
+    ):
+        if sample_strategy not in self.SAMPLE_STRATEGIES:
+            raise ValueError(
+                f"Unknown sample_strategy {sample_strategy!r}; "
+                f"supported: {list(self.SAMPLE_STRATEGIES)}"
+            )
         self.text_embedder = HashingTextEmbedder(dim=dim, n=n, salt="hce")
         self.sample_values = sample_values
+        self.sample_strategy = sample_strategy
 
     def serialized_columns(
         self, df: DataFrame, columns: Optional[List[str]] = None
@@ -121,11 +140,50 @@ class HashingColumnEmbedder(ColumnEmbedder):
         long_df = parts[0]
         for p in parts[1:]:
             long_df = long_df.unionByName(p)
-        w = Window.partitionBy("column_name").orderBy("value")
-        sampled = (
-            long_df.distinct()
-            .withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= self.sample_values)
+
+        if self.sample_strategy == "frequent":
+            # most frequent values first (``cl_preprocessor.py:108-127``);
+            # the distinct + count is one map-side-combinable aggregation
+            counted = long_df.groupBy("column_name", "value").agg(
+                F.count("*").alias("__f")
+            )
+            w = Window.partitionBy("column_name").orderBy(
+                F.desc("__f"), F.asc("value")
+            )
+            distinct_vals = counted
+        else:
+            if self.sample_strategy == "random":
+                # seedless determinism: order by a value-derived hash, so
+                # the "random" sample is partition- and run-stable (Spark
+                # rand(seed) is partition-dependent, SURVEY §7.3)
+                order = [F.md5(F.concat(F.lit("hcs|"), F.col("value"))), F.col("value")]
+            else:  # head / constant: lexicographic order
+                order = [F.col("value")]
+            w = Window.partitionBy("column_name").orderBy(*order)
+            distinct_vals = long_df.distinct()
+
+        sampled = distinct_vals.withColumn("__rk", F.row_number().over(w))
+        if self.sample_strategy == "constant":
+            # every nth distinct value (``cl_preprocessor.py:91-105``):
+            # stride so the sample spans the whole sorted domain
+            n_distinct = F.count("*").over(Window.partitionBy("column_name"))
+            step = F.greatest(
+                F.floor(n_distinct / self.sample_values), F.lit(1)
+            )
+            sampled = (
+                sampled.withColumn(
+                    "__pick", ((F.col("__rk") - 1) % step) == 0
+                )
+                .where(F.col("__pick"))
+                .withColumn(
+                    "__rk",
+                    F.row_number().over(
+                        Window.partitionBy("column_name").orderBy("__rk")
+                    ),
+                )
+            )
+        sampled = sampled.where(F.col("__rk") <= self.sample_values).select(
+            "column_name", "value", "__rk"
         )
         # collect_list is order-nondeterministic; sort the collected structs
         # by rank so the serialization is stable under any partitioning

@@ -116,18 +116,25 @@ def ngram_jaccard_pairs(
         sh = sh.join(freq_ok, "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
 
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # Size-ratio pregate (lossless): |A∩B| ≤ min ⇒ J ≤ min(n_a,n_b)/max,
+    # so J ≥ t requires min/max ≥ t. Applying it IN the shingle self-join
+    # kills the stop-shingle pair explosion (a shingle shared by k docs
+    # yields k² candidates; most fail the ratio and would otherwise be
+    # carried through the count aggregation).
+    sh_n = sh.join(sizes, "id")
+    a = sh_n.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "shingle")
+    b = sh_n.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .where(
+            F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b")
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
@@ -218,22 +225,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification on the candidate set only: join candidate pairs to
-    # both shingle sets on shingle equality
+    # exact verification on the candidate set only: size-ratio pregate
+    # (lossless, J ≤ min/max), then join candidate pairs to both shingle
+    # sets on shingle equality
     sh = shingle_sets(df, text_col, id_col, shingle_words)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    candidates = (
+        candidates.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .where(
+            F.least("n_a", "n_b") >= verify_threshold * F.greatest("n_a", "n_b")
+        )
+    )
     sha = sh.withColumnsRenamed({"id": "id_a"})
     shb = sh.withColumnsRenamed({"id": "id_b"})
     inter = (
         candidates.join(sha, "id_a")
         .join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             F.round(
