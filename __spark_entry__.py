@@ -39,6 +39,8 @@ DEDUP_JACCARD_THRESHOLD = 0.8
 MINHASH_NUM_PERM = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+EMB_PAIR_THRESHOLD = 0.3
 ANN_K = 5
 ANN_DIM = 64
 ANN_LSH_PLANES = 4
@@ -472,6 +474,79 @@ FROM f
 """
 
 
+def _name_similarity_sql(src_cols: list[str], tgt_cols: list[str]) -> str:
+    """TF-IDF cosine over column NAMES — same math as the value tfidf
+    kernel (operators/schema_matching.NameSimilaritySchemaMatcher)."""
+    clean = "trim(regexp_replace(lower({v}), '[^a-z0-9]+', ' ', 'g'))"
+    ngrams_s = _sql_char_ngrams(clean.format(v="sname"), 1, 3)
+    ngrams_t = _sql_char_ngrams(clean.format(v="tname"), 1, 3)
+    svals = ", ".join(f"('{c}')" for c in src_cols)
+    tvals = ", ".join(f"('{c}')" for c in tgt_cols)
+    return f"""
+WITH src AS (SELECT c AS sname FROM (VALUES {svals}) v(c)),
+tgt AS (SELECT c AS tname FROM (VALUES {tvals}) v(c)),
+s_terms AS (
+  SELECT sname AS value_key, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT sname, unnest({ngrams_s}) AS term FROM src) GROUP BY 1, 2
+),
+t_terms AS (
+  SELECT tname AS value_key, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT tname, unnest({ngrams_t}) AS term FROM tgt) GROUP BY 1, 2
+),
+docs AS (
+  SELECT 's' AS side, value_key, term FROM s_terms
+  UNION ALL SELECT 't', value_key, term FROM t_terms
+),
+ndocs AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT DISTINCT side, value_key FROM docs)
+),
+idf AS (
+  SELECT term, ln((1 + (SELECT n FROM ndocs)) / (1 + CAST(count(*) AS DOUBLE))) + 1 AS idf
+  FROM docs GROUP BY term
+),
+ws AS (
+  SELECT value_key AS sname, s.term, s.tf * i.idf AS w
+  FROM s_terms s JOIN idf i ON s.term = i.term
+),
+ws_n AS (
+  SELECT sname, term, w / sqrt(sum(w * w) OVER (PARTITION BY sname)) AS w FROM ws
+),
+wt AS (
+  SELECT value_key AS tname, t.term, t.tf * i.idf AS w
+  FROM t_terms t JOIN idf i ON t.term = i.term
+),
+wt_n AS (
+  SELECT tname, term, w / sqrt(sum(w * w) OVER (PARTITION BY tname)) AS w FROM wt
+)
+SELECT a.sname AS source, b.tname AS target,
+       round(sum(a.w * b.w), 6) AS similarity
+FROM ws_n a JOIN wt_n b ON a.term = b.term GROUP BY 1, 2
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """Brute-force hamming pairs over the simhash CTE — the Spark chunk
+    blocking (operators/dedup.simhash_pairs) is lossless, so outputs agree."""
+    return f"""
+WITH fp AS ({_simhash_sql()})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _embedding_cosine_pairs_sql(threshold: float) -> str:
+    cos = _sql_cosine("a.v", "b.v", ANN_DIM)
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b, round({cos}, 6) AS cosine
+FROM e a JOIN e b ON a.id < b.id
+WHERE {cos} >= {threshold}
+"""
+
+
 def _distribution_match_sql() -> str:
     fracs = "[" + ", ".join(repr(i / (DIST_QUANTILES - 1)) for i in range(DIST_QUANTILES)) + "]"
     src_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
@@ -740,6 +815,61 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprints(docs)
 
 
+def _q_schema_match_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        NameSimilaritySchemaMatcher,
+    )
+
+    orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
+    return NameSimilaritySchemaMatcher().scores(orders, lineitem)
+
+
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.dedup import simhash_pairs
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, bits=SIMHASH_BITS, max_hamming=SIMHASH_MAX_HAMMING, chunks=4
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=EMB_PAIR_THRESHOLD)
+
+
+def _q_dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return drop_exact_duplicates(docs).select("doc_id")
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.streaming import tumbling_window_agg
 
@@ -846,10 +976,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_match_exact_linestatus": _q_value_match_exact,
         "schema_match_jaccard_orders_lineitem": _q_schema_match_jaccard,
         "schema_match_distribution_orders_lineitem": _q_schema_match_distribution,
+        "schema_match_name_similarity_orders_lineitem": _q_schema_match_name_similarity,
         "top_matches_hash_embedding": _q_top_matches_embedding,
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh_documents": _q_dedup_minhash_lsh,
+        "dedup_simhash_pairs_documents": _q_dedup_simhash_pairs,
+        "dedup_embedding_cosine_embeddings": _q_dedup_embedding_cosine,
+        "dedup_drop_exact_documents": _q_dedup_drop_exact,
         "simhash_documents": _q_simhash,
         "ann_cosine_topk_embeddings": _q_ann_cosine,
         "ann_lsh_topk_embeddings": _q_ann_lsh,
@@ -862,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_top_revenue": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
     }
 
 
@@ -949,6 +1084,17 @@ SELECT i.source, i.target,
 FROM inter i JOIN ns ON ns.source = i.source JOIN nt ON nt.target = i.target
 """,
         "schema_match_distribution_orders_lineitem": _distribution_match_sql(),
+        "schema_match_name_similarity_orders_lineitem": _name_similarity_sql(
+            [
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority",
+            ],
+            [
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            ],
+        ),
         "dedup_exact_documents": """
 SELECT md5(CAST(text AS VARCHAR)) AS content_hash,
        count(*) AS n_docs, min(doc_id) AS keep_id
@@ -956,6 +1102,13 @@ FROM documents GROUP BY 1
 """,
         "dedup_ngram_jaccard_documents": _ngram_jaccard_sql(),
         "dedup_minhash_lsh_documents": _minhash_sql(),
+        "dedup_simhash_pairs_documents": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
+        "dedup_embedding_cosine_embeddings": _embedding_cosine_pairs_sql(
+            EMB_PAIR_THRESHOLD
+        ),
+        "dedup_drop_exact_documents": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(CAST(text AS VARCHAR))
+""",
         "simhash_documents": _simhash_sql(),
         "ann_cosine_topk_embeddings": _ann_cosine_sql(),
         "ann_lsh_topk_embeddings": _ann_lsh_sql(),
@@ -1049,5 +1202,14 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+""",
+        "tpch_q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """,
     }
