@@ -44,6 +44,8 @@ EMB_PAIR_THRESHOLD = 0.3
 ANN_K = 5
 ANN_DIM = 64
 ANN_LSH_PLANES = 4
+ANN_IVF_CELLS = 16
+ANN_IVF_NPROBE = 4
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 _HEX = "0123456789abcdef"
 
@@ -402,6 +404,50 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rk
   FROM scored
+)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= {ANN_K}
+"""
+
+
+def _ann_ivf_sql(n_cells: int, nprobe: int) -> str:
+    cos_assign = _sql_cosine("e.v", "c.cent_v", ANN_DIM)
+    cos_probe = _sql_cosine("q.qv", "c.cent_v", ANN_DIM)
+    cos_search = _sql_cosine("p.qv", "a.cv", ANN_DIM)
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cents AS (SELECT id AS cent_id, v AS cent_v FROM e ORDER BY id LIMIT {n_cells}),
+assign0 AS (
+  SELECT e.id AS neighbor_id, e.v AS cv, c.cent_id,
+         round({cos_assign}, 6) AS cs
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT neighbor_id, cv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                 ORDER BY cs DESC, cent_id ASC) AS rk
+    FROM assign0) WHERE rk = 1
+),
+q AS (SELECT id AS query_id, v AS qv FROM e WHERE id % 100 = 0),
+probe0 AS (
+  SELECT q.query_id, q.qv, c.cent_id, round({cos_probe}, 6) AS cs
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, cent_id ASC) AS rk
+    FROM probe0) WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id, round({cos_search}, 6) AS cosine
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM cand
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= {ANN_K}
 """
@@ -773,6 +819,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(queries, emb, dim=ANN_DIM, k=ANN_K, planes=ANN_LSH_PLANES)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.similarity import ivf_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(
+        queries, emb, k=ANN_K, n_cells=ANN_IVF_CELLS, nprobe=ANN_IVF_NPROBE
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.text import detect_language
 
@@ -987,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash,
         "ann_cosine_topk_embeddings": _q_ann_cosine,
         "ann_lsh_topk_embeddings": _q_ann_lsh,
+        "ann_ivf_topk_embeddings": _q_ann_ivf,
         "text_lang_id_documents": _q_lang_id,
         "text_quality_documents": _q_quality,
         "text_token_counts_documents": _q_token_counts,
@@ -1112,6 +1169,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(CAST(text AS VARCHAR))
         "simhash_documents": _simhash_sql(),
         "ann_cosine_topk_embeddings": _ann_cosine_sql(),
         "ann_lsh_topk_embeddings": _ann_lsh_sql(),
+        "ann_ivf_topk_embeddings": _ann_ivf_sql(ANN_IVF_CELLS, ANN_IVF_NPROBE),
         "text_lang_id_documents": _lang_id_sql(),
         "text_quality_documents": _quality_sql(),
         "text_token_counts_documents": f"""

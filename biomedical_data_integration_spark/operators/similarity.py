@@ -12,10 +12,16 @@ Extension operators for training-data pipelines (BASELINE.json north-star):
   scored. The hyperplanes are md5-derived ±1 vectors, so the whole plan is
   deterministic and oracle-reproducible. Recall is tunable via
   ``planes`` (fewer planes = bigger buckets = higher recall, more compute).
+- :func:`ivf_topk` — inverted-file approximate top-k: a deterministic
+  coarse quantizer (the ``n_cells`` lowest-id corpus vectors serve as
+  centroids), every corpus vector assigned to its best centroid, queries
+  probe their ``nprobe`` best cells and brute-force only those cells.
+  Search cost drops ~``nprobe / n_cells``; recall is tunable via
+  ``nprobe``. Fully deterministic (ties broken by id) — oracle-checkable.
 
 At 1000-executor scale the brute-force plan is a broadcast-nested-loop of
 the (small) query side against a partitioned corpus scan — no corpus
-shuffle at all; the LSH plan turns that into an equi-join on bucket.
+shuffle at all; LSH/IVF turn that into an equi-join on bucket/cell.
 """
 
 from __future__ import annotations
@@ -92,6 +98,78 @@ def cosine_topk(
             "cosine"
         ),
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k by cosine.
+
+    Coarse quantizer: the ``n_cells`` corpus vectors with the smallest ids
+    (a deterministic sample — real systems would k-means these; the cell
+    SEARCH structure is identical). Each corpus vector lands in the cell
+    of its most-cosine-similar centroid; each query probes its ``nprobe``
+    best cells. Assignment is one broadcast join against the centroids
+    (centroids are tiny by construction); search is an equi-join on
+    cell id, so the per-query cost shrinks by ~``nprobe / n_cells``.
+
+    Returns (query_id, neighbor_id, cosine); rounded scores, id tiebreaks,
+    deterministic under any partitioning.
+    """
+    cents = (
+        corpus.orderBy(corpus_id)
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_v"))
+    )
+
+    def best_cells(df: DataFrame, idc: str, vecc: str, n: int, out_id: str) -> DataFrame:
+        scored = df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias("v")
+        ).crossJoin(F.broadcast(cents)).select(
+            out_id,
+            "v",
+            "cent_id",
+            F.round(
+                cosine(F.col("v"), F.col("cent_v")), config.SIMILARITY_SCALE
+            ).alias("cs"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("cs"), F.asc("cent_id"))
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n)
+            .select(out_id, "v", "cent_id")
+        )
+
+    assigned = best_cells(corpus, corpus_id, corpus_vec, 1, "neighbor_id")
+    probes = best_cells(queries, query_id, query_vec, nprobe, "query_id")
+
+    joined = probes.withColumnRenamed("v", "qv").join(
+        assigned.withColumnRenamed("v", "cv"), "cent_id"
+    )
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), config.SIMILARITY_SCALE).alias(
+            "cosine"
+        ),
+    )  # each corpus vector lives in exactly one cell -> no dup candidates
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))

@@ -1,8 +1,9 @@
-"""ANN similarity search: brute-force cosine top-k and hyperplane LSH."""
+"""ANN similarity search: brute-force cosine top-k, hyperplane LSH, IVF."""
 
 from biomedical_data_integration_spark.operators.similarity import (
     cosine_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 
 
@@ -32,6 +33,35 @@ def test_cosine_topk_k_bound(spark):
     out = cosine_topk(emb, emb, k=2)
     counts = out.groupBy("query_id").count().collect()
     assert all(r["count"] <= 2 for r in counts)
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(spark):
+    """With nprobe == n_cells every cell is searched, so IVF must return
+    exactly the brute-force result."""
+    emb = _vecs(spark)
+    queries = emb.where("vec_id = 0")
+    brute = [tuple(r) for r in cosine_topk(queries, emb, k=3).collect()]
+    ivf = [
+        tuple(r)
+        for r in ivf_topk(queries, emb, k=3, n_cells=2, nprobe=2).collect()
+    ]
+    assert ivf == brute
+
+
+def test_ivf_topk_partial_probe_subset(spark):
+    """nprobe < n_cells returns a subset of brute force with identical
+    scores (vec 4 probes the cell holding vec 1; vecs in unprobed cells
+    are legitimately missed — the recall trade)."""
+    emb = _vecs(spark)
+    queries = emb.where("vec_id = 4")
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(queries, emb, k=4).collect()
+    }
+    part = ivf_topk(queries, emb, k=4, n_cells=3, nprobe=1).collect()
+    assert 0 < len(part) <= 4
+    for r in part:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
 def test_lsh_topk_subset_of_bruteforce_scores(spark):
