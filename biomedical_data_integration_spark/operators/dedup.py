@@ -366,28 +366,40 @@ def embedding_cosine_pairs(
     bucket are compared — the scale path, with recall controlled by
     lsh_planes.
     """
+    from biomedical_data_integration_spark.functions.vectors import dot, norm
     from biomedical_data_integration_spark.operators.similarity import (
+        _vec_dim,
         hyperplane_bucket,
     )
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Norms are computed ONCE per vector before the pair join — inside the
+    # join they'd be re-derived per PAIR (O(n²) interpreted array folds,
+    # the dominant cost of the all-pairs plan). The final arithmetic stays
+    # dot / (norm_a * norm_b), bit-identical to computing cosine in-join.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
     if use_lsh:
-        dim = len(base.select("v").first()["v"])
+        dim = _vec_dim(df, vec_col)
         base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), dim, lsh_planes))
-        a = base.withColumnsRenamed({"id": "id_a", "v": "v_a"})
-        b = base.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+        a = base.withColumnsRenamed({"id": "id_a", "v": "v_a", "nv": "n_a"})
+        b = base.withColumnsRenamed({"id": "id_b", "v": "v_b", "nv": "n_b"})
         joined = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     else:
-        a = base.withColumnsRenamed({"id": "id_a", "v": "v_a"})
-        b = base.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+        a = base.withColumnsRenamed({"id": "id_a", "v": "v_a", "nv": "n_a"})
+        b = base.withColumnsRenamed({"id": "id_b", "v": "v_b", "nv": "n_b"})
         joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("v_a"), F.col("v_b")) / denom
+    )
     return (
         joined.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), config.SIMILARITY_SCALE).alias(
-                "cosine"
-            ),
+            F.round(cos, config.SIMILARITY_SCALE).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -29,9 +29,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from typing import Optional
+
 from biomedical_data_integration_spark import config
 from biomedical_data_integration_spark.functions.hashing import hex_nibble
-from biomedical_data_integration_spark.functions.vectors import cosine
+from biomedical_data_integration_spark.functions.vectors import cosine, dot, norm
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> Optional[int]:
+    """Vector width from one row (arrays carry no static length). One tiny
+    job; None for an empty frame."""
+    row = df.select(vec_col).first()
+    return len(row[0]) if row and row[0] is not None else None
+
+
+def _pair_cosine() -> Column:
+    """cosine from precomputed per-side norms: dot(qv,cv) / (qn*cn).
+    Same arithmetic as computing cosine in the join (so results are
+    bit-identical), but the O(dim) norm folds run once per VECTOR instead
+    of once per PAIR — the dominant cost of pairwise plans. (A statically
+    unrolled getItem sum was measured 2x SLOWER than the aggregate fold on
+    the all-pairs join — the deep Add tree exceeds codegen limits and
+    falls back to per-node interpreted eval — so the fold stays.)"""
+    denom = F.col("qn") * F.col("cn")
+    return F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("qv"), F.col("cv")) / denom
+    )
 
 
 def hyperplane_sign(vec: Column, dim: int, plane: int) -> Column:
@@ -83,10 +106,14 @@ def cosine_topk(
     so results are total-ordered and reproducible.
     """
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        norm(F.col(query_vec)).alias("qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        norm(F.col(corpus_vec)).alias("cn"),
     )
     joined = F.broadcast(q).crossJoin(c)
     if exclude_self:
@@ -94,9 +121,7 @@ def cosine_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), config.SIMILARITY_SCALE).alias(
-            "cosine"
-        ),
+        F.round(_pair_cosine(), config.SIMILARITY_SCALE).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -134,41 +159,48 @@ def ivf_topk(
     cents = (
         corpus.orderBy(corpus_id)
         .limit(n_cells)
-        .select(F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_v"))
+        .select(
+            F.col(corpus_id).alias("cent_id"),
+            F.col(corpus_vec).alias("cent_v"),
+            norm(F.col(corpus_vec)).alias("cent_n"),
+        )
     )
 
     def best_cells(df: DataFrame, idc: str, vecc: str, n: int, out_id: str) -> DataFrame:
+        denom = F.col("vn") * F.col("cent_n")
+        cs = F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot(F.col("v"), F.col("cent_v")) / denom
+        )
         scored = df.select(
-            F.col(idc).alias(out_id), F.col(vecc).alias("v")
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias("v"),
+            norm(F.col(vecc)).alias("vn"),
         ).crossJoin(F.broadcast(cents)).select(
             out_id,
             "v",
+            "vn",
             "cent_id",
-            F.round(
-                cosine(F.col("v"), F.col("cent_v")), config.SIMILARITY_SCALE
-            ).alias("cs"),
+            F.round(cs, config.SIMILARITY_SCALE).alias("cs"),
         )
         w = Window.partitionBy(out_id).orderBy(F.desc("cs"), F.asc("cent_id"))
         return (
             scored.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= n)
-            .select(out_id, "v", "cent_id")
+            .select(out_id, "v", "vn", "cent_id")
         )
 
     assigned = best_cells(corpus, corpus_id, corpus_vec, 1, "neighbor_id")
     probes = best_cells(queries, query_id, query_vec, nprobe, "query_id")
 
-    joined = probes.withColumnRenamed("v", "qv").join(
-        assigned.withColumnRenamed("v", "cv"), "cent_id"
+    joined = probes.withColumnsRenamed({"v": "qv", "vn": "qn"}).join(
+        assigned.withColumnsRenamed({"v": "cv", "vn": "cn"}), "cent_id"
     )
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), config.SIMILARITY_SCALE).alias(
-            "cosine"
-        ),
+        F.round(_pair_cosine(), config.SIMILARITY_SCALE).alias("cosine"),
     )  # each corpus vector lives in exactly one cell -> no dup candidates
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -196,10 +228,14 @@ def hyperplane_lsh_topk(
     (documented recall trade; verify against cosine_topk on a sample).
     """
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        norm(F.col(query_vec)).alias("qn"),
     ).withColumn("bucket", hyperplane_bucket(F.col("qv"), dim, planes))
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        norm(F.col(corpus_vec)).alias("cn"),
     ).withColumn("bucket", hyperplane_bucket(F.col("cv"), dim, planes))
     joined = q.join(c, "bucket")
     if exclude_self:
@@ -207,9 +243,7 @@ def hyperplane_lsh_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), config.SIMILARITY_SCALE).alias(
-            "cosine"
-        ),
+        F.round(_pair_cosine(), config.SIMILARITY_SCALE).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
