@@ -390,7 +390,13 @@ def embedding_cosine_pairs(
     else:
         a = base.withColumnsRenamed({"id": "id_a", "v": "v_a", "nv": "n_a"})
         b = base.withColumnsRenamed({"id": "id_b", "v": "v_b", "nv": "n_b"})
-        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        # a small vector table often arrives as ONE file split -> the
+        # O(n²) scoring would run on one core; spread one side so the
+        # cartesian product parallelizes (tasks = a-partitions × b-partitions)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        joined = a.repartition(par).crossJoin(b).where(
+            F.col("id_a") < F.col("id_b")
+        )
     denom = F.col("n_a") * F.col("n_b")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(
         dot(F.col("v_a"), F.col("v_b")) / denom

@@ -115,7 +115,10 @@ def cosine_topk(
         F.col(corpus_vec).alias("cv"),
         norm(F.col(corpus_vec)).alias("cn"),
     )
-    joined = F.broadcast(q).crossJoin(c)
+    # spread the streamed corpus side: a small parquet often arrives as one
+    # split and would score all |Q| x |corpus| pairs on a single core
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    joined = F.broadcast(q).crossJoin(c.repartition(par))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
