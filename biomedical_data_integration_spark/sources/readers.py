@@ -43,6 +43,22 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+def _spread_single_split(df: DataFrame) -> DataFrame:
+    """Spread a table that arrived as fewer splits than cores.
+
+    Parquet splits at row-group granularity, so a small file is ONE
+    partition and every map-side operator over it runs on one core — a
+    local-test artifact that misrepresents the operators (cluster inputs
+    are thousands of splits). One cheap round-robin shuffle restores the
+    parallelism the same plan would have on real input. Only fires for
+    genuinely under-split frames.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        return df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One harness table: ``{sf_dir}/{name}.parquet``.
 
@@ -61,8 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division: double math would lose precision on
             # nanosecond epochs (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return df
-    return spark.read.parquet(path)
+        return _spread_single_split(df)
+    return _spread_single_split(spark.read.parquet(path))
 
 
 def load_tables(
