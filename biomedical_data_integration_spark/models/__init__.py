@@ -126,54 +126,48 @@ class HashingColumnEmbedder(ColumnEmbedder):
         self.sample_values = sample_values
         self.sample_strategy = sample_strategy
 
-    def serialized_columns(
-        self, df: DataFrame, columns: Optional[List[str]] = None
-    ) -> DataFrame:
-        cols = columns or df.columns
-        parts = [
-            df.select(
-                F.lit(c).alias("column_name"),
-                F.col(c).cast("string").alias("value"),
-            ).where(F.col(c).isNotNull())
-            for c in cols
-        ]
-        long_df = parts[0]
-        for p in parts[1:]:
-            long_df = long_df.unionByName(p)
+    #: fan-out of the two-level min-k aggregation: partial top-k per
+    #: (column, bucket), then merge k·BUCKETS candidates per column. Bounds
+    #: the final per-column merge at k·64 values regardless of cardinality.
+    _MINK_BUCKETS = 64
 
-        if self.sample_strategy == "frequent":
-            # most frequent values first (``cl_preprocessor.py:108-127``);
-            # the distinct + count is one map-side-combinable aggregation
-            counted = long_df.groupBy("column_name", "value").agg(
-                F.count("*").alias("__f")
-            )
-            w = Window.partitionBy("column_name").orderBy(
-                F.desc("__f"), F.asc("value")
-            )
-            distinct_vals = counted
-        else:
-            if self.sample_strategy == "random":
-                # seedless determinism: order by a value-derived hash, so
-                # the "random" sample is partition- and run-stable (Spark
-                # rand(seed) is partition-dependent, SURVEY §7.3)
-                order = [F.md5(F.concat(F.lit("hcs|"), F.col("value"))), F.col("value")]
-            else:  # head / constant: lexicographic order
-                order = [F.col("value")]
-            w = Window.partitionBy("column_name").orderBy(*order)
-            distinct_vals = long_df.distinct()
+    def _long_form(self, df: DataFrame, cols: List[str]) -> DataFrame:
+        """One scan: unpivot all requested columns to (column_name, value)."""
+        return (
+            df.select([F.col(c).cast("string").alias(c) for c in cols])
+            .unpivot([], cols, "column_name", "value")
+            .where(F.col("value").isNotNull())
+        )
 
-        sampled = distinct_vals.withColumn("__rk", F.row_number().over(w))
+    def _sampled_values(self, df: DataFrame, cols: List[str]) -> DataFrame:
+        """(column_name, vals: array<string>) — ≤``sample_values`` distinct
+        values per column in the strategy's order.
+
+        head/random/frequent avoid any per-column global sort: a window
+        ``row_number`` over ``partitionBy(column_name)`` would sort ALL
+        distinct values of a column in ONE task (600k rows for a
+        high-cardinality key locally; unbounded on a cluster). Instead we
+        take min-k under an ordering key with a two-level bucketed
+        aggregation: partial sorted-top-k per (column, hash-bucket) — map
+        side combinable, ~BUCKETS tasks per column — then merge k·BUCKETS
+        candidates per column. Only 'constant' (every-nth over the full
+        sorted domain) genuinely needs global ranks and keeps the window.
+        """
+        long_df = self._long_form(df, cols)
+        k = self.sample_values
+
         if self.sample_strategy == "constant":
             # every nth distinct value (``cl_preprocessor.py:91-105``):
-            # stride so the sample spans the whole sorted domain
-            n_distinct = F.count("*").over(Window.partitionBy("column_name"))
-            step = F.greatest(
-                F.floor(n_distinct / self.sample_values), F.lit(1)
+            # stride so the sample spans the whole sorted domain; needs a
+            # global per-column rank, so this path keeps the window sort
+            w = Window.partitionBy("column_name").orderBy(F.col("value"))
+            sampled = long_df.distinct().withColumn(
+                "__rk", F.row_number().over(w)
             )
+            n_distinct = F.count("*").over(Window.partitionBy("column_name"))
+            step = F.greatest(F.floor(n_distinct / k), F.lit(1))
             sampled = (
-                sampled.withColumn(
-                    "__pick", ((F.col("__rk") - 1) % step) == 0
-                )
+                sampled.withColumn("__pick", ((F.col("__rk") - 1) % step) == 0)
                 .where(F.col("__pick"))
                 .withColumn(
                     "__rk",
@@ -181,23 +175,60 @@ class HashingColumnEmbedder(ColumnEmbedder):
                         Window.partitionBy("column_name").orderBy("__rk")
                     ),
                 )
+                .where(F.col("__rk") <= k)
             )
-        sampled = sampled.where(F.col("__rk") <= self.sample_values).select(
-            "column_name", "value", "__rk"
+            return sampled.groupBy("column_name").agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__rk", "value"))),
+                    lambda s: s["value"],
+                ).alias("vals")
+            )
+
+        # ordering key: min-k under ascending struct sort ⇒ first field
+        # encodes the strategy's priority, tie-broken by the value itself
+        if self.sample_strategy == "frequent":
+            # most frequent first (``cl_preprocessor.py:108-127``); count
+            # per (column, value) is one map-side-combinable aggregation
+            distinct_vals = long_df.groupBy("column_name", "value").agg(
+                F.count("*").alias("__f")
+            )
+            ord_key = (-F.col("__f")).cast("long")
+        elif self.sample_strategy == "random":
+            # seedless determinism: order by a value-derived hash, so the
+            # "random" sample is partition- and run-stable (Spark
+            # rand(seed) is partition-dependent, SURVEY §7.3)
+            distinct_vals = long_df.distinct()
+            ord_key = F.md5(F.concat(F.lit("hcs|"), F.col("value")))
+        else:  # head: lexicographic order
+            distinct_vals = long_df.distinct()
+            ord_key = F.lit(0)
+
+        topk = lambda arr: F.slice(F.sort_array(arr), 1, k)  # noqa: E731
+        merged = (
+            distinct_vals.withColumn(
+                "__b", F.pmod(F.xxhash64("value"), F.lit(self._MINK_BUCKETS))
+            )
+            .groupBy("column_name", "__b")
+            .agg(topk(F.collect_list(F.struct(ord_key.alias("__o"), "value"))).alias("part"))
+            .groupBy("column_name")
+            .agg(topk(F.flatten(F.collect_list("part"))).alias("vs"))
         )
-        # collect_list is order-nondeterministic; sort the collected structs
-        # by rank so the serialization is stable under any partitioning
-        serialized = (
-            sampled.groupBy("column_name")
-            .agg(F.sort_array(F.collect_list(F.struct("__rk", "value"))).alias("vs"))
-            .select(
-                "column_name",
-                F.concat(
-                    F.col("column_name"),
-                    F.lit(" "),
-                    F.array_join(F.transform("vs", lambda s: s["value"]), " "),
-                ).alias("serialized"),
-            )
+        return merged.select(
+            "column_name",
+            F.transform("vs", lambda s: s["value"]).alias("vals"),
+        )
+
+    def serialized_columns(
+        self, df: DataFrame, columns: Optional[List[str]] = None
+    ) -> DataFrame:
+        cols = columns or df.columns
+        serialized = self._sampled_values(df, cols).select(
+            "column_name",
+            F.concat(
+                F.col("column_name"),
+                F.lit(" "),
+                F.array_join("vals", " "),
+            ).alias("serialized"),
         )
         # columns that are entirely null never appear in long_df; re-add
         spark = df.sparkSession

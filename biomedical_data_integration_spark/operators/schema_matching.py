@@ -218,15 +218,12 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
             )
         fracs = [i / (self.quantiles - 1) for i in range(self.quantiles)]
 
-        parts = [
-            df.select(
-                F.lit(c).alias("c"), F.col(c).cast("double").alias("v")
-            ).where(F.col(c).isNotNull())
-            for c in cols
-        ]
-        long_df = parts[0]
-        for p in parts[1:]:
-            long_df = long_df.unionByName(p)
+        # one scan for every numeric column (unpivot), not one scan per column
+        long_df = (
+            df.select([F.col(c).cast("double").alias(c) for c in cols])
+            .unpivot([], cols, "c", "v")
+            .where(F.col("v").isNotNull())
+        )
 
         if not self.exact:
             sk = long_df.groupBy("c").agg(
@@ -251,38 +248,66 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
                 ).alias("cum"),
             )
             counts = dd.groupBy("c").agg(F.sum("f").alias("n"))
-            fr = spark.createDataFrame(
-                list(enumerate(fracs)), "qi int, frac double"
-            )
-            # value at row-rank r is the v whose rank span [cum-f, cum-1]
+            # Value at row-rank r is the v whose rank span [cum-f, cum-1]
             # contains r; quantile q = v_lo + (v_hi - v_lo) * frac_part
-            need = counts.crossJoin(F.broadcast(fr)).select(
-                "c", "qi", (F.col("frac") * (F.col("n") - 1)).alias("pos")
-            ).select(
-                "c", "qi", "pos",
-                F.floor("pos").cast("long").alias("lo"),
-                F.ceil("pos").cast("long").alias("hi"),
+            # where pos = frac·(n-1), lo = floor(pos), hi = ceil(pos).
+            #
+            # Probing the ~n_cols·quantiles needed ranks against cum via a
+            # theta join is a broadcast nested loop — O(|cum| · needs)
+            # comparisons (~10⁹ at sf0.1, worse at scale). Instead each cum
+            # row *generates* the small contiguous range of quantile
+            # indices whose pos could fall in its rank span (pure
+            # arithmetic inversion, ±1 margin for double drift), explodes
+            # it (≈(f+1)·Q/n + 4 candidates per row), and an exact filter
+            # re-applies the original floor/ceil predicates — bit-identical
+            # results, no nested loop, fully parallel.
+            Q = self.quantiles
+            n_, cum_, f_ = F.col("n"), F.col("cum"), F.col("f")
+            # clamped denominator: the n==1 branch below supersedes, this
+            # just keeps the arithmetic finite (ANSI-safe) on that branch
+            den = F.greatest(n_ - 1, F.lit(1))
+            lo_start = F.floor((cum_ - f_ - 1) * (Q - 1) / den) - 1
+            hi_end = F.ceil(cum_ * (Q - 1) / den) + 1
+            cand = F.when(
+                n_ == 1, F.sequence(F.lit(0), F.lit(Q - 1))
+            ).otherwise(
+                F.sequence(
+                    F.greatest(lo_start, F.lit(0)).cast("int"),
+                    F.least(hi_end, F.lit(Q - 1)).cast("int"),
+                )
             )
-            lo_j = need.join(
-                cum,
-                (need["c"] == cum["c"])
-                & (cum["cum"] - cum["f"] <= need["lo"])
-                & (need["lo"] <= cum["cum"] - 1),
-            ).select(need["c"].alias("c"), "qi", "pos", "lo", F.col("v").alias("v_lo"))
-            hi_j = need.join(
-                cum,
-                (need["c"] == cum["c"])
-                & (cum["cum"] - cum["f"] <= need["hi"])
-                & (need["hi"] <= cum["cum"] - 1),
-            ).select(need["c"].alias("c"), "qi", F.col("v").alias("v_hi"))
+            probes = (
+                cum.join(F.broadcast(counts), "c")
+                .where(
+                    (n_ == 1)
+                    | (F.greatest(lo_start, F.lit(0)) <= F.least(hi_end, F.lit(Q - 1)))
+                )
+                .select("c", "v", "f", "cum", "n", F.explode(cand).alias("qi"))
+                .withColumn("pos", F.col("qi").cast("double") / (Q - 1) * (n_ - 1))
+                .withColumn("lo", F.floor("pos").cast("long"))
+                .withColumn("hi", F.ceil("pos").cast("long"))
+                .withColumn(
+                    "serves_lo",
+                    (cum_ - f_ <= F.col("lo")) & (F.col("lo") <= cum_ - 1),
+                )
+                .withColumn(
+                    "serves_hi",
+                    (cum_ - f_ <= F.col("hi")) & (F.col("hi") <= cum_ - 1),
+                )
+                .where(F.col("serves_lo") | F.col("serves_hi"))
+            )
             sk = (
-                lo_j.join(hi_j, ["c", "qi"])
+                probes.groupBy("c", "qi")
+                .agg(
+                    F.max(F.when(F.col("serves_lo"), F.col("v"))).alias("v_lo"),
+                    F.max(F.when(F.col("serves_hi"), F.col("v"))).alias("v_hi"),
+                    F.max(F.col("pos") - F.col("lo")).alias("fp"),
+                )
                 .select(
                     "c", "qi",
                     (
                         F.col("v_lo")
-                        + (F.col("v_hi") - F.col("v_lo"))
-                        * (F.col("pos") - F.col("lo"))
+                        + (F.col("v_hi") - F.col("v_lo")) * F.col("fp")
                     ).alias("q"),
                 )
                 .groupBy("c")

@@ -321,37 +321,39 @@ class TfIdfValueMatcher(BaseValueMatcher):
         self.n_max = n_max
         self.max_df_fraction = max_df_fraction
 
-    def _terms(self, dom: DataFrame, key: str, side: str) -> DataFrame:
-        cleaned = clean_string(F.col(key))
-        return (
-            dom.select(
-                *PAIR,
-                F.col(key).alias("value_key"),
-                F.explode(char_ngrams(cleaned, self.n_min, self.n_max)).alias("term"),
+    def _tf_maps(self, dom: DataFrame, key: str) -> DataFrame:
+        """(pair, value_key, tf: map<term,count>) — term frequencies built
+        with HOFs over the n-gram array, entirely map-side (no
+        explode/shuffle). The O(|distinct grams| · |grams|) fold is bounded
+        by value length, and it runs once per *distinct* value."""
+        grams = char_ngrams(clean_string(F.col(key)), self.n_min, self.n_max)
+        tf = F.map_from_entries(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.struct(
+                    g.alias("term"),
+                    F.size(F.filter(grams, lambda x: x == g))
+                    .cast("double")
+                    .alias("tf"),
+                ),
             )
-            .groupBy(*PAIR, "value_key", "term")
-            .agg(F.count("*").cast("double").alias(f"tf_{side}"))
         )
+        return dom.select(*PAIR, F.col(key).alias("value_key"), tf.alias("tf"))
 
     def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
-        s_terms = self._terms(src, "skey", "s")
-        t_terms = self._terms(tgt, "tkey", "t")
-
         # document frequency over the union corpus (a value present on both
         # sides counts once per side, like fitting on from+to lists)
-        docs = s_terms.select(*PAIR, "value_key", "term").withColumn(
-            "side", F.lit("s")
-        ).unionByName(
-            t_terms.select(*PAIR, "value_key", "term").withColumn("side", F.lit("t"))
+        s_tf = self._tf_maps(src, "skey").withColumn("side", F.lit("s"))
+        t_tf = self._tf_maps(tgt, "tkey").withColumn("side", F.lit("t"))
+        docs = s_tf.unionByName(t_tf)
+
+        doc_freq = (
+            docs.select(*PAIR, F.explode(F.map_keys("tf")).alias("term"))
+            .groupBy(*PAIR, "term")
+            .agg(F.count("*").cast("double").alias("df"))
         )
-        doc_freq = docs.groupBy(*PAIR, "term").agg(
-            F.count("*").cast("double").alias("df")
-        )
-        n_docs = (
-            docs.select(*PAIR, "side", "value_key")
-            .distinct()
-            .groupBy(*PAIR)
-            .agg(F.count("*").cast("double").alias("n_docs"))
+        n_docs = docs.groupBy(*PAIR).agg(
+            F.count("*").cast("double").alias("n_docs")
         )
         idf = doc_freq.join(F.broadcast(n_docs), PAIR).withColumn(
             "idf", F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
@@ -359,21 +361,51 @@ class TfIdfValueMatcher(BaseValueMatcher):
         if self.max_df_fraction is not None:
             idf = idf.where(F.col("df") <= self.max_df_fraction * F.col("n_docs"))
 
-        def weighted(terms: DataFrame, side: str) -> DataFrame:
-            w = terms.join(idf.select(*PAIR, "term", "idf"), PAIR + ["term"])
-            w = w.withColumn("w", F.col(f"tf_{side}") * F.col("idf"))
-            norms = w.groupBy(*PAIR, "value_key").agg(
-                F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
-            )
-            return w.join(norms, PAIR + ["value_key"]).select(
-                *PAIR, "value_key", "term", (F.col("w") / F.col("norm")).alias("w")
-            )
-
-        ws = weighted(s_terms, "s").withColumnsRenamed(
-            {"value_key": "skey", "w": "ws"}
+        # one term->idf map per pair (pair vocabularies are
+        # distinct-value-scale), broadcast onto the docs so tf·idf weights
+        # and L2 norms compute map-side — no per-value norm join
+        idf_maps = idf.groupBy(*PAIR).agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "idf"))).alias("idfm")
         )
-        wt = weighted(t_terms, "t").withColumnsRenamed(
-            {"value_key": "tkey", "w": "wt"}
+        weighted = (
+            docs.join(F.broadcast(idf_maps), PAIR)
+            .withColumn(
+                "wmap",
+                F.map_filter(
+                    # try_element_at: terms dropped by max_df_fraction are
+                    # absent from the idf map -> null -> filtered (they
+                    # contribute to neither weights nor norms)
+                    F.transform_values(
+                        "tf",
+                        lambda k, v: v * F.try_element_at(F.col("idfm"), k),
+                    ),
+                    lambda _, v: v.isNotNull(),
+                ),
+            )
+            .withColumn(
+                "norm",
+                F.sqrt(
+                    F.aggregate(
+                        F.map_values("wmap"), F.lit(0.0), lambda acc, v: acc + v * v
+                    )
+                ),
+            )
+            .select(
+                *PAIR, "side", "value_key", "norm", F.explode("wmap")
+            )
+            .select(
+                *PAIR,
+                "side",
+                "value_key",
+                F.col("key").alias("term"),
+                (F.col("value") / F.col("norm")).alias("w"),
+            )
+        )
+        ws = weighted.where(F.col("side") == "s").select(
+            *PAIR, F.col("value_key").alias("skey"), "term", F.col("w").alias("ws")
+        )
+        wt = weighted.where(F.col("side") == "t").select(
+            *PAIR, F.col("value_key").alias("tkey"), "term", F.col("w").alias("wt")
         )
         sims = (
             ws.join(wt, PAIR + ["term"])

@@ -43,7 +43,14 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
-def _spread_single_split(df: DataFrame) -> DataFrame:
+#: below this input size the extra shuffle stage costs more than the
+#: parallelism buys — single-core map work over a few hundred KB is
+#: sub-second, while every added exchange is a scheduled stage on the
+#: query's critical path
+_SPREAD_MIN_BYTES = 512 * 1024
+
+
+def _spread_single_split(df: DataFrame, path: str) -> DataFrame:
     """Spread a table that arrived as fewer splits than cores.
 
     Parquet splits at row-group granularity, so a small file is ONE
@@ -51,8 +58,22 @@ def _spread_single_split(df: DataFrame) -> DataFrame:
     local-test artifact that misrepresents the operators (cluster inputs
     are thousands of splits). One cheap round-robin shuffle restores the
     parallelism the same plan would have on real input. Only fires for
-    genuinely under-split frames.
+    genuinely under-split frames that are big enough to matter.
     """
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        )
+    except OSError:
+        size = 0
+    if size < _SPREAD_MIN_BYTES:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min(par, 8):
         return df.repartition(par)
@@ -77,8 +98,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division: double math would lose precision on
             # nanosecond epochs (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return _spread_single_split(df)
-    return _spread_single_split(spark.read.parquet(path))
+        return _spread_single_split(df, path)
+    return _spread_single_split(spark.read.parquet(path), path)
 
 
 def load_tables(
