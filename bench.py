@@ -73,6 +73,10 @@ def main() -> int:
     for name, fn in entrymod.queries().items():
         best = None
         for _ in range(runs):
+            # Clear persisted intermediates so every run pays its own
+            # persist cost (no silent cache reuse between runs) and cached
+            # blocks don't pile up in the heap across the 30-query session.
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             try:
                 df = fn(spark, sf_dir)
@@ -84,6 +88,9 @@ def main() -> int:
             dt = round(time.monotonic() - t0, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = best
+        # bound driver-heap creep (unreferenced broadcast/shuffle state is
+        # only reclaimed on GC, and an idle 16g heap rarely collects)
+        spark.sparkContext._jvm.System.gc()
         if best >= 0:
             total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)

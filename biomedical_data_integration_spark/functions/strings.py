@@ -110,6 +110,34 @@ def char_ngrams(col: Column, n_min: int = 1, n_max: int = 3) -> Column:
     return F.flatten(F.array(*parts))
 
 
+def py_clean_string(s: str) -> str:
+    """Driver-side mirror of :func:`clean_string` (identical regex)."""
+    import re
+
+    return re.sub("[^a-z0-9]+", " ", s.lower()).strip()
+
+
+def py_char_ngram_tf(s: str, n_min: int = 1, n_max: int = 3) -> dict:
+    """Driver-side term-frequency map over char n-grams — mirrors
+    :func:`char_ngrams` + the downstream tf aggregation exactly."""
+    tf: dict = {}
+    for n in range(n_min, n_max + 1):
+        for i in range(len(s) - n + 1):
+            g = s[i : i + n]
+            tf[g] = tf.get(g, 0.0) + 1.0
+    return tf
+
+
+def py_round_half_up(x: float, scale: int) -> float:
+    """Driver-side mirror of Spark's ``F.round`` on doubles: HALF_UP over
+    the double's shortest decimal representation (Python's ``round`` is
+    banker's rounding, which diverges on exact .5 boundaries)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    exp = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(exp, rounding=ROUND_HALF_UP))
+
+
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from an array<string> token column, joined with
     a single space. Documents shorter than ``n`` tokens yield one shingle

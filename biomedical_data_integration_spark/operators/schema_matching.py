@@ -114,29 +114,60 @@ class BaseSchemaMatcher:
 class NameSimilaritySchemaMatcher(BaseSchemaMatcher):
     """Char-n-gram TF-IDF cosine over column *names*.
 
-    Reuses the V-pipeline TF-IDF kernel with the names as the value
-    domains — one tiny distributed job, same scoring math as value tfidf.
+    Same scoring math as the value tfidf kernel (char n-grams (1,3) of the
+    cleaned name, smooth idf over the union corpus, L2 cosine), but
+    computed on the DRIVER: column names are schema-sized metadata that
+    already lives on the driver (``df.columns``), so a distributed kernel
+    would scan zero data and pay ~7 shuffle/broadcast rounds of pure
+    scheduling overhead. Schema-level ops run driver-side by construction
+    (SURVEY §2.3), exactly like the reference (linguistic matching in
+    ``valentine.py:47-72`` is in-process).
     """
 
     name = "name_similarity"
 
     def scores(self, source, target, allowed_pairs=None):
+        import math
+
+        from biomedical_data_integration_spark.functions.strings import (
+            py_char_ngram_tf,
+            py_clean_string,
+            py_round_half_up,
+        )
+
         spark = source.sparkSession
-        kernel = TfIdfValueMatcher()
-        src = spark.createDataFrame(
-            [("__schema__", "__schema__", c, c) for c in source.columns],
-            ["source_column", "target_column", "source_value", "skey"],
-        )
-        tgt = spark.createDataFrame(
-            [("__schema__", "__schema__", c, c) for c in target.columns],
-            ["source_column", "target_column", "target_value", "tkey"],
-        )
-        sims = kernel.similarities(src, tgt).select(
-            F.col("skey").alias("source"),
-            F.col("target_value").alias("target"),
-            F.round("similarity", config.SIMILARITY_SCALE).alias("similarity"),
-        )
-        return _apply_allowed(sims, allowed_pairs)
+        s_tf = {c: py_char_ngram_tf(py_clean_string(c)) for c in source.columns}
+        t_tf = {c: py_char_ngram_tf(py_clean_string(c)) for c in target.columns}
+        # document frequency over the union corpus: a name present on both
+        # sides counts once per side (identical to fitting on from+to lists)
+        docs = list(s_tf.values()) + list(t_tf.values())
+        n_docs = float(len(docs))
+        df_counts: Dict[str, int] = {}
+        for tf in docs:
+            for term in tf:
+                df_counts[term] = df_counts.get(term, 0) + 1
+        idf = {
+            term: math.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+            for term, df in df_counts.items()
+        }
+
+        def weights(tf: Dict[str, float]) -> Dict[str, float]:
+            w = {term: f * idf[term] for term, f in tf.items()}
+            norm = math.sqrt(sum(v * v for v in w.values()))
+            return {term: v / norm for term, v in w.items()} if norm else {}
+
+        s_w = {c: weights(tf) for c, tf in s_tf.items()}
+        t_w = {c: weights(tf) for c, tf in t_tf.items()}
+        rows = []
+        for sc, ws in s_w.items():
+            for tc, wt in t_w.items():
+                sim = sum(w * wt[term] for term, w in ws.items() if term in wt)
+                if sim > 0.0:  # pairs sharing no terms produce no row
+                    rows.append(
+                        (sc, tc, py_round_half_up(sim, config.SIMILARITY_SCALE))
+                    )
+        scores = spark.createDataFrame(rows, SCORES_SCHEMA)
+        return _apply_allowed(scores, allowed_pairs)
 
 
 class JaccardSchemaMatcher(BaseSchemaMatcher):
@@ -156,8 +187,10 @@ class JaccardSchemaMatcher(BaseSchemaMatcher):
         self.threshold = threshold_levenshtein
 
     def scores(self, source, target, allowed_pairs=None):
-        s = _unpivot_strings(source, "source", "sval")
-        t = _unpivot_strings(target, "target", "tval")
+        # each side feeds both the fuzzy join and its own size aggregation;
+        # persist so the unpivot+distinct scan runs once per side
+        s = _unpivot_strings(source, "source", "sval").persist()
+        t = _unpivot_strings(target, "target", "tval").persist()
 
         if self.threshold >= 1.0:
             joined = s.join(t, F.col("sval") == F.col("tval"))
@@ -239,7 +272,9 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
             # probe of the n_cols × quantiles needed ranks with linear
             # interpolation. ~2× faster than the percentile aggregate at
             # sf0.1 and the gap grows with rows-per-distinct-value.
-            dd = long_df.groupBy("c", "v").agg(F.count("*").alias("f"))
+            # dd feeds both the cumulative window and the counts broadcast;
+            # persist so the full-table unpivot + dedup shuffle runs once
+            dd = long_df.groupBy("c", "v").agg(F.count("*").alias("f")).persist()
             w = Window.partitionBy("c").orderBy("v")
             cum = dd.select(
                 "c", "v", "f",

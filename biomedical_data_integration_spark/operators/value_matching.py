@@ -307,6 +307,16 @@ class TfIdfValueMatcher(BaseValueMatcher):
     The term join is the shuffle; ``max_df_fraction`` drops stop-grams
     (terms in more than that fraction of the corpus) to bound fanout at
     scale — off by default for exact small-scale semantics.
+
+    **Adaptive strategy selection** (SURVEY §4.2 item 1): the kernel runs
+    on *distinct* domains whose cardinality is known before launch. When
+    the combined domain fits on the driver (``local_domain_limit``, default
+    5000 — the reference's largest vocabulary is 4,478 values,
+    ``gdc_schema.json``), the identical formula runs locally via an
+    inverted term index: a 7-stage distributed job on a driver-sized
+    domain is pure scheduling overhead. Larger domains (100 TB text
+    columns) take the distributed path. Both paths return bit-compatible
+    raw similarities (verified against the DuckDB oracle).
     """
 
     name = "tfidf"
@@ -316,10 +326,80 @@ class TfIdfValueMatcher(BaseValueMatcher):
         n_min: int = 1,
         n_max: int = 3,
         max_df_fraction: Optional[float] = None,
+        local_domain_limit: Optional[int] = 5000,
     ):
         self.n_min = n_min
         self.n_max = n_max
         self.max_df_fraction = max_df_fraction
+        self.local_domain_limit = local_domain_limit
+
+    def _local_similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        """Driver-side evaluation of the exact kernel formula for
+        driver-sized domains (inverted index — cost is shared-term pairs,
+        the same sparsity the distributed term join exploits)."""
+        import math
+        from collections import defaultdict
+
+        from biomedical_data_integration_spark.functions.strings import (
+            py_char_ngram_tf,
+            py_clean_string,
+        )
+
+        s_rows = src.select(*PAIR, "skey").collect()
+        t_rows = tgt.select(*PAIR, "tkey", "target_value").collect()
+        by_pair: Dict[Tuple[str, str], Tuple[list, list]] = defaultdict(
+            lambda: ([], [])
+        )
+        for r in s_rows:
+            by_pair[(r[0], r[1])][0].append(r[2])
+        for r in t_rows:
+            by_pair[(r[0], r[1])][1].append((r[2], r[3]))
+
+        tf_cache: Dict[str, dict] = {}
+
+        def tf_of(v: str) -> dict:
+            if v not in tf_cache:
+                tf_cache[v] = py_char_ngram_tf(
+                    py_clean_string(v), self.n_min, self.n_max
+                )
+            return tf_cache[v]
+
+        out = []
+        for (sc, tc), (svals, tvals) in by_pair.items():
+            docs = [tf_of(v) for v in svals] + [tf_of(k) for k, _ in tvals]
+            n_docs = float(len(docs))
+            dfc: Dict[str, int] = defaultdict(int)
+            for tf in docs:
+                for term in tf:
+                    dfc[term] += 1
+            idf = {
+                term: math.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+                for term, df in dfc.items()
+                if self.max_df_fraction is None
+                or df <= self.max_df_fraction * n_docs
+            }
+
+            def wvec(tf: dict) -> dict:
+                w = {t: f * idf[t] for t, f in tf.items() if t in idf}
+                norm = math.sqrt(sum(v * v for v in w.values()))
+                return {t: v / norm for t, v in w.items()} if norm else {}
+
+            inv: Dict[str, list] = defaultdict(list)
+            for tkey, tval in tvals:
+                for term, w in wvec(tf_of(tkey)).items():
+                    inv[term].append((tkey, tval, w))
+            for skey in svals:
+                acc: Dict[Tuple[str, str], float] = defaultdict(float)
+                for term, w in wvec(tf_of(skey)).items():
+                    for tkey, tval, wt in inv[term]:
+                        acc[(tkey, tval)] += w * wt
+                for (tkey, tval), sim in acc.items():
+                    out.append((sc, tc, skey, tval, sim))
+        return src.sparkSession.createDataFrame(
+            out,
+            "source_column string, target_column string, skey string,"
+            " target_value string, similarity double",
+        )
 
     def _tf_maps(self, dom: DataFrame, key: str) -> DataFrame:
         """(pair, value_key, tf: map<term,count>) — term frequencies built
@@ -341,11 +421,19 @@ class TfIdfValueMatcher(BaseValueMatcher):
         return dom.select(*PAIR, F.col(key).alias("value_key"), tf.alias("tf"))
 
     def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        if self.local_domain_limit is not None:
+            # cardinality is a cheap count over the (persisted) distinct
+            # domains — known before kernel launch by construction
+            if src.count() + tgt.count() <= self.local_domain_limit:
+                return self._local_similarities(src, tgt)
         # document frequency over the union corpus (a value present on both
         # sides counts once per side, like fitting on from+to lists)
         s_tf = self._tf_maps(src, "skey").withColumn("side", F.lit("s"))
         t_tf = self._tf_maps(tgt, "tkey").withColumn("side", F.lit("t"))
-        docs = s_tf.unionByName(t_tf)
+        # docs feeds three consumers (doc_freq, the n_docs broadcast, and
+        # the weighted join); persist so the tf-map build runs once, not
+        # once per broadcast collect
+        docs = s_tf.unionByName(t_tf).persist()
 
         doc_freq = (
             docs.select(*PAIR, F.explode(F.map_keys("tf")).alias("term"))
@@ -527,8 +615,14 @@ def match_values_pipeline(
 
     matcher = get_value_matcher(method, **(method_args or {}))
 
-    src = source_value_domain(source, pairs)
-    tgt = target_value_domain(spark, target, pairs)
+    # The domains are referenced more than once downstream (the similarity
+    # kernel, the final left join re-attaching unmatched values, and any
+    # broadcast collects inside the kernel). Spark re-evaluates a plan
+    # subtree per reference, so without a persist the full source scan +
+    # distinct would run 2-4x per query. The domains are distinct-value
+    # sized — exactly the intermediate you cache at 100 TB.
+    src = source_value_domain(source, pairs).persist()
+    tgt = target_value_domain(spark, target, pairs).persist()
 
     sims = matcher.similarities(src, tgt)
     sims = sims.where(F.col("similarity") >= threshold)
