@@ -185,7 +185,11 @@ class HashingColumnEmbedder(ColumnEmbedder):
             )
 
         # ordering key: min-k under ascending struct sort ⇒ first field
-        # encodes the strategy's priority, tie-broken by the value itself
+        # encodes the strategy's priority, tie-broken by the value itself.
+        # NOTE: the separate distinct (a codegen'd row-level hash agg)
+        # deliberately precedes the collect_list — folding the dedup into
+        # the collector as collect_set is 2.4x SLOWER (ObjectHashAggregate
+        # buffers per-group sets, no whole-stage codegen; measured at sf0.1)
         if self.sample_strategy == "frequent":
             # most frequent first (``cl_preprocessor.py:108-127``); count
             # per (column, value) is one map-side-combinable aggregation

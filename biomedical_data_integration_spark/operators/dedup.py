@@ -114,6 +114,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, "shingle")
+    # sh feeds the size aggregation and BOTH sides of the candidate join;
+    # without a persist the tokenize+explode+distinct shuffle runs 3x
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
 
     # Size-ratio pregate (lossless): |A∩B| ≤ min ⇒ J ≤ min(n_a,n_b)/max,
@@ -160,7 +163,14 @@ def minhash_signatures(
     any SQL oracle (no engine-specific 64-bit hash needed). Shuffle per doc
     is the shingle explode; the signature itself is constant-width.
     """
-    sh = shingle_sets(df, text_col, id_col, shingle_words)
+    return _signatures_from_shingles(
+        shingle_sets(df, text_col, id_col, shingle_words), num_perm
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, num_perm: int) -> DataFrame:
+    """Signatures from a prebuilt (id, shingle) set — lets callers that
+    also need the shingle set for verification share one persisted scan."""
     mins = [
         F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_perm)
@@ -195,7 +205,11 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
 
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_words)
+    # ONE persisted shingle set feeds the signatures, the size agg, and
+    # both sides of the verify join — without it the tokenize + explode +
+    # distinct pipeline (the most expensive scan here) runs 4x
+    sh = shingle_sets(df, text_col, id_col, shingle_words).persist()
+    sig = _signatures_from_shingles(sh, num_perm)
     band_entries = sig.select(
         "id",
         F.explode(
@@ -228,7 +242,6 @@ def minhash_lsh_pairs(
     # exact verification on the candidate set only: size-ratio pregate
     # (lossless, J ≤ min/max), then join candidate pairs to both shingle
     # sets on shingle equality
-    sh = shingle_sets(df, text_col, id_col, shingle_words)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     candidates = (
         candidates.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
@@ -314,7 +327,9 @@ def simhash_pairs(
     """
     if chunks < max_hamming + 1:
         raise ValueError("need chunks >= max_hamming + 1 for exact blocking")
-    fp = simhash(df, text_col, id_col, bits)
+    # the fingerprint table feeds both sides of the chunk join; persist so
+    # the tokenize + tf groupBy + 32-bit vote aggregation runs once
+    fp = simhash(df, text_col, id_col, bits).persist()
     chunk_bits = bits // chunks
 
     entries = fp.select(
@@ -376,11 +391,13 @@ def embedding_cosine_pairs(
     # join they'd be re-derived per PAIR (O(n²) interpreted array folds,
     # the dominant cost of the all-pairs plan). The final arithmetic stays
     # dot / (norm_a * norm_b), bit-identical to computing cosine in-join.
+    # persisted: feeds both sides of the pair join — without it the norm
+    # fold over every vector runs twice
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nv"),
-    )
+    ).persist()
     if use_lsh:
         dim = _vec_dim(df, vec_col)
         base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), dim, lsh_planes))

@@ -238,6 +238,10 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
 
     name = "distribution_based"
 
+    #: range buckets for the two-phase cumulative sum (parallelism of the
+    #: exact-quantile sort = n_cols × this)
+    _CUM_BUCKETS = 32
+
     def __init__(self, quantiles: int = 256, exact: bool = True):
         self.quantiles = quantiles
         self.exact = exact
@@ -275,11 +279,55 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
             # dd feeds both the cumulative window and the counts broadcast;
             # persist so the full-table unpivot + dedup shuffle runs once
             dd = long_df.groupBy("c", "v").agg(F.count("*").alias("f")).persist()
-            w = Window.partitionBy("c").orderBy("v")
-            cum = dd.select(
+
+            # Two-phase bucketed prefix sum. A plain
+            # Window.partitionBy("c").orderBy("v") cumulative sum sorts ALL
+            # of a column's distinct values in ONE task (parallelism =
+            # n_cols — unbounded task size on a cluster). Instead: split
+            # each column's value range into ``_CUM_BUCKETS`` approx-equal-
+            # frequency ranges, cumsum bucket totals (tiny: n_cols×B rows),
+            # then an in-bucket window + broadcast bucket offset. Same
+            # numbers, parallelism = n_cols × B, per-task sort is 1/B of
+            # the domain.
+            B = self._CUM_BUCKETS
+            splits = dd.groupBy("c").agg(
+                F.percentile_approx(
+                    "v", F.lit([i / B for i in range(1, B)]), F.lit(1000)
+                ).alias("sp")
+            )
+            # bucket = #splits strictly below v: equal values always share
+            # a bucket, so every v' < v is in this bucket or an earlier one
+            dbk = (
+                dd.join(F.broadcast(splits), "c")
+                .withColumn(
+                    "bk", F.size(F.filter("sp", lambda s: s < F.col("v")))
+                )
+                .drop("sp")
+            )
+            wb = Window.partitionBy("c").orderBy("bk")
+            boff = (
+                dbk.groupBy("c", "bk")
+                .agg(F.sum("f").alias("bf"))
+                .select(
+                    "c", "bk",
+                    (
+                        F.sum("bf").over(
+                            wb.rowsBetween(
+                                Window.unboundedPreceding, Window.currentRow
+                            )
+                        )
+                        - F.col("bf")
+                    ).alias("off"),
+                )
+            )
+            wv = Window.partitionBy("c", "bk").orderBy("v")
+            cum = dbk.join(F.broadcast(boff), ["c", "bk"]).select(
                 "c", "v", "f",
-                F.sum("f").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                (
+                    F.sum("f").over(
+                        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
+                    + F.col("off")
                 ).alias("cum"),
             )
             counts = dd.groupBy("c").agg(F.sum("f").alias("n"))
