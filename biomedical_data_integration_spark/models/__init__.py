@@ -103,12 +103,29 @@ class HashingColumnEmbedder(ColumnEmbedder):
     window top-15 → group-concat → embed expression.
     """
 
-    #: deterministic counterparts of the reference's sampling strategies
-    #: (``cl_preprocessor.py:216-259``): head / random / constant (every
-    #: nth) / frequent. The tf-idf/pmi token strategies collapse onto
-    #: 'frequent' at the value level (the hash embedder consumes whole
-    #: values, not tokens).
-    SAMPLE_STRATEGIES = ("head", "random", "constant", "frequent")
+    #: deterministic counterparts of ALL reference sampling strategies
+    #: (``cl_preprocessor.py:216-259``): value-level head / alphaHead /
+    #: random / constant (every nth) / frequent, token-level tfidf_token /
+    #: tfidf_entity / pmi, and row-level tfidf_row. Semantic deltas from
+    #: the reference (documented, embedding paths are off-oracle):
+    #: - reference idf has df=1 for every token (``cl_preprocessor.py:
+    #:   27-35`` increments each token's df exactly once), making all
+    #:   scores per column equal; the engine computes the documented
+    #:   intent, idf = log10(N_distinct_values / df_values_containing_token)
+    #: - 'random' orders by a value-derived hash (Spark RNG sampling is
+    #:   partition-dependent, SURVEY §7.3)
+    #: - ties everywhere break on the value/token itself, never row order
+    SAMPLE_STRATEGIES = (
+        "head",
+        "alphaHead",
+        "random",
+        "constant",
+        "frequent",
+        "tfidf_token",
+        "tfidf_entity",
+        "tfidf_row",
+        "pmi",
+    )
 
     def __init__(
         self,
@@ -139,22 +156,153 @@ class HashingColumnEmbedder(ColumnEmbedder):
             .where(F.col("value").isNotNull())
         )
 
+    def _min_k(
+        self,
+        df: DataFrame,
+        ord_key: Column,
+        k: int,
+        item: str = "value",
+        group: str = "column_name",
+    ) -> DataFrame:
+        """(column_name, vals array<string>) — the k smallest items per
+        group under (ord_key, item), via a two-level bucketed aggregation:
+        partial sorted-top-k per (group, hash-bucket) — ~BUCKETS tasks per
+        group — then merge k·BUCKETS candidates. Never sorts a whole
+        group's domain in one task (a ``row_number`` window would)."""
+        topk = lambda arr: F.slice(F.sort_array(arr), 1, k)  # noqa: E731
+        return (
+            df.withColumn(
+                "__b", F.pmod(F.xxhash64(item), F.lit(self._MINK_BUCKETS))
+            )
+            .groupBy(group, "__b")
+            .agg(
+                topk(
+                    F.collect_list(
+                        F.struct(ord_key.alias("__o"), F.col(item).alias("__i"))
+                    )
+                ).alias("part")
+            )
+            .groupBy(group)
+            .agg(topk(F.flatten(F.collect_list("part"))).alias("vs"))
+            .select(
+                F.col(group).alias("column_name"),
+                F.transform("vs", lambda s: s["__i"]).alias("vals"),
+            )
+        )
+
+    @staticmethod
+    def _split_tokens(value: Column) -> Column:
+        """Space-split tokens of a value (reference ``str(val).split(" ")``,
+        ``cl_preprocessor.py:39``; empty tokens dropped here)."""
+        return F.filter(F.split(value, " "), lambda t: F.length(t) > 0)
+
+    def _token_idf(self, long_df: DataFrame) -> DataFrame:
+        """(column_name, tok, idf) — token idf per column with documents =
+        the column's distinct values: idf = log10(N / df). The reference's
+        ``computeIdf`` (``cl_preprocessor.py:26-35``) increments every
+        token's df exactly once, collapsing all idf scores in a column to
+        the same constant; the engine computes the documented intent."""
+        dv = long_df.distinct()
+        toks = dv.select(
+            "column_name",
+            F.explode(F.array_distinct(self._split_tokens(F.col("value")))).alias(
+                "tok"
+            ),
+        )
+        n = dv.groupBy("column_name").agg(F.count("*").alias("__n"))
+        return (
+            toks.groupBy("column_name", "tok")
+            .agg(F.count("*").alias("__df"))
+            .join(F.broadcast(n), "column_name")
+            .select(
+                "column_name",
+                "tok",
+                F.log10(F.col("__n") / F.col("__df")).alias("idf"),
+            )
+        )
+
+    def _budget_tokens(self, vals: Column, k: int, strict: bool = True) -> Column:
+        """Fold an ordered value array into its tokens, deduped in order.
+        ``strict=True`` includes a value only if the result stays under
+        ``k`` tokens (tfidf_entity budget, ``cl_preprocessor.py:173-178``);
+        ``strict=False`` includes values while the accumulator is still
+        under ``k`` — add-then-stop, may overshoot (pmi loop,
+        ``cl_preprocessor.py:82-88``)."""
+        if strict:
+            cond = lambda acc, toks: F.size(F.concat(acc, toks)) < k  # noqa: E731
+        else:
+            cond = lambda acc, toks: F.size(acc) < k  # noqa: E731
+        folded = F.aggregate(
+            vals,
+            F.array().cast("array<string>"),
+            lambda acc, v: F.when(
+                cond(acc, self._split_tokens(v)),
+                F.concat(acc, self._split_tokens(v)),
+            ).otherwise(acc),
+        )
+        return F.array_distinct(folded)
+
     def _sampled_values(self, df: DataFrame, cols: List[str]) -> DataFrame:
         """(column_name, vals: array<string>) — ≤``sample_values`` distinct
-        values per column in the strategy's order.
+        values (or tokens, for the token-level strategies) per column in
+        the strategy's order.
 
-        head/random/frequent avoid any per-column global sort: a window
-        ``row_number`` over ``partitionBy(column_name)`` would sort ALL
-        distinct values of a column in ONE task (600k rows for a
-        high-cardinality key locally; unbounded on a cluster). Instead we
-        take min-k under an ordering key with a two-level bucketed
-        aggregation: partial sorted-top-k per (column, hash-bucket) — map
-        side combinable, ~BUCKETS tasks per column — then merge k·BUCKETS
-        candidates per column. Only 'constant' (every-nth over the full
-        sorted domain) genuinely needs global ranks and keeps the window.
+        Every strategy avoids per-column global sorts via the bucketed
+        min-k aggregation (:meth:`_min_k`). Only 'constant' (every-nth
+        over the full sorted domain) genuinely needs global ranks and
+        keeps the window.
         """
         long_df = self._long_form(df, cols)
         k = self.sample_values
+
+        if self.sample_strategy == "alphaHead":
+            # first k distinct lowercased tokens in (value asc, position)
+            # order — the reference sorts values then walks tokens in order
+            # (``cl_preprocessor.py:236-247``)
+            tok = long_df.select(
+                "column_name",
+                "value",
+                F.posexplode(self._split_tokens(F.col("value"))).alias(
+                    "pos", "tok0"
+                ),
+            ).select(
+                "column_name", "value", "pos", F.lower("tok0").alias("tok")
+            )
+            first = tok.groupBy("column_name", "tok").agg(
+                F.min(F.struct("value", "pos")).alias("__fo")
+            )
+            return self._min_k(first, F.col("__fo"), k, item="tok")
+
+        if self.sample_strategy == "tfidf_token":
+            # highest-idf tokens (``cl_preprocessor.py:141-156``); ties
+            # break on the token itself, not appearance order
+            idf = self._token_idf(long_df)
+            return self._min_k(idf, -F.col("idf"), k, item="tok")
+
+        if self.sample_strategy == "tfidf_entity":
+            # rank distinct values by mean token idf, spend the k-token
+            # budget down that ranking (``cl_preprocessor.py:158-181``)
+            idf = self._token_idf(long_df)
+            vt = long_df.distinct().select(
+                "column_name",
+                "value",
+                F.explode(self._split_tokens(F.col("value"))).alias("tok"),
+            )
+            scored = (
+                vt.join(idf, ["column_name", "tok"])
+                .groupBy("column_name", "value")
+                .agg(F.avg("idf").alias("score"))
+            )
+            sel = self._min_k(scored, -F.col("score"), k)
+            return sel.select(
+                "column_name", self._budget_tokens(F.col("vals"), k).alias("vals")
+            )
+
+        if self.sample_strategy == "tfidf_row":
+            return self._tfidf_row_sample(df, cols, k)
+
+        if self.sample_strategy == "pmi":
+            return self._pmi_sample(df, cols, k)
 
         if self.sample_strategy == "constant":
             # every nth distinct value (``cl_preprocessor.py:91-105``):
@@ -207,19 +355,101 @@ class HashingColumnEmbedder(ColumnEmbedder):
             distinct_vals = long_df.distinct()
             ord_key = F.lit(0)
 
-        topk = lambda arr: F.slice(F.sort_array(arr), 1, k)  # noqa: E731
-        merged = (
-            distinct_vals.withColumn(
-                "__b", F.pmod(F.xxhash64("value"), F.lit(self._MINK_BUCKETS))
-            )
-            .groupBy("column_name", "__b")
-            .agg(topk(F.collect_list(F.struct(ord_key.alias("__o"), "value"))).alias("part"))
-            .groupBy("column_name")
-            .agg(topk(F.flatten(F.collect_list("part"))).alias("vs"))
+        return self._min_k(distinct_vals, ord_key, k)
+
+    def _tfidf_row_sample(self, df: DataFrame, cols: List[str], k: int) -> DataFrame:
+        """Row-level tf-idf sampling (``cl_preprocessor.py:185-213``): score
+        every row by the mean idf of all its tokens, keep the top-k rows,
+        then read each column's first-k distinct values down that ranking.
+        Row identity is a content hash (identical rows collapse — a
+        deterministic stand-in for the reference's positional index, which
+        has no distributed meaning)."""
+        rows = df.select(
+            [F.col(c).cast("string").alias(c) for c in cols]
+        ).withColumn(
+            "__rh",
+            F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in cols])),
         )
-        return merged.select(
+        # feeds idf, the row scoring, and the final value pick — persist so
+        # the unpivot scan runs once
+        long_rows = rows.unpivot(["__rh"], cols, "column_name", "value").where(
+            F.col("value").isNotNull()
+        ).persist()
+        idf = self._token_idf(long_rows.select("column_name", "value"))
+        row_scores = (
+            long_rows.select(
+                "__rh",
+                "column_name",
+                F.explode(self._split_tokens(F.col("value"))).alias("tok"),
+            )
+            .join(idf, ["column_name", "tok"])
+            .groupBy("__rh")
+            .agg(F.avg("idf").alias("score"))
+        )
+        top_rows = self._min_k(
+            row_scores.withColumn("__g", F.lit("__rows__")),
+            -F.col("score"),
+            k,
+            item="__rh",
+            group="__g",
+        )
+        # ≤ k rows survive — driver-sized by construction (it's a sample)
+        collected = top_rows.collect()
+        ranked = [
+            (rh, i) for i, rh in enumerate(collected[0]["vals"])
+        ] if collected else []
+        ranked = ranked or [("", 0)]
+        spark = df.sparkSession
+        order_df = F.broadcast(
+            spark.createDataFrame(ranked, ["__rh", "__rank"])
+        )
+        picked = long_rows.join(order_df, "__rh")
+        first = picked.groupBy("column_name", "value").agg(
+            F.min("__rank").alias("__fr")
+        )
+        return self._min_k(first, F.col("__fr"), k)
+
+    def _pmi_sample(self, df: DataFrame, cols: List[str], k: int) -> DataFrame:
+        """PMI sampling (``cl_preprocessor.py:48-88``): the first column is
+        the topic; every (topic value, column value) pair is scored
+        count(pair) / (count(topic) · count(value)); each column's values
+        rank by their best pair's PMI and spend the k-token budget down
+        that ranking. The topic column pairs with itself, mirroring the
+        reference's currIdx == topic case."""
+        topic = cols[0]
+        # feeds topic counts, value counts, and the PMI join — persist so
+        # the scan + pair aggregation runs once
+        pairs = (
+            df.select([F.col(c).cast("string").alias(c) for c in cols])
+            .withColumn("__t", F.col(topic))
+            .where(F.col("__t").isNotNull())
+            .unpivot(["__t"], cols, "column_name", "value")
+            .where(F.col("value").isNotNull())
+            .groupBy("__t", "column_name", "value")
+            .agg(F.count("*").alias("__np"))
+        ).persist()
+        tcounts = (
+            pairs.where(F.col("column_name") == topic)
+            .groupBy("__t")
+            .agg(F.sum("__np").alias("__nt"))
+        )
+        vcounts = pairs.groupBy("column_name", "value").agg(
+            F.sum("__np").alias("__nv")
+        )
+        best = (
+            pairs.join(F.broadcast(tcounts), "__t")
+            .join(vcounts, ["column_name", "value"])
+            .groupBy("column_name", "value")
+            .agg(
+                F.max(
+                    F.col("__np") / (F.col("__nt") * F.col("__nv"))
+                ).alias("score")
+            )
+        )
+        sel = self._min_k(best, -F.col("score"), k)
+        return sel.select(
             "column_name",
-            F.transform("vs", lambda s: s["value"]).alias("vals"),
+            self._budget_tokens(F.col("vals"), k, strict=False).alias("vals"),
         )
 
     def serialized_columns(

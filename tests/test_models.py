@@ -83,3 +83,72 @@ def test_text_embedder_similar_strings_closer(spark):
         cosine(e.embed_expr(F.col("a")), e.embed_expr(F.col("c"))).alias("far"),
     ).first()
     assert row["close"] > row["far"]
+
+
+def _ser_map(df, **kw):
+    emb = HashingColumnEmbedder(**kw)
+    return {
+        r["column_name"]: r["serialized"]
+        for r in emb.serialized_columns(df).collect()
+    }
+
+
+def test_alpha_head_tokens(spark):
+    df = spark.createDataFrame(
+        [("Zebra Apple",), ("apple Mango",), ("Banana kiwi",)], ["x"]
+    )
+    ser = _ser_map(df, sample_values=3, sample_strategy="alphaHead")
+    # sorted values: "Banana kiwi", "Zebra Apple", "apple Mango";
+    # lowercased tokens in order: banana, kiwi, zebra -> first 3 distinct
+    assert ser["x"] == "x banana kiwi zebra"
+
+
+def test_tfidf_token_prefers_rare_tokens(spark):
+    # 'common' appears in every value (idf=0); rare tokens rank first
+    df = spark.createDataFrame(
+        [("common alpha",), ("common beta",), ("common gamma",)], ["x"]
+    )
+    ser = _ser_map(df, sample_values=2, sample_strategy="tfidf_token")
+    # alpha/beta/gamma all idf=log10(3); tie-break token asc
+    assert ser["x"] == "x alpha beta"
+
+
+def test_tfidf_entity_budget(spark):
+    df = spark.createDataFrame(
+        [("common filler",), ("rare gem stone",), ("common noise",)], ["x"]
+    )
+    ser = _ser_map(df, sample_values=3, sample_strategy="tfidf_entity")
+    # "rare gem stone" has the highest mean idf; its 3 tokens may exceed
+    # the running-budget check (<3) so only values fitting the budget land
+    toks = ser["x"].split(" ")[1:]
+    assert toks[0] in {"rare", "common"}
+    assert len(toks) <= 4
+
+
+def test_tfidf_row_sampling_runs_and_is_stable(spark):
+    df = spark.createDataFrame(
+        [("a rare", "x common"), ("b rare", "y common"), ("c unique", "z unique")],
+        ["c1", "c2"],
+    )
+    a = _ser_map(df, sample_values=2, sample_strategy="tfidf_row")
+    b = _ser_map(df.repartition(7), sample_values=2, sample_strategy="tfidf_row")
+    assert a == b
+    assert set(a) == {"c1", "c2"}
+    assert all(len(v.split(" ")) >= 2 for v in a.values())
+
+
+def test_pmi_sampling_topic_association(spark):
+    # prop value 'p1' co-occurs exclusively with topic 't1' (high PMI);
+    # 'px' co-occurs with every topic (low PMI)
+    rows = [("t1", "p1"), ("t1", "px"), ("t2", "px"), ("t3", "px")]
+    df = spark.createDataFrame(rows, ["topic", "prop"])
+    ser = _ser_map(df, sample_values=1, sample_strategy="pmi")
+    assert ser["prop"].split(" ")[1] == "p1"
+
+
+def test_pmi_is_partition_stable(spark):
+    rows = [(f"t{i%3}", f"p{i%5}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["topic", "prop"])
+    a = _ser_map(df, sample_values=3, sample_strategy="pmi")
+    b = _ser_map(df.repartition(11), sample_values=3, sample_strategy="pmi")
+    assert a == b
