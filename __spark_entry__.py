@@ -632,6 +632,25 @@ FROM s CROSS JOIN t
 """
 
 
+def _dedup_clusters_sql() -> str:
+    """Connected components over the minhash pairs: min reachable id per
+    node via a recursive CTE (the oracle for the large/small-star job)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark queries
 # ---------------------------------------------------------------------------
@@ -792,6 +811,22 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH_BANDS,
         verify_threshold=DEDUP_JACCARD_THRESHOLD,
     )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_perm=MINHASH_NUM_PERM,
+        bands=MINHASH_BANDS,
+        verify_threshold=DEDUP_JACCARD_THRESHOLD,
+    )
+    return duplicate_clusters(pairs)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs_documents": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine_embeddings": _q_dedup_embedding_cosine,
         "dedup_drop_exact_documents": _q_dedup_drop_exact,
+        "dedup_clusters_documents": _q_dedup_clusters,
         "simhash_documents": _q_simhash,
         "ann_cosine_topk_embeddings": _q_ann_cosine,
         "ann_lsh_topk_embeddings": _q_ann_lsh,
@@ -1159,6 +1195,7 @@ FROM documents GROUP BY 1
 """,
         "dedup_ngram_jaccard_documents": _ngram_jaccard_sql(),
         "dedup_minhash_lsh_documents": _minhash_sql(),
+        "dedup_clusters_documents": _dedup_clusters_sql(),
         "dedup_simhash_pairs_documents": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
         "dedup_embedding_cosine_embeddings": _embedding_cosine_pairs_sql(
             EMB_PAIR_THRESHOLD

@@ -426,3 +426,80 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the clustering
+    stage that turns pairwise dedup output into keep/drop decisions.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log^2 n) rounds, each round two equi-join shuffles over the edge
+    list only — no driver-side graph, no O(diameter) label propagation,
+    so a 100 TB corpus with billions of pairs stays fully distributed.
+    Lineage is cut per round with ``localCheckpoint`` (the loop would
+    otherwise build an exponentially deep plan).
+
+    The reference has no graph stage at all (its only dedup is
+    distinct-before-matching, ``bdikit/api.py:355``); this completes the
+    pipeline: pairs (minhash/simhash/jaccard/cosine) -> components ->
+    keep ``cluster_id`` (= min id), drop the rest.
+
+    Returns ``(doc_id, cluster_id)`` for every id appearing in ``pairs``,
+    where ``cluster_id`` is the minimum id of its connected component.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # large-star: every node u connects its strictly-larger neighbors
+        # to min(N(u) + {u})
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every node u connects its smaller-or-equal neighbors
+        # (and itself) to its minimum neighbor
+        dmins = large.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            large.join(dmins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("x"), "m")
+            .union(dmins.select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
+            .distinct()
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    # fixpoint = star graphs: every member points at its component root
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .union(
+            edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )

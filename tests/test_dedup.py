@@ -108,3 +108,29 @@ def test_embedding_cosine_pairs(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.99
+
+
+def test_duplicate_clusters_chain_and_islands(spark):
+    from biomedical_data_integration_spark.operators.dedup import duplicate_clusters
+
+    # a 6-node chain (stresses multi-round star convergence), a 2-node
+    # island, and a singleton-free pair list
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_duplicate_clusters_empty(spark):
+    from biomedical_data_integration_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert duplicate_clusters(pairs).count() == 0
