@@ -632,6 +632,42 @@ FROM s CROSS JOIN t
 """
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+STRATA_FRACTIONS = {"1-URGENT": 0.2, "2-HIGH": 0.1}
+
+
+def _hex_threshold_sql(fraction: float) -> str:
+    """Mirror of operators/sampling._hex_threshold for oracle SQL."""
+    return format(min(int(fraction * 16**12), 16**12 - 1), "012x")
+
+
+def _hash_split_sql() -> str:
+    t_train = _hex_threshold_sql(SPLIT_FRACTIONS["train"])
+    t_valid = _hex_threshold_sql(SPLIT_FRACTIONS["train"] + SPLIT_FRACTIONS["valid"])
+    pfx = "substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 12)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {pfx} < '{t_train}' THEN 'train'
+            WHEN {pfx} < '{t_valid}' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _stratified_sample_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{_hex_threshold_sql(v)}'"
+        for k, v in STRATA_FRACTIONS.items()
+    )
+    pfx = "substring(md5('strata|' || CAST(o_orderkey AS VARCHAR)), 1, 12)"
+    return f"""
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE {pfx} < CASE CAST(o_orderpriority AS VARCHAR) {whens}
+              ELSE '000000000000' END
+"""
+
+
 def _dedup_clusters_sql() -> str:
     """Connected components over the minhash pairs: min reachable id per
     node via a recursive CTE (the oracle for the large/small-star job)."""
@@ -942,6 +978,50 @@ def _q_dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_duplicates(docs).select("doc_id")
 
 
+def _q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.sampling import hash_split
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return stratified_sample(
+        orders, "o_orderpriority", "o_orderkey", STRATA_FRACTIONS
+    ).select("o_orderkey", "o_orderpriority")
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
 def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _tables(spark, sf_dir, "lineitem")
     return (
@@ -1090,6 +1170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_revenue": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q13_order_count_distribution": _q_tpch_q13,
+        "tpch_q18_large_volume_customer": _q_tpch_q18,
+        "split_hash_documents": _q_split_hash,
+        "sample_stratified_orders": _q_sample_stratified,
     }
 
 
@@ -1307,4 +1391,25 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
 """,
+        "tpch_q13_order_count_distribution": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+        "tpch_q18_large_volume_customer": """
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) s
+JOIN orders ON o_orderkey = s.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE sum_qty > 250
+""",
+        "split_hash_documents": _hash_split_sql(),
+        "sample_stratified_orders": _stratified_sample_sql(),
     }

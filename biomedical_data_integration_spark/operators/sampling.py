@@ -1,0 +1,121 @@
+"""Deterministic sampling and dataset-splitting operators.
+
+A 100 TB training-data pipeline needs *reproducible* sampling: held-out
+train/valid/test splits that are stable across runs, cluster sizes, and
+engines (no partition-dependent ``df.sample``). Everything here keys the
+decision on an md5 hex prefix of a row key, compared lexicographically —
+md5 is bit-identical in Spark and DuckDB (see ``functions/hashing.py``),
+a fixed-width lowercase-hex string comparison is engine-neutral, and the
+digest is uniform, so a prefix threshold of ``fraction * 16^digits``
+samples each row independently with probability ``fraction``.
+
+The reference's only sampling is a 15-row deterministic head/sample per
+column for embeddings (``bdikit/models/contrastive_learning/cl_api.py:94-106``)
+and its ``random_state=1`` pandas seed — partition-independent hash
+gating is the distributed version of that determinism requirement.
+
+Every operator is a narrow projection + filter: no shuffle, pushdown
+friendly, safe at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.functions.hashing import md5_hex
+
+_DIGITS = 12  # 16^12 granularity: fraction resolution ~6e-16..2e-13
+
+
+def _hex_threshold(fraction: float, digits: int = _DIGITS) -> str:
+    """Lowercase hex threshold string: rows whose md5 prefix sorts strictly
+    below it are kept; P(keep) = fraction (up to 16^-digits granularity)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * (16 ** digits)), 16 ** digits - 1), f"0{digits}x")
+
+
+def _prefix(key: Column, salt: str) -> Column:
+    return F.substring(md5_hex(key, salt=salt), 1, _DIGITS)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Uniform row sample, reproducible everywhere: keep rows with
+    ``md5(salt|key)[:12] < hex(fraction * 16^12)``.
+
+    Unlike ``DataFrame.sample`` (partition-layout dependent), the decision
+    is a pure function of the key — the same rows are kept on 1 core or
+    1000 executors, today and next year. Changing ``salt`` draws an
+    independent sample.
+    """
+    return df.where(_prefix(F.col(key_col), salt) < _hex_threshold(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/valid/test/...) by hash.
+
+    ``splits`` maps name -> fraction; fractions must sum to 1 (±1e-9).
+    Assignment is a CASE over cumulative hex thresholds of the key's md5
+    prefix — deterministic, engine-portable, and a row's split never
+    changes when data is added elsewhere (the property that keeps eval
+    sets uncontaminated as a corpus grows).
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    prefix = _prefix(F.col(key_col), salt)
+    cum = 0.0
+    expr: Column | None = None
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = prefix < _hex_threshold(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, assigned)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: Union[float, Dict[str, float]],
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sample (e.g., rebalance a skewed corpus
+    by language or source). ``fractions`` is one fraction for all strata
+    or a dict ``stratum value -> fraction`` (missing strata keep 0 rows).
+
+    Same hash-gate as :func:`deterministic_sample`, so strata are sampled
+    independently and reproducibly; no shuffle, no per-group pass.
+    """
+    prefix = _prefix(F.col(key_col), salt)
+    if isinstance(fractions, (int, float)):
+        return df.where(prefix < _hex_threshold(float(fractions)))
+    if not fractions:
+        return df.where(F.lit(False))
+    thr = F.coalesce(
+        *[
+            F.when(
+                F.col(strata_col).cast("string") == F.lit(str(k)),
+                F.lit(_hex_threshold(v)),
+            )
+            for k, v in fractions.items()
+        ],
+        F.lit(_hex_threshold(0.0)),
+    )
+    return df.where(prefix < thr)

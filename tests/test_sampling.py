@@ -1,0 +1,70 @@
+"""Deterministic sampling / splitting operators (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "key")
+
+
+def test_deterministic_sample_reproducible_and_uniform(ids):
+    a = sorted(r["key"] for r in deterministic_sample(ids, "key", 0.25).collect())
+    b = sorted(r["key"] for r in deterministic_sample(ids, "key", 0.25).collect())
+    assert a == b
+    # ~25% within binomial noise (n=2000, sd~19)
+    assert 380 < len(a) < 620
+    # different salt -> different (mostly independent) draw
+    c = sorted(
+        r["key"] for r in deterministic_sample(ids, "key", 0.25, salt="other").collect()
+    )
+    assert a != c
+
+
+def test_deterministic_sample_is_nested(ids):
+    small = {r["key"] for r in deterministic_sample(ids, "key", 0.1).collect()}
+    big = {r["key"] for r in deterministic_sample(ids, "key", 0.5).collect()}
+    assert small <= big  # same hash, bigger threshold: supersets, no churn
+
+
+def test_hash_split_partitions_everything(ids):
+    out = hash_split(ids, "key", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1400
+    # stability: membership of a row never depends on the rest of the data
+    sub = hash_split(ids.where(F.col("key") < 100), "key", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    full = {r["key"]: r["split"] for r in out.where(F.col("key") < 100).collect()}
+    assert {r["key"]: r["split"] for r in sub.collect()} == full
+
+
+def test_hash_split_validates_fractions(ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ids, "key", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], ["key", "lang"]
+    )
+    out = stratified_sample(df, "lang", "key", {"en": 0.5, "de": 0.05})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 400 < counts.get("en", 0) < 600
+    assert 20 < counts.get("de", 0) < 90
+    # unknown strata are dropped entirely
+    out2 = stratified_sample(df, "lang", "key", {"fr": 1.0})
+    assert out2.count() == 0
+
+
+def test_stratified_sample_scalar_fraction(spark):
+    df = spark.createDataFrame([(i, "x") for i in range(500)], ["key", "s"])
+    n = stratified_sample(df, "s", "key", 0.2).count()
+    assert 60 < n < 140
