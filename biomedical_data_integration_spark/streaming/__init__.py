@@ -2,6 +2,7 @@
 
 from biomedical_data_integration_spark.streaming.events import (
     sessionize,
+    streaming_dedup_exact,
     streaming_materialize,
     streaming_sessionize,
     streaming_tumbling_window_agg,
@@ -10,6 +11,7 @@ from biomedical_data_integration_spark.streaming.events import (
 
 __all__ = [
     "sessionize",
+    "streaming_dedup_exact",
     "streaming_materialize",
     "streaming_sessionize",
     "streaming_tumbling_window_agg",

@@ -151,3 +151,65 @@ def streaming_materialize(stream: DataFrame, mapping_spec) -> DataFrame:
     from biomedical_data_integration_spark.plans.spec import materialize_mapping
 
     return materialize_mapping(stream, mapping_spec)
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup with custom managed state
+    (``applyInPandasWithState``): the streaming face of
+    ``operators.dedup.drop_exact_duplicates``.
+
+    Rows are keyed by content hash; per-key state records whether a
+    document with that content was already emitted, so duplicates are
+    dropped *across* microbatches, not just within one. Within a batch
+    the min ``id_col`` row wins (deterministic, matching the batch twin's
+    min-id representative). Unlike stream ``dropDuplicates`` this exposes
+    the state knobs a 100 TB ingest needs: ``state_ttl_minutes`` bounds
+    state size by expiring content hashes not seen recently (processing-
+    time TTL) — the standard trade for unbounded corpora where exact
+    forever-dedup would hold one state row per distinct document.
+
+    Output schema = input schema. State per key: one boolean.
+    """
+    import pandas as pd  # noqa: F401  (executor-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream.schema
+    cols = [f.name for f in out_schema.fields]
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+
+    def _dedup(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if not state.exists and batches:
+            allrows = pd.concat(batches, ignore_index=True)
+            best = allrows.sort_values(id_col, kind="mergesort").head(1)
+            state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield best[cols]
+        elif state.exists and ttl_ms is not None:
+            # refresh the TTL on every sighting of the content
+            state.setTimeoutDuration(ttl_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    hashed = stream.withColumn("__h", F.md5(F.col(text_col).cast("string")))
+    return hashed.groupBy("__h").applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

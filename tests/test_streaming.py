@@ -99,3 +99,45 @@ def test_streaming_materialize_is_stateless_projection(spark):
         sq.stop()
         got = {r["kind"] for r in spark.sql("select * from mat_test").collect()}
     assert got == {"CLICK", "VIEW"}
+
+
+def test_streaming_dedup_exact_across_microbatches(spark):
+    """Duplicates are dropped across microbatches (state persists), the
+    min-id row represents each content, and uniques all pass through."""
+    from biomedical_data_integration_spark.streaming import streaming_dedup_exact
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        b1 = spark.createDataFrame(
+            [(2, "same text"), (1, "same text"), (3, "unique one")],
+            ["doc_id", "text"],
+        )
+        b2 = spark.createDataFrame(
+            [(4, "same text"), (5, "unique two")], ["doc_id", "text"]
+        )
+        b1.coalesce(1).write.parquet(f"{src}/f1")
+        b2.coalesce(1).write.parquet(f"{src}/f2")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_dedup_exact(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            (r["doc_id"], r["text"])
+            for r in spark.sql("select * from dedup_stream_test").collect()
+        }
+    # 'same text' emitted once with min id of its first-seen batch;
+    # id 4 (later batch) must NOT appear
+    assert (3, "unique one") in got and (5, "unique two") in got
+    assert sum(1 for _, t in got if t == "same text") == 1
+    assert (4, "same text") not in got
