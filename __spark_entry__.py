@@ -36,6 +36,7 @@ VALUE_MATCH_THRESHOLD = 0.3
 TOPK_VALUE_K = 3
 TOPK_VALUE_THRESHOLD = 0.2
 DEDUP_JACCARD_THRESHOLD = 0.8
+DECONTAM_THRESHOLD = 0.5
 MINHASH_NUM_PERM = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 32
@@ -668,6 +669,27 @@ WHERE {pfx} < CASE CAST(o_orderpriority AS VARCHAR) {whens}
 """
 
 
+def _contamination_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    shingles = _sql_shingles("toks", 3)
+    cont = "round(CAST(o.overlap AS DOUBLE) / s.n_eval, 6)"
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+sh0 AS (SELECT DISTINCT id, unnest({shingles}) AS shingle FROM toks),
+tr AS (SELECT * FROM sh0 WHERE id % 7 <> 0),
+ev AS (SELECT * FROM sh0 WHERE id % 7 = 0),
+evs AS (SELECT id, count(*) AS n_eval FROM ev GROUP BY id),
+ov AS (
+  SELECT t.id AS train_id, e.id AS eval_id, count(*) AS overlap
+  FROM tr t JOIN ev e ON t.shingle = e.shingle
+  GROUP BY 1, 2
+)
+SELECT o.train_id, o.eval_id, o.overlap, {cont} AS containment
+FROM ov o JOIN evs s ON s.id = o.eval_id
+WHERE {cont} >= {DECONTAM_THRESHOLD}
+"""
+
+
 def _dedup_clusters_sql() -> str:
     """Connected components over the minhash pairs: min reachable id per
     node via a recursive CTE (the oracle for the large/small-star job)."""
@@ -847,6 +869,17 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH_BANDS,
         verify_threshold=DEDUP_JACCARD_THRESHOLD,
     )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    return cross_corpus_contamination(train, ev, min_containment=DECONTAM_THRESHOLD)
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_embeddings": _q_dedup_embedding_cosine,
         "dedup_drop_exact_documents": _q_dedup_drop_exact,
         "dedup_clusters_documents": _q_dedup_clusters,
+        "decontaminate_train_eval": _q_decontaminate,
         "simhash_documents": _q_simhash,
         "ann_cosine_topk_embeddings": _q_ann_cosine,
         "ann_lsh_topk_embeddings": _q_ann_lsh,
@@ -1280,6 +1314,7 @@ FROM documents GROUP BY 1
         "dedup_ngram_jaccard_documents": _ngram_jaccard_sql(),
         "dedup_minhash_lsh_documents": _minhash_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
+        "decontaminate_train_eval": _contamination_sql(),
         "dedup_simhash_pairs_documents": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
         "dedup_embedding_cosine_embeddings": _embedding_cosine_pairs_sql(
             EMB_PAIR_THRESHOLD

@@ -74,13 +74,22 @@ def drop_exact_duplicates(
 def shingle_sets(
     df: DataFrame, text_col: str, id_col: str, shingle_words: int = 3
 ) -> DataFrame:
-    """Distinct word-n-gram shingles per document: (id, shingle)."""
+    """Distinct word-n-gram shingles per document: (id, shingle).
+
+    The token array is materialized in its OWN projection before the
+    n-gram explode: inlined, the tokenize (split+lower+trim+filter) would
+    be re-evaluated inside every slice of the shingle transform — O(len ·
+    n_shingles) per document instead of O(len). CollapseProject keeps the
+    two projections separate because the alias is non-cheap and
+    multiply-referenced (measured 6x on sf0.1 documents).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__toks")
+    )
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_ngrams(_tokens(F.col(text_col)), shingle_words)).alias(
-                "shingle"
-            ),
+        toks.select(
+            "id",
+            F.explode(word_ngrams(F.col("__toks"), shingle_words)).alias("shingle"),
         )
         .distinct()
     )
@@ -502,4 +511,61 @@ def duplicate_clusters(
             edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
         )
         .distinct()
+    )
+
+
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    eval_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Train->eval contamination detection: which training documents
+    contain a benchmark document's content (decontamination, the standard
+    pre-training hygiene stage; not in the reference — its dedup is only
+    distinct-before-matching, ``bdikit/api.py:355``).
+
+    Containment = |shingles(train) ∩ shingles(eval)| / |shingles(eval)| —
+    asymmetric on purpose: a huge train doc that swallows a small eval doc
+    whole scores 1.0 where Jaccard would shrink toward 0.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: inverted shingle
+    index equi-join (never n²), optional stop-shingle cap on the TRAIN
+    side (eval benches are small; train is the 100 TB side), count-only
+    shuffle. Returns (train_id, eval_id, overlap, containment) with
+    containment >= min_containment.
+    """
+    tr = shingle_sets(corpus, text_col, id_col, shingle_words)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            tr.groupBy("shingle")
+            .agg(F.count("*").alias("__f"))
+            .where(F.col("__f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        tr = tr.join(freq_ok, "shingle")
+    ev = shingle_sets(eval_corpus, text_col, id_col, shingle_words).persist()
+    ev_sizes = ev.groupBy("id").agg(F.count("*").alias("n_eval"))
+    overlap = (
+        tr.withColumnRenamed("id", "train_id")
+        .join(ev.withColumnRenamed("id", "eval_id"), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    return (
+        overlap.join(
+            ev_sizes.withColumnRenamed("id", "eval_id"), "eval_id"
+        )
+        .select(
+            "train_id",
+            "eval_id",
+            "overlap",
+            F.round(
+                F.col("overlap") / F.col("n_eval"), config.SIMILARITY_SCALE
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
     )

@@ -37,19 +37,32 @@ def detect_language(
 
     Score per language = #tokens in its stopword list; argmax wins,
     alphabetical tiebreak; all-zero -> 'und' (undetermined, BCP-47).
+
+    Staged projections: the token array and the per-language hit counts
+    are materialized as real columns, because inlined they'd be
+    re-evaluated at every reference (the argmax chain reads each count up
+    to 3x, and each count re-reads the tokens — tokenization would run
+    ~12x per row; CollapseProject keeps non-cheap multiply-referenced
+    aliases in their own projection).
     """
-    toks = tokens_expr(F.col(text_col))
-    hits = {}
+    toks_df = df.withColumn("__toks", tokens_expr(F.col(text_col)))
+    hit_cols = {}
     for lang in sorted(STOPWORDS):
         words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+        hit_cols[f"__hit_{lang}"] = F.size(
+            F.filter(F.col("__toks"), lambda t: F.array_contains(words, t))
+        )
+    hits_df = toks_df.withColumns(hit_cols)
+    hits = {lang: F.col(f"__hit_{lang}") for lang in sorted(STOPWORDS)}
     best = F.greatest(*hits.values())
     # argmax, alphabetical tiebreak: first language reaching the max wins
     chain = None
     for lang in sorted(STOPWORDS):
         step = F.when(hits[lang] == best, F.lit(lang))
         chain = step if chain is None else chain.when(hits[lang] == best, F.lit(lang))
-    return df.withColumn(out_col, F.when(best <= 0, F.lit("und")).otherwise(chain))
+    return hits_df.withColumn(
+        out_col, F.when(best <= 0, F.lit("und")).otherwise(chain)
+    ).drop("__toks", *hit_cols)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -61,17 +74,27 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     features — a deterministic heuristic in the C4/Gopher-rules spirit.
     """
     text = F.col(text_col)
-    toks = tokens_expr(text)
-    n_chars = F.length(text)
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
-    digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
-    punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
     all_stop = F.array(
         *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
     )
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+    # stage the token array and every O(tokens) count as real columns —
+    # inlined, each of the ~10 references below would re-tokenize the text
+    staged = df.withColumn("__toks", tokens_expr(text)).withColumns(
+        {
+            "__n_tokens": F.size(F.col("__toks")),
+            "__n_distinct": F.size(F.array_distinct(F.col("__toks"))),
+            "__stop_hits": F.size(
+                F.filter(F.col("__toks"), lambda t: F.array_contains(all_stop, t))
+            ),
+        }
+    )
+    n_chars = F.length(text)
+    n_tokens = F.col("__n_tokens")
+    n_distinct = F.col("__n_distinct")
+    stop_hits = F.col("__stop_hits")
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
 
     mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
@@ -90,8 +113,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.1 * (1.0 - F.least(digit_ratio + punct_ratio, F.lit(1.0)))
     )
     r = lambda c: F.round(c, config.SIMILARITY_SCALE)  # noqa: E731
-    return df.select(
-        "*",
+    return staged.select(
+        *[F.col(c) for c in df.columns],
         n_tokens.alias("n_tokens"),
         r(mean_tok_len).alias("mean_token_len"),
         r(alpha_ratio).alias("alpha_ratio"),
@@ -110,15 +133,16 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ~4-chars-per-token rule) — a deterministic, vocabulary-free stand-in
     for a real tokenizer, adequate for budget accounting in pipelines.
     """
-    toks = tokens_expr(F.col(text_col))
+    staged = df.withColumn("__toks", tokens_expr(F.col(text_col)))
+    toks = F.col("__toks")
     ws = F.size(toks)
     bpe = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
     )
-    return df.select(
-        "*", ws.alias("ws_tokens"), bpe.alias("bpe_tokens_est")
+    return staged.select(
+        *[F.col(c) for c in df.columns], ws.alias("ws_tokens"), bpe.alias("bpe_tokens_est")
     )
 
 
@@ -134,7 +158,12 @@ def document_fingerprints(
     coarse near-dup grouping. Returns (id, fingerprint)."""
     from biomedical_data_integration_spark.functions.strings import word_ngrams
 
-    toks = tokens_expr(F.col(text_col))
-    shingles = word_ngrams(toks, shingle_words)
+    # materialize the token array first — word_ngrams references its input
+    # ~4x and once per shingle slice, so an inlined tokenize is O(len ·
+    # n_shingles) per document (same fix as dedup.shingle_sets)
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    shingles = word_ngrams(F.col("__toks"), shingle_words)
     fp = F.array_min(F.transform(shingles, lambda s: F.md5(s)))
-    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    return staged.select("id", fp.alias("fingerprint"))

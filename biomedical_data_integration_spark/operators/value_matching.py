@@ -137,8 +137,13 @@ def source_value_domain(source: DataFrame, pairs: PairList) -> DataFrame:
     dom = per_col[0]
     for d in per_col[1:]:
         dom = dom.unionByName(d)
+    # distinct() BEFORE the min(orig) agg: a no-aggregate distinct is a
+    # map-side-combinable HashAggregate, while min over a string column
+    # falls back to SortAggregate (var-length buffer) — so run the sort
+    # aggregate only on the already-tiny distinct set, never on raw rows
     dom = (
-        dom.withColumn("skey", F.trim(F.col("orig")))
+        dom.distinct()
+        .withColumn("skey", F.trim(F.col("orig")))
         .groupBy("source_column", "skey")
         .agg(F.min("orig").alias("source_value"))
     )
@@ -192,8 +197,11 @@ def target_value_domain(
         dom = per_col[0]
         for d in per_col[1:]:
             dom = dom.unionByName(d)
+    # same distinct-before-min as source_value_domain (hash-distinct the
+    # raw rows; sort-aggregate only the distinct set)
     dom = (
-        dom.withColumn("tkey", F.trim(F.col("orig")))
+        dom.distinct()
+        .withColumn("tkey", F.trim(F.col("orig")))
         .groupBy("target_column", "tkey")
         .agg(F.min("orig").alias("target_value"))
     )
@@ -405,8 +413,20 @@ class TfIdfValueMatcher(BaseValueMatcher):
         """(pair, value_key, tf: map<term,count>) — term frequencies built
         with HOFs over the n-gram array, entirely map-side (no
         explode/shuffle). The O(|distinct grams| · |grams|) fold is bounded
-        by value length, and it runs once per *distinct* value."""
-        grams = char_ngrams(clean_string(F.col(key)), self.n_min, self.n_max)
+        by value length, and it runs once per *distinct* value.
+
+        The gram array is materialized in its own projection first: the tf
+        fold references it once per distinct gram, and inlined that would
+        re-run the clean-string regexp + full n-gram expansion each time
+        (O(len^2) blowup per value)."""
+        staged = dom.select(
+            *PAIR,
+            F.col(key).alias("value_key"),
+            char_ngrams(clean_string(F.col(key)), self.n_min, self.n_max).alias(
+                "__grams"
+            ),
+        )
+        grams = F.col("__grams")
         tf = F.map_from_entries(
             F.transform(
                 F.array_distinct(grams),
@@ -418,7 +438,7 @@ class TfIdfValueMatcher(BaseValueMatcher):
                 ),
             )
         )
-        return dom.select(*PAIR, F.col(key).alias("value_key"), tf.alias("tf"))
+        return staged.select(*PAIR, "value_key", tf.alias("tf"))
 
     def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
         if self.local_domain_limit is not None:

@@ -134,3 +134,29 @@ def test_duplicate_clusters_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert duplicate_clusters(pairs).count() == 0
+
+
+def test_cross_corpus_contamination(spark):
+    from biomedical_data_integration_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # contains eval 100
+            (2, "totally unrelated words here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "beta gamma delta epsilon"),     # fully inside train 1
+            (200, "different benchmark content entirely distinct"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["containment"]
+        for r in cross_corpus_contamination(train, ev, min_containment=0.5).collect()
+    }
+    assert got == {(1, 100): 1.0}
