@@ -37,6 +37,7 @@ TOPK_VALUE_K = 3
 TOPK_VALUE_THRESHOLD = 0.2
 DEDUP_JACCARD_THRESHOLD = 0.8
 DECONTAM_THRESHOLD = 0.5
+VOCAB_TOP_K = 200
 MINHASH_NUM_PERM = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 32
@@ -669,6 +670,36 @@ WHERE {pfx} < CASE CAST(o_orderpriority AS VARCHAR) {whens}
 """
 
 
+def _vocab_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+WITH t AS (SELECT doc_id AS d, unnest({toks}) AS term FROM documents),
+c AS (
+  SELECT term, count(*) AS tf, count(DISTINCT d) AS df
+  FROM t GROUP BY term
+)
+SELECT term, tf, df FROM c
+WHERE df >= 2
+ORDER BY tf DESC, term ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+def _quantize_sql() -> str:
+    scale = "list_max(list_transform(embedding, x -> abs(x))) / 127.0"
+    return f"""
+WITH s AS (SELECT vec_id AS id, embedding, {scale} AS sc FROM embeddings)
+SELECT id,
+       array_to_string(
+         CASE WHEN sc = 0
+              THEN list_transform(embedding, x -> CAST(0 AS INTEGER))
+              ELSE list_transform(embedding, x -> CAST(round(x / sc, 0) AS INTEGER))
+         END, ',') AS qvec_csv,
+       round(sc, 9) AS scale
+FROM s
+"""
+
+
 def _contamination_sql() -> str:
     toks = _SQL_TOKS.format(col="text")
     shingles = _sql_shingles("toks", 3)
@@ -1011,6 +1042,31 @@ def _q_dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_duplicates(docs).select("doc_id")
 
 
+def _q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import corpus_vocabulary
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return corpus_vocabulary(docs, top_k=VOCAB_TOP_K, min_doc_freq=2)
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    # project the int8 vector as CSV: engine-portable value representation
+    # (array cells round-trip differently through Spark vs DuckDB drivers)
+    return q.select(
+        "id",
+        F.concat_ws(
+            ",", F.transform("qvec", lambda x: x.cast("string"))
+        ).alias("qvec_csv"),
+        "scale",
+    )
+
+
 def _q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.sampling import hash_split
 
@@ -1208,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_volume_customer": _q_tpch_q18,
         "split_hash_documents": _q_split_hash,
         "sample_stratified_orders": _q_sample_stratified,
+        "corpus_vocabulary_documents": _q_corpus_vocabulary,
+        "embedding_quantize_int8": _q_quantize_embeddings,
     }
 
 
@@ -1447,4 +1505,6 @@ WHERE sum_qty > 250
 """,
         "split_hash_documents": _hash_split_sql(),
         "sample_stratified_orders": _stratified_sample_sql(),
+        "corpus_vocabulary_documents": _vocab_sql(),
+        "embedding_quantize_int8": _quantize_sql(),
     }

@@ -500,7 +500,9 @@ def duplicate_clusters(
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+        # one symmetric-difference job per round (both sides are
+        # checkpointed, so this reads materialized partitions only)
+        if nxt.exceptAll(edges).union(edges.exceptAll(nxt)).isEmpty():
             edges = nxt
             break
         edges = nxt

@@ -254,3 +254,40 @@ def hyperplane_lsh_topk(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale) ∈ [-127, 127].
+
+    The memory/IO lever for ANN at corpus scale — a 768-d float32 vector
+    (3 KB) becomes 768 bytes + one float scale, 4x less shuffle and cache
+    per vector, with cosine preserved to ~0.5% (rescale at score time:
+    v_i ≈ q_i · scale). Pure built-in expressions (no UDF); the all-zero
+    vector quantizes to zeros with scale 0.
+
+    Returns (id, qvec array<int>, scale double).
+    """
+    v = F.col("__v")
+    staged = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).withColumn(
+        "scale",
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(127.0),
+    )
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x / F.col("scale"), 0).cast("int"))
+    )
+    return staged.select("id", qvec.alias("qvec"), F.round("scale", 9).alias("scale"))
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_embeddings_int8` (lossy):
+    array<double> ≈ original vector."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)

@@ -167,3 +167,40 @@ def document_fingerprints(
     shingles = word_ngrams(F.col("__toks"), shingle_words)
     fp = F.array_min(F.transform(shingles, lambda s: F.md5(s)))
     return staged.select("id", fp.alias("fingerprint"))
+
+
+def corpus_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus-level vocabulary: the ``top_k`` terms by term frequency with
+    document frequencies — the input to tokenizer training, stopword
+    derivation, and idf tables.
+
+    One explode + one hash-groupBy (both map-side combinable: partial
+    counts per partition, the shuffle carries one row per distinct term
+    per partition, not per token occurrence), then a global top-k via
+    TakeOrderedAndProject (no full sort at the driver). Ties break
+    alphabetically for determinism.
+
+    Returns (term, tf, df) — tf = total occurrences, df = #documents.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    )
+    terms = toks.select(
+        "__doc", F.explode(F.col("__toks")).alias("term")
+    )
+    counts = terms.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("__doc").alias("df"),
+    )
+    return (
+        counts.where(F.col("df") >= min_doc_freq)
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(top_k)
+    )

@@ -78,3 +78,25 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in brute
         assert brute[key] == r["cosine"]
+
+
+def test_quantize_embeddings_int8_roundtrip(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings_int8,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0, 0.0, -127.0])],
+        ["vec_id", "embedding"],
+    )
+    q = quantize_embeddings_int8(vecs)
+    got = {r["id"]: (r["qvec"], r["scale"]) for r in q.collect()}
+    assert got[1][0] == [127, -64, 32]          # scale = 1/127
+    assert got[2] == ([0, 0, 0], 0.0)           # all-zero vector
+    assert got[3][0] == [127, 0, -127] and got[3][1] == 1.0
+    # dequantized values are within one quantization step
+    dq = q.select("id", dequantize_expr(F.col("qvec"), F.col("scale")).alias("v"))
+    v1 = {r["id"]: r["v"] for r in dq.collect()}[1]
+    assert all(abs(a - b) <= 1 / 127 for a, b in zip(v1, [1.0, -0.5, 0.25]))

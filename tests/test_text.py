@@ -65,3 +65,27 @@ def test_document_fingerprints_deterministic(spark):
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
     assert len(fp[1]) == 32  # md5 hex
+
+
+def test_corpus_vocabulary_counts_and_topk(spark):
+    from biomedical_data_integration_spark.operators.text import corpus_vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),
+            (2, "the cat sat"),
+            (3, "dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["term"]: (r["tf"], r["df"]) for r in corpus_vocabulary(docs).collect()}
+    assert rows["the"] == (3, 2)
+    assert rows["cat"] == (2, 2)
+    assert rows["dog"] == (1, 1)
+    top2 = corpus_vocabulary(docs, top_k=2).collect()
+    assert [r["term"] for r in top2] == ["the", "cat"]
+    # min_doc_freq filters hapax terms
+    assert all(
+        r["df"] >= 2
+        for r in corpus_vocabulary(docs, min_doc_freq=2).collect()
+    )
