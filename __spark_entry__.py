@@ -670,6 +670,50 @@ WHERE {pfx} < CASE CAST(o_orderpriority AS VARCHAR) {whens}
 """
 
 
+def _redact_sql() -> str:
+    from biomedical_data_integration_spark.operators.text import (
+        PII_ORDER,
+        PII_PATTERNS,
+    )
+
+    expr = "text"
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted_text FROM documents"
+
+
+def _repetition_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),"
+        " s -> length(s) > 0)"
+    )
+    return f"""
+WITH l AS (
+  SELECT doc_id AS id, {lines} AS lines, {toks} AS toks FROM documents
+),
+lf AS (
+  SELECT id, len(lines) AS n_lines,
+         CASE WHEN len(lines) > 1
+              THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+              ELSE 0.0 END AS dlr
+  FROM l
+),
+tc AS (
+  SELECT id, tok, count(*) AS c
+  FROM (SELECT id, unnest(toks) AS tok FROM l)
+  GROUP BY id, tok
+),
+tf AS (
+  SELECT id, CAST(max(c) AS DOUBLE) / sum(c) AS ttr FROM tc GROUP BY id
+)
+SELECT lf.id, lf.n_lines, round(lf.dlr, 6) AS dup_line_ratio,
+       round(coalesce(tf.ttr, 0.0), 6) AS top_token_ratio
+FROM lf LEFT JOIN tf ON lf.id = tf.id
+"""
+
+
 def _vocab_sql() -> str:
     toks = _SQL_TOKS.format(col="text")
     return f"""
@@ -1042,6 +1086,22 @@ def _q_dedup_drop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_duplicates(docs).select("doc_id")
 
 
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import redact_pii
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return redact_pii(docs).select("doc_id", "redacted_text")
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import (
+        repetition_features,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
 def _q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.text import corpus_vocabulary
 
@@ -1266,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_orders": _q_sample_stratified,
         "corpus_vocabulary_documents": _q_corpus_vocabulary,
         "embedding_quantize_int8": _q_quantize_embeddings,
+        "text_redact_pii_documents": _q_redact_pii,
+        "text_repetition_documents": _q_repetition,
     }
 
 
@@ -1507,4 +1569,6 @@ WHERE sum_qty > 250
         "sample_stratified_orders": _stratified_sample_sql(),
         "corpus_vocabulary_documents": _vocab_sql(),
         "embedding_quantize_int8": _quantize_sql(),
+        "text_redact_pii_documents": _redact_sql(),
+        "text_repetition_documents": _repetition_sql(),
     }

@@ -204,3 +204,92 @@ def corpus_vocabulary(
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(top_k)
     )
+
+
+# PII patterns kept to syntax valid in both Java regex (Spark) and RE2-ish
+# engines (DuckDB): no backrefs, no lookbehind.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+PII_ORDER = ("email", "ssn", "ipv4", "phone")  # most-specific first
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted_text",
+    kinds: tuple = PII_ORDER,
+) -> DataFrame:
+    """Mask PII spans with ``[KIND]`` tokens — the privacy-scrubbing stage
+    of a corpus pipeline (emails, SSNs, IPv4s, phone numbers).
+
+    A chain of built-in ``regexp_replace`` calls (JVM codegen, no UDF, no
+    shuffle — scales as a pure map). Order matters: most-specific patterns
+    run first so an SSN isn't half-eaten by the phone pattern. The pattern
+    set is deliberately engine-portable (no backrefs/lookaround) so the
+    operator is oracle-checkable in ANSI SQL.
+    """
+    expr = F.col(text_col)
+    for kind in kinds:
+        expr = F.regexp_replace(expr, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return df.withColumn(out_col, expr)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals (Gopher-style quality rules): duplicate-line
+    fraction and top-token dominance.
+
+    - ``dup_line_ratio``: 1 - distinct_lines / lines (0 when ≤1 line)
+    - ``top_token_ratio``: occurrences of the most frequent token /
+      total tokens (0 when empty)
+
+    Pure expression pipeline over staged arrays (no shuffle): lines =
+    split on newline (trimmed, empties dropped); token mode via a
+    fold over the distinct-token array.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        lines.alias("__lines"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    )
+    n_lines = F.size(F.col("__lines"))
+    n_dlines = F.size(F.array_distinct(F.col("__lines")))
+    line_feats = staged.select(
+        "id",
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 1, 1.0 - n_dlines.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("__dlr"),
+    )
+    # per-doc token mode via explode + two map-side-combinable hash aggs —
+    # an array-HOF mode would be O(distinct·tokens) per document, hostile
+    # to long documents; this stays linear and fully distributed
+    tok_feats = (
+        staged.select("id", F.explode(F.col("__toks")).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("id")
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__n"))
+        .select(
+            "id", (F.col("__top").cast("double") / F.col("__n")).alias("__ttr")
+        )
+    )
+    r = lambda c: F.round(c, config.SIMILARITY_SCALE)  # noqa: E731
+    return (
+        line_feats.join(tok_feats, "id", "left")
+        .select(
+            "id",
+            "n_lines",
+            r(F.col("__dlr")).alias("dup_line_ratio"),
+            r(F.coalesce(F.col("__ttr"), F.lit(0.0))).alias("top_token_ratio"),
+        )
+    )

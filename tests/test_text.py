@@ -89,3 +89,42 @@ def test_corpus_vocabulary_counts_and_topk(spark):
         r["df"] >= 2
         for r in corpus_vocabulary(docs, min_doc_freq=2).collect()
     )
+
+
+def test_redact_pii_masks_all_kinds(spark):
+    from biomedical_data_integration_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call 555-123-4567"),
+            (2, "server 192.168.1.100 leaked ssn 123-45-6789"),
+            (3, "clean text stays clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["redacted_text"] for r in redact_pii(df).collect()}
+    assert got[1] == "mail me at [EMAIL] or call [PHONE]"
+    assert got[2] == "server [IPV4] leaked ssn [SSN]"
+    assert got[3] == "clean text stays clean"
+
+
+def test_repetition_features(spark):
+    from biomedical_data_integration_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam line\nspam line\nspam line\nreal line"),
+            (2, "buy buy buy buy now"),
+            (3, "all distinct tokens here"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["n_lines"], r["dup_line_ratio"], r["top_token_ratio"])
+        for r in repetition_features(df).collect()
+    }
+    assert got[1][0] == 4 and got[1][1] == 0.5        # 2 distinct of 4 lines
+    assert got[2][2] == 0.8                            # 'buy' 4 of 5 tokens
+    assert got[3][1] == 0.0 and got[3][2] == 0.25
+    assert got[4] == (0, 0.0, 0.0)                     # empty doc
