@@ -24,6 +24,7 @@ from biomedical_data_integration_spark.api import (
 )
 from biomedical_data_integration_spark.plans.mappers import (
     DictionaryMapper,
+    ExpressionValueMapper,
     FunctionValueMapper,
     IdentityValueMapper,
     ValueMapper,

@@ -2,6 +2,7 @@
 
 from biomedical_data_integration_spark.plans.mappers import (
     DictionaryMapper,
+    ExpressionValueMapper,
     FunctionValueMapper,
     IdentityValueMapper,
     ValueMapper,
@@ -16,6 +17,7 @@ from biomedical_data_integration_spark.plans.spec import (
 __all__ = [
     "ColumnMappingSpec",
     "DictionaryMapper",
+    "ExpressionValueMapper",
     "FunctionValueMapper",
     "IdentityValueMapper",
     "ValueMapper",

@@ -84,6 +84,32 @@ class FunctionValueMapper(ValueMapper):
         return _apply(F.col(source_column))
 
 
+class ExpressionValueMapper(ValueMapper):
+    """Apply a SQL expression string to the source column — the
+    Spark-first fast path for computed mappings.
+
+    Where :class:`FunctionValueMapper` crosses the Python/Arrow boundary
+    per batch, an expression mapper stays entirely in JVM whole-stage
+    codegen (engine extension; the reference only offers Python callables,
+    ``bdikit/mapping_functions.py:34-48``). The source column is
+    referenced as ``{col}``, e.g.::
+
+        ExpressionValueMapper("upper(trim({col}))")
+        ExpressionValueMapper("cast({col} * 100 as int)")
+    """
+
+    def __init__(self, expression: str):
+        if "{col}" not in expression:
+            raise ValueError(
+                "expression must reference the source column as {col}, "
+                f"got {expression!r}"
+            )
+        self.expression = expression
+
+    def expr(self, source_column: str) -> Column:
+        return F.expr(self.expression.format(col=f"`{source_column}`"))
+
+
 class DictionaryMapper(ValueMapper):
     """Dictionary lookup; missing keys map to null.
 

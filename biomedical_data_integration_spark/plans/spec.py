@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark.plans.mappers import (
     DictionaryMapper,
+    ExpressionValueMapper,
     FunctionValueMapper,
     IdentityValueMapper,
     ValueMapper,
@@ -65,6 +66,8 @@ def create_mapper(input) -> ValueMapper:
 
     - None -> IdentityValueMapper
     - ValueMapper -> itself
+    - str (SQL expression with ``{col}`` placeholder) -> ExpressionValueMapper
+      (engine extension: JVM-codegen mapping, no Python boundary)
     - callable -> FunctionValueMapper
     - list of (source_value, target_value) tuples -> DictionaryMapper
     - dict (plain mapping of values) -> DictionaryMapper
@@ -76,6 +79,9 @@ def create_mapper(input) -> ValueMapper:
 
     if isinstance(input, ValueMapper):
         return input
+
+    if isinstance(input, str):
+        return ExpressionValueMapper(input)
 
     if callable(input):
         return FunctionValueMapper(input)

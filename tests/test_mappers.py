@@ -88,3 +88,34 @@ def test_materialize_single_projection_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection: streams at any scale
     assert {tuple(r) for r in out.collect()} == {("ret", 1.0), ("none", 2.0)}
+
+
+def test_expression_value_mapper_jvm_path(spark):
+    from biomedical_data_integration_spark import (
+        ExpressionValueMapper,
+        create_mapper,
+        materialize_mapping,
+    )
+
+    df = spark.createDataFrame([(" a ", 2.0), ("b", 3.5)], ["raw", "qty"])
+    out = materialize_mapping(
+        df,
+        [
+            {"source": "raw", "target": "clean", "mapper": "upper(trim({col}))"},
+            {
+                "source": "qty",
+                "target": "cents",
+                "mapper": ExpressionValueMapper("cast({col} * 100 as int)"),
+            },
+        ],
+    )
+    rows = {r["clean"]: r["cents"] for r in out.collect()}
+    assert rows == {"A": 200, "B": 350}
+    # no pandas UDF in the plan — stays in codegen
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # placeholder required
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="{col}"):
+        create_mapper("upper(x)")
