@@ -442,17 +442,24 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs — the clustering
     stage that turns pairwise dedup output into keep/drop decisions.
 
-    Alternating large-star / small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14): converges in
-    O(log^2 n) rounds, each round two equi-join shuffles over the edge
-    list only — no driver-side graph, no O(diameter) label propagation,
-    so a 100 TB corpus with billions of pairs stays fully distributed.
-    Lineage is cut per round with ``localCheckpoint`` (the loop would
-    otherwise build an exponentially deep plan).
+    Two strategies, picked by edge count (known after one cheap action —
+    the same cardinality-driven kernel selection the engine uses for
+    similarity joins, SURVEY §4.2):
+
+    - ``<= driver_threshold`` edges: union-find on the driver. A dedup
+      pair list is tiny relative to the corpus (it is the *output* of
+      LSH, not the corpus), and a distributed loop pays ~10 fixed jobs to
+      cluster what a driver array does in milliseconds.
+    - above it: alternating large-star / small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) —
+      O(log^2 n) rounds, each two equi-join shuffles over the edge list
+      only, lineage cut per round with ``localCheckpoint``; a corpus with
+      billions of pairs never touches the driver.
 
     The reference has no graph stage at all (its only dedup is
     distinct-before-matching, ``bdikit/api.py:355``); this completes the
@@ -462,6 +469,10 @@ def duplicate_clusters(
     Returns ``(doc_id, cluster_id)`` for every id appearing in ``pairs``,
     where ``cluster_id`` is the minimum id of its connected component.
     """
+    spark = pairs.sparkSession
+    id_type = dict(zip(pairs.columns, [f.dataType for f in pairs.schema.fields]))[
+        id_a
+    ]
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -469,8 +480,41 @@ def duplicate_clusters(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    n_edges = edges.count()
+
+    if n_edges <= driver_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ru, rv = find(r["u"]), find(r["v"])
+            if ru != rv:
+                # union by min: smaller id becomes the root
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        labels = sorted({(x, find(x)) for r in rows for x in (r["u"], r["v"])})
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("cluster_id", id_type),
+            ]
+        )
+        return spark.createDataFrame(labels, schema)
+
+    edges = edges.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         # large-star: every node u connects its strictly-larger neighbors
         # to min(N(u) + {u})
@@ -500,9 +544,10 @@ def duplicate_clusters(
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .localCheckpoint(eager=True)
         )
-        # one symmetric-difference job per round (both sides are
-        # checkpointed, so this reads materialized partitions only)
-        if nxt.exceptAll(edges).union(edges.exceptAll(nxt)).isEmpty():
+        # cheap count precheck (both sides are checkpointed) short-circuits
+        # the exceptAll in non-final rounds; equal counts + empty one-way
+        # multiset difference ⟹ the edge multisets are equal
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
             edges = nxt
             break
         edges = nxt

@@ -160,3 +160,20 @@ def test_cross_corpus_contamination(spark):
         for r in cross_corpus_contamination(train, ev, min_containment=0.5).collect()
     }
     assert got == {(1, 100): 1.0}
+
+
+def test_duplicate_clusters_distributed_path_matches_driver_path(spark):
+    from biomedical_data_integration_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    want = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in duplicate_clusters(pairs).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs, driver_threshold=0).collect()
+    )
+    assert got == want and want[0] == (1, 1)
