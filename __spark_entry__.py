@@ -815,6 +815,31 @@ def _q_harmonize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_mapping(lineitem, plan)
 
 
+def _q_harmonize_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same harmonization as the flagship, but the Python lambda is an
+    ExpressionValueMapper — the whole plan stays in JVM codegen (no
+    Arrow/pandas boundary). Same oracle SQL as harmonize_lineitem."""
+    from biomedical_data_integration_spark import materialize_mapping
+
+    (lineitem,) = _tables(spark, sf_dir, "lineitem")
+    return materialize_mapping(
+        lineitem,
+        [
+            {
+                "source": "l_returnflag",
+                "target": "return_flag",
+                "matches": [("R", "returned"), ("A", "accepted"), ("N", "none")],
+            },
+            {"source": "l_quantity", "target": "quantity"},
+            {
+                "source": "l_linestatus",
+                "target": "line_status",
+                "mapper": "lower({col})",
+            },
+        ],
+    )
+
+
 def _q_preview_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark import preview_domain
 
@@ -1289,6 +1314,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "harmonize_lineitem": _q_harmonize_lineitem,
+        "harmonize_lineitem_expr": _q_harmonize_expr,
         "preview_domain_orderpriority": _q_preview_domain,
         "value_match_edit_mktsegment": _q_value_match_edit,
         "top_value_matches_edit_mktsegment": _q_top_value_matches_edit,
@@ -1331,16 +1357,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        "harmonize_lineitem": """
+_ORACLE_HARMONIZE = """
 SELECT lower(CAST(l_linestatus AS VARCHAR)) AS line_status,
        CASE CAST(l_returnflag AS VARCHAR)
             WHEN 'R' THEN 'returned' WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
        END AS return_flag,
        l_quantity AS quantity
 FROM lineitem
-""",
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "harmonize_lineitem": _ORACLE_HARMONIZE,
+        "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "preview_domain_orderpriority": """
 SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS value_name
 FROM orders WHERE o_orderpriority IS NOT NULL

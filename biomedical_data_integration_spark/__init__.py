@@ -45,6 +45,7 @@ __all__ = [
     "DataFrameStandard",
     "DictStandard",
     "DictionaryMapper",
+    "ExpressionValueMapper",
     "FunctionValueMapper",
     "IdentityValueMapper",
     "JsonStandard",
