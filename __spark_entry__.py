@@ -926,6 +926,21 @@ def _q_schema_match_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_schema_match_distribution_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The distribution matcher's 100 TB path (``exact=False`` →
+    approx_percentile, one pass, no full-domain shuffle). t-digest sketches
+    aren't bit-reproducible in DuckDB → rows-only oracle check."""
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        DistributionBasedSchemaMatcher,
+    )
+
+    orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
+    m = DistributionBasedSchemaMatcher(quantiles=DIST_QUANTILES, exact=False)
+    return m.scores(orders, lineitem)
+
+
 def _q_top_matches_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-embedder column top-k (A2). Deterministic but its recomputation
     is an embedding pipeline, not SQL — rows-only oracle check."""
@@ -1322,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_match_exact_linestatus": _q_value_match_exact,
         "schema_match_jaccard_orders_lineitem": _q_schema_match_jaccard,
         "schema_match_distribution_orders_lineitem": _q_schema_match_distribution,
+        "schema_match_distribution_approx": _q_schema_match_distribution_approx,
         "schema_match_name_similarity_orders_lineitem": _q_schema_match_name_similarity,
         "top_matches_hash_embedding": _q_top_matches_embedding,
         "dedup_exact_documents": _q_dedup_exact,
