@@ -51,6 +51,41 @@ ANN_IVF_NPROBE = 4
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 _HEX = "0123456789abcdef"
 
+# Messy clinical columns synthesized deterministically from orders, for
+# value-matching against the FULL bundled GDC vocabulary (736 columns;
+# primary_diagnosis = 2,625 permissible values). The CASE text is shared
+# verbatim between the Spark plan and the DuckDB oracle.
+GDC_DIAGNOSIS_CASE = """CASE CAST(o_orderkey % 12 AS INTEGER)
+ WHEN 0 THEN 'adenocarcinoma nos'
+ WHEN 1 THEN 'Squamous cell carcinoma'
+ WHEN 2 THEN 'infiltrating duct carcinoma, nos'
+ WHEN 3 THEN 'acute myeloid leukemia'
+ WHEN 4 THEN 'Malignant melanoma, NOS'
+ WHEN 5 THEN 'glioblastoma'
+ WHEN 6 THEN 'hepatocellular carcinoma nos'
+ WHEN 7 THEN 'diffuse large b cell lymphoma'
+ WHEN 8 THEN 'renal cell carcinoma,NOS'
+ WHEN 9 THEN 'papillary adeno carcinoma'
+ WHEN 10 THEN 'basal cell carcinoma NOS'
+ ELSE 'no malignancy found'
+END"""
+GDC_FIGO_CASE = """CASE CAST(o_orderkey % 8 AS INTEGER)
+ WHEN 0 THEN 'stage iiic1'
+ WHEN 1 THEN 'Stage IV-A'
+ WHEN 2 THEN 'STAGE IB2'
+ WHEN 3 THEN 'stage 0'
+ WHEN 4 THEN 'Stage Three'
+ WHEN 5 THEN 'unknown'
+ WHEN 6 THEN 'stage iii a'
+ ELSE 'not reported'
+END"""
+
+
+def _gdc_domain(column: str) -> list[str]:
+    from biomedical_data_integration_spark.sources.standards import get_standard
+
+    return get_standard("gdc").get_column_values([column])[column]
+
 
 def _tables(spark: SparkSession, sf_dir: str, *names: str):
     from biomedical_data_integration_spark.sources import load_table
@@ -106,7 +141,7 @@ def _sql_src_domain(table: str, col: str) -> str:
 
 
 def _sql_values_domain(values: list[str]) -> str:
-    vals = ", ".join(f"('{v}')" for v in values)
+    vals = ", ".join("('{}')".format(v.replace("'", "''")) for v in values)
     return (
         f"SELECT trim(c) AS tkey, min(c) AS target_value FROM "
         f"(SELECT DISTINCT c FROM (VALUES {vals}) v(c)) GROUP BY trim(c)"
@@ -893,6 +928,38 @@ def _q_value_match_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_match_tfidf_gdc_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy diagnosis strings vs the FULL 2,625-value GDC
+    ``primary_diagnosis`` domain (``bdikit/api.py:155-219`` with the real
+    736-column standard, not a demo)."""
+    from biomedical_data_integration_spark import match_values
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    src = orders.selectExpr(f"{GDC_DIAGNOSIS_CASE} AS diagnosis")
+    return match_values(
+        src,
+        "gdc",
+        [("diagnosis", "primary_diagnosis")],
+        method="tfidf",
+        threshold=VALUE_MATCH_THRESHOLD,
+    )
+
+
+def _q_value_match_tfidf_gdc_figo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy FIGO stage strings vs the full GDC ``figo_stage`` domain."""
+    from biomedical_data_integration_spark import match_values
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    src = orders.selectExpr(f"{GDC_FIGO_CASE} AS stage")
+    return match_values(
+        src,
+        "gdc",
+        [("stage", "figo_stage")],
+        method="tfidf",
+        threshold=VALUE_MATCH_THRESHOLD,
+    )
+
+
 def _q_value_match_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark import match_values
 
@@ -1334,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_match_edit_mktsegment": _q_value_match_edit,
         "top_value_matches_edit_mktsegment": _q_top_value_matches_edit,
         "value_match_tfidf_mktsegment": _q_value_match_tfidf,
+        "value_match_tfidf_gdc_diagnosis": _q_value_match_tfidf_gdc_diagnosis,
+        "value_match_tfidf_gdc_figo": _q_value_match_tfidf_gdc_figo,
         "value_match_exact_linestatus": _q_value_match_exact,
         "schema_match_jaccard_orders_lineitem": _q_schema_match_jaccard,
         "schema_match_distribution_orders_lineitem": _q_schema_match_distribution,
@@ -1401,6 +1470,16 @@ FROM orders WHERE o_orderpriority IS NOT NULL
         ),
         "value_match_tfidf_mktsegment": _tfidf_value_match_sql(
             "customer", "c_mktsegment", SEGMENT_TARGETS, "segment",
+            VALUE_MATCH_THRESHOLD, 1,
+        ),
+        "value_match_tfidf_gdc_diagnosis": _tfidf_value_match_sql(
+            f"(SELECT {GDC_DIAGNOSIS_CASE} AS diagnosis FROM orders)",
+            "diagnosis", _gdc_domain("primary_diagnosis"), "primary_diagnosis",
+            VALUE_MATCH_THRESHOLD, 1,
+        ),
+        "value_match_tfidf_gdc_figo": _tfidf_value_match_sql(
+            f"(SELECT {GDC_FIGO_CASE} AS stage FROM orders)",
+            "stage", _gdc_domain("figo_stage"), "figo_stage",
             VALUE_MATCH_THRESHOLD, 1,
         ),
         "value_match_exact_linestatus": """

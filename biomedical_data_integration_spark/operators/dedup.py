@@ -379,16 +379,21 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    use_lsh: bool = False,
+    use_lsh: Optional[bool] = None,
     lsh_planes: int = 8,
+    brute_threshold: int = 20_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold.
 
-    Brute force is the all-pairs join (exact; quadratic — fine for small
-    corpora / verification). ``use_lsh=True`` blocks by random-hyperplane
-    signature first (see operators/similarity.py): only pairs in the same
-    bucket are compared — the scale path, with recall controlled by
-    lsh_planes.
+    Strategy is cardinality-gated by default (``use_lsh=None``), the same
+    count-once kernel selection ``duplicate_clusters`` uses: at or below
+    ``brute_threshold`` vectors the exact all-pairs join runs (a bounded
+    n² — at 20k vectors that's 200M cheap fused-codegen comparisons spread
+    over every core, and exact recall); above it the plan blocks by
+    random-hyperplane signature first (see operators/similarity.py) so
+    only same-bucket pairs are compared — the 100-TB path, recall
+    controlled by ``lsh_planes``. Pass ``use_lsh=True/False`` to force a
+    strategy (False = exact verification at any size, eyes open).
     """
     from biomedical_data_integration_spark.functions.vectors import dot, norm
     from biomedical_data_integration_spark.operators.similarity import (
@@ -407,6 +412,10 @@ def embedding_cosine_pairs(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nv"),
     ).persist()
+    if use_lsh is None:
+        # one cheap action over the already-persisted base; the count also
+        # warms the cache both join sides reuse
+        use_lsh = base.count() > brute_threshold
     if use_lsh:
         dim = _vec_dim(df, vec_col)
         base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), dim, lsh_planes))

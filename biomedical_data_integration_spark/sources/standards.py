@@ -20,6 +20,7 @@ arbitrary GDC-format JSON files load via ``JsonStandard``.
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, List, Mapping, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,16 +71,20 @@ class Standard:
         padded with nulls (``standards/gdc.py:58-69`` shape). Only for
         matcher boundaries that require a table-shaped target — domains are
         vocabulary-sized, so this stays driver-safe."""
+        import pandas as pd
+
         values = self.get_column_values(self.get_columns())
         max_len = max((len(v) for v in values.values()), default=0) or 1
-        cols = list(values.keys())
-        data = []
-        for i in range(max_len):
-            data.append(
-                tuple(values[c][i] if i < len(values[c]) else None for c in cols)
-            )
-        schema = StructType([StructField(c, StringType()) for c in cols])
-        return spark.createDataFrame(data, schema)
+        # Column-oriented pandas + Arrow beats a list of row tuples by ~100×
+        # at real vocabulary size (GDC: 736 cols × 4,478 padded rows).
+        pdf = pd.DataFrame(
+            {
+                c: pd.Series(list(v) + [None] * (max_len - len(v)), dtype="object")
+                for c, v in values.items()
+            }
+        )
+        schema = StructType([StructField(c, StringType()) for c in values])
+        return spark.createDataFrame(pdf, schema)
 
 
 class DictStandard(Standard):
@@ -261,10 +266,16 @@ _BIOMEDICAL_DEMO = {
     "sample_id": {"description": "", "values": {}},
 }
 
-_REGISTRY: Dict[str, Standard] = {}
+_REGISTRY: Dict[str, object] = {}  # name -> Standard | zero-arg factory
 
 
-def register_standard(name: str, standard: Standard) -> None:
+def register_standard(name: str, standard) -> None:
+    """Register a Standard instance OR a zero-arg factory returning one.
+
+    Factories defer expensive loads (the bundled GDC vocabulary is a
+    2.3 MB JSON) until a standard is actually requested; the built
+    instance replaces the factory on first resolution.
+    """
     _REGISTRY[name.lower()] = standard
 
 
@@ -276,11 +287,35 @@ def get_standard(name: str) -> Standard:
             f"The {name!r} standard is not supported. "
             f"Supported standards are: {sorted(_REGISTRY)}"
         )
-    return _REGISTRY[key]
+    entry = _REGISTRY[key]
+    if not isinstance(entry, Standard):
+        entry = entry()
+        _REGISTRY[key] = entry
+    return entry
+
+
+# Path of the bundled GDC vocabulary: the public NCI Genomic Data Commons
+# data dictionary (U.S. government public-domain data), flattened to the
+# GDC-format shape consumed by ``JsonStandard`` (same format the reference
+# produces via ``scripts/format_schema/format_gdc.py:14-31``) and rebuilt
+# by ``tools/build_gdc_vocab.py``. 736 columns, 353 enumerated domains,
+# largest domain 4,478 values.
+GDC_RESOURCE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "gdc_schema.json",
+)
+
+
+def _load_gdc() -> Standard:
+    if os.path.exists(GDC_RESOURCE_PATH):
+        return JsonStandard(GDC_RESOURCE_PATH)
+    # Resource missing (stripped checkout): degrade to the demo vocabulary
+    # so ``match_schema(df)`` still resolves its default target.
+    return DictStandard(_BIOMEDICAL_DEMO)
 
 
 register_standard("biomedical_demo", DictStandard(_BIOMEDICAL_DEMO))
-# The reference defaults to "gdc"; the demo vocabulary keeps that name
-# working out of the box. Point it at a full GDC JSON via
-# register_standard("gdc", JsonStandard(path)) when the resource exists.
-register_standard("gdc", DictStandard(_BIOMEDICAL_DEMO))
+# The reference defaults to "gdc" (``bdikit/api.py:45``); resolve it to the
+# bundled full vocabulary, lazily (first use pays the JSON parse once).
+register_standard("gdc", _load_gdc)

@@ -110,6 +110,28 @@ def test_embedding_cosine_pairs(spark):
     assert pairs[(1, 2)] > 0.99
 
 
+def test_embedding_cosine_pairs_gates_to_lsh_above_threshold(spark):
+    """Above brute_threshold the default plan must block by LSH bucket —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    gated = embedding_cosine_pairs(vecs, threshold=0.9, brute_threshold=10)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the small-corpus default stays the exact all-pairs join
+    brute = embedding_cosine_pairs(vecs, threshold=0.9, brute_threshold=1000)
+    plan_b = brute._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in plan_b or "BroadcastNestedLoopJoin" in plan_b
+    # LSH results are a subset of the exact pairs (blocking loses recall,
+    # never adds false positives)
+    exact = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in gated.collect()}
+    assert lsh <= exact
+
+
 def test_duplicate_clusters_chain_and_islands(spark):
     from biomedical_data_integration_spark.operators.dedup import duplicate_clusters
 

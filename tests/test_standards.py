@@ -97,3 +97,51 @@ def test_preview_domain_unknown_column_raises(spark):
 def test_register_custom_standard(spark):
     register_standard("mystd", DictStandard({"k": {"description": "", "values": {"v": ""}}}))
     assert get_standard("mystd").get_columns() == ["k"]
+
+
+def test_register_lazy_factory():
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return DictStandard({"lazy": {"description": "", "values": {}}})
+
+    register_standard("lazystd", factory)
+    assert calls == []  # not built until first resolution
+    assert get_standard("lazystd").get_columns() == ["lazy"]
+    assert get_standard("lazystd").get_columns() == ["lazy"]
+    assert calls == [1]  # built once, instance cached
+
+
+def test_gdc_is_the_full_vocabulary():
+    """The default "gdc" standard is the real NCI GDC dictionary snapshot
+    (``bdikit/standards/gdc.py:16-22`` scale), not a demo."""
+    gdc = get_standard("gdc")
+    cols = gdc.get_columns()
+    assert len(cols) >= 700
+    vals = gdc.get_column_values(
+        ["primary_diagnosis", "figo_stage", "ethnicity", "morphology"]
+    )
+    assert len(vals["primary_diagnosis"]) >= 1000
+    assert len(vals["morphology"]) >= 1000
+    assert "Stage IIIC1" in vals["figo_stage"]
+    assert "not hispanic or latino" in vals["ethnicity"]
+    meta = gdc.get_column_metadata(["age_at_diagnosis"])["age_at_diagnosis"]
+    assert meta["description"]  # description present even with no enum
+    assert meta["value_names"] == []
+
+
+def test_match_schema_default_gdc_full_vocab(spark):
+    """``match_schema(df)`` with the default target behaves like
+    ``bdikit/api.py:43-85`` against the real GDC vocabulary."""
+    from biomedical_data_integration_spark import match_schema
+
+    src = spark.createDataFrame(
+        [("hispanic or latino", "Stage IIIC", "G2")],
+        ["Ethnicity", "FIGO_stage", "Grade"],
+    )
+    got = {r["source"]: r["target"] for r in
+           match_schema(src, method="name_similarity").collect()}
+    assert got["Ethnicity"] == "ethnicity"
+    assert got["FIGO_stage"] == "figo_stage"
+    assert got["Grade"] == "tumor_grade"

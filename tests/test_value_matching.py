@@ -125,7 +125,10 @@ def test_standard_as_target(spark):
     ).collect()
     by_src = {r["source_value"]: r["target_value"] for r in out}
     assert by_src["hispanic or latino"] == "hispanic or latino"
-    assert by_src["unknwn"] == "unknown"
+    # The real GDC ethnicity domain contains BOTH "Unknown" and "unknown";
+    # they tie after lowercasing and the total-order tiebreaker
+    # (target_value ASC) deterministically picks "Unknown".
+    assert by_src["unknwn"] == "Unknown"
 
 
 def test_unknown_method_raises(spark):
