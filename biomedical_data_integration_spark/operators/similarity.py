@@ -61,19 +61,26 @@ def hyperplane_sign(vec: Column, dim: int, plane: int) -> Column:
     """Sign bit (0/1) of <vec, r_plane> for the md5-derived hyperplane:
     r_plane[i] = +1 if nibble(md5("hp{plane}|{i}")) >= 8 else -1.
 
-    The hyperplane components are constants folded at plan time — the
-    per-row work is one signed sum over the array.
+    The hyperplane is emitted as ONE array Literal per plane (not a
+    ``dim``-element CreateArray expression tree): at 768-d x 16 planes the
+    per-element formulation put ~12k literal nodes in the analysis plan,
+    while a single ``F.lit(list)`` carries the same folded constant with a
+    plan-size independent of ``dim``. (Generating the signs from md5
+    expressions at runtime was rejected: ``transform`` is not
+    constant-folded, so it would cost dim x planes md5 calls PER ROW.)
+    The per-row work is one signed sum over the array.
     """
     import hashlib
 
-    signs = []
-    for i in range(dim):
-        nib = int(hashlib.md5(f"hp{plane}|{i}".encode()).hexdigest()[0], 16)
-        signs.append(1.0 if nib >= 8 else -1.0)
+    signs = [
+        1.0 if int(hashlib.md5(f"hp{plane}|{i}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for i in range(dim)
+    ]
     dotp = F.aggregate(
         F.zip_with(
             vec,
-            F.array(*[F.lit(s) for s in signs]),
+            F.lit(signs),
             lambda v, s: v.cast("double") * s,
         ),
         F.lit(0.0),

@@ -215,6 +215,21 @@ def target_value_domain(
 PAIR = ["source_column", "target_column"]
 
 
+def _domain_sizes(src: DataFrame, tgt: DataFrame) -> Tuple[int, int]:
+    """Both domain cardinalities in ONE Spark job (a 2-row side-count
+    aggregate) instead of two scheduler round-trips — the domains are
+    tiny by construction but each ``count()`` is a full job submission."""
+    counts = {
+        r["side"]: r["n"]
+        for r in src.select(F.lit("s").alias("side"))
+        .unionByName(tgt.select(F.lit("t").alias("side")))
+        .groupBy("side")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return counts.get("s", 0), counts.get("t", 0)
+
+
 class BaseValueMatcher:
     """Kernel contract: score candidate (source value, target value) pairs.
 
@@ -442,9 +457,10 @@ class TfIdfValueMatcher(BaseValueMatcher):
 
     def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
         if self.local_domain_limit is not None:
-            # cardinality is a cheap count over the (persisted) distinct
+            # cardinality is one cheap job over the (persisted) distinct
             # domains — known before kernel launch by construction
-            if src.count() + tgt.count() <= self.local_domain_limit:
+            n_s, n_t = _domain_sizes(src, tgt)
+            if n_s + n_t <= self.local_domain_limit:
                 return self._local_similarities(src, tgt)
         # document frequency over the union corpus (a value present on both
         # sides counts once per side, like fitting on from+to lists)
@@ -537,17 +553,53 @@ class EmbeddingValueMatcher(BaseValueMatcher):
 
     name = "embedding"
 
-    def __init__(self, embedder=None):
+    def __init__(
+        self,
+        embedder=None,
+        block_threshold: Optional[int] = 2_000_000,
+        lsh_planes: int = 8,
+    ):
         if embedder is None:
             from biomedical_data_integration_spark.models import HashingTextEmbedder
 
             embedder = HashingTextEmbedder()
         self.embedder = embedder
+        self.block_threshold = block_threshold
+        self.lsh_planes = lsh_planes
 
     def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        """Cosine over candidate (source, target) value pairs.
+
+        The candidate set is cardinality-gated (one count job, same
+        kernel-selection pattern as TfIdf/duplicate_clusters): at or below
+        ``block_threshold`` candidate pairs per the domain-size product,
+        every pair is scored exactly; above it both sides are blocked by
+        random-hyperplane signature (``operators/similarity.hyperplane_bucket``)
+        so the join carries only same-bucket candidates — free-text domains
+        at 100 TB never see an ungated cross product. Recall is controlled
+        by ``lsh_planes``; pass ``block_threshold=None`` for the exact
+        all-pairs join at any size."""
+        from biomedical_data_integration_spark.operators.similarity import (
+            hyperplane_bucket,
+        )
+
         s = src.withColumn("vec_s", self.embedder.embed_expr(F.col("skey")))
         t = tgt.withColumn("vec_t", self.embedder.embed_expr(F.col("tkey")))
-        joined = s.join(t, PAIR)
+        join_keys = list(PAIR)
+        dim = getattr(self.embedder, "dim", None)
+        if self.block_threshold is not None and dim is not None:
+            n_s, n_t = _domain_sizes(src, tgt)
+            if n_s * n_t > self.block_threshold:
+                s = s.withColumn(
+                    "__bucket",
+                    hyperplane_bucket(F.col("vec_s"), dim, self.lsh_planes),
+                )
+                t = t.withColumn(
+                    "__bucket",
+                    hyperplane_bucket(F.col("vec_t"), dim, self.lsh_planes),
+                )
+                join_keys = PAIR + ["__bucket"]
+        joined = s.join(t, join_keys)
         return joined.select(
             *PAIR,
             "skey",

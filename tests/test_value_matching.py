@@ -131,6 +131,53 @@ def test_standard_as_target(spark):
     assert by_src["unknwn"] == "Unknown"
 
 
+def test_embedding_matcher_small_domain_exact(spark):
+    src = spark.createDataFrame(
+        [("automobile",), ("autmobile",), ("machines",)], ["seg"]
+    )
+    tgt = spark.createDataFrame(
+        [("automobile",), ("machines",), ("furniture",)], ["segment"]
+    )
+    out = match_values(
+        src, tgt, [("seg", "segment")], method="embedding", threshold=0.5
+    ).collect()
+    by_src = {r["source_value"]: r["target_value"] for r in out}
+    assert by_src["automobile"] == "automobile"
+    assert by_src["autmobile"] == "automobile"  # near-dup survives hashing
+    assert by_src["machines"] == "machines"
+
+
+def test_embedding_matcher_gates_to_lsh_blocking(spark):
+    """Above block_threshold candidate pairs the join must carry the LSH
+    bucket key; blocked results are a subset of the exact all-pairs run."""
+    from biomedical_data_integration_spark.operators.value_matching import (
+        EmbeddingValueMatcher,
+        source_value_domain,
+        target_value_domain,
+    )
+
+    src_df = spark.createDataFrame([(f"value {i}",) for i in range(30)], ["x"])
+    tgt_df = spark.createDataFrame([(f"value {i}",) for i in range(0, 60, 2)], ["y"])
+    pairs = [("x", "y")]
+    s = source_value_domain(src_df, pairs)
+    t = target_value_domain(spark, tgt_df, pairs)
+
+    exact = EmbeddingValueMatcher(block_threshold=None).similarities(s, t)
+    blocked = EmbeddingValueMatcher(block_threshold=10).similarities(s, t)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
+    plan_exact = exact._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" not in plan_exact
+
+    ekeys = {(r["skey"], r["target_value"], r["similarity"]) for r in exact.collect()}
+    bkeys = {(r["skey"], r["target_value"], r["similarity"]) for r in blocked.collect()}
+    assert bkeys <= ekeys
+    # identical strings share a bucket by construction -> exact hits survive
+    assert {("value 0", "value 0"), ("value 8", "value 8")} <= {
+        (s_, t_) for s_, t_, _ in bkeys
+    }
+
+
 def test_unknown_method_raises(spark):
     src = spark.createDataFrame([("a",)], ["x"])
     tgt = spark.createDataFrame([("a",)], ["y"])
