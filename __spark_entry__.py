@@ -608,6 +608,103 @@ FROM ws_n a JOIN wt_n b ON a.term = b.term GROUP BY 1, 2
 """
 
 
+ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+HCE_DIM = 32          # HashingColumnEmbedder dim
+HCE_SAMPLE = 15       # head-sample budget per column
+TOP_MATCHES_K = 3
+
+
+def _top_matches_hash_embedding_sql() -> str:
+    """Full recomputation of the hashing column-embedder top-k
+    (models/HashingColumnEmbedder + EmbeddingSchemaMatcher):
+    head-15 serialized columns -> char-3-gram md5 histogram (dim 32) ->
+    L2 normalize -> cosine -> per-source top-3.
+
+    The md5 bucket is pmod(conv(hex15, 16, 10), 32); since every hex
+    digit above the last two contributes a multiple of 256 ≡ 0 (mod 32),
+    the bucket reduces to (16*nibble14 + nibble15) % 32 — no conv()
+    needed (DuckDB lacks it). Vectors are materialized densely and
+    normalized exactly like the Spark expressions so list_sum fold order
+    matches the Spark aggregate fold order element-for-element."""
+
+    def side(prefix: str, table: str, cols: list[str]) -> str:
+        longq = " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value "
+            f"FROM {table} WHERE {c} IS NOT NULL"
+            for c in cols
+        )
+        clean = "trim(regexp_replace(lower(serialized), '[^a-z0-9]+', ' ', 'g'))"
+        grams = (
+            "CASE WHEN length(cs) >= 3 THEN "
+            "list_transform(range(1, length(cs) - 1), i -> substring(cs, i, 3)) "
+            "ELSE [] END"
+        )
+        nib = "(strpos('0123456789abcdef', substring(h, {p}, 1)) - 1)"
+        bucket = f"(({nib.format(p=14)} * 16 + {nib.format(p=15)}) % {HCE_DIM})"
+        return f"""
+{prefix}_long AS ({longq}),
+{prefix}_head AS (
+  SELECT column_name, value,
+         row_number() OVER (PARTITION BY column_name ORDER BY value ASC) AS rn
+  FROM (SELECT DISTINCT column_name, value FROM {prefix}_long)
+),
+{prefix}_ser AS (
+  SELECT column_name,
+         column_name || ' ' || string_agg(value, ' ' ORDER BY value) AS serialized
+  FROM {prefix}_head WHERE rn <= {HCE_SAMPLE} GROUP BY column_name
+),
+{prefix}_grams AS (
+  SELECT column_name, unnest({grams}) AS g
+  FROM (SELECT column_name, {clean} AS cs FROM {prefix}_ser)
+),
+{prefix}_buck AS (
+  SELECT column_name, {bucket} AS b
+  FROM (SELECT column_name, md5('hce|' || g) AS h FROM {prefix}_grams)
+),
+{prefix}_hist AS (
+  SELECT column_name, b, CAST(count(*) AS DOUBLE) AS c
+  FROM {prefix}_buck GROUP BY 1, 2
+),
+{prefix}_dense AS (
+  SELECT sc.column_name, list(coalesce(h.c, 0.0) ORDER BY r.i) AS v
+  FROM (SELECT column_name FROM {prefix}_ser) sc
+  CROSS JOIN (SELECT unnest(range(0, {HCE_DIM})) AS i) r
+  LEFT JOIN {prefix}_hist h ON h.column_name = sc.column_name AND h.b = r.i
+  GROUP BY sc.column_name
+),
+{prefix}_nvec AS (
+  SELECT column_name,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+  FROM {prefix}_dense
+)"""
+
+    cos = _sql_cosine("s.v", "t.v", HCE_DIM)
+    return f"""
+WITH {side('s', 'orders', ORDERS_COLS)},
+{side('t', 'lineitem', LINEITEM_COLS)},
+sims AS (
+  SELECT s.column_name AS source, t.column_name AS target,
+         round({cos}, 6) AS similarity
+  FROM s_nvec s CROSS JOIN t_nvec t
+),
+ranked AS (
+  SELECT source, target, similarity,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY similarity DESC, target ASC) AS rk
+  FROM sims
+)
+SELECT source, target, similarity FROM ranked WHERE rk <= {TOP_MATCHES_K}
+"""
+
+
 def _simhash_pairs_sql(max_hamming: int) -> str:
     """Brute-force hamming pairs over the simhash CTE — the Spark chunk
     blocking (operators/dedup.simhash_pairs) is lossless, so outputs agree."""
@@ -1009,8 +1106,8 @@ def _q_schema_match_distribution_approx(
 
 
 def _q_top_matches_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-embedder column top-k (A2). Deterministic but its recomputation
-    is an embedding pipeline, not SQL — rows-only oracle check."""
+    """Hash-embedder column top-k (A2), hash-checked against the full SQL
+    recomputation in ``_top_matches_hash_embedding_sql``."""
     from biomedical_data_integration_spark import top_matches
 
     orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
@@ -1541,16 +1638,9 @@ FROM inter i JOIN ns ON ns.source = i.source JOIN nt ON nt.target = i.target
 """,
         "schema_match_distribution_orders_lineitem": _distribution_match_sql(),
         "schema_match_name_similarity_orders_lineitem": _name_similarity_sql(
-            [
-                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-                "o_orderdate", "o_orderpriority",
-            ],
-            [
-                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-                "l_returnflag", "l_linestatus", "l_shipdate",
-            ],
+            ORDERS_COLS, LINEITEM_COLS,
         ),
+        "top_matches_hash_embedding": _top_matches_hash_embedding_sql(),
         "dedup_exact_documents": """
 SELECT md5(CAST(text AS VARCHAR)) AS content_hash,
        count(*) AS n_docs, min(doc_id) AS keep_id

@@ -45,10 +45,7 @@ def test_entry_smoke(spark):
 def test_every_query_has_an_oracle_or_documented_exemption():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only queries (non-SQL-expressible) must be the documented ones
-    assert missing <= {
-        "top_matches_hash_embedding",
-        "schema_match_distribution_approx",
-    }
+    assert missing <= {"schema_match_distribution_approx"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
