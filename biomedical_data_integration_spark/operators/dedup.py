@@ -523,7 +523,10 @@ def duplicate_clusters(
         )
         return spark.createDataFrame(labels, schema)
 
-    edges = edges.localCheckpoint(eager=True)
+    checkpointed = edges.localCheckpoint(eager=True)
+    edges.unpersist()  # the checkpoint owns the data now; drop the cache
+    edges = checkpointed
+    converged = False
     for _ in range(max_iterations):
         # large-star: every node u connects its strictly-larger neighbors
         # to min(N(u) + {u})
@@ -558,8 +561,18 @@ def duplicate_clusters(
         # multiset difference ⟹ the edge multisets are equal
         if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
             edges = nxt
+            converged = True
             break
         edges = nxt
+    if not converged:
+        # Exhausting the round budget without the fixpoint check passing
+        # means cluster_ids may span multiple hops and be WRONG — never
+        # return silently-bad labels. O(log^2 n) rounds bound real graphs;
+        # hitting this means max_iterations is set far too low.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "large/small-star rounds; raise max_iterations"
+        )
     # fixpoint = star graphs: every member points at its component root
     return (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
@@ -603,6 +616,9 @@ def cross_corpus_contamination(
             .select("shingle")
         )
         tr = tr.join(freq_ok, "shingle")
+    # persisted for the duration of the session: ev feeds both ev_sizes and
+    # the overlap join, and eval benches are small (MBs) — an explicit
+    # unpersist here would invalidate the lazily-returned DataFrame.
     ev = shingle_sets(eval_corpus, text_col, id_col, shingle_words).persist()
     ev_sizes = ev.groupBy("id").agg(F.count("*").alias("n_eval"))
     overlap = (

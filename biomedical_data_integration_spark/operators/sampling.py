@@ -71,11 +71,11 @@ def hash_split(
     changes when data is added elsewhere (the property that keeps eval
     sets uncontaminated as a corpus grows).
     """
+    if not splits:
+        raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    if not splits:
-        raise ValueError("splits must be non-empty")
     prefix = _prefix(F.col(key_col), salt)
     cum = 0.0
     expr: Column | None = None
@@ -108,10 +108,13 @@ def stratified_sample(
         return df.where(prefix < _hex_threshold(float(fractions)))
     if not fractions:
         return df.where(F.lit(False))
+    # natively-typed comparison: casting both sides to string silently
+    # matches nothing when Python str() and Spark's cast disagree (floats,
+    # decimals, dates) — let Spark's coercion rules align lit(k) instead
     thr = F.coalesce(
         *[
             F.when(
-                F.col(strata_col).cast("string") == F.lit(str(k)),
+                F.col(strata_col) == F.lit(k),
                 F.lit(_hex_threshold(v)),
             )
             for k, v in fractions.items()

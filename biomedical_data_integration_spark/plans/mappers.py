@@ -107,7 +107,9 @@ class ExpressionValueMapper(ValueMapper):
         self.expression = expression
 
     def expr(self, source_column: str) -> Column:
-        return F.expr(self.expression.format(col=f"`{source_column}`"))
+        # plain replace, not str.format: literal braces in the SQL (regex
+        # quantifiers like [0-9]{3}, map/struct literals) must pass through
+        return F.expr(self.expression.replace("{col}", f"`{source_column}`"))
 
 
 class DictionaryMapper(ValueMapper):

@@ -119,3 +119,27 @@ def test_expression_value_mapper_jvm_path(spark):
 
     with _pytest.raises(ValueError, match="{col}"):
         create_mapper("upper(x)")
+
+
+def test_expression_value_mapper_literal_braces(spark):
+    """Regex quantifiers and other literal braces in the SQL expression
+    must survive substitution (plain replace, not str.format)."""
+    from biomedical_data_integration_spark import (
+        ExpressionValueMapper,
+        materialize_mapping,
+    )
+
+    df = spark.createDataFrame([("ab123cd",), ("x99y",)], ["raw"])
+    out = materialize_mapping(
+        df,
+        [
+            {
+                "source": "raw",
+                "target": "masked",
+                "mapper": ExpressionValueMapper(
+                    "regexp_replace({col}, '[0-9]{3}', 'XXX')"
+                ),
+            }
+        ],
+    )
+    assert {r["masked"] for r in out.collect()} == {"abXXXcd", "x99y"}

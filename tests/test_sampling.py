@@ -64,6 +64,22 @@ def test_stratified_sample_per_stratum_fractions(spark):
     assert out2.count() == 0
 
 
+def test_hash_split_empty_splits_clear_error(ids):
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(ids, "key", {})
+
+
+def test_stratified_sample_non_string_strata_keys(spark):
+    """Float/int stratum keys must match natively (str() vs Spark's string
+    cast disagree on e.g. 0.1 vs '0.1' formatting)."""
+    df = spark.createDataFrame(
+        [(i, i % 2 / 10.0) for i in range(1000)], ["key", "w"]
+    )
+    out = stratified_sample(df, "w", "key", {0.1: 1.0})
+    assert out.count() == 500  # every 0.1-stratum row kept
+    assert {r["w"] for r in out.select("w").distinct().collect()} == {0.1}
+
+
 def test_stratified_sample_scalar_fraction(spark):
     df = spark.createDataFrame([(i, "x") for i in range(500)], ["key", "s"])
     n = stratified_sample(df, "s", "key", 0.2).count()
