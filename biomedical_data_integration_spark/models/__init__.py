@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import pandas as pd  # module-level: pandas UDF type hints resolve here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -484,29 +486,128 @@ class HashingColumnEmbedder(ColumnEmbedder):
         )
 
 
-class TransformerColumnEmbedder(ColumnEmbedder):
-    """Real-model column embedder (reference: RoBERTa ``bdi-cl-v0.2``,
-    ``cl_api.py:47-55``). Requires torch/transformers on the executors —
-    gated behind an import-try; the model loads once per executor as a lazy
-    singleton inside the pandas UDF (the Arrow batch is the reference's
-    batch-128, ``cl_api.py:27``)."""
+# Executor-local model cache: one (tokenizer, model) pair per model name
+# per Python worker process — the lazy-singleton pattern for per-executor
+# state under pandas UDFs (loaded on first batch, reused for the rest of
+# the executor's life; never shipped through the closure).
+_TRANSFORMER_SINGLETONS: dict = {}
 
-    def __init__(self, model_name: str = "roberta-base", dim: int = 768):
+
+def _load_transformer(model_name: str):
+    if model_name not in _TRANSFORMER_SINGLETONS:
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_name)
+        model = AutoModel.from_pretrained(model_name)
+        model.eval()
+        torch.set_grad_enabled(False)
+        _TRANSFORMER_SINGLETONS[model_name] = (tok, model)
+    return _TRANSFORMER_SINGLETONS[model_name]
+
+
+def _torch_encode_fn(model_name: str, max_length: int):
+    """Batch encoder closure: list[str] -> list[list[float]] (mean-pooled
+    last hidden state, the standard sentence-embedding readout). Only the
+    *name* is captured; weights load lazily executor-side."""
+
+    def encode(batch: List[str]) -> List[List[float]]:
+        import torch
+
+        tok, model = _load_transformer(model_name)
+        enc = tok(
+            batch,
+            padding=True,
+            truncation=True,
+            max_length=max_length,
+            return_tensors="pt",
+        )
+        with torch.no_grad():
+            hidden = model(**enc).last_hidden_state
+        mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+        pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1.0)
+        return pooled.cpu().double().numpy().tolist()
+
+    return encode
+
+
+class TransformerColumnEmbedder(ColumnEmbedder):
+    """Real-model column embedder (reference: batch-128 RoBERTa inference,
+    ``cl_api.py:22-55``; serialization budget ``cl_api.py:94-106``).
+
+    The Spark plumbing is identical regardless of the model: columns are
+    serialized by the same deterministic sampler the hashing embedder uses
+    (one job for every column), then a pandas UDF encodes the serialized
+    strings in sub-batches of ``batch_size`` per Arrow batch, with the
+    model held as an executor-local lazy singleton (loaded once per Python
+    worker, never serialized into the closure).
+
+    ``encode_fn`` is injectable — ``callable(list[str]) -> list[list[float]]``
+    — so the UDF/batching/schema path is testable without model weights;
+    when omitted, a torch/transformers mean-pooled encoder is built (gated
+    behind an import-try: this environment has no torch, and model-dependent
+    outputs are off-oracle by design, SURVEY §5).
+    """
+
+    def __init__(
+        self,
+        model_name: str = "roberta-base",
+        dim: int = 768,
+        batch_size: int = 128,
+        max_length: int = 128,
+        sample_values: int = 15,
+        sample_strategy: str = "head",
+        encode_fn=None,
+    ):
         self.model_name = model_name
         self.dim = dim
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self._sampler = HashingColumnEmbedder(
+            sample_values=sample_values, sample_strategy=sample_strategy
+        )
+        self.encode_fn = encode_fn
+
+    def _resolve_encode_fn(self):
+        if self.encode_fn is not None:
+            return self.encode_fn
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "TransformerColumnEmbedder needs torch+transformers on the "
+                "executors (or an injected encode_fn); use "
+                "HashingColumnEmbedder for a deterministic dependency-free "
+                "embedder."
+            ) from e
+        return _torch_encode_fn(self.model_name, self.max_length)
+
+    def embed_strings(self, df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+        """Attach ``out_col: array<double>`` embeddings of ``text_col`` via
+        the batched pandas UDF — usable for any string column, not just
+        serialized schema columns."""
+        from pyspark.sql.functions import pandas_udf
+
+        encode = self._resolve_encode_fn()
+        batch_size = self.batch_size
+
+        @pandas_udf("array<double>")
+        def _embed(s: pd.Series) -> pd.Series:
+            out: List[List[float]] = []
+            vals = s.fillna("").tolist()
+            # sub-batch inside the Arrow batch: bounds peak tokenizer/model
+            # memory at batch_size rows regardless of Arrow batch sizing
+            for start in range(0, len(vals), batch_size):
+                out.extend(encode(vals[start:start + batch_size]))
+            return pd.Series(out)
+
+        return df.withColumn(out_col, _embed(F.col(text_col)))
 
     def column_embeddings(
         self, df: DataFrame, columns: Optional[List[str]] = None
     ) -> DataFrame:
-        try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "TransformerColumnEmbedder needs torch+transformers on the "
-                "executors; use HashingColumnEmbedder for a deterministic "
-                "dependency-free embedder."
-            ) from e
-        raise NotImplementedError(
-            "transformer inference UDF not wired in this environment"
-        )  # pragma: no cover
+        ser = self._sampler.serialized_columns(df, columns)
+        return self.embed_strings(ser, "serialized", "embedding").select(
+            "column_name", "embedding"
+        )

@@ -664,19 +664,100 @@ class MaxValSimSchemaMatcher(TwoPhaseSchemaMatcher):
 
 
 class GptSchemaMatcher(BaseSchemaMatcher):
-    """LLM schema matcher — interface only (``gpt.py:6-52``); inject a
-    client to activate. Nondeterministic: excluded from the oracle."""
+    """LLM schema matcher (``schema_matching/one2one/gpt.py:6-52``).
+
+    The deterministic pipeline is fully implemented; only the LLM call is
+    injected. ``client`` is ``callable(messages: list[dict]) -> str``
+    returning the assistant content — no network is assumed and the real
+    OpenAI default of the reference is intentionally NOT constructed here
+    (model outputs are nondeterministic and off-oracle, SURVEY §5).
+
+    Pipeline parity with the reference:
+    - each source column serializes as ``"{name}: v1, v2, ..."`` lowercased,
+      from ≤``max_values`` distinct non-null values (``gpt.py:20-25``) —
+      sampled DETERMINISTICALLY (value-hash order) where the reference uses
+      seeded-free ``Series.sample``, the engine-wide determinism rule;
+      one Spark job serializes every column (no per-column scans);
+    - the prompt asks for the top ``top_m`` target labels
+      semicolon-separated (``gpt.py:31-47``);
+    - the response is validated: only names that are real target columns
+      survive (``gpt.py:26-29``), ranked by response order.
+
+    ``scores`` emits ``(m - rank) / m`` so rank 0 wins downstream greedy
+    1:1 assignment exactly like the reference's first-valid-candidate rule.
+    """
 
     name = "gpt"
 
-    def __init__(self, client=None):
+    def __init__(self, client=None, top_m: int = 10, max_values: int = 15):
         self.client = client
+        self.top_m = top_m
+        self.max_values = max_values
+
+    def _serialized_contexts(self, source: DataFrame) -> Dict[str, str]:
+        """One job: ≤max_values distinct values per column, value-hash
+        order (deterministic 'random'), joined ``name: v1, v2, ...``."""
+        from biomedical_data_integration_spark.models import HashingColumnEmbedder
+
+        sampler = HashingColumnEmbedder(
+            sample_values=self.max_values, sample_strategy="random"
+        )
+        sampled = sampler._sampled_values(source, source.columns)
+        vals = {
+            r["column_name"]: list(r["vals"]) for r in sampled.collect()
+        }
+        return {
+            c: f"{c}: {', '.join(vals.get(c, []))}".lower() for c in source.columns
+        }
+
+    def _prompt(self, context: str, labels: str) -> List[Dict[str, str]]:
+        return [
+            {
+                "role": "system",
+                "content": "You are an assistant for column matching.",
+            },
+            {
+                "role": "user",
+                "content": (
+                    f"Please select the top {self.top_m} class from {labels} "
+                    "which best describes the context. The context is defined "
+                    "by the column name followed by its respective values. "
+                    "Please respond only with the name of the classes "
+                    f"separated by semicolon.\n CONTEXT: {context} "
+                    "\n RESPONSE: \n"
+                ),
+            },
+        ]
 
     def scores(self, source, target, allowed_pairs=None):
-        raise NotImplementedError(
-            "GptSchemaMatcher requires an injected LLM client; "
-            "no network access is assumed."
+        if self.client is None:
+            raise NotImplementedError(
+                "GptSchemaMatcher requires an injected LLM client "
+                "(callable(messages) -> str); no network access is assumed."
+            )
+        spark = source.sparkSession
+        target_columns = list(target.columns)
+        labels = ", ".join(target_columns)
+        contexts = self._serialized_contexts(source)
+        rows = []
+        for column in source.columns:
+            response = self.client(self._prompt(contexts[column], labels))
+            candidates = [c.strip() for c in str(response).split(";")]
+            # validation: only real target columns survive, first mention
+            # wins (dict.fromkeys dedupes preserving order), ranked by
+            # position among the SURVIVORS
+            valid = list(
+                dict.fromkeys(c for c in candidates if c in target_columns)
+            )
+            for rank, cand in enumerate(valid):
+                sim = round(
+                    (self.top_m - rank) / self.top_m, config.SIMILARITY_SCALE
+                )
+                rows.append((column, cand, sim))
+        scores = spark.createDataFrame(
+            rows, "source string, target string, similarity double"
         )
+        return _apply_allowed(scores, allowed_pairs)
 
 
 SCHEMA_MATCHERS = {

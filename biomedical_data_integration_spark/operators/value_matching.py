@@ -609,23 +609,112 @@ class EmbeddingValueMatcher(BaseValueMatcher):
 
 
 class GptValueMatcher(BaseValueMatcher):
-    """LLM-assisted value matching — interface-only (nondeterministic,
-    excluded from the correctness oracle; the reference's implementation at
-    ``value_matching/gpt.py:7-54`` additionally has a latent ``ast`` import
-    bug that kills every call). Inject a client callable to activate."""
+    """LLM-assisted value matching (``value_matching/gpt.py:7-54``).
+
+    The deterministic pipeline — one prompt per distinct source value,
+    response parsing, validation against the target domain — is fully
+    implemented; only the LLM call is injected (``client`` is
+    ``callable(messages: list[dict]) -> str`` returning the assistant
+    content). Outputs stay off-oracle: a real model is nondeterministic.
+
+    Parity notes vs the reference:
+    - the reference's ``ast.literal_eval`` call can never succeed (it
+      forgot to import ``ast``, so every response lands in the bare
+      ``except`` and is dropped, ``gpt.py:44-53``). This implements the
+      documented INTENT: parse ``{"term": ..., "score": ...}`` with
+      ``ast.literal_eval`` (falling back to JSON), validate the term
+      against the target set, drop malformed responses with a warning;
+    - the pipeline (not the kernel) applies the similarity threshold, so
+      the kernel emits every validated (value, term, score) row;
+    - calls run in a driver loop, like the reference: value domains are
+      vocabulary-sized by construction (distinct'd upstream) and each call
+      is an external-service round trip — there is nothing to distribute
+      until a batch endpoint exists.
+    """
 
     name = "gpt"
 
     def __init__(self, client=None):
         self.client = client
 
+    @staticmethod
+    def _prompt(source_value: str, target_values: List[str]) -> List[Dict[str, str]]:
+        return [
+            {
+                "role": "system",
+                "content": (
+                    "You are an intelligent system that given a term, you "
+                    "have to choose a value from a list that best matches "
+                    "the term. These terms belong to the medical domain, "
+                    "and the list contains terms in the Genomics Data "
+                    "Commons (GDC) format."
+                ),
+            },
+            {
+                "role": "user",
+                "content": (
+                    f'For the term: "{source_value}", choose a value from '
+                    f"this list {target_values}. Return the value from the "
+                    "list with a similarity score, between 0 and 1, with 1 "
+                    "indicating the highest similarity. DO NOT PROVIDE ANY "
+                    "OTHER OUTPUT TEXT OR EXPLANATION. Only provide a "
+                    "Python dictionary. For example "
+                    '{"term": "term from the list", "score": 0.8}.'
+                ),
+            },
+        ]
+
+    @staticmethod
+    def _parse_response(response: str):
+        """(term, score) or None — ``ast.literal_eval`` first (the
+        reference's documented intent), JSON as a fallback."""
+        import ast
+        import json
+
+        for parser in (ast.literal_eval, json.loads):
+            try:
+                d = parser(response)
+                return str(d["term"]), float(d["score"])
+            except Exception:
+                continue
+        return None
+
     def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
         if self.client is None:
             raise NotImplementedError(
                 "GptValueMatcher requires an injected client "
-                "(callable(prompt) -> str); no network access is assumed."
+                "(callable(messages) -> str); no network access is assumed."
             )
-        raise NotImplementedError("external-service batch UDF not wired yet")
+        import warnings
+
+        spark = src.sparkSession
+        s_rows = src.select(*PAIR, "skey").collect()
+        t_rows = tgt.select(*PAIR, "tkey", "target_value").collect()
+        domains: Dict[Tuple[str, str], List[str]] = {}
+        for r in t_rows:
+            domains.setdefault((r[0], r[1]), []).append(r[3])
+        out = []
+        for r in s_rows:
+            pair = (r[0], r[1])
+            targets = sorted(domains.get(pair, []))
+            if not targets:
+                continue
+            response = self.client(self._prompt(r[2], targets))
+            parsed = self._parse_response(str(response))
+            if parsed is None:
+                warnings.warn(
+                    f"GptValueMatcher: unparseable response for {r[2]!r}: "
+                    f"{response!r}"
+                )
+                continue
+            term, score = parsed
+            if term in set(targets):  # membership validation (gpt.py:48)
+                out.append((pair[0], pair[1], r[2], term, score))
+        return spark.createDataFrame(
+            out,
+            "source_column string, target_column string, skey string,"
+            " target_value string, similarity double",
+        )
 
 
 VALUE_MATCHERS = {

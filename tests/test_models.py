@@ -152,3 +152,90 @@ def test_pmi_is_partition_stable(spark):
     a = _ser_map(df, sample_values=3, sample_strategy="pmi")
     b = _ser_map(df.repartition(11), sample_values=3, sample_strategy="pmi")
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# TransformerColumnEmbedder (real-model path import-gated; plumbing tested
+# with an injected deterministic encoder)
+# ---------------------------------------------------------------------------
+
+def _has_torch() -> bool:
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_transformer_embedder_plumbing_with_injected_encoder(spark):
+    """The pandas-UDF path (serialization -> Arrow batches -> sub-batching
+    -> array<double> schema) runs for real; only the model is faked."""
+    from biomedical_data_integration_spark.models import TransformerColumnEmbedder
+
+    seen_batches = []
+
+    def fake_encode(batch):
+        seen_batches.append(len(batch))
+        # deterministic 4-d "embedding": length + char-sum features
+        return [
+            [float(len(s)), float(sum(map(ord, s)) % 97), 1.0, 0.0]
+            for s in batch
+        ]
+
+    emb = TransformerColumnEmbedder(dim=4, batch_size=2, encode_fn=fake_encode)
+    df = spark.createDataFrame(
+        [("a", 1.5), ("bb", 2.5), ("ccc", 3.5)], ["name", "price"]
+    )
+    out = emb.column_embeddings(df)
+    rows = {r["column_name"]: r["embedding"] for r in out.collect()}
+    assert set(rows) == {"name", "price"}
+    assert all(len(v) == 4 for v in rows.values())
+    ser = {
+        r["column_name"]: r["serialized"]
+        for r in emb._sampler.serialized_columns(df).collect()
+    }
+    for c in ("name", "price"):
+        assert rows[c][0] == float(len(ser[c]))
+    # deterministic across runs
+    again = {
+        r["column_name"]: r["embedding"]
+        for r in emb.column_embeddings(df).collect()
+    }
+    assert again == rows
+
+
+def test_transformer_embedder_without_torch_raises(spark):
+    from biomedical_data_integration_spark.models import TransformerColumnEmbedder
+
+    if _has_torch():
+        import pytest
+
+        pytest.skip("torch present; the import gate cannot be exercised")
+    emb = TransformerColumnEmbedder()
+    df = spark.createDataFrame([("a",)], ["c"])
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="torch"):
+        emb.column_embeddings(df).collect()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not _has_torch(), reason="torch/transformers not installed")
+def test_transformer_embedder_real_model_smoke(spark):
+    """Small-model smoke: loads an actual checkpoint and embeds 2 columns.
+    Skipped when weights cannot be fetched (offline environments)."""
+    from biomedical_data_integration_spark.models import TransformerColumnEmbedder
+
+    emb = TransformerColumnEmbedder(
+        model_name="sshleifer/tiny-distilroberta-base", dim=2, batch_size=2
+    )
+    df = spark.createDataFrame([("x", 1.0)], ["name", "price"])
+    try:
+        rows = emb.column_embeddings(df).collect()
+    except Exception as e:  # offline: model download fails
+        _pytest.skip(f"model weights unavailable: {e}")
+    assert len(rows) == 2
+    assert all(len(r["embedding"]) > 0 for r in rows)

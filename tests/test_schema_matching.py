@@ -105,3 +105,79 @@ def test_unknown_matcher_raises(spark):
     source = spark.createDataFrame([("a",)], ["c1"])
     with pytest.raises(ValueError, match="not supported"):
         match_schema(source, source, method="bogus")
+
+
+def test_gpt_schema_matcher_pipeline_with_fake_client(spark):
+    """Deterministic pipeline test (prompt build, ≤15-value serialization,
+    response validation, rank scoring) with a scripted client."""
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        GptSchemaMatcher,
+    )
+    from biomedical_data_integration_spark import match_schema
+
+    prompts = []
+
+    def fake_client(messages):
+        prompts.append(messages)
+        ctx = messages[1]["content"]
+        if "ethnicity_src" in ctx:
+            # bogus label first -> must be skipped; duplicate must dedupe
+            return "no_such_col; ethnicity; ethnicity; race"
+        return "figo_stage"
+
+    src = spark.createDataFrame(
+        [("hispanic", "Stage I"), ("asian", "Stage II")],
+        ["ethnicity_src", "stage_src"],
+    )
+    tgt = spark.createDataFrame([], "ethnicity string, race string, figo_stage string")
+    matcher = GptSchemaMatcher(client=fake_client, top_m=10)
+    got = {(r["source"], r["target"]): r["similarity"]
+           for r in matcher.scores(src, tgt).collect()}
+    # rank 0 -> 1.0, rank 1 -> 0.9; invalid + duplicate labels dropped
+    assert got == {
+        ("ethnicity_src", "ethnicity"): 1.0,
+        ("ethnicity_src", "race"): 0.9,
+        ("stage_src", "figo_stage"): 1.0,
+    }
+    # prompt serialization: column name + lowercased values, labels listed
+    eth_prompt = next(p for p in prompts if "ethnicity_src" in p[1]["content"])
+    assert "ethnicity_src: " in eth_prompt[1]["content"]
+    assert "hispanic" in eth_prompt[1]["content"]
+    assert "ethnicity, race, figo_stage" in eth_prompt[1]["content"]
+    assert eth_prompt[0]["role"] == "system"
+
+    # end-to-end through the public API (greedy 1:1 assignment)
+    assign = {r["source"]: r["target"] for r in match_schema(
+        src, tgt, method=matcher).collect()}
+    assert assign == {"ethnicity_src": "ethnicity", "stage_src": "figo_stage"}
+
+
+def test_gpt_schema_matcher_value_budget(spark):
+    """Columns with >15 distinct values serialize exactly 15."""
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        GptSchemaMatcher,
+    )
+
+    captured = {}
+
+    def fake_client(messages):
+        captured["ctx"] = messages[1]["content"]
+        return "t"
+
+    src = spark.createDataFrame([(f"v{i}",) for i in range(50)], ["c"])
+    tgt = spark.createDataFrame([], "t string")
+    GptSchemaMatcher(client=fake_client).scores(src, tgt).collect()
+    ctx_line = captured["ctx"].split("CONTEXT: ")[1].split("\n")[0]
+    n_vals = len(ctx_line.split(": ", 1)[1].split(", "))
+    assert n_vals == 15
+
+
+def test_gpt_schema_matcher_requires_client(spark):
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        GptSchemaMatcher,
+    )
+    import pytest
+
+    src = spark.createDataFrame([("a",)], ["c"])
+    with pytest.raises(NotImplementedError, match="client"):
+        GptSchemaMatcher().scores(src, src)

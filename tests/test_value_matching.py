@@ -183,3 +183,53 @@ def test_unknown_method_raises(spark):
     tgt = spark.createDataFrame([("a",)], ["y"])
     with pytest.raises(ValueError, match="not supported"):
         match_values(src, tgt, [("x", "y")], method="bogus")
+
+
+def test_gpt_value_matcher_pipeline_with_fake_client(spark):
+    """Scripted-client test: prompt per distinct source value, dict-literal
+    parsing (the reference's broken-intent path), membership validation,
+    threshold applied by the pipeline."""
+    from biomedical_data_integration_spark.operators.value_matching import (
+        GptValueMatcher,
+    )
+
+    calls = []
+
+    def fake_client(messages):
+        term = messages[1]["content"].split('"')[1]
+        calls.append(term)
+        if term == "hispanc":
+            return '{"term": "hispanic or latino", "score": 0.9}'
+        if term == "unknwn":
+            return '{"term": "not in the list", "score": 0.99}'  # invalid
+        if term == "asian":
+            return "sorry, I cannot help"  # malformed -> dropped w/ warning
+        return '{"term": "white", "score": 0.2}'  # below threshold
+
+    src = spark.createDataFrame(
+        [("hispanc",), ("unknwn",), ("asian",), ("whte",)], ["Ethnicity"]
+    )
+    tgt = spark.createDataFrame(
+        [("hispanic or latino",), ("white",), ("asian",)], ["ethnicity"]
+    )
+    out = match_values(
+        src, tgt, [("Ethnicity", "ethnicity")],
+        method=GptValueMatcher(client=fake_client), threshold=0.5,
+    ).collect()
+    by_src = {r["source_value"]: (r["target_value"], r["similarity"]) for r in out}
+    assert by_src["hispanc"] == ("hispanic or latino", 0.9)
+    assert by_src["unknwn"] == (None, None)   # invalid term -> unmatched
+    assert by_src["asian"] == (None, None)    # malformed -> unmatched
+    assert by_src["whte"] == (None, None)     # 0.2 < threshold -> unmatched
+    assert sorted(calls) == ["asian", "hispanc", "unknwn", "whte"]
+
+
+def test_gpt_value_matcher_requires_client(spark):
+    from biomedical_data_integration_spark.operators.value_matching import (
+        GptValueMatcher,
+    )
+
+    src = spark.createDataFrame([("a",)], ["x"])
+    with pytest.raises(NotImplementedError, match="client"):
+        match_values(src, src.withColumnRenamed("x", "y"), [("x", "y")],
+                     method=GptValueMatcher())
