@@ -190,6 +190,47 @@ def _signatures_from_shingles(sh: DataFrame, num_perm: int) -> DataFrame:
     )
 
 
+def minhash_band_keys(shingles: Column, num_perm: int, bands: int) -> Column:
+    """Per-ROW banded MinHash keys: array<struct<band int, key string>>.
+
+    Shuffle-free formulation of the banded signature in
+    :func:`minhash_lsh_pairs` (min over the shingle ARRAY equals min over
+    the distinct shingle SET, and the band key md5s the same
+    ``"|"``-joined h_i slices), so the keys are bit-identical to the batch
+    grouped-aggregation path — the property that lets a STREAM bucket
+    against keys a batch backfill computed.
+
+    ``shingles`` must be a STAGED column reference (an alias projected in
+    its own select), not an inline expression: it is referenced
+    ``num_perm`` times and an inline tokenize would re-run per reference.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+
+    def _perm_min(i: int) -> Column:
+        # NOTE: the salt must be captured OUTSIDE the lambda — a 2-arg
+        # lambda (e.g. ``lambda s, i=i``) is interpreted by Spark as the
+        # (element, index) form and the index Column shadows the default
+        salt = f"mh{i}|"
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(salt), s)))
+        )
+
+    mins = [_perm_min(i) for i in range(num_perm)]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *mins[b * rows_per_band:(b + 1) * rows_per_band])
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

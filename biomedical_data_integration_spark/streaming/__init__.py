@@ -4,6 +4,7 @@ from biomedical_data_integration_spark.streaming.events import (
     sessionize,
     streaming_dedup_exact,
     streaming_materialize,
+    streaming_minhash_lsh_candidates,
     streaming_sessionize,
     streaming_tumbling_window_agg,
     tumbling_window_agg,
@@ -13,6 +14,7 @@ __all__ = [
     "sessionize",
     "streaming_dedup_exact",
     "streaming_materialize",
+    "streaming_minhash_lsh_candidates",
     "streaming_sessionize",
     "streaming_tumbling_window_agg",
     "tumbling_window_agg",

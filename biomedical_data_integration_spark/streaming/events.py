@@ -153,6 +153,109 @@ def streaming_materialize(stream: DataFrame, mapping_spec) -> DataFrame:
     return materialize_mapping(stream, mapping_spec)
 
 
+def streaming_minhash_lsh_candidates(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate CANDIDATE detection — the streaming face of
+    the banded-MinHash stage of ``operators.dedup.minhash_lsh_pairs``.
+
+    Per document the banded signature is computed entirely per-row
+    (``minhash_band_keys``: no shuffle, bit-identical keys to the batch
+    grouped path), exploded to (band, key) bucket entries, and each bucket
+    keeps ONE state row: its first-seen representative id. Every later
+    document landing in the bucket emits a candidate pair
+    ``(id_a = representative, id_b = newcomer)`` — a star per bucket, whose
+    transitive closure equals the batch candidate graph's components (feed
+    the pairs to ``duplicate_clusters`` for keep/drop decisions).
+
+    Exact-Jaccard verification is deliberately NOT done here: it needs the
+    shingle sets of both documents, and holding full shingle sets in
+    streaming state is exactly the unbounded-state design this engine
+    avoids; verify candidates in a batch job over the candidate log (the
+    batch twin shares the same keys, so backfill and stream agree).
+
+    ``state_ttl_minutes`` bounds state for unbounded corpora by expiring
+    buckets not seen recently (processing-time TTL), trading recall across
+    long time gaps — the same knob as ``streaming_dedup_exact``.
+
+    Output: (band int, key string, id_a, id_b) — id types follow
+    ``id_col``. The same pair may re-emit if a document reappears;
+    downstream ``distinct()``/clustering absorbs it.
+    """
+    import pandas as pd  # noqa: F401  (executor-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from biomedical_data_integration_spark.functions.strings import word_ngrams
+    from biomedical_data_integration_spark.operators.dedup import (
+        _tokens,
+        minhash_band_keys,
+    )
+
+    id_sql_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"band int, key string, id_a {id_sql_type}, id_b {id_sql_type}"
+    )
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+
+    # stage tokens, then shingles, in their own projections: each is
+    # multiply-referenced downstream (num_perm transforms over __sh)
+    staged = (
+        stream.select(
+            F.col(id_col).alias("__id"), _tokens(F.col(text_col)).alias("__toks")
+        )
+        .select("__id", word_ngrams(F.col("__toks"), shingle_words).alias("__sh"))
+        .where(F.col("__sh").isNotNull())
+    )
+    entries = staged.select(
+        "__id",
+        F.explode(minhash_band_keys(F.col("__sh"), num_perm, bands)).alias("bk"),
+    ).select(
+        "__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    def _candidates(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: set = set()
+        for pdf in pdf_iter:
+            ids.update(pdf["__id"].tolist())
+        if not ids:
+            return
+        ordered = sorted(ids)
+        if state.exists:
+            rep = state.get[0]
+        else:
+            rep = ordered[0]
+            state.update((rep,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        pairs = [(int(key[0]), key[1], rep, i) for i in ordered if i != rep]
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["band", "key", "id_a", "id_b"])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return entries.groupBy("band", "key").applyInPandasWithState(
+        _candidates,
+        outputStructType=out_schema,
+        stateStructType=f"rep {id_sql_type}",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",

@@ -141,3 +141,82 @@ def test_streaming_dedup_exact_across_microbatches(spark):
     assert (3, "unique one") in got and (5, "unique two") in got
     assert sum(1 for _, t in got if t == "same text") == 1
     assert (4, "same text") not in got
+
+
+def test_streaming_minhash_band_keys_match_batch(spark):
+    """The per-row banded signature used by the stream is bit-identical to
+    the batch grouped-aggregation banding in minhash_lsh_pairs."""
+    from biomedical_data_integration_spark.functions.strings import word_ngrams
+    from biomedical_data_integration_spark.operators.dedup import (
+        _signatures_from_shingles,
+        _tokens,
+        minhash_band_keys,
+        shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i % 7} tail {i % 3}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    # streaming-path keys (per-row)
+    staged = docs.select(
+        F.col("doc_id").alias("id"), _tokens(F.col("text")).alias("__toks")
+    ).select("id", word_ngrams(F.col("__toks"), 3).alias("__sh"))
+    row_keys = {
+        (r["id"], r["bk"]["band"], r["bk"]["key"])
+        for r in staged.select(
+            "id", F.explode(minhash_band_keys(F.col("__sh"), 16, 4)).alias("bk")
+        ).collect()
+    }
+    # batch-path keys (grouped signatures, as minhash_lsh_pairs builds them)
+    sig = _signatures_from_shingles(shingle_sets(docs, "text", "doc_id", 3), 16)
+    batch_keys = set()
+    for r in sig.collect():
+        for b in range(4):
+            import hashlib
+            chunk = "|".join(r["sig"][b * 4:(b + 1) * 4])
+            batch_keys.add((r["id"], b, hashlib.md5(chunk.encode()).hexdigest()))
+    assert row_keys == batch_keys
+
+
+def test_streaming_minhash_lsh_candidates_across_microbatches(spark):
+    """Near-dups across microbatches land in the same bucket and emit a
+    candidate pair against the bucket's first-seen representative."""
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming import (
+        streaming_minhash_lsh_candidates,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        b1 = spark.createDataFrame(
+            [(1, text_a), (7, "completely different content about spark engines")],
+            ["doc_id", "text"],
+        )
+        b2 = spark.createDataFrame([(9, text_a)], ["doc_id", "text"])
+        b1.coalesce(1).write.parquet(f"{src}/f1")
+        b2.coalesce(1).write.parquet(f"{src}/f2")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_minhash_lsh_candidates(stream)
+            .writeStream.format("memory")
+            .queryName("mh_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("select * from mh_stream_test").collect()
+        }
+    # identical docs 1 and 9 arrived in DIFFERENT microbatches: the state
+    # representative (1) pairs with the newcomer (9) in every band
+    assert pairs == {(1, 9)}
