@@ -811,19 +811,25 @@ def match_values_pipeline(
     )
 
     # Coverage = matched distinct / total distinct per pair
-    # (``api.py:381-384``), computed by window aggregation over the same
-    # rows — no second evaluation of the match kernel. Pair partitions are
-    # value-domain-sized (distinct values, not raw rows), so the unbounded
-    # window is safe.
-    w_pair = Window.partitionBy(*PAIR)
-    matched_keys = F.collect_set(
-        F.when(F.col("target_value").isNotNull(), F.col("skey"))
-    ).over(w_pair)
-    all_keys = F.collect_set("skey").over(w_pair)
-    result = joined.withColumn(
-        "coverage",
-        F.round(F.size(matched_keys) / F.size(all_keys), config.SIMILARITY_SCALE),
+    # (``api.py:381-384``). A pair-level distinct aggregate + broadcast
+    # join back: the aggregate is partial-combinable and its output is
+    # PAIR-cardinality (schema-sized), so the attach is a broadcast hash
+    # join with no extra shuffle of the value rows. (A collect_set window
+    # would materialize every pair's full skey set into an array PER ROW —
+    # unbounded per-row state if a domain is ever not vocabulary-like.)
+    cov = (
+        joined.groupBy(*PAIR)
+        .agg(
+            F.round(
+                F.count_distinct(
+                    F.when(F.col("target_value").isNotNull(), F.col("skey"))
+                )
+                / F.count_distinct("skey"),
+                config.SIMILARITY_SCALE,
+            ).alias("coverage")
+        )
     )
+    result = joined.join(F.broadcast(cov), PAIR)
     if not include_unmatched:
         result = result.where(F.col("target_value").isNotNull())
     return result.select(
