@@ -49,6 +49,10 @@ ANN_LSH_PLANES = 4
 ANN_IVF_CELLS = 16
 ANN_IVF_NPROBE = 4
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+PACK_BUDGET = 256
+PACK_BUCKETS = 64
 _HEX = "0123456789abcdef"
 
 # Messy clinical columns synthesized deterministically from orders, for
@@ -1114,6 +1118,64 @@ def _q_top_matches_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_matches(orders, target=lineitem, top_k=3, method="ct_learning")
 
 
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import chunk_documents
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import pack_sequences
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=PACK_BUDGET, buckets=PACK_BUCKETS)
+
+
+def _chunk_documents_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH tok AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+t2 AS (SELECT id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0)
+SELECT id, CAST(st / {step} AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, st + 1, st + {CHUNK_TOKENS}), ' ') AS chunk_text,
+       least({CHUNK_TOKENS}, n - st) AS n_tokens
+FROM t2, unnest(range(0, CAST(n AS BIGINT), {step})) AS u(st)
+"""
+
+
+def _pack_sequences_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    nib = "(strpos('0123456789abcdef', substring(h, {p}, 1)) - 1)"
+    bucket = (
+        f"(({nib.format(p=30)} * 256 + {nib.format(p=31)} * 16 "
+        f"+ {nib.format(p=32)}) % {PACK_BUCKETS})"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+sized AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         md5('pk|' || CAST(id AS VARCHAR)) AS h
+  FROM tok
+),
+keyed AS (SELECT id, n_tokens, {bucket} AS bucket, h FROM sized),
+cum AS (
+  SELECT id, n_tokens, bucket,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY h ASC, id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
+  FROM keyed
+)
+SELECT id, n_tokens, bucket,
+       CAST(floor(excl / {PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(excl % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM cum
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.dedup import (
         exact_duplicate_groups,
@@ -1536,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": _q_quantize_embeddings,
         "text_redact_pii_documents": _q_redact_pii,
         "text_repetition_documents": _q_repetition,
+        "text_chunk_documents": _q_text_chunks,
+        "pack_sequences_documents": _q_pack_sequences,
     }
 
 
@@ -1786,4 +1850,6 @@ WHERE sum_qty > 250
         "embedding_quantize_int8": _quantize_sql(),
         "text_redact_pii_documents": _redact_sql(),
         "text_repetition_documents": _repetition_sql(),
+        "text_chunk_documents": _chunk_documents_sql(),
+        "pack_sequences_documents": _pack_sequences_sql(),
     }

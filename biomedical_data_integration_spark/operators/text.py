@@ -8,7 +8,7 @@ shuffle, no Python, linear scans that hold at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark import config
@@ -291,5 +291,104 @@ def repetition_features(
             "n_lines",
             r(F.col("__dlr")).alias("dup_line_ratio"),
             r(F.coalesce(F.col("__ttr"), F.lit(0.0))).alias("top_token_ratio"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the chunking stage
+    of RAG/embedding/training pipelines (each chunk feeds an embedder or a
+    training example; not in the reference, which never segments text).
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the final
+    window may be short. Pure per-row expressions (token array staged
+    once, ``posexplode`` over window starts) — no shuffle, no Python;
+    linear in output size at any scale. Empty documents yield no chunks.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda st: F.struct(
+            F.array_join(F.slice(toks, st + 1, chunk_tokens), " ").alias("t"),
+            F.least(F.lit(chunk_tokens), n - st).alias("k"),
+        ),
+    )
+    return (
+        staged.select("id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "id",
+            "chunk_idx",
+            F.col("c.t").alias("chunk_text"),
+            F.col("c.k").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = 512,
+    buckets: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins — the packing
+    stage that turns a corpus into dense fixed-length training sequences
+    (concat-then-split semantics: a document is placed at its stream
+    offset; one that crosses a budget boundary spans bins, exactly like
+    concatenating the stream and cutting every ``budget_tokens``).
+
+    Scale shape: documents are hashed into ``buckets`` independent
+    streams, so the only shuffle is a window sort WITHIN each bucket —
+    parallelism = buckets, no global sort, no sequential driver loop (the
+    textbook greedy first-fit packer is inherently serial; per-bucket
+    prefix sums are the distributed equivalent with the same density).
+    Stream order is a deterministic md5 of the id (partition- and
+    run-stable). ``buckets`` must be a power of two ≤ 4096 so the bucket
+    assignment stays portable to any SQL oracle (md5 low-nibble mod).
+
+    Returns (id, n_tokens, bucket, bin, bin_offset): ``bin`` is the
+    global sequence index (bucket-local prefix-sum div budget), and
+    ``bin_offset`` the document's token offset inside its bin.
+    """
+    if buckets < 1 or (buckets & (buckets - 1)) or buckets > 4096:
+        raise ValueError("buckets must be a power of two in [1, 4096]")
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    ).select("id", F.size("__toks").cast("bigint").alias("n_tokens"))
+    h = F.md5(F.concat(F.lit("pk|"), F.col("id").cast("string")))
+    nib = lambda p: F.conv(F.substring(h, p, 1), 16, 10).cast("int")  # noqa: E731
+    bucket = (nib(30) * 256 + nib(31) * 16 + nib(32)) % buckets
+    keyed = staged.select("id", "n_tokens", bucket.alias("bucket"), h.alias("__ord"))
+    w = Window.partitionBy("bucket").orderBy("__ord", "id")
+    excl = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        keyed.withColumn("__excl", excl)
+        .select(
+            "id",
+            "n_tokens",
+            "bucket",
+            F.floor(F.col("__excl") / budget_tokens).alias("bin"),
+            (F.col("__excl") % budget_tokens).alias("bin_offset"),
         )
     )

@@ -128,3 +128,67 @@ def test_repetition_features(spark):
     assert got[2][2] == 0.8                            # 'buy' 4 of 5 tokens
     assert got[3][1] == 0.0 and got[3][2] == 0.25
     assert got[4] == (0, 0.0, 0.0)                     # empty doc
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from biomedical_data_integration_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=3, overlap=1)
+    rows = {(r["id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+            for r in out.collect()}
+    # doc 1: 7 tokens, step 2 -> starts 0,2,4,6
+    assert rows[(1, 0)] == ("a b c", 3)
+    assert rows[(1, 1)] == ("c d e", 3)
+    assert rows[(1, 2)] == ("e f g", 3)
+    assert rows[(1, 3)] == ("g", 1)
+    assert rows[(2, 0)] == ("x y", 2)
+    # empty/null docs produce no chunks
+    assert {i for i, _ in rows} == {1, 2}
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest
+    from biomedical_data_integration_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_prefix_sum_semantics(spark):
+    from biomedical_data_integration_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i % 3))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, budget_tokens=16, buckets=4).collect()
+    assert len(out) == 40
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(b for b in by_bucket) <= {0, 1, 2, 3}
+    for b, rows in by_bucket.items():
+        # within a bucket, bins fill by exclusive prefix sum
+        rows = sorted(rows, key=lambda r: (r["bin"], r["bin_offset"]))
+        excl = 0
+        for r in sorted(rows, key=lambda r: r["bin"] * 16 + r["bin_offset"]):
+            assert r["bin"] == excl // 16
+            assert r["bin_offset"] == excl % 16
+            excl += r["n_tokens"]
+    # deterministic under repartitioning
+    again = pack_sequences(docs.repartition(7), budget_tokens=16, buckets=4).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_pack_sequences_validates_buckets(spark):
+    import pytest
+    from biomedical_data_integration_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="power of two"):
+        pack_sequences(docs, buckets=48)
