@@ -1176,6 +1176,48 @@ FROM cum
 """
 
 
+def _q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import unigram_surprisal
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+def _surprisal_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+WITH occ AS (SELECT doc_id AS id, unnest({toks}) AS term FROM documents),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY term),
+total AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM counts)
+SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log10(tf / (SELECT t FROM total))), 6) AS mean_surprisal
+FROM occ JOIN counts USING (term)
+GROUP BY id
+"""
+
+
+def _q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.streaming.events import parse_event_props
+
+    (events,) = _tables(spark, sf_dir, "events")
+    parsed = parse_event_props(events, {"k": "$.k:int"})
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+_EVENTS_PROPS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.dedup import (
         exact_duplicate_groups,
@@ -1600,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_documents": _q_repetition,
         "text_chunk_documents": _q_text_chunks,
         "pack_sequences_documents": _q_pack_sequences,
+        "text_surprisal_documents": _q_text_surprisal,
+        "events_props_extract": _q_events_props,
     }
 
 
@@ -1852,4 +1896,6 @@ WHERE sum_qty > 250
         "text_repetition_documents": _repetition_sql(),
         "text_chunk_documents": _chunk_documents_sql(),
         "pack_sequences_documents": _pack_sequences_sql(),
+        "text_surprisal_documents": _surprisal_sql(),
+        "events_props_extract": _EVENTS_PROPS_SQL,
     }

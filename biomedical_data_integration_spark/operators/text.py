@@ -392,3 +392,44 @@ def pack_sequences(
             (F.col("__excl") % budget_tokens).alias("bin_offset"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram surprisal against the corpus's own
+    unigram distribution — the standard cheap stand-in for LM-perplexity
+    quality filtering (documents full of rare tokens score high; boilerplate
+    scores low).
+
+    surprisal(doc) = mean over token OCCURRENCES of -log10(tf(term)/total).
+
+    Plan shape: one explode feeding two map-side-combinable aggregations
+    (term counts; the scalar total is a 1-row aggregate broadcast via
+    cross join), one equi-join of occurrences onto term counts (the only
+    corpus-sized shuffle), then a per-document average. No driver state —
+    the unigram table stays distributed and Catalyst/AQE picks broadcast
+    vs shuffle join by its actual size.
+
+    Returns (id, n_tokens, mean_surprisal).
+    """
+    occurrences = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    ).select("id", F.explode(F.col("__toks")).alias("term"))
+    counts = occurrences.groupBy("term").agg(F.count("*").alias("__tf"))
+    total = counts.agg(F.sum("__tf").cast("double").alias("__total"))
+    scored = (
+        occurrences.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log10(F.col("__tf") / F.col("__total"))),
+                config.SIMILARITY_SCALE,
+            ).alias("mean_surprisal"),
+        )
+    )
+    return scored

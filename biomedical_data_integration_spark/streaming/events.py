@@ -316,3 +316,27 @@ def streaming_dedup_exact(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def parse_event_props(
+    events: DataFrame,
+    fields: dict[str, str] | None = None,
+    props_col: str = "props",
+) -> DataFrame:
+    """Extract typed fields from the JSON ``props`` payload column —
+    semi-structured event enrichment (JSON stays a string at rest; typed
+    columns materialize at query time via ``get_json_object``, which
+    Catalyst collapses into one shared JSON parse per row when multiple
+    paths are extracted).
+
+    ``fields`` maps output column name -> "$.path:type"
+    (default ``{"k": "$.k:int"}`` for the synthetic events table).
+    Works identically on batch and streaming frames (stateless projection).
+    """
+    fields = fields or {"k": "$.k:int"}
+    cols = [F.col(c) for c in events.columns]
+    for out_name, spec in fields.items():
+        path, _, typ = spec.partition(":")
+        extracted = F.get_json_object(F.col(props_col), path)
+        cols.append((extracted.cast(typ) if typ else extracted).alias(out_name))
+    return events.select(*cols)

@@ -220,3 +220,41 @@ def test_streaming_minhash_lsh_candidates_across_microbatches(spark):
     # identical docs 1 and 9 arrived in DIFFERENT microbatches: the state
     # representative (1) pairs with the newcomer (9) in every band
     assert pairs == {(1, 9)}
+
+
+def test_parse_event_props_typed_extraction(spark):
+    from biomedical_data_integration_spark.streaming.events import parse_event_props
+
+    events = spark.createDataFrame(
+        [(1, '{"k": 42, "tag": "a"}'), (2, '{"tag": "b"}'), (3, None)],
+        ["event_id", "props"],
+    )
+    out = parse_event_props(
+        events, {"k": "$.k:int", "tag": "$.tag:string"}
+    )
+    rows = {r["event_id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert rows[1] == (42, "a")
+    assert rows[2] == (None, "b")   # missing path -> null
+    assert rows[3] == (None, None)  # null payload -> null
+    assert out.columns == ["event_id", "props", "k", "tag"]
+
+
+def test_parse_event_props_works_on_streams(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import parse_event_props
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        batch = spark.createDataFrame([(1, '{"k": 7}')], ["event_id", "props"])
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = parse_event_props(stream, {"k": "$.k:int"})
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory").queryName("props_test")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        assert spark.sql("select k from props_test").collect()[0]["k"] == 7

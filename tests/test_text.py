@@ -192,3 +192,21 @@ def test_pack_sequences_validates_buckets(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="power of two"):
         pack_sequences(docs, buckets=48)
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from biomedical_data_integration_spark.operators.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common rareword"),
+         (3, "common common")],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in unigram_surprisal(docs).collect()}
+    assert rows[1]["n_tokens"] == 4
+    # doc 2 contains the corpus-unique token -> highest mean surprisal
+    assert rows[2]["mean_surprisal"] > rows[1]["mean_surprisal"]
+    assert rows[2]["mean_surprisal"] > rows[3]["mean_surprisal"]
+    # all-common docs share the same score
+    assert rows[1]["mean_surprisal"] == rows[3]["mean_surprisal"]
