@@ -1218,6 +1218,45 @@ GROUP BY event_type
 """
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each click joined to the user's latest
+    prior-or-equal purchase (backward-inclusive as-of join)."""
+    from biomedical_data_integration_spark.operators.joins import asof_join
+
+    (events,) = _tables(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, ts_col="ts", by=("user_id",),
+                    value_cols=["value"])
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        F.unix_timestamp("asof_ts").alias("asof_ts_s"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
+_EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id, CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s, c.event_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS asof_ts_s,
+       round(p.value, 4) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.dedup import (
         exact_duplicate_groups,
@@ -1644,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": _q_pack_sequences,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
+        "events_asof_purchase": _q_events_asof,
     }
 
 
@@ -1898,4 +1938,5 @@ WHERE sum_qty > 250
         "pack_sequences_documents": _pack_sequences_sql(),
         "text_surprisal_documents": _surprisal_sql(),
         "events_props_extract": _EVENTS_PROPS_SQL,
+        "events_asof_purchase": _EVENTS_ASOF_SQL,
     }

@@ -1,0 +1,116 @@
+"""Temporal joins — engine extensions beyond the reference's surface.
+
+The reference has no join-like operator beyond similarity joins and
+dictionary lookups (SURVEY §2.7); a training-data/event pipeline at scale
+needs point-in-time enrichment ("the most recent feature value at event
+time"). Spark has no native AS-OF join, so :func:`asof_join` builds one
+from a union + one partitioned window — the single-shuffle formulation
+that never expands pairs (a naive range theta-join explodes to
+|left| x |right per key| before filtering; this plan carries each row
+exactly once).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    value_cols: Optional[List[str]] = None,
+    right_ts_alias: str = "asof_ts",
+    tolerance_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: each left row gains the value columns
+    of the latest right row with ``right.ts <= left.ts`` per ``by`` key
+    (DuckDB/pandas ``ASOF JOIN`` semantics; unmatched rows keep nulls).
+
+    Plan shape: tag both inputs, union, ONE window over
+    ``partitionBy(by).orderBy(ts, side)`` carrying the last non-null right
+    value forward (``last(..., ignorenulls=True)``), keep left rows. One
+    shuffle keyed by ``by`` — the same shape as sessionization — and each
+    input row is carried exactly once regardless of key density, which is
+    what survives a 100x scale-up where a range join blows up.
+
+    Determinism: right rows are first reduced to ONE row per (key, ts) by
+    taking the lexicographically greatest value tuple — equal-timestamp
+    ties would otherwise resolve by partition order. At equal timestamps
+    the right row sorts BEFORE the left row, making the join inclusive.
+
+    ``tolerance_seconds`` nulls out matches older than the window (the
+    pandas ``merge_asof(tolerance=...)`` knob).
+    """
+    by = list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by, ts_col)]
+
+    # deterministic dedup: one right row per (key, ts)
+    packed = right.groupBy(*by, ts_col).agg(
+        F.max(F.struct(*[F.col(c) for c in value_cols])).alias("__vals")
+    )
+
+    left_payload = [c for c in left.columns if c not in by and c != ts_col]
+    r_types = dict(packed.select("__vals.*").dtypes)
+    l_types = dict(left.dtypes)
+
+    l_part = left.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        *[F.col(c) for c in left_payload],
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(left.dtypes)[ts_col]).alias("__rts"),
+        *[F.lit(None).cast(r_types[c]).alias(f"__rv_{c}") for c in value_cols],
+    )
+    r_part = packed.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left_payload],
+        F.lit(0).alias("__side"),
+        F.col(ts_col).alias("__rts"),
+        *[F.col(f"__vals.{c}").alias(f"__rv_{c}") for c in value_cols],
+    )
+    unioned = l_part.unionByName(r_part)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumns(
+        {
+            "__c_ts": F.last("__rts", ignorenulls=True).over(w),
+            **{
+                f"__c_{c}": F.last(f"__rv_{c}", ignorenulls=True).over(w)
+                for c in value_cols
+            },
+        }
+    ).where(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("__c_ts"))
+            <= tolerance_seconds
+        )
+        carried = carried.withColumns(
+            {
+                "__c_ts": F.when(fresh, F.col("__c_ts")),
+                **{
+                    f"__c_{c}": F.when(fresh, F.col(f"__c_{c}"))
+                    for c in value_cols
+                },
+            }
+        )
+
+    return carried.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        *[F.col(c) for c in left_payload],
+        F.col("__c_ts").alias(right_ts_alias),
+        *[F.col(f"__c_{c}").alias(c) for c in value_cols],
+    )

@@ -1,0 +1,63 @@
+"""Temporal joins (asof_join) — backward-inclusive semantics, tolerance,
+determinism under repartitioning."""
+
+import datetime as dt
+
+from biomedical_data_integration_spark.operators.joins import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(12), "b"), (2, _ts(9), "c")],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9, 30), 10.0), (1, _ts(11), 20.0), (2, _ts(9, 30), 30.0),
+         (1, _ts(12), 99.0)],
+        ["user_id", "ts", "v"],
+    )
+    rows = {
+        (r["user_id"], r["ts"]): (r["asof_ts"], r["v"], r["tag"])
+        for r in asof_join(left, right).collect()
+    }
+    assert rows[(1, _ts(10))] == (_ts(9, 30), 10.0, "a")
+    # equal timestamps match (inclusive): the 12:00 right row wins over 11:00
+    assert rows[(1, _ts(12))] == (_ts(12), 99.0, "b")
+    # user 2's event precedes every right row -> null match
+    assert rows[(2, _ts(9))] == (None, None, "c")
+    assert len(rows) == 3  # exactly one output row per left row
+
+
+def test_asof_join_tolerance_and_equal_ts_ties(spark):
+    left = spark.createDataFrame([(1, _ts(12), 1)], ["user_id", "ts", "x"])
+    right = spark.createDataFrame(
+        # two right rows at the SAME ts: lexicographically greatest wins
+        [(1, _ts(8), 5.0), (1, _ts(8), 7.0)],
+        ["user_id", "ts", "v"],
+    )
+    out = asof_join(left, right).collect()[0]
+    assert out["v"] == 7.0
+    # 4h-old match rejected by a 1h tolerance
+    out_tol = asof_join(left, right, tolerance_seconds=3600).collect()[0]
+    assert out_tol["v"] is None and out_tol["asof_ts"] is None
+
+
+def test_asof_join_deterministic_under_partitioning(spark):
+    left = spark.createDataFrame(
+        [(i % 5, _ts(9 + i % 8, i % 60), i) for i in range(200)],
+        ["user_id", "ts", "x"],
+    )
+    right = spark.createDataFrame(
+        [(i % 5, _ts(8 + i % 9, (i * 7) % 60), float(i)) for i in range(100)],
+        ["user_id", "ts", "v"],
+    )
+    a = {tuple(r) for r in asof_join(left, right).collect()}
+    b = {
+        tuple(r)
+        for r in asof_join(left.repartition(13), right.repartition(3)).collect()
+    }
+    assert a == b and len(a) == 200
