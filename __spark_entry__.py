@@ -1257,6 +1257,59 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def _q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each click event attached to the user session interval
+    containing it (sessions derived by 30-min-gap sessionization)."""
+    from biomedical_data_integration_spark.operators.joins import interval_join
+    from biomedical_data_integration_spark.streaming import sessionize
+
+    (events,) = _tables(spark, sf_dir, "events")
+    sessions = sessionize(events, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = interval_join(clicks, sessions, bucket_seconds=3600)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "session_start",
+        "session_end",
+    )
+
+
+_EVENTS_INTERVAL_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, ts FROM events
+),
+flagged AS (
+  SELECT user_id, tsec,
+         CASE WHEN tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+numbered AS (
+  SELECT user_id, tsec,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsec
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, min(tsec) AS session_start, max(tsec) AS session_end
+  FROM numbered GROUP BY user_id, session_id
+),
+clicks AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id, c.ts_s, s.session_start, s.session_end
+FROM clicks c JOIN sessions s
+  ON c.user_id = s.user_id AND c.ts_s BETWEEN s.session_start AND s.session_end
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.dedup import (
         exact_duplicate_groups,
@@ -1684,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
         "events_asof_purchase": _q_events_asof,
+        "events_interval_sessions": _q_events_interval,
     }
 
 
@@ -1939,4 +1993,5 @@ WHERE sum_qty > 250
         "text_surprisal_documents": _surprisal_sql(),
         "events_props_extract": _EVENTS_PROPS_SQL,
         "events_asof_purchase": _EVENTS_ASOF_SQL,
+        "events_interval_sessions": _EVENTS_INTERVAL_SQL,
     }

@@ -114,3 +114,85 @@ def asof_join(
         F.col("__c_ts").alias(right_ts_alias),
         *[F.col(f"__c_{c}").alias(c) for c in value_cols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join: each point row gains the interval
+    row covering it per ``by`` key (``start <= ts <= end``, boundaries in
+    epoch SECONDS; a timestamp ``ts_col`` is converted automatically).
+
+    Scale shape: a naive theta join is |points| x |intervals per key|
+    before filtering — a BroadcastNestedLoopJoin or worse at corpus scale.
+    Here both sides are keyed by (by, time-bucket): each interval explodes
+    to the buckets it touches (fan-out bounded by duration/bucket_seconds),
+    each point hashes to its single bucket, and the join is an EQUI-join
+    plus a residual range filter. Every (point, interval) pair meets in
+    exactly one bucket (the point's), so no post-join dedup is needed.
+
+    ``how='inner'`` keeps covered points; ``'left'`` keeps all points with
+    null interval columns when uncovered. Points covered by overlapping
+    intervals emit one row per covering interval.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    by = list(by)
+    ts_type = dict(points.dtypes)[ts_col]
+    tsec = (
+        F.unix_timestamp(F.col(ts_col))
+        if ts_type.startswith("timestamp")
+        else F.col(ts_col).cast("bigint")
+    )
+    p = points.withColumn("__tsec", tsec).withColumn(
+        "__bucket", F.floor(F.col("__tsec") / bucket_seconds)
+    )
+    ivl_payload = [c for c in intervals.columns if c not in by]
+    i = intervals.select(
+        *[F.col(c) for c in by],
+        *[F.col(c).alias(f"__i_{c}") for c in ivl_payload],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_seconds),
+                F.floor(F.col(end_col) / bucket_seconds),
+            )
+        ).alias("__bucket"),
+    )
+    joined = p.join(i, by + ["__bucket"], "left" if how == "left" else "inner")
+    in_range = F.col("__tsec").between(
+        F.col(f"__i_{start_col}"), F.col(f"__i_{end_col}")
+    )
+    if how == "inner":
+        joined = joined.where(in_range)
+    else:
+        # left semantics: keep every in-range match; points with NO
+        # in-range match keep exactly one row with null interval columns.
+        # The split keeps overlapping-interval matches intact (a dedup on
+        # point identity alone would drop one of two covering intervals).
+        point_cols = [*by, *[c for c in points.columns if c not in by]]
+        covered = F.coalesce(
+            F.max(in_range.cast("int")).over(Window.partitionBy(*point_cols)),
+            F.lit(0),
+        )
+        flagged = joined.withColumn("__cov", covered)
+        matched = flagged.where(in_range)
+        unmatched = (
+            flagged.where(F.col("__cov") == 0)
+            .withColumns(
+                {f"__i_{c}": F.lit(None).cast(dict(i.dtypes)[f"__i_{c}"])
+                 for c in ivl_payload}
+            )
+            .dropDuplicates(point_cols)
+        )
+        joined = matched.unionByName(unmatched)
+    return joined.select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"__i_{c}").alias(c) for c in ivl_payload],
+    )

@@ -61,3 +61,55 @@ def test_asof_join_deterministic_under_partitioning(spark):
         for r in asof_join(left.repartition(13), right.repartition(3)).collect()
     }
     assert a == b and len(a) == 200
+
+
+def test_interval_join_inner_and_overlaps(spark):
+    from biomedical_data_integration_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 5000, "p2"), (2, 100, "p3")],
+        ["user_id", "ts", "tag"],
+    )
+    intervals = spark.createDataFrame(
+        # user 1: two OVERLAPPING intervals covering ts=100; none covers 5000
+        [(1, 50, 200, "a"), (1, 90, 110, "b"), (2, 300, 400, "c")],
+        ["user_id", "session_start", "session_end", "ivl"],
+    )
+    out = interval_join(points, intervals, bucket_seconds=1000).collect()
+    got = {(r["tag"], r["ivl"]) for r in out}
+    assert got == {("p1", "a"), ("p1", "b")}  # both overlaps; p2/p3 uncovered
+
+
+def test_interval_join_left_keeps_uncovered_points(spark):
+    from biomedical_data_integration_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 5000, "p2")], ["user_id", "ts", "tag"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, 50, 200, "a"), (1, 90, 110, "b")],
+        ["user_id", "session_start", "session_end", "ivl"],
+    )
+    rows = interval_join(
+        points, intervals, bucket_seconds=1000, how="left"
+    ).collect()
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append(r["ivl"])
+    assert sorted(by_tag["p1"]) == ["a", "b"]   # overlaps preserved
+    assert by_tag["p2"] == [None]               # exactly one null row
+
+
+def test_interval_join_spans_buckets(spark):
+    from biomedical_data_integration_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 2500, "p")], ["user_id", "ts", "tag"]
+    )
+    intervals = spark.createDataFrame(
+        # interval spans buckets 0..3 with bucket_seconds=1000
+        [(1, 100, 3900, "long")],
+        ["user_id", "session_start", "session_end", "ivl"],
+    )
+    out = interval_join(points, intervals, bucket_seconds=1000).collect()
+    assert len(out) == 1 and out[0]["ivl"] == "long"
