@@ -53,3 +53,33 @@ def write_csv(
 
 def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: List[str],
+    num_buckets: int = 32,
+    sort_by: Optional[List[str]] = None,
+    mode: str = "error",
+    path: Optional[str] = None,
+) -> None:
+    """Persist as a BUCKETED (and optionally sorted) parquet table — the
+    co-location primitive for repeated large joins/aggregations.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT an Exchange on either side (bucket pruning also applies to
+    single-key lookups); with ``sort_by`` the sort-merge join's per-task
+    sort disappears too. At 100 TB this converts every recurring
+    fact-to-fact join on the bucket key from a full shuffle of both
+    inputs into a zipped per-bucket merge — the single biggest repeated
+    cost a warehouse layout decision can remove. Bucketing requires the
+    table catalog (``saveAsTable``); plain ``parquet(path)`` files carry
+    no bucket metadata.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -64,3 +64,38 @@ def test_fasttext_method_name_resolves(spark):
     tgt = spark.createDataFrame([("apple",), ("pear",)], ["y"])
     out = match_values(src, tgt, [("x", "y")], method="fasttext").collect()
     assert out[0]["target_value"] == "apple"
+
+
+def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
+    """Same-key same-count bucketed tables sort-merge join with NO
+    Exchange on either side — the co-located-join layout for repeated
+    100 TB joins."""
+    from biomedical_data_integration_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    try:
+        write_bucketed_table(
+            a, "bt_a", ["k"], num_buckets=8, sort_by=["k"],
+            mode="overwrite", path=str(tmp_path / "bt_a"),
+        )
+        write_bucketed_table(
+            b, "bt_b", ["k"], num_buckets=8, sort_by=["k"],
+            mode="overwrite", path=str(tmp_path / "bt_b"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+            assert joined.count() == 1000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # no shuffle on either side of the sort-merge join
+            assert "Exchange hashpartitioning" not in plan
+            assert "SortMergeJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
