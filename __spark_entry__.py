@@ -1310,6 +1310,30 @@ FROM clicks c JOIN sessions s
 """
 
 
+def _q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.streaming import hopping_window_agg
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return hopping_window_agg(events, "1 hour", "30 minutes")
+
+
+_EVENTS_HOPPING_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type, value FROM events
+),
+w AS (
+  SELECT event_type, value,
+         unnest(range((CAST(floor((tsec - 3600) / 1800) AS BIGINT) + 1) * 1800,
+                      CAST(floor(tsec / 1800) AS BIGINT) * 1800 + 1,
+                      1800)) AS window_start
+  FROM e
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.dedup import (
         exact_duplicate_groups,
@@ -1738,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": _q_events_props,
         "events_asof_purchase": _q_events_asof,
         "events_interval_sessions": _q_events_interval,
+        "events_hopping_hourly": _q_events_hopping,
     }
 
 
@@ -1994,4 +2019,5 @@ WHERE sum_qty > 250
         "events_props_extract": _EVENTS_PROPS_SQL,
         "events_asof_purchase": _EVENTS_ASOF_SQL,
         "events_interval_sessions": _EVENTS_INTERVAL_SQL,
+        "events_hopping_hourly": _EVENTS_HOPPING_SQL,
     }

@@ -1,9 +1,11 @@
 """Streaming extensions (batch + Structured Streaming faces)."""
 
 from biomedical_data_integration_spark.streaming.events import (
+    hopping_window_agg,
     sessionize,
     streaming_dedup_exact,
     streaming_materialize,
+    streaming_hopping_window_agg,
     streaming_minhash_lsh_candidates,
     streaming_sessionize,
     streaming_tumbling_window_agg,
@@ -11,9 +13,11 @@ from biomedical_data_integration_spark.streaming.events import (
 )
 
 __all__ = [
+    "hopping_window_agg",
     "sessionize",
     "streaming_dedup_exact",
     "streaming_materialize",
+    "streaming_hopping_window_agg",
     "streaming_minhash_lsh_candidates",
     "streaming_sessionize",
     "streaming_tumbling_window_agg",

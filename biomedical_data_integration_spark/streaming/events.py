@@ -340,3 +340,56 @@ def parse_event_props(
         extracted = F.get_json_object(F.col(props_col), path)
         cols.append((extracted.cast(typ) if typ else extracted).alias(out_name))
     return events.select(*cols)
+
+
+def hopping_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """Overlapping (hopping) window counts/sums — each event lands in
+    ``duration / slide`` windows (Spark's ``window(ts, dur, slide)``,
+    epoch-aligned starts). Same output shape as ``tumbling_window_agg``;
+    the tumbling form is the special case ``slide == duration``."""
+    win = F.window(F.col(ts_col), window_duration, slide)
+    return (
+        events.groupBy(win.alias("w"), *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_hopping_window_agg(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """Streaming face of ``hopping_window_agg`` (watermarked)."""
+    win = F.window(F.col(ts_col), window_duration, slide)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -258,3 +258,47 @@ def test_parse_event_props_works_on_streams(spark):
         sq.processAllAvailable()
         sq.stop()
         assert spark.sql("select k from props_test").collect()[0]["k"] == 7
+
+
+def test_hopping_window_each_event_in_two_windows(spark):
+    from biomedical_data_integration_spark.streaming import hopping_window_agg
+
+    events = _events(spark)
+    out = hopping_window_agg(events, "1 hour", "30 minutes")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in out.collect()
+    }
+    h0 = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # clicks at 00:00, 00:05, 00:10 land in windows starting 23:30 and 00:00
+    assert got[(h0 - 1800, "click")] == 3
+    assert got[(h0, "click")] == 3
+    # total window memberships = 2 per event
+    assert sum(got.values()) == 2 * events.count()
+
+
+def test_streaming_hopping_matches_batch(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming import (
+        hopping_window_agg,
+        streaming_hopping_window_agg,
+    )
+
+    events = _events(spark)
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        sq = (
+            streaming_hopping_window_agg(stream, "1 hour", "30 minutes",
+                                         watermark="10 hours")
+            .writeStream.format("memory").queryName("hop_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt).start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {tuple(r) for r in spark.sql("select * from hop_test").collect()}
+    want = {tuple(r) for r in hopping_window_agg(events, "1 hour", "30 minutes").collect()}
+    assert got == want
