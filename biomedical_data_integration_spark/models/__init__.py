@@ -498,8 +498,15 @@ def _load_transformer(model_name: str):
         import torch
         from transformers import AutoModel, AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(model_name)
-        model = AutoModel.from_pretrained(model_name)
+        from biomedical_data_integration_spark.models.artifacts import (
+            resolve_model,
+        )
+
+        # provisioned local checkpoints win (artifact-store contract);
+        # otherwise the name passes through to the transformers cache
+        source = resolve_model(model_name, required=False) or model_name
+        tok = AutoTokenizer.from_pretrained(source)
+        model = AutoModel.from_pretrained(source)
         model.eval()
         torch.set_grad_enabled(False)
         _TRANSFORMER_SINGLETONS[model_name] = (tok, model)

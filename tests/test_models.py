@@ -239,3 +239,49 @@ def test_transformer_embedder_real_model_smoke(spark):
         _pytest.skip(f"model weights unavailable: {e}")
     assert len(rows) == 2
     assert all(len(r["embedding"]) > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# artifact store (download.py parity: resolution contract, no network)
+# ---------------------------------------------------------------------------
+
+def test_artifact_store_resolution_order(tmp_path, monkeypatch):
+    from biomedical_data_integration_spark.models import artifacts
+
+    monkeypatch.setenv("BDI_SPARK_CACHE", str(tmp_path / "cache"))
+    # unprovisioned -> actionable error naming the cache path, no download
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="never downloads"):
+        artifacts.resolve_model("my-model")
+    assert artifacts.resolve_model("my-model", required=False) is None
+    # cache layout fallback
+    cached = tmp_path / "cache" / "models" / "my-model"
+    cached.mkdir(parents=True)
+    assert artifacts.resolve_model("my-model") == str(cached)
+    # explicit registration wins over the cache
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    artifacts.register_model_path("my-model", str(other))
+    assert artifacts.resolve_model("my-model") == str(other)
+
+
+def test_artifact_distribute_to_executors(spark, tmp_path):
+    from pyspark import SparkFiles
+
+    from biomedical_data_integration_spark.models import artifacts
+
+    mdir = tmp_path / "tiny-model"
+    mdir.mkdir()
+    (mdir / "weights.bin").write_bytes(b"\x00\x01\x02")
+    artifacts.register_model_path("tiny-model", str(mdir))
+    base = artifacts.distribute_model(spark, "tiny-model")
+    # every task can materialize the artifact locally via SparkFiles
+    got = (
+        spark.range(4).rdd.map(
+            lambda _: open(
+                SparkFiles.get(base) + "/weights.bin", "rb"
+            ).read()
+        ).distinct().collect()
+    )
+    assert got == [b"\x00\x01\x02"]
