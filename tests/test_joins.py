@@ -113,3 +113,61 @@ def test_interval_join_spans_buckets(spark):
     )
     out = interval_join(points, intervals, bucket_seconds=1000).collect()
     assert len(out) == 1 and out[0]["ivl"] == "long"
+
+
+# ---------------------------------------------------------------------------
+# property-based equivalence vs pandas merge_asof
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3),     # key
+    st.integers(min_value=0, max_value=50),    # epoch-second ts
+    st.integers(min_value=0, max_value=99),    # value
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(_row, min_size=1, max_size=25),
+    rrows=st.lists(_row, min_size=1, max_size=25),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in lrows], ["user_id", "ts", "x"]
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in rrows], ["user_id", "ts", "v"]
+    )
+    got = {
+        (r["user_id"], r["ts"], r["x"], r["v"])
+        for r in asof_join(left, right, value_cols=["v"]).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["user_id", "ts", "x"]).sort_values("ts")
+    rp = (
+        pd.DataFrame([(k, t, float(v)) for k, t, v in rrows],
+                     columns=["user_id", "ts", "v"])
+        # mirror the operator's deterministic equal-ts dedup (max value)
+        .groupby(["user_id", "ts"], as_index=False)["v"].max()
+        .sort_values("ts")
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        (r.user_id, r.ts, r.x, None if pd.isna(r.v) else r.v)
+        for r in merged.itertuples()
+    }
+    # multiset-as-set is safe: duplicate left rows produce identical tuples
+    # on both sides
+    assert got == want
