@@ -210,3 +210,77 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
     assert rows[2]["mean_surprisal"] > rows[3]["mean_surprisal"]
     # all-common docs share the same score
     assert rows[1]["mean_surprisal"] == rows[3]["mean_surprisal"]
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants for chunking / packing
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_doc = st.text(
+    alphabet="ab c", min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=8),
+       chunk=st.integers(min_value=2, max_value=6))
+def test_chunk_documents_reassembles_tokens(spark, docs, chunk):
+    """With overlap=0, concatenating a doc's chunk tokens in chunk_idx
+    order reproduces its token stream exactly; chunk sizes are full except
+    possibly the last."""
+    from biomedical_data_integration_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=0).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["id"], []).append(r)
+    for i, text in enumerate(docs):
+        toks = [t for t in text.lower().strip().split() if t]
+        if not toks:
+            assert i not in per_doc
+            continue
+        rows = sorted(per_doc[i], key=lambda r: r["chunk_idx"])
+        rebuilt = [t for r in rows for t in r["chunk_text"].split(" ") if t]
+        assert rebuilt == toks
+        assert all(r["n_tokens"] == chunk for r in rows[:-1])
+        assert rows[-1]["n_tokens"] == len(toks) - chunk * (len(rows) - 1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sizes=st.lists(st.integers(min_value=1, max_value=9),
+                      min_size=1, max_size=30),
+       budget=st.integers(min_value=4, max_value=20))
+def test_pack_sequences_bins_are_dense(spark, sizes, budget):
+    """Within every bucket: offsets are the exclusive prefix sums (no gaps,
+    no overlaps) and every bin except the stream tail starts at offset
+    ts where floor semantics hold."""
+    from biomedical_data_integration_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in enumerate(sizes)],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(docs, budget_tokens=budget, buckets=2).collect()
+    assert len(rows) == len(sizes)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        rs = sorted(rs, key=lambda r: (r["bin"], r["bin_offset"]))
+        excl = 0
+        for r in rs:
+            assert r["bin"] == excl // budget
+            assert r["bin_offset"] == excl % budget
+            excl += r["n_tokens"]
