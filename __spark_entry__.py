@@ -1334,6 +1334,58 @@ FROM w GROUP BY 1, 2
 """
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingest + mapInPandas decode, hash-checked end to end: the
+    deterministic fake codec is md5-derived, so the whole Arrow pipeline
+    (binary column -> batched decode -> typed features) has a SQL oracle.
+    Features exported as integer CSV (byte values) for engine-portable
+    comparison."""
+    from biomedical_data_integration_spark.operators.multimodal import (
+        attach_binary_content,
+        decode_image_features,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    media = attach_binary_content(docs, "doc_id", "text", "image")
+    feats = decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("features_csv"),
+    )
+
+
+def _multimodal_features_sql() -> str:
+    nib = "(strpos('0123456789abcdef', substring(h, {p}, 1)) - 1)"
+
+    def byte(i: int) -> str:
+        return f"({nib.format(p=2 * i + 1)} * 16 + {nib.format(p=2 * i + 2)})"
+
+    feats = " || ',' || ".join(f"CAST({byte(i)} AS VARCHAR)" for i in range(8))
+    return f"""
+WITH media AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         md5(CAST(text AS VARCHAR)) AS content_hex
+  FROM documents
+),
+hashed AS (SELECT media_id, md5(content_hex) AS h FROM media)
+SELECT media_id,
+       64 + {byte(0)} % 192 AS width,
+       64 + {byte(1)} % 192 AS height,
+       3 AS n_channels,
+       {feats} AS features_csv
+FROM hashed
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.dedup import (
         exact_duplicate_groups,
@@ -1763,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _q_events_asof,
         "events_interval_sessions": _q_events_interval,
         "events_hopping_hourly": _q_events_hopping,
+        "multimodal_image_features": _q_multimodal_features,
     }
 
 
@@ -2020,4 +2073,5 @@ WHERE sum_qty > 250
         "events_asof_purchase": _EVENTS_ASOF_SQL,
         "events_interval_sessions": _EVENTS_INTERVAL_SQL,
         "events_hopping_hourly": _EVENTS_HOPPING_SQL,
+        "multimodal_image_features": _multimodal_features_sql(),
     }

@@ -72,7 +72,10 @@ def _fake_image_decode(batch_iter: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
     for pdf in batch_iter:
         out = []
         for mid, content in zip(pdf["media_id"], pdf["content"]):
-            h = hashlib.md5(bytes(content)).digest()
+            # hash the HEX of the payload (not raw bytes): SQL engines can
+            # md5 strings but not blobs, which keeps this fake codec
+            # oracle-reproducible end to end
+            h = hashlib.md5(bytes(content).hex().encode()).digest()
             width = 64 + h[0] % 192
             height = 64 + h[1] % 192
             feats = np.frombuffer(h[:8], dtype=np.uint8).astype("float32") / 255.0
