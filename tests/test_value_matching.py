@@ -233,3 +233,29 @@ def test_gpt_value_matcher_requires_client(spark):
     with pytest.raises(NotImplementedError, match="client"):
         match_values(src, src.withColumnRenamed("x", "y"), [("x", "y")],
                      method=GptValueMatcher())
+
+
+def test_embedding_matcher_with_transformer_text_embedder(spark):
+    """The reference's real-model 'embedding'/'fasttext' path: a
+    transformer-backed value embedder plugged into the matcher; the model
+    is faked, the UDF/join plumbing is real."""
+    from biomedical_data_integration_spark.models import TransformerTextEmbedder
+    from biomedical_data_integration_spark.operators.value_matching import (
+        EmbeddingValueMatcher,
+    )
+
+    def fake_encode(batch):
+        # unit vectors: same first letter -> identical embedding
+        return [
+            [1.0, 0.0] if s.startswith("a") else [0.0, 1.0] for s in batch
+        ]
+
+    emb = TransformerTextEmbedder(dim=2, batch_size=2, encode_fn=fake_encode)
+    src = spark.createDataFrame([("apple",), ("banana",)], ["x"])
+    tgt = spark.createDataFrame([("apricot",), ("berry",)], ["y"])
+    out = match_values(
+        src, tgt, [("x", "y")],
+        method=EmbeddingValueMatcher(embedder=emb), threshold=0.9,
+    ).collect()
+    by_src = {r["source_value"]: r["target_value"] for r in out}
+    assert by_src == {"apple": "apricot", "banana": "berry"}
