@@ -78,23 +78,25 @@ def _apply_allowed(scores: DataFrame, allowed_pairs: Optional[DataFrame]) -> Dat
 
 
 def _unpivot_strings(df: DataFrame, colname: str, valname: str) -> DataFrame:
-    """(column, distinct trimmed value) long form of a table's string columns."""
+    """(column, distinct trimmed value) long form of a table's string columns.
+
+    Native ``unpivot`` (ONE Expand node over one scan) — a union of
+    per-column selects is O(n_cols) plan branches each carrying the whole
+    child plan, which at real vocabulary width (the 736-column GDC wide
+    table) took minutes to optimize and OOM'd the driver on constraint
+    inference."""
     cols = _string_columns(df)
-    parts = [
-        df.select(
-            F.lit(c).alias(colname),
-            F.trim(F.col(c).cast("string")).alias(valname),
-        ).where(F.col(c).isNotNull())
-        for c in cols
-    ]
-    if not parts:
+    if not cols:
         return df.sparkSession.createDataFrame(
             [], f"{colname} string, {valname} string"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return (
+        df.select([F.col(c).cast("string").alias(c) for c in cols])
+        .unpivot([], cols, colname, valname)
+        .where(F.col(valname).isNotNull())
+        .select(F.col(colname), F.trim(F.col(valname)).alias(valname))
+        .distinct()
+    )
 
 
 class BaseSchemaMatcher:

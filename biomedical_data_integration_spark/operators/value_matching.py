@@ -126,17 +126,15 @@ def source_value_domain(source: DataFrame, pairs: PairList) -> DataFrame:
     Output: (source_column, target_column, source_value, skey)
     """
     spark = source.sparkSession
-    per_col = []
-    for sc in sorted({s for s, _ in pairs}):
-        per_col.append(
-            source.select(
-                F.lit(sc).alias("source_column"),
-                F.col(sc).cast("string").alias("orig"),
-            ).where(F.col(sc).isNotNull())
-        )
-    dom = per_col[0]
-    for d in per_col[1:]:
-        dom = dom.unionByName(d)
+    src_cols = sorted({s for s, _ in pairs})
+    # native unpivot: ONE Expand node over one scan — a union of per-column
+    # selects is O(n_cols) plan branches each carrying the whole child plan
+    # (at 736-column vocabulary width that OOM'd the optimizer/executors)
+    dom = (
+        source.select([F.col(c).cast("string").alias(c) for c in src_cols])
+        .unpivot([], src_cols, "source_column", "orig")
+        .where(F.col("orig").isNotNull())
+    )
     # distinct() BEFORE the min(orig) agg: a no-aggregate distinct is a
     # map-side-combinable HashAggregate, while min over a string column
     # falls back to SortAggregate (var-length buffer) — so run the sort
@@ -186,17 +184,12 @@ def target_value_domain(
         missing = [c for c in tgt_cols if c not in target.columns]
         if missing:
             raise ValueError(f"Target column(s) {missing} not found in target table")
-        per_col = []
-        for tc in tgt_cols:
-            per_col.append(
-                target.select(
-                    F.lit(tc).alias("target_column"),
-                    F.col(tc).cast("string").alias("orig"),
-                ).where(F.col(tc).isNotNull())
-            )
-        dom = per_col[0]
-        for d in per_col[1:]:
-            dom = dom.unionByName(d)
+        # native unpivot (one Expand, one scan) — see source_value_domain
+        dom = (
+            target.select([F.col(c).cast("string").alias(c) for c in tgt_cols])
+            .unpivot([], tgt_cols, "target_column", "orig")
+            .where(F.col("orig").isNotNull())
+        )
     # same distinct-before-min as source_value_domain (hash-distinct the
     # raw rows; sort-aggregate only the distinct set)
     dom = (

@@ -70,8 +70,20 @@ class Standard:
         """Wide table: one column per vocabulary attribute, rows = values
         padded with nulls (``standards/gdc.py:58-69`` shape). Only for
         matcher boundaries that require a table-shaped target — domains are
-        vocabulary-sized, so this stays driver-safe."""
+        vocabulary-sized, so this stays driver-safe.
+
+        The DataFrame is memoized per (standard, session) so repeated
+        resolutions skip the pandas->Arrow conversion. It is deliberately
+        NOT ``persist()``-ed: Spark's columnar cache allocates per-COLUMN
+        builder buffers per task, and at 736 columns x n_tasks that
+        overruns a default-sized executor heap (measured OOM); matchers
+        that need repeated scans persist their own NARROW long form
+        instead."""
         import pandas as pd
+
+        cache = getattr(self, "_wide_cache", None)
+        if cache is not None and cache[0] == id(spark):
+            return cache[1]
 
         values = self.get_column_values(self.get_columns())
         max_len = max((len(v) for v in values.values()), default=0) or 1
@@ -84,7 +96,9 @@ class Standard:
             }
         )
         schema = StructType([StructField(c, StringType()) for c in values])
-        return spark.createDataFrame(pdf, schema)
+        wide = spark.createDataFrame(pdf, schema)
+        self._wide_cache = (id(spark), wide)
+        return wide
 
 
 class DictStandard(Standard):

@@ -145,3 +145,19 @@ def test_match_schema_default_gdc_full_vocab(spark):
     assert got["Ethnicity"] == "ethnicity"
     assert got["FIGO_stage"] == "figo_stage"
     assert got["Grade"] == "tumor_grade"
+
+
+def test_match_schema_default_method_full_vocab_completes(spark):
+    """The out-of-the-box flow — default method (coma ensemble), default
+    736-column GDC target — must finish and produce sane assignments.
+    Regression guard for the union-of-selects unpivot that OOM'd the
+    optimizer at real vocabulary width."""
+    from biomedical_data_integration_spark import match_schema
+
+    src = spark.createDataFrame(
+        [("hispanic or latino", "Stage IIIC"), ("not reported", "Stage IV")],
+        ["Ethnicity", "FIGO_stage"],
+    )
+    got = {r["source"]: r["target"] for r in match_schema(src).collect()}
+    assert got["Ethnicity"] == "ethnicity"
+    assert got["FIGO_stage"] == "figo_stage"
