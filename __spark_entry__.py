@@ -1621,6 +1621,96 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderpriority")
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 pattern (EXISTS semi-join -> per-priority counts), adapted to the
+    reduced schema: the commit/receipt-date late-line predicate becomes
+    l_returnflag = 'R' (testdata lineitem carries no commit dates)."""
+    orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
+    flagged = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo-revenue ratio: conditional aggregate over a part join."""
+    part, lineitem = _tables(spark, sf_dir, "part", "lineitem")
+    joined = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0))
+            / F.sum(disc),
+            6,
+        ).alias("promo_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 pattern: disjunction-of-conjunctions predicate join (brand x
+    size x quantity bands), adapted to the reduced part schema (no
+    container column)."""
+    part, lineitem = _tables(spark, sf_dir, "part", "lineitem")
+    j = lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 pattern: scalar subquery (avg positive balance) + NOT EXISTS
+    anti-join, grouped by nation key (reduced schema has no phone country
+    codes; and because the synthetic data gives every customer at least
+    one order, the anti-join excludes HIGH-VALUE orders instead of any
+    order — same plan shape, non-empty result)."""
+    customer, orders = _tables(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    big_orders = orders.where(F.col("o_totalprice") > 300000.0)
+    no_orders = rich.join(
+        big_orders, F.col("c_custkey") == F.col("o_custkey"), "leftanti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = _tables(spark, sf_dir, "customer", "orders")
     per_cust = (
@@ -1800,8 +1890,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_revenue": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q4_order_priority_semijoin": _q_tpch_q4,
         "tpch_q13_order_count_distribution": _q_tpch_q13,
+        "tpch_q14_promo_revenue": _q_tpch_q14,
+        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         "tpch_q18_large_volume_customer": _q_tpch_q18,
+        "tpch_q22_idle_customer_balance": _q_tpch_q22,
         "split_hash_documents": _q_split_hash,
         "sample_stratified_orders": _q_sample_stratified,
         "corpus_vocabulary_documents": _q_corpus_vocabulary,
@@ -2040,6 +2134,45 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "tpch_q4_order_priority_semijoin": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "tpch_q14_promo_revenue": """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+        "tpch_q19_disjunctive_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        "tpch_q22_idle_customer_balance": """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey AND o_totalprice > 300000.0)
+GROUP BY c_nationkey
 """,
         "tpch_q13_order_count_distribution": """
 SELECT c_count, count(*) AS custdist
