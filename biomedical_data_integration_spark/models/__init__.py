@@ -256,7 +256,18 @@ class HashingColumnEmbedder(ColumnEmbedder):
         the full sorted domain) genuinely needs global ranks and keeps a
         full window.
         """
-        long_df = self._long_form(df, cols)
+        if self.sample_strategy == "tfidf_row":
+            return self._tfidf_row_sample(df, cols, self.sample_values)
+        if self.sample_strategy == "pmi":
+            return self._pmi_sample(df, cols, self.sample_values)
+        return self._sampled_from_long(self._long_form(df, cols))
+
+    def _sampled_from_long(self, long_df: DataFrame) -> DataFrame:
+        """Strategy dispatch for every sampler that needs only the
+        (column_name, value) long form — which lets callers feed a MERGED
+        long form covering several tables and sample them all in one job
+        (see :meth:`serialized_columns_pair`). Row-level strategies
+        (tfidf_row, pmi) need table rows and stay in _sampled_values."""
         k = self.sample_values
 
         if self.sample_strategy == "alphaHead":
@@ -301,12 +312,6 @@ class HashingColumnEmbedder(ColumnEmbedder):
             return sel.select(
                 "column_name", self._budget_tokens(F.col("vals"), k).alias("vals")
             )
-
-        if self.sample_strategy == "tfidf_row":
-            return self._tfidf_row_sample(df, cols, k)
-
-        if self.sample_strategy == "pmi":
-            return self._pmi_sample(df, cols, k)
 
         if self.sample_strategy == "constant":
             # every nth distinct value (``cl_preprocessor.py:91-105``):
@@ -481,6 +486,59 @@ class HashingColumnEmbedder(ColumnEmbedder):
     ) -> DataFrame:
         ser = self.serialized_columns(df, columns)
         return ser.select(
+            "column_name",
+            self.text_embedder.embed_expr(F.col("serialized")).alias("embedding"),
+        )
+
+    def serialized_columns_pair(
+        self, source: DataFrame, target: DataFrame
+    ) -> Optional[DataFrame]:
+        """(side, column_name, serialized) for BOTH tables sampled in ONE
+        job: the long forms are side-tagged, merged, and run through the
+        shared sampler, halving the scheduling cost of every two-table
+        embedding matcher. Serialized text uses the ORIGINAL column name,
+        so results are identical to two single-table passes (the property
+        the correctness oracle checks). Returns None for the row-level
+        strategies (tfidf_row/pmi need table rows) — callers fall back to
+        per-table passes."""
+        if self.sample_strategy in ("tfidf_row", "pmi"):
+            return None
+
+        def tagged(df: DataFrame, side: str) -> DataFrame:
+            return self._long_form(df, df.columns).withColumn(
+                "column_name", F.concat(F.lit(side + "\x1f"), F.col("column_name"))
+            )
+
+        merged = tagged(source, "s").unionByName(tagged(target, "t"))
+        sampled = self._sampled_from_long(merged)
+        orig = F.substring(F.col("column_name"), 3, 2_147_483_640)
+        ser = sampled.select(
+            F.substring("column_name", 1, 1).alias("side"),
+            orig.alias("column_name"),
+            F.concat(orig, F.lit(" "), F.array_join("vals", " ")).alias(
+                "serialized"
+            ),
+        )
+        # all-null columns never appear in the long form; re-add per side
+        spark = source.sparkSession
+        all_cols = spark.createDataFrame(
+            [("s", c) for c in source.columns] + [("t", c) for c in target.columns],
+            ["side", "column_name"],
+        )
+        return all_cols.join(ser, ["side", "column_name"], "left").select(
+            "side",
+            "column_name",
+            F.coalesce("serialized", F.col("column_name")).alias("serialized"),
+        )
+
+    def column_embeddings_pair(
+        self, source: DataFrame, target: DataFrame
+    ) -> Optional[DataFrame]:
+        ser = self.serialized_columns_pair(source, target)
+        if ser is None:
+            return None
+        return ser.select(
+            "side",
             "column_name",
             self.text_embedder.embed_expr(F.col("serialized")).alias("embedding"),
         )

@@ -536,12 +536,29 @@ class EmbeddingSchemaMatcher(BaseSchemaMatcher):
         self.metric = metric
 
     def scores(self, source, target, allowed_pairs=None):
-        s = self.embedder.column_embeddings(source).withColumnsRenamed(
-            {"column_name": "source", "embedding": "vec_s"}
-        )
-        t = self.embedder.column_embeddings(target).withColumnsRenamed(
-            {"column_name": "target", "embedding": "vec_t"}
-        )
+        # one-job pair path when the embedder supports it: both tables'
+        # columns are sampled+embedded in a single merged pipeline, and
+        # the (column-count-sized) result is persisted so the two sides of
+        # the cross join don't re-evaluate it
+        pair_fn = getattr(self.embedder, "column_embeddings_pair", None)
+        both = pair_fn(source, target) if pair_fn is not None else None
+        if both is not None:
+            both = both.persist()
+            s = both.where(F.col("side") == "s").select(
+                F.col("column_name").alias("source"),
+                F.col("embedding").alias("vec_s"),
+            )
+            t = both.where(F.col("side") == "t").select(
+                F.col("column_name").alias("target"),
+                F.col("embedding").alias("vec_t"),
+            )
+        else:
+            s = self.embedder.column_embeddings(source).withColumnsRenamed(
+                {"column_name": "source", "embedding": "vec_s"}
+            )
+            t = self.embedder.column_embeddings(target).withColumnsRenamed(
+                {"column_name": "target", "embedding": "vec_t"}
+            )
         joined = s.crossJoin(t)
         if self.metric == "cosine":
             sim = cosine(F.col("vec_s"), F.col("vec_t"))
