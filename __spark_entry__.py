@@ -1143,7 +1143,9 @@ t2 AS (SELECT id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0)
 SELECT id, CAST(st / {step} AS INT) AS chunk_idx,
        array_to_string(list_slice(toks, st + 1, st + {CHUNK_TOKENS}), ' ') AS chunk_text,
        least({CHUNK_TOKENS}, n - st) AS n_tokens
-FROM t2, unnest(range(0, CAST(n AS BIGINT), {step})) AS u(st)
+FROM t2, unnest(range(0, greatest(CAST(1 AS BIGINT),
+                                  CAST(n - {CHUNK_OVERLAP} AS BIGINT)),
+                      {step})) AS u(st)
 """
 
 

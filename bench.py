@@ -2,10 +2,13 @@
 
 Runs each ``__spark_entry__.queries()`` entry on
 ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) and prints ONE JSON line::
+/root/testdata/sf0.1) and prints TWO JSON lines — the full per-query map,
+then a compact summary as the LAST line (tail-capture-proof)::
 
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": "..."}
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "sf": "...", "n_queries": M}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect), which is what a cluster job would do — write out the
@@ -95,6 +98,10 @@ def main() -> int:
             total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
+    # Two lines, detail first: the driver captures a fixed-size TAIL of
+    # stdout, and the per-query map has outgrown it (r2's total was cut
+    # off and failed to parse). The compact summary goes LAST so it always
+    # survives; the full per-query map rides the line before it.
     print(
         json.dumps(
             {
@@ -103,6 +110,17 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf_dir,
+                "n_queries": len(timings),
             }
         )
     )

@@ -93,10 +93,17 @@ def asof_join(
     ).where(F.col("__side") == 1)
 
     if tolerance_seconds is not None:
-        fresh = (
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col("__c_ts"))
-            <= tolerance_seconds
-        )
+        # Epoch-numeric ts columns must use raw arithmetic: unix_timestamp()
+        # on a bigint parses it as a formatted string and yields null, which
+        # would silently null out every match.
+        ts_type = dict(left.dtypes)[ts_col]
+        if ts_type.startswith("timestamp"):
+            age = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+                F.col("__c_ts")
+            )
+        else:
+            age = F.col(ts_col).cast("double") - F.col("__c_ts").cast("double")
+        fresh = age <= tolerance_seconds
         carried = carried.withColumns(
             {
                 "__c_ts": F.when(fresh, F.col("__c_ts")),
@@ -151,8 +158,15 @@ def interval_join(
         if ts_type.startswith("timestamp")
         else F.col(ts_col).cast("bigint")
     )
-    p = points.withColumn("__tsec", tsec).withColumn(
-        "__bucket", F.floor(F.col("__tsec") / bucket_seconds)
+    # Surrogate point id: the left-outer path needs point identity for its
+    # coverage window and unmatched-dedup. Using the full point tuple would
+    # (a) shuffle on a wide composite key and (b) collapse legitimately
+    # duplicated point rows; a generated id keeps multiplicity and narrows
+    # the window key to one long.
+    p = (
+        points.withColumn("__pid", F.monotonically_increasing_id())
+        .withColumn("__tsec", tsec)
+        .withColumn("__bucket", F.floor(F.col("__tsec") / bucket_seconds))
     )
     ivl_payload = [c for c in intervals.columns if c not in by]
     i = intervals.select(
@@ -175,10 +189,11 @@ def interval_join(
         # left semantics: keep every in-range match; points with NO
         # in-range match keep exactly one row with null interval columns.
         # The split keeps overlapping-interval matches intact (a dedup on
-        # point identity alone would drop one of two covering intervals).
-        point_cols = [*by, *[c for c in points.columns if c not in by]]
+        # point identity alone would drop one of two covering intervals);
+        # identity is the surrogate __pid so exact-duplicate input points
+        # each keep their own unmatched row.
         covered = F.coalesce(
-            F.max(in_range.cast("int")).over(Window.partitionBy(*point_cols)),
+            F.max(in_range.cast("int")).over(Window.partitionBy("__pid")),
             F.lit(0),
         )
         flagged = joined.withColumn("__cov", covered)
@@ -189,7 +204,7 @@ def interval_join(
                 {f"__i_{c}": F.lit(None).cast(dict(i.dtypes)[f"__i_{c}"])
                  for c in ivl_payload}
             )
-            .dropDuplicates(point_cols)
+            .dropDuplicates(["__pid"])
         )
         joined = matched.unionByName(unmatched)
     return joined.select(

@@ -543,14 +543,27 @@ class EmbeddingSchemaMatcher(BaseSchemaMatcher):
         pair_fn = getattr(self.embedder, "column_embeddings_pair", None)
         both = pair_fn(source, target) if pair_fn is not None else None
         if both is not None:
-            both = both.persist()
-            s = both.where(F.col("side") == "s").select(
-                F.col("column_name").alias("source"),
-                F.col("embedding").alias("vec_s"),
+            # The pair table is column-count-sized (one row per column of
+            # either table), so materialize it ONCE to the driver rather
+            # than persist(): a persisted DataFrame is pinned by the
+            # CacheManager and accumulates cached blocks across repeated
+            # match_schema/top_matches calls in a long session. The
+            # rebuilt single-partition frames broadcast into the cross
+            # join for free.
+            spark = both.sparkSession
+            rows = both.collect()
+            emb_type = dict(both.dtypes)["embedding"]
+            schema_s = f"source string, vec_s {emb_type}"
+            schema_t = f"target string, vec_t {emb_type}"
+            s = spark.createDataFrame(
+                [(r["column_name"], r["embedding"]) for r in rows
+                 if r["side"] == "s"],
+                schema_s,
             )
-            t = both.where(F.col("side") == "t").select(
-                F.col("column_name").alias("target"),
-                F.col("embedding").alias("vec_t"),
+            t = spark.createDataFrame(
+                [(r["column_name"], r["embedding"]) for r in rows
+                 if r["side"] == "t"],
+                schema_t,
             )
         else:
             s = self.embedder.column_embeddings(source).withColumnsRenamed(

@@ -307,9 +307,13 @@ def chunk_documents(
     training example; not in the reference, which never segments text).
 
     Windows start every ``chunk_tokens - overlap`` tokens; the final
-    window may be short. Pure per-row expressions (token array staged
-    once, ``posexplode`` over window starts) — no shuffle, no Python;
-    linear in output size at any scale. Empty documents yield no chunks.
+    window may be short. A window whose content would be a pure suffix of
+    the previous window (everything past its start already covered by the
+    overlap) is NOT emitted — standard sliding-window semantics, no
+    duplicated training content. Pure per-row expressions (token array
+    staged once, ``posexplode`` over window starts) — no shuffle, no
+    Python; linear in output size at any scale. Empty documents yield no
+    chunks.
 
     Returns (id, chunk_idx, chunk_text, n_tokens).
     """
@@ -321,9 +325,15 @@ def chunk_documents(
     )
     toks = F.col("__toks")
     n = F.size(toks)
-    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # A start st > 0 only adds content if the document extends more than
+    # `overlap` tokens past it (n - st > overlap); cap the sequence at
+    # n - overlap - 1 (keeping start 0 for short docs).
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0), F.greatest(F.lit(0), n - overlap - 1), F.lit(step)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,
         lambda st: F.struct(

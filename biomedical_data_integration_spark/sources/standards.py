@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import weakref
 from typing import Dict, List, Mapping, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,8 +82,11 @@ class Standard:
         instead."""
         import pandas as pd
 
+        # Keyed on a weakref to the session, not id(): after a stopped
+        # session is garbage-collected CPython can reuse the same id for a
+        # new session, which would return a DataFrame bound to the dead one.
         cache = getattr(self, "_wide_cache", None)
-        if cache is not None and cache[0] == id(spark):
+        if cache is not None and cache[0]() is spark:
             return cache[1]
 
         values = self.get_column_values(self.get_columns())
@@ -97,7 +101,7 @@ class Standard:
         )
         schema = StructType([StructField(c, StringType()) for c in values])
         wide = spark.createDataFrame(pdf, schema)
-        self._wide_cache = (id(spark), wide)
+        self._wide_cache = (weakref.ref(spark), wide)
         return wide
 
 

@@ -100,6 +100,39 @@ def test_interval_join_left_keeps_uncovered_points(spark):
     assert by_tag["p2"] == [None]               # exactly one null row
 
 
+def test_interval_join_left_preserves_duplicate_uncovered_points(spark):
+    from biomedical_data_integration_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        # two EXACTLY identical uncovered rows + two identical covered rows
+        [(1, 5000, "dup"), (1, 5000, "dup"), (1, 100, "cov"), (1, 100, "cov")],
+        ["user_id", "ts", "tag"],
+    )
+    intervals = spark.createDataFrame(
+        [(1, 50, 200, "a")],
+        ["user_id", "session_start", "session_end", "ivl"],
+    )
+    rows = interval_join(
+        points, intervals, bucket_seconds=1000, how="left"
+    ).collect()
+    tags = sorted((r["tag"], r["ivl"]) for r in rows)
+    # left-join multiplicity: BOTH uncovered duplicates survive as null rows
+    assert tags == [("cov", "a"), ("cov", "a"), ("dup", None), ("dup", None)]
+
+
+def test_asof_join_tolerance_with_numeric_ts(spark):
+    # epoch-seconds bigint ts: tolerance must use raw arithmetic, not
+    # unix_timestamp() (which nulls out on non-timestamp input)
+    left = spark.createDataFrame([(1, 10000, "x")], ["user_id", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, 9000, 1.0), (1, 2000, 2.0)], ["user_id", "ts", "v"]
+    )
+    ok = asof_join(left, right, tolerance_seconds=2000).collect()[0]
+    assert ok["v"] == 1.0 and ok["asof_ts"] == 9000
+    rej = asof_join(left, right, tolerance_seconds=500).collect()[0]
+    assert rej["v"] is None and rej["asof_ts"] is None
+
+
 def test_interval_join_spans_buckets(spark):
     from biomedical_data_integration_spark.operators.joins import interval_join
 

@@ -140,11 +140,12 @@ def test_chunk_documents_windows_and_overlap(spark):
     out = chunk_documents(docs, chunk_tokens=3, overlap=1)
     rows = {(r["id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
             for r in out.collect()}
-    # doc 1: 7 tokens, step 2 -> starts 0,2,4,6
+    # doc 1: 7 tokens, step 2 -> starts 0,2,4 (start 6 would emit "g",
+    # a pure suffix of the previous chunk's overlap — suppressed)
     assert rows[(1, 0)] == ("a b c", 3)
     assert rows[(1, 1)] == ("c d e", 3)
     assert rows[(1, 2)] == ("e f g", 3)
-    assert rows[(1, 3)] == ("g", 1)
+    assert (1, 3) not in rows
     assert rows[(2, 0)] == ("x y", 2)
     # empty/null docs produce no chunks
     assert {i for i, _ in rows} == {1, 2}
