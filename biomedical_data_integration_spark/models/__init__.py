@@ -48,7 +48,10 @@ class HashingTextEmbedder:
         self.n = n
         self.salt = salt
 
-    def embed_expr(self, col: Column) -> Column:
+    def bucket_expr(self, col: Column) -> Column:
+        """array<bigint> of gram buckets — one md5 per gram (NOT per
+        gram × bucket: the naive per-bucket filter formulation duplicates
+        the md5 expression dim× in the plan)."""
         grams = char_ngrams(clean_string(col), self.n, self.n)
         salt = self.salt
 
@@ -60,11 +63,10 @@ class HashingTextEmbedder:
                 F.lit(self.dim),
             )
 
-        # One md5 per gram (NOT per gram × bucket): hash every gram to its
-        # bucket once, then fold the bucket array into a count histogram.
-        # The naive per-bucket filter formulation duplicates the md5
-        # expression dim× in the plan — 32× more codegen and runtime.
-        buckets = F.transform(grams, bucket)
+        return F.transform(grams, bucket)
+
+    def hist_expr(self, buckets: Column) -> Column:
+        """Bucket array -> L2-normalized count histogram."""
         zeros = F.array_repeat(F.lit(0.0), self.dim)
         counts = F.aggregate(
             buckets,
@@ -78,6 +80,27 @@ class HashingTextEmbedder:
         )
         return F.when(norm == 0, counts).otherwise(
             F.transform(counts, lambda v: v / norm)
+        )
+
+    def embed_expr(self, col: Column) -> Column:
+        """Single-expression form — correct anywhere a Column fits, but
+        interpreted HOF evaluation re-runs the md5 bucket array per fold
+        step (measured ~20× slower than the staged form). Use
+        :meth:`embed_df` in projection pipelines."""
+        return self.hist_expr(self.bucket_expr(col))
+
+    def embed_df(self, df: DataFrame, incol: str, outcol: str) -> DataFrame:
+        """Staged embedding: bucket array in one Project, histogram fold in
+        the next. The projection boundary keeps Catalyst from inlining the
+        md5 bucket computation into the fold lambda (CollapseProject won't
+        push expressions into higher-order-function lambdas), so the fold
+        reads a bound attribute and the md5s run exactly once per gram —
+        ~20× faster than the inline expression at GDC vocabulary size."""
+        tmp = f"__hte_buckets_{outcol}"
+        return (
+            df.withColumn(tmp, self.bucket_expr(F.col(incol)))
+            .withColumn(outcol, self.hist_expr(F.col(tmp)))
+            .drop(tmp)
         )
 
 
@@ -146,7 +169,20 @@ class HashingColumnEmbedder(ColumnEmbedder):
         self.sample_strategy = sample_strategy
 
     def _long_form(self, df: DataFrame, cols: List[str]) -> DataFrame:
-        """One scan: unpivot all requested columns to (column_name, value)."""
+        """One scan: unpivot all requested columns to (column_name, value).
+
+        Standard-backed frames (``Standard.to_wide_df``) read the
+        vocabulary's native long form instead — same row multiset, ~25x
+        cheaper at GDC width (see ``sources.standards.long_values_of``)."""
+        from biomedical_data_integration_spark.sources.standards import (
+            long_values_of,
+        )
+
+        long = long_values_of(df)
+        if long is not None:
+            if set(cols) != set(df.columns):
+                long = long.where(F.col("column_name").isin(list(cols)))
+            return long
         return (
             df.select([F.col(c).cast("string").alias(c) for c in cols])
             .unpivot([], cols, "column_name", "value")
@@ -485,9 +521,8 @@ class HashingColumnEmbedder(ColumnEmbedder):
         self, df: DataFrame, columns: Optional[List[str]] = None
     ) -> DataFrame:
         ser = self.serialized_columns(df, columns)
-        return ser.select(
-            "column_name",
-            self.text_embedder.embed_expr(F.col("serialized")).alias("embedding"),
+        return self.text_embedder.embed_df(ser, "serialized", "embedding").select(
+            "column_name", "embedding"
         )
 
     def serialized_columns_pair(
@@ -537,10 +572,8 @@ class HashingColumnEmbedder(ColumnEmbedder):
         ser = self.serialized_columns_pair(source, target)
         if ser is None:
             return None
-        return ser.select(
-            "side",
-            "column_name",
-            self.text_embedder.embed_expr(F.col("serialized")).alias("embedding"),
+        return self.text_embedder.embed_df(ser, "serialized", "embedding").select(
+            "side", "column_name", "embedding"
         )
 
 

@@ -84,7 +84,23 @@ def _unpivot_strings(df: DataFrame, colname: str, valname: str) -> DataFrame:
     per-column selects is O(n_cols) plan branches each carrying the whole
     child plan, which at real vocabulary width (the 736-column GDC wide
     table) took minutes to optimize and OOM'd the driver on constraint
-    inference."""
+    inference.
+
+    Standard-backed frames (``Standard.to_wide_df``) skip even the Expand:
+    the vocabulary's native long form is read directly (~25x cheaper at
+    GDC width — the wide table is a 736-column local relation whose every
+    evaluation re-runs Arrow conversion)."""
+    from biomedical_data_integration_spark.sources.standards import long_values_of
+
+    long = long_values_of(df)
+    if long is not None:
+        return (
+            long.select(
+                F.col("column_name").alias(colname),
+                F.trim(F.col("value")).alias(valname),
+            )
+            .distinct()
+        )
     cols = _string_columns(df)
     if not cols:
         return df.sparkSession.createDataFrame(

@@ -301,6 +301,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 128,
     overlap: int = 0,
+    tokens_fn=None,
 ) -> DataFrame:
     """Split documents into fixed-size token windows — the chunking stage
     of RAG/embedding/training pipelines (each chunk feeds an embedder or a
@@ -320,8 +321,12 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
+    # tokenizer seam: tokens_fn is Column -> Column(array<string>), so a
+    # real subword tokenizer (e.g. a batched pandas-UDF BPE encoder) drops
+    # in without touching the windowing logic; default is whitespace
+    tok = tokens_fn or tokens_expr
     staged = df.select(
-        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("id"), tok(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
     n = F.size(toks)
@@ -358,6 +363,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     budget_tokens: int = 512,
     buckets: int = 64,
+    tokens_fn=None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins — the packing
     stage that turns a corpus into dense fixed-length training sequences
@@ -380,8 +386,10 @@ def pack_sequences(
     """
     if buckets < 1 or (buckets & (buckets - 1)) or buckets > 4096:
         raise ValueError("buckets must be a power of two in [1, 4096]")
+    # same tokenizer seam as chunk_documents (real BPE counts drop in)
+    tok = tokens_fn or tokens_expr
     staged = df.select(
-        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("id"), tok(F.col(text_col)).alias("__toks")
     ).select("id", F.size("__toks").cast("bigint").alias("n_tokens"))
     h = F.md5(F.concat(F.lit("pk|"), F.col("id").cast("string")))
     nib = lambda p: F.conv(F.substring(h, p, 1), 16, 10).cast("int")  # noqa: E731

@@ -576,8 +576,16 @@ class EmbeddingValueMatcher(BaseValueMatcher):
             hyperplane_bucket,
         )
 
-        s = src.withColumn("vec_s", self.embedder.embed_expr(F.col("skey")))
-        t = tgt.withColumn("vec_t", self.embedder.embed_expr(F.col("tkey")))
+        # staged embed (bucket array, then fold) when the embedder offers
+        # it — the projection boundary keeps the hashing embedder's md5
+        # work out of the interpreted fold lambda (see HashingTextEmbedder)
+        embed_df = getattr(self.embedder, "embed_df", None)
+        if embed_df is not None:
+            s = embed_df(src, "skey", "vec_s")
+            t = embed_df(tgt, "tkey", "vec_t")
+        else:
+            s = src.withColumn("vec_s", self.embedder.embed_expr(F.col("skey")))
+            t = tgt.withColumn("vec_t", self.embedder.embed_expr(F.col("tkey")))
         join_keys = list(PAIR)
         dim = getattr(self.embedder, "dim", None)
         if self.block_threshold is not None and dim is not None:
@@ -619,10 +627,12 @@ class GptValueMatcher(BaseValueMatcher):
       against the target set, drop malformed responses with a warning;
     - the pipeline (not the kernel) applies the similarity threshold, so
       the kernel emits every validated (value, term, score) row;
-    - calls run in a driver loop, like the reference: value domains are
-      vocabulary-sized by construction (distinct'd upstream) and each call
-      is an external-service round trip — there is nothing to distribute
-      until a batch endpoint exists.
+    - prompt ASSEMBLY is distributed (``mapInPandas`` over the joined
+      value×domain table — at a 100× free-text column the driver never
+      renders millions of prompt strings); only the actual client CALLS
+      run in a driver loop, like the reference, because each is an
+      external-service round trip — nothing to distribute until a batch
+      endpoint exists.
     """
 
     name = "gpt"
@@ -672,37 +682,76 @@ class GptValueMatcher(BaseValueMatcher):
                 continue
         return None
 
+    def prompts(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
+        """One row per (column pair, distinct source value) with the READY
+        chat messages for that value, serialized as JSON.
+
+        Fully distributed: the per-pair target domain is aggregated once
+        (sorted distinct array), broadcast-joined to the source values, and
+        the message rendering runs in ``mapInPandas`` — the driver never
+        materializes domains or renders prompt text. Pairs with an empty
+        target domain drop out (inner join), matching the driver-loop
+        ``continue`` the reference uses.
+
+        Returns (source_column, target_column, skey, targets, prompt).
+        """
+        dom = tgt.groupBy(*PAIR).agg(
+            F.sort_array(F.collect_set("target_value")).alias("targets")
+        )
+        joined = src.select(*PAIR, "skey").join(F.broadcast(dom), list(PAIR))
+        prompt_fn = self._prompt
+
+        def build(batches):
+            import json as _json
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                # plain-str targets: Arrow hands back numpy scalars, whose
+                # repr would leak into the rendered list literal
+                pdf["targets"] = [
+                    [str(t) for t in ts] for ts in pdf["targets"]
+                ]
+                pdf["prompt"] = [
+                    _json.dumps(prompt_fn(str(v), ts))
+                    for v, ts in zip(pdf["skey"], pdf["targets"])
+                ]
+                yield pdf[
+                    ["source_column", "target_column", "skey", "targets", "prompt"]
+                ]
+
+        return joined.mapInPandas(
+            build,
+            "source_column string, target_column string, skey string,"
+            " targets array<string>, prompt string",
+        )
+
     def similarities(self, src: DataFrame, tgt: DataFrame) -> DataFrame:
         if self.client is None:
             raise NotImplementedError(
                 "GptValueMatcher requires an injected client "
                 "(callable(messages) -> str); no network access is assumed."
             )
+        import json
         import warnings
 
         spark = src.sparkSession
-        s_rows = src.select(*PAIR, "skey").collect()
-        t_rows = tgt.select(*PAIR, "tkey", "target_value").collect()
-        domains: Dict[Tuple[str, str], List[str]] = {}
-        for r in t_rows:
-            domains.setdefault((r[0], r[1]), []).append(r[3])
+        # ONE collect, of finished prompts (the external-call loop is the
+        # only driver-side stage; assembly happened executor-side)
         out = []
-        for r in s_rows:
-            pair = (r[0], r[1])
-            targets = sorted(domains.get(pair, []))
-            if not targets:
-                continue
-            response = self.client(self._prompt(r[2], targets))
+        for r in self.prompts(src, tgt).collect():
+            response = self.client(json.loads(r["prompt"]))
             parsed = self._parse_response(str(response))
             if parsed is None:
                 warnings.warn(
-                    f"GptValueMatcher: unparseable response for {r[2]!r}: "
-                    f"{response!r}"
+                    f"GptValueMatcher: unparseable response for "
+                    f"{r['skey']!r}: {response!r}"
                 )
                 continue
             term, score = parsed
-            if term in set(targets):  # membership validation (gpt.py:48)
-                out.append((pair[0], pair[1], r[2], term, score))
+            if term in set(r["targets"]):  # membership validation (gpt.py:48)
+                out.append(
+                    (r["source_column"], r["target_column"], r["skey"], term, score)
+                )
         return spark.createDataFrame(
             out,
             "source_column string, target_column string, skey string,"

@@ -101,8 +101,39 @@ class Standard:
         )
         schema = StructType([StructField(c, StringType()) for c in values])
         wide = spark.createDataFrame(pdf, schema)
+        # Tag the frame with its backing standard: matchers that only need
+        # the (column, value) long form can then read it straight from the
+        # vocabulary (a narrow driver-built table) instead of unpivoting a
+        # 736-column local relation — measured 25x cheaper on GDC. The tag
+        # rides only this exact object (projections drop it), which is safe:
+        # consumers fall back to the generic unpivot.
+        wide._bdi_standard = self
         self._wide_cache = (weakref.ref(spark), wide)
         return wide
+
+
+def standard_of(df: DataFrame) -> Optional["Standard"]:
+    """The Standard backing ``df`` if it came from :meth:`Standard.to_wide_df`
+    (see the tag set there), else None."""
+    std = getattr(df, "_bdi_standard", None)
+    return std if isinstance(std, Standard) else None
+
+
+def long_values_of(df: DataFrame) -> Optional[DataFrame]:
+    """Fast (column_name, value) long form for a standard-backed wide frame:
+    reads the vocabulary directly (narrow, driver-built) instead of
+    unpivoting the wide local relation. Returns None when ``df`` has no
+    backing standard. Row multiset is identical to
+    ``unpivot(wide) WHERE value IS NOT NULL`` — one row per domain entry,
+    no-domain columns absent."""
+    std = standard_of(df)
+    if std is None:
+        return None
+    return (
+        std.to_long_df(df.sparkSession)
+        .where(F.col("value").isNotNull())
+        .select("column_name", "value")
+    )
 
 
 class DictStandard(Standard):

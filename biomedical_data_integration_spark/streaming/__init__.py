@@ -3,7 +3,9 @@
 from biomedical_data_integration_spark.streaming.events import (
     hopping_window_agg,
     sessionize,
+    streaming_asof_join,
     streaming_dedup_exact,
+    streaming_interval_join,
     streaming_materialize,
     streaming_hopping_window_agg,
     streaming_minhash_lsh_candidates,
@@ -15,7 +17,9 @@ from biomedical_data_integration_spark.streaming.events import (
 __all__ = [
     "hopping_window_agg",
     "sessionize",
+    "streaming_asof_join",
     "streaming_dedup_exact",
+    "streaming_interval_join",
     "streaming_materialize",
     "streaming_hopping_window_agg",
     "streaming_minhash_lsh_candidates",

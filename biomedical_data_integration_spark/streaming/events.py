@@ -369,6 +369,191 @@ def hopping_window_agg(
     )
 
 
+def streaming_asof_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    ts_col: str = "ts",
+    by: tuple = ("user_id",),
+    value_cols: list | None = None,
+    right_ts_alias: str = "asof_ts",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming face of :func:`operators.joins.asof_join` — each left row
+    gains the value columns of the latest right row with
+    ``right.ts <= left.ts`` per key, carried ACROSS microbatches via
+    custom managed state (``applyInPandasWithState``).
+
+    The state per key is exactly what the batch window carries at the
+    partition frontier: the last right (ts, value...) tuple. Each batch
+    unions both inputs, seeds the per-key merge with the state row, sorts
+    by (ts, side) — right before left at equal ts, matching the batch
+    twin's inclusive semantics — forward-fills, emits the enriched left
+    rows, and persists the new frontier. Late right rows older than an
+    already-persisted frontier still join correctly against later-batch
+    left rows in their own time range (the seed participates in the sort),
+    but cannot retro-enrich left rows already emitted — the standard
+    streaming trade, bounded by the source's delivery skew.
+
+    Equal-(key, ts) right duplicates resolve to the greatest value tuple,
+    like the batch twin. ``state_ttl_minutes`` expires idle keys
+    (processing-time TTL) to bound state on unbounded key spaces.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    by = list(by)
+    if value_cols is None:
+        value_cols = [
+            c for c in right_stream.columns if c not in (*by, ts_col)
+        ]
+    left_payload = [c for c in left_stream.columns if c not in by and c != ts_col]
+    l_types = dict(left_stream.dtypes)
+    r_types = dict(right_stream.dtypes)
+    ts_type = l_types[ts_col]
+
+    l_part = left_stream.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        *[F.col(c) for c in left_payload],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r_types[c]).alias(f"__rv_{c}") for c in value_cols],
+    )
+    r_part = right_stream.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left_payload],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    )
+    unioned = l_part.unionByName(r_part)
+
+    out_schema_ddl = ", ".join(
+        [f"`{c}` {l_types[c]}" for c in by]
+        + [f"`{ts_col}` {ts_type}"]
+        + [f"`{c}` {l_types[c]}" for c in left_payload]
+        + [f"`{right_ts_alias}` {ts_type}"]
+        + [f"`{c}` {r_types[c]}" for c in value_cols]
+    )
+    state_ddl = ", ".join(
+        [f"`rts` {ts_type}"] + [f"`v_{c}` {r_types[c]}" for c in value_cols]
+    )
+    rv_cols = [f"__rv_{c}" for c in value_cols]
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+
+    def _carry(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        df = pd.concat(pdfs, ignore_index=True)
+        if state.exists:
+            st = state.get
+            seed = {c: [None] for c in df.columns}
+            seed[ts_col] = [st[0]]
+            seed["__side"] = [0]
+            for i, rc in enumerate(rv_cols):
+                seed[rc] = [st[i + 1]]
+            df = pd.concat([pd.DataFrame(seed), df], ignore_index=True)
+        # right rows before left at equal ts (inclusive join); among
+        # equal-(ts, side) right rows the greatest value tuple sorts last
+        # and wins the forward fill — the batch twin's dedup rule
+        df = df.sort_values(
+            [ts_col, "__side", *rv_cols], kind="mergesort"
+        ).reset_index(drop=True)
+        carried = df[[ts_col, *rv_cols]].copy()
+        carried.loc[df["__side"] != 0, :] = None
+        carried = carried.rename(columns={ts_col: "__rts"}).ffill()
+        out = df[df["__side"] == 1][[*by, ts_col, *left_payload]].copy()
+        out[right_ts_alias] = carried.loc[out.index, "__rts"]
+        for c, rc in zip(value_cols, rv_cols):
+            out[c] = carried.loc[out.index, rc]
+        rights = df[df["__side"] == 0]
+        if len(rights):
+            last = rights.iloc[-1]
+            state.update((last[ts_col], *[last[rc] for rc in rv_cols]))
+        if ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+        if len(out):
+            yield out
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return unioned.groupBy(*by).applyInPandasWithState(
+        _carry,
+        outputStructType=out_schema_ddl,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    by: tuple = ("user_id",),
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    watermark: str = "2 hours",
+    max_duration_seconds: int = 86_400,
+) -> DataFrame:
+    """Streaming face of :func:`operators.joins.interval_join` (inner):
+    Spark's NATIVE watermarked stream-stream join already implements
+    bounded-state range joins, so no custom state is needed — the join
+    condition bounds ``points.ts`` to
+    ``[interval start, start + max_duration_seconds]``, which is what lets
+    the engine age out join state on both sides.
+
+    ``intervals`` must carry ``start_col``/``end_col`` as epoch seconds
+    (the batch operator's convention); ``max_duration_seconds`` is the
+    declared upper bound on interval length — intervals longer than it are
+    truncated by the state-cleanup constraint, by design.
+    """
+    by = list(by)
+    p_ts = (
+        F.col(ts_col)
+        if dict(points.dtypes)[ts_col].startswith("timestamp")
+        else F.to_timestamp(F.from_unixtime(F.col(ts_col)))
+    )
+    p = points.withColumn("__p_ts", p_ts).withWatermark("__p_ts", watermark)
+    i = intervals.select(
+        *[F.col(c).alias(f"__i_{c}") for c in intervals.columns]
+    ).withColumn(
+        "__i_start_ts", F.to_timestamp(F.from_unixtime(F.col(f"__i_{start_col}")))
+    ).withWatermark("__i_start_ts", watermark)
+    cond = F.lit(True)
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"__i_{c}"))
+    cond = (
+        cond
+        & (F.col("__p_ts") >= F.col("__i_start_ts"))
+        & (
+            F.col("__p_ts")
+            <= F.col("__i_start_ts") + F.expr(
+                f"INTERVAL {max_duration_seconds} SECONDS"
+            )
+        )
+        & (
+            F.unix_timestamp(F.col("__p_ts"))
+            <= F.col(f"__i_{end_col}").cast("bigint")
+        )
+    )
+    ivl_payload = [c for c in intervals.columns if c not in by]
+    return p.join(i, cond, "inner").select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"__i_{c}").alias(c) for c in ivl_payload],
+    )
+
+
 def streaming_hopping_window_agg(
     stream: DataFrame,
     window_duration: str = "1 hour",

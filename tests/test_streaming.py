@@ -302,3 +302,94 @@ def test_streaming_hopping_matches_batch(spark):
         got = {tuple(r) for r in spark.sql("select * from hop_test").collect()}
     want = {tuple(r) for r in hopping_window_agg(events, "1 hour", "30 minutes").collect()}
     assert got == want
+
+
+def test_streaming_asof_join_matches_batch_across_microbatches(spark):
+    """Same enrichment as the batch asof_join when data arrives in time
+    order across two microbatches; state carries the last right value."""
+    import datetime as dt
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.joins import asof_join
+    from biomedical_data_integration_spark.streaming import streaming_asof_join
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    # batch 1: early rows; batch 2: later rows whose matches live in batch 1
+    l1 = [(1, ts(10), "a"), (2, ts(9), "c")]
+    l2 = [(1, ts(12), "b"), (2, ts(13), "d")]
+    r1 = [(1, ts(9, 30), 10.0), (1, ts(9, 30), 7.0)]  # equal-ts dup: max wins
+    r2 = [(1, ts(12), 99.0), (2, ts(12, 30), 5.0)]
+
+    left_all = spark.createDataFrame(l1 + l2, ["user_id", "ts", "tag"])
+    right_all = spark.createDataFrame(r1 + r2, ["user_id", "ts", "v"])
+    want = {tuple(r) for r in asof_join(left_all, right_all,
+                                        value_cols=["v"]).collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        lsrc, rsrc, ckpt = f"{d}/l", f"{d}/r", f"{d}/ckpt"
+        spark.createDataFrame(l1, ["user_id", "ts", "tag"]).coalesce(1)\
+            .write.parquet(f"{lsrc}/b1")
+        spark.createDataFrame(l2, ["user_id", "ts", "tag"]).coalesce(1)\
+            .write.parquet(f"{lsrc}/b2")
+        spark.createDataFrame(r1, ["user_id", "ts", "v"]).coalesce(1)\
+            .write.parquet(f"{rsrc}/b1")
+        spark.createDataFrame(r2, ["user_id", "ts", "v"]).coalesce(1)\
+            .write.parquet(f"{rsrc}/b2")
+        lstream = (spark.readStream.schema(left_all.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(f"{lsrc}/*"))
+        rstream = (spark.readStream.schema(right_all.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(f"{rsrc}/*"))
+        sq = (
+            streaming_asof_join(lstream, rstream, value_cols=["v"])
+            .writeStream.format("memory").queryName("asof_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {tuple(r)
+               for r in spark.sql("select * from asof_stream_test").collect()}
+    assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """Native watermarked stream-stream range join produces the batch
+    interval_join's inner result."""
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.joins import interval_join
+    from biomedical_data_integration_spark.streaming import (
+        streaming_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 5000, "p2"), (2, 100, "p3"), (1, 2500, "p4")],
+        ["user_id", "ts", "tag"],
+    )
+    intervals = spark.createDataFrame(
+        [(1, 50, 200, "a"), (1, 90, 110, "b"), (2, 300, 400, "c"),
+         (1, 100, 3900, "long")],
+        ["user_id", "session_start", "session_end", "ivl"],
+    )
+    want = {tuple(r) for r in interval_join(points, intervals,
+                                            bucket_seconds=1000).collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        psrc, isrc, ckpt = f"{d}/p", f"{d}/i", f"{d}/ckpt"
+        points.coalesce(1).write.parquet(psrc)
+        intervals.coalesce(1).write.parquet(isrc)
+        pstream = spark.readStream.schema(points.schema).parquet(psrc)
+        istream = spark.readStream.schema(intervals.schema).parquet(isrc)
+        sq = (
+            streaming_interval_join(pstream, istream, watermark="10 hours")
+            .writeStream.format("memory").queryName("ivl_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {tuple(r)
+               for r in spark.sql("select * from ivl_stream_test").collect()}
+    assert got == want

@@ -151,6 +151,31 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert {i for i, _ in rows} == {1, 2}
 
 
+def test_chunk_and_pack_accept_custom_tokenizer(spark):
+    """tokens_fn seam: a custom Column->array<string> tokenizer (stand-in
+    for a real BPE encoder) drives both windowing and packing budgets."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    # comma tokenizer — deliberately different from whitespace
+    def comma_tokens(col):
+        return F.filter(F.split(col, ","), lambda t: F.length(t) > 0)
+
+    docs = spark.createDataFrame([(1, "a,b,c,d,e")], ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=2, overlap=0,
+                          tokens_fn=comma_tokens).collect()
+    got = sorted((r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in out)
+    assert got == [(0, "a b", 2), (1, "c d", 2), (2, "e", 1)]
+
+    packed = pack_sequences(docs, budget_tokens=4, buckets=1,
+                            tokens_fn=comma_tokens).collect()
+    assert packed[0]["n_tokens"] == 5  # 5 comma tokens, not 1 ws token
+
+
 def test_chunk_documents_validates_overlap(spark):
     import pytest
     from biomedical_data_integration_spark.operators.text import chunk_documents

@@ -224,6 +224,56 @@ def test_gpt_value_matcher_pipeline_with_fake_client(spark):
     assert sorted(calls) == ["asian", "hispanc", "unknwn", "whte"]
 
 
+def test_gpt_value_matcher_prompts_built_distributed(spark, monkeypatch):
+    """Prompt assembly happens executor-side: similarities() performs
+    exactly ONE driver collect (of the finished prompts), never collecting
+    the raw source/target domains to render prompts on the driver."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is an abstract facade
+    # in PySpark 4 and its collect is overridden by the classic session
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from biomedical_data_integration_spark.operators.value_matching import (
+        GptValueMatcher,
+    )
+
+    src = spark.createDataFrame(
+        [("Ethnicity", "ethnicity", "hispanc"), ("Ethnicity", "ethnicity", "whte")],
+        ["source_column", "target_column", "skey"],
+    )
+    tgt = spark.createDataFrame(
+        [
+            ("Ethnicity", "ethnicity", "white", "white"),
+            ("Ethnicity", "ethnicity", "hispanic or latino", "hispanic or latino"),
+        ],
+        ["source_column", "target_column", "tkey", "target_value"],
+    )
+
+    m = GptValueMatcher(client=lambda messages: '{"term": "white", "score": 0.7}')
+
+    # the prompts frame carries the exact messages _prompt would build
+    import json
+
+    rows = {r["skey"]: r for r in m.prompts(src, tgt).collect()}
+    want = GptValueMatcher._prompt("hispanc", ["hispanic or latino", "white"])
+    assert json.loads(rows["hispanc"]["prompt"]) == want
+    assert list(rows["hispanc"]["targets"]) == ["hispanic or latino", "white"]
+
+    # exactly one collect in similarities()
+    n_collects = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        n_collects.append(1)
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    out = m.similarities(src, tgt)
+    assert len(n_collects) == 1
+    monkeypatch.undo()
+    got = {(r["skey"], r["target_value"], r["similarity"]) for r in out.collect()}
+    assert got == {("hispanc", "white", 0.7), ("whte", "white", 0.7)}
+
+
 def test_gpt_value_matcher_requires_client(spark):
     from biomedical_data_integration_spark.operators.value_matching import (
         GptValueMatcher,
