@@ -468,9 +468,11 @@ def embedding_cosine_pairs(
         b = base.withColumnsRenamed({"id": "id_b", "v": "v_b", "nv": "n_b"})
         # a small vector table often arrives as ONE file split -> the
         # O(n²) scoring would run on one core; spread one side so the
-        # cartesian product parallelizes (tasks = a-partitions × b-partitions)
+        # product parallelizes. Broadcast nested-loop (b is under the
+        # brute-force gate, so broadcast-sized by construction) instead of
+        # crossJoin: CartesianProductExec pays a ~10 s fixed setup cost.
         par = df.sparkSession.sparkContext.defaultParallelism
-        joined = a.repartition(par).crossJoin(b).where(
+        joined = a.repartition(par).join(F.broadcast(b)).where(
             F.col("id_a") < F.col("id_b")
         )
     denom = F.col("n_a") * F.col("n_b")
@@ -682,3 +684,103 @@ def cross_corpus_contamination(
         )
         .where(F.col("containment") >= min_containment)
     )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    bits_hex_digits: int = 5,
+    num_hashes: int = 2,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom-gated decontamination: drop every training document sharing
+    ANY word shingle with the eval corpus, with the eval side folded into
+    a compact Bloom bitset so the 100 TB train side is a PURE FILTER — no
+    shuffle, no join, just ``num_hashes`` md5s per shingle against a
+    broadcast array literal.
+
+    The Bloom is built deterministically (positions = integer value of
+    the last ``bits_hex_digits`` hex chars of salted md5, so ``bits =
+    16^digits``), which keeps it engine-portable: a SQL oracle can
+    recompute the exact same position sets. Collisions only ever REMOVE
+    extra training docs (false-positive rate ~(set_bits/bits)^num_hashes)
+    — never leak a true contamination, the safe direction for hygiene.
+
+    Compare :func:`cross_corpus_contamination` (exact containment scores
+    via an inverted shingle index) — that is the audit tool; this is the
+    cheap ingest-time gate.
+
+    Returns the surviving train rows (original schema).
+    """
+    if not 1 <= bits_hex_digits <= 8:
+        raise ValueError("bits_hex_digits must be in [1, 8]")
+    bits = 16 ** bits_hex_digits
+    words = (bits + 63) // 64
+
+    def positions(sh: Column) -> list:
+        return [
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{h}|"), sh)),
+                    33 - bits_hex_digits,
+                    bits_hex_digits,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            for h in range(num_hashes)
+        ]
+
+    # eval side: |eval shingles| x num_hashes distinct positions, bounded
+    # by the (small by construction) eval corpus — the only collect
+    ev_pos = (
+        shingle_sets(eval_corpus, text_col, id_col, shingle_words)
+        .select("shingle")
+        .distinct()
+        .select(F.explode(F.array(*positions(F.col("shingle")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bitset = [0] * words
+    for r in ev_pos:
+        p = int(r["p"])
+        bitset[p >> 6] |= 1 << (p & 63)
+    # two's-complement to signed int64: bit 63 set would overflow the JVM
+    # long on the py4j boundary otherwise ((x >> b) & 1 still extracts
+    # correctly from negative longs under arithmetic shift)
+    bitset = [w - (1 << 64) if w >= (1 << 63) else w for w in bitset]
+    # ONE array literal (not 16k element expressions): plan size stays
+    # independent of the bit width, same pattern as the ANN hyperplanes
+    bloom = F.lit(bitset)
+
+    # one mask per bit position as a single array literal: shiftright()
+    # only takes a literal shift amount, and (word & mask) != 0 avoids
+    # shifting entirely
+    masks = F.lit(
+        [
+            (1 << b) - (1 << 64) if b == 63 else (1 << b)
+            for b in range(64)
+        ]
+    )
+
+    def is_set(p: Column) -> Column:
+        word = F.element_at(bloom, (p / F.lit(64)).cast("int") + 1)
+        mask = F.element_at(masks, (p % 64).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    def hit(sh: Column) -> Column:
+        cond = F.lit(True)
+        for p in positions(sh):
+            cond = cond & is_set(p)
+        return cond
+
+    # stage the shingle array in its own projection (HOF input staging,
+    # see PERF_NOTES), then a linear exists() — no shuffle on train
+    staged = train.withColumn(
+        "__sh", word_ngrams(_tokens(F.col(text_col)), shingle_words)
+    )
+    contaminated = F.exists(F.col("__sh"), hit)
+    return staged.where(~F.coalesce(contaminated, F.lit(False))).drop("__sh")

@@ -89,6 +89,48 @@ def hash_split(
     return df.withColumn(split_col, assigned)
 
 
+def mix_corpus_by_tokens(
+    df: DataFrame,
+    budgets: Mapping[str, Union[int, float]],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+    tokens_fn=None,
+) -> DataFrame:
+    """Token-budget corpus mixing — the data-mixing stage of a pretraining
+    pipeline: downsample each source so its EXPECTED surviving token count
+    hits the requested budget (sources over budget are thinned, sources at
+    or under budget pass through whole, sources without a budget drop).
+
+    Two stages, both scale-safe: ONE aggregation job computes per-source
+    token totals (output is source-count-sized), then the per-source
+    fraction ``min(1, budget / total)`` feeds the same shuffle-free
+    deterministic hash gate as :func:`stratified_sample` — no second scan
+    of token arrays, no per-group pass, reproducible on any cluster
+    layout. ``tokens_fn`` is the same tokenizer seam as
+    ``chunk_documents`` (inject a real subword tokenizer for BPE budgets).
+    """
+    from biomedical_data_integration_spark.operators.text import tokens_expr
+
+    tok = tokens_fn or tokens_expr
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.size(tok(F.col(text_col)))).alias("__t"))
+        .collect()
+    }
+    fractions: Dict[str, float] = {}
+    for src, total in totals.items():
+        budget = budgets.get(src)
+        if budget is None:
+            continue
+        fractions[src] = (
+            1.0 if not total else min(1.0, float(budget) / float(total))
+        )
+    return stratified_sample(df, source_col, key_col, fractions, salt=salt)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

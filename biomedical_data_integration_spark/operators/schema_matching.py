@@ -434,7 +434,11 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
             F.lit(0.0),
             lambda acc, v: acc + v,
         ) / F.size("qs_s")
-        scores = s.crossJoin(t).select(
+        # broadcast nested-loop, NOT CartesianProduct: both sides are
+        # column-count-sized, and CartesianProductExec carries a large
+        # fixed setup cost (~10 s measured even for a 1-task 66-row
+        # product) that BroadcastNestedLoopJoin doesn't
+        scores = s.join(F.broadcast(t)).select(
             "source",
             "target",
             F.round(1.0 / (1.0 + emd), config.SIMILARITY_SCALE).alias("similarity"),
@@ -571,24 +575,32 @@ class EmbeddingSchemaMatcher(BaseSchemaMatcher):
             emb_type = dict(both.dtypes)["embedding"]
             schema_s = f"source string, vec_s {emb_type}"
             schema_t = f"target string, vec_t {emb_type}"
+            # single-partition: createDataFrame defaults to
+            # defaultParallelism slices, and a 32x32-partition cartesian of
+            # two column-count-sized frames schedules 1024 near-empty tasks
+            # (measured 11 s of pure overhead on a 66-row product)
             s = spark.createDataFrame(
                 [(r["column_name"], r["embedding"]) for r in rows
                  if r["side"] == "s"],
                 schema_s,
-            )
+            ).coalesce(1)
             t = spark.createDataFrame(
                 [(r["column_name"], r["embedding"]) for r in rows
                  if r["side"] == "t"],
                 schema_t,
-            )
+            ).coalesce(1)
         else:
+            # column-count-sized outputs: collapse to one partition before
+            # the cartesian for the same task-count reason
             s = self.embedder.column_embeddings(source).withColumnsRenamed(
                 {"column_name": "source", "embedding": "vec_s"}
-            )
+            ).coalesce(1)
             t = self.embedder.column_embeddings(target).withColumnsRenamed(
                 {"column_name": "target", "embedding": "vec_t"}
-            )
-        joined = s.crossJoin(t)
+            ).coalesce(1)
+        # broadcast nested-loop beats CartesianProductExec's fixed setup
+        # cost (~10 s) for these column-count-sized sides
+        joined = s.join(F.broadcast(t))
         if self.metric == "cosine":
             sim = cosine(F.col("vec_s"), F.col("vec_t"))
         else:

@@ -199,3 +199,48 @@ def test_duplicate_clusters_distributed_path_matches_driver_path(spark):
         for r in duplicate_clusters(pairs, driver_threshold=0).collect()
     )
     assert got == want and want[0] == (1, 1)
+
+
+def test_bloom_decontaminate_removes_overlaps_keeps_clean(spark):
+    from biomedical_data_integration_spark.operators.dedup import (
+        bloom_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox appeared"),   # shares a shingle
+            (2, "completely unrelated words entirely here"),
+            (3, "zz"),                                     # < 3 tokens: no shingles
+            (4, None),                                     # null text survives
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"] for r in bloom_decontaminate(tr, ev).collect()}
+    assert 1 not in got           # true contamination always removed
+    assert {2, 3, 4} <= got       # tiny bloom load -> no false positives here
+
+
+def test_bloom_decontaminate_is_conservative_superset_of_exact(spark):
+    """Bloom removals must be a superset of exact shingle-overlap removals
+    (false positives allowed, false negatives never)."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        bloom_decontaminate,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    surv = {r["doc_id"] for r in bloom_decontaminate(tr, ev).select("doc_id").collect()}
+    ev_sh = shingle_sets(ev, "text", "doc_id").select("shingle").distinct()
+    exact_hits = {
+        r["id"]
+        for r in shingle_sets(tr, "text", "doc_id")
+        .join(ev_sh, "shingle").select("id").distinct().collect()
+    }
+    # nothing with a REAL overlap may survive the bloom gate
+    assert not (surv & exact_hits)

@@ -84,3 +84,32 @@ def test_stratified_sample_scalar_fraction(spark):
     df = spark.createDataFrame([(i, "x") for i in range(500)], ["key", "s"])
     n = stratified_sample(df, "s", "key", 0.2).count()
     assert 60 < n < 140
+
+
+def test_mix_corpus_by_tokens_budgets(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        mix_corpus_by_tokens,
+    )
+
+    rows = []
+    for i in range(200):
+        src = f"s{i % 2}"
+        rows.append((i, src, "tok " * 10))  # 10 tokens each
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # s0: 1000 total tokens, budget 250 -> keep ~1/4; s1: over-budget ->
+    # keep all; s2 absent from data; sX missing budget -> dropped
+    out = mix_corpus_by_tokens(docs, {"s0": 250, "s1": 10_000})
+    by_src = {r["source"]: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert by_src["s1"] == 100           # under budget: keep everything
+    assert 10 <= by_src.get("s0", 0) <= 45   # ~25 expected at fraction 0.25
+
+    none_budgeted = mix_corpus_by_tokens(docs, {"zzz": 100})
+    assert none_budgeted.count() == 0    # sources without budget drop
+
+    # deterministic: same rows on re-run and under repartitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"]
+         for r in mix_corpus_by_tokens(
+             docs.repartition(7), {"s0": 250, "s1": 10_000}).collect()}
+    assert a == b
