@@ -9,6 +9,13 @@ from biomedical_data_integration_spark.sources.readers import (
     read_parquet,
     register_views,
 )
+from biomedical_data_integration_spark.sources.writers import (
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_training_shards,
+)
 from biomedical_data_integration_spark.sources.standards import (
     DataFrameStandard,
     DictStandard,
@@ -19,6 +26,11 @@ from biomedical_data_integration_spark.sources.standards import (
 )
 
 __all__ = [
+    "write_bucketed_table",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+    "write_training_shards",
     "TPCH_TABLES",
     "DataFrameStandard",
     "DictStandard",

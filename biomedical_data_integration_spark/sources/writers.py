@@ -18,9 +18,11 @@ the value is the scale-relevant defaults, not abstraction:
 
 from __future__ import annotations
 
-from typing import List, Optional
+import math
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -53,6 +55,81 @@ def write_csv(
 
 def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_tokens: int = 5_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "error",
+    tokens_fn=None,
+) -> List[Dict]:
+    """Write a corpus as token-balanced parquet shards plus a manifest —
+    the layout a pretraining data loader consumes (shards small enough to
+    stream, counts known up front for scheduling/epoch math).
+
+    Sharding is ``md5(doc_id) mod n_shards`` with ``n_shards = ceil(total
+    tokens / shard_tokens)`` — deterministic under reruns and any cluster
+    layout, and token-balanced across shards by hash uniformity (law of
+    large numbers; no global sort, no skew key). Three passes, all
+    scale-bounded: one agg for the total, one write (directory-partitioned
+    by shard, so loaders prune to a shard without listing others), and one
+    column-pruned read-back of ``(shard, n_tokens)`` that both builds the
+    manifest and verifies what actually landed on disk. ``n_tokens`` is
+    stored per row — downstream packing/mixing reuses it without
+    re-tokenizing. ``tokens_fn`` is the usual tokenizer seam.
+
+    Returns the manifest rows ({shard, n_docs, n_tokens}); also written to
+    ``<path>/_manifest`` as single-file JSON.
+    """
+    from biomedical_data_integration_spark.operators.text import tokens_expr
+
+    tok = tokens_fn or tokens_expr
+    sized = df.withColumn(
+        "n_tokens", F.size(tok(F.col(text_col))).cast("bigint")
+    ).withColumn(
+        "n_tokens", F.greatest(F.col("n_tokens"), F.lit(0).cast("bigint"))
+    )
+    total = sized.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    n_shards = max(1, math.ceil(total / shard_tokens)) if shard_tokens else 1
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard|"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    )
+    (
+        sized.withColumn("shard", shard)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    manifest_df = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    rows = manifest_df.collect()
+    (
+        spark.createDataFrame(rows, manifest_df.schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path}/_manifest")
+    )
+    return [r.asDict() for r in rows]
 
 
 def write_bucketed_table(

@@ -99,3 +99,81 @@ def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_write_training_shards_balanced_and_deterministic(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, shard_tokens=5_000)
+    # ~28k corpus tokens / 5k budget -> ~6 shards
+    assert 3 <= len(manifest) <= 12
+    assert sum(m["n_docs"] for m in manifest) == docs.count()
+    total_tokens = sum(m["n_tokens"] for m in manifest)
+    assert total_tokens > 0
+    # hash sharding balances tokens (loose bound: no shard > 3x the mean)
+    mean = total_tokens / len(manifest)
+    assert all(m["n_tokens"] < 3 * mean for m in manifest)
+
+    # read-back: shard partitioning prunes, n_tokens stored per row
+    back = spark.read.parquet(out)
+    assert "n_tokens" in back.columns and "shard" in back.columns
+    one = back.where(F.col("shard") == manifest[0]["shard"])
+    assert one.count() == manifest[0]["n_docs"]
+
+    # manifest JSON round-trips
+    mf = spark.read.json(f"{out}/_manifest")
+    assert mf.count() == len(manifest)
+
+    # deterministic: a rewrite assigns every doc to the same shard
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, shard_tokens=5_000)
+    a = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(out)
+         .select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(out2)
+         .select("doc_id", "shard").collect()}
+    assert a == b
+
+
+def test_stateless_text_ops_compile_on_streams(spark, tmp_path):
+    """chunk_documents / detect_language / materialize are stateless
+    projections, so the same plan builders run unchanged on a streaming
+    DataFrame — the batch face is the stream's backfill."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        chunk_documents,
+        detect_language,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog go to the market"),
+         (2, "el perro y el gato en la casa es que un dia")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    sq = (
+        detect_language(chunk_documents(stream, chunk_tokens=8, overlap=2)
+                        .withColumnRenamed("chunk_text", "text"))
+        .writeStream.format("memory").queryName("chunk_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    got = spark.sql("select * from chunk_stream_test").collect()
+    want = detect_language(
+        chunk_documents(docs, chunk_tokens=8, overlap=2)
+        .withColumnRenamed("chunk_text", "text")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    langs = {r["id"]: r["detected_lang"] for r in got}
+    assert langs[1] == "en" and langs[2] == "es"
