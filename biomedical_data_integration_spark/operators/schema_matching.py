@@ -575,29 +575,28 @@ class EmbeddingSchemaMatcher(BaseSchemaMatcher):
             emb_type = dict(both.dtypes)["embedding"]
             schema_s = f"source string, vec_s {emb_type}"
             schema_t = f"target string, vec_t {emb_type}"
-            # single-partition: createDataFrame defaults to
-            # defaultParallelism slices, and a 32x32-partition cartesian of
-            # two column-count-sized frames schedules 1024 near-empty tasks
-            # (measured 11 s of pure overhead on a 66-row product)
+            # NO coalesce(1) here: a python-list createDataFrame scans via
+            # Python workers per parallelize slice, and coalescing makes
+            # ONE task pay every slice's worker startup SEQUENTIALLY
+            # (measured 8 s on a 17-row frame); left parallel they cost
+            # ~0.6 s, and the broadcast join below needs no repartition
             s = spark.createDataFrame(
                 [(r["column_name"], r["embedding"]) for r in rows
                  if r["side"] == "s"],
                 schema_s,
-            ).coalesce(1)
+            )
             t = spark.createDataFrame(
                 [(r["column_name"], r["embedding"]) for r in rows
                  if r["side"] == "t"],
                 schema_t,
-            ).coalesce(1)
+            )
         else:
-            # column-count-sized outputs: collapse to one partition before
-            # the cartesian for the same task-count reason
             s = self.embedder.column_embeddings(source).withColumnsRenamed(
                 {"column_name": "source", "embedding": "vec_s"}
-            ).coalesce(1)
+            )
             t = self.embedder.column_embeddings(target).withColumnsRenamed(
                 {"column_name": "target", "embedding": "vec_t"}
-            ).coalesce(1)
+            )
         # broadcast nested-loop beats CartesianProductExec's fixed setup
         # cost (~10 s) for these column-count-sized sides
         joined = s.join(F.broadcast(t))

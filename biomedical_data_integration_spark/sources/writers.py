@@ -123,9 +123,13 @@ def write_training_shards(
         .orderBy("shard")
     )
     rows = manifest_df.collect()
+    # repartition(1), not coalesce(1): python-list frames scan via a Python
+    # worker per parallelize slice, and coalesce makes one task pay every
+    # slice's worker startup sequentially; the shuffle keeps map tasks
+    # parallel and still lands one JSON file
     (
         spark.createDataFrame(rows, manifest_df.schema)
-        .coalesce(1)
+        .repartition(1)
         .write.mode("overwrite")
         .json(f"{path}/_manifest")
     )
