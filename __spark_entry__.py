@@ -1592,6 +1592,114 @@ WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT id FROM hits)
 """
 
 
+_MULTILINE_DOC = (
+    "concat(text, '\\n', text, '\\n', 'END ', CAST(doc_id % 7 AS STRING))"
+)
+_MULTILINE_DOC_SQL = (
+    "text || chr(10) || text || chr(10) || 'END ' || CAST(doc_id % 7 AS VARCHAR)"
+)
+TOKEN_IDS_VOCAB = 150
+
+
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup on derived multi-line docs (each doc's
+    text repeated + a per-doc trailer line — first repeat must vanish,
+    trailer must survive)."""
+    from biomedical_data_integration_spark.operators.text import dedup_lines
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    multi = docs.select("doc_id", F.expr(_MULTILINE_DOC).alias("text"))
+    return dedup_lines(multi)
+
+
+def _dedup_lines_sql() -> str:
+    return f"""
+WITH multi AS (
+  SELECT doc_id AS id, {_MULTILINE_DOC_SQL} AS text FROM documents
+),
+lines AS (
+  SELECT id, l[i + 1] AS line, i
+  FROM (SELECT id, string_split(text, chr(10)) AS l FROM multi),
+       unnest(range(0, CAST(len(l) AS BIGINT))) AS u(i)
+),
+firsts AS (
+  SELECT id, line, min(i) AS fi FROM lines GROUP BY id, line
+)
+SELECT f.id,
+       string_agg(f.line, chr(10) ORDER BY f.fi) AS text,
+       (SELECT CAST(count(*) AS BIGINT) FROM lines x WHERE x.id = f.id) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_unique_lines
+FROM firsts f GROUP BY f.id
+"""
+
+
+def _q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import encode_token_ids
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    out = encode_token_ids(docs, vocab_size=TOKEN_IDS_VOCAB)
+    # CSV-serialize the id array for the comparer (same convention as
+    # embedding_quantize_int8 — array-typed outputs canonicalize
+    # inconsistently across engines)
+    return out.select(
+        "id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_ids_csv"
+        ),
+    )
+
+
+def _token_ids_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+WITH tok AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+counts AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY token
+),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS INTEGER) AS vid
+  FROM counts ORDER BY n DESC, token ASC LIMIT {TOKEN_IDS_VOCAB}
+),
+pos AS (
+  SELECT id, toks[i + 1] AS token, i
+  FROM tok, unnest(range(0, CAST(len(toks) AS BIGINT))) AS u(i)
+),
+ids AS (
+  SELECT p.id,
+         string_agg(CAST(coalesce(v.vid, -1) AS VARCHAR), ',' ORDER BY p.i)
+           AS token_ids_csv
+  FROM pos p LEFT JOIN vocab v ON p.token = v.token GROUP BY p.id
+)
+SELECT t.id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       coalesce(i.token_ids_csv, '') AS token_ids_csv
+FROM tok t LEFT JOIN ids i ON t.id = i.id
+"""
+
+
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biomedical_data_integration_spark.operators.text import classifier_score
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return classifier_score(docs).select("doc_id", "clf_score")
+
+
+def _classifier_score_sql() -> str:
+    # weight application order mirrors the Spark side's sorted(weights)
+    # fold exactly — float addition is not associative
+    return f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(0.0
+             + 2.0 * alpha_ratio
+             + (-2.0) * digit_ratio
+             + 1.0 * distinct_token_ratio
+             + (-1.0) * punct_ratio
+             + 3.0 * stopword_ratio))), 6) AS clf_score
+FROM ({_quality_sql()})
+"""
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.operators.dedup import (
         exact_duplicate_groups,
@@ -2342,6 +2450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_documents": _q_bloom_decontaminate,
         "tpch_q10_returned_items": _q_tpch_q10,
         "tpch_q17_small_quantity": _q_tpch_q17,
+        "text_dedup_lines_documents": _q_dedup_lines,
+        "text_token_ids_documents": _q_token_ids,
+        "text_classifier_score_documents": _q_classifier_score,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -2365,14 +2476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_embeddings": _q_ann_cosine,
         "ann_lsh_topk_embeddings": _q_ann_lsh,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
-        "text_lang_id_documents": _q_lang_id,
         "text_quality_documents": _q_quality,
-        "text_token_counts_documents": _q_token_counts,
         "events_tumbling_hourly": _q_events_tumbling,
         "events_sessionize_30m": _q_events_sessionize,
         "split_hash_documents": _q_split_hash,
         "sample_stratified_orders": _q_sample_stratified,
-        "corpus_vocabulary_documents": _q_corpus_vocabulary,
         "embedding_quantize_int8": _q_quantize_embeddings,
         "text_redact_pii_documents": _q_redact_pii,
         "text_repetition_documents": _q_repetition,
@@ -2386,6 +2494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_exact_documents": _q_dedup_drop_exact,
         "simhash_documents": _q_simhash,
         "doc_fingerprints_documents": _q_fingerprints,
+        "text_lang_id_documents": _q_lang_id,
+        "text_token_counts_documents": _q_token_counts,
+        "corpus_vocabulary_documents": _q_corpus_vocabulary,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_top_revenue": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
@@ -2775,6 +2886,9 @@ WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
 """,
+        "text_dedup_lines_documents": _dedup_lines_sql(),
+        "text_token_ids_documents": _token_ids_sql(),
+        "text_classifier_score_documents": _classifier_score_sql(),
         "mix_corpus_by_tokens_documents": _mix_corpus_sql(),
         "decontaminate_bloom_documents": _bloom_decontaminate_sql(),
         "split_hash_documents": _hash_split_sql(),

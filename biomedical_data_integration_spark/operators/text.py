@@ -451,3 +451,120 @@ def unigram_surprisal(
         )
     )
     return scored
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document line dedup — the boilerplate-removal stage (repeated
+    nav/footer/quote lines inside one document; cf. the line-level rules in
+    C4/RefinedWeb-style cleaning). Keeps the FIRST occurrence of each line,
+    preserving order; pure per-row expressions (``split`` +
+    ``array_distinct``, which is order-preserving), no shuffle, no Python.
+
+    Returns (id, text, n_lines, n_unique_lines) with ``text`` rebuilt from
+    the surviving lines.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(uniq, "\n").alias("text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(uniq).cast("bigint").alias("n_unique_lines"),
+    )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Corpus-fitted token-id encoding: build the top-``vocab_size``
+    vocabulary (count desc, token asc — fully deterministic ranks, ids are
+    0-based ranks) in one distributed aggregation, then map every document
+    to its id sequence via a broadcast map literal — per-row transform, no
+    per-doc shuffle, OOV tokens get ``oov_id``.
+
+    This is the tokenize→ids stage of a training pipeline with the corpus
+    itself as the (unigram) vocabulary; a real subword vocab drops in by
+    replacing the fitted map. The vocabulary collect is ``vocab_size``
+    rows — driver-safe by construction.
+
+    Returns (id, n_tokens, token_ids array<int>).
+    """
+    toks_df = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    counts = (
+        toks_df.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("__n"))
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # partial top-k, never a single-partition global sort (a global-window
+    # row_number would move every distinct token to one task); rank
+    # assignment happens on the collected vocab_size rows
+    top = (
+        counts.orderBy(F.desc("__n"), F.asc("token"))
+        .limit(vocab_size)
+        .collect()
+    )
+    mapping = F.create_map(
+        *[x for i, r in enumerate(top) for x in (F.lit(r["token"]), F.lit(i))]
+    ) if top else F.create_map()
+    ids = F.transform(
+        F.col("__toks"),
+        lambda t: F.coalesce(
+            F.element_at(mapping, t), F.lit(oov_id)
+        ).cast("int"),
+    )
+    return toks_df.select(
+        "id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        ids.alias("token_ids"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: dict | None = None,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Linear quality classifier over the :func:`quality_features` columns:
+    ``sigmoid(bias + sum_f weights[f] * feature_f)`` — the seam where a
+    TRAINED fasttext/logreg quality model's coefficients drop in (the
+    engine ships a deterministic default so the stage is testable without
+    model files). Pure expressions on top of the feature projection — one
+    linear scan, no shuffle.
+
+    Returns the input columns + n_tokens + the feature columns + out_col.
+    """
+    if weights is None:
+        weights = {
+            "alpha_ratio": 2.0,
+            "stopword_ratio": 3.0,
+            "distinct_token_ratio": 1.0,
+            "digit_ratio": -2.0,
+            "punct_ratio": -1.0,
+        }
+    feats = quality_features(df, text_col=text_col)
+    bad = set(weights) - {
+        "mean_token_len", "alpha_ratio", "digit_ratio", "punct_ratio",
+        "stopword_ratio", "distinct_token_ratio", "n_tokens",
+        "quality_score",
+    }
+    if bad:
+        raise ValueError(f"Unknown feature(s) in weights: {sorted(bad)}")
+    z = F.lit(float(bias))
+    for feat, wgt in sorted(weights.items()):
+        z = z + F.lit(float(wgt)) * F.col(feat)
+    score = 1.0 / (1.0 + F.exp(-z))
+    return feats.withColumn(
+        out_col, F.round(score, config.SIMILARITY_SCALE)
+    )

@@ -310,3 +310,55 @@ def test_pack_sequences_bins_are_dense(spark, sizes, budget):
             assert r["bin"] == excl // budget
             assert r["bin_offset"] == excl % budget
             excl += r["n_tokens"]
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from biomedical_data_integration_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nbeta\nalpha\ngamma\nbeta"), (2, "solo"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in dedup_lines(docs).collect()}
+    assert rows[1]["text"] == "alpha\nbeta\ngamma"
+    assert (rows[1]["n_lines"], rows[1]["n_unique_lines"]) == (5, 3)
+    assert rows[2]["text"] == "solo" and rows[2]["n_unique_lines"] == 1
+    assert rows[3]["n_lines"] == 1  # empty text is one empty line
+
+
+def test_encode_token_ids_ranks_and_oov(spark):
+    from biomedical_data_integration_spark.operators.text import encode_token_ids
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a z b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    # counts: b=4, a=3, c=1, z=1 -> vocab_size=3 keeps b(0) a(1) c(2); z OOV
+    rows = {r["id"]: r for r in encode_token_ids(docs, vocab_size=3).collect()}
+    assert rows[1]["token_ids"] == [0, 0, 0, 1, 1, 2]
+    assert rows[2]["token_ids"] == [1, -1, 0]
+    assert rows[3]["token_ids"] == [] and rows[3]["n_tokens"] == 0
+
+
+def test_classifier_score_weight_injection(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.text import (
+        classifier_score,
+        quality_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the dog")], ["doc_id", "text"]
+    )
+    feats = quality_features(docs).collect()[0]
+    out = classifier_score(
+        docs, weights={"alpha_ratio": 1.5}, bias=-0.25
+    ).collect()[0]
+    want = 1.0 / (1.0 + math.exp(-(-0.25 + 1.5 * feats["alpha_ratio"])))
+    assert abs(out["clf_score"] - round(want, 6)) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="Unknown feature"):
+        classifier_score(docs, weights={"not_a_feature": 1.0})

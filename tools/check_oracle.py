@@ -27,6 +27,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
+        # DuckDB list columns arrive as numpy arrays; normalize to Python
+        # lists BEFORE the None/NaN test (ndarray truth-value ambiguity)
+        if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+            v = v.tolist()
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
