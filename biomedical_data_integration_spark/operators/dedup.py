@@ -749,26 +749,25 @@ def bloom_decontaminate(
         p = int(r["p"])
         bitset[p >> 6] |= 1 << (p & 63)
     # two's-complement to signed int64: bit 63 set would overflow the JVM
-    # long on the py4j boundary otherwise ((x >> b) & 1 still extracts
-    # correctly from negative longs under arithmetic shift)
+    # long on the py4j boundary otherwise ((x & mask) still extracts
+    # correctly from negative longs)
     bitset = [w - (1 << 64) if w >= (1 << 63) else w for w in bitset]
-    # ONE array literal (not 16k element expressions): plan size stays
-    # independent of the bit width, same pattern as the ANN hyperplanes
-    bloom = F.lit(bitset)
-
-    # one mask per bit position as a single array literal: shiftright()
-    # only takes a literal shift amount, and (word & mask) != 0 avoids
-    # shifting entirely
-    masks = F.lit(
-        [
-            (1 << b) - (1 << 64) if b == 63 else (1 << b)
-            for b in range(64)
-        ]
+    masks = [
+        (1 << b) - (1 << 64) if b == 63 else (1 << b) for b in range(64)
+    ]
+    # ship the bitset as a 1-row BROADCAST side, not an array "literal":
+    # pyspark's F.lit(list) expands to a CreateArray of one Literal PER
+    # ELEMENT, and interpreted evaluation rebuilds that 16k-expression
+    # array per row — measured ~14 s on a 4.5k-doc filter; as a broadcast
+    # column the array is materialized once (1.5 s, and flat to 8x docs)
+    spark = train.sparkSession
+    aux = spark.createDataFrame(
+        [(bitset, masks)], "__bloom array<bigint>, __masks array<bigint>"
     )
 
     def is_set(p: Column) -> Column:
-        word = F.element_at(bloom, (p / F.lit(64)).cast("int") + 1)
-        mask = F.element_at(masks, (p % 64).cast("int") + 1)
+        word = F.element_at(F.col("__bloom"), (p / F.lit(64)).cast("int") + 1)
+        mask = F.element_at(F.col("__masks"), (p % 64).cast("int") + 1)
         return word.bitwiseAND(mask) != 0
 
     def hit(sh: Column) -> Column:
@@ -778,9 +777,13 @@ def bloom_decontaminate(
         return cond
 
     # stage the shingle array in its own projection (HOF input staging,
-    # see PERF_NOTES), then a linear exists() — no shuffle on train
+    # see PERF_NOTES), then a linear exists() — the train side stays a
+    # broadcast-join + filter, no shuffle
     staged = train.withColumn(
         "__sh", word_ngrams(_tokens(F.col(text_col)), shingle_words)
-    )
+    ).join(F.broadcast(aux))
     contaminated = F.exists(F.col("__sh"), hit)
-    return staged.where(~F.coalesce(contaminated, F.lit(False))).drop("__sh")
+    return (
+        staged.where(~F.coalesce(contaminated, F.lit(False)))
+        .drop("__sh", "__bloom", "__masks")
+    )
