@@ -1,0 +1,152 @@
+"""Data-profiling operators: per-column table profiles and schema drift.
+
+The reference's closest surface is ``preview_domain`` (one column at a
+time, ``bdikit/api.py:495-552``); real harmonization work starts with a
+whole-table profile and, over time, with detecting how a source drifted
+from the version a mapping was built against. Both operators are engine
+extensions in that spirit.
+
+Scale shape: both profile passes are ONE native unpivot (single Expand
+over one scan) feeding a per-column aggregation — never a per-column
+query loop, never a driver-side row pull; outputs are column-count-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark import config
+
+
+def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
+    """Per-column profile: (column, dtype, n_rows, n_nulls, n_distinct,
+    min_value, max_value).
+
+    One unpivot scan + one groupBy — adding columns widens the Expand, it
+    does not add passes. Values are profiled in their STRING form so one
+    output schema covers every column type (min/max are therefore
+    lexicographic — fine for domain eyeballing, documented). Null counts
+    come from ``n_rows - count(value)`` so the unpivot can keep its
+    null-dropping filter off. ``exact_distinct=False`` switches to
+    ``approx_count_distinct`` — the 100 TB default, same plan shape.
+    """
+    cols = df.columns
+    dtypes = dict(df.dtypes)
+    n_rows = df.count()  # one cheap scalar job; rides the plan as a literal
+    long = df.select(
+        [F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], cols, "column", "value")
+    distinct_agg = (
+        F.countDistinct("value")
+        if exact_distinct
+        else F.approx_count_distinct("value")
+    )
+    prof = long.groupBy("column").agg(
+        F.count("value").alias("__nonnull"),
+        distinct_agg.alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    dtype_expr = F.coalesce(
+        *[
+            F.when(F.col("column") == c, F.lit(dtypes[c]))
+            for c in cols
+        ]
+    )
+    return prof.select(
+        "column",
+        dtype_expr.alias("dtype"),
+        F.lit(n_rows).cast("bigint").alias("n_rows"),
+        (F.lit(n_rows) - F.col("__nonnull")).cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint"),
+        "min_value",
+        "max_value",
+    )
+
+
+def detect_schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    domain_threshold: float = 0.5,
+) -> DataFrame:
+    """Structural + domain drift between two versions of a table — the
+    check that tells you an existing harmonization mapping needs review.
+
+    Output: (column, status, old_type, new_type, domain_jaccard) where
+    status is one of ``added`` / ``removed`` / ``type_changed`` /
+    ``domain_drift`` / ``stable``. Structural comparison is driver-side
+    (schemas are metadata); domain comparison is ONE distributed job —
+    both tables' shared string columns unpivot to (column, value) long
+    forms whose per-column distinct-value Jaccard feeds the drift flag
+    (``jaccard < domain_threshold`` on a shared column ⇒ ``domain_drift``).
+    """
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        _unpivot_strings,
+    )
+
+    old_types = dict(old.dtypes)
+    new_types = dict(new.dtypes)
+    spark = old.sparkSession
+
+    structural = []
+    for c in old.columns:
+        if c not in new_types:
+            structural.append((c, "removed", old_types[c], None))
+    for c in new.columns:
+        if c not in old_types:
+            structural.append((c, "added", None, new_types[c]))
+    shared = [c for c in old.columns if c in new_types]
+    typed = []
+    for c in shared:
+        if old_types[c] != new_types[c]:
+            structural.append((c, "type_changed", old_types[c], new_types[c]))
+        else:
+            typed.append(c)
+
+    shared_str = [c for c in typed if old_types[c] == "string"]
+    base = spark.createDataFrame(
+        structural + [(c, None, old_types[c], new_types[c]) for c in typed],
+        "column string, status string, old_type string, new_type string",
+    )
+    if shared_str:
+        o = _unpivot_strings(old.select(*shared_str), "column", "val")
+        n = _unpivot_strings(new.select(*shared_str), "column", "val")
+        inter = (
+            o.join(n, ["column", "val"])
+            .groupBy("column")
+            .agg(F.count("*").alias("__i"))
+        )
+        sizes_o = o.groupBy("column").agg(F.count("*").alias("__no"))
+        sizes_n = n.groupBy("column").agg(F.count("*").alias("__nn"))
+        jac = (
+            sizes_o.join(sizes_n, "column", "outer")
+            .join(inter, "column", "left")
+            .select(
+                "column",
+                F.round(
+                    F.coalesce(F.col("__i"), F.lit(0))
+                    / (
+                        F.coalesce(F.col("__no"), F.lit(0))
+                        + F.coalesce(F.col("__nn"), F.lit(0))
+                        - F.coalesce(F.col("__i"), F.lit(0))
+                    ),
+                    config.SIMILARITY_SCALE,
+                ).alias("domain_jaccard"),
+            )
+        )
+        out = base.join(F.broadcast(jac), "column", "left")
+    else:
+        out = base.withColumn("domain_jaccard", F.lit(None).cast("double"))
+    status = F.coalesce(
+        F.col("status"),
+        F.when(
+            F.col("domain_jaccard").isNotNull()
+            & (F.col("domain_jaccard") < domain_threshold),
+            F.lit("domain_drift"),
+        ).otherwise(F.lit("stable")),
+    )
+    return out.select(
+        "column", status.alias("status"), "old_type", "new_type",
+        "domain_jaccard",
+    )
