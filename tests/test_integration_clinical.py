@@ -86,3 +86,55 @@ def test_clinical_top_matches_contains_expected(clinical):
     )
     targets = [r["target"] for r in tm.collect()]
     assert "figo_stage" in targets
+
+
+def test_training_data_pipeline_composition(spark, tmp_path):
+    """The full corpus-preparation chain composes: mix (token budgets) ->
+    bloom decontaminate -> line dedup -> chunk -> pack -> shard write.
+    Verifies row/token conservation invariants at each stage."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.dedup import (
+        bloom_decontaminate,
+    )
+    from biomedical_data_integration_spark.operators.sampling import (
+        mix_corpus_by_tokens,
+    )
+    from biomedical_data_integration_spark.operators.text import (
+        chunk_documents,
+        dedup_lines,
+        pack_sequences,
+    )
+    from biomedical_data_integration_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evalset = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+
+    budgets = {f"src{i}": 1200 for i in range(20)}
+    mixed = mix_corpus_by_tokens(corpus, budgets)
+    n_mixed = mixed.count()
+    assert 0 < n_mixed <= corpus.count()
+
+    clean = bloom_decontaminate(mixed, evalset)
+    n_clean = clean.count()
+    assert n_clean <= n_mixed
+
+    deduped = dedup_lines(clean)
+    assert deduped.count() == n_clean  # row-preserving
+
+    chunks = chunk_documents(deduped, text_col="text", id_col="id",
+                             chunk_tokens=16, overlap=4)
+    assert chunks.count() >= n_clean - deduped.where(
+        F.length(F.trim("text")) == 0).count()
+
+    packed = pack_sequences(deduped, text_col="text", id_col="id",
+                            budget_tokens=64, buckets=4)
+    assert packed.count() == n_clean
+
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(deduped, out, shard_tokens=2_000,
+                                     text_col="text", id_col="id")
+    assert sum(m["n_docs"] for m in manifest) == n_clean
