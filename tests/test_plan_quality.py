@@ -1,0 +1,65 @@
+"""Physical-plan quality gate over every entry query.
+
+Correctness oracles prove the math; this suite proves the PLANS stay
+scale-shaped: no CartesianProduct anywhere (BroadcastNestedLoopJoin is
+the sanctioned cross-product form — CartesianProductExec carries a
+pathological fixed cost, see PERF_NOTES), and no row-at-a-time Python
+UDF on any default path (BatchEvalPython; Arrow-batched pandas exec
+nodes are allowed where declared). A regression that sneaks either node
+into a query plan fails here even while results stay correct.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans legitimately contain Arrow-batched Python exec
+# nodes (mapInPandas codecs / pandas-UDF mappers)
+ARROW_OK = {
+    "multimodal_image_features",   # mapInPandas decode
+    "harmonize_lineitem",          # FunctionValueMapper (pandas UDF)
+    "harmonize_end_to_end",        # user-owned lambda mapper
+}
+
+
+def _plans(spark):
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF)
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    return dict(_plans(spark))
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_no_row_at_a_time_python_udf(all_plans):
+    offenders = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-python UDF in: {offenders}"
+
+
+def test_arrow_python_only_where_declared(all_plans):
+    offenders = [
+        n for n, p in all_plans.items()
+        if ("ArrowEvalPython" in p or "MapInPandas" in p) and n not in ARROW_OK
+    ]
+    assert not offenders, f"undeclared Arrow/pandas exec in: {offenders}"
+
+
+def test_filtered_scans_push_predicates(all_plans):
+    """Queries that filter the fact tables must reach the parquet scan
+    with pushed filters (spot-check on plans whose shape guarantees it)."""
+    for name in ("tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+                 "decontaminate_bloom_documents"):
+        plan = all_plans[name]
+        assert "PushedFilters: [" in plan, name
+        # at least one actually-pushed predicate, not an empty list
+        seg = plan.split("PushedFilters: [", 1)[1]
+        assert not seg.startswith("]"), f"{name}: empty PushedFilters"
