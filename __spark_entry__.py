@@ -2416,6 +2416,102 @@ def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 top-supplier pattern: revenue view per supplier for a
+    quarter, return the argmax supplier(s) — scalar subquery over an
+    aggregate. Spark-first: the revenue view computes once and a window
+    max over an empty frame replaces the second scan the correlated
+    formulation implies."""
+    from pyspark.sql import Window
+
+    supplier, lineitem = _tables(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        revenue.withColumn("__mx", F.max("total_revenue").over(w))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 pattern (supplier-count per part attribute group with a
+    NOT-IN supplier exclusion) adapted to the testdata schema: lineitem
+    is the part-supplier bridge, and the excluded suppliers are those
+    with negative account balance (stand-in for the complaints LIKE)."""
+    part, supplier, lineitem = _tables(
+        spark, sf_dir, "part", "supplier", "lineitem"
+    )
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                part.where(F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 pattern (nested semi-join chain): suppliers in a nation
+    who shipped MORE than half of the total shipped quantity of some
+    PROMO part in 1996 — part-filter semi-join into a per-(part,supplier)
+    threshold against a per-part total, then a supplier semi-join.
+    Spark-first: the correlated half-of-total subquery is a window sum
+    over the part key — one shuffle, no second lineitem scan."""
+    from pyspark.sql import Window
+
+    part, supplier, lineitem, nation = _tables(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation"
+    )
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    heavy = (
+        shipped.withColumn("__tot", F.sum("__qty").over(w))
+        .where(F.col("__qty") > 0.5 * F.col("__tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+        .join(
+            F.broadcast(nation.where(F.col("n_name").isin("NATION_2", "NATION_4"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.streaming import tumbling_window_agg
 
@@ -2541,6 +2637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_score_documents": _q_classifier_score,
         "profile_table_orders": _q_profile_orders,
         "schema_drift_orders": _q_schema_drift,
+        "tpch_q15_top_supplier": _q_tpch_q15,
+        "tpch_q16_supplier_cnt": _q_tpch_q16,
+        "tpch_q20_promo_share_suppliers": _q_tpch_q20,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -2565,9 +2664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_embeddings": _q_ann_lsh,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
         "text_quality_documents": _q_quality,
-        "events_tumbling_hourly": _q_events_tumbling,
-        "events_sessionize_30m": _q_events_sessionize,
-        "split_hash_documents": _q_split_hash,
         "sample_stratified_orders": _q_sample_stratified,
         "embedding_quantize_int8": _q_quantize_embeddings,
         "text_chunk_documents": _q_text_chunks,
@@ -2585,6 +2681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocabulary_documents": _q_corpus_vocabulary,
         "text_redact_pii_documents": _q_redact_pii,
         "text_repetition_documents": _q_repetition,
+        "events_tumbling_hourly": _q_events_tumbling,
+        "events_sessionize_30m": _q_events_sessionize,
+        "split_hash_documents": _q_split_hash,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_top_revenue": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
@@ -2973,6 +3072,46 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+        "tpch_q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+        "tpch_q16_supplier_cnt": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) b
+JOIN part ON p_partkey = b.l_partkey
+WHERE p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+""",
+        "tpch_q20_promo_share_suppliers": """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey AS pk, sum(qty) AS total FROM shipped GROUP BY 1)
+SELECT s_suppkey, s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name IN ('NATION_2', 'NATION_4')
+  AND s_suppkey IN (
+    SELECT sh.l_suppkey FROM shipped sh JOIN tot ON sh.l_partkey = tot.pk
+    WHERE sh.qty > 0.5 * tot.total)
 """,
         "profile_table_orders": _profile_orders_sql(),
         "schema_drift_orders": _schema_drift_sql(),
