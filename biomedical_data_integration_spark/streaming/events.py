@@ -376,12 +376,15 @@ def streaming_asof_join(
     by: tuple = ("user_id",),
     value_cols: list | None = None,
     right_ts_alias: str = "asof_ts",
+    tolerance_seconds: int | None = None,
     state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming face of :func:`operators.joins.asof_join` — each left row
     gains the value columns of the latest right row with
     ``right.ts <= left.ts`` per key, carried ACROSS microbatches via
     custom managed state (``applyInPandasWithState``).
+    ``tolerance_seconds`` nulls out matches older than the window, like
+    the batch twin.
 
     The state per key is exactly what the batch window carries at the
     partition frontier: the last right (ts, value...) tuple. Each batch
@@ -473,6 +476,15 @@ def streaming_asof_join(
         out[right_ts_alias] = carried.loc[out.index, "__rts"]
         for c, rc in zip(value_cols, rv_cols):
             out[c] = carried.loc[out.index, rc]
+        if tolerance_seconds is not None and len(out):
+            age = out[ts_col] - out[right_ts_alias]
+            stale = (
+                age.dt.total_seconds() > tolerance_seconds
+                if hasattr(age, "dt")
+                else age > tolerance_seconds
+            )
+            stale = stale.fillna(False)
+            out.loc[stale, [right_ts_alias, *value_cols]] = None
         rights = df[df["__side"] == 0]
         if len(rights):
             last = rights.iloc[-1]

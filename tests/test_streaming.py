@@ -393,3 +393,38 @@ def test_streaming_interval_join_matches_batch(spark):
         got = {tuple(r)
                for r in spark.sql("select * from ivl_stream_test").collect()}
     assert got == want
+
+
+def test_streaming_asof_join_tolerance(spark):
+    import datetime as dt
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming import streaming_asof_join
+
+    def ts(h):
+        return dt.datetime(2026, 1, 1, h)
+
+    left = [(1, ts(12), "x"), (1, ts(13), "y")]
+    right = [(1, ts(8), 1.0), (1, ts(12), 2.0)]
+    with tempfile.TemporaryDirectory() as d:
+        lsrc, rsrc, ckpt = f"{d}/l", f"{d}/r", f"{d}/ckpt"
+        ldf = spark.createDataFrame(left, ["user_id", "ts", "tag"])
+        rdf = spark.createDataFrame(right, ["user_id", "ts", "v"])
+        ldf.coalesce(1).write.parquet(lsrc)
+        rdf.coalesce(1).write.parquet(rsrc)
+        sq = (
+            streaming_asof_join(
+                spark.readStream.schema(ldf.schema).parquet(lsrc),
+                spark.readStream.schema(rdf.schema).parquet(rsrc),
+                value_cols=["v"], tolerance_seconds=1800,
+            )
+            .writeStream.format("memory").queryName("asof_tol_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        rows = {r["tag"]: (r["asof_ts"], r["v"])
+                for r in spark.sql("select * from asof_tol_test").collect()}
+    assert rows["x"] == (ts(12), 2.0)       # exact-ts match within tolerance
+    assert rows["y"] == (None, None)        # 1h-old match rejected at 30min
