@@ -2512,6 +2512,107 @@ def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 product-type-profit pattern adapted to the testdata schema
+    (no partsupp table: per-unit supply cost stands in as 10% of
+    ``p_retailprice``). Profit per (supplier nation, order year) across a
+    4-table join — part/supplier/nation broadcast, lineitem⋈orders is the
+    only shuffled join, and the agg combines map-side."""
+    part, supplier, lineitem, orders, nation = _tables(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    promo = part.where(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        lineitem.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 important-stock pattern adapted to the testdata schema
+    (lineitem stands in for partsupp; value = extendedprice × quantity):
+    per-part value restricted to two nations' suppliers, HAVING value >
+    0.1% of the global total. Spark-first: the global scalar subquery is
+    an empty-frame window sum over the (part-count-sized) aggregate — one
+    lineitem scan, no self-join."""
+    from pyspark.sql import Window
+
+    supplier, lineitem, nation = _tables(
+        spark, sf_dir, "supplier", "lineitem", "nation"
+    )
+    nkeys = nation.where(F.col("n_name").isin("NATION_2", "NATION_4")).select(
+        "n_nationkey"
+    )
+    supp = supplier.join(
+        F.broadcast(nkeys), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    value = (
+        lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__val"))
+    )
+    w = Window.partitionBy()
+    return (
+        value.withColumn("__tot", F.sum("__val").over(w))
+        .where(F.col("__val") > 0.001 * F.col("__tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("__val"), 2).alias("part_value"),
+        )
+    )
+
+
+TPCH_Q12_SHIPMODE_CASE = """CASE CAST(l_suppkey % 3 AS INTEGER)
+ WHEN 0 THEN 'MAIL' WHEN 1 THEN 'RAIL' ELSE 'SHIP' END"""
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shipmode-priority pattern adapted to the testdata schema
+    (no l_shipmode column: mode derives deterministically from l_suppkey,
+    CASE text shared verbatim with the oracle). Conditional aggregation —
+    one shuffled join, counts split by priority class in a single agg."""
+    lineitem, orders = _tables(spark, sf_dir, "lineitem", "orders")
+    filtered = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).withColumn("l_shipmode", F.expr(TPCH_Q12_SHIPMODE_CASE))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        filtered.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.streaming import tumbling_window_agg
 
@@ -2640,6 +2741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": _q_tpch_q15,
         "tpch_q16_supplier_cnt": _q_tpch_q16,
         "tpch_q20_promo_share_suppliers": _q_tpch_q20,
+        "tpch_q9_product_profit": _q_tpch_q9,
+        "tpch_q11_important_stock": _q_tpch_q11,
+        "tpch_q12_shipmode_priority": _q_tpch_q12,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3112,6 +3216,40 @@ WHERE s_nationkey = n_nationkey AND n_name IN ('NATION_2', 'NATION_4')
   AND s_suppkey IN (
     SELECT sh.l_suppkey FROM shipped sh JOIN tot ON sh.l_partkey = tot.pk
     WHERE sh.qty > 0.5 * tot.total)
+""",
+        "tpch_q9_product_profit": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem, part, orders, supplier, nation
+WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+""",
+        "tpch_q11_important_stock": """
+WITH value AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_4'))
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, round(val, 2) AS part_value
+FROM value
+WHERE val > 0.001 * (SELECT sum(val) FROM value)
+""",
+        "tpch_q12_shipmode_priority": f"""
+SELECT {TPCH_Q12_SHIPMODE_CASE} AS l_shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
 """,
         "profile_table_orders": _profile_orders_sql(),
         "schema_drift_orders": _schema_drift_sql(),
