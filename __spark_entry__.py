@@ -2613,6 +2613,80 @@ def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.7 'grouping sets / cube / rollup'):
+    event counts and value totals per (event_type, day), per event_type,
+    and grand total, with the standard GROUPING_ID bitmask distinguishing
+    the levels. One shuffle; partial aggregation combines map-side for
+    every grouping set (Spark expands the sets before the exchange)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def _q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General window analytics beyond top-k (SURVEY §2.7): per-user
+    cumulative sum, lag delta, and sequence number over event time.
+    Single shuffle keyed by user; every function shares ONE window spec so
+    Spark evaluates them in a single Window physical node."""
+    from pyspark.sql import Window
+
+    (events,) = _tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round("value", 2).alias("value"),
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 2).alias("delta_prev"),
+    )
+
+
+def _q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersect/except as first-class ops (SURVEY §2.7): users who
+    both clicked and purchased (INTERSECT) vs clicked but never purchased
+    (EXCEPT), tagged and unioned. Spark plans both as hash aggregates over
+    a shuffled join — no driver-side set math."""
+    (events,) = _tables(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    buys = events.where(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).withColumn("cohort", F.lit("click_and_buy"))
+    only = clicks.subtract(buys).withColumn("cohort", F.lit("click_no_buy"))
+    return both.unionByName(only)
+
+
+def _q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + dispersion stats per group
+    (SURVEY §2.7 'statistical aggregates'): Spark's exact ``percentile``
+    (linear interpolation at p·(n−1), the ANSI percentile_cont formula —
+    matches DuckDB ``quantile_cont``) plus stddev_samp. The exact variant
+    shuffles the group's values; ``percentile_approx`` is the documented
+    scale path when groups stop fitting an executor."""
+    (events,) = _tables(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(pct[0], 6).alias("p50"),
+            F.round(pct[1], 6).alias("p90"),
+            F.round(pct[2], 6).alias("p99"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        )
+    )
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.streaming import tumbling_window_agg
 
@@ -2744,6 +2818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
         "tpch_q12_shipmode_priority": _q_tpch_q12,
+        "events_rollup_daily": _q_events_rollup_daily,
+        "events_running_value": _q_events_running_value,
+        "events_set_ops": _q_events_set_ops,
+        "events_value_percentiles": _q_events_value_percentiles,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3250,6 +3328,47 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
+""",
+        "events_rollup_daily": """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, day)
+""",
+        "events_running_value": """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       round(value, 2) AS value,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW), 2) AS running_value,
+       round(value - lag(value, 1) OVER w, 2) AS delta_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "events_set_ops": """
+SELECT user_id, 'click_and_buy' AS cohort FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'click_no_buy' FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+""",
+        "events_value_percentiles": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(avg(value), 6) AS avg_value,
+       round(stddev_samp(value), 6) AS sd_value
+FROM events
+GROUP BY event_type
 """,
         "profile_table_orders": _profile_orders_sql(),
         "schema_drift_orders": _schema_drift_sql(),
