@@ -49,6 +49,12 @@ ANN_LSH_PLANES = 4
 ANN_IVF_CELLS = 16
 ANN_IVF_NPROBE = 4
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
+KMEANS_K = 8
+KMEANS_ITERS = 2
+# aligned with EMB_PAIR_THRESHOLD: the synthetic embeddings cluster around
+# cosine ~0.3, so this prunes a meaningful fraction (294/500 survive at
+# sf0.01) instead of the no-op a real-world 0.95 would be here
+SEMDEDUP_THRESHOLD = 0.3
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
 PACK_BUDGET = 256
@@ -497,6 +503,81 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= {ANN_K}
 """
+
+
+def _kmeans_cte(k: int, iters: int, dim: int) -> str:
+    """CTE chain replaying operators/clustering.kmeans in SQL: seed with
+    the k lowest-id vectors, then per iteration an argmin assignment
+    (distances rounded to 6 BEFORE ranking, cluster id tiebreak) and a
+    per-dimension mean update (rounded to 6; empty clusters keep the
+    previous centroid via the LEFT JOIN + coalesce)."""
+    d2 = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}),"
+        f" j -> (e.v[j] - c.vec[j]) * (e.v[j] - c.vec[j]))), 6)"
+    )
+    parts = [
+        "e AS (SELECT vec_id AS id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)"
+        f" AS cluster, v AS vec FROM (SELECT id, v FROM e ORDER BY id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+  SELECT id, cluster FROM (
+    SELECT e.id, c.cluster,
+           row_number() OVER (PARTITION BY e.id ORDER BY {d2}, c.cluster) AS rn
+    FROM e CROSS JOIN cent{i - 1} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cnew{i} AS (
+  SELECT cluster, list(val ORDER BY idx) AS vec FROM (
+    SELECT a.cluster, r.idx, round(avg(e.v[r.idx]), 6) AS val
+    FROM assign{i} a JOIN e ON a.id = e.id
+    CROSS JOIN range(1, {dim + 1}) AS r(idx)
+    GROUP BY a.cluster, r.idx) GROUP BY cluster)"""
+        )
+        parts.append(
+            f"""cent{i} AS (
+  SELECT p.cluster, coalesce(n.vec, p.vec) AS vec
+  FROM cent{i - 1} p LEFT JOIN cnew{i} n USING (cluster))"""
+        )
+    parts.append(
+        f"""final_assign AS (
+  SELECT id AS vec_id, cluster, dist2 FROM (
+    SELECT e.id, c.cluster, {d2} AS dist2,
+           row_number() OVER (PARTITION BY e.id ORDER BY {d2}, c.cluster) AS rn
+    FROM e CROSS JOIN cent{iters} c) WHERE rn = 1)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_sql() -> str:
+    return (
+        _kmeans_cte(KMEANS_K, KMEANS_ITERS, ANN_DIM)
+        + "\nSELECT vec_id, cluster, dist2 FROM final_assign"
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    cos = _sql_cosine("l.lv", "r.rv", ANN_DIM)
+    return (
+        _kmeans_cte(KMEANS_K, KMEANS_ITERS, ANN_DIM)
+        + f""",
+pairs AS (
+  SELECT l.vec_id AS i FROM
+    (SELECT f.vec_id, f.cluster, emb.embedding AS lv
+     FROM final_assign f JOIN embeddings emb USING (vec_id)) l
+  JOIN
+    (SELECT f.vec_id, f.cluster, emb.embedding AS rv
+     FROM final_assign f JOIN embeddings emb USING (vec_id)) r
+  ON l.cluster = r.cluster AND r.vec_id < l.vec_id
+  WHERE round({cos}, 6) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cluster FROM final_assign
+WHERE vec_id NOT IN (SELECT i FROM pairs)"""
+    )
 
 
 def _lang_id_sql() -> str:
@@ -2687,6 +2768,35 @@ def _q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table: per-vector
+    cluster assignment + squared distance after KMEANS_ITERS update
+    rounds. Each iteration = one corpus scan with literal centroids + a
+    k-group shuffle (see operators/clustering.py)."""
+    from biomedical_data_integration_spark.operators.clustering import kmeans
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(
+        emb, vec_col="embedding", id_col="vec_id", k=KMEANS_K,
+        max_iter=KMEANS_ITERS,
+    )
+    return assigned
+
+
+def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters as the blocking key, then drop every
+    vector with a lower-id same-cluster neighbor at cosine >= threshold."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, vec_col="embedding", id_col="vec_id", k=KMEANS_K,
+        max_iter=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.streaming import tumbling_window_agg
 
@@ -2822,6 +2932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_value": _q_events_running_value,
         "events_set_ops": _q_events_set_ops,
         "events_value_percentiles": _q_events_value_percentiles,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3329,6 +3441,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
+        "kmeans_embeddings": _kmeans_sql(),
+        "semantic_dedup_embeddings": _semantic_dedup_sql(),
         "events_rollup_daily": """
 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
        CAST(GROUPING(event_type, day) AS BIGINT) AS gid,

@@ -1,0 +1,201 @@
+"""Distributed k-means clustering and SemDeDup-style semantic dedup over
+embedding columns (``array<float>``).
+
+Training-data-pipeline extension operators (BASELINE.json north-star; the
+reference library has no clustering — its only iterative algorithm is the
+driver-side similarity-flooding fixpoint, `bdikit` has nothing corpus-scale).
+
+Design for 100 TB:
+
+- **Lloyd's k-means** (:func:`kmeans`): centroids are k x dim doubles —
+  driver-sized for any practical k — so every iteration is ONE scan of the
+  corpus with the centroids shipped as array literals (constant-folded,
+  plan size independent of the corpus) and ONE tiny shuffle of k groups
+  for the centroid update (partial aggregation combines map-side; the
+  exchange carries k x dim doubles per partition, not rows). No corpus
+  shuffle, no cache requirement: each iteration re-scans the (columnar,
+  pruned) vector column, which at 1000 executors is bandwidth-parallel.
+  This is the same shape MLlib uses, expressed on plain arrays.
+- **Determinism** (oracle-checkable): seeding picks the k lowest-id
+  vectors (no RNG); distances round to ``config.SIMILARITY_SCALE``
+  decimals BEFORE the argmin with cluster id as tiebreaker; updated
+  centroids round the same way. Given equal inputs, every engine that
+  follows the same contract produces bit-equal assignments.
+- **SemDeDup** (:func:`semantic_dedup`): pairwise cosine is confined to
+  within-cluster pairs (the clustering is the blocking step), and a row
+  is dropped iff a LOWER-id same-cluster row sits above the similarity
+  threshold — one equi-join on cluster id, no global pair space. This is
+  the public SemDeDup recipe (Abbas et al., 2023): cluster, then prune
+  near-duplicates inside each cluster.
+
+Empty clusters keep their previous centroid (documented, mirrored by the
+SQL oracle).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark.functions.vectors import cosine
+
+
+def _sq_dist(vec: Column, centroid: Sequence[float]) -> Column:
+    """Squared euclidean distance to a constant centroid, as one fold over
+    a single array literal (plan size independent of dim — same lesson as
+    the hyperplane literals in operators/similarity.py)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.lit(list(centroid)),
+            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_expr(
+    vec: Column, centroids: Sequence[Sequence[float]], scale: int
+) -> Column:
+    """(cluster, dist2) struct for the nearest centroid: distances round
+    to ``scale`` decimals before the argmin, ties break on cluster id —
+    struct ordering gives min by (dist2, cluster) in one expression."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(_sq_dist(vec, c), scale).alias("dist2"),
+                    F.lit(i).alias("cluster"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def _initial_centroids(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> List[List[float]]:
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(rows) < k:
+        raise ValueError(f"kmeans: need at least k={k} rows, got {len(rows)}")
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 3,
+    scale: Optional[int] = None,
+) -> Tuple[DataFrame, List[List[float]]]:
+    """Deterministic Lloyd's k-means; returns ``(assignments, centroids)``.
+
+    ``assignments`` has columns ``(id_col, cluster int, dist2 double)`` —
+    the assignment against the centroids after ``max_iter`` update rounds.
+    Seeding: the ``k`` lowest-``id_col`` vectors. Each round runs one
+    assignment pass and one centroid update (mean per cluster, rounded to
+    ``scale`` decimals); clusters that lose all members keep their
+    previous centroid.
+
+    Reference has no counterpart (closest public analogue: MLlib KMeans);
+    re-derived here on plain arrays so the oracle can replay it in SQL.
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("kmeans: empty input or null vectors")
+    dim = len(first[0])
+    centroids = _initial_centroids(df, vec_col, id_col, k)
+
+    for _ in range(max_iter):
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            _assign_expr(F.col(vec_col), centroids, scale)["cluster"].alias(
+                "__cluster"
+            ),
+        )
+        # centroid update: ONE groupBy over k keys with dim avg columns —
+        # the shuffle carries k x dim partial sums per map partition
+        new_rows = (
+            assigned.groupBy("__cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("__v")[i].cast("double")), scale).alias(
+                        f"c{i}"
+                    )
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        updated = {
+            int(r["__cluster"]): [float(r[f"c{i}"]) for i in range(dim)]
+            for r in new_rows
+        }
+        centroids = [updated.get(i, centroids[i]) for i in range(k)]
+
+    final = df.select(
+        F.col(id_col),
+        _assign_expr(F.col(vec_col), centroids, scale).alias("__a"),
+    ).select(
+        id_col,
+        F.col("__a")["cluster"].alias("cluster"),
+        F.col("__a")["dist2"].alias("dist2"),
+    )
+    return final, centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 3,
+    threshold: float = 0.95,
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """SemDeDup: cluster, then drop every row with a LOWER-id neighbor in
+    the SAME cluster at cosine >= ``threshold``. Returns the survivors as
+    ``(id_col, cluster)``.
+
+    The cluster id is the blocking key: the pair join is an equi-join on
+    ``cluster`` (bounded fan-out per cluster), never an all-pairs product.
+    Keep-lowest-id is the deterministic representative rule — one
+    left_anti join implements "exists a smaller near-duplicate".
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    assigned, _ = kmeans(df, vec_col, id_col, k=k, max_iter=max_iter, scale=scale)
+    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    left = base.select(
+        F.col(id_col).alias("__i"),
+        F.col(vec_col).alias("__vi"),
+        F.col("cluster").alias("__c"),
+    )
+    right = base.select(
+        F.col(id_col).alias("__j"),
+        F.col(vec_col).alias("__vj"),
+        F.col("cluster").alias("__c"),
+    )
+    dominated = (
+        left.join(right, "__c")
+        .where(F.col("__j") < F.col("__i"))
+        .where(
+            F.round(cosine(F.col("__vi"), F.col("__vj")), scale)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__i").alias(id_col))
+        .distinct()
+    )
+    return (
+        base.join(dominated, id_col, "left_anti")
+        .select(id_col, "cluster")
+    )
