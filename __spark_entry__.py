@@ -2621,11 +2621,19 @@ def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
+            # per-row cents as bigint -> the sum is exact integer math,
+            # immune to float accumulation-order differences vs the oracle
             F.round(
                 F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
-                ),
+                    F.round(
+                        (
+                            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                            - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+                        )
+                        * 100
+                    ).cast("bigint")
+                )
+                / 100.0,
                 2,
             ).alias("sum_profit")
         )
@@ -3409,8 +3417,9 @@ WHERE s_nationkey = n_nationkey AND n_name IN ('NATION_2', 'NATION_4')
 """,
         "tpch_q9_product_profit": """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity) * 100) AS BIGINT))
+             / 100.0, 2) AS sum_profit
 FROM lineitem, part, orders, supplier, nation
 WHERE l_partkey = p_partkey AND p_type = 'PROMO'
   AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
