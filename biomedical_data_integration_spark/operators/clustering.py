@@ -83,6 +83,8 @@ def _initial_centroids(
     rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(rows) < k:
         raise ValueError(f"kmeans: need at least k={k} rows, got {len(rows)}")
+    if any(r[0] is None for r in rows):
+        raise ValueError("kmeans: null vectors in the seed window")
     return [[float(x) for x in r[0]] for r in rows]
 
 
@@ -108,11 +110,9 @@ def kmeans(
     """
     if scale is None:
         scale = config.SIMILARITY_SCALE
-    first = df.select(vec_col).first()
-    if first is None or first[0] is None:
-        raise ValueError("kmeans: empty input or null vectors")
-    dim = len(first[0])
+    # dim comes from the seed collect — no separate first() action
     centroids = _initial_centroids(df, vec_col, id_col, k)
+    dim = len(centroids[0])
 
     for _ in range(max_iter):
         assigned = df.select(
