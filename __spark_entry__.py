@@ -51,6 +51,8 @@ ANN_IVF_NPROBE = 4
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 KMEANS_K = 8
 KMEANS_ITERS = 2
+KEYWORD_TOP_K = 3
+BIGRAM_TOP_K = 50
 # aligned with EMB_PAIR_THRESHOLD: the synthetic embeddings cluster around
 # cosine ~0.3, so this prunes a meaningful fraction (294/500 survive at
 # sf0.01) instead of the no-op a real-world 0.95 would be here
@@ -2805,6 +2807,23 @@ def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (top-3) over the documents table."""
+    from biomedical_data_integration_spark.operators.text import extract_keywords
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return extract_keywords(docs, top_k=KEYWORD_TOP_K)
+
+
+def _q_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 word bigrams (contamination-index / boilerplate
+    detection input)."""
+    from biomedical_data_integration_spark.operators.text import ngram_stats
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return ngram_stats(docs, n=2, top_k=BIGRAM_TOP_K)
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biomedical_data_integration_spark.streaming import tumbling_window_agg
 
@@ -2942,6 +2961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": _q_events_value_percentiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "text_keywords_documents": _q_keywords_documents,
+        "text_bigrams_documents": _q_bigrams_documents,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3452,6 +3473,41 @@ GROUP BY 1
 """,
         "kmeans_embeddings": _kmeans_sql(),
         "semantic_dedup_embeddings": _semantic_dedup_sql(),
+        "text_keywords_documents": f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(col="text")}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM occ GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM occ GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * log10(n.n_docs / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {KEYWORD_TOP_K}
+""",
+        "text_bigrams_documents": f"""
+WITH toks AS (SELECT {_SQL_TOKS.format(col="text")} AS t FROM documents),
+grams AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                     i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END) AS ngram
+  FROM toks
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences
+FROM grams GROUP BY ngram
+ORDER BY occurrences DESC, ngram ASC
+LIMIT {BIGRAM_TOP_K}
+""",
         "events_rollup_daily": """
 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
        CAST(GROUPING(event_type, day) AS BIGINT) AS gid,

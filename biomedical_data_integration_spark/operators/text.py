@@ -568,3 +568,98 @@ def classifier_score(
     return feats.withColumn(
         out_col, F.round(score, config.SIMILARITY_SCALE)
     )
+
+
+def extract_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the ``top_k`` terms of each
+    document scored ``tf(term, doc) * log10(N / df(term))`` against the
+    corpus's own document frequencies.
+
+    Plan shape: one explode feeds (a) per-(doc, term) counts and (b)
+    per-term document frequencies — both map-side-combinable hash
+    aggregations; N is a 1-row aggregate broadcast via cross join. The
+    only corpus-sized shuffle is the (doc, term) aggregation; the idf
+    join keys on ``term`` (distinct-term-sized, AQE picks broadcast when
+    it fits). Scores round to config.SIMILARITY_SCALE BEFORE the window
+    rank; ties break on the term text — same contract as every other
+    top-k in the engine.
+
+    Returns (id_col, term, tf, score, rank). Reference has no keyword
+    extraction; this generalizes its tf-idf value matcher
+    (bdikit/value_matching/polyfuzz.py:49-74) from value pairs to
+    document summarization.
+    """
+    occurrences = df.select(
+        F.col(id_col).alias("__id"), tokens_expr(F.col(text_col)).alias("__toks")
+    ).select("__id", F.explode("__toks").alias("term"))
+    tf = occurrences.groupBy("__id", "term").agg(F.count("*").alias("tf"))
+    dfreq = occurrences.groupBy("term").agg(
+        F.count_distinct("__id").alias("__df")
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n")
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log10(F.col("__n") / F.col("__df")),
+                config.SIMILARITY_SCALE,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("__id").alias(id_col), "term", "tf", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table: the ``top_k`` most frequent
+    word n-grams — the input to contamination n-gram indexes, boilerplate
+    detection, and language-model evaluation overlap checks.
+
+    The n-gram generation is a pure array expression (sequence + slice +
+    concat inside codegen, no Python); counting is one map-side-combinable
+    hash aggregation; the top-k compiles to TakeOrderedAndProject (no
+    global sort materialization). Count ties break alphabetically.
+
+    Returns (ngram, occurrences).
+    """
+    if n < 1:
+        raise ValueError("ngram_stats: n must be >= 1")
+    toks = df.select(tokens_expr(F.col(text_col)).alias("__toks"))
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+                ),
+            ).otherwise(F.array())
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(top_k)
+    )

@@ -362,3 +362,48 @@ def test_classifier_score_weight_injection(spark):
 
     with pytest.raises(ValueError, match="Unknown feature"):
         classifier_score(docs, weights={"not_a_feature": 1.0})
+
+
+def test_extract_keywords_tfidf(spark):
+    from biomedical_data_integration_spark.operators.text import extract_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = extract_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # 'apple' df=1 -> idf=log10(3); appears twice in doc1 -> top keyword
+    assert sorted(by_doc[1])[0] == (1, "apple")
+    # 'durian' df=1 beats 'cherry' (df=2) despite tf 1 vs 3:
+    # 3*log10(1.5)=0.528 < 1*log10(3)=0.477? no: 0.528 > 0.477 -> cherry first
+    assert sorted(by_doc[3])[0] == (1, "cherry")
+    assert sorted(by_doc[3])[1] == (2, "durian")
+    # ranks never exceed top_k
+    assert all(r["rank"] <= 2 for r in out)
+
+
+def test_ngram_stats_bigrams(spark):
+    from biomedical_data_integration_spark.operators.text import ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    out = {r["ngram"]: r["occurrences"] for r in ngram_stats(df, n=2).collect()}
+    # doc 3 is shorter than the n-gram width and contributes nothing
+    assert out == {"a b": 3, "b c": 1, "c a": 1}
+
+
+def test_ngram_stats_unigram_matches_token_count(spark):
+    from biomedical_data_integration_spark.operators.text import ngram_stats
+
+    df = spark.createDataFrame([(1, "a a b")], "doc_id bigint, text string")
+    out = {r["ngram"]: r["occurrences"] for r in ngram_stats(df, n=1).collect()}
+    assert out == {"a": 2, "b": 1}
