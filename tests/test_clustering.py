@@ -91,3 +91,14 @@ def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
     kept = semantic_dedup(_vecs(spark, rows), k=2, max_iter=1, threshold=0.99)
     ids = sorted(r["vec_id"] for r in kept.collect())
     assert ids == [0, 1]
+
+
+def test_semantic_dedup_auto_k_derives_from_cluster_size(spark):
+    rows = [(i, [float(i % 7), float(i % 3)]) for i in range(30)]
+    kept = semantic_dedup(
+        _vecs(spark, rows), k=None, max_iter=1, threshold=1.1,
+        target_cluster_size=10,
+    )
+    # threshold > 1 means nothing dedups; k should be ceil(30/10)=3
+    assert kept.count() == 30
+    assert kept.select("cluster").distinct().count() <= 3
