@@ -53,6 +53,8 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 KEYWORD_TOP_K = 3
 BIGRAM_TOP_K = 50
+TEMP_MIX_BUDGET = 20000
+TEMP_MIX_ALPHA = 0.5
 # aligned with EMB_PAIR_THRESHOLD: the synthetic embeddings cluster around
 # cosine ~0.3, so this prunes a meaningful fraction (294/500 survive at
 # sf0.01) instead of the no-op a real-world 0.95 would be here
@@ -1611,6 +1613,32 @@ WHERE substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 12) < thr.t
 """
 
 
+def _temperature_mix_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    scale = 16 ** 12
+    a, b = TEMP_MIX_ALPHA, TEMP_MIX_BUDGET
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS n FROM documents
+),
+totals AS (SELECT source, CAST(sum(n) AS DOUBLE) AS total FROM sized
+           GROUP BY source),
+w AS (SELECT sum(pow(total, {a})) AS sumw FROM totals WHERE total > 0),
+thr AS (
+  SELECT t.source,
+         printf('%012x',
+                least(CAST(floor(least(1.0,
+                           pow(t.total, {a}) / w.sumw * {b} / t.total)
+                                 * {scale}.0) AS BIGINT),
+                      {scale - 1})) AS t
+  FROM totals t CROSS JOIN w WHERE t.total > 0
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE substring(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 12) < thr.t
+"""
+
+
 def _sql_hex_tail_value(hexpr: str, digits: int) -> str:
     """Integer value of the last ``digits`` hex chars of a 32-char md5."""
     terms = []
@@ -2807,6 +2835,43 @@ def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+RETENTION_PERIOD_DAYS = 7
+
+
+def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> click -> purchase: users reaching each
+    step in order. One user-keyed shuffle for all steps (stacked windows;
+    see streaming/events.py funnel_steps)."""
+    from biomedical_data_integration_spark.streaming.events import funnel_counts
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return funnel_counts(events, FUNNEL_STEPS)
+
+
+def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users by first-activity week x offset."""
+    from biomedical_data_integration_spark.streaming.events import (
+        retention_cohorts,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return retention_cohorts(events, period_days=RETENTION_PERIOD_DAYS)
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-sampling corpus mix: per-source weights ~ tokens^alpha,
+    budgets p_s * B, deterministic hash gate (operators/sampling.py)."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, total_budget=TEMP_MIX_BUDGET, alpha=TEMP_MIX_ALPHA
+    ).select("doc_id", "source")
+
+
 def _q_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keywords (top-3) over the documents table."""
     from biomedical_data_integration_spark.operators.text import extract_keywords
@@ -2963,6 +3028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "text_keywords_documents": _q_keywords_documents,
         "text_bigrams_documents": _q_bigrams_documents,
+        "temperature_mix_documents": _q_temperature_mix,
+        "events_funnel_signup_purchase": _q_funnel_events,
+        "events_retention_weekly": _q_retention_events,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3555,6 +3623,43 @@ GROUP BY event_type
         "text_token_ids_documents": _token_ids_sql(),
         "text_classifier_score_documents": _classifier_score_sql(),
         "mix_corpus_by_tokens_documents": _mix_corpus_sql(),
+        "temperature_mix_documents": _temperature_mix_sql(),
+        "events_funnel_signup_purchase": """
+WITH su AS (
+  SELECT user_id, min(ts) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+cl AS (
+  SELECT e.user_id, min(e.ts) AS c
+  FROM events e JOIN su USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > su.s GROUP BY e.user_id
+),
+pu AS (
+  SELECT e.user_id, min(e.ts) AS p
+  FROM events e JOIN cl USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > cl.c GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM su) AS BIGINT) AS users_signup,
+       CAST((SELECT count(*) FROM cl) AS BIGINT) AS users_click,
+       CAST((SELECT count(*) FROM pu) AS BIGINT) AS users_purchase
+""",
+        "events_retention_weekly": f"""
+WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
+x AS (
+  SELECT DISTINCT e.user_id,
+         CAST(floor(floor(epoch(f.fts)) / {RETENTION_PERIOD_DAYS * 86400})
+              * {RETENTION_PERIOD_DAYS * 86400} AS BIGINT) AS c0,
+         CAST(floor(floor(epoch(e.ts)) / {RETENTION_PERIOD_DAYS * 86400})
+              * {RETENTION_PERIOD_DAYS * 86400} AS BIGINT) AS p
+  FROM events e JOIN f USING (user_id)
+)
+SELECT strftime(DATE '1970-01-01' + CAST(c0 / 86400 AS INTEGER),
+                '%Y-%m-%d') AS cohort_start,
+       CAST((p - c0) / {RETENTION_PERIOD_DAYS * 86400} AS INTEGER)
+         AS period_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM x WHERE p >= c0 GROUP BY 1, 2
+""",
         "decontaminate_bloom_documents": _bloom_decontaminate_sql(),
         "split_hash_documents": _hash_split_sql(),
         "sample_stratified_orders": _stratified_sample_sql(),

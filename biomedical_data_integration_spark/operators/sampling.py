@@ -164,3 +164,47 @@ def stratified_sample(
         F.lit(_hex_threshold(0.0)),
     )
     return df.where(prefix < thr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    total_budget: Union[int, float],
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "tmix",
+    tokens_fn=None,
+) -> DataFrame:
+    """Temperature-based source mixing — the multilingual-LM alpha-sampling
+    scheme (mBERT/XLM-R): source s gets sampling weight
+    ``p_s = tokens_s^alpha / sum_t tokens_t^alpha`` and a token budget
+    ``p_s * total_budget``; ``alpha < 1`` flattens the distribution so
+    low-resource sources are upweighted relative to their raw share
+    (``alpha=1`` reproduces natural proportions, ``alpha=0`` is uniform).
+
+    Same two-stage shape as :func:`mix_corpus_by_tokens`: ONE aggregation
+    job for per-source token totals (source-count-sized output), then the
+    shuffle-free deterministic hash gate with per-source fraction
+    ``min(1, budget_s / tokens_s)``. This engine downsamples only (no row
+    duplication): a source whose temperature budget exceeds its size
+    passes through whole.
+    """
+    from biomedical_data_integration_spark.operators.text import tokens_expr
+
+    if alpha < 0:
+        raise ValueError("temperature_mix: alpha must be >= 0")
+    tok = tokens_fn or tokens_expr
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.size(tok(F.col(text_col)))).alias("__t"))
+        .collect()
+        if r[1]
+    }
+    sum_w = sum(t ** alpha for t in totals.values())
+    fractions: Dict[str, float] = {
+        s: min(1.0, (t ** alpha / sum_w) * float(total_budget) / t)
+        for s, t in totals.items()
+    }
+    return stratified_sample(df, source_col, key_col, fractions, salt=salt)

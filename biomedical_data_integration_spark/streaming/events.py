@@ -590,3 +590,108 @@ def streaming_hopping_window_agg(
             "sum_value",
         )
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the timestamp at which each
+    step of ``steps`` was FIRST completed in order (step i counts only
+    strictly after step i-1's completion). Returns one row per user with
+    a ``step_<name>_ts`` column per step (null = never reached).
+
+    Plan shape: ONE shuffle keyed by user — each step is an unbounded
+    ``min(when(...))`` window over the same partitioning, and Catalyst
+    stacks the Window nodes on a single exchange (later windows reuse the
+    child's partitioning; no per-step scan or self-join, which is how the
+    naive SQL formulation (one join per step) would explode at 100 TB).
+    """
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    w = Window.partitionBy(user_col)
+    out = df
+    prev_ts = None
+    for step in steps:
+        col_name = f"step_{step}_ts"
+        cond = F.col(type_col) == step
+        if prev_ts is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_ts))
+        out = out.withColumn(
+            col_name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev_ts = col_name
+    step_cols = [f"step_{s}_ts" for s in steps]
+    return out.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in step_cols]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One-row funnel summary: users reaching each ordered step (a user
+    counts for step i only if they completed steps 0..i in order)."""
+    per_user = funnel_steps(df, steps, user_col, ts_col, type_col)
+    return per_user.agg(
+        *[
+            F.count(f"step_{s}_ts").alias(f"users_{s}")
+            for s in steps
+        ]
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    anchor_type: str = None,
+    type_col: str = "event_type",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity period
+    (optionally anchored to ``anchor_type`` events), counted by how many
+    periods later they were active again.
+
+    Returns (cohort_start_date, period_offset, active_users): cohort =
+    floor(first activity / period) as a date string; offset = whole
+    periods between the cohort start and each active period.
+
+    Plan shape: one window min per user (single shuffle), one distinct on
+    (user, period) — both keyed by user/period, map-side combinable; the
+    final count is period-cardinality-sized.
+    """
+    anchor = df
+    if anchor_type is not None:
+        anchor = df.where(F.col(type_col) == anchor_type)
+    first_ts = anchor.groupBy(user_col).agg(
+        F.min(ts_col).alias("__first_ts")
+    )
+    secs = period_days * 86400
+    with_cohort = df.join(first_ts, user_col).select(
+        F.col(user_col),
+        (F.floor(F.unix_timestamp("__first_ts") / secs) * secs).alias("__c0"),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).alias("__p"),
+    )
+    return (
+        with_cohort.where(F.col("__p") >= F.col("__c0"))
+        .select(
+            F.date_format(F.col("__c0").cast("timestamp"), "yyyy-MM-dd").alias(
+                "cohort_start"
+            ),
+            ((F.col("__p") - F.col("__c0")) / secs).cast("int").alias(
+                "period_offset"
+            ),
+            F.col(user_col),
+        )
+        .distinct()
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -113,3 +113,55 @@ def test_mix_corpus_by_tokens_budgets(spark):
          for r in mix_corpus_by_tokens(
              docs.repartition(7), {"s0": 250, "s1": 10_000}).collect()}
     assert a == b
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = []
+    # big source: 90 docs x 10 tokens; small source: 10 docs x 10 tokens
+    for i in range(90):
+        rows.append((i, "big", "t " * 10))
+    for i in range(90, 100):
+        rows.append((i, "small", "t " * 10))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    # alpha=0 -> uniform weights: each source gets budget/2 = 250 tokens;
+    # small (100 tokens) passes whole, big (900) thins to ~250/900
+    out = temperature_mix(df, total_budget=500, alpha=0.0)
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by_src.get("small") == 10  # under budget -> intact
+    assert 0 < by_src.get("big", 0) < 90  # thinned
+
+    # alpha=1 -> natural proportions: fractions equal across sources
+    out1 = temperature_mix(df, total_budget=500, alpha=1.0)
+    n1 = {r[0]: r[1] for r in out1.groupBy("source").count().collect()}
+    # both sources thinned at the SAME fraction 500/1000
+    assert 0 < n1.get("big", 0) < 90 and 0 < n1.get("small", 0) < 10
+
+
+def test_temperature_mix_deterministic(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, f"s{i % 3}", "w " * (5 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    a = sorted(r["doc_id"] for r in temperature_mix(df, 100, 0.5).collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, 100, 0.5).collect())
+    assert a == b
+
+
+def test_temperature_mix_rejects_negative_alpha(spark):
+    import pytest as _pytest
+    from biomedical_data_integration_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id bigint, source string, text string"
+    )
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, 10, alpha=-0.1)

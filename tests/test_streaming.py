@@ -428,3 +428,69 @@ def test_streaming_asof_join_tolerance(spark):
                 for r in spark.sql("select * from asof_tol_test").collect()}
     assert rows["x"] == (ts(12), 2.0)       # exact-ts match within tolerance
     assert rows["y"] == (None, None)        # 1h-old match rejected at 30min
+
+
+def test_funnel_steps_order_matters(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        funnel_counts, funnel_steps,
+    )
+
+    rows = [
+        # user 1 completes signup -> click -> purchase in order
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # user 2 purchases BEFORE clicking: purchase step must not count
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 02:00:00", "click"),
+        (2, "2024-01-01 01:00:00", "purchase"),
+        # user 3 never signs up
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 01:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    steps = ["signup", "click", "purchase"]
+    out = funnel_counts(df, steps).collect()[0]
+    assert out["users_signup"] == 2
+    assert out["users_click"] == 2
+    assert out["users_purchase"] == 1
+    per_user = {r["user_id"]: r for r in funnel_steps(df, steps).collect()}
+    assert per_user[2]["step_purchase_ts"] is None
+    assert per_user[3]["step_signup_ts"] is None
+
+
+def test_funnel_steps_single_shuffle(spark):
+    from biomedical_data_integration_spark.streaming.events import funnel_steps
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a")],
+        "user_id bigint, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = funnel_steps(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    # the stacked windows + final agg must share ONE user_id exchange
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_retention_cohorts(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),  # cohort week 0
+        (1, "2024-01-09 00:00:00"),  # +1 period (7d)
+        (2, "2024-01-02 00:00:00"),  # same cohort period as user 1
+        (2, "2024-01-02 05:00:00"),  # same period -> one distinct row
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r["cohort_start"], r["period_offset"]): r["active_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    # both users active in their cohort period; user 1 returns next period
+    assert out[("2023-12-28", 0)] == 2
+    assert out[("2023-12-28", 1)] == 1
