@@ -213,3 +213,27 @@ def semantic_dedup(
         base.join(dominated, id_col, "left_anti")
         .select(id_col, "cluster")
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """Nearest-centroid assignment against FIXED centroids — the serving /
+    streaming face of :func:`kmeans`. Pure stateless projection (centroid
+    literals, no shuffle, no state), so it runs unchanged on a streaming
+    DataFrame: fit centroids on the batch corpus with ``kmeans`` and score
+    arriving vectors with this on ``readStream``.
+
+    Appends ``cluster`` (int) and ``dist2`` (rounded squared distance).
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    if not centroids:
+        raise ValueError("assign_clusters: centroids must be non-empty")
+    a = _assign_expr(F.col(vec_col), centroids, scale)
+    return df.withColumns(
+        {"cluster": a["cluster"], "dist2": a["dist2"]}
+    )

@@ -102,3 +102,41 @@ def test_semantic_dedup_auto_k_derives_from_cluster_size(spark):
     # threshold > 1 means nothing dedups; k should be ceil(30/10)=3
     assert kept.count() == 30
     assert kept.select("cluster").distinct().count() <= 3
+
+
+def test_assign_clusters_streaming_face(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    batch = _vecs(
+        spark,
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.2, 0.1]), (3, [9.8, 10.0])],
+    )
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    # batch face
+    got = {r["vec_id"]: r["cluster"] for r in assign_clusters(batch, cents).collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+    # streaming face: same expression on readStream, no state required
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = assign_clusters(stream, cents)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("assign_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        srows = {
+            r["vec_id"]: r["cluster"]
+            for r in spark.sql("select * from assign_test").collect()
+        }
+        assert srows == got
