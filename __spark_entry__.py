@@ -1572,6 +1572,62 @@ FROM hashed
 """
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal triad: binary ingest + mapInPandas
+    decode with the md5-derived fake codec, hash-checked end to end."""
+    from biomedical_data_integration_spark.operators.multimodal import (
+        attach_binary_content,
+        extract_audio_features,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    media = attach_binary_content(docs, "doc_id", "text", "audio")
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        "n_samples",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("features_csv"),
+    )
+
+
+def _multimodal_audio_sql() -> str:
+    nib = "(strpos('0123456789abcdef', substring(h, {p}, 1)) - 1)"
+
+    def byte(i: int) -> str:
+        return f"({nib.format(p=2 * i + 1)} * 16 + {nib.format(p=2 * i + 2)})"
+
+    feats = " || ',' || ".join(f"CAST({byte(i)} AS VARCHAR)" for i in range(4, 12))
+    return f"""
+WITH media AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         md5(CAST(text AS VARCHAR)) AS content_hex
+  FROM documents
+),
+hashed AS (SELECT media_id, md5(content_hex) AS h FROM media),
+d AS (
+  SELECT media_id,
+         CAST(8000 * (1 + {byte(0)} % 5) AS INTEGER) AS sample_rate,
+         CAST(500 + ({byte(1)} * 256 + {byte(2)}) % 60000 AS INTEGER)
+           AS duration_ms,
+         {feats} AS features_csv
+  FROM hashed
+)
+SELECT media_id, sample_rate, duration_ms,
+       CAST(CAST(sample_rate AS BIGINT) * duration_ms // 1000 AS BIGINT)
+         AS n_samples,
+       features_csv
+FROM d
+"""
+
+
 MIX_BUDGETS = {"src0": 2000, "src1": 500, "src3": 800}
 
 
@@ -3031,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_documents": _q_temperature_mix,
         "events_funnel_signup_purchase": _q_funnel_events,
         "events_retention_weekly": _q_retention_events,
+        "multimodal_audio_features": _q_multimodal_audio,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3675,4 +3732,5 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "events_interval_sessions": _EVENTS_INTERVAL_SQL,
         "events_hopping_hourly": _EVENTS_HOPPING_SQL,
         "multimodal_image_features": _multimodal_features_sql(),
+        "multimodal_audio_features": _multimodal_audio_sql(),
     }

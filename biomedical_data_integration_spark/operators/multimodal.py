@@ -143,3 +143,67 @@ def sample_video_frames(
             )
 
     return media.select("media_id", "content").mapInPandas(fake_frames, schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_audio_decode(batch_iter: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Deterministic fake audio decoder: pseudo sample-rate/duration and an
+    8-band "spectral" vector from the content bytes (same md5-of-hex trick
+    as the image codec, so SQL oracles can replay it). Replace the body
+    with torchaudio/librosa when the libs exist on executors."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batch_iter:
+        out = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            h = hashlib.md5(bytes(content).hex().encode()).digest()
+            sample_rate = 8000 * (1 + h[0] % 5)
+            duration_ms = 500 + (h[1] * 256 + h[2]) % 60000
+            n_samples = sample_rate * duration_ms // 1000
+            feats = (
+                np.frombuffer(h[4:12], dtype=np.uint8).astype("float32") / 255.0
+            )
+            out.append(
+                (int(mid), int(sample_rate), int(duration_ms), int(n_samples),
+                 feats.tolist())
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["media_id", "sample_rate", "duration_ms", "n_samples",
+                     "features"],
+        )
+
+
+def extract_audio_features(
+    media: DataFrame, decoder: str = "deterministic_fake"
+) -> DataFrame:
+    """Audio decode + feature extraction, batched via mapInPandas — the
+    audio leg of the image/audio/video triad. Same contract as
+    :func:`decode_image_features`: the fake decoder proves the whole
+    binary -> Arrow -> typed-features pipeline; ``decoder='real'`` is the
+    marked torchaudio/librosa integration point.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "Real audio decode needs torchaudio/librosa on the executors; "
+            "swap _fake_audio_decode's body for the real codec. The Spark "
+            "plumbing (mapInPandas over binary content) is identical."
+        )
+    if decoder != "deterministic_fake":
+        raise ValueError(f"Unknown decoder: {decoder!r}")
+    return media.select("media_id", "content").mapInPandas(
+        _fake_audio_decode, AUDIO_FEATURES_SCHEMA
+    )

@@ -54,3 +54,41 @@ def test_sample_video_frames_contract(media):
     for frames in per.values():
         assert [f["frame_idx"] for f in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
         assert sorted(f["ts_seconds"] for f in frames) == [0.0, 2.0, 4.0]
+
+
+def test_extract_audio_features_plumbing(spark):
+    from biomedical_data_integration_spark.operators.multimodal import (
+        attach_binary_content,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], "doc_id bigint, text string"
+    )
+    media = attach_binary_content(docs, "doc_id", "text", "audio")
+    out = extract_audio_features(media).collect()
+    assert len(out) == 2
+    for r in out:
+        assert 8000 <= r["sample_rate"] <= 40000
+        assert r["sample_rate"] % 8000 == 0
+        assert 500 <= r["duration_ms"] < 60500
+        assert r["n_samples"] == r["sample_rate"] * r["duration_ms"] // 1000
+        assert len(r["features"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # determinism
+    again = extract_audio_features(media).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_extract_audio_features_real_is_marked_stub(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.multimodal import (
+        attach_binary_content,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    media = attach_binary_content(docs, "doc_id", "text", "audio")
+    with _pytest.raises(NotImplementedError, match="torchaudio"):
+        extract_audio_features(media, decoder="real")
