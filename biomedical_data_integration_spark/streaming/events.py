@@ -695,3 +695,71 @@ def retention_cohorts(
         .groupBy("cohort_start", "period_offset")
         .agg(F.count("*").alias("active_users"))
     )
+
+
+def streaming_funnel_steps(
+    stream: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of :func:`funnel_steps`
+    (``applyInPandasWithState``): per-user state carries the
+    first-completion timestamp of each ordered step across microbatches;
+    each batch emits the user's CURRENT step frontier (one row per user
+    per batch that touched them — downstream keeps the latest).
+
+    Equivalence contract with the batch face: identical step timestamps
+    when each user's events arrive in event-time order across batches
+    (the same in-order-delivery caveat as the other stateful twins; a
+    late event older than an already-committed earlier step cannot
+    retroactively improve the funnel, which batch recomputation would).
+    State per user: one nullable epoch-micros long per step — bounded by
+    len(steps), no event retention.
+    """
+    if not steps:
+        raise ValueError("streaming_funnel_steps: steps must be non-empty")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    n = len(steps)
+    out_schema = T.StructType(
+        [T.StructField(user_col, T.LongType())]
+        + [T.StructField(f"step_{s}_ts", T.TimestampType()) for s in steps]
+    )
+    state_schema = ", ".join(f"s{i} long" for i in range(n))
+    step_list = list(steps)
+
+    def _advance(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        cur = list(state.get) if state.exists else [None] * n
+        batches = [p for p in pdf_iter if len(p)]
+        if not batches:
+            return
+        allrows = pd.concat(batches, ignore_index=True)
+        allrows = allrows.sort_values([ts_col], kind="mergesort")
+        for _, row in allrows.iterrows():
+            ts_us = int(row[ts_col].value // 1000)  # pandas ns -> micros
+            etype = row[type_col]
+            for j, s in enumerate(step_list):
+                if etype != s or cur[j] is not None:
+                    continue
+                if j == 0 or (cur[j - 1] is not None and ts_us > cur[j - 1]):
+                    cur[j] = ts_us
+        state.update(tuple(cur))
+        out = {user_col: [key[0]]}
+        for j, s in enumerate(step_list):
+            out[f"step_{s}_ts"] = [
+                pd.Timestamp(cur[j], unit="us") if cur[j] is not None else pd.NaT
+            ]
+        yield pd.DataFrame(out)
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        _advance,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

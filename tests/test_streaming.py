@@ -494,3 +494,70 @@ def test_retention_cohorts(spark):
     # both users active in their cohort period; user 1 returns next period
     assert out[("2023-12-28", 0)] == 2
     assert out[("2023-12-28", 1)] == 1
+
+
+def test_streaming_funnel_matches_batch_across_microbatches(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import (
+        funnel_steps,
+        streaming_funnel_steps,
+    )
+
+    steps = ["signup", "click", "purchase"]
+    rows1 = [
+        (1, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 00:30:00", "purchase"),  # out of order -> ignored
+    ]
+    rows2 = [
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        (2, "2024-01-01 03:00:00", "click"),
+    ]
+    schema = "user_id bigint, ts string, event_type string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    batch_all = mk(rows1 + rows2)
+    expected = {
+        r["user_id"]: tuple(r[f"step_{s}_ts"] for s in steps)
+        for r in funnel_steps(batch_all, steps).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        mk(rows1).write.parquet(src)  # first microbatch
+        stream = spark.readStream.schema(batch_all.schema).parquet(src)
+        out = streaming_funnel_steps(stream, steps)
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("funnel_stream")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        mk(rows2).write.mode("append").parquet(src)  # second microbatch
+        sq.processAllAvailable()
+        sq.stop()
+        # keep each user's LAST emitted frontier
+        rows = spark.sql(
+            "select * from funnel_stream"
+        ).collect()
+    # frontiers only ever gain steps, so "latest" = most complete
+    # (order-independent: memory-sink row order is not contractual)
+    latest = {}
+    for r in rows:
+        tup = tuple(r[f"step_{s}_ts"] for s in steps)
+        prev = latest.get(r["user_id"])
+        if prev is None or sum(t is not None for t in tup) > sum(
+            t is not None for t in prev
+        ):
+            latest[r["user_id"]] = tup
+    assert latest == expected
+    # user 2's early purchase (before click) must NOT count
+    assert latest[2][2] is None
