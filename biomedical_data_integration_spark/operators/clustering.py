@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark import config
-from biomedical_data_integration_spark.functions.vectors import cosine
+from biomedical_data_integration_spark.functions.vectors import dot, norm
 
 
 def _sq_dist(vec: Column, centroid: Sequence[float]) -> Column:
@@ -188,24 +188,35 @@ def semantic_dedup(
         n = df.count()
         k = max(1, min(n, math.ceil(n / target_cluster_size)))
     assigned, _ = kmeans(df, vec_col, id_col, k=k, max_iter=max_iter, scale=scale)
-    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    # norms fold once per VECTOR here, not once per pair — the O(dim)
+    # norm-in-the-join anti-pattern measured 2x+ on the all-pairs plans
+    # (see operators/similarity._pair_cosine); arithmetic is unchanged
+    # (dot / (ni * nj) is the same double expression cosine() builds)
+    base = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        .withColumn("__nrm", norm(F.col(vec_col)))
+    )
     left = base.select(
         F.col(id_col).alias("__i"),
         F.col(vec_col).alias("__vi"),
+        F.col("__nrm").alias("__ni"),
         F.col("cluster").alias("__c"),
     )
     right = base.select(
         F.col(id_col).alias("__j"),
         F.col(vec_col).alias("__vj"),
+        F.col("__nrm").alias("__nj"),
         F.col("cluster").alias("__c"),
+    )
+    denom = F.col("__ni") * F.col("__nj")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("__vi"), F.col("__vj")) / denom
     )
     dominated = (
         left.join(right, "__c")
         .where(F.col("__j") < F.col("__i"))
-        .where(
-            F.round(cosine(F.col("__vi"), F.col("__vj")), scale)
-            >= F.lit(threshold)
-        )
+        .where(F.round(sim, scale) >= F.lit(threshold))
         .select(F.col("__i").alias(id_col))
         .distinct()
     )
