@@ -2915,6 +2915,31 @@ def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(events, period_days=RETENTION_PERIOD_DAYS)
 
 
+CURRICULUM_BUCKETS = 4
+ANOMALY_Z = 2.0
+
+
+def _q_curriculum_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier curriculum bucketing (exact ntile path; the approx
+    percentile path is the documented cluster-scale default)."""
+    from biomedical_data_integration_spark.operators.text import (
+        curriculum_buckets,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return curriculum_buckets(docs, n_buckets=CURRICULUM_BUCKETS, exact=True)
+
+
+def _q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate z-score anomalies per event type."""
+    from biomedical_data_integration_spark.streaming.events import (
+        event_rate_anomalies,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return event_rate_anomalies(events, z_threshold=ANOMALY_Z)
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alpha-sampling corpus mix: per-source weights ~ tokens^alpha,
     budgets p_s * B, deterministic hash gate (operators/sampling.py)."""
@@ -3088,6 +3113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_signup_purchase": _q_funnel_events,
         "events_retention_weekly": _q_retention_events,
         "multimodal_audio_features": _q_multimodal_audio,
+        "curriculum_buckets_documents": _q_curriculum_documents,
+        "events_rate_anomalies": _q_events_anomalies,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3681,6 +3708,30 @@ GROUP BY event_type
         "text_classifier_score_documents": _classifier_score_sql(),
         "mix_corpus_by_tokens_documents": _mix_corpus_sql(),
         "temperature_mix_documents": _temperature_mix_sql(),
+        "curriculum_buckets_documents": f"""
+SELECT doc_id, clf_score,
+       CAST(ntile({CURRICULUM_BUCKETS})
+            OVER (ORDER BY clf_score DESC, doc_id ASC) AS INTEGER) AS bucket
+FROM ({_classifier_score_sql()})
+""",
+        "events_rate_anomalies": f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT *, avg(n_events) OVER (PARTITION BY event_type) AS m,
+         stddev_samp(n_events) OVER (PARTITION BY event_type) AS sd
+  FROM c
+)
+SELECT event_type, window_start, n_events,
+       round(CASE WHEN sd = 0 THEN 0.0 ELSE (n_events - m) / sd END, 6) AS z,
+       abs(round(CASE WHEN sd = 0 THEN 0.0 ELSE (n_events - m) / sd END, 6))
+         >= {ANOMALY_Z} AS is_anomaly
+FROM s
+""",
         "events_funnel_signup_purchase": """
 WITH su AS (
   SELECT user_id, min(ts) AS s FROM events

@@ -663,3 +663,61 @@ def ngram_stats(
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = True,
+    weights=None,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Curriculum bucketing: quality-score every document and split the
+    corpus into ``n_buckets`` ordered tiers (bucket 1 = highest quality)
+    — the ordering stage of curriculum training / quality-tiered mixing.
+
+    ``exact=True`` uses a global ``ntile`` window (total order by score
+    desc, id asc): exact equal-sized tiers, but the rank is a
+    single-partition sort — fine to ~10^8 rows, NOT the 100 TB path.
+    ``exact=False`` derives bucket edges from ``percentile_approx`` over
+    the scores (one aggregate + a broadcast threshold comparison, fully
+    parallel) — tier sizes are approximate but the plan has no global
+    sort; this is the cluster-scale default for real corpora, same
+    exact/approx contract as the distribution schema matcher.
+
+    Returns (id_col, clf_score, bucket int).
+    """
+    if n_buckets < 1:
+        raise ValueError("curriculum_buckets: n_buckets must be >= 1")
+    scored = classifier_score(
+        df, text_col=text_col, weights=weights, bias=bias
+    ).select(F.col(id_col), F.col("clf_score"))
+    if exact:
+        w = Window.orderBy(F.desc("clf_score"), F.asc(id_col))
+        return scored.withColumn(
+            "bucket", F.ntile(n_buckets).over(w).cast("int")
+        )
+    edges = scored.agg(
+        F.percentile_approx(
+            "clf_score",
+            [i / n_buckets for i in range(1, n_buckets)],
+            10_000,
+        ).alias("__e")
+    )
+    # bucket 1 = highest score tier: count how many edges the score clears
+    # (edges are ascending score quantiles)
+    bucket = (
+        F.lit(n_buckets)
+        - F.aggregate(
+            F.col("__e"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col("clf_score") > e, 1).otherwise(0),
+        )
+    ).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(edges))
+        .withColumn("bucket", bucket)
+        .drop("__e")
+    )

@@ -763,3 +763,49 @@ def streaming_funnel_steps(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def event_rate_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int = 3600,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Event-rate anomaly detection: bucket events into fixed windows per
+    type, z-score each bucket's count against that type's own
+    mean/stddev, flag |z| >= threshold — the monitoring query a pipeline
+    runs over its ingest stream's backfill.
+
+    Plan: one bucketing aggregation (map-side combinable) + per-type
+    mean/std as unbounded windows over the BUCKET table (window-count
+    sized, thousands of rows per type — not the event table), so the
+    second pass is negligible at any corpus size. z rounds before the
+    threshold comparison (oracle determinism).
+
+    Returns (event_type, window_start epoch-secs, n_events, z, is_anomaly).
+    """
+    from biomedical_data_integration_spark import config
+
+    secs = int(window_seconds)
+    counts = (
+        df.select(
+            F.col(type_col),
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs)
+            .cast("bigint")
+            .alias("window_start"),
+        )
+        .groupBy(type_col, "window_start")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy(type_col)
+    z = F.when(
+        F.stddev_samp("n_events").over(w) == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("n_events") - F.avg("n_events").over(w))
+        / F.stddev_samp("n_events").over(w)
+    )
+    out = counts.withColumn("z", F.round(z, config.SIMILARITY_SCALE))
+    return out.withColumn(
+        "is_anomaly", F.abs(F.col("z")) >= F.lit(float(z_threshold))
+    )

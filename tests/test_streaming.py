@@ -561,3 +561,25 @@ def test_streaming_funnel_matches_batch_across_microbatches(spark):
     assert latest == expected
     # user 2's early purchase (before click) must NOT count
     assert latest[2][2] is None
+
+
+def test_event_rate_anomalies_flags_spike(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        event_rate_anomalies,
+    )
+
+    rows = []
+    # 10 quiet hours of 2 events, one spike hour of 40
+    for h in range(10):
+        for i in range(2):
+            rows.append((h * 100 + i, f"2024-01-01 {h:02d}:00:0{i}", "click"))
+    for i in range(40):
+        rows.append((9000 + i, "2024-01-01 12:00:01", "click"))
+    df = spark.createDataFrame(rows, "event_id bigint, ts string, event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = event_rate_anomalies(df)
+    spikes = [r for r in out.collect() if r["is_anomaly"]]
+    assert len(spikes) == 1
+    assert spikes[0]["n_events"] == 40
+    quiet = [r for r in out.collect() if not r["is_anomaly"]]
+    assert all(r["n_events"] == 2 for r in quiet)

@@ -407,3 +407,35 @@ def test_ngram_stats_unigram_matches_token_count(spark):
     df = spark.createDataFrame([(1, "a a b")], "doc_id bigint, text string")
     out = {r["ngram"]: r["occurrences"] for r in ngram_stats(df, n=1).collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_curriculum_buckets_exact_tiers(spark):
+    from biomedical_data_integration_spark.operators.text import (
+        curriculum_buckets,
+    )
+
+    rows = [
+        (1, "the and is of to in that it for with clean prose here"),
+        (2, "1 2 3 4 5 6 7 8 9 !!!! ????"),
+        (3, "the quick brown fox jumps with the lazy dog and it runs"),
+        (4, "@@@@ #### 000 111 222"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["bucket"] for r in curriculum_buckets(df, 2).collect()}
+    # stopword-rich prose lands in the top tier, junk in the bottom
+    assert out[1] == 1 and out[3] == 1
+    assert out[2] == 2 and out[4] == 2
+
+
+def test_curriculum_buckets_approx_path_no_global_sort(spark):
+    from biomedical_data_integration_spark.operators.text import (
+        curriculum_buckets,
+    )
+
+    rows = [(i, f"word {'the ' * (i % 11)}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = curriculum_buckets(df, 4, exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    buckets = {r["bucket"] for r in out.collect()}
+    assert buckets <= {1, 2, 3, 4} and len(buckets) >= 2
