@@ -29,6 +29,12 @@ from biomedical_data_integration_spark.plans.mappers import (
     IdentityValueMapper,
     ValueMapper,
 )
+from biomedical_data_integration_spark.plans.persist import (
+    load_plan,
+    plan_from_json,
+    plan_to_json,
+    save_plan,
+)
 from biomedical_data_integration_spark.session import get_spark
 from biomedical_data_integration_spark.sources.standards import (
     DataFrameStandard,

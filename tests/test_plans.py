@@ -84,3 +84,58 @@ def test_materialize_accepts_spark_df_spec(spark):
     out = materialize_mapping(df, data)
     assert out.columns == ["y"]
     assert out.first()["y"] == "v"
+
+
+def test_plan_json_round_trip(spark, tmp_path):
+    from biomedical_data_integration_spark.plans.persist import (
+        load_plan,
+        plan_to_json,
+        save_plan,
+    )
+    from biomedical_data_integration_spark.plans.spec import materialize_mapping
+    from biomedical_data_integration_spark.plans.mappers import (
+        DictionaryMapper,
+        ExpressionValueMapper,
+    )
+
+    spec = [
+        {"source": "a", "target": "ident"},
+        {"source": "a", "target": "up",
+         "mapper": ExpressionValueMapper("upper({col})")},
+        {"source": "b", "target": "mapped",
+         "mapper": DictionaryMapper({"1": "one", "2": "two"})},
+    ]
+    path = str(tmp_path / "plan.json")
+    save_plan(spec, path)
+    loaded = load_plan(path)
+
+    df = spark.createDataFrame([("x", "1"), ("y", "3")], "a string, b string")
+    want = [tuple(r) for r in materialize_mapping(df, spec).orderBy("ident").collect()]
+    got = [tuple(r) for r in materialize_mapping(df, loaded).orderBy("ident").collect()]
+    assert got == want
+    assert want == [("x", "X", "one"), ("y", "Y", None)]
+    # stable output: serializing twice gives identical text (diff-friendly)
+    assert plan_to_json(spec) == plan_to_json(loaded)
+
+
+def test_plan_json_rejects_function_mapper(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.plans.persist import plan_to_json
+    from biomedical_data_integration_spark.plans.mappers import (
+        FunctionValueMapper,
+    )
+
+    spec = [{"source": "a", "target": "t",
+             "mapper": FunctionValueMapper(lambda x: x)}]
+    with _pytest.raises(ValueError, match="ExpressionValueMapper"):
+        plan_to_json(spec)
+
+
+def test_plan_json_rejects_unknown_version():
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.plans.persist import plan_from_json
+
+    with _pytest.raises(ValueError, match="version"):
+        plan_from_json('{"version": 99, "mappings": []}')
