@@ -2917,6 +2917,30 @@ def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURRICULUM_BUCKETS = 4
 ANOMALY_Z = 2.0
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (SURVEY §2.7 family): daily event counts pivoted to one
+    column per event type. The value list is EXPLICIT, which keeps the
+    plan a single groupBy with conditional aggregation — Spark never runs
+    the extra distinct-values job an implicit pivot needs, and the column
+    set is deterministic for the oracle."""
+    (events,) = _tables(spark, sf_dir, "events")
+    out = (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves absent combinations null; report 0 like the SQL shape
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in PIVOT_EVENT_TYPES
+        ],
+    )
 
 
 def _q_curriculum_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3115,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": _q_multimodal_audio,
         "curriculum_buckets_documents": _q_curriculum_documents,
         "events_rate_anomalies": _q_events_anomalies,
+        "events_pivot_daily": _q_events_pivot_daily,
         # --- stable, re-graded each round ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
@@ -3708,6 +3733,15 @@ GROUP BY event_type
         "text_classifier_score_documents": _classifier_score_sql(),
         "mix_corpus_by_tokens_documents": _mix_corpus_sql(),
         "temperature_mix_documents": _temperature_mix_sql(),
+        "events_pivot_daily": f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {", ".join(
+           f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+           f" AS n_{t}" for t in PIVOT_EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+""",
         "curriculum_buckets_documents": f"""
 SELECT doc_id, clf_score,
        CAST(ntile({CURRICULUM_BUCKETS})

@@ -583,3 +583,63 @@ def test_event_rate_anomalies_flags_spike(spark):
     assert spikes[0]["n_events"] == 40
     quiet = [r for r in out.collect() if not r["is_anomaly"]]
     assert all(r["n_events"] == 2 for r in quiet)
+
+
+# ---------------------------------------------------------------------------
+# property-based equivalence: funnel_steps vs a per-user pandas replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_fevent = st.tuples(
+    st.integers(min_value=0, max_value=3),   # user
+    st.integers(min_value=0, max_value=40),  # epoch-second ts
+    st.sampled_from(["a", "b", "c", "x"]),   # event type (x = noise)
+)
+
+
+def _replay_funnel(rows, steps):
+    """Reference semantics, computed independently: step i's first ts
+    strictly after step i-1's first qualifying ts."""
+    out = {}
+    by_user = {}
+    for u, t, e in rows:
+        by_user.setdefault(u, []).append((t, e))
+    for u, evs in by_user.items():
+        prev = None
+        got = []
+        for step in steps:
+            cands = [
+                t for t, e in evs
+                if e == step and (prev is None or t > prev)
+            ] if (prev is not None or step == steps[0]) else []
+            cur = min(cands) if cands else None
+            got.append(cur)
+            prev = cur
+            if cur is None:
+                # later steps can never qualify
+                got.extend([None] * (len(steps) - len(got)))
+                break
+        out[u] = tuple(got)
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_fevent, min_size=1, max_size=40))
+def test_funnel_steps_matches_replay(spark, rows):
+    from biomedical_data_integration_spark.streaming.events import funnel_steps
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id bigint, ts bigint, event_type string"
+    )
+    got = {
+        r["user_id"]: tuple(r[f"step_{s}_ts"] for s in steps)
+        for r in funnel_steps(df, steps).collect()
+    }
+    assert got == _replay_funnel(rows, steps)
