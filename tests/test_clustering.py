@@ -140,3 +140,65 @@ def test_assign_clusters_streaming_face(spark):
             for r in spark.sql("select * from assign_test").collect()
         }
         assert srows == got
+
+
+# ---------------------------------------------------------------------------
+# property-based equivalence: kmeans vs an independent numpy replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _replay_kmeans(rows, k, iters, scale=6):
+    """Reference Lloyd's with the engine's determinism contract, written
+    against numpy instead of Spark."""
+    import numpy as np
+
+    ids = sorted(r[0] for r in rows)
+    vecs = {r[0]: np.array(r[1], dtype="float64") for r in rows}
+    cents = [vecs[i].copy() for i in ids[:k]]
+
+    def assign():
+        out = {}
+        for i in ids:
+            d = [round(float(((vecs[i] - c) ** 2).sum()), scale) for c in cents]
+            out[i] = min(range(k), key=lambda j: (d[j], j))
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        for j in range(k):
+            members = [vecs[i] for i in ids if a[i] == j]
+            if members:
+                cents[j] = np.array(
+                    [round(float(x), scale) for x in np.mean(members, axis=0)]
+                )
+    return assign()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.tuples(
+                st.integers(min_value=-8, max_value=8),
+                st.integers(min_value=-8, max_value=8),
+            ),
+        ),
+        min_size=4,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_kmeans_matches_numpy_replay(spark, rows):
+    data = [(i, [float(a), float(b)]) for i, (a, b) in rows]
+    k = min(3, len(data))
+    got_df, _ = kmeans(_vecs(spark, data), k=k, max_iter=2)
+    got = {r["vec_id"]: r["cluster"] for r in got_df.collect()}
+    assert got == _replay_kmeans(data, k, 2)
