@@ -17,6 +17,7 @@ SF = "/root/testdata/sf0.001"
 # nodes (mapInPandas codecs / pandas-UDF mappers)
 ARROW_OK = {
     "multimodal_image_features",   # mapInPandas decode
+    "multimodal_audio_features",   # mapInPandas decode (audio leg)
     "harmonize_lineitem",          # FunctionValueMapper (pandas UDF)
     "harmonize_end_to_end",        # user-owned lambda mapper
 }
