@@ -1695,6 +1695,78 @@ WHERE substring(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 12) < thr.t
 """
 
 
+def _sql_hex_head_value(hexpr: str, digits: int = 15) -> str:
+    """Integer value of the FIRST ``digits`` hex chars of an md5 — the
+    oracle twin of functions/hashing.md5_bigint (integer arithmetic
+    throughout: strpos yields BIGINT in DuckDB, 16^14 < 2^63)."""
+    terms = []
+    for i in range(digits):
+        mult = 16 ** (digits - 1 - i)
+        terms.append(
+            f"(strpos('{_HEX}', substring({hexpr}, {i + 1}, 1)) - 1) * {mult}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cms_tokens_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    cell_selects = " UNION ALL ".join(
+        f"SELECT token, {d} AS depth, "
+        f"{_sql_hex_head_value(f'''md5('cms{d}|' || token)''')} % {CMS_WIDTH}"
+        f" AS pos FROM toks"
+        for d in range(CMS_DEPTH)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT token, {d} AS depth, "
+        f"{_sql_hex_head_value(f'''md5('cms{d}|' || token)''')} % {CMS_WIDTH}"
+        f" AS pos FROM probes"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS token FROM documents
+),
+cells AS ({cell_selects}),
+sketch AS (SELECT depth, pos, CAST(count(*) AS BIGINT) AS c
+           FROM cells GROUP BY 1, 2),
+probes AS (SELECT DISTINCT token FROM toks),
+pcells AS ({probe_selects})
+SELECT p.token, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est_count
+FROM pcells p LEFT JOIN sketch s ON p.depth = s.depth AND p.pos = s.pos
+GROUP BY p.token
+"""
+
+
+def _kmv_sql() -> str:
+    h = _sql_hex_head_value("md5('kmv|' || CAST(o_custkey AS VARCHAR))")
+    scale = 16 ** 15
+    return f"""
+WITH d AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+hashed AS (SELECT CAST({h} AS DOUBLE) / {scale} AS h FROM d),
+bottom AS (SELECT h FROM hashed ORDER BY h LIMIT {KMV_K})
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       round(max(h), 12) AS kth_hash,
+       round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} / max(h) END, 6)
+         AS distinct_estimate
+FROM bottom
+"""
+
+
+def _hypertable_sql() -> str:
+    parts = []
+    for g in HYPERTABLE_GRAINS:
+        parts.append(f"""
+SELECT {g} AS grain_seconds,
+       CAST(floor(floor(epoch(ts)) / {g}) * {g} AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events GROUP BY 2""")
+    return " UNION ALL ".join(parts)
+
+
 def _sql_hex_tail_value(hexpr: str, digits: int) -> str:
     """Integer value of the last ``digits`` hex chars of a 32-char md5."""
     terms = []
@@ -2917,6 +2989,50 @@ def _q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURRICULUM_BUCKETS = 4
 ANOMALY_Z = 2.0
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+KMV_K = 256
+HYPERTABLE_GRAINS = (3600, 86400, 604800)
+
+
+def _q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document tokens + frequency estimates for
+    every distinct token (deterministic md5 cells — the sketch itself is
+    oracle-replayable, not just its answers)."""
+    from biomedical_data_integration_spark.operators.sketches import (
+        cms_estimate,
+        countmin_sketch,
+    )
+    from biomedical_data_integration_spark.operators.text import tokens_expr
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    sk = countmin_sketch(toks, "token", width=CMS_WIDTH, depth=CMS_DEPTH)
+    return cms_estimate(
+        sk, toks, "token", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+
+
+def _q_kmv_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of orders' customer keys."""
+    from biomedical_data_integration_spark.operators.sketches import kmv_distinct
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_custkey", k=KMV_K)
+
+
+def _q_events_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical hour/day/week rollup from ONE raw scan; the oracle
+    recomputes every grain directly from raw, so a hash match proves the
+    bucket re-aggregation is exact."""
+    from biomedical_data_integration_spark.streaming.events import (
+        hypertable_rollup,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return hypertable_rollup(events, grains=HYPERTABLE_GRAINS)
 PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -3140,6 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_buckets_documents": _q_curriculum_documents,
         "events_rate_anomalies": _q_events_anomalies,
         "events_pivot_daily": _q_events_pivot_daily,
+        "cms_token_frequencies": _q_cms_tokens,
+        "kmv_distinct_custkeys": _q_kmv_custkeys,
+        "events_hypertable_rollup": _q_events_hypertable,
         # --- stable; entries up to the 50th land in the driver's graded
         # window (the core harmonization family stays regraded) ---
         "harmonize_lineitem": _q_harmonize_lineitem,
@@ -3734,6 +3853,9 @@ GROUP BY event_type
         "text_classifier_score_documents": _classifier_score_sql(),
         "mix_corpus_by_tokens_documents": _mix_corpus_sql(),
         "temperature_mix_documents": _temperature_mix_sql(),
+        "cms_token_frequencies": _cms_tokens_sql(),
+        "kmv_distinct_custkeys": _kmv_sql(),
+        "events_hypertable_rollup": _hypertable_sql(),
         "events_pivot_daily": f"""
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        {", ".join(

@@ -809,3 +809,88 @@ def event_rate_anomalies(
     return out.withColumn(
         "is_anomaly", F.abs(F.col("z")) >= F.lit(float(z_threshold))
     )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grains=(3600, 86400, 604800),
+) -> DataFrame:
+    """Continuous-aggregate-style hierarchical time rollup (the
+    "hypertable" pattern): aggregate raw events at the FINEST grain once,
+    then derive every coarser grain by re-aggregating the previous bucket
+    table — counts and sums add, min/max combine — so the raw table is
+    scanned exactly ONCE no matter how many grains are materialized.
+
+    At 100 TB this is the difference between one fact scan and one per
+    grain; the coarser re-aggregations run over bucket tables that are
+    orders of magnitude smaller (hour buckets ~ corpus_days * 24 rows per
+    group key). Every coarser grain must be an integer multiple of the
+    finest (validated), which is what makes bucket re-bucketing exact.
+
+    Returns (grain_seconds, window_start, n_events, sum_value, min_value,
+    max_value) for all grains unioned, epoch-second windows.
+    """
+    grains = sorted(int(g) for g in grains)
+    if not grains or grains[0] < 1:
+        raise ValueError("hypertable_rollup: grains must be positive ints")
+    g0 = grains[0]
+    for g in grains[1:]:
+        if g % g0 != 0:
+            raise ValueError(
+                f"hypertable_rollup: grain {g} is not a multiple of the "
+                f"finest grain {g0} — bucket re-aggregation would be inexact"
+            )
+    base = (
+        df.select(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / g0) * g0)
+            .cast("bigint")
+            .alias("window_start"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("window_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("__v").alias("__sum"),
+            F.min("__v").alias("__min"),
+            F.max("__v").alias("__max"),
+        )
+    )
+    # ONE chain, no union-of-references: each finest bucket explodes into
+    # its (grain, coarser-window) memberships, then a single re-aggregation
+    # combines buckets per grain. A union of per-grain branches would
+    # re-execute the base aggregation (and the raw scan) once per branch —
+    # Spark does not dedupe common subplans across union arms.
+    exploded = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("grain_seconds"),
+                        (F.floor(F.col("window_start") / g) * g)
+                        .cast("bigint")
+                        .alias("window_start"),
+                    )
+                    for g in grains
+                ]
+            )
+        ).alias("__g"),
+        "n_events", "__sum", "__min", "__max",
+    ).select(
+        F.col("__g.grain_seconds").alias("grain_seconds"),
+        F.col("__g.window_start").alias("window_start"),
+        "n_events", "__sum", "__min", "__max",
+    )
+    out = exploded.groupBy("grain_seconds", "window_start").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("__sum").alias("__sum"),
+        F.min("__min").alias("__min"),
+        F.max("__max").alias("__max"),
+    )
+    return out.select(
+        "grain_seconds", "window_start", "n_events",
+        F.round("__sum", 2).alias("sum_value"),
+        F.round("__min", 2).alias("min_value"),
+        F.round("__max", 2).alias("max_value"),
+    )

@@ -1,0 +1,88 @@
+"""Tests for operators/sketches.py (count-min + KMV)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.operators.sketches import (
+    cms_estimate,
+    countmin_sketch,
+    kmv_distinct,
+)
+
+
+def _words(spark, counts):
+    rows = []
+    i = 0
+    for w, n in counts.items():
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, "id bigint, w string")
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    counts = {"apple": 40, "banana": 25, "cherry": 3, "durian": 1}
+    df = _words(spark, counts)
+    sk = countmin_sketch(df, "w", width=256, depth=4)
+    est = {
+        r["w"]: r["est_count"]
+        for r in cms_estimate(sk, df, "w", width=256, depth=4).collect()
+    }
+    for w, n in counts.items():
+        assert est[w] >= n  # CMS guarantee
+        # 69 items in 256*4 cells: collisions essentially impossible
+        assert est[w] == n
+
+
+def test_cms_absent_item_estimates_zero_when_sparse(spark):
+    df = _words(spark, {"only": 5})
+    sk = countmin_sketch(df, "w", width=1024, depth=4)
+    probe = spark.createDataFrame([("missing",)], "w string")
+    est = cms_estimate(sk, probe, "w", width=1024, depth=4).collect()[0]
+    assert est["est_count"] == 0
+
+
+def test_cms_sketches_merge_by_counter_addition(spark):
+    a = _words(spark, {"x": 10, "y": 2})
+    b = _words(spark, {"x": 5, "z": 7})
+    both = a.unionByName(b)
+    merged = (
+        countmin_sketch(a, "w", width=128, depth=3)
+        .unionByName(countmin_sketch(b, "w", width=128, depth=3))
+        .groupBy("depth", "pos")
+        .agg(F.sum("count").alias("count"))
+    )
+    direct = countmin_sketch(both, "w", width=128, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = _words(spark, {f"w{i}": 2 for i in range(10)})
+    out = kmv_distinct(df, "w", k=64).collect()[0]
+    assert out["n_kept"] == 10
+    assert out["distinct_estimate"] == 10.0
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    df = spark.range(0, 5000).select(F.concat(F.lit("v"), F.col("id")).alias("w"))
+    out = kmv_distinct(df, "w", k=256).collect()[0]
+    assert out["n_kept"] == 256
+    # KMV relative error ~ 1/sqrt(k-2) ~ 6%; allow 3 sigma
+    assert abs(out["distinct_estimate"] - 5000) / 5000 < 0.2
+
+
+def test_kmv_deterministic(spark):
+    df = spark.range(0, 1000).select(F.concat(F.lit("v"), F.col("id")).alias("w"))
+    a = kmv_distinct(df, "w", k=32).collect()[0]
+    b = kmv_distinct(df.repartition(7), "w", k=32).collect()[0]
+    assert tuple(a) == tuple(b)  # partitioning-independent
+
+
+def test_sketch_param_validation(spark):
+    df = _words(spark, {"a": 1})
+    with pytest.raises(ValueError):
+        countmin_sketch(df, "w", width=0)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "w", k=1)

@@ -643,3 +643,48 @@ def test_funnel_steps_matches_replay(spark, rows):
         for r in funnel_steps(df, steps).collect()
     }
     assert got == _replay_funnel(rows, steps)
+
+
+def test_hypertable_rollup_single_raw_scan_and_exactness(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        hypertable_rollup,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1.0),
+        (2, "2024-01-01 00:50:00", 2.0),
+        (3, "2024-01-01 01:10:00", 4.0),
+        (4, "2024-01-02 05:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = hypertable_rollup(df, grains=(3600, 86400))
+    got = {
+        (r["grain_seconds"], r["window_start"]):
+            (r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in out.collect()
+    }
+    day0 = 1704067200  # 2024-01-01 UTC
+    assert got[(3600, day0)] == (2, 3.0, 1.0, 2.0)
+    assert got[(3600, day0 + 3600)] == (1, 4.0, 4.0, 4.0)
+    assert got[(86400, day0)] == (3, 7.0, 1.0, 4.0)
+    assert got[(86400, day0 + 86400)] == (1, 8.0, 8.0, 8.0)
+    # raw table is scanned exactly once (no per-grain union branches);
+    # AQE's toString also prints the Initial Plan — inspect the final only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+
+def test_hypertable_rollup_rejects_non_multiple_grain(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.streaming.events import (
+        hypertable_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "id bigint, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="multiple"):
+        hypertable_rollup(df, grains=(3600, 5000))
