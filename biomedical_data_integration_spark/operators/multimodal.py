@@ -207,3 +207,56 @@ def extract_audio_features(
     return media.select("media_id", "content").mapInPandas(
         _fake_audio_decode, AUDIO_FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int = 224,
+    target_height: int = 224,
+    decoder: str = "deterministic_fake",
+) -> DataFrame:
+    """Resize images to a fixed target — the preprocessing step in front
+    of any vision encoder. Same contract as the other codecs: the fake
+    path derives the resized payload deterministically (md5 of the source
+    hex + target dims) so the plumbing is testable and oracle-replayable;
+    ``decoder='real'`` marks the PIL/torchvision integration point.
+
+    One mapInPandas pass; output rows carry the (claimed) target dims and
+    the new binary payload.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "Real image resize needs PIL/torchvision on the executors; "
+            "swap the fake body for Image.open(...).resize(...)."
+        )
+    if decoder != "deterministic_fake":
+        raise ValueError(f"Unknown decoder: {decoder!r}")
+    tw, th = int(target_width), int(target_height)
+
+    def _fake_resize(batch_iter):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batch_iter:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                seed = f"{bytes(content).hex()}|{tw}x{th}".encode()
+                out.append((int(mid), tw, th, hashlib.md5(seed).digest()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "content"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _fake_resize, RESIZED_SCHEMA
+    )

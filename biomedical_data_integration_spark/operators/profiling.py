@@ -150,3 +150,81 @@ def detect_schema_drift(
         "column", status.alias("status"), "old_type", "new_type",
         "domain_jaccard",
     )
+
+
+def validate_table(df: DataFrame, rules) -> DataFrame:
+    """Data-quality expectation checking: evaluate declarative rules over
+    a table in ONE aggregation pass and return per-rule violation counts
+    — the generalized form of the reference's source-column existence
+    validation (``bdikit/api.py:721-726``), extended to the expectation
+    suites a production ingest runs before materialization.
+
+    ``rules`` is a list of dicts with ``name`` and ``type``:
+
+    - ``{"name", "type": "not_null", "column"}``
+    - ``{"name", "type": "unique", "column"}`` — violations = rows beyond
+      the first per duplicate value (``count - count_distinct``; null
+      values are not counted as duplicates of each other)
+    - ``{"name", "type": "in_set", "column", "values": [...]}``
+    - ``{"name", "type": "range", "column", "min"?, "max"?}``
+    - ``{"name", "type": "expression", "expr": "<bool SQL>"}`` —
+      violations = rows where the expression is NOT true
+
+    Every rule compiles to a conditional aggregate in the SAME agg node
+    (one scan, map-side combinable; ``unique`` adds a distinct count),
+    then the 1-row result unpivots to ``(rule, violations, passed)``.
+    """
+    if not rules:
+        raise ValueError("validate_table: rules must be non-empty")
+    aggs = []
+    names = []
+    for r in rules:
+        name, kind = r["name"], r["type"]
+        names.append(name)
+        if kind == "not_null":
+            cond = F.col(r["column"]).isNull()
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(name))
+        elif kind == "unique":
+            c = r["column"]
+            aggs.append(
+                (
+                    F.count(F.col(c)) - F.count_distinct(F.col(c))
+                ).alias(name)
+            )
+        elif kind == "in_set":
+            cond = (
+                F.col(r["column"]).isNotNull()
+                & ~F.col(r["column"]).isin(*r["values"])
+            )
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(name))
+        elif kind == "range":
+            c = F.col(r["column"])
+            cond = F.lit(False)
+            if r.get("min") is not None:
+                cond = cond | (c < r["min"])
+            if r.get("max") is not None:
+                cond = cond | (c > r["max"])
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(name))
+        elif kind == "expression":
+            ok = F.expr(r["expr"])
+            aggs.append(
+                F.sum(F.when(ok, 0).otherwise(1)).alias(name)
+            )
+        else:
+            raise ValueError(f"validate_table: unknown rule type {kind!r}")
+    if len(set(names)) != len(names):
+        raise ValueError("validate_table: duplicate rule names")
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {args}) as (rule, violations)".format(
+                n=len(names),
+                args=", ".join(f"'{n}', `{n}`" for n in names),
+            )
+        )
+    )
+    return stacked.select(
+        "rule",
+        F.col("violations").cast("bigint").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )

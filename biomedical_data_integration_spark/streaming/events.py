@@ -894,3 +894,33 @@ def hypertable_rollup(
         F.round("__min", 2).alias("min_value"),
         F.round("__max", 2).alias("max_value"),
     )
+
+
+def rollup_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental maintenance of a :func:`hypertable_rollup` table: merge
+    a new delta rollup (e.g., today's events rolled up with the same
+    grains) into the materialized one. Counts and sums add, min/max
+    combine — one unionByName + re-aggregation over bucket tables only;
+    the historical raw data is never rescanned, which is the entire point
+    of maintaining a continuous aggregate.
+
+    Both inputs must share the hypertable_rollup output schema.
+    """
+    cols = {
+        "grain_seconds", "window_start", "n_events",
+        "sum_value", "min_value", "max_value",
+    }
+    for side, df in (("existing", existing), ("delta", delta)):
+        missing = cols - set(df.columns)
+        if missing:
+            raise ValueError(f"rollup_merge: {side} is missing {sorted(missing)}")
+    return (
+        existing.unionByName(delta)
+        .groupBy("grain_seconds", "window_start")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.round(F.min("min_value"), 2).alias("min_value"),
+            F.round(F.max("max_value"), 2).alias("max_value"),
+        )
+    )

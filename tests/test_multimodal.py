@@ -92,3 +92,27 @@ def test_extract_audio_features_real_is_marked_stub(spark):
     media = attach_binary_content(docs, "doc_id", "text", "audio")
     with _pytest.raises(NotImplementedError, match="torchaudio"):
         extract_audio_features(media, decoder="real")
+
+
+def test_resize_images_plumbing_and_determinism(spark):
+    from biomedical_data_integration_spark.operators.multimodal import (
+        attach_binary_content,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id bigint, text string"
+    )
+    media = attach_binary_content(docs, "doc_id", "text", "image")
+    out = resize_images(media, 224, 224).collect()
+    assert {(r["width"], r["height"]) for r in out} == {(224, 224)}
+    assert len({bytes(r["content"]) for r in out}) == 2  # distinct payloads
+    again = resize_images(media, 224, 224).collect()
+    assert sorted((r["media_id"], bytes(r["content"])) for r in out) == sorted(
+        (r["media_id"], bytes(r["content"])) for r in again
+    )
+    # different target -> different payload (dims are part of the seed)
+    other = resize_images(media, 64, 64).collect()
+    assert {bytes(r["content"]) for r in other}.isdisjoint(
+        {bytes(r["content"]) for r in out}
+    )

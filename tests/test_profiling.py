@@ -56,3 +56,69 @@ def test_detect_schema_drift_statuses(spark):
     rows2 = {r["column"]: r for r in detect_schema_drift(old, drifted).collect()}
     assert rows2["dom"]["status"] == "domain_drift"
     assert rows2["dom"]["domain_jaccard"] == 0.0
+
+
+def test_validate_table_rules(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        validate_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", -5.0),
+            (2, None, 3.0),
+            (4, "zz", 1000.0),
+        ],
+        "id bigint, cat string, amount double",
+    )
+    rules = [
+        {"name": "id_unique", "type": "unique", "column": "id"},
+        {"name": "cat_not_null", "type": "not_null", "column": "cat"},
+        {"name": "cat_known", "type": "in_set", "column": "cat",
+         "values": ["a", "b"]},
+        {"name": "amount_range", "type": "range", "column": "amount",
+         "min": 0, "max": 100},
+        {"name": "id_positive", "type": "expression", "expr": "id > 0"},
+    ]
+    out = {r["rule"]: (r["violations"], r["passed"])
+           for r in validate_table(df, rules).collect()}
+    assert out["id_unique"] == (1, False)      # id 2 appears twice
+    assert out["cat_not_null"] == (1, False)
+    assert out["cat_known"] == (1, False)      # 'zz' (null not counted)
+    assert out["amount_range"] == (2, False)   # -5 and 1000
+    assert out["id_positive"] == (0, True)
+
+
+def test_validate_table_one_aggregation_pass(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        validate_table,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "id bigint, v double")
+    out = validate_table(df, [
+        {"name": "r1", "type": "not_null", "column": "id"},
+        {"name": "r2", "type": "range", "column": "v", "min": 0},
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+
+
+def test_validate_table_rejects_bad_rules(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        validate_table,
+    )
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with _pytest.raises(ValueError, match="non-empty"):
+        validate_table(df, [])
+    with _pytest.raises(ValueError, match="unknown rule type"):
+        validate_table(df, [{"name": "x", "type": "nope"}])
+    with _pytest.raises(ValueError, match="duplicate"):
+        validate_table(df, [
+            {"name": "x", "type": "not_null", "column": "id"},
+            {"name": "x", "type": "not_null", "column": "id"},
+        ])

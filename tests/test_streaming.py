@@ -688,3 +688,41 @@ def test_hypertable_rollup_rejects_non_multiple_grain(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     with _pytest.raises(ValueError, match="multiple"):
         hypertable_rollup(df, grains=(3600, 5000))
+
+
+def test_rollup_merge_equals_full_recompute(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        hypertable_rollup,
+        rollup_merge,
+    )
+
+    schema = "id bigint, ts string, value double"
+    old = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1.5), (2, "2024-01-01 05:00:00", 2.5)],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    new = spark.createDataFrame(
+        [(3, "2024-01-01 00:40:00", 4.0), (4, "2024-01-03 09:00:00", 8.0)],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    grains = (3600, 86400)
+    merged = rollup_merge(
+        hypertable_rollup(old, grains=grains),
+        hypertable_rollup(new, grains=grains),
+    )
+    full = hypertable_rollup(
+        old.unionByName(new), grains=grains
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_rollup_merge_schema_validation(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.streaming.events import rollup_merge
+
+    bad = spark.createDataFrame([(1,)], "x bigint")
+    with _pytest.raises(ValueError, match="missing"):
+        rollup_merge(bad, bad)
