@@ -202,3 +202,27 @@ def test_kmeans_matches_numpy_replay(spark, rows):
     got_df, _ = kmeans(_vecs(spark, data), k=k, max_iter=2)
     got = {r["vec_id"]: r["cluster"] for r in got_df.collect()}
     assert got == _replay_kmeans(data, k, 2)
+
+
+def test_kmeans_maxmin_seeding_recovers_spread_blobs(spark):
+    # the three lowest ids all sit in blob A: lowest_id seeding starts all
+    # seeds there, maxmin spreads seeds across blobs by construction
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+        (3, [50.0, 50.0]), (4, [50.1, 50.0]),
+        (5, [-50.0, 50.0]), (6, [-50.1, 50.1]),
+    ]
+    df = _vecs(spark, rows)
+    _, seeds = kmeans(df, k=3, max_iter=0, init="maxmin")
+    # seed set = one per blob: (0,0), (50,50)-ish, (-50,50)-ish
+    blobs = {(round(s[0] / 50), round(s[1] / 50)) for s in seeds}
+    assert blobs == {(0, 0), (1, 1), (-1, 1)}
+    # deterministic
+    _, seeds2 = kmeans(df, k=3, max_iter=0, init="maxmin")
+    assert seeds == seeds2
+
+
+def test_kmeans_rejects_unknown_init(spark):
+    with pytest.raises(ValueError, match="init"):
+        kmeans(_vecs(spark, [(0, [1.0, 1.0]), (1, [2.0, 2.0])]), k=2,
+               init="random")
