@@ -152,29 +152,41 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k by cosine.
 
-    Coarse quantizer: the ``n_cells`` corpus vectors with the smallest ids
-    (a deterministic sample — real systems would k-means these; the cell
-    SEARCH structure is identical). Each corpus vector lands in the cell
-    of its most-cosine-similar centroid; each query probes its ``nprobe``
-    best cells. Assignment is one broadcast join against the centroids
-    (centroids are tiny by construction); search is an equi-join on
-    cell id, so the per-query cost shrinks by ~``nprobe / n_cells``.
+    Coarse quantizer: by default the ``n_cells`` corpus vectors with the
+    smallest ids (a deterministic sample — the contract the SQL oracle
+    replays); pass ``centroids`` (a list of vectors, e.g.
+    ``kmeans(corpus, k=n_cells)[1]``) for a TRAINED quantizer — balanced
+    cells mean better recall at the same ``nprobe`` (measured in
+    ``test_similarity.py::test_ivf_trained_centroids_recall``). Each
+    corpus vector lands in the cell of its most-cosine-similar centroid;
+    each query probes its ``nprobe`` best cells. Assignment is one
+    broadcast join against the centroids (tiny by construction); search
+    is an equi-join on cell id, so the per-query cost shrinks by
+    ~``nprobe / n_cells``.
 
     Returns (query_id, neighbor_id, cosine); rounded scores, id tiebreaks,
     deterministic under any partitioning.
     """
-    cents = (
-        corpus.orderBy(corpus_id)
-        .limit(n_cells)
-        .select(
-            F.col(corpus_id).alias("cent_id"),
-            F.col(corpus_vec).alias("cent_v"),
-            norm(F.col(corpus_vec)).alias("cent_n"),
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cent_id bigint, cent_v array<double>",
+        ).select("cent_id", "cent_v", norm(F.col("cent_v")).alias("cent_n"))
+    else:
+        cents = (
+            corpus.orderBy(corpus_id)
+            .limit(n_cells)
+            .select(
+                F.col(corpus_id).alias("cent_id"),
+                F.col(corpus_vec).alias("cent_v"),
+                norm(F.col(corpus_vec)).alias("cent_n"),
+            )
         )
-    )
 
     def best_cells(df: DataFrame, idc: str, vecc: str, n: int, out_id: str) -> DataFrame:
         denom = F.col("vn") * F.col("cent_n")

@@ -100,3 +100,33 @@ def test_quantize_embeddings_int8_roundtrip(spark):
     dq = q.select("id", dequantize_expr(F.col("qvec"), F.col("scale")).alias("v"))
     v1 = {r["id"]: r["v"] for r in dq.collect()}[1]
     assert all(abs(a - b) <= 1 / 127 for a, b in zip(v1, [1.0, -0.5, 0.25]))
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """A kmeans-trained coarse quantizer must not lose recall vs the
+    lowest-id quantizer at the same nprobe, and both are measured against
+    brute force on real testdata embeddings."""
+    from biomedical_data_integration_spark.operators.clustering import kmeans
+    from biomedical_data_integration_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.where(F.col("vec_id") % 50 == 0)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(cosine_topk(queries, corpus, k=5))
+    naive = pairs(ivf_topk(queries, corpus, k=5, n_cells=16, nprobe=4))
+    _, cents = kmeans(corpus, k=16, max_iter=2)
+    trained = pairs(
+        ivf_topk(queries, corpus, k=5, n_cells=16, nprobe=4, centroids=cents)
+    )
+    recall_naive = len(naive & truth) / len(truth)
+    recall_trained = len(trained & truth) / len(truth)
+    assert recall_trained >= recall_naive - 0.05  # never meaningfully worse
+    assert recall_trained >= 0.5  # sane floor on this data
