@@ -29,6 +29,10 @@ from biomedical_data_integration_spark.plans.mappers import (
     IdentityValueMapper,
     ValueMapper,
 )
+from biomedical_data_integration_spark.plans.inspect import (
+    assert_scalable,
+    plan_summary,
+)
 from biomedical_data_integration_spark.plans.persist import (
     load_plan,
     plan_from_json,

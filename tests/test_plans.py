@@ -139,3 +139,52 @@ def test_plan_json_rejects_unknown_version():
 
     with _pytest.raises(ValueError, match="version"):
         plan_from_json('{"version": 99, "mappings": []}')
+
+
+def test_plan_summary_counts(spark):
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.plans.inspect import (
+        assert_scalable,
+        plan_summary,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    simple = df.where(F.col("l_quantity") > 10).select("l_orderkey")
+    s = plan_summary(simple)
+    assert s["n_scans"] == 1
+    assert s["n_exchanges"] == 0
+    assert not s["python_exec"] and not s["cartesian"]
+    assert s["pushed_filters"]  # predicate reached the parquet scan
+
+    grouped = df.groupBy("l_returnflag").count()
+    sg = plan_summary(grouped)
+    assert sg["n_exchanges"] >= 1
+
+    # budget enforcement
+    assert_scalable(simple, max_exchanges=0)
+    try:
+        assert_scalable(grouped, max_exchanges=0)
+        raise RuntimeError("should have raised")
+    except AssertionError as e:
+        assert "shuffles" in str(e)
+
+
+def test_plan_summary_flags_python_and_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.plans.inspect import plan_summary
+
+    a = spark.range(3)
+    b = spark.range(3)
+    cart = a.crossJoin(b)
+    assert plan_summary(cart)["cartesian"]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _f(s):
+        return s
+
+    py = a.select(_f(F.col("id")))
+    assert plan_summary(py)["python_exec"]
