@@ -924,3 +924,79 @@ def rollup_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
             F.round(F.max("max_value"), 2).alias("max_value"),
         )
     )
+
+
+def rate_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-type mean/stddev of fixed-window event counts — the reference
+    statistics :func:`streaming_rate_anomalies` scores against. Fit on
+    the batch backfill; the output is type-cardinality-sized."""
+    secs = int(window_seconds)
+    counts = (
+        df.select(
+            F.col(type_col),
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs)
+            .cast("bigint")
+            .alias("window_start"),
+        )
+        .groupBy(type_col, "window_start")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return counts.groupBy(type_col).agg(
+        F.avg("n_events").alias("mean_events"),
+        F.stddev_samp("n_events").alias("sd_events"),
+    )
+
+
+def streaming_rate_anomalies(
+    stream: DataFrame,
+    stats: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Streaming twin of :func:`event_rate_anomalies` in the fit/serve
+    split every production monitor uses: ``stats`` comes from
+    :func:`rate_stats` over the batch backfill (type-cardinality-sized,
+    broadcast), and the stream side is ONE watermarked tumbling count per
+    (type, window) plus a stateless z-score projection — no unbounded
+    state, late data handled by the watermark.
+
+    Emits (event_type, window_start, n_events, z, is_anomaly) per closed
+    window (append mode downstream).
+    """
+    from biomedical_data_integration_spark import config
+
+    secs = int(window_seconds)
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{secs} seconds").alias("__w"),
+            F.col(type_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            type_col,
+            F.unix_timestamp(F.col("__w.start")).cast("bigint").alias(
+                "window_start"
+            ),
+            "n_events",
+        )
+    )
+    joined = counts.join(F.broadcast(stats), type_col, "left")
+    z = F.when(
+        F.col("sd_events").isNull() | (F.col("sd_events") == 0), F.lit(0.0)
+    ).otherwise(
+        (F.col("n_events") - F.col("mean_events")) / F.col("sd_events")
+    )
+    out = joined.withColumn("z", F.round(z, config.SIMILARITY_SCALE))
+    return out.select(
+        type_col, "window_start", "n_events", "z",
+        (F.abs(F.col("z")) >= F.lit(float(z_threshold))).alias("is_anomaly"),
+    )

@@ -726,3 +726,50 @@ def test_rollup_merge_schema_validation(spark):
     bad = spark.createDataFrame([(1,)], "x bigint")
     with _pytest.raises(ValueError, match="missing"):
         rollup_merge(bad, bad)
+
+
+def test_streaming_rate_anomalies_matches_batch(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import (
+        event_rate_anomalies,
+        rate_stats,
+        streaming_rate_anomalies,
+    )
+
+    rows = []
+    for h in range(8):
+        for i in range(3):
+            rows.append((h * 100 + i, f"2024-01-01 {h:02d}:00:0{i}", "click"))
+    for i in range(30):
+        rows.append((9000 + i, "2024-01-01 10:00:01", "click"))
+    batch = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    stats = rate_stats(batch)
+    want = {
+        (r["event_type"], r["window_start"]): (r["n_events"], r["z"], r["is_anomaly"])
+        for r in event_rate_anomalies(batch).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = streaming_rate_anomalies(stream, stats, watermark="100 hours")
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("rate_anom_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            (r["event_type"], r["window_start"]): (r["n_events"], r["z"], r["is_anomaly"])
+            for r in spark.sql("select * from rate_anom_test").collect()
+        }
+    assert got == want
+    assert any(v[2] for v in got.values())  # the spike is flagged
