@@ -2816,18 +2816,30 @@ def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = supplier.join(
         F.broadcast(nkeys), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
+    # integer-cents accumulation: the threshold compare and the rounding
+    # are then exact integer math on both engines (same treatment as q9 —
+    # a float sum's accumulation order could flip a boundary part). The
+    # HAVING threshold is "value > 2x the average part value" — the
+    # scale-FREE analogue of q11's fixed fraction (which returns 0 rows
+    # once the part count passes 1/fraction).
     value = (
         lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__val"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100)
+                .cast("bigint")
+            ).alias("__val")
+        )
     )
     w = Window.partitionBy()
     return (
         value.withColumn("__tot", F.sum("__val").over(w))
-        .where(F.col("__val") > 0.001 * F.col("__tot"))
+        .withColumn("__n", F.count("*").over(w))
+        .where(F.col("__val") * F.col("__n") > 2 * F.col("__tot"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round(F.col("__val"), 2).alias("part_value"),
+            F.round(F.col("__val") / 100.0, 2).alias("part_value"),
         )
     )
 
@@ -3852,16 +3864,18 @@ GROUP BY n_name, o_year
 """,
         "tpch_q11_important_stock": """
 WITH value AS (
-  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS val
   FROM lineitem
   WHERE l_suppkey IN (
     SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name IN ('NATION_2', 'NATION_4'))
   GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, round(val, 2) AS part_value
+SELECT l_partkey AS p_partkey, round(val / 100.0, 2) AS part_value
 FROM value
-WHERE val > 0.001 * (SELECT sum(val) FROM value)
+WHERE val * (SELECT count(*) FROM value) > 2 * (SELECT sum(val) FROM value)
 """,
         "tpch_q12_shipmode_priority": f"""
 SELECT {TPCH_Q12_SHIPMODE_CASE} AS l_shipmode,
@@ -3992,8 +4006,10 @@ s AS (
   FROM c
 )
 SELECT event_type, window_start, n_events,
-       round(CASE WHEN sd = 0 THEN 0.0 ELSE (n_events - m) / sd END, 6) AS z,
-       abs(round(CASE WHEN sd = 0 THEN 0.0 ELSE (n_events - m) / sd END, 6))
+       round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                  ELSE (n_events - m) / sd END, 6) AS z,
+       abs(round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                      ELSE (n_events - m) / sd END, 6))
          >= {ANOMALY_Z} AS is_anomaly
 FROM s
 """,

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark import config
@@ -96,10 +96,15 @@ def _maxmin_seeds(
     vector maximizing the (rounded) distance to its nearest chosen seed,
     ties broken by lowest id. k-1 extra scans (one per seed) — the
     quality/cost trade documented on :func:`kmeans`."""
-    first = df.orderBy(id_col).limit(1).select(vec_col).collect()
-    if not first or first[0][0] is None:
-        raise ValueError("kmeans: empty input or null seed vector")
-    seeds = [[float(x) for x in first[0][0]]]
+    # the farthest-point query below always returns a row on non-empty
+    # input, so (unlike lowest_id's limit-k collect) a too-small input
+    # would silently yield duplicate seeds — check cardinality up front
+    head = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(head) < k:
+        raise ValueError(f"kmeans: need at least k={k} rows, got {len(head)}")
+    if head[0][0] is None:
+        raise ValueError("kmeans: null seed vector")
+    seeds = [[float(x) for x in head[0][0]]]
     while len(seeds) < k:
         nearest = _assign_expr(F.col(vec_col), seeds, scale)["dist2"]
         row = (
@@ -108,8 +113,6 @@ def _maxmin_seeds(
             .limit(1)
             .collect()
         )
-        if not row:
-            raise ValueError(f"kmeans: need at least k={k} rows")
         seeds.append([float(x) for x in row[0][1]])
     return seeds
 

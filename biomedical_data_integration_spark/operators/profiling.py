@@ -176,10 +176,20 @@ def validate_table(df: DataFrame, rules) -> DataFrame:
     """
     if not rules:
         raise ValueError("validate_table: rules must be non-empty")
+    import re as _re
+
     aggs = []
     names = []
     for r in rules:
         name, kind = r["name"], r["type"]
+        # names are interpolated into the stack() SQL below — restrict to
+        # identifier characters so quoting can't break (or inject into)
+        # the generated expression
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name or ""):
+            raise ValueError(
+                f"validate_table: rule name {name!r} must match "
+                "[A-Za-z_][A-Za-z0-9_]*"
+            )
         names.append(name)
         if kind == "not_null":
             cond = F.col(r["column"]).isNull()

@@ -29,9 +29,7 @@ fingerprint, ``bdikit/utils.py:8-18``); this is the BASELINE.json
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark.functions.hashing import md5_bigint

@@ -3,9 +3,14 @@ gate (tests/test_plan_quality.py) — summarize what a DataFrame's executed
 plan will actually do so scale regressions are visible before a job runs
 at 100 TB.
 
-The numbers come straight from ``df._jdf.queryExecution().executedPlan()``
-(final AQE plan only — the printed Initial Plan is excluded), so they
-reflect what Spark will run, not the logical shape.
+The numbers come from ``df._jdf.queryExecution().executedPlan()``. Before
+the query has actually run, AQE reports its INITIAL adaptive plan (the
+``== Initial Plan ==`` section that appears after execution is excluded
+either way), so pre-execution counts are upper bounds that runtime
+re-optimization can improve — e.g. a sort-merge join AQE later converts
+to broadcast still counts as a shuffle here. Call after an action for
+the realized plan; for CI budgets the pre-execution upper bound is the
+conservative (safe) side.
 """
 
 from __future__ import annotations

@@ -724,9 +724,15 @@ def streaming_funnel_steps(
     from pyspark.sql import types as T
 
     n = len(steps)
+    # generic over the batch twin's accepted shapes: user ids keep their
+    # input type, and ts may be a timestamp OR a plain numeric epoch
+    # column (the state always stores long micros/values)
+    user_type = stream.schema[user_col].dataType
+    ts_type = stream.schema[ts_col].dataType
+    ts_is_timestamp = isinstance(ts_type, T.TimestampType)
     out_schema = T.StructType(
-        [T.StructField(user_col, T.LongType())]
-        + [T.StructField(f"step_{s}_ts", T.TimestampType()) for s in steps]
+        [T.StructField(user_col, user_type)]
+        + [T.StructField(f"step_{s}_ts", ts_type) for s in steps]
     )
     state_schema = ", ".join(f"s{i} long" for i in range(n))
     step_list = list(steps)
@@ -741,19 +747,25 @@ def streaming_funnel_steps(
         allrows = pd.concat(batches, ignore_index=True)
         allrows = allrows.sort_values([ts_col], kind="mergesort")
         for _, row in allrows.iterrows():
-            ts_us = int(row[ts_col].value // 1000)  # pandas ns -> micros
+            raw = row[ts_col]
+            # pandas Timestamp -> long micros; numeric epoch -> long
+            ts_v = int(raw.value // 1000) if hasattr(raw, "value") else int(raw)
             etype = row[type_col]
             for j, s in enumerate(step_list):
                 if etype != s or cur[j] is not None:
                     continue
-                if j == 0 or (cur[j - 1] is not None and ts_us > cur[j - 1]):
-                    cur[j] = ts_us
+                if j == 0 or (cur[j - 1] is not None and ts_v > cur[j - 1]):
+                    cur[j] = ts_v
         state.update(tuple(cur))
+
+        def render(v):
+            if v is None:
+                return pd.Timestamp("NaT") if ts_is_timestamp else None
+            return pd.Timestamp(v, unit="us") if ts_is_timestamp else v
+
         out = {user_col: [key[0]]}
         for j, s in enumerate(step_list):
-            out[f"step_{s}_ts"] = [
-                pd.Timestamp(cur[j], unit="us") if cur[j] is not None else pd.NaT
-            ]
+            out[f"step_{s}_ts"] = [render(cur[j])]
         yield pd.DataFrame(out)
 
     return stream.groupBy(user_col).applyInPandasWithState(
@@ -799,11 +811,12 @@ def event_rate_anomalies(
         .agg(F.count("*").alias("n_events"))
     )
     w = Window.partitionBy(type_col)
-    z = F.when(
-        F.stddev_samp("n_events").over(w) == 0, F.lit(0.0)
-    ).otherwise(
-        (F.col("n_events") - F.avg("n_events").over(w))
-        / F.stddev_samp("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    # NULL sd (a type with one window) scores 0.0 like sd == 0 — keeps the
+    # batch face equivalent to streaming_rate_anomalies, which gets NULL
+    # sd from its left join and maps it the same way
+    z = F.when(sd.isNull() | (sd == 0), F.lit(0.0)).otherwise(
+        (F.col("n_events") - F.avg("n_events").over(w)) / sd
     )
     out = counts.withColumn("z", F.round(z, config.SIMILARITY_SCALE))
     return out.withColumn(
@@ -816,6 +829,7 @@ def hypertable_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     grains=(3600, 86400, 604800),
+    round_output: bool = True,
 ) -> DataFrame:
     """Continuous-aggregate-style hierarchical time rollup (the
     "hypertable" pattern): aggregate raw events at the FINEST grain once,
@@ -831,6 +845,13 @@ def hypertable_rollup(
 
     Returns (grain_seconds, window_start, n_events, sum_value, min_value,
     max_value) for all grains unioned, epoch-second windows.
+
+    ``round_output=True`` (default) rounds the value columns for
+    presentation/oracle determinism. For a table you will keep MERGING
+    incrementally via :func:`rollup_merge`, materialize with
+    ``round_output=False``: merging rounded snapshots re-rounds rounded
+    sums, which can drift from a full recompute by up to half an ulp of
+    the rounding scale per merge.
     """
     grains = sorted(int(g) for g in grains)
     if not grains or grains[0] < 1:
@@ -888,11 +909,18 @@ def hypertable_rollup(
         F.min("__min").alias("__min"),
         F.max("__max").alias("__max"),
     )
+    if round_output:
+        return out.select(
+            "grain_seconds", "window_start", "n_events",
+            F.round("__sum", 2).alias("sum_value"),
+            F.round("__min", 2).alias("min_value"),
+            F.round("__max", 2).alias("max_value"),
+        )
     return out.select(
         "grain_seconds", "window_start", "n_events",
-        F.round("__sum", 2).alias("sum_value"),
-        F.round("__min", 2).alias("min_value"),
-        F.round("__max", 2).alias("max_value"),
+        F.col("__sum").alias("sum_value"),
+        F.col("__min").alias("min_value"),
+        F.col("__max").alias("max_value"),
     )
 
 
@@ -904,7 +932,11 @@ def rollup_merge(existing: DataFrame, delta: DataFrame) -> DataFrame:
     the historical raw data is never rescanned, which is the entire point
     of maintaining a continuous aggregate.
 
-    Both inputs must share the hypertable_rollup output schema.
+    Both inputs must share the hypertable_rollup output schema. Feed it
+    UNROUNDED rollups (``hypertable_rollup(..., round_output=False)``):
+    merging rounded snapshots compounds rounding error (up to 0.005 per
+    bucket per merge at the default 2-decimal scale). The merge result is
+    rounded once, at the end.
     """
     cols = {
         "grain_seconds", "window_start", "n_events",

@@ -226,3 +226,9 @@ def test_kmeans_rejects_unknown_init(spark):
     with pytest.raises(ValueError, match="init"):
         kmeans(_vecs(spark, [(0, [1.0, 1.0]), (1, [2.0, 2.0])]), k=2,
                init="random")
+
+
+def test_kmeans_maxmin_needs_k_rows(spark):
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans(_vecs(spark, [(0, [1.0, 1.0]), (1, [2.0, 2.0])]), k=5,
+               init="maxmin")

@@ -122,3 +122,16 @@ def test_validate_table_rejects_bad_rules(spark):
             {"name": "x", "type": "not_null", "column": "id"},
             {"name": "x", "type": "not_null", "column": "id"},
         ])
+
+
+def test_validate_table_rejects_non_identifier_names(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        validate_table,
+    )
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with _pytest.raises(ValueError, match="must match"):
+        validate_table(df, [{"name": "can't", "type": "not_null",
+                             "column": "id"}])

@@ -707,12 +707,10 @@ def test_rollup_merge_equals_full_recompute(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     grains = (3600, 86400)
     merged = rollup_merge(
-        hypertable_rollup(old, grains=grains),
-        hypertable_rollup(new, grains=grains),
+        hypertable_rollup(old, grains=grains, round_output=False),
+        hypertable_rollup(new, grains=grains, round_output=False),
     )
-    full = hypertable_rollup(
-        old.unionByName(new), grains=grains
-    )
+    full = hypertable_rollup(old.unionByName(new), grains=grains)
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
@@ -773,3 +771,44 @@ def test_streaming_rate_anomalies_matches_batch(spark):
         }
     assert got == want
     assert any(v[2] for v in got.values())  # the spike is flagged
+
+
+def test_streaming_funnel_numeric_ts_and_generic_user(spark):
+    """The streaming twin must accept the same shapes as the batch face:
+    plain numeric epoch ts and non-long user ids."""
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import (
+        funnel_steps,
+        streaming_funnel_steps,
+    )
+
+    steps = ["a", "b"]
+    rows = [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "b")]
+    batch = spark.createDataFrame(
+        rows, "user_id string, ts bigint, event_type string"
+    )
+    expected = {
+        r["user_id"]: (r["step_a_ts"], r["step_b_ts"])
+        for r in funnel_steps(batch, steps).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        sq = (
+            streaming_funnel_steps(stream, steps)
+            .writeStream.format("memory")
+            .queryName("funnel_generic")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            r["user_id"]: (r["step_a_ts"], r["step_b_ts"])
+            for r in spark.sql("select * from funnel_generic").collect()
+        }
+    assert got == expected
+    assert got["u1"] == (10, 20) and got["u2"] == (None, None)
