@@ -208,3 +208,54 @@ def temperature_mix(
         for s, t in totals.items()
     }
     return stratified_sample(df, source_col, key_col, fractions, salt=salt)
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    n_folds: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Leakage-aware k-fold assignment: every row of a GROUP lands in the
+    same fold (``md5(salt|group) mod n_folds``), so near-identical rows
+    sharing a group (same user, same source document, same patient) never
+    straddle a train/eval boundary — the failure mode plain row-hash
+    splits have on grouped data.
+
+    Pure projection (no shuffle, no state); fold membership is a function
+    of the group key alone, so it is stable under data growth and across
+    engines. Appends an int ``fold`` column in [0, n_folds).
+    """
+    if n_folds < 2:
+        raise ValueError("group_kfold: n_folds must be >= 2")
+    from biomedical_data_integration_spark.functions.hashing import md5_bigint
+
+    return df.withColumn(
+        "fold",
+        (md5_bigint(F.col(group_col), salt=salt) % n_folds).cast("int"),
+    )
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    salt: str = "balance",
+) -> DataFrame:
+    """Downsample every class to (approximately) the size of the SMALLEST
+    class — the classic rebalancing step before training a classifier on
+    skewed labels. One aggregation job computes class counts
+    (label-cardinality-sized output); each class then passes through the
+    deterministic hash gate at fraction ``min_count / count(label)``.
+    Downsampling only — no row duplication.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(label_col).agg(F.count("*").alias("__n")).collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    smallest = min(counts.values())
+    fractions = {lbl: smallest / n for lbl, n in counts.items()}
+    return stratified_sample(df, label_col, key_col, fractions, salt=salt)

@@ -165,3 +165,49 @@ def test_temperature_mix_rejects_negative_alpha(spark):
     )
     with _pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, 10, alpha=-0.1)
+
+
+def test_group_kfold_groups_never_straddle(spark):
+    from biomedical_data_integration_spark.operators.sampling import group_kfold
+
+    rows = [(i, f"g{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    out = group_kfold(df, "grp", n_folds=3)
+    per_group = (
+        out.groupBy("grp").agg(F.count_distinct("fold").alias("nf")).collect()
+    )
+    assert all(r["nf"] == 1 for r in per_group)
+    folds = {r["fold"] for r in out.collect()}
+    assert folds <= {0, 1, 2} and len(folds) >= 2
+
+
+def test_group_kfold_rejects_bad_folds(spark):
+    import pytest as _pytest
+    from biomedical_data_integration_spark.operators.sampling import group_kfold
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, grp string")
+    with _pytest.raises(ValueError, match="n_folds"):
+        group_kfold(df, "grp", n_folds=1)
+
+
+def test_balance_classes_downsamples_majority(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        balance_classes,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, label string")
+    out = balance_classes(df, "label", "id")
+    sizes = {r["label"]: r["n"] for r in
+             out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert sizes["small"] == 50  # smallest class intact
+    # expected 50 survivors of 900 at fraction 50/900; hash gate is
+    # binomial around the target
+    assert 25 <= sizes["big"] <= 90
+    # deterministic
+    again = balance_classes(df, "label", "id")
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
