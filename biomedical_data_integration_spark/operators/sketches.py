@@ -156,3 +156,45 @@ def kmv_distinct(
             6,
         ).alias("distinct_estimate"),
     )
+
+
+def streaming_countmin(
+    stream: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Streaming face of :func:`countmin_sketch`: the identical cell
+    projection + counting aggregation compiled onto a streaming
+    DataFrame. Because CMS counters are pure additive state, Spark's
+    built-in streaming aggregation IS the sketch maintenance — state is
+    bounded by depth x width cells regardless of stream volume, and a
+    snapshot of the output (complete/update mode) equals the batch sketch
+    over the same prefix of the stream (tested).
+
+    Probe snapshots with :func:`cms_estimate` exactly like batch sketches.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("streaming_countmin: width and depth must be >= 1")
+    rows = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        (md5_bigint(F.col(col), salt=f"{salt}{d}") % width)
+                        .cast("int")
+                        .alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__cell")
+    )
+    return (
+        rows.select(F.col("__cell.depth").alias("depth"),
+                    F.col("__cell.pos").alias("pos"))
+        .groupBy("depth", "pos")
+        .agg(F.count("*").alias("count"))
+    )

@@ -1032,3 +1032,41 @@ def streaming_rate_anomalies(
         type_col, "window_start", "n_events", "z",
         (F.abs(F.col("z")) >= F.lit(float(z_threshold))).alias("is_anomaly"),
     )
+
+
+def streaming_hypertable_base(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming maintenance of a hypertable's FINEST grain: a
+    watermarked tumbling aggregation emitting rows in the
+    :func:`hypertable_rollup` schema (grain_seconds, window_start,
+    n_events, sum_value, min_value, max_value) — UNROUNDED, ready for
+    :func:`rollup_merge`.
+
+    This is the continuous-aggregate split: the stream maintains only the
+    finest buckets (bounded state = open windows), and a periodic batch
+    job merges closed buckets into the materialized rollup and re-derives
+    the coarser grains from bucket tables — history is never rescanned.
+    """
+    secs = int(grain_seconds)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{secs} seconds").alias("__w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.lit(secs).alias("grain_seconds"),
+            F.unix_timestamp(F.col("__w.start")).cast("bigint").alias(
+                "window_start"
+            ),
+            "n_events", "sum_value", "min_value", "max_value",
+        )
+    )

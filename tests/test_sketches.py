@@ -86,3 +86,35 @@ def test_sketch_param_validation(spark):
         countmin_sketch(df, "w", width=0)
     with pytest.raises(ValueError):
         kmv_distinct(df, "w", k=1)
+
+
+def test_streaming_countmin_snapshot_equals_batch(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.sketches import (
+        streaming_countmin,
+    )
+
+    df = _words(spark, {"x": 12, "y": 4, "z": 1})
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = streaming_countmin(stream, "w", width=64, depth=3)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("cms_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = sorted(
+            map(tuple, spark.sql("select * from cms_stream").collect())
+        )
+    want = sorted(
+        map(tuple, countmin_sketch(df, "w", width=64, depth=3).collect())
+    )
+    assert got == want

@@ -812,3 +812,49 @@ def test_streaming_funnel_numeric_ts_and_generic_user(spark):
         }
     assert got == expected
     assert got["u1"] == (10, 20) and got["u2"] == (None, None)
+
+
+def test_streaming_hypertable_base_feeds_rollup_merge(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import (
+        hypertable_rollup,
+        rollup_merge,
+        streaming_hypertable_base,
+    )
+
+    schema = "id bigint, ts string, value double"
+    batch = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 1.5),
+            (2, "2024-01-01 00:40:00", 2.5),
+            (3, "2024-01-01 03:00:00", 4.0),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        sq = (
+            streaming_hypertable_base(stream, watermark="100 hours")
+            .writeStream.format("memory")
+            .queryName("ht_base")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        base = spark.sql("select * from ht_base")
+        # stream-maintained finest grain == batch finest grain (unrounded)
+        want = sorted(
+            map(tuple, hypertable_rollup(
+                batch, grains=(3600,), round_output=False
+            ).collect())
+        )
+        assert sorted(map(tuple, base.collect())) == want
+        # and it merges into a materialized rollup like any delta
+        merged = rollup_merge(base, base)
+        row = merged.where(F.col("window_start") == 1704067200).collect()[0]
+        assert row["n_events"] == 4 and row["sum_value"] == 8.0
