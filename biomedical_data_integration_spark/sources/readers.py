@@ -114,3 +114,63 @@ def register_views(
     """Register the harness tables as temp views for spark.sql access."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    format: str = "jsonl",
+    text_field: str = "text",
+    id_field: str = None,
+    source: str = None,
+) -> DataFrame:
+    """Ingest a raw text corpus into the engine's canonical document
+    shape ``(doc_id, text, source)`` — the entry point in front of the
+    text-pipeline operators (dedup, quality, chunking, packing).
+
+    - ``format="jsonl"``: newline-delimited JSON (``spark.read.json``
+      handles the line framing natively); ``text_field`` selects the
+      document text and ``id_field`` the stable id. Without ``id_field``
+      the id is the md5-bigint of the text — content-addressed, stable
+      across re-ingests, and exact duplicates collide on purpose (they
+      are duplicates; run drop_exact_duplicates next).
+    - ``format="text"``: one document per FILE (``wholetext``), id =
+      md5-bigint of the file path. Use for directory-of-.txt corpora.
+
+    ``source`` tags every row (defaults to the input path) so the mixing
+    operators (`mix_corpus_by_tokens`, `temperature_mix`) can key on it.
+    """
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.functions.hashing import md5_bigint
+
+    src = source if source is not None else path
+    if format == "jsonl":
+        raw = spark.read.json(path)
+        if text_field not in raw.columns:
+            raise ValueError(
+                f"read_text_corpus: field {text_field!r} not in "
+                f"{sorted(raw.columns)}"
+            )
+        doc_id = (
+            F.col(id_field).cast("bigint")
+            if id_field is not None
+            else md5_bigint(F.col(text_field))
+        )
+        return raw.select(
+            doc_id.alias("doc_id"),
+            F.col(text_field).cast("string").alias("text"),
+            F.lit(src).alias("source"),
+        )
+    if format == "text":
+        raw = spark.read.format("text").option("wholetext", "true").load(path)
+        raw = raw.select(
+            F.col("value").alias("text"),
+            F.input_file_name().alias("__file"),
+        )
+        return raw.select(
+            md5_bigint(F.col("__file")).alias("doc_id"),
+            F.col("text").cast("string").alias("text"),
+            F.lit(src).alias("source"),
+        )
+    raise ValueError(f"read_text_corpus: unknown format {format!r}")

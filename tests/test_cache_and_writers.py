@@ -177,3 +177,60 @@ def test_stateless_text_ops_compile_on_streams(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     langs = {r["id"]: r["detected_lang"] for r in got}
     assert langs[1] == "en" and langs[2] == "es"
+
+
+def test_read_text_corpus_jsonl(spark, tmp_path):
+    import json as _json
+
+    from biomedical_data_integration_spark.sources.readers import (
+        read_text_corpus,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"id": 1, "text": "first document"},
+        {"id": 2, "text": "second document"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = read_text_corpus(
+        spark, str(p), format="jsonl", id_field="id", source="webcrawl"
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (1, "first document", "webcrawl"),
+        (2, "second document", "webcrawl"),
+    ]
+    # content-addressed ids when no id field: stable and distinct
+    auto = read_text_corpus(spark, str(p), format="jsonl")
+    ids = [r["doc_id"] for r in auto.collect()]
+    assert len(set(ids)) == 2
+    again = [r["doc_id"] for r in read_text_corpus(spark, str(p)).collect()]
+    assert sorted(ids) == sorted(again)
+
+
+def test_read_text_corpus_text_dir(spark, tmp_path):
+    from biomedical_data_integration_spark.sources.readers import (
+        read_text_corpus,
+    )
+
+    (tmp_path / "a.txt").write_text("doc a body")
+    (tmp_path / "b.txt").write_text("doc b body\nwith two lines")
+    out = read_text_corpus(spark, str(tmp_path), format="text")
+    got = {r["text"] for r in out.collect()}
+    assert got == {"doc a body", "doc b body\nwith two lines"}
+    assert out.select("doc_id").distinct().count() == 2
+
+
+def test_read_text_corpus_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.sources.readers import (
+        read_text_corpus,
+    )
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"body": "x"}')
+    with _pytest.raises(ValueError, match="not in"):
+        read_text_corpus(spark, str(p), format="jsonl", text_field="text")
+    with _pytest.raises(ValueError, match="unknown format"):
+        read_text_corpus(spark, str(p), format="avro")

@@ -118,3 +118,31 @@ def test_streaming_countmin_snapshot_equals_batch(spark):
         map(tuple, countmin_sketch(df, "w", width=64, depth=3).collect())
     )
     assert got == want
+
+
+# property: CMS never underestimates, on arbitrary word multisets
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=20),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cms_overestimate_property(spark, counts):
+    df = _words(spark, counts)
+    sk = countmin_sketch(df, "w", width=32, depth=3)
+    est = {
+        r["w"]: r["est_count"]
+        for r in cms_estimate(sk, df, "w", width=32, depth=3).collect()
+    }
+    assert all(est[w] >= n for w, n in counts.items())
