@@ -3010,6 +3010,35 @@ HYPERTABLE_GRAINS = (3600, 86400, 604800)
 PREP_LANG = "en"
 PREP_MIN_CLF = 0.9
 KFOLD_N = 5
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def _q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of the event value (robust-statistics
+    feature cleaning; exact percentile path)."""
+    from biomedical_data_integration_spark.operators.profiling import winsorize
+
+    (events,) = _tables(spark, sf_dir, "events")
+    out = winsorize(
+        events, "value", group_col="event_type",
+        lower=WINSOR_LO, upper=WINSOR_HI,
+    )
+    return out.select("event_id", "event_type", "value_winsorized")
+
+
+def _winsorize_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+         round(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_winsorized
+FROM events e JOIN b USING (event_type)
+"""
 
 
 def _q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3432,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_end_to_end": _q_corpus_prep_end_to_end,
         "group_kfold_documents": _q_group_kfold,
         "balance_classes_embeddings": _q_balance_classes,
+        "winsorize_events_value": _q_winsorize_events,
         # --- stable; entries up to the 50th land in the driver's graded
         # window (harmonize_lineitem & friends stay regraded; the
         # remaining stable tail was hash-graded green in r1/r2) ---
@@ -4033,6 +4063,7 @@ GROUP BY event_type
         "corpus_prep_end_to_end": _corpus_prep_sql(),
         "group_kfold_documents": _group_kfold_sql(),
         "balance_classes_embeddings": _balance_classes_sql(),
+        "winsorize_events_value": _winsorize_sql(),
         "events_pivot_daily": f"""
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        {", ".join(

@@ -238,3 +238,53 @@ def validate_table(df: DataFrame, rules) -> DataFrame:
         F.col("violations").cast("bigint").alias("violations"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_col: str = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Winsorize a numeric column: clip values to the [lower, upper]
+    quantiles (optionally per group) — the standard robust-statistics
+    step before feeding heavy-tailed features to training.
+
+    ``exact=True`` computes true interpolated percentiles (one
+    aggregation whose state holds the group's values — fine to ~10^8
+    rows per group); ``exact=False`` uses ``percentile_approx`` (bounded
+    sketch state, the 100 TB path). Grouped bounds are a
+    group-cardinality-sized broadcast join; ungrouped bounds are one
+    scalar row. Appends ``out_col`` (default ``<col>_winsorized``).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("winsorize: need 0 <= lower < upper <= 1")
+    out_col = out_col or f"{col}_winsorized"
+    if exact:
+        pct = F.expr(f"percentile({col}, array({lower}, {upper}))")
+    else:
+        pct = F.percentile_approx(col, [lower, upper], 10_000)
+    bounds_cols = [
+        F.round(pct[0], config.SIMILARITY_SCALE).alias("__lo"),
+        F.round(pct[1], config.SIMILARITY_SCALE).alias("__hi"),
+    ]
+    clipped = F.round(
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+        config.SIMILARITY_SCALE,
+    )
+    if group_col is None:
+        bounds = df.agg(*bounds_cols)
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(out_col, clipped)
+            .drop("__lo", "__hi")
+        )
+    bounds = df.groupBy(group_col).agg(*bounds_cols)
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(out_col, clipped)
+        .drop("__lo", "__hi")
+    )

@@ -135,3 +135,29 @@ def test_validate_table_rejects_non_identifier_names(spark):
     with _pytest.raises(ValueError, match="must match"):
         validate_table(df, [{"name": "can't", "type": "not_null",
                              "column": "id"}])
+
+
+def test_winsorize_clips_tails_per_group(spark):
+    from biomedical_data_integration_spark.operators.profiling import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(101)]  # 0..100
+    rows += [(200 + i, "b", 50.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    out = winsorize(df, "v", group_col="grp", lower=0.05, upper=0.95)
+    a = [r for r in out.collect() if r["grp"] == "a"]
+    vals = sorted(r["v_winsorized"] for r in a)
+    assert vals[0] == 5.0 and vals[-1] == 95.0  # tails clipped to p5/p95
+    mid = [r["v_winsorized"] for r in a if 10 <= r["v"] <= 90]
+    assert all(r == v for r, v in zip(mid, mid))  # interior untouched
+    b = {r["v_winsorized"] for r in out.collect() if r["grp"] == "b"}
+    assert b == {50.0}  # constant group unchanged
+
+
+def test_winsorize_validates_bounds(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.profiling import winsorize
+
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    with _pytest.raises(ValueError, match="lower"):
+        winsorize(df, "v", lower=0.9, upper=0.1)
