@@ -1679,12 +1679,13 @@ WITH sized AS (
 ),
 totals AS (SELECT source, CAST(sum(n) AS DOUBLE) AS total FROM sized
            GROUP BY source),
-w AS (SELECT sum(pow(total, {a})) AS sumw FROM totals WHERE total > 0),
+w AS (SELECT sum(pow(total, {a}) ORDER BY source) AS sumw
+      FROM totals WHERE total > 0),
 thr AS (
   SELECT t.source,
          printf('%012x',
-                least(CAST(floor(least(1.0,
-                           pow(t.total, {a}) / w.sumw * {b} / t.total)
+                least(CAST(floor(round(least(1.0,
+                           pow(t.total, {a}) / w.sumw * {b} / t.total), 9)
                                  * {scale}.0) AS BIGINT),
                       {scale - 1})) AS t
   FROM totals t CROSS JOIN w WHERE t.total > 0

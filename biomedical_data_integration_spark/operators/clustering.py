@@ -96,23 +96,32 @@ def _maxmin_seeds(
     vector maximizing the (rounded) distance to its nearest chosen seed,
     ties broken by lowest id. k-1 extra scans (one per seed) — the
     quality/cost trade documented on :func:`kmeans`."""
-    # the farthest-point query below always returns a row on non-empty
-    # input, so (unlike lowest_id's limit-k collect) a too-small input
-    # would silently yield duplicate seeds — check cardinality up front
+    # null vectors are filtered BEFORE seeding: the farthest-point query
+    # orders by distance-to-nearest-seed, and a null/short vector yields a
+    # null distance that can sort a degenerate row to the top
+    df = df.where(F.col(vec_col).isNotNull())
     head = df.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(head) < k:
         raise ValueError(f"kmeans: need at least k={k} rows, got {len(head)}")
-    if head[0][0] is None:
-        raise ValueError("kmeans: null seed vector")
     seeds = [[float(x) for x in head[0][0]]]
+    dim = len(seeds[0])
+    pool = df.where(F.size(F.col(vec_col)) == dim)
     while len(seeds) < k:
         nearest = _assign_expr(F.col(vec_col), seeds, scale)["dist2"]
         row = (
-            df.select(F.col(id_col), F.col(vec_col), nearest.alias("__d"))
+            pool.select(F.col(id_col), F.col(vec_col), nearest.alias("__d"))
             .orderBy(F.desc("__d"), F.asc(id_col))
             .limit(1)
             .collect()
         )
+        # max-min distance 0 ⇒ every remaining vector coincides (at the
+        # rounding scale) with a chosen seed — continuing would silently
+        # duplicate seeds and fewer than k real clusters would exist
+        if not row or row[0]["__d"] is None or row[0]["__d"] <= 0.0:
+            raise ValueError(
+                f"kmeans: only {len(seeds)} distinct vectors at "
+                f"scale={scale}; lower k (or raise scale)"
+            )
         seeds.append([float(x) for x in row[0][1]])
     return seeds
 

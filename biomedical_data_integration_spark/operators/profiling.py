@@ -282,9 +282,17 @@ def winsorize(
             .withColumn(out_col, clipped)
             .drop("__lo", "__hi")
         )
-    bounds = df.groupBy(group_col).agg(*bounds_cols)
+    # eqNullSafe: groupBy forms a bounds row for the NULL group, but a plain
+    # equality join would never match it and an "append a column" operator
+    # would silently DROP every null-group row — null groups must clip
+    # against their own bounds like any other group
+    bounds = df.groupBy(group_col).agg(*bounds_cols).withColumnRenamed(
+        group_col, "__g"
+    )
     return (
-        df.join(F.broadcast(bounds), group_col)
+        df.join(
+            F.broadcast(bounds), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
         .withColumn(out_col, clipped)
-        .drop("__lo", "__hi")
+        .drop("__g", "__lo", "__hi")
     )

@@ -20,6 +20,7 @@ friendly, safe at any scale.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Mapping, Union
 
 from pyspark.sql import Column, DataFrame
@@ -202,9 +203,16 @@ def temperature_mix(
         .collect()
         if r[1]
     }
-    sum_w = sum(t ** alpha for t in totals.values())
+    # fsum over sorted-source order: collect() row order is nondeterministic
+    # and plain float accumulation is order-sensitive, so an unordered sum
+    # can differ by an ulp run-to-run (and from the SQL oracle) — enough to
+    # flip floor(frac * 16^12) for a boundary document. fsum is exactly
+    # rounded (order-free); the fraction is additionally rounded to 9
+    # decimals on BOTH engines so residual libm pow/division ulps cannot
+    # reach the threshold floor either.
+    sum_w = math.fsum(totals[s] ** alpha for s in sorted(totals))
     fractions: Dict[str, float] = {
-        s: min(1.0, (t ** alpha / sum_w) * float(total_budget) / t)
+        s: round(min(1.0, (t ** alpha / sum_w) * float(total_budget) / t), 9)
         for s, t in totals.items()
     }
     return stratified_sample(df, source_col, key_col, fractions, salt=salt)

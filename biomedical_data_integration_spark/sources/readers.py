@@ -152,11 +152,24 @@ def read_text_corpus(
                 f"read_text_corpus: field {text_field!r} not in "
                 f"{sorted(raw.columns)}"
             )
-        doc_id = (
-            F.col(id_field).cast("bigint")
-            if id_field is not None
-            else md5_bigint(F.col(text_field))
-        )
+        if id_field is not None:
+            if id_field not in raw.columns:
+                raise ValueError(
+                    f"read_text_corpus: field {id_field!r} not in "
+                    f"{sorted(raw.columns)}"
+                )
+            from pyspark.sql.types import NumericType
+
+            # a numeric-typed id casts losslessly; a STRING id field (JSON
+            # inference means at least one value is non-numeric) must be
+            # hashed — casting would turn non-numeric ids into NULLs that
+            # all collide, corrupting downstream dedup/sampling on doc_id
+            if isinstance(raw.schema[id_field].dataType, NumericType):
+                doc_id = F.col(id_field).cast("bigint")
+            else:
+                doc_id = md5_bigint(F.col(id_field).cast("string"))
+        else:
+            doc_id = md5_bigint(F.col(text_field))
         return raw.select(
             doc_id.alias("doc_id"),
             F.col(text_field).cast("string").alias("text"),

@@ -234,3 +234,31 @@ def test_read_text_corpus_validates(spark, tmp_path):
         read_text_corpus(spark, str(p), format="jsonl", text_field="text")
     with _pytest.raises(ValueError, match="unknown format"):
         read_text_corpus(spark, str(p), format="avro")
+
+
+def test_read_text_corpus_string_ids_hashed_not_nulled(spark, tmp_path):
+    import json as _json
+
+    from biomedical_data_integration_spark.sources.readers import (
+        read_text_corpus,
+    )
+
+    p = tmp_path / "strid.jsonl"
+    rows = [
+        {"id": "doc-alpha", "text": "first"},
+        {"id": "doc-beta", "text": "second"},
+        {"id": "doc-gamma", "text": "third"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = read_text_corpus(spark, str(p), format="jsonl", id_field="id")
+    ids = [r["doc_id"] for r in out.collect()]
+    # non-numeric ids hash to distinct bigints instead of all becoming
+    # NULL (which would collide every document downstream)
+    assert all(i is not None for i in ids)
+    assert len(set(ids)) == 3
+    again = [r["doc_id"] for r in read_text_corpus(
+        spark, str(p), format="jsonl", id_field="id"
+    ).collect()]
+    assert sorted(ids) == sorted(again)  # stable across re-ingests
+    with __import__("pytest").raises(ValueError, match="missing_id"):
+        read_text_corpus(spark, str(p), format="jsonl", id_field="missing_id")

@@ -232,3 +232,34 @@ def test_kmeans_maxmin_needs_k_rows(spark):
     with pytest.raises(ValueError, match="at least k"):
         kmeans(_vecs(spark, [(0, [1.0, 1.0]), (1, [2.0, 2.0])]), k=5,
                init="maxmin")
+
+
+def test_kmeans_maxmin_ignores_null_vectors(spark):
+    from biomedical_data_integration_spark.operators.clustering import kmeans
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, None),  # must not poison the farthest-point ordering
+        (3, [10.0, 10.0]),
+        (4, [0.1, 0.1]),
+        (5, [10.1, 10.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assigned, cents = kmeans(df, k=2, max_iter=2, init="maxmin")
+    assert len(cents) == 2
+    # the two seeds span the blobs, not a degenerate null row
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got[1] == got[4] and got[3] == got[5] and got[1] != got[3]
+
+
+def test_kmeans_maxmin_raises_on_duplicate_seeds(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.clustering import kmeans
+
+    # only 2 distinct vectors but k=3: the third farthest-point scan finds
+    # max-min distance 0 and must refuse rather than duplicate a seed
+    rows = [(i, [float(i % 2), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="distinct"):
+        kmeans(df, k=3, max_iter=1, init="maxmin")

@@ -161,3 +161,17 @@ def test_winsorize_validates_bounds(spark):
     df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
     with _pytest.raises(ValueError, match="lower"):
         winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+def test_winsorize_null_group_rows_kept(spark):
+    from biomedical_data_integration_spark.operators.profiling import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(10)]
+    rows += [(100 + i, None, float(1000 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    out = winsorize(df, "v", group_col="grp", lower=0.0, upper=0.5)
+    # an operator documented as APPENDING a column must not lose rows —
+    # the null group clips against its own bounds (median 1004.5 here)
+    assert out.count() == 20
+    nulls = {r["v_winsorized"] for r in out.collect() if r["grp"] is None}
+    assert max(nulls) == 1004.5
