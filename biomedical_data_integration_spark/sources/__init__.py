@@ -6,6 +6,7 @@ from biomedical_data_integration_spark.sources.readers import (
     load_tables,
     read_csv,
     read_json,
+    read_media_binaries,
     read_parquet,
     register_views,
 )

@@ -187,3 +187,50 @@ def read_text_corpus(
             F.lit(src).alias("source"),
         )
     raise ValueError(f"read_text_corpus: unknown format {format!r}")
+
+
+def read_media_binaries(
+    spark: SparkSession,
+    path: str,
+    media_type: str = None,
+    pattern: str = None,
+) -> DataFrame:
+    """Ingest a directory of media files into the engine's canonical
+    media shape (media_id, content, media_type, meta) — the object-storage
+    front end of the multimodal operators (decode_image_features,
+    extract_audio_features, sample_video_frames, resize_images).
+
+    Uses Spark's built-in ``binaryFile`` source: the scan is distributed
+    (one task per file split assignment), the content column is the raw
+    bytes, and ``pathGlobFilter`` pushes the filename pattern into the
+    listing so non-matching files are never opened. ``media_id`` is the
+    md5-bigint of the file path (stable across re-ingests);
+    ``media_type`` defaults to the extension-derived kind
+    (ppm/pgm/bmp -> image, wav -> audio, y4m -> video).
+    """
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.functions.hashing import md5_bigint
+
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    kind = (
+        F.lit(media_type)
+        if media_type is not None
+        else F.when(ext.isin("ppm", "pgm", "bmp", "png", "jpg", "jpeg"), "image")
+        .when(ext.isin("wav", "mp3", "flac"), "audio")
+        .when(ext.isin("y4m", "mp4", "mkv", "webm"), "video")
+        .otherwise("unknown")
+    )
+    return raw.select(
+        md5_bigint(F.col("path")).alias("media_id"),
+        F.col("content"),
+        kind.alias("media_type"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("n_bytes"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )

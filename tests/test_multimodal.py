@@ -37,9 +37,7 @@ def test_decode_image_features_deterministic(media):
         assert a[mid]["n_channels"] == 3
 
 
-def test_real_decoder_is_marked_stub(media):
-    with pytest.raises(NotImplementedError):
-        decode_image_features(media, decoder="real")
+def test_unknown_decoder_rejected(media):
     with pytest.raises(ValueError):
         decode_image_features(media, decoder="bogus")
 
@@ -80,7 +78,7 @@ def test_extract_audio_features_plumbing(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
-def test_extract_audio_features_real_is_marked_stub(spark):
+def test_extract_audio_features_real_rejects_non_wav(spark):
     import pytest as _pytest
 
     from biomedical_data_integration_spark.operators.multimodal import (
@@ -90,8 +88,9 @@ def test_extract_audio_features_real_is_marked_stub(spark):
 
     docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     media = attach_binary_content(docs, "doc_id", "text", "audio")
-    with _pytest.raises(NotImplementedError, match="torchaudio"):
-        extract_audio_features(media, decoder="real")
+    # real decoder over a non-WAV payload surfaces the codec error
+    with _pytest.raises(Exception):
+        extract_audio_features(media, decoder="real").collect()
 
 
 def test_resize_images_plumbing_and_determinism(spark):
