@@ -49,6 +49,7 @@ ANN_LSH_PLANES = 4
 ANN_IVF_CELLS = 16
 ANN_IVF_NPROBE = 4
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
+DIST_SAMPLE_K = 512  # exact=False sampler target (small enough to engage at sf0.001)
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KEYWORD_TOP_K = 3
@@ -860,6 +861,96 @@ FROM s CROSS JOIN t
 """
 
 
+def _distribution_match_approx_sql() -> str:
+    """Oracle twin of DistributionBasedSchemaMatcher(exact=False): the
+    deterministic distinct-value hash sample (md5('dq|' || printf('%.9e',
+    v)) head-15-hex mod 1e6 under an integer-DIV threshold), weighted
+    interpolated quantiles over the sample via a cumulative-rank window,
+    then the same normalize + EMD as the exact oracle. Arithmetic order
+    mirrors the Spark expressions term for term so doubles agree bitwise."""
+    Q, K, DEN = DIST_QUANTILES, DIST_SAMPLE_K, 1_000_000
+    src_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    tgt_cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    ]
+    long_parts = "\n  UNION ALL ".join(
+        [
+            f"SELECT 's' AS side, '{c}' AS c, CAST({c} AS DOUBLE) AS v "
+            f"FROM orders WHERE {c} IS NOT NULL"
+            for c in src_cols
+        ]
+        + [
+            f"SELECT 't' AS side, '{c}' AS c, CAST({c} AS DOUBLE) AS v "
+            f"FROM lineitem WHERE {c} IS NOT NULL"
+            for c in tgt_cols
+        ]
+    )
+    gate_hash = _sql_hex_head_value("md5('dq|' || printf('%.9e', v))")
+    norm = (
+        "CASE WHEN list_max(qs) = list_min(qs) THEN list_transform(qs, q -> 0.0) "
+        "ELSE list_transform(qs, q -> (q - list_min(qs)) / (list_max(qs) - list_min(qs))) END"
+    )
+    emd = (
+        f"list_sum(list_transform(range(1, {Q + 1}),"
+        f" i -> abs(s.qs[i] - t.qs[i]))) / {Q}"
+    )
+    return f"""
+WITH long AS (
+  {long_parts}
+),
+dd AS (
+  SELECT side, c, v, CAST(count(*) AS BIGINT) AS f
+  FROM long GROUP BY side, c, v
+),
+nd AS (SELECT side, c, CAST(count(*) AS BIGINT) AS ndv FROM dd GROUP BY side, c),
+samp AS (
+  SELECT dd.side, dd.c, dd.v, dd.f
+  FROM dd JOIN nd ON dd.side = nd.side AND dd.c = nd.c
+  WHERE {gate_hash} % {DEN}
+        < least({DEN}, ({DEN} * {K} + ndv - 1) // ndv)
+),
+counts AS (
+  SELECT side, c, CAST(sum(f) AS BIGINT) AS n FROM samp GROUP BY side, c
+),
+cum AS (
+  SELECT side, c, v, f,
+         CAST(sum(f) OVER (PARTITION BY side, c ORDER BY v) AS BIGINT) AS cum
+  FROM samp
+),
+probes AS (
+  SELECT co.side, co.c, qi.qi,
+         CAST(qi.qi AS DOUBLE) / {Q - 1} * (co.n - 1) AS pos
+  FROM counts co CROSS JOIN (SELECT unnest(range(0, {Q})) AS qi) qi
+),
+pr AS (
+  SELECT side, c, qi, pos,
+         CAST(floor(pos) AS BIGINT) AS lo, CAST(ceil(pos) AS BIGINT) AS hi
+  FROM probes
+),
+vals AS (
+  SELECT p.side, p.c, p.qi,
+         max(CASE WHEN cu.cum - cu.f <= p.lo AND p.lo <= cu.cum - 1
+                  THEN cu.v END) AS v_lo,
+         max(CASE WHEN cu.cum - cu.f <= p.hi AND p.hi <= cu.cum - 1
+                  THEN cu.v END) AS v_hi,
+         max(p.pos - p.lo) AS fp
+  FROM pr p JOIN cum cu ON p.side = cu.side AND p.c = cu.c
+   AND ((cu.cum - cu.f <= p.lo AND p.lo <= cu.cum - 1)
+     OR (cu.cum - cu.f <= p.hi AND p.hi <= cu.cum - 1))
+  GROUP BY p.side, p.c, p.qi
+),
+sk AS (
+  SELECT side, c, list(v_lo + (v_hi - v_lo) * fp ORDER BY qi) AS qs
+  FROM vals GROUP BY side, c
+),
+s AS (SELECT c AS source, {norm} AS qs FROM sk WHERE side = 's'),
+t AS (SELECT c AS target, {norm} AS qs FROM sk WHERE side = 't')
+SELECT s.source, t.target, round(1.0 / (1.0 + {emd}), 6) AS similarity
+FROM s CROSS JOIN t
+"""
+
+
 SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"1-URGENT": 0.2, "2-HIGH": 0.1}
 
@@ -1281,15 +1372,19 @@ def _q_schema_match_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_schema_match_distribution_approx(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The distribution matcher's 100 TB path (``exact=False`` →
-    approx_percentile, one pass, no full-domain shuffle). t-digest sketches
-    aren't bit-reproducible in DuckDB → rows-only oracle check."""
+    """The distribution matcher's 100 TB path (``exact=False``): a
+    deterministic salted-md5 sample of ~DIST_SAMPLE_K distinct values per
+    column feeds the same weighted-quantile machinery — unlike t-digest
+    approx_percentile, bit-reproducible, so this path is hash-checked
+    against ``_distribution_match_approx_sql``."""
     from biomedical_data_integration_spark.operators.schema_matching import (
         DistributionBasedSchemaMatcher,
     )
 
     orders, lineitem = _tables(spark, sf_dir, "orders", "lineitem")
-    m = DistributionBasedSchemaMatcher(quantiles=DIST_QUANTILES, exact=False)
+    m = DistributionBasedSchemaMatcher(
+        quantiles=DIST_QUANTILES, exact=False, sample_k=DIST_SAMPLE_K
+    )
     return m.scores(orders, lineitem)
 
 
@@ -3618,6 +3713,7 @@ SELECT i.source, i.target,
 FROM inter i JOIN ns ON ns.source = i.source JOIN nt ON nt.target = i.target
 """,
         "schema_match_distribution_orders_lineitem": _distribution_match_sql(),
+        "schema_match_distribution_approx": _distribution_match_approx_sql(),
         "schema_match_name_similarity_orders_lineitem": _name_similarity_sql(
             ORDERS_COLS, LINEITEM_COLS,
         ),

@@ -249,9 +249,18 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
     Per column: a ``quantiles``-point exact percentile sketch, min-max
     normalized; pair distance = mean absolute difference between aligned
     sketches (a 1-D EMD on the quantile grid); similarity = 1 / (1 + EMD).
-    Exact ``percentile`` keeps the oracle honest at test scale; at 100 TB
-    switch ``exact=False`` for ``approx_percentile`` (same plan shape, one
-    pass, no full sort).
+
+    ``exact=True`` computes true interpolated quantiles over the full
+    domain. ``exact=False`` is the 100 TB path: a DETERMINISTIC hash
+    sample of ~``sample_k`` distinct values per column (keep a value when
+    its salted md5 mod 1e6 clears a threshold derived from the column's
+    distinct count), then the same weighted-quantile machinery over the
+    bounded sample — a Horvitz-Thompson-style estimate of the weighted
+    CDF. Unlike ``approx_percentile``'s t-digest, the sample is a pure
+    function of the values, so results are identical across runs,
+    partitionings, and engines — the SQL oracle replays it exactly.
+    Values are keyed for hashing by ``%.9e`` C-format (identical in
+    Java's format_string and DuckDB's printf).
     """
 
     name = "distribution_based"
@@ -259,19 +268,27 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
     #: range buckets for the two-phase cumulative sum (parallelism of the
     #: exact-quantile sort = n_cols × this)
     _CUM_BUCKETS = 32
+    #: hash-gate denominator for the exact=False sampler
+    _SAMPLE_DEN = 1_000_000
 
-    def __init__(self, quantiles: int = 256, exact: bool = True):
+    def __init__(
+        self, quantiles: int = 256, exact: bool = True, sample_k: int = 8192
+    ):
         self.quantiles = quantiles
         self.exact = exact
+        self.sample_k = sample_k
 
     def _sketch(self, df: DataFrame, colname: str) -> DataFrame:
+        from biomedical_data_integration_spark.functions.hashing import (
+            md5_bigint,
+        )
+
         cols = _numeric_columns(df)
         spark = df.sparkSession
         if not cols:
             return spark.createDataFrame(
                 [], f"{colname} string, qs array<double>"
             )
-        fracs = [i / (self.quantiles - 1) for i in range(self.quantiles)]
 
         # one scan for every numeric column (unpivot), not one scan per column
         long_df = (
@@ -280,141 +297,159 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
             .where(F.col("v").isNotNull())
         )
 
+        # Distributed exact interpolated quantiles (identical to
+        # ``percentile``/``quantile_cont`` but scalable): dedup values
+        # with frequencies (map-side combinable — the shuffle carries
+        # distinct values, not rows), cumulative weights per column
+        # (external-sort window, spills instead of buffering the whole
+        # column like the percentile aggregate does), then a broadcast
+        # probe of the n_cols × quantiles needed ranks with linear
+        # interpolation. ~2× faster than the percentile aggregate at
+        # sf0.1 and the gap grows with rows-per-distinct-value.
+        # dd feeds both the cumulative window and the counts broadcast;
+        # persist so the full-table unpivot + dedup shuffle runs once
+        dd = long_df.groupBy("c", "v").agg(F.count("*").alias("f"))
         if not self.exact:
-            sk = long_df.groupBy("c").agg(
-                F.approx_percentile("v", F.lit(fracs), F.lit(10_000)).alias("qs")
+            # deterministic sampler: integer threshold arithmetic (DIV)
+            # so Spark and the oracle floor identically; expected
+            # sample_k survivors per column, every survivor a pure
+            # function of its value bytes
+            K, DEN = int(self.sample_k), self._SAMPLE_DEN
+            nd = dd.groupBy("c").agg(F.count("*").alias("__ndv"))
+            thr = F.least(
+                F.lit(DEN).cast("bigint"),
+                F.expr(f"({DEN} * {K} + __ndv - 1) DIV __ndv"),
             )
-        else:
-            # Distributed exact interpolated quantiles (identical to
-            # ``percentile``/``quantile_cont`` but scalable): dedup values
-            # with frequencies (map-side combinable — the shuffle carries
-            # distinct values, not rows), cumulative weights per column
-            # (external-sort window, spills instead of buffering the whole
-            # column like the percentile aggregate does), then a broadcast
-            # probe of the n_cols × quantiles needed ranks with linear
-            # interpolation. ~2× faster than the percentile aggregate at
-            # sf0.1 and the gap grows with rows-per-distinct-value.
-            # dd feeds both the cumulative window and the counts broadcast;
-            # persist so the full-table unpivot + dedup shuffle runs once
-            dd = long_df.groupBy("c", "v").agg(F.count("*").alias("f")).persist()
-
-            # Two-phase bucketed prefix sum. A plain
-            # Window.partitionBy("c").orderBy("v") cumulative sum sorts ALL
-            # of a column's distinct values in ONE task (parallelism =
-            # n_cols — unbounded task size on a cluster). Instead: split
-            # each column's value range into ``_CUM_BUCKETS`` approx-equal-
-            # frequency ranges, cumsum bucket totals (tiny: n_cols×B rows),
-            # then an in-bucket window + broadcast bucket offset. Same
-            # numbers, parallelism = n_cols × B, per-task sort is 1/B of
-            # the domain.
-            B = self._CUM_BUCKETS
-            splits = dd.groupBy("c").agg(
-                F.percentile_approx(
-                    "v", F.lit([i / B for i in range(1, B)]), F.lit(1000)
-                ).alias("sp")
-            )
-            # bucket = #splits strictly below v: equal values always share
-            # a bucket, so every v' < v is in this bucket or an earlier one
-            dbk = (
-                dd.join(F.broadcast(splits), "c")
-                .withColumn(
-                    "bk", F.size(F.filter("sp", lambda s: s < F.col("v")))
-                )
-                .drop("sp")
-            )
-            wb = Window.partitionBy("c").orderBy("bk")
-            boff = (
-                dbk.groupBy("c", "bk")
-                .agg(F.sum("f").alias("bf"))
-                .select(
-                    "c", "bk",
-                    (
-                        F.sum("bf").over(
-                            wb.rowsBetween(
-                                Window.unboundedPreceding, Window.currentRow
-                            )
-                        )
-                        - F.col("bf")
-                    ).alias("off"),
-                )
-            )
-            wv = Window.partitionBy("c", "bk").orderBy("v")
-            cum = dbk.join(F.broadcast(boff), ["c", "bk"]).select(
-                "c", "v", "f",
-                (
-                    F.sum("f").over(
-                        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                    )
-                    + F.col("off")
-                ).alias("cum"),
-            )
-            counts = dd.groupBy("c").agg(F.sum("f").alias("n"))
-            # Value at row-rank r is the v whose rank span [cum-f, cum-1]
-            # contains r; quantile q = v_lo + (v_hi - v_lo) * frac_part
-            # where pos = frac·(n-1), lo = floor(pos), hi = ceil(pos).
-            #
-            # Probing the ~n_cols·quantiles needed ranks against cum via a
-            # theta join is a broadcast nested loop — O(|cum| · needs)
-            # comparisons (~10⁹ at sf0.1, worse at scale). Instead each cum
-            # row *generates* the small contiguous range of quantile
-            # indices whose pos could fall in its rank span (pure
-            # arithmetic inversion, ±1 margin for double drift), explodes
-            # it (≈(f+1)·Q/n + 4 candidates per row), and an exact filter
-            # re-applies the original floor/ceil predicates — bit-identical
-            # results, no nested loop, fully parallel.
-            Q = self.quantiles
-            n_, cum_, f_ = F.col("n"), F.col("cum"), F.col("f")
-            # clamped denominator: the n==1 branch below supersedes, this
-            # just keeps the arithmetic finite (ANSI-safe) on that branch
-            den = F.greatest(n_ - 1, F.lit(1))
-            lo_start = F.floor((cum_ - f_ - 1) * (Q - 1) / den) - 1
-            hi_end = F.ceil(cum_ * (Q - 1) / den) + 1
-            cand = F.when(
-                n_ == 1, F.sequence(F.lit(0), F.lit(Q - 1))
-            ).otherwise(
-                F.sequence(
-                    F.greatest(lo_start, F.lit(0)).cast("int"),
-                    F.least(hi_end, F.lit(Q - 1)).cast("int"),
-                )
-            )
-            probes = (
-                cum.join(F.broadcast(counts), "c")
+            dd = (
+                dd.join(F.broadcast(nd), "c")
                 .where(
-                    (n_ == 1)
-                    | (F.greatest(lo_start, F.lit(0)) <= F.least(hi_end, F.lit(Q - 1)))
+                    md5_bigint(
+                        F.format_string("%.9e", F.col("v")), salt="dq"
+                    )
+                    % DEN
+                    < thr
                 )
-                .select("c", "v", "f", "cum", "n", F.explode(cand).alias("qi"))
-                .withColumn("pos", F.col("qi").cast("double") / (Q - 1) * (n_ - 1))
-                .withColumn("lo", F.floor("pos").cast("long"))
-                .withColumn("hi", F.ceil("pos").cast("long"))
-                .withColumn(
-                    "serves_lo",
-                    (cum_ - f_ <= F.col("lo")) & (F.col("lo") <= cum_ - 1),
-                )
-                .withColumn(
-                    "serves_hi",
-                    (cum_ - f_ <= F.col("hi")) & (F.col("hi") <= cum_ - 1),
-                )
-                .where(F.col("serves_lo") | F.col("serves_hi"))
+                .drop("__ndv")
             )
-            sk = (
-                probes.groupBy("c", "qi")
-                .agg(
-                    F.max(F.when(F.col("serves_lo"), F.col("v"))).alias("v_lo"),
-                    F.max(F.when(F.col("serves_hi"), F.col("v"))).alias("v_hi"),
-                    F.max(F.col("pos") - F.col("lo")).alias("fp"),
-                )
-                .select(
-                    "c", "qi",
-                    (
-                        F.col("v_lo")
-                        + (F.col("v_hi") - F.col("v_lo")) * F.col("fp")
-                    ).alias("q"),
-                )
-                .groupBy("c")
-                .agg(F.array_sort(F.collect_list(F.struct("qi", "q"))).alias("s"))
-                .select("c", F.transform("s", lambda x: x["q"]).alias("qs"))
+        dd = dd.persist()
+
+        # Two-phase bucketed prefix sum. A plain
+        # Window.partitionBy("c").orderBy("v") cumulative sum sorts ALL
+        # of a column's distinct values in ONE task (parallelism =
+        # n_cols — unbounded task size on a cluster). Instead: split
+        # each column's value range into ``_CUM_BUCKETS`` approx-equal-
+        # frequency ranges, cumsum bucket totals (tiny: n_cols×B rows),
+        # then an in-bucket window + broadcast bucket offset. Same
+        # numbers, parallelism = n_cols × B, per-task sort is 1/B of
+        # the domain.
+        B = self._CUM_BUCKETS
+        splits = dd.groupBy("c").agg(
+            F.percentile_approx(
+                "v", F.lit([i / B for i in range(1, B)]), F.lit(1000)
+            ).alias("sp")
+        )
+        # bucket = #splits strictly below v: equal values always share
+        # a bucket, so every v' < v is in this bucket or an earlier one
+        dbk = (
+            dd.join(F.broadcast(splits), "c")
+            .withColumn(
+                "bk", F.size(F.filter("sp", lambda s: s < F.col("v")))
             )
+            .drop("sp")
+        )
+        wb = Window.partitionBy("c").orderBy("bk")
+        boff = (
+            dbk.groupBy("c", "bk")
+            .agg(F.sum("f").alias("bf"))
+            .select(
+                "c", "bk",
+                (
+                    F.sum("bf").over(
+                        wb.rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    )
+                    - F.col("bf")
+                ).alias("off"),
+            )
+        )
+        wv = Window.partitionBy("c", "bk").orderBy("v")
+        cum = dbk.join(F.broadcast(boff), ["c", "bk"]).select(
+            "c", "v", "f",
+            (
+                F.sum("f").over(
+                    wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                + F.col("off")
+            ).alias("cum"),
+        )
+        counts = dd.groupBy("c").agg(F.sum("f").alias("n"))
+        # Value at row-rank r is the v whose rank span [cum-f, cum-1]
+        # contains r; quantile q = v_lo + (v_hi - v_lo) * frac_part
+        # where pos = frac·(n-1), lo = floor(pos), hi = ceil(pos).
+        #
+        # Probing the ~n_cols·quantiles needed ranks against cum via a
+        # theta join is a broadcast nested loop — O(|cum| · needs)
+        # comparisons (~10⁹ at sf0.1, worse at scale). Instead each cum
+        # row *generates* the small contiguous range of quantile
+        # indices whose pos could fall in its rank span (pure
+        # arithmetic inversion, ±1 margin for double drift), explodes
+        # it (≈(f+1)·Q/n + 4 candidates per row), and an exact filter
+        # re-applies the original floor/ceil predicates — bit-identical
+        # results, no nested loop, fully parallel.
+        Q = self.quantiles
+        n_, cum_, f_ = F.col("n"), F.col("cum"), F.col("f")
+        # clamped denominator: the n==1 branch below supersedes, this
+        # just keeps the arithmetic finite (ANSI-safe) on that branch
+        den = F.greatest(n_ - 1, F.lit(1))
+        lo_start = F.floor((cum_ - f_ - 1) * (Q - 1) / den) - 1
+        hi_end = F.ceil(cum_ * (Q - 1) / den) + 1
+        cand = F.when(
+            n_ == 1, F.sequence(F.lit(0), F.lit(Q - 1))
+        ).otherwise(
+            F.sequence(
+                F.greatest(lo_start, F.lit(0)).cast("int"),
+                F.least(hi_end, F.lit(Q - 1)).cast("int"),
+            )
+        )
+        probes = (
+            cum.join(F.broadcast(counts), "c")
+            .where(
+                (n_ == 1)
+                | (F.greatest(lo_start, F.lit(0)) <= F.least(hi_end, F.lit(Q - 1)))
+            )
+            .select("c", "v", "f", "cum", "n", F.explode(cand).alias("qi"))
+            .withColumn("pos", F.col("qi").cast("double") / (Q - 1) * (n_ - 1))
+            .withColumn("lo", F.floor("pos").cast("long"))
+            .withColumn("hi", F.ceil("pos").cast("long"))
+            .withColumn(
+                "serves_lo",
+                (cum_ - f_ <= F.col("lo")) & (F.col("lo") <= cum_ - 1),
+            )
+            .withColumn(
+                "serves_hi",
+                (cum_ - f_ <= F.col("hi")) & (F.col("hi") <= cum_ - 1),
+            )
+            .where(F.col("serves_lo") | F.col("serves_hi"))
+        )
+        sk = (
+            probes.groupBy("c", "qi")
+            .agg(
+                F.max(F.when(F.col("serves_lo"), F.col("v"))).alias("v_lo"),
+                F.max(F.when(F.col("serves_hi"), F.col("v"))).alias("v_hi"),
+                F.max(F.col("pos") - F.col("lo")).alias("fp"),
+            )
+            .select(
+                "c", "qi",
+                (
+                    F.col("v_lo")
+                    + (F.col("v_hi") - F.col("v_lo")) * F.col("fp")
+                ).alias("q"),
+            )
+            .groupBy("c")
+            .agg(F.array_sort(F.collect_list(F.struct("qi", "q"))).alias("s"))
+            .select("c", F.transform("s", lambda x: x["q"]).alias("qs"))
+        )
 
         sk = sk.withColumnRenamed("c", colname)
         lo = F.array_min("qs")
@@ -564,39 +599,66 @@ class EmbeddingSchemaMatcher(BaseSchemaMatcher):
         both = pair_fn(source, target) if pair_fn is not None else None
         if both is not None:
             # The pair table is column-count-sized (one row per column of
-            # either table), so materialize it ONCE to the driver rather
-            # than persist(): a persisted DataFrame is pinned by the
-            # CacheManager and accumulates cached blocks across repeated
-            # match_schema/top_matches calls in a long session. The
-            # rebuilt single-partition frames broadcast into the cross
-            # join for free.
+            # either table), so materialize it ONCE to the driver and
+            # finish the n_s × n_t scoring there: re-parallelizing the
+            # collected lists into two DataFrames paid python-worker
+            # startup per parallelize slice on EVERY match_schema/
+            # top_matches call (and persist() instead would pin blocks in
+            # the CacheManager across a long session). The arithmetic
+            # below replays the JVM expressions operation-for-operation
+            # (sequential float64 accumulation, HALF_UP rounding), so the
+            # scores are bit-identical to the distributed path and the
+            # SQL oracles.
+            import math
+
+            from biomedical_data_integration_spark.functions.strings import (
+                py_round_half_up,
+            )
+
             spark = both.sparkSession
             rows = both.collect()
-            emb_type = dict(both.dtypes)["embedding"]
-            schema_s = f"source string, vec_s {emb_type}"
-            schema_t = f"target string, vec_t {emb_type}"
-            # NO coalesce(1) here: a python-list createDataFrame scans via
-            # Python workers per parallelize slice, and coalescing makes
-            # ONE task pay every slice's worker startup SEQUENTIALLY
-            # (measured 8 s on a 17-row frame); left parallel they cost
-            # ~0.6 s, and the broadcast join below needs no repartition
-            s = spark.createDataFrame(
-                [(r["column_name"], r["embedding"]) for r in rows
-                 if r["side"] == "s"],
-                schema_s,
-            )
-            t = spark.createDataFrame(
-                [(r["column_name"], r["embedding"]) for r in rows
-                 if r["side"] == "t"],
-                schema_t,
-            )
-        else:
-            s = self.embedder.column_embeddings(source).withColumnsRenamed(
-                {"column_name": "source", "embedding": "vec_s"}
-            )
-            t = self.embedder.column_embeddings(target).withColumnsRenamed(
-                {"column_name": "target", "embedding": "vec_t"}
-            )
+            s_rows = [
+                (r["column_name"], r["embedding"]) for r in rows
+                if r["side"] == "s"
+            ]
+            t_rows = [
+                (r["column_name"], r["embedding"]) for r in rows
+                if r["side"] == "t"
+            ]
+
+            def _seq_sum(vals):
+                acc = 0.0
+                for v in vals:
+                    acc = acc + v
+                return acc
+
+            def _score(vs, vt):
+                if self.metric == "cosine":
+                    denom = math.sqrt(
+                        _seq_sum(v * v for v in vs)
+                    ) * math.sqrt(_seq_sum(v * v for v in vt))
+                    if denom == 0:
+                        return 0.0
+                    return _seq_sum(x * y for x, y in zip(vs, vt)) / denom
+                dist = math.sqrt(
+                    _seq_sum((x - y) * (x - y) for x, y in zip(vs, vt))
+                )
+                return 1.0 / (1.0 + dist)
+
+            pairs = [
+                (sc, tc, py_round_half_up(_score(vs, vt), config.SIMILARITY_SCALE))
+                for sc, vs in s_rows
+                for tc, vt in t_rows
+            ]
+            scores = spark.createDataFrame(pairs, SCORES_SCHEMA)
+            return _apply_allowed(scores, allowed_pairs)
+
+        s = self.embedder.column_embeddings(source).withColumnsRenamed(
+            {"column_name": "source", "embedding": "vec_s"}
+        )
+        t = self.embedder.column_embeddings(target).withColumnsRenamed(
+            {"column_name": "target", "embedding": "vec_t"}
+        )
         # broadcast nested-loop beats CartesianProductExec's fixed setup
         # cost (~10 s) for these column-count-sized sides
         joined = s.join(F.broadcast(t))

@@ -43,9 +43,8 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_has_an_oracle_or_documented_exemption():
-    missing = set(QUERIES) - set(ORACLES)
-    # rows-only queries (non-SQL-expressible) must be the documented ones
-    assert missing <= {"schema_match_distribution_approx"}
+    # every registry query is SQL-oracled — no rows-only exemptions left
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

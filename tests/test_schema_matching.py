@@ -181,3 +181,32 @@ def test_gpt_schema_matcher_requires_client(spark):
     src = spark.createDataFrame([("a",)], ["c"])
     with pytest.raises(NotImplementedError, match="client"):
         GptSchemaMatcher().scores(src, src)
+
+
+def test_distribution_approx_deterministic_sampler(spark):
+    import random
+
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        DistributionBasedSchemaMatcher,
+    )
+
+    rng = random.Random(11)
+    rows = [(rng.gauss(50.0, 10.0), rng.uniform(0.0, 1.0)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    m = DistributionBasedSchemaMatcher(quantiles=16, exact=False, sample_k=256)
+    one = sorted(map(tuple, m.scores(df, df).collect()))
+    two = sorted(map(tuple, m.scores(df, df).collect()))
+    # the sample is a pure function of the value bytes: identical results
+    # across runs and partitionings (t-digest approx_percentile is not)
+    assert one == two
+    # self-match on the diagonal: a column's sampled sketch matches itself
+    diag = {(s, t): sim for s, t, sim in one}
+    assert diag[("a", "a")] == 1.0 and diag[("b", "b")] == 1.0
+    # approx tracks exact: same-distribution pairs still score higher
+    assert diag[("a", "a")] > diag[("a", "b")]
+    ex = {
+        (r["source"], r["target"]): r["similarity"]
+        for r in DistributionBasedSchemaMatcher(quantiles=16).scores(df, df).collect()
+    }
+    for pair, sim in diag.items():
+        assert abs(sim - ex[pair]) < 0.15  # sampled sketch near exact
