@@ -26,7 +26,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark import config, planning
 from biomedical_data_integration_spark.functions.hashing import hex_nibble
 from biomedical_data_integration_spark.functions.strings import word_ngrams
 from biomedical_data_integration_spark.functions.vectors import cosine
@@ -422,7 +422,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     use_lsh: Optional[bool] = None,
     lsh_planes: int = 8,
-    brute_threshold: int = 20_000,
+    brute_threshold: int = planning.BRUTE_VECTOR_LIMIT,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold.
 
@@ -456,7 +456,7 @@ def embedding_cosine_pairs(
     if use_lsh is None:
         # one cheap action over the already-persisted base; the count also
         # warms the cache both join sides reuse
-        use_lsh = base.count() > brute_threshold
+        use_lsh = planning.ann_pair_kernel(base.count(), brute_threshold) == "lsh"
     if use_lsh:
         dim = _vec_dim(df, vec_col)
         base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), dim, lsh_planes))
@@ -494,7 +494,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = planning.DRIVER_EDGE_LIMIT,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs — the clustering
     stage that turns pairwise dedup output into keep/drop decisions.
@@ -536,7 +536,7 @@ def duplicate_clusters(
     )
     n_edges = edges.count()
 
-    if n_edges <= driver_threshold:
+    if planning.components_kernel(n_edges, driver_threshold) == "driver":
         rows = edges.collect()
         edges.unpersist()
         parent: dict = {}

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark import config, planning
 from biomedical_data_integration_spark.functions.strings import (
     char_ngrams,
     clean_string,
@@ -342,7 +342,7 @@ class TfIdfValueMatcher(BaseValueMatcher):
         n_min: int = 1,
         n_max: int = 3,
         max_df_fraction: Optional[float] = None,
-        local_domain_limit: Optional[int] = 5000,
+        local_domain_limit: Optional[int] = planning.LOCAL_DOMAIN_LIMIT,
     ):
         self.n_min = n_min
         self.n_max = n_max
@@ -453,7 +453,10 @@ class TfIdfValueMatcher(BaseValueMatcher):
             # cardinality is one cheap job over the (persisted) distinct
             # domains — known before kernel launch by construction
             n_s, n_t = _domain_sizes(src, tgt)
-            if n_s + n_t <= self.local_domain_limit:
+            kernel = planning.value_match_kernel(
+                n_s, n_t, self.local_domain_limit
+            )
+            if kernel == "local":
                 return self._local_similarities(src, tgt)
         # document frequency over the union corpus (a value present on both
         # sides counts once per side, like fitting on from+to lists)
@@ -549,7 +552,7 @@ class EmbeddingValueMatcher(BaseValueMatcher):
     def __init__(
         self,
         embedder=None,
-        block_threshold: Optional[int] = 2_000_000,
+        block_threshold: Optional[int] = planning.EXACT_PAIR_LIMIT,
         lsh_planes: int = 8,
     ):
         if embedder is None:
@@ -590,7 +593,10 @@ class EmbeddingValueMatcher(BaseValueMatcher):
         dim = getattr(self.embedder, "dim", None)
         if self.block_threshold is not None and dim is not None:
             n_s, n_t = _domain_sizes(src, tgt)
-            if n_s * n_t > self.block_threshold:
+            if (
+                planning.pair_blocking_kernel(n_s, n_t, self.block_threshold)
+                == "lsh"
+            ):
                 s = s.withColumn(
                     "__bucket",
                     hyperplane_bucket(F.col("vec_s"), dim, self.lsh_planes),

@@ -1,0 +1,97 @@
+"""Unified kernel-selection policy (SURVEY §4.2).
+
+Several operators pick between a driver-local kernel, an exact
+distributed kernel, and a blocked/approximate kernel based on measured
+cardinalities (the engine counts domains/edges/vectors cheaply before
+kernel launch). The switchover thresholds used to live as per-operator
+magic numbers; this module is the single place they are defined,
+documented, and consulted, so the policy is auditable and testable at
+the boundary in one spot.
+
+Conventions:
+
+- every ``*_kernel`` function is pure (no Spark), takes the measured
+  cardinality plus an optional per-call ``limit`` override, and returns
+  a kernel name string;
+- ``limit=None`` means "use the module default". Operators that expose a
+  user knob whose ``None`` means "disable the gate" (e.g.
+  ``TfIdfValueMatcher(local_domain_limit=None)``) must skip the policy
+  call entirely in that case — policy answers "which kernel at this
+  size", not "is the gate enabled".
+
+Scale rationale for the defaults:
+
+- ``LOCAL_DOMAIN_LIMIT`` (5k values): value-matching domains are
+  *vocabularies*, not rows — the reference's largest standard domain is
+  4,478 values (GDC). Below the limit a driver inverted index beats ~7
+  shuffle/broadcast stages of pure scheduling overhead; above it the
+  distributed term-sharing join takes over.
+- ``EXACT_PAIR_LIMIT`` (2M pairs): an n_s x n_t scored cross product of
+  short strings at 2M pairs is sub-second fused codegen; past it the
+  hyperplane-LSH blocked join keeps candidate generation equi-join
+  shaped.
+- ``BRUTE_VECTOR_LIMIT`` (20k vectors): 20k² = 400M fused-codegen
+  cosine comparisons spread over all cores is the measured break-even
+  against LSH bucketing overhead for embedding near-dup pairs.
+- ``DRIVER_EDGE_LIMIT`` (1M edges): union-find on 1M edges is tens of
+  MB and milliseconds on the driver; edges are LSH *output* (corpus-
+  independent near-dup pairs), so most corpora sit far below. Above it
+  the distributed large-star/small-star rounds take over.
+- ``LITERAL_DICT_LIMIT`` (10k entries): a literal ``create_map`` beyond
+  ~10k entries bloats the codegen'd plan (constant-folding cost grows
+  superlinearly); larger dictionaries compile to a broadcast LEFT join
+  with identical missing->null semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+LOCAL_DOMAIN_LIMIT = 5_000
+EXACT_PAIR_LIMIT = 2_000_000
+BRUTE_VECTOR_LIMIT = 20_000
+DRIVER_EDGE_LIMIT = 1_000_000
+LITERAL_DICT_LIMIT = 10_000
+
+
+def _resolve(limit: Optional[int], default: int) -> int:
+    return default if limit is None else int(limit)
+
+
+def value_match_kernel(
+    n_source: int, n_target: int, limit: Optional[int] = None
+) -> str:
+    """``"local"`` (driver inverted index) when the combined distinct
+    domain fits, else ``"distributed"`` (term-sharing join)."""
+    lim = _resolve(limit, LOCAL_DOMAIN_LIMIT)
+    return "local" if n_source + n_target <= lim else "distributed"
+
+
+def pair_blocking_kernel(
+    n_left: int, n_right: int, limit: Optional[int] = None
+) -> str:
+    """``"exact"`` all-pairs scoring while the candidate product is
+    bounded, else ``"lsh"`` (hyperplane-bucketed equi-join)."""
+    lim = _resolve(limit, EXACT_PAIR_LIMIT)
+    return "exact" if n_left * n_right <= lim else "lsh"
+
+
+def ann_pair_kernel(n_vectors: int, limit: Optional[int] = None) -> str:
+    """``"brute"`` exact n² cosine for bounded vector sets, else
+    ``"lsh"`` same-bucket candidate pairs."""
+    lim = _resolve(limit, BRUTE_VECTOR_LIMIT)
+    return "brute" if n_vectors <= lim else "lsh"
+
+
+def components_kernel(n_edges: int, limit: Optional[int] = None) -> str:
+    """``"driver"`` union-find for bounded edge sets, else
+    ``"distributed"`` large-star/small-star iteration."""
+    lim = _resolve(limit, DRIVER_EDGE_LIMIT)
+    return "driver" if n_edges <= lim else "distributed"
+
+
+def dict_mapper_kernel(n_entries: int, limit: Optional[int] = None) -> str:
+    """``"literal"`` create_map expression for small dictionaries, else
+    ``"broadcast_join"``."""
+    lim = _resolve(limit, LITERAL_DICT_LIMIT)
+    return "literal" if n_entries <= lim else "broadcast_join"

@@ -24,11 +24,12 @@ from typing import Callable, Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Above this many entries a dictionary compiles to a broadcast-join plan
-# rather than a literal CASE/map expression (Catalyst literal maps are
-# driver-serialized into the plan; fine for vocabularies, wrong for a
-# 10M-row mapping table).
-_LITERAL_DICT_MAX = 10_000
+from biomedical_data_integration_spark import planning
+
+# Above planning.LITERAL_DICT_LIMIT entries a dictionary compiles to a
+# broadcast-join plan rather than a literal CASE/map expression (Catalyst
+# literal maps are driver-serialized into the plan; fine for vocabularies,
+# wrong for a 10M-row mapping table).
 
 
 class ValueMapper:
@@ -128,7 +129,7 @@ class DictionaryMapper(ValueMapper):
         self.dictionary = dict(dictionary)
 
     def expr(self, source_column: str) -> Column:
-        if len(self.dictionary) > _LITERAL_DICT_MAX:
+        if planning.dict_mapper_kernel(len(self.dictionary)) != "literal":
             raise ValueError(
                 f"Dictionary with {len(self.dictionary)} entries is too large "
                 "for a literal expression; materialize_mapping will use a "
@@ -148,7 +149,7 @@ class DictionaryMapper(ValueMapper):
         ).otherwise(F.try_element_at(F.create_map(*pairs), key))
 
     def is_large(self) -> bool:
-        return len(self.dictionary) > _LITERAL_DICT_MAX
+        return planning.dict_mapper_kernel(len(self.dictionary)) != "literal"
 
     def as_join(
         self, df: DataFrame, source_column: str, target_column: str
