@@ -19,8 +19,8 @@ Registry mirrors ``schema_matching/one2one/matcher_factory.py:7-40``:
 - ``cupid``               alias for name_similarity (flat schemas degenerate
                           Cupid's tree matching to linguistic similarity,
                           SURVEY §2.3)
-- ``similarity_flooding`` native simplified Melnik fixpoint on the
-                          name-similarity graph (``valentine.py:31-35``)
+- ``similarity_flooding`` faithful Melnik PCG + inverse_average +
+                          formula_c fixpoint (``valentine.py:31-35``)
 - ``ct_learning``         column-embedding cosine (pluggable embedder;
                           deterministic hashing embedder by default)
 - ``two_phase``           embedding top-k prune -> inner matcher refine
@@ -524,22 +524,47 @@ class CompositeSchemaMatcher(BaseSchemaMatcher):
 
 
 class SimilarityFloodingSchemaMatcher(BaseSchemaMatcher):
-    """Native, simplified similarity flooding (Melnik ICDE'02;
-    reference wraps Valentine's implementation, ``valentine.py:31-35``).
+    """Similarity flooding with Melnik's faithful propagation machinery
+    (Melnik/Garcia-Molina/Rahm, ICDE'02) — the reference wraps Valentine's
+    implementation with ``coeff_policy='inverse_average'`` and
+    ``formula='formula_c'`` (``valentine.py:31-35``); those are the
+    defaults here too.
 
-    Flat relational schemas reduce the propagation graph to column-pair
-    nodes coupled through the single table-pair node, so flooding smooths
-    the initial linguistic similarity toward the global mean. We run that
-    fixpoint driver-side (the pair matrix is n_src x n_tgt — driver-sized)
-    over an initial name-trigram-Jaccard matrix. Documented semantic delta
-    from Valentine's full PCG construction.
+    Each table becomes a typed schema graph (``table --column--> col
+    --type--> sqltype``); the pairwise connectivity graph (PCG) pairs
+    nodes connected by same-label edges on both sides; propagation
+    coefficients follow the *inverse average* policy (an l-labeled PCG
+    edge leaving pair (x, y) weighs ``2 / (outdeg_l(x) + outdeg_l(y))``,
+    its reverse edge uses the in-degrees); and the fixpoint iterates
+    Melnik's formula C, ``sigma' = normalize(sigma0 + sigma +
+    phi(sigma0 + sigma))``, until the residual Euclidean norm drops below
+    ``eps`` or ``max_iterations`` passes. The initial map seeds
+    column-name pairs with trigram Jaccard (type pairs with name
+    equality) — the same role the string matcher plays in Valentine.
+
+    Runs on the driver: the PCG is schema-sized (n_src x n_tgt column
+    pairs plus a handful of type pairs) — distributing it would scan zero
+    data. Accumulation iterates nodes in sorted order, so the floats are
+    run-to-run identical.
     """
 
     name = "similarity_flooding"
 
-    def __init__(self, iterations: int = 16, damping: float = 0.2):
-        self.iterations = iterations
-        self.damping = damping
+    def __init__(
+        self,
+        max_iterations: int = 100,
+        eps: float = 1e-6,
+        coeff_policy: str = "inverse_average",
+        formula: str = "formula_c",
+    ):
+        if coeff_policy not in ("inverse_average", "inverse_product"):
+            raise ValueError(f"Unknown coeff_policy: {coeff_policy!r}")
+        if formula not in ("formula_c", "basic"):
+            raise ValueError(f"Unknown formula: {formula!r}")
+        self.max_iterations = max_iterations
+        self.eps = eps
+        self.coeff_policy = coeff_policy
+        self.formula = formula
 
     @staticmethod
     def _trigram_jaccard(a: str, b: str) -> float:
@@ -551,20 +576,93 @@ class SimilarityFloodingSchemaMatcher(BaseSchemaMatcher):
             return 0.0
         return len(ga & gb) / len(ga | gb)
 
+    @staticmethod
+    def _schema_graph(df: DataFrame):
+        """Typed schema graph: ('table', 'column', col) per column and
+        (col, 'type', sqltype) per column. Node names: '__table__',
+        'col:<name>', 'type:<simpleString>'."""
+        edges = []
+        for f in df.schema.fields:
+            col = f"col:{f.name}"
+            edges.append(("__table__", "column", col))
+            edges.append((col, "type", f"type:{f.dataType.simpleString()}"))
+        return edges
+
+    def _sigma0(self, x: str, y: str) -> float:
+        if x.startswith("col:") and y.startswith("col:"):
+            return self._trigram_jaccard(x[4:], y[4:])
+        if x.startswith("type:") and y.startswith("type:"):
+            return 1.0 if x == y else self._trigram_jaccard(x[5:], y[5:])
+        return 1.0  # the single table-table pair
+
+    def _propagation_graph(self, ea, eb):
+        """PCG + inverse-average (or inverse-product) coefficients.
+        Returns {node: [(neighbor, weight), ...]} of INCOMING edges."""
+        from collections import defaultdict
+
+        outd_a, ind_a = defaultdict(int), defaultdict(int)
+        outd_b, ind_b = defaultdict(int), defaultdict(int)
+        for x1, l, x2 in ea:
+            outd_a[(x1, l)] += 1
+            ind_a[(x2, l)] += 1
+        for y1, l, y2 in eb:
+            outd_b[(y1, l)] += 1
+            ind_b[(y2, l)] += 1
+
+        incoming = defaultdict(list)
+        nodes = set()
+        for x1, l, x2 in ea:
+            for y1, lb, y2 in eb:
+                if l != lb:
+                    continue
+                p, q = (x1, y1), (x2, y2)
+                nodes.add(p)
+                nodes.add(q)
+                if self.coeff_policy == "inverse_average":
+                    w_fwd = 2.0 / (outd_a[(x1, l)] + outd_b[(y1, l)])
+                    w_back = 2.0 / (ind_a[(x2, l)] + ind_b[(y2, l)])
+                else:  # inverse_product
+                    w_fwd = 1.0 / (outd_a[(x1, l)] * outd_b[(y1, l)])
+                    w_back = 1.0 / (ind_a[(x2, l)] * ind_b[(y2, l)])
+                incoming[q].append((p, w_fwd))
+                incoming[p].append((q, w_back))
+        return nodes, incoming
+
     def scores(self, source, target, allowed_pairs=None):
+        import math
+
         spark = source.sparkSession
-        pairs = [(s, t) for s in source.columns for t in target.columns]
-        sigma0 = {p: self._trigram_jaccard(*p) for p in pairs}
+        ea, eb = self._schema_graph(source), self._schema_graph(target)
+        nodes, incoming = self._propagation_graph(ea, eb)
+        order = sorted(nodes)
+        sigma0 = {p: self._sigma0(*p) for p in order}
         sigma = dict(sigma0)
-        for _ in range(self.iterations):
-            table_sim = sum(sigma.values()) / len(sigma) if sigma else 0.0
-            nxt = {
-                p: sigma0[p] + self.damping * table_sim for p in pairs
-            }
+        for _ in range(self.max_iterations):
+            if self.formula == "formula_c":
+                base = {p: sigma0[p] + sigma[p] for p in order}
+            else:  # basic: sigma' = normalize(sigma + phi(sigma))
+                base = sigma
+            nxt = {}
+            for p in order:
+                inc = math.fsum(w * base[q] for q, w in sorted(incoming[p]))
+                nxt[p] = (
+                    sigma0[p] + sigma[p] + inc
+                    if self.formula == "formula_c"
+                    else sigma[p] + inc
+                )
             mx = max(nxt.values()) if nxt else 1.0
-            sigma = {p: (v / mx if mx > 0 else 0.0) for p, v in nxt.items()}
+            if mx > 0:
+                nxt = {p: v / mx for p, v in nxt.items()}
+            residual = math.sqrt(
+                math.fsum((nxt[p] - sigma[p]) ** 2 for p in order)
+            )
+            sigma = nxt
+            if residual < self.eps:
+                break
         rows = [
-            (s, t, round(v, config.SIMILARITY_SCALE)) for (s, t), v in sigma.items()
+            (x[4:], y[4:], round(sigma[(x, y)], config.SIMILARITY_SCALE))
+            for (x, y) in order
+            if x.startswith("col:") and y.startswith("col:")
         ]
         return _apply_allowed(
             spark.createDataFrame(rows, SCORES_SCHEMA), allowed_pairs

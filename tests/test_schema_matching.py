@@ -210,3 +210,74 @@ def test_distribution_approx_deterministic_sampler(spark):
     }
     for pair, sim in diag.items():
         assert abs(sim - ex[pair]) < 0.15  # sampled sketch near exact
+
+
+def test_simflood_fixpoint_converges_and_is_deterministic(spark):
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        SimilarityFloodingSchemaMatcher,
+    )
+
+    src = spark.createDataFrame([(1, "a", 2.0)], ["order_id", "name", "price"])
+    tgt = spark.createDataFrame([(1, "a", 2.0)], ["orderid", "label", "cost"])
+    m = SimilarityFloodingSchemaMatcher(max_iterations=200, eps=1e-9)
+    one = sorted(map(tuple, m.scores(src, tgt).collect()))
+    two = sorted(map(tuple, m.scores(src, tgt).collect()))
+    assert one == two  # sorted-order fsum accumulation: run-to-run stable
+    sims = {(s, t): v for s, t, v in one}
+    # flooding propagates through shared type structure: the same-typed
+    # name-similar pair dominates its row and column
+    assert sims[("order_id", "orderid")] == max(
+        v for (s, t), v in sims.items() if s == "order_id"
+    )
+    # a loose eps stops earlier but still lands near the tight fixpoint
+    loose = {
+        (r["source"], r["target"]): r["similarity"]
+        for r in SimilarityFloodingSchemaMatcher(max_iterations=200, eps=1e-2)
+        .scores(src, tgt)
+        .collect()
+    }
+    for k, v in sims.items():
+        assert abs(loose[k] - v) < 0.05
+
+
+def test_simflood_inverse_average_coefficients():
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        SimilarityFloodingSchemaMatcher,
+    )
+
+    m = SimilarityFloodingSchemaMatcher()
+    # A: table with 2 columns of one type; B: table with 3 columns
+    ea = [("__table__", "column", "col:a1"), ("__table__", "column", "col:a2"),
+          ("col:a1", "type", "type:string"), ("col:a2", "type", "type:string")]
+    eb = [("__table__", "column", "col:b1"), ("__table__", "column", "col:b2"),
+          ("__table__", "column", "col:b3"),
+          ("col:b1", "type", "type:string"), ("col:b2", "type", "type:string"),
+          ("col:b3", "type", "type:string")]
+    nodes, incoming = m._propagation_graph(ea, eb)
+    tt = ("__table__", "__table__")
+    # inverse average on 'column' edges out of the table pair: 2/(2+3)
+    pair = ("col:a1", "col:b1")
+    w = [wt for q, wt in incoming[pair] if q == tt]
+    assert w == [pytest.approx(2.0 / 5.0)]
+    # reverse edge into the table pair: columns have in-degree 1 each side
+    back = [wt for q, wt in incoming[tt] if q == pair]
+    assert back == [pytest.approx(1.0)]
+    # forward into the type pair: each column has ONE type edge -> 2/(1+1)
+    tp = ("type:string", "type:string")
+    tw = {q: wt for q, wt in incoming[tp]}
+    assert tw[("col:a1", "col:b1")] == pytest.approx(1.0)
+    # reverse out of the type pair divides by the type node IN-degrees
+    # (2 columns in A, 3 in B share the string type) -> 2/(2+3)
+    back_t = [wt for q, wt in incoming[pair] if q == tp]
+    assert back_t == [pytest.approx(2.0 / 5.0)]
+
+
+def test_simflood_rejects_unknown_policy():
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        SimilarityFloodingSchemaMatcher,
+    )
+
+    with pytest.raises(ValueError, match="coeff_policy"):
+        SimilarityFloodingSchemaMatcher(coeff_policy="bogus")
+    with pytest.raises(ValueError, match="formula"):
+        SimilarityFloodingSchemaMatcher(formula="bogus")
