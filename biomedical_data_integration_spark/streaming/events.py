@@ -201,7 +201,9 @@ def streaming_minhash_lsh_candidates(
     out_schema = (
         f"band int, key string, id_a {id_sql_type}, id_b {id_sql_type}"
     )
-    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
 
     # stage tokens, then shingles, in their own projections: each is
     # multiply-referenced downstream (num_perm transforms over __sh)
@@ -283,7 +285,9 @@ def streaming_dedup_exact(
 
     out_schema = stream.schema
     cols = [f.name for f in out_schema.fields]
-    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
 
     def _dedup(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -441,7 +445,9 @@ def streaming_asof_join(
         [f"`rts` {ts_type}"] + [f"`v_{c}` {r_types[c]}" for c in value_cols]
     )
     rv_cols = [f"__rv_{c}" for c in value_cols]
-    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
 
     def _carry(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -703,6 +709,7 @@ def streaming_funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    state_ttl_minutes: "int | None" = None,
 ) -> DataFrame:
     """Streaming twin of :func:`funnel_steps`
     (``applyInPandasWithState``): per-user state carries the
@@ -716,7 +723,10 @@ def streaming_funnel_steps(
     late event older than an already-committed earlier step cannot
     retroactively improve the funnel, which batch recomputation would).
     State per user: one nullable epoch-micros long per step — bounded by
-    len(steps), no event retention.
+    len(steps), no event retention. The user KEY SPACE is unbounded on a
+    real stream, so ``state_ttl_minutes`` expires users idle longer than
+    the TTL (processing-time) — an expired user who returns restarts the
+    funnel from step 0, the standard state/recall trade.
     """
     if not steps:
         raise ValueError("streaming_funnel_steps: steps must be non-empty")
@@ -736,10 +746,16 @@ def streaming_funnel_steps(
     )
     state_schema = ", ".join(f"s{i} long" for i in range(n))
     step_list = list(steps)
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
 
     def _advance(key, pdf_iter, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         cur = list(state.get) if state.exists else [None] * n
         batches = [p for p in pdf_iter if len(p)]
         if not batches:
@@ -757,6 +773,8 @@ def streaming_funnel_steps(
                 if j == 0 or (cur[j - 1] is not None and ts_v > cur[j - 1]):
                     cur[j] = ts_v
         state.update(tuple(cur))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
         def render(v):
             if v is None:
@@ -768,12 +786,17 @@ def streaming_funnel_steps(
             out[f"step_{s}_ts"] = [render(cur[j])]
         yield pd.DataFrame(out)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(user_col).applyInPandasWithState(
         _advance,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -858,3 +858,149 @@ def test_streaming_hypertable_base_feeds_rollup_merge(spark):
         merged = rollup_merge(base, base)
         row = merged.where(F.col("window_start") == 1704067200).collect()[0]
         assert row["n_events"] == 4 and row["sum_value"] == 8.0
+
+
+def _state_rows(sq):
+    """numRowsTotal from the last progress with a state operator."""
+    for prog in reversed(sq.recentProgress):
+        ops = prog.get("stateOperators") or []
+        if ops:
+            return ops[0]["numRowsTotal"]
+    return None
+
+
+def test_streaming_dedup_exact_state_plateaus_under_ttl(spark):
+    """State-size discipline: with a TTL, content hashes idle past the
+    TTL are REMOVED when the timeout fires, so state plateaus instead of
+    growing one row per distinct document forever. An expired content
+    re-emits on return — the documented recall trade."""
+    import time
+
+    from biomedical_data_integration_spark.streaming import streaming_dedup_exact
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        schema = "doc_id bigint, text string"
+        b1 = spark.createDataFrame([(i, f"doc {i}") for i in range(6)], schema)
+        b1.coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_dedup_exact(stream, state_ttl_minutes=0.03)  # 1.8 s
+            .writeStream.format("memory")
+            .queryName("dedup_ttl_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        assert _state_rows(sq) == 6  # one state row per distinct content
+        time.sleep(2.5)  # let every key pass its TTL
+        # next trigger fires the timeouts: expired keys removed, new batch
+        # adds its two fresh contents (one is a RETURNING expired doc)
+        b2 = spark.createDataFrame([(100, "doc 0"), (101, "brand new")], schema)
+        b2.coalesce(1).write.parquet(f"{src}/f2")
+        sq.processAllAvailable()
+        after = _state_rows(sq)
+        got = {r["doc_id"] for r in spark.sql("select * from dedup_ttl_test").collect()}
+        sq.stop()
+    assert after == 2  # plateau: 6 expired rows gone, 2 live keys remain
+    # the returning expired content re-emitted (recall trade, documented)
+    assert 100 in got and 101 in got
+
+
+def test_streaming_funnel_state_expires_idle_users(spark):
+    import datetime as dt
+    import time
+
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_funnel_steps,
+    )
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        schema = "user_id bigint, event_type string, ts timestamp"
+        b1 = spark.createDataFrame(
+            [(u, "signup", base) for u in range(5)], schema
+        )
+        b1.coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_funnel_steps(
+                stream, ["signup", "purchase"], state_ttl_minutes=0.03
+            )
+            .writeStream.format("memory")
+            .queryName("funnel_ttl_test")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        assert _state_rows(sq) == 5  # one frontier row per user
+        time.sleep(2.5)
+        b2 = spark.createDataFrame(
+            [(0, "purchase", base + dt.timedelta(minutes=1))], schema
+        )
+        b2.coalesce(1).write.parquet(f"{src}/f2")
+        sq.processAllAvailable()
+        after = _state_rows(sq)
+        rows = {
+            r["user_id"]: (r["step_signup_ts"], r["step_purchase_ts"])
+            for r in spark.sql(
+                "select * from funnel_ttl_test"
+            ).collect()
+        }
+        sq.stop()
+    assert after == 1  # idle users 1-4 expired; only user 0 holds state
+    # user 0's funnel RESTARTED after expiry: purchase without a live
+    # signup step cannot complete step 2 (the documented recall trade)
+    last_u0 = rows[0]
+    assert last_u0[1] is None
+
+
+def test_streaming_lsh_candidates_state_plateaus_under_ttl(spark):
+    import time
+
+    from biomedical_data_integration_spark.streaming import (
+        streaming_minhash_lsh_candidates,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        schema = "doc_id bigint, text string"
+        texts = [(i, f"totally distinct document number {i} with words {i*7}")
+                 for i in range(4)]
+        spark.createDataFrame(texts, schema).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_minhash_lsh_candidates(stream, state_ttl_minutes=0.03)
+            .writeStream.format("memory")
+            .queryName("lsh_ttl_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        before = _state_rows(sq)
+        assert before > 0  # one state row per (band, key) bucket
+        time.sleep(2.5)
+        spark.createDataFrame(
+            [(50, "a single fresh unseen document")], schema
+        ).coalesce(1).write.parquet(f"{src}/f2")
+        sq.processAllAvailable()
+        after = _state_rows(sq)
+        sq.stop()
+    # every pre-TTL bucket expired; only the fresh doc's buckets remain
+    assert after < before
