@@ -861,7 +861,7 @@ def test_streaming_hypertable_base_feeds_rollup_merge(spark):
 
 
 def _state_rows(sq):
-    """numRowsTotal from the last progress with a state operator."""
+    """numRowsTotal from the most recent progress with a state operator."""
     for prog in reversed(sq.recentProgress):
         ops = prog.get("stateOperators") or []
         if ops:
@@ -869,13 +869,31 @@ def _state_rows(sq):
     return None
 
 
-def test_streaming_dedup_exact_state_plateaus_under_ttl(spark):
-    """State-size discipline: with a TTL, content hashes idle past the
-    TTL are REMOVED when the timeout fires, so state plateaus instead of
-    growing one row per distinct document forever. An expired content
-    re-emits on return — the documented recall trade."""
+def _wait_for_state(sq, pred, deadline_s=90):
+    """Poll progress until the state row count satisfies pred.
+
+    With ProcessingTimeTimeout the engine schedules no-data micro-batches
+    to fire timeouts, so ``processAllAvailable`` never settles — polling
+    the progress stream is the supported observation point (and lets the
+    tests show TTL expiry firing WITHOUT new input arriving).
+    """
     import time
 
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        n = _state_rows(sq)
+        if n is not None and pred(n):
+            return n
+        time.sleep(0.5)
+    raise AssertionError(f"state rows never satisfied predicate; last={_state_rows(sq)}")
+
+
+def test_streaming_dedup_exact_state_plateaus_under_ttl(spark):
+    """State-size discipline: content hashes idle past the TTL are
+    REMOVED when the timeout fires (on the engine's no-data batches), so
+    state plateaus instead of growing one row per distinct document
+    forever. An expired content re-emits on return — the documented
+    recall trade."""
     from biomedical_data_integration_spark.streaming import streaming_dedup_exact
 
     with tempfile.TemporaryDirectory() as d:
@@ -889,32 +907,34 @@ def test_streaming_dedup_exact_state_plateaus_under_ttl(spark):
             .parquet(f"{src}/*")
         )
         sq = (
-            streaming_dedup_exact(stream, state_ttl_minutes=0.03)  # 1.8 s
+            streaming_dedup_exact(stream, state_ttl_minutes=0.05)  # 3 s
             .writeStream.format("memory")
             .queryName("dedup_ttl_test")
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .start()
         )
-        sq.processAllAvailable()
-        assert _state_rows(sq) == 6  # one state row per distinct content
-        time.sleep(2.5)  # let every key pass its TTL
-        # next trigger fires the timeouts: expired keys removed, new batch
-        # adds its two fresh contents (one is a RETURNING expired doc)
-        b2 = spark.createDataFrame([(100, "doc 0"), (101, "brand new")], schema)
-        b2.coalesce(1).write.parquet(f"{src}/f2")
-        sq.processAllAvailable()
-        after = _state_rows(sq)
-        got = {r["doc_id"] for r in spark.sql("select * from dedup_ttl_test").collect()}
-        sq.stop()
-    assert after == 2  # plateau: 6 expired rows gone, 2 live keys remain
-    # the returning expired content re-emitted (recall trade, documented)
-    assert 100 in got and 101 in got
+        try:
+            _wait_for_state(sq, lambda n: n == 6)  # one row per content
+            # TTL fires with NO new input: state drains back to zero
+            _wait_for_state(sq, lambda n: n == 0)
+            # a returning expired content re-emits; fresh state accrues
+            b2 = spark.createDataFrame(
+                [(100, "doc 0"), (101, "brand new")], schema
+            )
+            b2.coalesce(1).write.parquet(f"{src}/f2")
+            _wait_for_state(sq, lambda n: n >= 2)
+            got = {
+                r["doc_id"]
+                for r in spark.sql("select * from dedup_ttl_test").collect()
+            }
+        finally:
+            sq.stop()
+    assert 100 in got and 101 in got  # expired 'doc 0' re-emitted as 100
 
 
 def test_streaming_funnel_state_expires_idle_users(spark):
     import datetime as dt
-    import time
 
     from biomedical_data_integration_spark.streaming.events import (
         streaming_funnel_steps,
@@ -935,7 +955,7 @@ def test_streaming_funnel_state_expires_idle_users(spark):
         )
         sq = (
             streaming_funnel_steps(
-                stream, ["signup", "purchase"], state_ttl_minutes=0.03
+                stream, ["signup", "purchase"], state_ttl_minutes=0.05
             )
             .writeStream.format("memory")
             .queryName("funnel_ttl_test")
@@ -943,32 +963,27 @@ def test_streaming_funnel_state_expires_idle_users(spark):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        sq.processAllAvailable()
-        assert _state_rows(sq) == 5  # one frontier row per user
-        time.sleep(2.5)
-        b2 = spark.createDataFrame(
-            [(0, "purchase", base + dt.timedelta(minutes=1))], schema
-        )
-        b2.coalesce(1).write.parquet(f"{src}/f2")
-        sq.processAllAvailable()
-        after = _state_rows(sq)
-        rows = {
-            r["user_id"]: (r["step_signup_ts"], r["step_purchase_ts"])
-            for r in spark.sql(
-                "select * from funnel_ttl_test"
-            ).collect()
-        }
-        sq.stop()
-    assert after == 1  # idle users 1-4 expired; only user 0 holds state
-    # user 0's funnel RESTARTED after expiry: purchase without a live
-    # signup step cannot complete step 2 (the documented recall trade)
-    last_u0 = rows[0]
-    assert last_u0[1] is None
+        try:
+            _wait_for_state(sq, lambda n: n == 5)  # one frontier per user
+            _wait_for_state(sq, lambda n: n == 0)  # all users idle -> expired
+            b2 = spark.createDataFrame(
+                [(0, "purchase", base + dt.timedelta(minutes=1))], schema
+            )
+            b2.coalesce(1).write.parquet(f"{src}/f2")
+            _wait_for_state(sq, lambda n: n == 1)  # only user 0 rebuilt
+            u0 = [
+                r
+                for r in spark.sql("select * from funnel_ttl_test").collect()
+                if r["user_id"] == 0
+            ]
+        finally:
+            sq.stop()
+    # user 0's funnel RESTARTED after expiry: the purchase arrives with no
+    # live signup step, so step 2 never completes (documented recall trade)
+    assert u0 and all(r["step_purchase_ts"] is None for r in u0)
 
 
 def test_streaming_lsh_candidates_state_plateaus_under_ttl(spark):
-    import time
-
     from biomedical_data_integration_spark.streaming import (
         streaming_minhash_lsh_candidates,
     )
@@ -976,31 +991,35 @@ def test_streaming_lsh_candidates_state_plateaus_under_ttl(spark):
     with tempfile.TemporaryDirectory() as d:
         src, ckpt = f"{d}/in", f"{d}/ckpt"
         schema = "doc_id bigint, text string"
-        texts = [(i, f"totally distinct document number {i} with words {i*7}")
-                 for i in range(4)]
-        spark.createDataFrame(texts, schema).coalesce(1).write.parquet(f"{src}/f1")
+        texts = [
+            (i, f"totally distinct document number {i} with words {i * 7}")
+            for i in range(4)
+        ]
+        spark.createDataFrame(texts, schema).coalesce(1).write.parquet(
+            f"{src}/f1"
+        )
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{src}/*")
         )
         sq = (
-            streaming_minhash_lsh_candidates(stream, state_ttl_minutes=0.03)
+            streaming_minhash_lsh_candidates(stream, state_ttl_minutes=0.05)
             .writeStream.format("memory")
             .queryName("lsh_ttl_test")
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .start()
         )
-        sq.processAllAvailable()
-        before = _state_rows(sq)
-        assert before > 0  # one state row per (band, key) bucket
-        time.sleep(2.5)
-        spark.createDataFrame(
-            [(50, "a single fresh unseen document")], schema
-        ).coalesce(1).write.parquet(f"{src}/f2")
-        sq.processAllAvailable()
-        after = _state_rows(sq)
-        sq.stop()
-    # every pre-TTL bucket expired; only the fresh doc's buckets remain
+        try:
+            # one state row per (band, key) bucket
+            before = _wait_for_state(sq, lambda n: n > 0)
+            _wait_for_state(sq, lambda n: n == 0)  # buckets expire when idle
+            spark.createDataFrame(
+                [(50, "a single fresh unseen document")], schema
+            ).coalesce(1).write.parquet(f"{src}/f2")
+            after = _wait_for_state(sq, lambda n: n > 0)
+        finally:
+            sq.stop()
+    # only the fresh doc's buckets remain — far fewer than 4 docs' worth
     assert after < before
