@@ -3491,6 +3491,211 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line removal (operators/text.py
+    remove_boilerplate_lines). The flat single-line corpus is staged into
+    4-line documents with two injected boilerplate lines (a constant
+    footer and a per-source tag) — both engines build the identical
+    input, so the oracle replays the whole flow."""
+    from biomedical_data_integration_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.lit("subscribe to our newsletter"),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(staged, max_doc_frequency=2)
+
+
+def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-domain census (operators/text.py url_domain_stats) over
+    deterministically synthesized URLs (the corpus has none), exercising
+    extraction, www-strip + lowercase normalization, and the per-domain
+    doc/url counts."""
+    from biomedical_data_integration_spark.operators.text import (
+        url_domain_stats,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("visit https://www."),
+            F.col("source"),
+            F.lit(".com/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" mirror https://cdn-"),
+            F.col("lang"),
+            F.lit(".org/a "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return url_domain_stats(staged)
+
+
+def _q_events_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC compaction (operators/cdc.py upsert_snapshot):
+    current state per (user, event type). Ordering runs on epoch MICROS
+    (plus event_id ties) so Spark's micro-truncated timestamps and
+    DuckDB's nanosecond reads order identically."""
+    from biomedical_data_integration_spark.operators.cdc import (
+        upsert_snapshot,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "user_id", "event_type", "event_id", "value",
+        # ts arrives TIMESTAMP or TIMESTAMP_NTZ depending on sf-dir encoding;
+        # session tz is UTC so the cast is a no-op on wall-clock value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return upsert_snapshot(
+        staged, ["user_id", "event_type"], ["ts_us", "event_id"]
+    )
+
+
+def _q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history (operators/cdc.py scd2_history): validity intervals
+    of each user's event-type state over time."""
+    from biomedical_data_integration_spark.operators.cdc import scd2_history
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "user_id", "event_type", "event_id",
+        # ts arrives TIMESTAMP or TIMESTAMP_NTZ depending on sf-dir encoding;
+        # session tz is UTC so the cast is a no-op on wall-clock value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return scd2_history(
+        staged, ["user_id"], "ts_us", ["event_type"], tiebreak_col="event_id"
+    )
+
+
+def _boilerplate_removal_sql() -> str:
+    staged = (
+        "SELECT doc_id, concat_ws(chr(10), substring(text, 1, 60), "
+        "'subscribe to our newsletter', 'source: ' || source, "
+        "substring(text, 61, 60)) AS text FROM documents"
+    )
+    return f"""
+WITH staged AS ({staged}),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged),
+lines AS (
+  SELECT doc_id, u.item AS item
+  FROM l0, unnest(list_transform(range(1, len(ls) + 1),
+       i -> struct_pack(pos := i, line := ls[i]))) AS u(item)
+),
+flat AS (
+  SELECT doc_id, item.pos AS pos, item.line AS line,
+         trim(lower(item.line)) AS norm
+  FROM lines
+),
+boiler AS (
+  SELECT norm FROM (SELECT DISTINCT doc_id, norm FROM flat)
+  GROUP BY norm HAVING count(*) > 2
+),
+kept AS (
+  SELECT f.* FROM flat f ANTI JOIN boiler b ON f.norm = b.norm
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept_lines
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, coalesce(r.text, '') AS text,
+       CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+       coalesce(r.n_kept_lines, 0) AS n_kept_lines
+FROM staged s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+"""
+
+
+def _url_domain_stats_sql() -> str:
+    from biomedical_data_integration_spark.operators.text import (
+        DOMAIN_PATTERN,
+        URL_PATTERN,
+    )
+
+    staged = (
+        "SELECT doc_id, 'visit https://www.' || source || '.com/p/' || "
+        "CAST(doc_id % 7 AS VARCHAR) || ' mirror https://cdn-' || lang || "
+        "'.org/a ' || text AS text FROM documents"
+    )
+    return f"""
+WITH staged AS ({staged}),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+  FROM staged
+),
+doms AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '{DOMAIN_PATTERN}', 1)),
+                        '^www\.', '') AS domain
+  FROM urls
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM doms WHERE domain <> '' GROUP BY domain
+"""
+
+
+def _events_upsert_sql() -> str:
+    return """
+WITH staged AS (
+  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM staged
+)
+SELECT user_id, event_type, event_id, value, ts_us
+FROM ranked WHERE rn = 1
+"""
+
+
+def _events_scd2_sql() -> str:
+    return """
+WITH staged AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, event_id, ts_us,
+         CASE WHEN row_number() OVER w = 1 THEN 1
+              WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1
+              ELSE 0 END AS newflag
+  FROM staged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+versioned AS (
+  SELECT *, CAST(sum(newflag) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, ver, min(event_type) AS event_type,
+         min(ts_us) AS valid_from, CAST(count(*) AS BIGINT) AS n_changes
+  FROM versioned GROUP BY user_id, ver
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+       n_changes
+FROM intervals
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3511,10 +3716,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally every round by tests/test_entry_oracle.py (full registry at
     sf0.001) and tools/check_oracle.py."""
     return {
-        # --- graded window (first 50): the stale tail from r1/r2 rotated
-        # in for driver re-grading, plus temperature_mix (semantics
-        # changed this round: deterministic fsum + fraction rounding).
-        # schema_match_distribution_approx is newly oracle-backed. ---
+        # --- graded window (first 50): the four NEW round-4 operators
+        # (boilerplate removal, domain census, CDC upsert, SCD2), then
+        # the stale r1/r2 tail rotated in for driver re-grading, plus
+        # temperature_mix (semantics changed this round: deterministic
+        # fsum + fraction rounding). schema_match_distribution_approx is
+        # newly oracle-backed. The 4 entries this pushes past position 50
+        # are r1-graded TPC-H patterns, still replica-verified locally. ---
+        "boilerplate_removal_documents": _q_boilerplate_removal,
+        "url_domain_stats_documents": _q_url_domain_stats,
+        "events_upsert_snapshot": _q_events_upsert,
+        "events_scd2_history": _q_events_scd2,
         "temperature_mix_documents": _q_temperature_mix,
         "harmonize_lineitem_expr": _q_harmonize_expr,
         "preview_domain_orderpriority": _q_preview_domain,
@@ -3720,6 +3932,10 @@ FROM inter i JOIN ns ON ns.source = i.source JOIN nt ON nt.target = i.target
 """,
         "schema_match_distribution_orders_lineitem": _distribution_match_sql(),
         "schema_match_distribution_approx": _distribution_match_approx_sql(),
+        "boilerplate_removal_documents": _boilerplate_removal_sql(),
+        "url_domain_stats_documents": _url_domain_stats_sql(),
+        "events_upsert_snapshot": _events_upsert_sql(),
+        "events_scd2_history": _events_scd2_sql(),
         "schema_match_name_similarity_orders_lineitem": _name_similarity_sql(
             ORDERS_COLS, LINEITEM_COLS,
         ),

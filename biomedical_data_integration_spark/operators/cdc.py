@@ -1,0 +1,110 @@
+"""Change-data-capture maintenance operators: snapshot compaction
+(upsert / latest-wins merge) and SCD-type-2 history derivation.
+
+A training-data platform ingests mutable upstream tables (user profiles,
+document metadata, label corrections) as append-only change streams;
+these operators turn that log into (a) the current snapshot and (b) the
+full validity-interval history — the two shapes every downstream join
+wants. The reference (bdi-kit) has no table-maintenance surface;
+engine-claimed extension, same family as the hypertable rollup
+maintenance in ``streaming/events.py``.
+
+Scale notes: both operators are ONE window function over a key-hash
+shuffle — the canonical Spark shape for log compaction. No driver
+state, no iteration; skewed keys are ordinary window skew (salt the key
+upstream if one entity dominates the change log).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["upsert_snapshot", "scd2_history"]
+
+
+def upsert_snapshot(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Latest-wins compaction of a change log: one row per key, the row
+    with the greatest ``order_cols`` (ties broken by the LAST order
+    column — pass a unique change id last to make the winner total).
+
+    Equivalent to ``MERGE INTO`` replayed over the whole log, expressed
+    as a single row_number window — one shuffle on the key, map-side
+    nothing to combine (row identity must survive), which is the minimal
+    plan for this semantics.
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("upsert_snapshot: key_cols and order_cols required")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a change log into
+    validity intervals. Consecutive rows of a key whose ``attr_cols``
+    are unchanged merge into one interval; each output row carries
+    ``valid_from`` (first ts at that attribute state) and ``valid_to``
+    (the next state's valid_from; null = current).
+
+    One ordered window pass per key: a null-safe lag comparison flags
+    state changes, a running sum of flags numbers the versions, a
+    min-per-version groupBy opens the intervals, and a lead window
+    closes them. Two shuffles total (key window + version groupBy on the
+    same key prefix — AQE coalesces the exchange reuse).
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_history: key_cols and attr_cols required")
+    order = [F.asc(ts_col)] + (
+        [F.asc(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(F.col(c)).over(w)
+        # null-safe inequality; the first row of a key has lag NULL for
+        # every attr and must open version 0 — row_number==1 handles it
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    is_new = F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(
+        F.when(changed, F.lit(1)).otherwise(F.lit(0))
+    )
+    # two projections: a window function cannot nest inside another
+    # window's argument, but both share the key partitioning so Catalyst
+    # plans ONE exchange + one sort for the pair
+    flagged = changes.withColumn("__new", is_new)
+    versioned = flagged.withColumn(
+        "__ver",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__new")
+    intervals = versioned.groupBy(*key_cols, "__ver").agg(
+        *[F.first(F.col(c)).alias(c) for c in attr_cols],
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_changes"),
+    )
+    wv = Window.partitionBy(*key_cols).orderBy("__ver")
+    return intervals.select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_changes",
+    )

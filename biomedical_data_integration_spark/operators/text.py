@@ -721,3 +721,115 @@ def curriculum_buckets(
         .withColumn("bucket", bucket)
         .drop("__e")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frequency: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """CROSS-document boilerplate removal (the CCNet/RefinedWeb dedup-by-
+    line-frequency rule): a line whose normalized form appears in MORE
+    than ``max_doc_frequency`` distinct documents is nav/footer/cookie
+    boilerplate and is dropped from every document. Complements
+    :func:`dedup_lines`, which dedups within one document.
+
+    Plan (all equi-join shaped — no pair expansion at any corpus size):
+    posexplode lines -> line document-frequency (groupBy over DISTINCT
+    (line, doc) pairs, map-side combinable) -> LEFT ANTI join of the
+    exploded lines against the boilerplate set -> order-preserving
+    rebuild (collect_list of (pos, line) structs, array_sort on pos).
+    Documents whose every line was boilerplate survive with empty text
+    (the operator never drops rows — same contract as winsorize).
+
+    Normalization (``normalize=True``): trim + lower, so cosmetic
+    whitespace/case variants of the same boilerplate line match.
+
+    Reference has no text pipeline; engine-claimed surface. Returns
+    (id_col, text, n_lines, n_kept_lines).
+    """
+    norm = F.trim(F.lower(F.col("__line"))) if normalize else F.col("__line")
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "__pos", "__line"
+            ),
+        )
+        .withColumn("__norm", norm)
+    )
+    boiler = (
+        lines.select(id_col, "__norm")
+        .distinct()
+        .groupBy("__norm")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_doc_frequency)
+        .select("__norm")
+    )
+    kept = lines.join(boiler, "__norm", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count("*").cast("bigint").alias("n_kept_lines"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept_lines"), F.lit(0).cast("bigint")).alias(
+            "n_kept_lines"
+        ),
+    )
+
+
+#: URL pattern shared with the SQL oracle (RE2/Java-compatible subset)
+URL_PATTERN = r"https?://[^\s/:?#]+[^\s]*"
+DOMAIN_PATTERN = r"https?://([^\s/:?#]+)"
+
+
+def url_domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Web-corpus domain histogram: extract every URL from the text,
+    normalize its host (lower, strip ``www.``), and count occurrences and
+    distinct documents per domain — the per-domain census that drives
+    domain allow/block lists and per-domain sampling caps in web-crawl
+    curation.
+
+    One extract+explode projection, then a single combinable aggregation
+    keyed by domain (domain cardinality << corpus size). The regex
+    sticks to the RE2/Java-common subset so the SQL oracle matches
+    byte for byte. Returns (domain, n_urls, n_docs) for non-empty
+    domains.
+    """
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("__url"),
+    )
+    domain = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("__url"), DOMAIN_PATTERN, 1)),
+        r"^www\.",
+        "",
+    )
+    return (
+        urls.select(F.col(id_col), domain.alias("domain"))
+        .where(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+    )
