@@ -1082,11 +1082,11 @@ WHERE {cont} >= {DECONTAM_THRESHOLD}
 """
 
 
-def _dedup_clusters_sql() -> str:
-    """Connected components over the minhash pairs: min reachable id per
-    node via a recursive CTE (the oracle for the large/small-star job)."""
-    return f"""
-WITH RECURSIVE pairs AS ({_minhash_sql()}),
+def _clusters_cte() -> str:
+    """Shared recursive-CTE body: minhash pairs -> connected components
+    (min reachable id per node) — the oracle for the large/small-star job.
+    Composable: used by both the clusters query and keep-best collapse."""
+    return f"""pairs AS ({_minhash_sql()}),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -1096,8 +1096,31 @@ reach(u, v) AS (
   SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+labels AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte()}
+SELECT doc_id, cluster_id FROM labels
+"""
+
+
+def _keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte()},
+joined AS (
+  SELECT d.doc_id, d.source, d.n_chars, l.cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY coalesce(cluster_id, doc_id)
+      ORDER BY n_chars DESC, doc_id) AS rn
+  FROM joined
 )
-SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+SELECT doc_id, source, n_chars, cluster_id FROM ranked WHERE rn = 1
 """
 
 
@@ -2182,6 +2205,27 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_threshold=DEDUP_JACCARD_THRESHOLD,
     )
     return duplicate_clusters(pairs)
+
+
+def _q_keep_best_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse (operators/dedup.py
+    keep_best_duplicates): keep the LONGEST member of each minhash
+    cluster (ties -> lowest doc_id), singletons pass through."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        keep_best_duplicates,
+        minhash_lsh_pairs,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_perm=MINHASH_NUM_PERM,
+        bands=MINHASH_BANDS,
+        verify_threshold=DEDUP_JACCARD_THRESHOLD,
+    )
+    return keep_best_duplicates(
+        docs.select("doc_id", "source", "n_chars"), pairs, "n_chars"
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3716,17 +3760,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally every round by tests/test_entry_oracle.py (full registry at
     sf0.001) and tools/check_oracle.py."""
     return {
-        # --- graded window (first 50): the four NEW round-4 operators
-        # (boilerplate removal, domain census, CDC upsert, SCD2), then
+        # --- graded window (first 50): the five NEW round-4 operators
+        # (boilerplate removal, domain census, CDC upsert, SCD2,
+        # quality-aware keep-best dedup), then
         # the stale r1/r2 tail rotated in for driver re-grading, plus
         # temperature_mix (semantics changed this round: deterministic
         # fsum + fraction rounding). schema_match_distribution_approx is
-        # newly oracle-backed. The 4 entries this pushes past position 50
+        # newly oracle-backed. The 5 entries this pushes past position 50
         # are r1-graded TPC-H patterns, still replica-verified locally. ---
         "boilerplate_removal_documents": _q_boilerplate_removal,
         "url_domain_stats_documents": _q_url_domain_stats,
         "events_upsert_snapshot": _q_events_upsert,
         "events_scd2_history": _q_events_scd2,
+        "dedup_keep_best_documents": _q_keep_best_duplicates,
         "temperature_mix_documents": _q_temperature_mix,
         "harmonize_lineitem_expr": _q_harmonize_expr,
         "preview_domain_orderpriority": _q_preview_domain,
@@ -3936,6 +3982,7 @@ FROM inter i JOIN ns ON ns.source = i.source JOIN nt ON nt.target = i.target
         "url_domain_stats_documents": _url_domain_stats_sql(),
         "events_upsert_snapshot": _events_upsert_sql(),
         "events_scd2_history": _events_scd2_sql(),
+        "dedup_keep_best_documents": _keep_best_sql(),
         "schema_match_name_similarity_orders_lineitem": _name_similarity_sql(
             ORDERS_COLS, LINEITEM_COLS,
         ),

@@ -787,3 +787,44 @@ def bloom_decontaminate(
         staged.where(~F.coalesce(contaminated, F.lit(False)))
         .drop("__sh", "__bloom", "__masks")
     )
+
+
+def keep_best_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    driver_threshold: int = planning.DRIVER_EDGE_LIMIT,
+) -> DataFrame:
+    """Quality-aware near-dup collapse: cluster the candidate ``pairs``
+    (connected components) and keep the HIGHEST-``score_col`` member of
+    each cluster, ties broken by lowest id — the curation policy when a
+    cluster mixes a clean original with truncated/boilerplate mirrors
+    and "first seen" is the wrong survivor. Rows in no cluster pass
+    through untouched.
+
+    Plan: duplicate_clusters (policy-gated driver/distributed kernel)
+    -> one broadcast-sized join of cluster labels onto the corpus
+    (labels cover only clustered docs — LSH output, corpus-independent)
+    -> one row_number window keyed by the effective cluster (singletons
+    key on their own id, so the window never concentrates mass).
+    Returns the surviving rows of ``df`` plus their ``cluster_id``
+    (null for singletons).
+    """
+    from pyspark.sql import Window
+
+    labels = duplicate_clusters(pairs, driver_threshold=driver_threshold)
+    labeled = df.join(
+        F.broadcast(labels.withColumnRenamed("doc_id", "__cid")),
+        df[id_col] == F.col("__cid"),
+        "left",
+    ).drop("__cid")
+    eff = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    w = Window.partitionBy(eff).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -244,3 +244,22 @@ def test_bloom_decontaminate_is_conservative_superset_of_exact(spark):
     }
     # nothing with a REAL overlap may survive the bloom gate
     assert not (surv & exact_hits)
+
+
+def test_keep_best_duplicates_prefers_high_score(spark):
+    from biomedical_data_integration_spark.operators.dedup import (
+        keep_best_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 50.0), (3, 50.0), (4, 7.0), (9, 99.0)],
+        "doc_id bigint, quality double",
+    )
+    # {1,2,3} one cluster, {4} pairs with nothing, 9 never in pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in keep_best_duplicates(docs, pairs, "quality").collect()}
+    # doc 2 wins the cluster (score tie with 3 -> lowest id); singletons kept
+    assert out == {2: 1, 4: None, 9: None}
