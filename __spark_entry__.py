@@ -50,6 +50,7 @@ ANN_IVF_CELLS = 16
 ANN_IVF_NPROBE = 4
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 DIST_SAMPLE_K = 512  # exact=False sampler target (small enough to engage at sf0.001)
+CAP_PER_SOURCE = 15  # per-domain cap; sources hold 25 docs/sf, so the gate fires
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KEYWORD_TOP_K = 3
@@ -1104,6 +1105,36 @@ def _dedup_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_clusters_cte()}
 SELECT doc_id, cluster_id FROM labels
+"""
+
+
+def _cap_per_source_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {CAP_PER_SOURCE}
+"""
+
+
+def _text_normalize_sql() -> str:
+    staged = (
+        "SELECT doc_id, '  Header' || chr(9) || chr(9) || 'LINE ' || "
+        "chr(13) || chr(10) || chr(7) || text || '  ' AS text FROM documents"
+    )
+    return f"""
+WITH staged AS ({staged})
+SELECT doc_id, text,
+       lower(trim(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(text,
+               chr(13) || chr(10) || '?', chr(10), 'g'),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(128) || '-' || chr(159) || ']', '', 'g'),
+               '[ ' || chr(9) || ']+', ' ', 'g'),
+               ' ?' || chr(10) || ' ?', chr(10), 'g'))) AS text_normalized
+FROM staged
 """
 
 
@@ -2205,6 +2236,40 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_threshold=DEDUP_JACCARD_THRESHOLD,
     )
     return duplicate_clusters(pairs)
+
+
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.py cap_per_group):
+    at most CAP_PER_SOURCE docs per source, chosen by salted-md5 draw."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs.select("doc_id", "source"), "source", k=CAP_PER_SOURCE
+    )
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization normalization (operators/text.py normalize_text)
+    over text staged with injected tabs/CRLF/control bytes so every
+    cleanup rule fires; lowercase on."""
+    from biomedical_data_integration_spark.operators.text import (
+        normalize_text,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  Header\t\tLINE \r\n"),
+            F.lit("\x07"),
+            F.col("text"),
+            F.lit("  "),
+        ).alias("text"),
+    )
+    return normalize_text(staged, lowercase=True)
 
 
 def _q_keep_best_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3773,6 +3838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_upsert_snapshot": _q_events_upsert,
         "events_scd2_history": _q_events_scd2,
         "dedup_keep_best_documents": _q_keep_best_duplicates,
+        "cap_per_source_documents": _q_cap_per_source,
+        "text_normalize_documents": _q_text_normalize,
         "temperature_mix_documents": _q_temperature_mix,
         "harmonize_lineitem_expr": _q_harmonize_expr,
         "preview_domain_orderpriority": _q_preview_domain,
@@ -3983,6 +4050,8 @@ FROM inter i JOIN ns ON ns.source = i.source JOIN nt ON nt.target = i.target
         "events_upsert_snapshot": _events_upsert_sql(),
         "events_scd2_history": _events_scd2_sql(),
         "dedup_keep_best_documents": _keep_best_sql(),
+        "cap_per_source_documents": _cap_per_source_sql(),
+        "text_normalize_documents": _text_normalize_sql(),
         "schema_match_name_similarity_orders_lineitem": _name_similarity_sql(
             ORDERS_COLS, LINEITEM_COLS,
         ),

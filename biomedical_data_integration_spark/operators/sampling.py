@@ -267,3 +267,37 @@ def balance_classes(
     smallest = min(counts.values())
     fractions = {lbl: smallest / n for lbl, n in counts.items()}
     return stratified_sample(df, label_col, key_col, fractions, salt=salt)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` rows per group,
+    chosen by smallest salted md5 of the row key — the per-domain
+    document cap every web-crawl curation applies so one giant host
+    cannot dominate the corpus. The draw is a pure function of
+    (salt, key): stable across runs, engines, and data growth (a row's
+    fate never changes because OTHER rows arrived, as long as it stays
+    in the k smallest hashes of its group).
+
+    One hash-partitioned window per group (the minimal plan for an
+    exact per-key top-k). A pathologically hot group makes a hot
+    partition — the standard window-skew caveat; the hash order means
+    no value-ordered sort spill, just a k-row selection.
+    """
+    if k < 1:
+        raise ValueError("cap_per_group: k must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        md5_hex(F.col(key_col), salt=salt)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

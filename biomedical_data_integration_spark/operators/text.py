@@ -833,3 +833,39 @@ def url_domain_stats(
             F.count_distinct(F.col(id_col)).alias("n_docs"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_controls: bool = True,
+    out_col: str = None,
+) -> DataFrame:
+    """Pre-tokenization text normalization: strip C0/C1 control
+    characters (keeping tab/newline), collapse horizontal whitespace
+    runs to one space, trim line edges, and optionally lowercase — the
+    standard cleanup pass in front of dedup/tokenization so cosmetic
+    byte differences don't defeat exact-hash operators.
+
+    Pure regexp_replace chain on the RE2/Java-common syntax subset —
+    shuffle-free whole-stage codegen, and the SQL oracle applies the
+    identical patterns. Appends ``out_col`` (default
+    ``<text_col>_normalized``); never mutates the input column.
+    """
+    out_col = out_col or f"{text_col}_normalized"
+    expr = F.col(text_col)
+    if strip_controls:
+        # C0 minus tab/newline/CR, DEL, C1; CR folds into newline first
+        expr = F.regexp_replace(expr, "\r\n?", "\n")
+        expr = F.regexp_replace(
+            expr, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]", ""
+        )
+    if collapse_whitespace:
+        expr = F.regexp_replace(expr, "[ \\t]+", " ")
+        expr = F.regexp_replace(expr, " ?\n ?", "\n")
+        expr = F.trim(expr)
+    if lowercase:
+        expr = F.lower(expr)
+    return df.withColumn(out_col, expr)

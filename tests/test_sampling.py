@@ -211,3 +211,34 @@ def test_balance_classes_downsamples_majority(spark):
     assert sorted(r["id"] for r in out.collect()) == sorted(
         r["id"] for r in again.collect()
     )
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(i, "big" if i < 47 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = cap_per_group(df, "source", k=5)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(per["big"]) == 5     # capped
+    assert len(per["small"]) == 3   # under the cap: untouched
+    again = cap_per_group(df, "source", k=5).collect()
+    assert {(r["doc_id"], r["source"]) for r in again} == {
+        (d, s) for s, ds in per.items() for d in ds
+    }  # pure function of (salt, key): identical draw every run
+    # survivors are stable under growth: adding rows to OTHER groups
+    # never changes big's picks
+    grown = df.union(
+        spark.createDataFrame([(100 + i, "new") for i in range(20)],
+                              "doc_id bigint, source string")
+    )
+    per2 = {r["doc_id"] for r in cap_per_group(grown, "source", k=5).collect()
+            if r["source"] == "big"}
+    assert per2 == per["big"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "source", k=0)

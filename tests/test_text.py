@@ -439,3 +439,21 @@ def test_curriculum_buckets_approx_path_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower()  # no global sort
     buckets = {r["bucket"] for r in out.collect()}
     assert buckets <= {1, 2, 3, 4} and len(buckets) >= 2
+
+
+def test_normalize_text_cleanup(spark):
+    from biomedical_data_integration_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "  Hello\t\tWorld \r\nsecond  LINE\x07 here  "),
+        (2, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["text_normalized"]
+           for r in normalize_text(df, lowercase=True).collect()}
+    assert out[1] == "hello world\nsecond line here"
+    assert out[2] == "already clean"
+    # input column untouched; opt-outs respected
+    raw = normalize_text(df, collapse_whitespace=False, strip_controls=False)
+    got = {r["doc_id"]: (r["text"], r["text_normalized"]) for r in raw.collect()}
+    assert got[1][0] == rows[0][1] and got[1][1] == rows[0][1]
