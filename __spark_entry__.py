@@ -1917,6 +1917,80 @@ FROM events GROUP BY 2""")
     return " UNION ALL ".join(parts)
 
 
+def _gapfill_sql(fill: str) -> str:
+    """DuckDB replica of streaming.events.gapfill (1-hour buckets,
+    grouped by event_type): scalar generate_series builds the dense
+    grid; IGNORE-NULLS windows replay LOCF / linear interpolation with
+    the same expression shape as the Spark plan."""
+    if fill == "locf":
+        value = """floor(last_value(__obs IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY bucket_start)
+            * 10000 + 0.5) / 10000"""
+        return f"""
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS __n,
+         round(avg(value), 6) AS __obs
+  FROM events GROUP BY 1, 2
+), r AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM obs),
+grid AS (
+  SELECT g.event_type,
+         unnest(generate_series(r.lo, r.hi, 3600)) AS bucket_start
+  FROM (SELECT DISTINCT event_type FROM obs) g, r
+), j AS (
+  SELECT grid.event_type, grid.bucket_start, obs.__n, obs.__obs
+  FROM grid LEFT JOIN obs USING (event_type, bucket_start)
+)
+SELECT event_type, bucket_start,
+       COALESCE(__n, 0) AS n_events,
+       {value} AS value_filled,
+       CAST(__obs IS NOT NULL AS INTEGER) AS observed
+FROM j
+"""
+    # linear
+    return """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS __n,
+         round(avg(value), 6) AS __obs
+  FROM events GROUP BY 1, 2
+), r AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM obs),
+grid AS (
+  SELECT g.event_type,
+         unnest(generate_series(r.lo, r.hi, 3600)) AS bucket_start
+  FROM (SELECT DISTINCT event_type FROM obs) g, r
+), j AS (
+  SELECT grid.event_type, grid.bucket_start, obs.__n, obs.__obs
+  FROM grid LEFT JOIN obs USING (event_type, bucket_start)
+), k AS (
+  SELECT *,
+    last_value(__obs IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN __obs IS NOT NULL THEN bucket_start END
+               IGNORE NULLS) OVER wb AS pb,
+    first_value(__obs IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN __obs IS NOT NULL THEN bucket_start END
+                IGNORE NULLS) OVER wf AS nb
+  FROM j
+  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY bucket_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_start,
+       COALESCE(__n, 0) AS n_events,
+       floor((CASE
+         WHEN __obs IS NOT NULL THEN __obs
+         WHEN pv IS NOT NULL AND nv IS NOT NULL
+           THEN pv + (nv - pv) * (bucket_start - pb) / (nb - pb)
+         WHEN pv IS NOT NULL THEN pv
+         ELSE nv END) * 10000 + 0.5) / 10000 AS value_filled,
+       CAST(__obs IS NOT NULL AS INTEGER) AS observed
+FROM k
+"""
+
+
 def _sql_hex_tail_value(hexpr: str, digits: int) -> str:
     """Integer value of the last ``digits`` hex chars of a 32-char md5."""
     terms = []
@@ -3436,6 +3510,29 @@ def _q_events_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = _tables(spark, sf_dir, "events")
     return hypertable_rollup(events, grains=HYPERTABLE_GRAINS)
+
+
+def _q_events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + locf() (TimescaleDB pattern, engine
+    extension): dense hourly grid per event type, gaps carry the last
+    observed hourly average forward. Raw events aggregate ONCE; the grid/
+    window work runs on bucket-count-sized data."""
+    from biomedical_data_integration_spark.streaming.events import gapfill
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return gapfill(events, bucket_seconds=3600, fill="locf")
+
+
+def _q_events_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + interpolate(): linear interpolation between
+    the nearest observed buckets, one-sided fallback at the edges. Both
+    direction windows share one exchange+sort (same partition/order)."""
+    from biomedical_data_integration_spark.streaming.events import gapfill
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return gapfill(events, bucket_seconds=3600, fill="linear")
+
+
 PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -3942,6 +4039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_classes_embeddings": _q_balance_classes,
         "winsorize_events_value": _q_winsorize_events,
         "harmonize_lineitem": _q_harmonize_lineitem,
+        "events_gapfill_locf": _q_events_gapfill_locf,
+        "events_gapfill_linear": _q_events_gapfill_linear,
     }
 
 
@@ -4494,6 +4593,8 @@ GROUP BY event_type
         "cms_token_frequencies": _cms_tokens_sql(),
         "kmv_distinct_custkeys": _kmv_sql(),
         "events_hypertable_rollup": _hypertable_sql(),
+        "events_gapfill_locf": _gapfill_sql("locf"),
+        "events_gapfill_linear": _gapfill_sql("linear"),
         "validate_orders": _validate_orders_sql(),
         "corpus_prep_end_to_end": _corpus_prep_sql(),
         "group_kfold_documents": _group_kfold_sql(),

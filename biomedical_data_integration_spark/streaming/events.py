@@ -1093,3 +1093,128 @@ def streaming_hypertable_base(
             "n_events", "sum_value", "min_value", "max_value",
         )
     )
+
+
+def gapfill(
+    df: DataFrame,
+    bucket_seconds: int = 3600,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple = ("event_type",),
+    fill: str = "locf",
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Time-bucket gap filling with LOCF or linear interpolation — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf()``/``interpolate()``
+    pattern (an engine extension; the reference has no time-series ops).
+
+    Pipeline (raw data is scanned exactly once):
+
+    1. aggregate raw rows to (group, bucket) — ONE shuffle over the fact
+       table; everything after runs on the aggregate, which is
+       |groups| x |buckets| sized, not corpus-sized;
+    2. derive the global [start, end] bucket range inside the same job
+       (1-row aggregate, broadcast cross join) unless given explicitly;
+    3. build the dense grid with ``F.sequence`` exploded per group — no
+       driver-side range generation, no collect;
+    4. left-join observed buckets onto the grid and fill:
+       ``fill='none'``  -> missing buckets keep NULL value,
+       ``fill='locf'``  -> last observation carried forward,
+       ``fill='linear'``-> linear interpolation between the nearest
+       observed buckets (edges fall back to the one-sided neighbor).
+
+    Both fill modes are single Window nodes: LOCF is one backward frame;
+    linear uses backward + forward frames over the SAME partition/order
+    spec, so Spark plans one exchange + one sort. Output: (*group_cols,
+    bucket_start epoch-seconds, n_events with 0 for gaps, value_filled
+    rounded to 4, filled 0/1 flag).
+
+    At 100 TB the grid is dashboard-sized (buckets per group), so the
+    windows never see raw-event cardinality; the only full-data work is
+    the initial aggregation, which combines map-side.
+    """
+    if fill not in ("none", "locf", "linear"):
+        raise ValueError(f"gapfill: unknown fill mode {fill!r}")
+    secs = int(bucket_seconds)
+    if secs < 1:
+        raise ValueError("gapfill: bucket_seconds must be a positive int")
+    gcols = list(group_cols)
+
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).cast(
+        "bigint"
+    )
+    observed = (
+        df.select(*gcols, bucket.alias("bucket_start"),
+                  F.col(value_col).alias("__v"))
+        .groupBy(*gcols, "bucket_start")
+        # the bucket average is pre-rounded to a fixed 6-decimal scale:
+        # downstream interpolation then runs on engine-identical doubles
+        # (raw float avgs differ across engines in the last ulp from
+        # summation order, which can flip the output rounding)
+        .agg(
+            F.count("*").alias("__n"),
+            F.round(F.avg("__v"), 6).alias("__obs"),
+        )
+    )
+
+    if start is None or end is None:
+        rng = observed.agg(
+            F.min("bucket_start").alias("__lo"),
+            F.max("bucket_start").alias("__hi"),
+        )
+    else:
+        rng = None
+    lo = F.lit(int(start)).cast("bigint") if start is not None else F.col("__lo")
+    hi = F.lit(int(end)).cast("bigint") if end is not None else F.col("__hi")
+
+    groups = observed.select(*gcols).distinct()
+    if rng is not None:
+        groups = groups.crossJoin(F.broadcast(rng))
+    grid = groups.select(
+        *gcols,
+        F.explode(
+            F.sequence(lo, hi, F.lit(secs).cast("bigint"))
+        ).alias("bucket_start"),
+    )
+
+    joined = grid.join(observed, gcols + ["bucket_start"], "left")
+
+    w = Window.partitionBy(*gcols).orderBy("bucket_start")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if fill == "none":
+        filled = F.col("__obs")
+    elif fill == "locf":
+        filled = F.last("__obs", ignorenulls=True).over(wb)
+    else:  # linear
+        wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        at_obs = F.when(F.col("__obs").isNotNull(), F.col("bucket_start"))
+        prev_v = F.last("__obs", ignorenulls=True).over(wb)
+        prev_b = F.last(at_obs, ignorenulls=True).over(wb)
+        next_v = F.first("__obs", ignorenulls=True).over(wf)
+        next_b = F.first(at_obs, ignorenulls=True).over(wf)
+        filled = (
+            F.when(F.col("__obs").isNotNull(), F.col("__obs"))
+            .when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v
+                + (next_v - prev_v)
+                * (F.col("bucket_start") - prev_b)
+                / (next_b - prev_b),
+            )
+            .when(prev_v.isNotNull(), prev_v)
+            .otherwise(next_v)
+        )
+    # explicit floor(x*1e4 + 0.5)/1e4 instead of round(): engine round()
+    # implementations disagree on exact decimal ties (Spark re-parses the
+    # shortest decimal via BigDecimal HALF_UP; DuckDB rounds the raw
+    # double), and interpolation at regular gaps produces exact .xxxx5
+    # ties. floor on bit-identical doubles is deterministic cross-engine.
+    quant = F.floor(filled * 10000 + F.lit(0.5)) / 10000
+    return joined.select(
+        *gcols,
+        "bucket_start",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_events"),
+        quant.alias("value_filled"),
+        F.col("__n").isNotNull().cast("int").alias("observed"),
+    )

@@ -1023,3 +1023,93 @@ def test_streaming_lsh_candidates_state_plateaus_under_ttl(spark):
             sq.stop()
     # only the fresh doc's buckets remain — far fewer than 4 docs' worth
     assert after < before
+
+
+def _gapfill_df(spark):
+    # hourly buckets with a 2-hour hole inside 'a' and a single bucket 'b'
+    rows = [
+        (1, "2024-01-01 00:10:00", "a", 10.0),
+        (2, "2024-01-01 00:40:00", "a", 12.0),
+        (3, "2024-01-01 03:10:00", "a", 40.0),
+        (4, "2024-01-01 01:30:00", "b", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, ts string, g string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_gapfill_locf_and_linear(spark):
+    from biomedical_data_integration_spark.streaming.events import gapfill
+
+    df = _gapfill_df(spark)
+    t0 = 1704067200  # 2024-01-01 00:00 UTC
+
+    locf = {
+        (r["g"], r["bucket_start"]): (r["n_events"], r["value_filled"],
+                                      r["observed"])
+        for r in gapfill(df, 3600, group_cols=("g",), fill="locf").collect()
+    }
+    # grid spans the GLOBAL [min,max] bucket range for every group
+    assert sorted(b for (g, b) in locf if g == "b") == [
+        t0, t0 + 3600, t0 + 7200, t0 + 10800
+    ]
+    assert locf[("a", t0)] == (2, 11.0, 1)          # observed avg
+    assert locf[("a", t0 + 3600)] == (0, 11.0, 0)   # carried forward
+    assert locf[("a", t0 + 7200)] == (0, 11.0, 0)
+    assert locf[("a", t0 + 10800)] == (1, 40.0, 1)
+    assert locf[("b", t0)][1] is None               # nothing to carry yet
+    assert locf[("b", t0 + 3600)] == (1, 5.0, 1)
+
+    lin = {
+        (r["g"], r["bucket_start"]): r["value_filled"]
+        for r in gapfill(df, 3600, group_cols=("g",), fill="linear").collect()
+    }
+    # 11 -> 40 across 3 hourly steps: 11, 20.6667, 30.3333, 40
+    assert lin[("a", t0 + 3600)] == 20.6667
+    assert lin[("a", t0 + 7200)] == 30.3333
+    # edges fall back one-sided (nocb before the first observation)
+    assert lin[("b", t0)] == 5.0
+    assert lin[("b", t0 + 10800)] == 5.0
+
+
+def test_gapfill_none_mode_and_explicit_range(spark):
+    from biomedical_data_integration_spark.streaming.events import gapfill
+
+    df = _gapfill_df(spark)
+    t0 = 1704067200
+    out = {
+        (r["g"], r["bucket_start"]): r["value_filled"]
+        for r in gapfill(
+            df, 3600, group_cols=("g",), fill="none",
+            start=t0, end=t0 + 5 * 3600,
+        ).collect()
+    }
+    # explicit range extends the grid beyond the data
+    assert ("a", t0 + 4 * 3600) in out and ("a", t0 + 5 * 3600) in out
+    assert out[("a", t0 + 3600)] is None
+    assert out[("b", t0 + 3600)] == 5.0
+
+
+def test_gapfill_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.streaming.events import gapfill
+
+    df = _gapfill_df(spark)
+    with _pytest.raises(ValueError, match="fill"):
+        gapfill(df, 3600, fill="spline")
+    with _pytest.raises(ValueError, match="positive"):
+        gapfill(df, 0)
+
+
+def test_gapfill_single_raw_scan(spark):
+    from biomedical_data_integration_spark.streaming.events import gapfill
+
+    df = _gapfill_df(spark)
+    out = gapfill(df, 3600, group_cols=("g",), fill="linear")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # raw rows feed ONE aggregation; grid/range/windows reuse the bucket
+    # aggregate via the exchange — the raw RDD itself is scanned once per
+    # consumer of `observed` (bucket agg), not once per fill window
+    assert final.count("CartesianProduct") == 0
