@@ -3190,6 +3190,54 @@ def _q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.7 'grouping sets / cube / rollup'
+    family — ROLLUP is covered by events_rollup_daily; this exercises the
+    full 2^k lattice): counts and value totals for every subset of
+    (event_type, day), GROUPING_ID bitmask distinguishing the levels.
+    One shuffle; Spark expands the grouping sets before the exchange so
+    partial aggregation still combines map-side."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def _q_events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding RANGE-frame window (time-based trailing aggregate, the
+    moving-average feature pattern): per user, count and sum of value
+    over the trailing 1-hour window ending at each event. RANGE frames
+    on the numeric epoch include all equal-timestamp peers, so the
+    result is deterministic without a tiebreaker column. One exchange
+    keyed by user; both aggregates share the frame."""
+    from pyspark.sql import Window
+
+    (events,) = _tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )
+
+
 def _q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set intersect/except as first-class ops (SURVEY §2.7): users who
     both clicked and purchased (INTERSECT) vs clicked but never purchased
@@ -4041,6 +4089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonize_lineitem": _q_harmonize_lineitem,
         "events_gapfill_locf": _q_events_gapfill_locf,
         "events_gapfill_linear": _q_events_gapfill_linear,
+        "events_cube_daily": _q_events_cube_daily,
+        "events_trailing_1h_user": _q_events_trailing_1h,
     }
 
 
@@ -4595,6 +4645,23 @@ GROUP BY event_type
         "events_hypertable_rollup": _hypertable_sql(),
         "events_gapfill_locf": _gapfill_sql("locf"),
         "events_gapfill_linear": _gapfill_sql("linear"),
+        "events_cube_daily": """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+""",
+        "events_trailing_1h_user": """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       round(sum(value) OVER w, 4) AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+""",
         "validate_orders": _validate_orders_sql(),
         "corpus_prep_end_to_end": _corpus_prep_sql(),
         "group_kfold_documents": _group_kfold_sql(),
