@@ -3190,6 +3190,26 @@ def _q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistics: top-50 adjacent character pairs
+    over the corpus word-frequency table — the first BPE iteration,
+    fully expression-level (one corpus scan -> vocab-sized pair agg;
+    the merge loop itself consumes this table driver-side, the shape
+    every production tokenizer trainer uses). Strict (count desc, pair)
+    total order makes the limit boundary deterministic."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        pair_stats,
+        word_counts,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        pair_stats(word_counts(docs))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
 def _q_events_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (SURVEY §2.7 'grouping sets / cube / rollup'
     family — ROLLUP is covered by events_rollup_daily; this exercises the
@@ -4091,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_linear": _q_events_gapfill_linear,
         "events_cube_daily": _q_events_cube_daily,
         "events_trailing_1h_user": _q_events_trailing_1h,
+        "bpe_pair_stats_documents": _q_bpe_pair_stats,
     }
 
 
@@ -4652,6 +4673,22 @@ SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
        round(sum(value), 2) AS total_value
 FROM events
 GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+""",
+        "bpe_pair_stats_documents": f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS.format(col="text")}) AS word FROM documents
+), wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_words FROM toks GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                i -> substring(word, i, 2))) AS pair,
+         n_words
+  FROM wc WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(n_words) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 50
 """,
         "events_trailing_1h_user": """
 SELECT event_id, user_id,

@@ -1,0 +1,198 @@
+"""Byte-pair-encoding tokenizer training over a Spark corpus.
+
+Engine extension (the reference has no tokenizer operators; SURVEY §2
+scopes text analysis — this adds the tokenizer-TRAINING stage a
+pretraining data pipeline needs). The design mirrors how real trainers
+(sentencepiece, HuggingFace tokenizers) scale: BPE merges are a function
+of the WORD-FREQUENCY table, not of the corpus, so
+
+1. the corpus is scanned exactly once to aggregate ``word_counts`` —
+   the only corpus-sized job, a map-side-combinable groupBy;
+2. the merge loop runs on the word table, which is vocabulary-sized
+   (Heaps' law: ~1e6-1e7 distinct words even at 100 TB) and is capped by
+   ``max_words`` via a distributed top-k (TakeOrderedAndProject), so the
+   driver collect is bounded no matter the corpus — the same
+   frequency-floor truncation every production tokenizer trainer applies;
+3. encoding applies the learned merge ranks per word with an
+   executor-side greedy loop (Arrow-batched pandas UDF) and a per-batch
+   word cache — words repeat, so amortized cost per token is far below
+   one merge-scan per occurrence.
+
+Determinism: merge selection breaks count ties on the lexicographically
+smaller pair, so the merge table is a pure function of the word counts
+(no dict-ordering or float dependence anywhere).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.strings import char_ngrams
+from .text import tokens_expr
+
+# The driver-side merge loop holds (word, count, symbol list) for the
+# top-N words. 1M words x ~40 bytes is tens of MB — comfortably
+# driver-sized; beyond it the frequency floor changes merges by at most
+# the tail mass every real trainer also discards.
+BPE_WORD_LIMIT = 1_000_000
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table: (word, n_words), one scan, one
+    map-side-combinable groupBy. Tokenization is the engine's standard
+    ``tokens_expr`` (lowercased whitespace tokens) so BPE ingests exactly
+    what every other text operator emits."""
+    return (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_words"))
+    )
+
+
+def pair_stats(
+    wc: DataFrame, word_col: str = "word", count_col: str = "n_words"
+) -> DataFrame:
+    """Adjacent-symbol pair counts over the word table — the first BPE
+    iteration's statistics, fully expression-level: each word's char
+    bigrams (``char_ngrams`` n=2) explode weighted by the word count,
+    then one groupBy sums. Output (pair, pair_count) with single-char
+    words contributing nothing."""
+    return (
+        wc.select(
+            F.explode(
+                char_ngrams(F.col(word_col), n_min=2, n_max=2)
+            ).alias("pair"),
+            F.col(count_col).alias("__n"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("__n").alias("pair_count"))
+    )
+
+
+def _count_pairs(vocab: List[Tuple[List[str], int]]) -> dict:
+    counts: dict = {}
+    for syms, n in vocab:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + n
+    return counts
+
+
+def _merge_word(syms: List[str], a: str, b: str) -> List[str]:
+    """Left-to-right non-overlapping merge of (a, b) -> a+b."""
+    out: List[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    wc: DataFrame,
+    num_merges: int,
+    min_pair_count: int = 2,
+    max_words: int = BPE_WORD_LIMIT,
+    word_col: str = "word",
+    count_col: str = "n_words",
+) -> List[Tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a :func:`word_counts` table.
+
+    The word table is truncated to the ``max_words`` most frequent words
+    (count desc, word asc — a deterministic distributed top-k, planned as
+    TakeOrderedAndProject, bounding the driver collect regardless of
+    corpus size), then the classic merge loop runs driver-side: count
+    adjacent pairs, merge the most frequent (ties -> lexicographically
+    smaller pair), repeat. Stops early when the best pair drops below
+    ``min_pair_count``. Returns the ordered merge list — rank = list
+    position, the artifact :func:`encode_bpe` consumes."""
+    if num_merges < 0:
+        raise ValueError("train_bpe: num_merges must be >= 0")
+    rows = (
+        wc.select(word_col, count_col)
+        .orderBy(F.col(count_col).desc(), F.col(word_col).asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    vocab: List[Tuple[List[str], int]] = [
+        (list(r[0]), int(r[1])) for r in rows if r[0]
+    ]
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts = _count_pairs(vocab)
+        if not counts:
+            break
+        # deterministic argmax: highest count, then smallest pair
+        best_pair, best_n = None, -1
+        for p, n in counts.items():
+            if n > best_n or (n == best_n and p < best_pair):
+                best_pair, best_n = p, n
+        if best_n < min_pair_count:
+            break
+        a, b = best_pair
+        vocab = [(_merge_word(s, a, b), n) for s, n in vocab]
+        merges.append(best_pair)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> List[str]:
+    syms = list(word)
+    while len(syms) > 1:
+        # find the present pair with the lowest merge rank
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        a, b = syms[best_i], syms[best_i + 1]
+        syms = _merge_word(syms, a, b)
+    return syms
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col`` (array<string> of BPE subword tokens) by
+    applying the learned merges greedily in rank order — the standard
+    BPE encode. Executor-side pandas UDF over the token arrays with a
+    per-batch word->pieces cache (words repeat heavily, so each distinct
+    word pays the merge loop once per Arrow batch). The merge table
+    rides the closure (merge lists are KBs — broadcast-by-closure is the
+    right size class)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _encode(tok_series):  # pd.Series -> pd.Series
+        cache: dict = {}
+
+        def enc(tokens) -> List[str]:
+            # Arrow delivers array columns as numpy arrays (no truthiness)
+            if tokens is None:
+                return []
+            out: List[str] = []
+            for w in tokens:
+                got = cache.get(w)
+                if got is None:
+                    got = _encode_word(w, ranks)
+                    cache[w] = got
+                out.extend(got)
+            return out
+
+        return tok_series.map(enc)
+
+    return df.withColumn(out_col, _encode(tokens_expr(F.col(text_col))))

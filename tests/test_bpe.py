@@ -1,0 +1,139 @@
+"""BPE tokenizer training: word counts, pair stats, merge learning,
+and encoding — each checked against independent replays."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.operators.bpe import (
+    encode_bpe,
+    pair_stats,
+    train_bpe,
+    word_counts,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _naive_train(wc_rows, num_merges, min_pair_count=2):
+    """Independent textbook BPE replay (dict of word->count)."""
+    vocab = {w: (list(w), n) for w, n in wc_rows}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, n in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        for w, (syms, n) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, n)
+        merges.append((a, b))
+    return merges
+
+
+def test_word_counts_and_pair_stats(spark):
+    df = _docs(spark, ["aba aba cab", "Aba  cab", "x"])
+    wc = {r["word"]: r["n_words"] for r in word_counts(df).collect()}
+    assert wc == {"aba": 3, "cab": 2, "x": 1}
+
+    ps = {
+        r["pair"]: r["pair_count"]
+        for r in pair_stats(word_counts(df)).collect()
+    }
+    # aba x3 -> ab, ba ; cab x2 -> ca, ab ; x contributes nothing
+    assert ps == {"ab": 5, "ba": 3, "ca": 2}
+
+
+def test_train_bpe_matches_naive_replay(spark):
+    texts = [
+        "low low low low low",
+        "lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    df = _docs(spark, texts)
+    wc = word_counts(df)
+    got = train_bpe(wc, num_merges=6, min_pair_count=2)
+    expected = _naive_train(
+        [(r["word"], r["n_words"]) for r in wc.collect()], 6, 2
+    )
+    assert got == expected
+    # sanity: the classic Sennrich corpus learns 'es' then 'est' early
+    assert ("e", "s") == got[0] and ("es", "t") == got[1]
+
+
+def test_train_bpe_tie_breaks_lexicographically(spark):
+    # "ab" and "cd" both appear exactly 3 times; 'ab' < 'cd'
+    df = _docs(spark, ["ab ab ab cd cd cd"])
+    got = train_bpe(word_counts(df), num_merges=2)
+    assert got == [("a", "b"), ("c", "d")]
+
+
+def test_train_bpe_min_count_stops_early(spark):
+    df = _docs(spark, ["ab ab xz"])
+    assert train_bpe(word_counts(df), num_merges=10, min_pair_count=3) == []
+
+
+def test_train_bpe_max_words_truncates_by_frequency(spark):
+    # with max_words=1 only 'aa' (count 2) survives -> only its pair learns
+    df = _docs(spark, ["aa aa bc"])
+    got = train_bpe(word_counts(df), num_merges=5, max_words=1,
+                    min_pair_count=1)
+    assert got == [("a", "a")]
+
+
+def test_encode_bpe_round_trip_and_greedy_rank_order(spark):
+    texts = ["newest widest lowest", "low lower"]
+    df = _docs(spark, texts)
+    merges = train_bpe(word_counts(df), num_merges=8, min_pair_count=1)
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in encode_bpe(df, merges).collect()
+    }
+    # pieces concatenate back to the original words, in order
+    for i, t in enumerate(texts):
+        words = t.split()
+        pieces = out[i]
+        rebuilt, buf = [], ""
+        wi = 0
+        for p in pieces:
+            buf += p
+            if buf == words[wi]:
+                rebuilt.append(buf)
+                buf, wi = "", wi + 1
+        assert rebuilt == words and buf == ""
+    # a word fully covered by merges collapses to one piece
+    full = {p for p in out[1]}
+    assert "low" in full
+
+
+def test_encode_bpe_is_arrow_batched(spark):
+    df = _docs(spark, ["some text here"])
+    plan = (
+        encode_bpe(df, [("h", "e")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_train_bpe_rejects_negative(spark):
+    df = _docs(spark, ["a b"])
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe(word_counts(df), num_merges=-1)
