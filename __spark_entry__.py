@@ -3190,6 +3190,76 @@ def _q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 3
+
+
+def _q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the token-adjacency graph (web-corpus
+    quality signal applied to vocabulary salience). One corpus scan
+    builds the edge table; each iteration is one edge-sized equi-join +
+    one groupBy — never node². Per-iteration rank quantization makes the
+    fixpoint a pure function of the edge table, so the oracle can unroll
+    the iterations as CTEs (the k-means oracle pattern)."""
+    from biomedical_data_integration_spark.operators.graph import (
+        pagerank,
+        token_adjacency_edges,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return pagerank(
+        token_adjacency_edges(docs), iterations=PAGERANK_ITERS
+    ).select(
+        "node",
+        # floor-quantized to 8 decimals (engine round() tie-divergence)
+        (F.floor(F.col("rank") * 1e8 + F.lit(0.5)) / 1e8).alias("rank"),
+    )
+
+
+def _pagerank_sql(iterations: int) -> str:
+    """DuckDB replica of pagerank(token_adjacency_edges(documents)):
+    identical expression shapes per iteration; teleport/dangling terms
+    are written with the same operand order so the doubles match
+    bit-for-bit before each per-iteration round()."""
+    toks = _SQL_TOKS.format(col="text")
+    head = f"""
+WITH toks AS (SELECT {toks} AS ts FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+         i -> struct_pack(src := ts[i], dst := ts[i + 1]))) AS e
+  FROM toks WHERE len(ts) >= 2
+),
+e AS (SELECT e.src AS src, e.dst AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM pairs GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+trans AS (SELECT e.src, e.dst, e.w / o.ow AS p
+          FROM e JOIN outw o ON e.src = o.src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, floor(1.0 / n * 10000000000.0 + 0.5)
+                    / 10000000000.0 AS rank
+       FROM nodes, nn)"""
+    its = []
+    for t in range(iterations):
+        its.append(f"""
+d{t} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+         FROM r{t} r LEFT JOIN outw o ON r.node = o.src
+         WHERE o.src IS NULL),
+i{t} AS (SELECT tr.dst AS node, sum(r.rank * tr.p) AS inflow
+         FROM trans tr JOIN r{t} r ON tr.src = r.node GROUP BY tr.dst),
+r{t + 1} AS (
+  SELECT nodes.node,
+         floor(((1 - 0.85) / nn.n
+                + 0.85 * (coalesce(i.inflow, 0.0) + d.dm / nn.n))
+               * 10000000000.0 + 0.5) / 10000000000.0 AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{t} d
+  LEFT JOIN i{t} i ON nodes.node = i.node)""")
+    return (
+        head + "," + ",".join(its)
+        + f"\nSELECT node, floor(rank * 100000000.0 + 0.5) / 100000000.0"
+          f" AS rank FROM r{iterations}"
+    )
+
+
 def _q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training statistics: top-50 adjacent character pairs
     over the corpus word-frequency table — the first BPE iteration,
@@ -4112,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_daily": _q_events_cube_daily,
         "events_trailing_1h_user": _q_events_trailing_1h,
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
+        "pagerank_token_graph": _q_pagerank_tokens,
     }
 
 
@@ -4674,6 +4745,7 @@ SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
 FROM events
 GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 """,
+        "pagerank_token_graph": _pagerank_sql(PAGERANK_ITERS),
         "bpe_pair_stats_documents": f"""
 WITH toks AS (
   SELECT unnest({_SQL_TOKS.format(col="text")}) AS word FROM documents

@@ -1,0 +1,160 @@
+"""Graph centrality over edge tables (engine extension).
+
+The reference has no graph operators; a training-data curation pipeline
+does: domain- or page-level PageRank is a standard web-corpus quality
+signal (the original use), and token-adjacency centrality ranks
+vocabulary salience. Everything here operates on a plain (src, dst,
+weight) edge DataFrame, so any upstream (URL link graph, co-occurrence
+graph, citation graph) plugs in.
+
+Scale shape: one PageRank iteration is ONE equi-join (ranks onto edges,
+both keyed by src) + ONE groupBy(dst) aggregation — edge-table-sized
+work, never node² — plus two scalar 1-row aggregates (dangling mass,
+node count) that broadcast. Ranks are per-iteration quantized to a
+fixed decimal scale, which (a) makes results bit-identical across
+engines and partitionings despite float-sum ordering (the same trick the
+k-means oracle uses) and (b) lets the fixpoint be checked exactly. For
+many iterations at cluster scale, ``checkpoint_every`` truncates plan
+growth with localCheckpoint, the same discipline as the distributed
+connected-components rounds (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+RANK_SCALE = 10  # per-iteration quantization decimals
+
+
+def _quant(col, scale: int = RANK_SCALE):
+    """floor(x*10^s + 0.5)/10^s — decimal quantization via floor on the
+    raw double. Unlike engine round(), which disagrees across engines on
+    exact decimal ties (Spark rounds the shortest decimal repr HALF_UP,
+    DuckDB rounds the double numerically), floor of bit-identical
+    doubles is bit-deterministic everywhere."""
+    m = float(10 ** scale)
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def token_adjacency_edges(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Directed token-adjacency (bigram) edge list with occurrence-count
+    weights: one corpus scan, expression-level pair expansion, one
+    map-side-combinable groupBy. Output (src, dst, weight)."""
+    toks = tokens_expr(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("src"),
+                F.element_at(toks, i + F.lit(1)).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    return (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    checkpoint_every: int | None = 1,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution,
+    fixed ``iterations`` (deterministic — no float-tolerance stopping),
+    uniform 1/N initialization.
+
+    Per iteration: rank flows along out-edges proportionally to edge
+    weight (transition p = w / out-weight(src), built once before the
+    loop), dangling nodes (no out-edges) spread their rank uniformly,
+    and every node receives the (1-d)/N teleport. Ranks quantize to
+    ``RANK_SCALE`` decimals each iteration so the computation is a pure
+    function of the edge table — engine- and partitioning-independent.
+
+    Returns (node, rank) over all nodes appearing as src or dst.
+    ``checkpoint_every=k`` localCheckpoints the rank table every k
+    iterations to truncate lineage on long runs.
+    """
+    if iterations < 0:
+        raise ValueError("pagerank: iterations must be >= 0")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("pagerank: damping must be in (0, 1)")
+
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    # The edge/node/transition tables are materialized ONCE
+    # (localCheckpoint): every iteration references them, and without
+    # truncation each reference would replay the upstream lineage —
+    # including the corpus scan an edge builder like
+    # token_adjacency_edges carries — once per iteration.
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # transition probabilities, built ONCE: p(src->dst) = w / outw(src)
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+    ).localCheckpoint(eager=True)
+    has_out = outw.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+
+    n_nodes = nodes.count()  # scalar; node table is vocab/domain-sized
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    import math
+
+    m = float(10 ** RANK_SCALE)
+    init = math.floor(1.0 / n_nodes * m + 0.5) / m
+    teleport = (1.0 - damping) / n_nodes
+
+    ranks = nodes.withColumn("rank", F.lit(init))
+    for it in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left")
+            .where(F.col("has_out").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        inflow = (
+            trans.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                _quant(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,105 @@
+"""PageRank centrality: golden values, conservation, dangling mass,
+determinism, and edge-builder correctness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.operators.graph import (
+    pagerank,
+    token_adjacency_edges,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight bigint")
+
+
+def test_token_adjacency_edges(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b c"), (2, "solo")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in token_adjacency_edges(df).collect()
+    }
+    # "a b a b" -> ab, ba, ab ; "b c" -> bc ; "solo" contributes nothing
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def _py_pagerank(edges, iterations, d=0.85, scale=10):
+    """Independent driver replay with the same floor quantization."""
+    import math
+
+    m = float(10 ** scale)
+    q = lambda x: math.floor(x * m + 0.5) / m  # noqa: E731
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + float(w)
+    trans = [(s, t, float(w) / outw[s]) for s, t, w in edges]
+    rank = {v: q(1.0 / n) for v in nodes}
+    tele = (1.0 - d) / n
+    for _ in range(iterations):
+        dm = sum(rank[v] for v in nodes if v not in outw)
+        inflow = {}
+        for s, t, p in trans:
+            inflow[t] = inflow.get(t, 0.0) + rank[s] * p
+        rank = {
+            v: q(tele + d * (inflow.get(v, 0.0) + dm / n))
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_replay_and_conserves_mass(spark):
+    rows = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1),
+        ("c", "a", 1), ("d", "a", 3),  # d has in-degree 0 elsewhere
+    ]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, rows), iterations=4).collect()
+    }
+    assert out == pytest.approx(_py_pagerank(rows, 4), abs=1e-9)
+    # teleport + dangling redistribution conserve total rank mass
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_dangling_node_redistributes(spark):
+    # b is dangling (no out-edges): its mass must not vanish
+    rows = [("a", "b", 1)]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, rows), iterations=3).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-6)
+    assert out["b"] > out["a"]  # everything a has flows to b
+
+
+def test_pagerank_star_center_dominates(spark):
+    rows = [(s, "hub", 1) for s in ("s1", "s2", "s3", "s4")]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, rows), iterations=3).collect()
+    }
+    assert all(out["hub"] > out[s] for s in ("s1", "s2", "s3", "s4"))
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    rows = [("a", "b", 1), ("b", "a", 1)]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, rows), iterations=0).collect()
+    }
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_pagerank_rejects_bad_args(spark):
+    e = _edges(spark, [("a", "b", 1)])
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=-1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.5)
