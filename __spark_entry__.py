@@ -3190,6 +3190,33 @@ def _q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the most
+    recent preceding click/view of the same user — the as-of carry
+    pattern, ONE user-keyed exchange, strict (ts, event_id) order so
+    equal-timestamp ties are deterministic."""
+    from biomedical_data_integration_spark.streaming.events import (
+        attribute_conversions,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return attribute_conversions(
+        events, conversion_type="purchase", touch_types=("click", "view"),
+        model="last_touch",
+    )
+
+
+def _q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences; |types|²-sized output however large the corpus."""
+    from biomedical_data_integration_spark.streaming.events import (
+        event_transition_matrix,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return event_transition_matrix(events)
+
+
 PAGERANK_ITERS = 3
 
 
@@ -4183,6 +4210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_1h_user": _q_events_trailing_1h,
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
         "pagerank_token_graph": _q_pagerank_tokens,
+        "events_attribution_last_touch": _q_events_attribution,
+        "events_markov_transitions": _q_events_transitions,
     }
 
 
@@ -4746,6 +4775,45 @@ FROM events
 GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 """,
         "pagerank_token_graph": _pagerank_sql(PAGERANK_ITERS),
+        "events_attribution_last_touch": """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         event_type AS etype, value
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+), c AS (
+  SELECT *,
+    last_value(CASE WHEN etype IN ('click', 'view') THEN event_id END
+               IGNORE NULLS) OVER w AS touch_event_id,
+    last_value(CASE WHEN etype IN ('click', 'view') THEN etype END
+               IGNORE NULLS) OVER w AS touch_type,
+    last_value(CASE WHEN etype IN ('click', 'view') THEN epoch END
+               IGNORE NULLS) OVER w AS touch_epoch
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, epoch AS conv_epoch,
+       round(value, 4) AS conv_value,
+       touch_event_id, touch_type, touch_epoch
+FROM c WHERE etype = 'purchase'
+""",
+        "events_markov_transitions": """
+WITH s AS (
+  SELECT event_type AS dst_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src_type
+  FROM events
+), p AS (
+  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM s WHERE src_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n_transitions,
+       floor(n_transitions / sum(n_transitions)
+             OVER (PARTITION BY src_type) * 1000000.0 + 0.5)
+       / 1000000.0 AS p
+FROM p
+""",
         "bpe_pair_stats_documents": f"""
 WITH toks AS (
   SELECT unnest({_SQL_TOKS.format(col="text")}) AS word FROM documents

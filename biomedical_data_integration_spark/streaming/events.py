@@ -1218,3 +1218,117 @@ def gapfill(
         quant.alias("value_filled"),
         F.col("__n").isNotNull().cast("int").alias("observed"),
     )
+
+
+def _quant_expr(col, scale: int):
+    """floor(x*10^s + 0.5)/10^s — cross-engine-deterministic decimal
+    quantization (engine round() disagrees on exact decimal ties)."""
+    m = float(10 ** scale)
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    model: str = "last_touch",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing attribution: credit each conversion event to the
+    last (or first) preceding touch event of the same user.
+
+    Implementation is the as-of-join pattern (operators/joins.py): ONE
+    user-keyed exchange, events ordered by (ts, event_id) — a strict
+    total order, so equal-timestamp ties are deterministic — with the
+    touch fields carried forward by an ignore-nulls window. No per-pair
+    expansion: each conversion reads exactly one carried row, so the
+    cost is one window over the (filtered) event stream regardless of
+    how many touches precede a conversion.
+
+    ``model='last_touch'`` carries the most recent touch;
+    ``'first_touch'`` carries the user's earliest touch. Conversions
+    with no preceding touch emit NULL touch fields (they stay countable
+    as unattributed). Output: (user_id, event_id, conv_epoch,
+    conv_value, touch_event_id, touch_type, touch_epoch).
+    """
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"attribute_conversions: unknown model {model!r}")
+    ev = events.where(
+        F.col(type_col).isin(conversion_type, *touch_types)
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_timestamp(F.col(ts_col)).alias("epoch"),
+        F.col(type_col).alias("etype"),
+        F.col(value_col).alias("value"),
+    )
+    is_touch = F.col("etype").isin(*touch_types)
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            F.col("event_id").alias("tid"),
+            F.col("etype").alias("ttype"),
+            F.col("epoch").alias("tepoch"),
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    carry = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fn = F.last if model == "last_touch" else F.first
+    out = ev.withColumn("t", fn(touch_struct, ignorenulls=True).over(carry))
+    return out.where(F.col("etype") == conversion_type).select(
+        "user_id",
+        "event_id",
+        F.col("epoch").alias("conv_epoch"),
+        F.round("value", 4).alias("conv_value"),
+        F.col("t.tid").alias("touch_event_id"),
+        F.col("t.ttype").alias("touch_type"),
+        F.col("t.tepoch").alias("touch_epoch"),
+    )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    p_scale: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (sequential pattern mining / journey modeling): pair each
+    event with the user's previous event via lag over ONE user-keyed
+    window — (ts, event_id) total order, deterministic ties — then one
+    pair-count aggregation and a per-source normalization window.
+
+    Output (src_type, dst_type, n_transitions, p) where p is the
+    row-stochastic transition probability, floor-quantized to
+    ``p_scale`` decimals (integer-ratio quotients can land on exact
+    decimal ties, where engine round() rules disagree). Cost: one
+    exchange by user + one by src_type — both map-side combinable; the
+    matrix itself is |types|² — dashboard-sized however big the corpus.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("src_type"),
+            F.col(type_col).alias("dst_type"),
+        )
+        .where(F.col("src_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wsrc = Window.partitionBy("src_type")
+    return pairs.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        _quant_expr(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wsrc),
+            p_scale,
+        ).alias("p"),
+    )

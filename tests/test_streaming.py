@@ -1113,3 +1113,78 @@ def test_gapfill_single_raw_scan(spark):
     # aggregate via the exchange — the raw RDD itself is scanned once per
     # consumer of `observed` (bucket agg), not once per fill window
     assert final.count("CartesianProduct") == 0
+
+
+def _attr_df(spark):
+    rows = [
+        # user 1: click -> view -> purchase -> purchase (2nd has same ts
+        # as a later click: tie broken by event_id)
+        (1, 10, "2024-01-01 00:00:00", "click", 0.0),
+        (2, 10, "2024-01-01 00:10:00", "view", 0.0),
+        (3, 10, "2024-01-01 00:20:00", "purchase", 9.0),
+        (4, 10, "2024-01-01 00:30:00", "click", 0.0),
+        (5, 10, "2024-01-01 00:30:00", "purchase", 7.0),  # same ts as 4
+        # user 2: purchase with NO preceding touch
+        (6, 20, "2024-01-01 01:00:00", "purchase", 5.0),
+        # user 3: touches only, no conversion
+        (7, 30, "2024-01-01 02:00:00", "view", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, "
+              "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_attribution_last_and_first_touch(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        attribute_conversions,
+    )
+
+    df = _attr_df(spark)
+    last = {
+        r["event_id"]: (r["touch_event_id"], r["touch_type"])
+        for r in attribute_conversions(df, model="last_touch").collect()
+    }
+    # purchase 3 <- view 2 (most recent); purchase 5 <- click 4 (same ts,
+    # lower event_id sorts first => already seen); purchase 6 unattributed
+    assert last == {3: (2, "view"), 5: (4, "click"), 6: (None, None)}
+
+    first = {
+        r["event_id"]: r["touch_event_id"]
+        for r in attribute_conversions(df, model="first_touch").collect()
+    }
+    assert first == {3: 1, 5: 1, 6: None}
+
+
+def test_attribution_rejects_unknown_model(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.streaming.events import (
+        attribute_conversions,
+    )
+
+    with _pytest.raises(ValueError, match="model"):
+        attribute_conversions(_attr_df(spark), model="linear")
+
+
+def test_event_transition_matrix(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        event_transition_matrix,
+    )
+
+    df = _attr_df(spark)
+    out = {
+        (r["src_type"], r["dst_type"]): (r["n_transitions"], r["p"])
+        for r in event_transition_matrix(df).collect()
+    }
+    # user 1 sequence: click,view,purchase,click,purchase
+    # transitions: c->v, v->p, p->c, c->p ; users 2,3 contribute none
+    assert out[("click", "view")] == (1, 0.5)
+    assert out[("click", "purchase")] == (1, 0.5)
+    assert out[("view", "purchase")] == (1, 1.0)
+    assert out[("purchase", "click")] == (1, 1.0)
+    # row-stochastic: per-source probabilities sum to 1
+    sums = {}
+    for (s, _d), (_n, p) in out.items():
+        sums[s] = sums.get(s, 0.0) + p
+    assert all(abs(v - 1.0) < 1e-9 for v in sums.values())
