@@ -3190,6 +3190,132 @@ def _q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 8
+ZORDER_QBITS = 6
+
+
+def _q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, value) — the
+    data-layout primitive behind multi-dimensional file skipping
+    (Delta OPTIMIZE ZORDER BY). One min-max aggregation broadcast back,
+    then pure codegen bit arithmetic; floor-quantized buckets make keys
+    bit-identical across engines."""
+    from biomedical_data_integration_spark.operators.layout import zorder_key
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return zorder_key(
+        events.select("event_id", "user_id", "value"),
+        ["user_id", "value"],
+        bits=ZORDER_BITS,
+    ).select("event_id", "z_key")
+
+
+def _zorder_sql(bits: int) -> str:
+    """DuckDB replica of zorder_key(events[user_id, value]): identical
+    bucket quantization and bit interleaving, generated with the same
+    loop structure as the Spark expression builder."""
+    cols = ["user_id", "value"]
+    n = len(cols)
+    top = float((1 << bits) - 1)
+    bucket_exprs = ", ".join(
+        f"CAST(floor(CASE WHEN max_{c} > min_{c} THEN "
+        f"(CAST({c} AS DOUBLE) - min_{c}) / (max_{c} - min_{c}) "
+        f"ELSE 0.0 END * {top!r} + 0.5) AS BIGINT) AS b_{c}"
+        for c in cols
+    )
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"(((b_{c} >> {i}) & 1) << {i * n + j})")
+    key = " | ".join(terms)
+    null_cond = " OR ".join(f"{c} IS NULL" for c in cols)
+    return f"""
+WITH stats AS (
+  SELECT {", ".join(
+      f"min(CAST({c} AS DOUBLE)) AS min_{c}, "
+      f"max(CAST({c} AS DOUBLE)) AS max_{c}" for c in cols)}
+  FROM events
+), staged AS (
+  SELECT event_id, {", ".join(cols)}, {bucket_exprs}
+  FROM events CROSS JOIN stats
+)
+SELECT event_id,
+       CASE WHEN {null_cond} THEN CAST(-1 AS BIGINT)
+            ELSE CAST({key} AS BIGINT) END AS z_key
+FROM staged
+"""
+
+
+def _q_zorder_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-boundary z-order keys — rank-based buckets keep skewed
+    columns prunable (equal-mass buckets by construction). Exact
+    percentile boundaries, oracle-replayable; percentile_approx is the
+    documented cluster-scale substitute."""
+    from biomedical_data_integration_spark.operators.layout import zorder_key
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return zorder_key(
+        events.select("event_id", "user_id", "value"),
+        ["user_id", "value"],
+        bits=ZORDER_QBITS,
+        boundaries="quantile",
+    ).select("event_id", "z_key")
+
+
+def _zorder_quantile_sql(bits: int) -> str:
+    """DuckDB replica of the quantile-boundary z-order keys. Boundaries
+    are type-1 empirical quantiles — the data value at integer rank
+    ceil(k*n/2^bits) read off a distinct-value cumulative frequency
+    table. Pure integer rank arithmetic + exact data values, so the
+    boundary lists are bit-identical to Spark's by construction
+    (interpolated percentile_cont is NOT: its float interpolation
+    drifts an ulp around repeated values and flips >= comparisons)."""
+    cols = ["user_id", "value"]
+    n = len(cols)
+    nb = (1 << bits) - 1
+    denom = 1 << bits
+    bucket_exprs = ", ".join(
+        f"CAST(len(list_filter(bnd_{c}, b -> CAST({c} AS DOUBLE) >= b)) "
+        f"AS BIGINT) AS b_{c}"
+        for c in cols
+    )
+    bnd_ctes = []
+    for c in cols:
+        mins = ", ".join(
+            f"min(CASE WHEN cum >= ({k} * n + {nb}) // {denom} "
+            f"THEN v END)"
+            for k in range(1, nb + 1)
+        )
+        bnd_ctes.append(f"""
+dd_{c} AS (
+  SELECT CAST({c} AS DOUBLE) AS v, count(*) AS c
+  FROM events WHERE {c} IS NOT NULL GROUP BY 1
+), cum_{c} AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM dd_{c}
+), bnd_{c}_t AS (SELECT [{mins}] AS bnd_{c} FROM cum_{c})""")
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"(((b_{c} >> {i}) & 1) << {i * n + j})")
+    key = " | ".join(terms)
+    null_cond = " OR ".join(f"{c} IS NULL" for c in cols)
+    return f"""
+WITH {", ".join(bnd_ctes)},
+staged AS (
+  SELECT event_id, {", ".join(cols)}, {bucket_exprs}
+  FROM events {" ".join(f"CROSS JOIN bnd_{c}_t" for c in cols)}
+)
+SELECT event_id,
+       CASE WHEN {null_cond} THEN CAST(-1 AS BIGINT)
+            ELSE CAST({key} AS BIGINT) END AS z_key
+FROM staged
+"""
+
+
 def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: each purchase credits the most
     recent preceding click/view of the same user — the as-of carry
@@ -4212,6 +4338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_token_graph": _q_pagerank_tokens,
         "events_attribution_last_touch": _q_events_attribution,
         "events_markov_transitions": _q_events_transitions,
+        "zorder_key_events": _q_zorder_key_events,
+        "zorder_quantile_events": _q_zorder_quantile_events,
     }
 
 
@@ -4775,6 +4903,8 @@ FROM events
 GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 """,
         "pagerank_token_graph": _pagerank_sql(PAGERANK_ITERS),
+        "zorder_key_events": _zorder_sql(ZORDER_BITS),
+        "zorder_quantile_events": _zorder_quantile_sql(ZORDER_QBITS),
         "events_attribution_last_touch": """
 WITH ev AS (
   SELECT user_id, event_id,
