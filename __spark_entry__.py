@@ -3246,6 +3246,100 @@ FROM staged
 """
 
 
+def _q_discretize_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning via type-1 empirical quantile
+    boundaries — bit-deterministic cross-engine (no interpolation)."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        discretize,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return discretize(
+        events.select("event_id", "value"), "value", n_bins=8,
+        method="frequency",
+    ).select("event_id", "value_bin")
+
+
+def _q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    deterministic md5 draws, ln(u)/w scoring, distributed top-k — the
+    char-count-weighted corpus subsample."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=100, weight_col="n_chars").select(
+        "doc_id", "draw_key"
+    )
+
+
+def _q_label_propagation_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the undirected
+    token-adjacency graph (community detection). Integer weights +
+    smallest-label ties: bit-identical across engines, rounds unroll as
+    oracle CTEs."""
+    from biomedical_data_integration_spark.operators.graph import (
+        label_propagation,
+        token_adjacency_edges,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return label_propagation(
+        token_adjacency_edges(docs), iterations=LPA_ITERS
+    )
+
+
+LPA_ITERS = 3
+
+
+def _lpa_sql(iterations: int) -> str:
+    """DuckDB replica of label_propagation(token_adjacency_edges(...)):
+    same directed-pair extraction as the pagerank oracle, symmetrized
+    with summed weights; per round the argmax is the identical
+    row_number ordering (total_w desc, label asc)."""
+    toks = _SQL_TOKS.format(col="text")
+    head = f"""
+WITH toks AS (SELECT {toks} AS ts FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+         i -> struct_pack(src := ts[i], dst := ts[i + 1]))) AS e
+  FROM toks WHERE len(ts) >= 2
+),
+ed AS (SELECT e.src AS src, e.dst AS dst, CAST(count(*) AS BIGINT) AS w
+       FROM pairs GROUP BY 1, 2),
+e AS (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM ed
+    UNION ALL SELECT dst AS src, src AS dst, w FROM ed
+  ) GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    its = []
+    for t in range(iterations):
+        its.append(f"""
+n{t} AS (
+  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS total_w
+  FROM e JOIN l{t} l ON e.src = l.node GROUP BY 1, 2
+),
+w{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY total_w DESC, label ASC) AS rn
+    FROM n{t}
+  ) WHERE rn = 1
+),
+l{t + 1} AS (
+  SELECT nodes.node, coalesce(w.label, nodes.node) AS label
+  FROM nodes LEFT JOIN w{t} w ON nodes.node = w.node)""")
+    return (
+        head + "," + ",".join(its)
+        + f"\nSELECT node, label FROM l{iterations}"
+    )
+
+
 def _q_zorder_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-boundary z-order keys — rank-based buckets keep skewed
     columns prunable (equal-mass buckets by construction). Exact
@@ -4340,6 +4434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": _q_events_transitions,
         "zorder_key_events": _q_zorder_key_events,
         "zorder_quantile_events": _q_zorder_quantile_events,
+        "discretize_frequency_events": _q_discretize_frequency_events,
+        "weighted_sample_documents": _q_weighted_sample_documents,
+        "label_propagation_token_graph": _q_label_propagation_tokens,
     }
 
 
@@ -4905,6 +5002,43 @@ GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
         "pagerank_token_graph": _pagerank_sql(PAGERANK_ITERS),
         "zorder_key_events": _zorder_sql(ZORDER_BITS),
         "zorder_quantile_events": _zorder_quantile_sql(ZORDER_QBITS),
+        "discretize_frequency_events": """
+WITH dd AS (
+  SELECT CAST(value AS DOUBLE) AS v, count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM dd
+), bnd AS (
+  SELECT [""" + ", ".join(
+        f"min(CASE WHEN cum >= ({k} * n + 7) // 8 THEN v END)"
+        for k in range(1, 8)
+    ) + """] AS b FROM cum
+)
+SELECT event_id,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE CAST(len(list_filter(b,
+                 x -> CAST(value AS DOUBLE) >= x)) AS INTEGER)
+       END AS value_bin
+FROM events CROSS JOIN bnd
+""",
+        "weighted_sample_documents": f"""
+WITH scored AS (
+  SELECT doc_id,
+         floor(ln(({_sql_hex_head_value(
+             "md5('ws1|' || CAST(doc_id AS VARCHAR))", 12)} + 0.5)
+               / {float(16 ** 12)!r})
+               / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) / 1e12 AS draw_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, draw_key FROM scored
+ORDER BY draw_key DESC, doc_id ASC LIMIT 100
+""",
+        "label_propagation_token_graph": _lpa_sql(LPA_ITERS),
         "events_attribution_last_touch": """
 WITH ev AS (
   SELECT user_id, event_id,

@@ -21,7 +21,7 @@ connected-components rounds (operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_expr
@@ -158,3 +158,80 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    directed: bool = False,
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection).
+
+    Every node starts labeled with its own id; each round every node
+    adopts the label with the highest total incident edge weight among
+    its neighbors' current labels, ties broken by the smaller label —
+    a fully deterministic variant of classic LPA (which is famously
+    order-dependent; the synchronous sweep + total tie order makes the
+    result a pure function of the edge table). Nodes with no neighbors
+    keep their own label.
+
+    All arithmetic is integer (bigint weight sums) and string
+    comparison — no floats anywhere, so results are bit-identical across
+    engines and the oracle unrolls rounds as CTEs. Per round: one
+    edge-sized join (labels onto edge sources) + one (node, label)
+    aggregation + one per-node argmax window — edge-table-sized work,
+    never node². Edge/label tables are localCheckpointed like
+    :func:`pagerank` so rounds never replay upstream lineage.
+    """
+    if iterations < 0:
+        raise ValueError("label_propagation: iterations must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        # parallel edges merge so each neighbor pair counts once per
+        # direction with summed weight
+        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w_rank = Window.partitionBy("node").orderBy(
+        F.col("total_w").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        neigh = (
+            e.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("total_w"))
+        )
+        winners = (
+            neigh.withColumn("__rn", F.row_number().over(w_rank))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -106,47 +106,13 @@ def zorder_key(
             return F.floor(frac * top + F.lit(0.5)).cast("bigint")
 
     else:
-        from pyspark.sql import Window
-
-        nb = (1 << bits) - 1
-        denom = 1 << bits
-
-        def col_boundaries(c: str) -> DataFrame:
-            dd = (
-                df.select(F.col(c).cast("double").alias("__v"))
-                .where(F.col("__v").isNotNull())
-                .groupBy("__v")
-                .agg(F.count("*").alias("__c"))
-            )
-            wcum = Window.orderBy("__v").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-            wtot = Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-            cum = dd.select(
-                "__v",
-                F.sum("__c").over(wcum).alias("__cum"),
-                F.sum("__c").over(wtot).alias("__n"),
-            )
-            aggs = [
-                F.min(
-                    F.when(
-                        F.col("__cum")
-                        >= F.expr(f"({k} * __n + {nb}) div {denom}"),
-                        F.col("__v"),
-                    )
-                ).alias(f"__q{k}")
-                for k in range(1, nb + 1)
-            ]
-            return cum.agg(*aggs).select(
-                F.array(*[F.col(f"__q{k}") for k in range(1, nb + 1)])
-                .alias(f"__bnd_{c}")
-            )
+        from .profiling import type1_boundaries
 
         stats = None
         for c in cols:
-            b = col_boundaries(c)
+            b = type1_boundaries(df, c, 1 << bits).withColumnRenamed(
+                "__boundaries", f"__bnd_{c}"
+            )
             stats = b if stats is None else stats.crossJoin(b)
 
         def bucket(c: str):

@@ -296,3 +296,113 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop("__g", "__lo", "__hi")
     )
+
+
+def type1_boundaries(df: DataFrame, col: str, n_parts: int) -> DataFrame:
+    """1-row DataFrame with an array of the ``n_parts - 1`` type-1
+    empirical quantile cut points of ``col``: the ACTUAL data value at
+    integer rank ``ceil(k * n / n_parts)`` read off a distinct-value
+    cumulative-frequency table.
+
+    Pure integer rank arithmetic + exact data values — no float
+    interpolation — so the boundaries are bit-identical across engines,
+    partitionings, and row orders (interpolated percentiles drift an ulp
+    around repeated values). Cost: one distinct-count aggregation plus a
+    window over the distinct-values table; at cluster scale substitute
+    the two-phase bucketed split the distribution matcher uses
+    (schema_matching.py) for the single-partition ordering window.
+
+    Shared by z-order quantile bucketing (operators/layout.py) and
+    equal-frequency discretization below.
+    """
+    from pyspark.sql import Window
+
+    if n_parts < 2:
+        raise ValueError("type1_boundaries: n_parts must be >= 2")
+    nb = n_parts - 1
+    dd = (
+        df.select(F.col(col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count("*").alias("__c"))
+    )
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dd.select(
+        "__v",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wtot).alias("__n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr(f"({k} * __n + {nb}) div {n_parts}"),
+                F.col("__v"),
+            )
+        ).alias(f"__q{k}")
+        for k in range(1, nb + 1)
+    ]
+    return cum.agg(*aggs).select(
+        F.array(*[F.col(f"__q{k}") for k in range(1, nb + 1)]).alias(
+            "__boundaries"
+        )
+    )
+
+
+def discretize(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    method: str = "width",
+    out_col: str = None,
+) -> DataFrame:
+    """Bin a numeric column into ``n_bins`` integer bins — the
+    feature-binning step before bucketed models, histograms, or
+    curriculum tiers.
+
+    ``method='width'``: equal-width bins off one min-max aggregation —
+    ``floor((v - min) / (max - min) * n_bins)`` capped into
+    [0, n_bins-1]. ``method='frequency'``: equal-mass bins using the
+    type-1 empirical quantile boundaries (:func:`type1_boundaries` —
+    bit-deterministic cross-engine), bin = #boundaries <= v. NULLs get
+    bin NULL. Appends ``out_col`` (default ``<col>_bin``) as int.
+    """
+    if method not in ("width", "frequency"):
+        raise ValueError(f"discretize: unknown method {method!r}")
+    if n_bins < 2:
+        raise ValueError("discretize: n_bins must be >= 2")
+    out_col = out_col or f"{col}_bin"
+    v = F.col(col).cast("double")
+    if method == "width":
+        stats = df.agg(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        )
+        frac = F.when(
+            F.col("__hi") > F.col("__lo"),
+            (v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+        ).otherwise(F.lit(0.0))
+        bin_expr = F.least(
+            F.floor(frac * n_bins).cast("int"), F.lit(n_bins - 1)
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn(
+                out_col, F.when(v.isNotNull(), bin_expr).cast("int")
+            )
+            .drop("__lo", "__hi")
+        )
+    bnd = type1_boundaries(df, col, n_bins)
+    bin_expr = F.aggregate(
+        F.col("__boundaries"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(bnd))
+        .withColumn(out_col, F.when(v.isNotNull(), bin_expr).cast("int"))
+        .drop("__boundaries")
+    )

@@ -301,3 +301,43 @@ def cap_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws u ~ U(0,1) deterministically from its salted md5 and
+    scores ``ln(u) / w``; the k highest scores win. P(inclusion) follows
+    the weights exactly as in the sequential weighted-reservoir scheme,
+    but the draw is a pure per-row expression, so the plan is a
+    distributed top-k (TakeOrderedAndProject — no full sort, no state),
+    and re-runs/backfills pick the same sample bit-for-bit.
+
+    u = (first-12-hex-digits(md5) + 0.5) / 16^12 — never 0 or 1. Rows
+    with NULL or non-positive weight are excluded (ln(u)/w loses its
+    ordering meaning there). The score is floor-quantized to 12 decimals
+    with the row id as tiebreak, making the top-k boundary deterministic
+    cross-engine (raw libm ln() can differ in the last ulp between
+    engines). Output: input columns + ``draw_key``.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(md5_hex(F.col(id_col), salt=salt), 1, _DIGITS),
+               16, 10).cast("double")
+        + F.lit(0.5)
+    ) / float(16 ** _DIGITS)
+    raw = F.log(u) / w
+    qkey = F.floor(raw * 1e12 + F.lit(0.5)) / 1e12
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("draw_key", qkey)
+        .orderBy(F.col("draw_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -103,3 +103,63 @@ def test_pagerank_rejects_bad_args(spark):
         pagerank(e, iterations=-1)
     with pytest.raises(ValueError, match="damping"):
         pagerank(e, damping=1.5)
+
+
+def test_label_propagation_two_cliques(spark):
+    from biomedical_data_integration_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one weak edge: communities must separate
+    rows = [
+        ("a1", "a2", 5), ("a2", "a3", 5), ("a1", "a3", 5),
+        ("b1", "b2", 5), ("b2", "b3", 5), ("b1", "b3", 5),
+        ("a3", "b1", 1),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string, weight bigint")
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iterations=4).collect()
+    }
+    a_labels = {out["a1"], out["a2"], out["a3"]}
+    b_labels = {out["b1"], out["b2"], out["b3"]}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_label_propagation_isolated_and_zero_iters(spark):
+    from biomedical_data_integration_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame(
+        [("x", "y", 1)], "src string, dst string, weight bigint"
+    )
+    out0 = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iterations=0).collect()
+    }
+    assert out0 == {"x": "x", "y": "y"}
+    # one round on a single undirected edge: each adopts the neighbor
+    out1 = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iterations=1).collect()
+    }
+    assert out1 == {"x": "y", "y": "x"}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from biomedical_data_integration_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # c has equal-weight neighbors a and b: smaller label (a) must win
+    e = spark.createDataFrame(
+        [("a", "c", 2), ("b", "c", 2)],
+        "src string, dst string, weight bigint",
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iterations=1).collect()
+    }
+    assert out["c"] == "a"

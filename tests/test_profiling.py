@@ -175,3 +175,43 @@ def test_winsorize_null_group_rows_kept(spark):
     assert out.count() == 20
     nulls = {r["v_winsorized"] for r in out.collect() if r["grp"] is None}
     assert max(nulls) == 1004.5
+
+
+def test_discretize_width_and_frequency(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        discretize,
+    )
+
+    # skewed: 9 small values + one huge outlier
+    rows = [(i, float(i)) for i in range(9)] + [(9, 1000.0), (10, None)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+
+    width = {r["id"]: r["v_bin"] for r in discretize(df, "v", 4).collect()}
+    # outlier alone in the top bin; all small values crammed into bin 0
+    assert width[9] == 3
+    assert all(width[i] == 0 for i in range(9))
+    assert width[10] is None
+
+    freq = {
+        r["id"]: r["v_bin"]
+        for r in discretize(df, "v", 4, method="frequency").collect()
+    }
+    # equal-mass bins spread the small values across bins
+    assert len({freq[i] for i in range(9)}) >= 3
+    assert freq[9] == 3 and freq[10] is None
+
+
+def test_discretize_constant_column_and_errors(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        discretize,
+    )
+
+    df = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id bigint, v double")
+    out = {r["id"]: r["v_bin"] for r in discretize(df, "v", 5).collect()}
+    assert out == {1: 0, 2: 0}
+    with _pytest.raises(ValueError, match="method"):
+        discretize(df, "v", 5, method="kmeans")
+    with _pytest.raises(ValueError, match="n_bins"):
+        discretize(df, "v", 1)

@@ -242,3 +242,41 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cap_per_group(df, "source", k=0)
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1000.0 if i < 10 else 0.001) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = weighted_sample(df, k=10, weight_col="w").collect()
+    ids = {r["doc_id"] for r in got}
+    # the 10 heavy rows dominate the draw overwhelmingly
+    assert len(ids & set(range(10))) >= 9
+    # deterministic under repartition
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(7), k=10, weight_col="w"
+        ).collect()
+    }
+    assert again == ids
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None)],
+        "doc_id bigint, w double",
+    )
+    got = weighted_sample(df, k=10, weight_col="w").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    with _pytest.raises(ValueError, match="k"):
+        weighted_sample(df, k=0, weight_col="w")
