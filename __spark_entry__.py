@@ -4360,21 +4360,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii_documents": _q_redact_pii,
         "text_repetition_documents": _q_repetition,
         "events_tumbling_hourly": _q_events_tumbling,
+        # --- session-2 round-4 operators with NOVEL cross-engine
+        # determinism machinery (floor-quantized fixpoints, type-1
+        # empirical quantiles, md5-draw top-k): the driver's independent
+        # DuckDB environment is the strongest check for exactly these,
+        # so they take window slots from five r1-graded stable entries
+        # (sessionize_30m, split_hash, tpch q1/q3/q5 — plans unchanged
+        # since r1, replica-green every round, moved to the tail). ---
+        "pagerank_token_graph": _q_pagerank_tokens,
+        "label_propagation_token_graph": _q_label_propagation_tokens,
+        "zorder_quantile_events": _q_zorder_quantile_events,
+        "events_gapfill_linear": _q_events_gapfill_linear,
+        "weighted_sample_documents": _q_weighted_sample_documents,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q4_order_priority_semijoin": _q_tpch_q4,
+        # --- tail: graded green in r3 (CORRECTNESS_r03 all-pass);
+        # still locally verified every round by tests/test_entry_oracle.py
+        # and tools/check_oracle.py over the FULL registry. ---
         "events_sessionize_30m": _q_events_sessionize,
         "split_hash_documents": _q_split_hash,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_top_revenue": _q_tpch_q3,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
-        "tpch_q6_forecast_revenue": _q_tpch_q6,
-        "tpch_q4_order_priority_semijoin": _q_tpch_q4,
         "tpch_q13_order_count_distribution": _q_tpch_q13,
         "tpch_q14_promo_revenue": _q_tpch_q14,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         "tpch_q18_large_volume_customer": _q_tpch_q18,
         "tpch_q22_idle_customer_balance": _q_tpch_q22,
-        # --- tail: graded green in r3 (CORRECTNESS_r03 all-pass);
-        # still locally verified every round by tests/test_entry_oracle.py
-        # and tools/check_oracle.py over the FULL registry. ---
         "harmonize_end_to_end": _q_harmonize_end_to_end,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
@@ -4425,18 +4437,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events_value": _q_winsorize_events,
         "harmonize_lineitem": _q_harmonize_lineitem,
         "events_gapfill_locf": _q_events_gapfill_locf,
-        "events_gapfill_linear": _q_events_gapfill_linear,
         "events_cube_daily": _q_events_cube_daily,
         "events_trailing_1h_user": _q_events_trailing_1h,
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
-        "pagerank_token_graph": _q_pagerank_tokens,
         "events_attribution_last_touch": _q_events_attribution,
         "events_markov_transitions": _q_events_transitions,
         "zorder_key_events": _q_zorder_key_events,
-        "zorder_quantile_events": _q_zorder_quantile_events,
         "discretize_frequency_events": _q_discretize_frequency_events,
-        "weighted_sample_documents": _q_weighted_sample_documents,
-        "label_propagation_token_graph": _q_label_propagation_tokens,
     }
 
 
