@@ -235,3 +235,33 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an edge table — (node, component) with
+    the component named by its smallest member id.
+
+    Thin graph-module face of the engine's two-regime implementation in
+    ``operators.dedup.duplicate_clusters`` (driver union-find below the
+    planning.DRIVER_EDGE_LIMIT edge count, distributed alternating
+    large-star/small-star above it): dedup built it for near-duplicate
+    clustering, but it is the general graph primitive, so it is exposed
+    here alongside pagerank / label_propagation for discoverability.
+    """
+    from .dedup import duplicate_clusters
+
+    out = duplicate_clusters(
+        edges.select(
+            F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+        ),
+        max_iterations=max_iterations,
+    )
+    return out.select(
+        F.col(out.columns[0]).alias("node"),
+        F.col("cluster_id").alias("component"),
+    )

@@ -1332,3 +1332,199 @@ def event_transition_matrix(
             p_scale,
         ).alias("p"),
     )
+
+
+def streaming_attribute_conversions(
+    stream: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    model: str = "last_touch",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming face of :func:`attribute_conversions`: conversions are
+    credited to the carried touch frontier per user, across microbatches
+    via ``applyInPandasWithState``.
+
+    State per user is exactly what the batch window carries at the
+    partition frontier: ONE touch tuple (id, type, epoch) — the most
+    recent touch for ``last_touch``, the earliest ever for
+    ``first_touch``. Each batch seeds the per-user sort with the state
+    row, replays the batch twin's (epoch, event_id) order, emits
+    attributed conversions, and persists the new frontier. Bounded
+    state: one row per user, ``state_ttl_minutes`` expires idle users
+    (the dedup/LSH/funnel TTL discipline).
+
+    Output schema matches the batch twin. Late touches older than an
+    already-emitted conversion cannot retro-attribute it — the standard
+    streaming trade, same as the as-of twin.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(
+            f"streaming_attribute_conversions: unknown model {model!r}"
+        )
+    types = dict(stream.dtypes)
+    uid_t, eid_t = types[user_col], types[id_col]
+    ev = stream.where(
+        F.col(type_col).isin(conversion_type, *touch_types)
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_timestamp(F.col(ts_col)).alias("epoch"),
+        F.col(type_col).alias("etype"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    out_ddl = (
+        f"`user_id` {uid_t}, `event_id` {eid_t}, `conv_epoch` bigint, "
+        f"`conv_value` double, `touch_event_id` {eid_t}, "
+        f"`touch_type` string, `touch_epoch` bigint"
+    )
+    state_ddl = f"`tid` {eid_t}, `ttype` string, `tepoch` bigint"
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
+    touches = set(touch_types)
+    first = model == "first_touch"
+
+    def _attr(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        df = pd.concat(pdfs, ignore_index=True).sort_values(
+            ["epoch", "event_id"], kind="mergesort"
+        )
+        frontier = tuple(state.get) if state.exists else None
+        rows = []
+        for r in df.itertuples(index=False):
+            if r.etype in touches:
+                if frontier is None or not first:
+                    frontier = (r.event_id, r.etype, int(r.epoch))
+            else:
+                rows.append(
+                    (
+                        key[0], r.event_id, int(r.epoch),
+                        round(r.value, 4) if r.value is not None else None,
+                        frontier[0] if frontier else None,
+                        frontier[1] if frontier else None,
+                        frontier[2] if frontier else None,
+                    )
+                )
+        if frontier is not None:
+            state.update(frontier)
+        if ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "event_id", "conv_epoch", "conv_value",
+                    "touch_event_id", "touch_type", "touch_epoch",
+                ],
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _attr,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_transition_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming face of :func:`event_transition_matrix`: per-microbatch
+    (src_type, dst_type, n_transitions) DELTAS, mergeable downstream by
+    plain summation (the CMS/rollup_merge maintenance discipline —
+    normalize to probabilities only at read time).
+
+    State per user is the batch lag-window frontier: the (epoch,
+    event_id, type) of the user's latest event, so the first event of a
+    new batch pairs with the last event of the previous one exactly like
+    the batch twin's single window. One state row per user; TTL expires
+    idle users.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_timestamp(F.col(ts_col)).alias("epoch"),
+        F.col(type_col).alias("etype"),
+    )
+    out_ddl = "`src_type` string, `dst_type` string, `n_transitions` bigint"
+    state_ddl = "`epoch` bigint, `event_id` bigint, `etype` string"
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
+
+    def _pairs(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        df = pd.concat(pdfs, ignore_index=True).sort_values(
+            ["epoch", "event_id"], kind="mergesort"
+        )
+        prev = state.get[2] if state.exists else None
+        counts: dict = {}
+        for r in df.itertuples(index=False):
+            if prev is not None:
+                p = (prev, r.etype)
+                counts[p] = counts.get(p, 0) + 1
+            prev = r.etype
+        last = df.iloc[-1]
+        state.update((int(last["epoch"]), int(last["event_id"]),
+                      last["etype"]))
+        if ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+        if counts:
+            yield pd.DataFrame(
+                [(s, d, n) for (s, d), n in counts.items()],
+                columns=["src_type", "dst_type", "n_transitions"],
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _pairs,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

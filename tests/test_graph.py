@@ -163,3 +163,19 @@ def test_label_propagation_deterministic_tiebreak(spark):
         for r in label_propagation(e, iterations=1).collect()
     }
     assert out["c"] == "a"
+
+
+def test_connected_components_graph_face(spark):
+    from biomedical_data_integration_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("x", "y", 1)],
+        "src string, dst string, weight bigint",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(e).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

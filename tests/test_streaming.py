@@ -1188,3 +1188,119 @@ def test_event_transition_matrix(spark):
     for (s, _d), (_n, p) in out.items():
         sums[s] = sums.get(s, 0.0) + p
     assert all(abs(v - 1.0) < 1e-9 for v in sums.values())
+
+
+def test_streaming_attribution_matches_batch_across_microbatches(spark):
+    """Attribution over two microbatches equals the batch twin when a
+    conversion's touch lives in the previous batch (frontier state)."""
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming import (
+        streaming_attribute_conversions,
+    )
+    from biomedical_data_integration_spark.streaming.events import (
+        attribute_conversions,
+    )
+
+    b1 = [
+        (1, 10, "2024-01-01 00:00:00", "click", 0.0),
+        (2, 10, "2024-01-01 00:10:00", "purchase", 9.0),
+        (3, 20, "2024-01-01 00:20:00", "view", 0.0),
+    ]
+    b2 = [
+        (4, 20, "2024-01-01 01:00:00", "purchase", 5.0),  # touch in b1
+        (5, 30, "2024-01-01 01:10:00", "purchase", 2.0),  # never touched
+    ]
+    schema = ("event_id bigint, user_id bigint, ts string, "
+              "event_type string, value double")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    want = {
+        (r["event_id"], r["touch_event_id"], r["touch_type"])
+        for r in attribute_conversions(mk(b1 + b2)).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        mk(b1).coalesce(1).write.parquet(f"{src}/b1")
+        mk(b2).coalesce(1).write.parquet(f"{src}/b2")
+        stream = (
+            spark.readStream.schema(mk(b1).schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_attribute_conversions(stream)
+            .writeStream.format("memory").queryName("attr_stream_test")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(120)
+        got = {
+            (r["event_id"], r["touch_event_id"], r["touch_type"])
+            for r in spark.sql(
+                "SELECT * FROM attr_stream_test"
+            ).collect()
+        }
+    assert got == want
+    assert (5, None, None) in got  # unattributed conversion still emits
+
+
+def test_streaming_transition_counts_merge_to_batch_matrix(spark):
+    """Summed per-batch deltas equal the batch transition counts, even
+    when a user's sequence spans the batch boundary."""
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming import (
+        streaming_transition_counts,
+    )
+    from biomedical_data_integration_spark.streaming.events import (
+        event_transition_matrix,
+    )
+
+    b1 = [
+        (1, 10, "2024-01-01 00:00:00", "click", 0.0),
+        (2, 10, "2024-01-01 00:10:00", "view", 0.0),
+    ]
+    b2 = [
+        (3, 10, "2024-01-01 00:20:00", "purchase", 1.0),  # view->purchase
+        (4, 20, "2024-01-01 00:30:00", "signup", 0.0),
+    ]
+    schema = ("event_id bigint, user_id bigint, ts string, "
+              "event_type string, value double")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    want = {
+        (r["src_type"], r["dst_type"]): r["n_transitions"]
+        for r in event_transition_matrix(mk(b1 + b2)).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        mk(b1).coalesce(1).write.parquet(f"{src}/b1")
+        mk(b2).coalesce(1).write.parquet(f"{src}/b2")
+        stream = (
+            spark.readStream.schema(mk(b1).schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_transition_counts(stream)
+            .writeStream.format("memory").queryName("trans_stream_test")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(120)
+        got = {}
+        for r in spark.sql("SELECT * FROM trans_stream_test").collect():
+            k = (r["src_type"], r["dst_type"])
+            got[k] = got.get(k, 0) + r["n_transitions"]
+    # deltas merge by summation to the batch counts (no probabilities
+    # in the stream face — normalize at read time)
+    assert got == want
