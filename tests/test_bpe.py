@@ -137,3 +137,32 @@ def test_train_bpe_rejects_negative(spark):
     df = _docs(spark, ["a b"])
     with pytest.raises(ValueError, match="num_merges"):
         train_bpe(word_counts(df), num_merges=-1)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=12,
+)
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_words, n_merges=st.integers(min_value=0, max_value=8))
+def test_bpe_properties_roundtrip_and_replay(spark, words, n_merges):
+    """For arbitrary corpora: learned merges equal the naive textbook
+    replay, and encoding always reconstructs the input exactly."""
+    df = _docs(spark, [" ".join(words)])
+    wc = word_counts(df)
+    got = train_bpe(wc, num_merges=n_merges, min_pair_count=1)
+    expected = _naive_train(
+        [(r["word"], r["n_words"]) for r in wc.collect()],
+        n_merges, min_pair_count=1,
+    )
+    assert got == expected
+    pieces = encode_bpe(df, got).collect()[0]["bpe_tokens"]
+    assert "".join(pieces) == "".join(words)

@@ -179,3 +179,41 @@ def test_connected_components_graph_face(spark):
         for r in connected_components(e).collect()
     }
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1, max_size=10,
+).map(lambda es: [(s, t, w) for s, t, w in es if s != t])
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_lists, iters=st.integers(min_value=1, max_value=3))
+def test_pagerank_property_replay_and_mass(spark, edges, iters):
+    """For arbitrary small graphs: Spark pagerank equals the independent
+    driver replay exactly, and total mass stays 1 (quantization noise
+    bounded by nodes * 10^-RANK_SCALE)."""
+    if not edges:
+        return
+    # merge duplicate edges like token_adjacency_edges would
+    agg = {}
+    for s, t, w in edges:
+        agg[(s, t)] = agg.get((s, t), 0) + w
+    rows = [(s, t, w) for (s, t), w in agg.items()]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, rows), iterations=iters).collect()
+    }
+    replay = _py_pagerank(rows, iters)
+    assert out == replay
+    assert abs(sum(out.values()) - 1.0) < len(out) * 1e-9 + 1e-6

@@ -1304,3 +1304,42 @@ def test_streaming_transition_counts_merge_to_batch_matrix(spark):
     # deltas merge by summation to the batch counts (no probabilities
     # in the stream face — normalize at read time)
     assert got == want
+
+
+def test_streaming_attribution_state_plateaus_under_ttl(spark):
+    """State-size discipline for the attribution frontier: one row per
+    user, and idle users expire when the TTL fires (no-data batches), so
+    state plateaus instead of growing with the user space forever."""
+    import tempfile as _tempfile
+
+    from biomedical_data_integration_spark.streaming import (
+        streaming_attribute_conversions,
+    )
+
+    with _tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        schema = ("event_id bigint, user_id bigint, ts string, "
+                  "event_type string, value double")
+        rows = [(i, i, "2024-01-01 00:00:00", "click", 0.0)
+                for i in range(8)]
+        b1 = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        b1.coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_attribute_conversions(
+                stream, state_ttl_minutes=0.05  # 3 s
+            )
+            .writeStream.format("memory").queryName("attr_ttl_test")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            _wait_for_state(sq, lambda n: n == 8)       # one row per user
+            _wait_for_state(sq, lambda n: n == 0, 120)  # TTL drains all
+        finally:
+            sq.stop()
