@@ -3246,6 +3246,58 @@ FROM staged
 """
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet: size / token-mass / quality / dup-rate /
+    language-concentration metrics in one aggregation pass (+ one tiny
+    language groupBy) — the dataset-card stage of a training pipeline."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        corpus_report,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return corpus_report(docs, lang_col="lang")
+
+
+def _corpus_report_sql() -> str:
+    quant = "floor(({v}) * 1000000.0 + 0.5) / 1000000.0"
+
+    def row(metric, expr):
+        return (
+            f"SELECT '{metric}' AS metric, "
+            + quant.format(v=expr) + " AS value FROM s"
+        )
+
+    return f"""
+WITH q AS ({_quality_sql()}),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(length(text)) AS DOUBLE) AS n_chars,
+         CAST(count(DISTINCT md5(text)) AS DOUBLE) AS n_distinct
+  FROM documents
+),
+qa AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_tokens_ws,
+         avg(n_tokens) AS avg_tokens_per_doc,
+         avg(quality_score) AS avg_quality_score
+  FROM q
+),
+lang AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_languages,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_lang_share
+  FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+),
+s AS (SELECT * FROM agg CROSS JOIN qa CROSS JOIN lang)
+{row("n_docs", "n_docs")}
+UNION ALL {row("n_chars", "n_chars")}
+UNION ALL {row("n_tokens_ws", "n_tokens_ws")}
+UNION ALL {row("avg_tokens_per_doc", "avg_tokens_per_doc")}
+UNION ALL {row("avg_quality_score", "avg_quality_score")}
+UNION ALL {row("exact_dup_rate", "greatest(0.0, 1.0 - n_distinct / n_docs)")}
+UNION ALL {row("n_languages", "n_languages")}
+UNION ALL {row("top_lang_share", "top_lang_share")}
+"""
+
+
 def _q_discretize_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency feature binning via type-1 empirical quantile
     boundaries — bit-deterministic cross-engine (no interpolation)."""
@@ -4444,6 +4496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": _q_events_transitions,
         "zorder_key_events": _q_zorder_key_events,
         "discretize_frequency_events": _q_discretize_frequency_events,
+        "corpus_report_documents": _q_corpus_report,
     }
 
 
@@ -5046,6 +5099,7 @@ SELECT doc_id, draw_key FROM scored
 ORDER BY draw_key DESC, doc_id ASC LIMIT 100
 """,
         "label_propagation_token_graph": _lpa_sql(LPA_ITERS),
+        "corpus_report_documents": _corpus_report_sql(),
         "events_attribution_last_touch": """
 WITH ev AS (
   SELECT user_id, event_id,

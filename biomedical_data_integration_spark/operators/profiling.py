@@ -406,3 +406,81 @@ def discretize(
         .withColumn(out_col, F.when(v.isNotNull(), bin_expr).cast("int"))
         .drop("__boundaries")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Corpus datasheet in one pass: the long-form (metric, value) table
+    a dataset card needs — size, token mass, quality, exact-duplicate
+    rate, and (when ``lang_col`` is given) language concentration.
+
+    Plan shape: the per-document quality/token expressions
+    (operators/text.quality_features — pure codegen) feed ONE global
+    aggregation; the optional language-concentration metrics add one
+    tiny groupBy (|languages| rows) cross-joined in. ``exact_distinct``
+    mirrors profile_table: exact count-distinct of the text md5 by
+    default, ``False`` switches to approx_count_distinct (HLL) for the
+    100 TB path (documented off-oracle like every approx knob).
+
+    Outputs are floor-quantized to 6 decimals (cross-engine float-sum
+    determinism). Metrics: n_docs, n_chars, n_tokens_ws,
+    avg_tokens_per_doc, avg_quality_score, exact_dup_rate
+    [+ n_languages, top_lang_share].
+    """
+    from .text import quality_features
+
+    q = quality_features(df.select(F.col(text_col).alias("text")))
+    distinct_fn = (
+        F.count_distinct if exact_distinct else F.approx_count_distinct
+    )
+    agg = q.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.length("text")).cast("double").alias("n_chars"),
+        F.sum("n_tokens").cast("double").alias("n_tokens_ws"),
+        F.avg("n_tokens").alias("avg_tokens_per_doc"),
+        F.avg("quality_score").alias("avg_quality_score"),
+        distinct_fn(F.md5("text")).cast("double").alias("__n_distinct"),
+    ).withColumn(
+        # clamped at 0: the HLL path's overestimate of distincts would
+        # otherwise report a (nonsensical) negative duplicate rate
+        "exact_dup_rate",
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.col("__n_distinct") / F.col("n_docs"),
+        ),
+    )
+    metrics = [
+        "n_docs", "n_chars", "n_tokens_ws", "avg_tokens_per_doc",
+        "avg_quality_score", "exact_dup_rate",
+    ]
+    if lang_col is not None:
+        lang = (
+            df.groupBy(lang_col).count()
+            .agg(
+                F.count("*").cast("double").alias("n_languages"),
+                (
+                    F.max("count").cast("double")
+                    / F.sum("count").cast("double")
+                ).alias("top_lang_share"),
+            )
+        )
+        agg = agg.crossJoin(F.broadcast(lang))
+        metrics += ["n_languages", "top_lang_share"]
+    quant = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        quant(F.col(m)).alias("value"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("r")
+    ).select("r.metric", "r.value")

@@ -215,3 +215,27 @@ def test_discretize_constant_column_and_errors(spark):
         discretize(df, "v", 5, method="kmeans")
     with _pytest.raises(ValueError, match="n_bins"):
         discretize(df, "v", 1)
+
+
+def test_corpus_report_metrics(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        corpus_report,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "hello world", "en"), (1, "hello world", "en"),
+         (2, "bonjour le monde entier", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["metric"]: r["value"]
+           for r in corpus_report(df, lang_col="lang").collect()}
+    assert got["n_docs"] == 3.0
+    assert got["n_tokens_ws"] == 8.0
+    # one exact duplicate pair -> 2 distinct texts of 3
+    assert abs(got["exact_dup_rate"] - (1 - 2 / 3)) < 1e-6
+    assert got["n_languages"] == 2.0
+    assert abs(got["top_lang_share"] - 2 / 3) < 1e-6
+    assert 0.0 <= got["avg_quality_score"] <= 1.0
+    # without lang_col the language rows are absent
+    no_lang = {r["metric"] for r in corpus_report(df).collect()}
+    assert "top_lang_share" not in no_lang and len(no_lang) == 6
