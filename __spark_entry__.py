@@ -3246,6 +3246,21 @@ FROM staged
 """
 
 
+def _q_events_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust z-scores of event values per event type — the
+    outlier score whose center/scale (median, MAD: 50% breakdown) the
+    outliers themselves cannot drag, unlike (v-mean)/stddev."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        robust_zscore,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return robust_zscore(
+        events.select("event_id", "event_type", "value"),
+        "value", group_col="event_type",
+    ).select("event_id", "value_rz")
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus datasheet: size / token-mass / quality / dup-rate /
     language-concentration metrics in one aggregation pass (+ one tiny
@@ -4497,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_events": _q_zorder_key_events,
         "discretize_frequency_events": _q_discretize_frequency_events,
         "corpus_report_documents": _q_corpus_report,
+        "events_robust_zscore": _q_events_robust_z,
     }
 
 
@@ -5100,6 +5116,24 @@ ORDER BY draw_key DESC, doc_id ASC LIMIT 100
 """,
         "label_propagation_token_graph": _lpa_sql(LPA_ITERS),
         "corpus_report_documents": _corpus_report_sql(),
+        "events_robust_zscore": """
+WITH m AS (
+  SELECT event_type AS g,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT m.g, m.med,
+         quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
+  FROM events e JOIN m ON e.event_type = m.g
+  GROUP BY m.g, m.med
+)
+SELECT e.event_id,
+       CASE WHEN s.mad > 0
+            THEN round(0.6745 * (CAST(e.value AS DOUBLE) - s.med) / s.mad, 6)
+       END AS value_rz
+FROM events e JOIN s ON e.event_type = s.g
+""",
         "events_attribution_last_touch": """
 WITH ev AS (
   SELECT user_id, event_id,

@@ -484,3 +484,78 @@ def corpus_report(
             )
         ).alias("r")
     ).select("r.metric", "r.value")
+
+
+def robust_zscore(
+    df: DataFrame,
+    col: str,
+    group_col: str = None,
+    out_col: str = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Append the MAD-based robust z-score of a numeric column:
+    ``0.6745 * (v - median) / MAD`` where MAD is the median absolute
+    deviation (median of |v - median|) and 0.6745 the standard normal
+    consistency constant — the outlier score that, unlike the classic
+    (v - mean)/stddev, is not itself dragged by the outliers it is
+    meant to find (mean and stddev have a breakdown point of 0; median
+    and MAD of 50%).
+
+    Two aggregation passes over the column (median, then MAD of the
+    residuals) — MAD is not decomposable into one pass. ``exact=True``
+    uses true interpolated percentiles; ``exact=False`` swaps in
+    ``percentile_approx`` (bounded sketch state, the 100 TB path —
+    documented off-oracle like winsorize's). Grouped medians broadcast
+    like winsorize's bounds; null-group rows score against their own
+    group's statistics (eqNullSafe). A zero MAD (>50% of a group tied
+    at the median) yields NULL scores — no meaningful deviation unit
+    exists there; callers treat those groups as degenerate.
+
+    Appends ``out_col`` (default ``<col>_rz``) rounded to
+    config.SIMILARITY_SCALE.
+    """
+    out_col = out_col or f"{col}_rz"
+
+    def med(expr_str: str):
+        if exact:
+            return F.expr(f"percentile({expr_str}, 0.5)")
+        return F.expr(f"percentile_approx({expr_str}, 0.5, 10000)")
+
+    v = F.col(col).cast("double")
+    score = F.when(
+        F.col("__mad") > 0,
+        F.round(
+            F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad"),
+            config.SIMILARITY_SCALE,
+        ),
+    )
+    if group_col is None:
+        med1 = df.agg(med(col).alias("__med"))
+        stats = (
+            df.crossJoin(F.broadcast(med1))
+            .agg(
+                F.first("__med").alias("__med"),
+                med(f"abs(cast({col} as double) - __med)").alias("__mad"),
+            )
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn(out_col, score)
+            .drop("__med", "__mad")
+        )
+    med1 = df.groupBy(group_col).agg(med(col).alias("__med")).withColumnRenamed(
+        group_col, "__g1"
+    )
+    stats = (
+        df.join(F.broadcast(med1), F.col(group_col).eqNullSafe(F.col("__g1")))
+        .groupBy("__g1")
+        .agg(
+            F.first("__med").alias("__med"),
+            med(f"abs(cast({col} as double) - __med)").alias("__mad"),
+        )
+    )
+    return (
+        df.join(F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("__g1")))
+        .withColumn(out_col, score)
+        .drop("__g1", "__med", "__mad")
+    )

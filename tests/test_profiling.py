@@ -239,3 +239,47 @@ def test_corpus_report_metrics(spark):
     # without lang_col the language rows are absent
     no_lang = {r["metric"] for r in corpus_report(df).collect()}
     assert "top_lang_share" not in no_lang and len(no_lang) == 6
+
+
+def test_robust_zscore_resists_outliers(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        robust_zscore,
+    )
+
+    # 9 values around 10 plus one huge outlier: median=10, MAD=1
+    rows = [(i, 10.0 + (i % 3) - 1) for i in range(9)] + [(9, 1000.0)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out = {r["id"]: r["v_rz"] for r in robust_zscore(df, "v").collect()}
+    # the outlier scores huge; in-mass values stay near 0 — the mean/std
+    # z-score would have dragged the center toward the outlier
+    assert out[9] > 100
+    assert all(abs(out[i]) <= 0.6745 for i in range(9))
+
+
+def test_robust_zscore_grouped_and_null_group(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        robust_zscore,
+    )
+
+    rows = [
+        (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 100.0),
+        (5, None, 5.0), (6, None, 6.0), (7, None, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    out = {r["id"]: r["v_rz"]
+           for r in robust_zscore(df, "v", group_col="g").collect()}
+    assert len(out) == 7          # null-group rows are NOT dropped
+    assert out[4] > out[3] > 0    # outlier scores highest within group a
+    assert out[6] == 0.0          # null group's own median
+
+
+def test_robust_zscore_zero_mad_yields_null(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        robust_zscore,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 9.0)], "id bigint, v double"
+    )
+    out = {r["id"]: r["v_rz"] for r in robust_zscore(df, "v").collect()}
+    assert all(v is None for v in out.values())
