@@ -3246,6 +3246,90 @@ FROM staged
 """
 
 
+def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained on the corpus — pure
+    count-table arithmetic, the CCNet-style quality-filter artifact."""
+    from biomedical_data_integration_spark.operators.lm import (
+        train_bigram_lm,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return train_bigram_lm(docs)["bigram"]
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM self-scoring: average log10 bigram probability per document
+    under the corpus-trained KN model (one bigram-keyed join + one
+    groupBy; unseen bigrams back off to lam(w1)*Pcont(w2))."""
+    from biomedical_data_integration_spark.operators.lm import (
+        lm_score,
+        train_bigram_lm,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return lm_score(docs, train_bigram_lm(docs))
+
+
+_LM_HEAD = """
+toks AS (SELECT doc_id, {toks} AS ts FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS e
+  FROM toks WHERE len(ts) >= 2
+),
+o2 AS (SELECT doc_id, e.w1 AS w1, e.w2 AS w2 FROM occ),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM o2 GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctot,
+               CAST(count(*) AS BIGINT) AS n1fwd
+        FROM bg GROUP BY 1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1back FROM bg GROUP BY 1),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM bg),
+bi AS (
+  SELECT bg.w1, bg.w2,
+         round(log10(greatest(bg.c - 0.75, 0.0) / ctx.ctot
+                     + (0.75 * ctx.n1fwd / ctx.ctot)
+                     * (cont.n1back / t.tt)), 6) AS logp
+  FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN t
+)"""
+
+
+def _lm_bigram_sql() -> str:
+    return (
+        "WITH " + _LM_HEAD.format(toks=_SQL_TOKS.format(col="text"))
+        + "\nSELECT w1, w2, logp FROM bi"
+    )
+
+
+def _lm_score_sql() -> str:
+    return (
+        "WITH " + _LM_HEAD.format(toks=_SQL_TOKS.format(col="text"))
+        + """,
+bo AS (SELECT w1, round(log10(0.75 * n1fwd / ctot), 6) AS loglam FROM ctx),
+co AS (SELECT w2, round(log10(n1back / t.tt), 6) AS logcont
+       FROM cont CROSS JOIN t),
+j AS (
+  SELECT o2.doc_id,
+         CAST(floor(coalesce(bi.logp, bo.loglam + co.logcont, -7.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS lpi
+  FROM o2
+  LEFT JOIN bi USING (w1, w2)
+  LEFT JOIN bo USING (w1)
+  LEFT JOIN co USING (w2)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lpi) AS DOUBLE) / (count(*) * 1000000.0) AS avg_logp10
+  FROM j GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       agg.avg_logp10
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+    )
+
+
 def _q_events_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD-based robust z-scores of event values per event type — the
     outlier score whose center/scale (median, MAD: 50% breakdown) the
@@ -4513,6 +4597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discretize_frequency_events": _q_discretize_frequency_events,
         "corpus_report_documents": _q_corpus_report,
         "events_robust_zscore": _q_events_robust_z,
+        "lm_bigram_documents": _q_lm_bigram,
+        "lm_score_documents": _q_lm_score,
     }
 
 
@@ -5116,6 +5202,8 @@ ORDER BY draw_key DESC, doc_id ASC LIMIT 100
 """,
         "label_propagation_token_graph": _lpa_sql(LPA_ITERS),
         "corpus_report_documents": _corpus_report_sql(),
+        "lm_bigram_documents": _lm_bigram_sql(),
+        "lm_score_documents": _lm_score_sql(),
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

@@ -1,0 +1,103 @@
+"""Kneser-Ney bigram LM: training against an independent replay,
+probability-mass sanity, and document scoring semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.operators.lm import (
+    lm_score,
+    train_bigram_lm,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _naive_kn(texts, D=0.75):
+    """Independent interpolated-KN replay from raw bigram counts."""
+    c = {}
+    for t in texts:
+        toks = t.lower().split()
+        for a, b in zip(toks, toks[1:]):
+            c[(a, b)] = c.get((a, b), 0) + 1
+    ctot, n1fwd, n1back = {}, {}, {}
+    for (a, b), n in c.items():
+        ctot[a] = ctot.get(a, 0) + n
+        n1fwd[a] = n1fwd.get(a, 0) + 1
+        n1back[b] = n1back.get(b, 0) + 1
+    T = len(c)
+    out = {}
+    for (a, b), n in c.items():
+        lam = D * n1fwd[a] / ctot[a]
+        p = max(n - D, 0) / ctot[a] + lam * (n1back[b] / T)
+        out[(a, b)] = round(math.log10(p), 6)
+    return out
+
+
+def test_train_bigram_lm_matches_replay(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog",
+    ]
+    lm = train_bigram_lm(_docs(spark, texts))
+    got = {
+        (r["w1"], r["w2"]): r["logp"] for r in lm["bigram"].collect()
+    }
+    assert got == pytest.approx(_naive_kn(texts), abs=1e-9)
+
+
+def test_bigram_lm_probability_mass_sums_to_one(spark):
+    """For each context w1: sum over SEEN w2 of P(w2|w1) plus
+    lam(w1) * (unseen continuation mass) equals 1."""
+    texts = ["a b a c a b", "b c b a"]
+    lm = train_bigram_lm(_docs(spark, texts))
+    bi = [
+        (r["w1"], r["w2"], 10 ** r["logp"])
+        for r in lm["bigram"].collect()
+    ]
+    lam = {r["w1"]: 10 ** r["loglam"] for r in lm["backoff"].collect()}
+    cont = {r["w2"]: 10 ** r["logcont"] for r in lm["cont"].collect()}
+    assert sum(cont.values()) == pytest.approx(1.0, abs=1e-4)
+    for w1 in lam:
+        seen = {w2 for a, w2, _ in bi if a == w1}
+        mass = sum(p for a, _, p in bi if a == w1)
+        mass += lam[w1] * sum(
+            pc for w2, pc in cont.items() if w2 not in seen
+        )
+        assert mass == pytest.approx(1.0, abs=1e-4), w1
+
+
+def test_lm_score_orders_fluent_above_garbage(spark):
+    train = _docs(spark, ["the cat sat on the mat"] * 5
+                  + ["the dog sat on the rug"] * 5)
+    lm = train_bigram_lm(train)
+    eval_docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the rug"),     # in-distribution
+            (1, "rug the on sat dog mat"),     # shuffled garbage
+            (2, "zz qq totally unseen words"), # OOV -> floor
+            (3, "one"),                        # too short to score
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp10"])
+        for r in lm_score(eval_docs, lm).collect()
+    }
+    assert got[0][1] > got[1][1] > got[2][1]
+    assert got[2][1] == -7.0            # every bigram floored
+    assert got[3] == (0, None)          # <2 tokens: unscored, not dropped
+    assert got[0][0] == 5
+
+
+def test_train_bigram_lm_rejects_bad_discount_and_empty(spark):
+    with pytest.raises(ValueError, match="discount"):
+        train_bigram_lm(_docs(spark, ["a b"]), discount=1.5)
+    lm = train_bigram_lm(_docs(spark, ["solo"]))  # no bigrams at all
+    assert lm["bigram"].count() == 0
