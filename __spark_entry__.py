@@ -3246,6 +3246,110 @@ FROM staged
 """
 
 
+def _q_events_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot compaction with DELETE tombstones: latest-wins per
+    user, and users whose latest change is the delete op ('error' here)
+    vanish from the snapshot — MERGE ... WHEN MATCHED AND op='d' THEN
+    DELETE as one window + filter."""
+    from biomedical_data_integration_spark.operators.cdc import (
+        upsert_snapshot,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    snap = upsert_snapshot(
+        events, ["user_id"], ["ts", "event_id"],
+        op_col="event_type", delete_op="error",
+    )
+    return snap.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+CURATION_LM_THRESHOLD = -1.5
+CURATION_CAP = 80
+CURATION_K = 100
+
+
+def _q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 flagship: LM-quality filter -> per-source cap -> weighted
+    subsample as ONE composed plan. The three stages are this round's
+    operator families chained the way a curation pipeline runs them:
+    drop the low-fluency tail under the corpus-trained KN model, cap any
+    dominating source, then draw a char-count-weighted sample."""
+    from biomedical_data_integration_spark.operators.lm import (
+        lm_score,
+        train_bigram_lm,
+    )
+    from biomedical_data_integration_spark.operators.sampling import (
+        cap_per_group,
+        weighted_sample,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    scores = lm_score(docs, train_bigram_lm(docs))
+    kept = docs.join(
+        scores.where(
+            F.col("avg_logp10") >= CURATION_LM_THRESHOLD
+        ).select("doc_id"),
+        "doc_id",
+    )
+    capped = cap_per_group(kept, "source", CURATION_CAP)
+    return weighted_sample(capped, CURATION_K, "n_chars").select(
+        "doc_id", "source", "n_chars", "draw_key"
+    )
+
+
+def _corpus_curation_v2_sql() -> str:
+    u12 = _sql_hex_head_value("md5('ws1|' || CAST(doc_id AS VARCHAR))", 12)
+    return (
+        "WITH " + _LM_HEAD.format(toks=_SQL_TOKS.format(col="text"))
+        + f""",
+bo AS (SELECT w1, round(log10(0.75 * n1fwd / ctot), 6) AS loglam FROM ctx),
+co AS (SELECT w2, round(log10(n1back / t.tt), 6) AS logcont
+       FROM cont CROSS JOIN t),
+j AS (
+  SELECT o2.doc_id,
+         CAST(floor(coalesce(bi.logp, bo.loglam + co.logcont, -7.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS lpi
+  FROM o2
+  LEFT JOIN bi USING (w1, w2)
+  LEFT JOIN bo USING (w1)
+  LEFT JOIN co USING (w2)
+),
+sc AS (
+  SELECT doc_id,
+         CAST(sum(lpi) AS DOUBLE) / (count(*) * 1000000.0) AS avg_logp10
+  FROM j GROUP BY 1
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN sc USING (doc_id)
+  WHERE sc.avg_logp10 >= {CURATION_LM_THRESHOLD}
+),
+capped AS (
+  SELECT doc_id, source, n_chars FROM (
+    SELECT kept.*, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR))) AS rn
+    FROM kept
+  ) WHERE rn <= {CURATION_CAP}
+),
+scored AS (
+  SELECT doc_id, source, n_chars,
+         floor(ln(({u12} + 0.5) / {float(16 ** 12)!r})
+               / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) / 1e12 AS draw_key
+  FROM capped
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, source, n_chars, draw_key FROM scored
+ORDER BY draw_key DESC, doc_id ASC LIMIT {CURATION_K}
+"""
+    )
+
+
 def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM trained on the corpus — pure
     count-table arithmetic, the CCNet-style quality-filter artifact."""
@@ -4599,6 +4703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_robust_zscore": _q_events_robust_z,
         "lm_bigram_documents": _q_lm_bigram,
         "lm_score_documents": _q_lm_score,
+        "events_upsert_tombstones": _q_events_upsert_tombstones,
+        "corpus_curation_v2_end_to_end": _q_corpus_curation_v2,
     }
 
 
@@ -5204,6 +5310,20 @@ ORDER BY draw_key DESC, doc_id ASC LIMIT 100
         "corpus_report_documents": _corpus_report_sql(),
         "lm_bigram_documents": _lm_bigram_sql(),
         "lm_score_documents": _lm_score_sql(),
+        "events_upsert_tombstones": """
+WITH w AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       event_type, round(value, 4) AS value
+FROM w
+WHERE rn = 1 AND NOT (event_type IS NOT DISTINCT FROM 'error')
+""",
+        "corpus_curation_v2_end_to_end": _corpus_curation_v2_sql(),
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

@@ -29,10 +29,19 @@ def upsert_snapshot(
     changes: DataFrame,
     key_cols: Sequence[str],
     order_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "d",
 ) -> DataFrame:
     """Latest-wins compaction of a change log: one row per key, the row
     with the greatest ``order_cols`` (ties broken by the LAST order
     column — pass a unique change id last to make the winner total).
+
+    ``op_col`` enables DELETE tombstones (the Debezium/CDC ``op`` field):
+    when the LATEST change for a key has ``op_col == delete_op``, the key
+    vanishes from the snapshot entirely — the same filter-after-winner
+    step a ``MERGE ... WHEN MATCHED AND op = 'd' THEN DELETE`` performs.
+    Earlier deletes followed by re-inserts behave correctly (only the
+    winner's op matters).
 
     Equivalent to ``MERGE INTO`` replayed over the whole log, expressed
     as a single row_number window — one shuffle on the key, map-side
@@ -44,11 +53,16 @@ def upsert_snapshot(
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.desc(c) for c in order_cols]
     )
-    return (
+    out = (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if op_col is not None:
+        out = out.where(
+            ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        )
+    return out
 
 
 def scd2_history(

@@ -111,3 +111,34 @@ def test_url_domain_stats(spark):
     assert got["example.com"] == (3, 2)  # www./case variants normalized
     assert got["other.org"] == (1, 1)
     assert set(got) == {"example.com", "other.org"}
+
+
+def test_upsert_snapshot_delete_tombstones(spark):
+    from biomedical_data_integration_spark.operators.cdc import (
+        upsert_snapshot,
+    )
+
+    rows = [
+        # key 1: insert, update, DELETE -> gone
+        (1, 1, "u", "a"), (1, 2, "u", "b"), (1, 3, "d", None),
+        # key 2: insert, DELETE, re-insert -> present with latest value
+        (2, 1, "u", "x"), (2, 2, "d", None), (2, 3, "u", "y"),
+        # key 3: plain upsert, null op -> present
+        (3, 1, None, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, ver bigint, op string, val string"
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in upsert_snapshot(
+            df, ["k"], ["ver"], op_col="op"
+        ).collect()
+    }
+    assert got == {2: "y", 3: "z"}
+    # without op_col the tombstones are ordinary rows (back-compat)
+    plain = {
+        r["k"]: r["val"]
+        for r in upsert_snapshot(df, ["k"], ["ver"]).collect()
+    }
+    assert set(plain) == {1, 2, 3} and plain[1] is None
