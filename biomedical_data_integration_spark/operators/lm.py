@@ -60,7 +60,13 @@ def train_bigram_lm(
     """
     if not 0.0 < discount < 1.0:
         raise ValueError("train_bigram_lm: discount must be in (0, 1)")
-    bg = token_adjacency_edges(df, text_col=text_col)
+    # materialize the count table ONCE (it is observed-types-sized):
+    # ctx, cont, the type count, and the probability join all read it,
+    # and without truncation each reference would replay the corpus
+    # scan — the same lineage discipline as pagerank's edge table
+    bg = token_adjacency_edges(df, text_col=text_col).localCheckpoint(
+        eager=True
+    )
     # context totals and distinct-continuation counts in one pass
     ctx = bg.groupBy(F.col("src").alias("w1")).agg(
         F.sum("weight").alias("ctot"),
