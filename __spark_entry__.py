@@ -3246,6 +3246,65 @@ FROM staged
 """
 
 
+def _q_link_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (row-level entity matching — the third face of
+    data integration after schema and value matching): a deterministically
+    dirtied copy of customers links back to the master, candidates
+    blocked on nation, Levenshtein-scored names, top-1 per left row.
+    Both engines stage the identical dirty copy, so the oracle replays
+    the whole flow."""
+    from biomedical_data_integration_spark.operators.linkage import (
+        link_records,
+    )
+
+    (customer,) = _tables(spark, sf_dir, "customer")
+    dirty = customer.select(
+        F.col("c_custkey").alias("d_key"),
+        F.regexp_replace(F.lower("c_name"), "customer#0*", "cust ").alias(
+            "d_name"
+        ),
+        F.col("c_nationkey").alias("d_nation"),
+    )
+    return link_records(
+        dirty, customer, [("d_name", "c_name", 1.0)],
+        "d_key", "c_custkey", threshold=0.3,
+        block_on=("d_nation", "c_nationkey"),
+    )
+
+
+_LINK_CUSTOMERS_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         regexp_replace(lower(c_name), 'customer#0*', 'cust ', 'g')
+             AS d_name,
+         c_nationkey AS d_nation
+  FROM customer
+),
+cand AS (
+  SELECT d.d_key, c.c_custkey,
+         trim(regexp_replace(lower(d.d_name), '[^a-z0-9]+', ' ', 'g')) AS a,
+         trim(regexp_replace(lower(c.c_name), '[^a-z0-9]+', ' ', 'g')) AS b
+  FROM dirty d JOIN customer c
+    ON d.d_nation IS NOT DISTINCT FROM c.c_nationkey
+),
+scored AS (
+  SELECT d_key, c_custkey,
+         floor((CASE WHEN greatest(length(a), length(b)) = 0 THEN 1.0
+                ELSE 1.0 - levenshtein(a, b)
+                     / greatest(length(a), length(b)) END)
+               * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM cand
+),
+ranked AS (
+  SELECT d_key, c_custkey, score,
+         row_number() OVER (PARTITION BY d_key
+                            ORDER BY score DESC, c_custkey ASC) AS rn
+  FROM scored WHERE score >= 0.3
+)
+SELECT d_key, c_custkey, score FROM ranked WHERE rn = 1
+"""
+
+
 def _q_events_upsert_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot compaction with DELETE tombstones: latest-wins per
     user, and users whose latest change is the delete op ('error' here)
@@ -4705,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_documents": _q_lm_score,
         "events_upsert_tombstones": _q_events_upsert_tombstones,
         "corpus_curation_v2_end_to_end": _q_corpus_curation_v2,
+        "link_customers_dirty": _q_link_customers,
     }
 
 
@@ -5324,6 +5384,7 @@ FROM w
 WHERE rn = 1 AND NOT (event_type IS NOT DISTINCT FROM 'error')
 """,
         "corpus_curation_v2_end_to_end": _corpus_curation_v2_sql(),
+        "link_customers_dirty": _LINK_CUSTOMERS_SQL,
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

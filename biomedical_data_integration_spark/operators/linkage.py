@@ -1,0 +1,121 @@
+"""Row-level record linkage (entity matching) between two tables.
+
+The reference harmonizes SCHEMAS (column matching) and VALUE DOMAINS
+(vocabulary matching); the third face of data integration is matching
+the ROWS themselves — patient records against a registry, suppliers
+against a master list. This module is that face, built from the same
+oracle-portable kernels the value matchers use (``levenshtein`` is a
+built-in in Spark and every SQL engine; cleaning is the shared
+``clean_string``).
+
+Scale shape: candidate generation is the whole game. With ``block_on``
+the candidate set is a plain equi-join on the blocking key (shuffle on
+the key, skew = ordinary join skew). Without blocking the pair product
+is gated through ``planning.pair_blocking_kernel``: small products run
+as a broadcast nested-loop (fused-codegen scoring); past the limit the
+operator REFUSES and tells the caller to block — silently running an
+n x m cross product at corpus scale is exactly the trap an engine
+should not fall into.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import planning
+from ..functions.strings import clean_string, levenshtein_ratio
+
+SCORE_SCALE = 6
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[Tuple[str, str, float]],
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.7,
+    block_on: Tuple[str, str] | None = None,
+    top_k: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """Link rows of ``left`` to rows of ``right``.
+
+    ``keys`` lists the attribute pairs to compare —
+    ``(left_col, right_col, weight)`` — scored with normalized
+    Levenshtein similarity (optionally ``clean_string``-normalized
+    first) and combined as the weight-normalized average. Each left row
+    keeps its ``top_k`` best right rows (score desc, right id asc —
+    total order) at or above ``threshold``.
+
+    ``block_on=(lcol, rcol)`` generates candidates by key equality
+    (the standard blocking join). Without it the pair product must fit
+    ``planning.EXACT_PAIR_LIMIT`` — the operator counts both sides and
+    raises past the limit rather than silently planning a corpus-scale
+    cross product.
+
+    Scores are floor-quantized to 6 decimals (integer levenshtein /
+    integer lengths — identical doubles cross-engine; the quantization
+    only guards the weighted average). Output: (left_id, right_id,
+    score).
+    """
+    if not keys:
+        raise ValueError("link_records: keys must be non-empty")
+    if top_k < 1:
+        raise ValueError("link_records: top_k must be >= 1")
+    wsum = float(sum(w for _, _, w in keys))
+    if wsum <= 0:
+        raise ValueError("link_records: weights must sum > 0")
+
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        *[F.col(lc).cast("string").alias(f"__l_{i}")
+          for i, (lc, _, _) in enumerate(keys)],
+        *([F.col(block_on[0]).alias("__lblk")] if block_on else []),
+    )
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        *[F.col(rc).cast("string").alias(f"__r_{i}")
+          for i, (_, rc, _) in enumerate(keys)],
+        *([F.col(block_on[1]).alias("__rblk")] if block_on else []),
+    )
+    if block_on:
+        cand = l.join(r, F.col("__lblk").eqNullSafe(F.col("__rblk")))
+    else:
+        n_l, n_r = l.count(), r.count()
+        if planning.pair_blocking_kernel(n_l, n_r) != "exact":
+            raise ValueError(
+                f"link_records: {n_l} x {n_r} pairs exceed "
+                f"planning.EXACT_PAIR_LIMIT ({planning.EXACT_PAIR_LIMIT}); "
+                "pass block_on=(left_col, right_col) to generate "
+                "candidates with a blocking join"
+            )
+        cand = l.join(F.broadcast(r))
+
+    total = F.lit(0.0)
+    for i, (_, _, w) in enumerate(keys):
+        a, b = F.col(f"__l_{i}"), F.col(f"__r_{i}")
+        if normalize:
+            a, b = clean_string(a), clean_string(b)
+        total = total + F.lit(float(w)) * levenshtein_ratio(a, b)
+    score = F.floor(total / wsum * 10 ** SCORE_SCALE + F.lit(0.5)) / (
+        10 ** SCORE_SCALE
+    )
+    scored = cand.select(
+        "__lid", "__rid", score.alias("score")
+    ).where(F.col("score") >= threshold)
+    w_rank = Window.partitionBy("__lid").orderBy(
+        F.col("score").desc(), F.col("__rid").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") <= top_k)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "score",
+        )
+    )
