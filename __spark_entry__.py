@@ -3246,6 +3246,93 @@ FROM staged
 """
 
 
+def _q_events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation (daily seasonality over hourly
+    buckets): per-type MAE/sMAPE of the value(t-24h) baseline — the
+    floor every forecaster must beat, and a drift monitor on its own."""
+    from biomedical_data_integration_spark.streaming.events import (
+        seasonal_naive_eval,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return seasonal_naive_eval(events, season_buckets=24,
+                               bucket_seconds=3600)
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS b,
+         round(sum(value), 6) AS actual
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT o.event_type, o.b, o.actual, p.actual AS forecast
+  FROM obs o LEFT JOIN obs p
+    ON p.event_type = o.event_type AND p.b = o.b - 86400
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(count(forecast) AS BIGINT) AS n_forecast,
+         CAST(count(*) - count(forecast) AS BIGINT) AS n_unforecast,
+         CAST(sum(CASE WHEN forecast IS NOT NULL THEN
+              CAST(floor(abs(forecast - actual) * 1000000.0 + 0.5)
+                   AS BIGINT) END) AS DOUBLE) AS ae_sum,
+         CAST(sum(CASE WHEN forecast IS NOT NULL THEN
+              CAST(floor((CASE WHEN abs(forecast) + abs(actual) > 0
+                          THEN 2.0 * abs(forecast - actual)
+                               / (abs(forecast) + abs(actual))
+                          ELSE 0.0 END) * 1000000.0 + 0.5)
+                   AS BIGINT) END) AS DOUBLE) AS sm_sum
+  FROM f GROUP BY 1
+)
+SELECT event_type, n_buckets, n_forecast, n_unforecast,
+       ae_sum / (n_forecast * 1000000.0) AS mae,
+       sm_sum / (n_forecast * 1000000.0) AS smape
+FROM m
+"""
+
+
+def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent order-2 event paths (sequential pattern mining beyond
+    the order-1 Markov matrix): per-user trigram paths via two lags
+    over ONE (ts, event_id)-ordered window, counted and top-20 by a
+    strict total order."""
+    from pyspark.sql import Window
+
+    (events,) = _tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        F.col("event_type").alias("e3"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.lag("event_type", 2).over(w).alias("e1"),
+    ).where(F.col("e1").isNotNull())
+    return (
+        s.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+_TOP_PATHS_SQL = """
+WITH s AS (
+  SELECT event_type AS e3,
+         lag(event_type, 1) OVER w AS e2,
+         lag(event_type, 2) OVER w AS e1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM s WHERE e1 IS NOT NULL
+GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 20
+"""
+
+
 def _q_link_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (row-level entity matching — the third face of
     data integration after schema and value matching): a deterministically
@@ -4765,6 +4852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_upsert_tombstones": _q_events_upsert_tombstones,
         "corpus_curation_v2_end_to_end": _q_corpus_curation_v2,
         "link_customers_dirty": _q_link_customers,
+        "events_seasonal_naive_eval": _q_events_seasonal_naive,
+        "events_top_paths": _q_events_top_paths,
     }
 
 
@@ -5385,6 +5474,8 @@ WHERE rn = 1 AND NOT (event_type IS NOT DISTINCT FROM 'error')
 """,
         "corpus_curation_v2_end_to_end": _corpus_curation_v2_sql(),
         "link_customers_dirty": _LINK_CUSTOMERS_SQL,
+        "events_seasonal_naive_eval": _SEASONAL_NAIVE_SQL,
+        "events_top_paths": _TOP_PATHS_SQL,
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

@@ -1528,3 +1528,78 @@ def streaming_transition_counts(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def seasonal_naive_eval(
+    events: DataFrame,
+    season_buckets: int = 24,
+    bucket_seconds: int = 3600,
+    ts_col: str = "ts",
+    group_cols: tuple = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal-naive forecast evaluation — the baseline every real
+    forecasting pipeline must beat, and a drift monitor on its own: the
+    forecast for bucket t is the observed value at t - season, and the
+    output is per-group error metrics (MAE, sMAPE, coverage).
+
+    One raw aggregation to (group, bucket) sums, one lag window per
+    group over the bucket table (bucket-count-sized — never raw rows),
+    one metrics aggregation. Buckets missing a seasonal ancestor (the
+    first season, or gaps) are excluded from the metrics and reported in
+    ``n_unforecast``. Metrics floor-quantized to 6 decimals.
+
+    Output: (*group_cols, n_buckets, n_forecast, n_unforecast, mae,
+    smape) where sMAPE uses the 2|f-a| / (|f|+|a|) form, 0-when-both-0.
+    """
+    secs = int(bucket_seconds)
+    if secs < 1 or season_buckets < 1:
+        raise ValueError(
+            "seasonal_naive_eval: bucket_seconds and season_buckets "
+            "must be positive"
+        )
+    gcols = list(group_cols)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).cast(
+        "bigint"
+    )
+    obs = (
+        events.select(*gcols, bucket.alias("b"),
+                      F.col(value_col).alias("__v"))
+        .groupBy(*gcols, "b")
+        .agg(F.round(F.sum("__v"), 6).alias("actual"))
+    )
+    # the seasonal ancestor is looked up by exact bucket arithmetic
+    # (equi-join on b - season), NOT a positional lag: with gaps in the
+    # observed bucket sequence a positional lag lands on the wrong
+    # bucket and would either mis-score or needlessly exclude rows
+    prev = obs.select(
+        *gcols,
+        (F.col("b") + F.lit(season_buckets * secs)).alias("b"),
+        F.col("actual").alias("forecast"),
+    )
+    with_f = obs.join(prev, gcols + ["b"], "left")
+    scored = F.col("forecast").isNotNull()
+    ae = F.abs(F.col("forecast") - F.col("actual"))
+    denom = F.abs(F.col("forecast")) + F.abs(F.col("actual"))
+    smape_term = F.when(denom > 0, F.lit(2.0) * ae / denom).otherwise(
+        F.lit(0.0)
+    )
+    # per-row error terms quantize to exact integer micro-units BEFORE
+    # summation: bigint sums are order-free and engine-exact, so the
+    # metrics cannot flip on float-sum ordering (the lm_score lesson)
+    ae_i = F.floor(ae * 1e6 + F.lit(0.5)).cast("bigint")
+    sm_i = F.floor(smape_term * 1e6 + F.lit(0.5)).cast("bigint")
+    n_scored = F.sum(scored.cast("long"))
+    return with_f.groupBy(*gcols).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        n_scored.cast("bigint").alias("n_forecast"),
+        (F.count("*") - n_scored).cast("bigint").alias("n_unforecast"),
+        (
+            F.sum(F.when(scored, ae_i)).cast("double")
+            / (n_scored * F.lit(1e6))
+        ).alias("mae"),
+        (
+            F.sum(F.when(scored, sm_i)).cast("double")
+            / (n_scored * F.lit(1e6))
+        ).alias("smape"),
+    )

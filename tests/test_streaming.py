@@ -1343,3 +1343,50 @@ def test_streaming_attribution_state_plateaus_under_ttl(spark):
             _wait_for_state(sq, lambda n: n == 0, 120)  # TTL drains all
         finally:
             sq.stop()
+
+
+def test_seasonal_naive_eval_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        seasonal_naive_eval,
+    )
+
+    # 8 hourly buckets, season = 4: hours 4-7 forecast from hours 0-3,
+    # actuals shifted by a constant +1
+    rows = [
+        (h, f"2024-01-01 0{h}:00:00", "a",
+         10.0 * h if h < 4 else 10.0 * (h - 4) + 1.0)
+        for h in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seasonal_naive_eval(df, season_buckets=4, bucket_seconds=3600)
+    r = out.collect()[0]
+    assert r["n_buckets"] == 8 and r["n_forecast"] == 4
+    assert r["n_unforecast"] == 4      # the first season has no ancestor
+    assert r["mae"] == 1.0             # constant +1 shift
+
+
+def test_seasonal_naive_eval_gap_misalignment_excluded(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        seasonal_naive_eval,
+    )
+
+    # bucket sequence with a HOLE: the ancestor lookup is exact bucket
+    # arithmetic, so 03:00 still finds its true 2h-ago ancestor (01:00)
+    # while 04:00 (whose ancestor 02:00 is missing) stays unforecast —
+    # a positional lag would have gotten BOTH wrong
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 1.0),
+        (2, "2024-01-01 01:00:00", "a", 2.0),
+        # 02:00 missing
+        (3, "2024-01-01 03:00:00", "a", 3.0),
+        (4, "2024-01-01 04:00:00", "a", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = seasonal_naive_eval(df, season_buckets=2, bucket_seconds=3600)
+    r = out.collect()[0]
+    assert r["n_forecast"] == 1 and r["n_unforecast"] == 3
+    assert r["mae"] == 1.0  # |2 - 3|
