@@ -3246,6 +3246,60 @@ FROM staged
 """
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected token graph — exact a<b<c wedge-closing joins."""
+    from biomedical_data_integration_spark.operators.graph import (
+        token_adjacency_edges,
+        triangle_counts,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return triangle_counts(token_adjacency_edges(docs))
+
+
+def _triangle_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+WITH toksrc AS (SELECT {toks} AS ts FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+         i -> struct_pack(src := ts[i], dst := ts[i + 1]))) AS e
+  FROM toksrc WHERE len(ts) >= 2
+),
+ed AS (SELECT e.src AS src, e.dst AS dst FROM pairs),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ed WHERE src <> dst
+),
+wedge AS (
+  SELECT ab.a, ab.b, bc.c
+  FROM (SELECT u AS a, v AS b FROM e) ab
+  JOIN (SELECT u AS b, v AS c FROM e) bc USING (b)
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedge w JOIN (SELECT u AS a, v AS c FROM e) ac USING (a, c)
+),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+)
+SELECT deg.node, deg.degree,
+       CAST(coalesce(per_node.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree >= 2 THEN
+            floor(2.0 * coalesce(per_node.triangles, 0)
+                  / (deg.degree * (deg.degree - 1)) * 1000000.0 + 0.5)
+            / 1000000.0
+       ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN per_node USING (node)
+"""
+
+
 def _q_events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast evaluation (daily seasonality over hourly
     buckets): per-type MAE/sMAPE of the value(t-24h) baseline — the
@@ -4854,6 +4908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_customers_dirty": _q_link_customers,
         "events_seasonal_naive_eval": _q_events_seasonal_naive,
         "events_top_paths": _q_events_top_paths,
+        "triangle_counts_tokens": _q_triangle_counts,
     }
 
 
@@ -5476,6 +5531,7 @@ WHERE rn = 1 AND NOT (event_type IS NOT DISTINCT FROM 'error')
         "link_customers_dirty": _LINK_CUSTOMERS_SQL,
         "events_seasonal_naive_eval": _SEASONAL_NAIVE_SQL,
         "events_top_paths": _TOP_PATHS_SQL,
+        "triangle_counts_tokens": _triangle_sql(),
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

@@ -217,3 +217,30 @@ def test_pagerank_property_replay_and_mass(spark, edges, iters):
     replay = _py_pagerank(rows, iters)
     assert out == replay
     assert abs(sum(out.values()) - 1.0) < len(out) * 1e-9 + 1e-6
+
+
+def test_triangle_counts_golden(spark):
+    from biomedical_data_integration_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {a,b,c,d} plus a pendant node e attached to a; directions
+    # and duplicate/reverse edges must not matter
+    edges = [
+        ("a", "b", 1), ("b", "a", 9),  # duplicate reverse edge
+        ("a", "c", 1), ("a", "d", 1),
+        ("b", "c", 1), ("b", "d", 1), ("c", "d", 1),
+        ("a", "e", 1), ("e", "e", 1),  # self-loop dropped
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight bigint")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(df).collect()
+    }
+    # K4: each of a-d is in 3 triangles; a additionally has degree 4
+    assert got["b"] == (3, 3, 1.0)
+    assert got["c"] == (3, 3, 1.0)
+    assert got["d"] == (3, 3, 1.0)
+    assert got["a"][0] == 4 and got["a"][1] == 3
+    assert got["a"][2] == 0.5          # 2*3 / (4*3)
+    assert got["e"] == (1, 0, 0.0)     # pendant: degree<2
