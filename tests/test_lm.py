@@ -101,3 +101,37 @@ def test_train_bigram_lm_rejects_bad_discount_and_empty(spark):
         train_bigram_lm(_docs(spark, ["a b"]), discount=1.5)
     lm = train_bigram_lm(_docs(spark, ["solo"]))  # no bigrams at all
     assert lm["bigram"].count() == 0
+
+
+def test_lm_score_runs_stream_static(spark):
+    """lm_score is a stateless projection + stream-static joins against
+    the trained tables, so it compiles unchanged onto a streaming
+    DataFrame (the streaming_materialize discipline) and produces the
+    batch scores."""
+    import tempfile
+
+    train = _docs(spark, ["the cat sat on the mat"] * 3
+                  + ["the dog sat on the rug"] * 3)
+    lm = train_bigram_lm(train)
+    eval_rows = [(0, "the cat sat on the rug"), (1, "zz qq unseen here")]
+    batch = spark.createDataFrame(eval_rows, "doc_id bigint, text string")
+    want = {(r["doc_id"], r["n_bigrams"], r["avg_logp10"])
+            for r in lm_score(batch, lm).collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        batch.coalesce(1).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(batch.schema).parquet(f"{d}/src")
+        out = lm_score(stream, lm)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory").queryName("lm_stream_test")
+            .outputMode("complete")  # streaming agg by doc_id
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["n_bigrams"], r["avg_logp10"])
+            for r in spark.sql("SELECT * FROM lm_stream_test").collect()
+        }
+    assert got == want
