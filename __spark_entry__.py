@@ -3246,6 +3246,96 @@ FROM staged
 """
 
 
+def _q_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted quota sampling (stratified A-ES): identical
+    draw keys to the global sampler, one hash-partitioned window."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, "lang", k=30, weight_col="n_chars"
+    ).select("doc_id", "lang", "draw_key")
+
+
+def _weighted_sample_per_lang_sql() -> str:
+    u12 = _sql_hex_head_value("md5('ws1|' || CAST(doc_id AS VARCHAR))", 12)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         floor(ln(({u12} + 0.5) / {float(16 ** 12)!r})
+               / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) / 1e12 AS draw_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+),
+ranked AS (
+  SELECT doc_id, lang, draw_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY draw_key DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, draw_key FROM ranked WHERE rn <= 30
+"""
+
+
+def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward'): each
+    click gains the user's NEXT purchase — the time-to-conversion
+    enrichment. Same union + ONE window shape as the backward twin,
+    mirrored frame."""
+    from biomedical_data_integration_spark.operators.joins import asof_join
+
+    (events,) = _tables(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, ts_col="ts", by=("user_id",),
+                    value_cols=["value"], direction="forward")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        F.unix_timestamp("asof_ts").alias("next_ts_s"),
+        F.round("value", 4).alias("next_purchase_value"),
+    )
+
+
+_EVENTS_ASOF_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+packed AS (
+  SELECT user_id, ts, max(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, ts, event_id, 1 AS side,
+         CAST(NULL AS TIMESTAMP) AS rts, CAST(NULL AS DOUBLE) AS rv
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts, NULL, 0, ts, v FROM packed
+),
+c AS (
+  SELECT user_id, ts, event_id, side,
+         first_value(rts IGNORE NULLS) OVER w AS c_ts,
+         first_value(rv IGNORE NULLS) OVER w AS c_v
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       event_id,
+       CAST(floor(epoch(c_ts)) AS BIGINT) AS next_ts_s,
+       round(c_v, 4) AS next_purchase_value
+FROM c WHERE side = 1
+"""
+
+
 def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     undirected token graph — exact a<b<c wedge-closing joins."""
@@ -4911,6 +5001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_naive_eval": _q_events_seasonal_naive,
         "events_top_paths": _q_events_top_paths,
         "triangle_counts_tokens": _q_triangle_counts,
+        "events_asof_forward": _q_events_asof_forward,
+        "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
     }
 
 
@@ -5534,6 +5626,8 @@ WHERE rn = 1 AND NOT (event_type IS NOT DISTINCT FROM 'error')
         "events_seasonal_naive_eval": _SEASONAL_NAIVE_SQL,
         "events_top_paths": _TOP_PATHS_SQL,
         "triangle_counts_tokens": _triangle_sql(),
+        "events_asof_forward": _EVENTS_ASOF_FORWARD_SQL,
+        "weighted_sample_per_lang_documents": _weighted_sample_per_lang_sql(),
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

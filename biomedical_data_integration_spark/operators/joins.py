@@ -26,10 +26,15 @@ def asof_join(
     value_cols: Optional[List[str]] = None,
     right_ts_alias: str = "asof_ts",
     tolerance_seconds: Optional[int] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join: each left row gains the value columns
-    of the latest right row with ``right.ts <= left.ts`` per ``by`` key
-    (DuckDB/pandas ``ASOF JOIN`` semantics; unmatched rows keep nulls).
+    """As-of join: each left row gains the value columns of the nearest
+    right row per ``by`` key — ``direction='backward'`` (default) takes
+    the latest right row with ``right.ts <= left.ts`` (DuckDB/pandas
+    ``ASOF JOIN`` semantics), ``'forward'`` the earliest right row with
+    ``right.ts >= left.ts`` (pandas ``merge_asof(direction='forward')``).
+    Unmatched rows keep nulls. Both directions are inclusive at equal
+    timestamps.
 
     Plan shape: tag both inputs, union, ONE window over
     ``partitionBy(by).orderBy(ts, side)`` carrying the last non-null right
@@ -43,9 +48,11 @@ def asof_join(
     ties would otherwise resolve by partition order. At equal timestamps
     the right row sorts BEFORE the left row, making the join inclusive.
 
-    ``tolerance_seconds`` nulls out matches older than the window (the
-    pandas ``merge_asof(tolerance=...)`` knob).
+    ``tolerance_seconds`` nulls out matches further away than the window
+    (the pandas ``merge_asof(tolerance=...)`` knob, direction-aware).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     by = list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by, ts_col)]
@@ -77,18 +84,27 @@ def asof_join(
     )
     unioned = l_part.unionByName(r_part)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right (side 0) sorts BEFORE left at equal ts -> inclusive
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # forward: right sorts AFTER left at equal ts so the equal-ts
+        # right row sits inside the left row's following frame
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = unioned.withColumns(
         {
-            "__c_ts": F.last("__rts", ignorenulls=True).over(w),
-            **{
-                f"__c_{c}": F.last(f"__rv_{c}", ignorenulls=True).over(w)
-                for c in value_cols
-            },
+            "__c_ts": carry("__rts"),
+            **{f"__c_{c}": carry(f"__rv_{c}") for c in value_cols},
         }
     ).where(F.col("__side") == 1)
 
@@ -103,6 +119,8 @@ def asof_join(
             )
         else:
             age = F.col(ts_col).cast("double") - F.col("__c_ts").cast("double")
+        if direction == "forward":
+            age = -age  # distance into the future
         fresh = age <= tolerance_seconds
         carried = carried.withColumns(
             {

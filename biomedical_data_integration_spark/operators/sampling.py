@@ -341,3 +341,43 @@ def weighted_sample(
         .orderBy(F.col("draw_key").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Stratified weighted sampling WITHOUT replacement: an independent
+    Efraimidis–Spirakis draw of up to ``k`` rows inside EVERY group —
+    the per-language / per-source quota sampler. Identical draw keys to
+    :func:`weighted_sample` (same salt => the same row wins wherever it
+    competes); the global top-k becomes a per-group row_number window,
+    so the plan is one hash-partitioned window instead of a global
+    TakeOrderedAndProject. Groups smaller than ``k`` keep everything.
+    Output: input columns + ``draw_key``.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_per_group: k must be >= 1")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(md5_hex(F.col(id_col), salt=salt), 1, _DIGITS),
+               16, 10).cast("double")
+        + F.lit(0.5)
+    ) / float(16 ** _DIGITS)
+    qkey = F.floor(F.log(u) / w * 1e12 + F.lit(0.5)) / 1e12
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("draw_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("draw_key", qkey)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

@@ -204,3 +204,52 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
     # multiset-as-set is safe: duplicate left rows produce identical tuples
     # on both sides
     assert got == want
+
+
+def test_asof_join_forward_direction(spark):
+    import datetime as dt
+
+    from biomedical_data_integration_spark.operators.joins import asof_join
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(12), "b"), (1, ts(15), "c"),
+         (2, ts(9), "d")],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(11), 10.0), (1, ts(12), 20.0), (1, ts(14), 30.0)],
+        ["user_id", "ts", "v"],
+    )
+    got = {
+        r["tag"]: (r["asof_ts"], r["v"])
+        for r in asof_join(
+            left, right, value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert got["a"] == (ts(11), 10.0)   # next right after 10:00
+    assert got["b"] == (ts(12), 20.0)   # inclusive at equal ts
+    assert got["c"] == (None, None)     # nothing follows 15:00
+    assert got["d"] == (None, None)     # no rights for user 2
+
+    # forward tolerance: a 30-minute window excludes the 11:00 match
+    tol = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, value_cols=["v"], direction="forward",
+            tolerance_seconds=1800,
+        ).collect()
+    }
+    assert tol["a"] is None and tol["b"] == 20.0
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame([(1, 1, 1.0)], ["user_id", "ts", "v"])
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, direction="nearest")

@@ -280,3 +280,26 @@ def test_weighted_sample_excludes_nonpositive_and_validates(spark):
     assert [r["doc_id"] for r in got] == [1]
     with _pytest.raises(ValueError, match="k"):
         weighted_sample(df, k=0, weight_col="w")
+
+
+def test_weighted_sample_per_group_quotas_and_consistency(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3), 1.0 + (i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, w double")
+    out = weighted_sample_per_group(df, "g", k=5, weight_col="w").collect()
+    from collections import Counter
+    per = Counter(r["g"] for r in out)
+    assert per == {"g0": 5, "g1": 5, "g2": 5}
+    # same salt => identical draw keys as the global sampler
+    glob = {r["doc_id"]: r["draw_key"]
+            for r in weighted_sample(df, k=90, weight_col="w").collect()}
+    assert all(glob[r["doc_id"]] == r["draw_key"] for r in out)
+    # small groups keep everything
+    small = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "x", 2.0)], "doc_id bigint, g string, w double"
+    )
+    assert weighted_sample_per_group(small, "g", 5, "w").count() == 2
