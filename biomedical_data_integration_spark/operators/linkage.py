@@ -57,6 +57,12 @@ def link_records(
     raises past the limit rather than silently planning a corpus-scale
     cross product.
 
+    Blocking-key cardinality is the scale knob: per-block work is
+    |block_l| x |block_r|, so a FIXED-cardinality key (country, nation)
+    grows quadratically as both sides grow — measured in PERF_NOTES.
+    At corpus scale block on keys whose cardinality tracks the data
+    (name prefixes, phonetic codes, LSH bands), or compose several.
+
     Scores are floor-quantized to 6 decimals (integer levenshtein /
     integer lengths — identical doubles cross-engine; the quantization
     only guards the weighted average). Output: (left_id, right_id,
@@ -70,16 +76,22 @@ def link_records(
     if wsum <= 0:
         raise ValueError("link_records: weights must sum > 0")
 
+    # normalization is staged BEFORE candidate generation: applied inside
+    # the score expression it would re-run the clean_string regexes once
+    # per candidate PAIR (the interpreted-expression staging trap in
+    # PERF_NOTES) — measured 10x slower on the blocked customer linkage
+    def attr(col, name):
+        c = F.col(col).cast("string")
+        return (clean_string(c) if normalize else c).alias(name)
+
     l = left.select(
         F.col(left_id).alias("__lid"),
-        *[F.col(lc).cast("string").alias(f"__l_{i}")
-          for i, (lc, _, _) in enumerate(keys)],
+        *[attr(lc, f"__l_{i}") for i, (lc, _, _) in enumerate(keys)],
         *([F.col(block_on[0]).alias("__lblk")] if block_on else []),
     )
     r = right.select(
         F.col(right_id).alias("__rid"),
-        *[F.col(rc).cast("string").alias(f"__r_{i}")
-          for i, (_, rc, _) in enumerate(keys)],
+        *[attr(rc, f"__r_{i}") for i, (_, rc, _) in enumerate(keys)],
         *([F.col(block_on[1]).alias("__rblk")] if block_on else []),
     )
     if block_on:
@@ -98,8 +110,6 @@ def link_records(
     total = F.lit(0.0)
     for i, (_, _, w) in enumerate(keys):
         a, b = F.col(f"__l_{i}"), F.col(f"__r_{i}")
-        if normalize:
-            a, b = clean_string(a), clean_string(b)
         total = total + F.lit(float(w)) * levenshtein_ratio(a, b)
     score = F.floor(total / wsum * 10 ** SCORE_SCALE + F.lit(0.5)) / (
         10 ** SCORE_SCALE
