@@ -3489,17 +3489,24 @@ def _q_link_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (customer,) = _tables(spark, sf_dir, "customer")
+    # blocking key whose cardinality TRACKS the data (the linkage
+    # docstring's scale rule): zero-padded last-3 digits of the name's
+    # number — 1000 blocks, so per-block pair work stays bounded where
+    # a fixed-cardinality key (nation) grows quadratically
+    digits3 = lambda c: F.lpad(  # noqa: E731
+        F.substring(F.regexp_replace(c, "[^0-9]", ""), -3, 3), 3, "0"
+    )
     dirty = customer.select(
         F.col("c_custkey").alias("d_key"),
         F.regexp_replace(F.lower("c_name"), "customer#0*", "cust ").alias(
             "d_name"
         ),
-        F.col("c_nationkey").alias("d_nation"),
-    )
+    ).withColumn("d_blk", digits3(F.col("d_name")))
+    master = customer.withColumn("c_blk", digits3(F.col("c_name")))
     return link_records(
-        dirty, customer, [("d_name", "c_name", 1.0)],
+        dirty, master, [("d_name", "c_name", 1.0)],
         "d_key", "c_custkey", threshold=0.3,
-        block_on=("d_nation", "c_nationkey"),
+        block_on=("d_blk", "c_blk"),
     )
 
 
@@ -3507,16 +3514,26 @@ _LINK_CUSTOMERS_SQL = """
 WITH dirty AS (
   SELECT c_custkey AS d_key,
          regexp_replace(lower(c_name), 'customer#0*', 'cust ', 'g')
-             AS d_name,
-         c_nationkey AS d_nation
+             AS d_name
+  FROM customer
+),
+dl AS (
+  SELECT d_key, d_name,
+         lpad(right(regexp_replace(d_name, '[^0-9]', '', 'g'), 3), 3, '0')
+             AS blk
+  FROM dirty
+),
+cl AS (
+  SELECT c_custkey, c_name,
+         lpad(right(regexp_replace(c_name, '[^0-9]', '', 'g'), 3), 3, '0')
+             AS blk
   FROM customer
 ),
 cand AS (
   SELECT d.d_key, c.c_custkey,
          trim(regexp_replace(lower(d.d_name), '[^a-z0-9]+', ' ', 'g')) AS a,
          trim(regexp_replace(lower(c.c_name), '[^a-z0-9]+', ' ', 'g')) AS b
-  FROM dirty d JOIN customer c
-    ON d.d_nation IS NOT DISTINCT FROM c.c_nationkey
+  FROM dl d JOIN cl c ON d.blk IS NOT DISTINCT FROM c.blk
 ),
 scored AS (
   SELECT d_key, c_custkey,
