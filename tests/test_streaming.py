@@ -964,13 +964,16 @@ def test_streaming_funnel_state_expires_idle_users(spark):
             .start()
         )
         try:
-            _wait_for_state(sq, lambda n: n == 5)  # one frontier per user
-            _wait_for_state(sq, lambda n: n == 0)  # all users idle -> expired
+            # generous deadlines: TTL firing rides the engine's no-data
+            # micro-batches, whose scheduling lags badly on a loaded
+            # host (observed flaking at 90 s under a parallel full run)
+            _wait_for_state(sq, lambda n: n == 5, 180)  # one frontier/user
+            _wait_for_state(sq, lambda n: n == 0, 240)  # idle -> expired
             b2 = spark.createDataFrame(
                 [(0, "purchase", base + dt.timedelta(minutes=1))], schema
             )
             b2.coalesce(1).write.parquet(f"{src}/f2")
-            _wait_for_state(sq, lambda n: n == 1)  # only user 0 rebuilt
+            _wait_for_state(sq, lambda n: n == 1, 240)  # only user 0 rebuilt
             u0 = [
                 r
                 for r in spark.sql("select * from funnel_ttl_test").collect()
@@ -1339,8 +1342,8 @@ def test_streaming_attribution_state_plateaus_under_ttl(spark):
             .start()
         )
         try:
-            _wait_for_state(sq, lambda n: n == 8)       # one row per user
-            _wait_for_state(sq, lambda n: n == 0, 120)  # TTL drains all
+            _wait_for_state(sq, lambda n: n == 8, 180)  # one row per user
+            _wait_for_state(sq, lambda n: n == 0, 240)  # TTL drains all
         finally:
             sq.stop()
 
