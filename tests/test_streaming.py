@@ -869,7 +869,7 @@ def _state_rows(sq):
     return None
 
 
-def _wait_for_state(sq, pred, deadline_s=90):
+def _wait_for_state(sq, pred, deadline_s=240):
     """Poll progress until the state row count satisfies pred.
 
     With ProcessingTimeTimeout the engine schedules no-data micro-batches
