@@ -3246,6 +3246,59 @@ FROM staged
 """
 
 
+HIST_BINS = 256
+HIST_LO, HIST_HI = 0.0, 500.0
+
+
+def _q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles read from a mergeable equi-width histogram sketch —
+    the quantile member of the sketch family (CMS=frequency,
+    KMV=distinct, histogram=quantiles): fixed-range bucket counts merge
+    by addition across partitions/days; read-out error is bounded by
+    half a bucket width."""
+    from biomedical_data_integration_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    sk = histogram_sketch(events, "value", HIST_BINS, HIST_LO, HIST_HI)
+    return histogram_quantiles(
+        sk, [0.5, 0.9, 0.99], HIST_LO, HIST_HI, HIST_BINS
+    )
+
+
+def _histogram_quantiles_sql() -> str:
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    return f"""
+WITH sk AS (
+  SELECT least({HIST_BINS - 1},
+               greatest(0, CAST(floor((CAST(value AS DOUBLE) - {HIST_LO!r})
+                                      / {width!r}) AS INTEGER))) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS total
+  FROM sk
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT qs.q, min(cum.bin) AS bin
+  FROM qs JOIN cum ON cum.cum >= ceil(qs.q * cum.total)
+  GROUP BY qs.q
+)
+SELECT q,
+       floor(({HIST_LO!r} + (bin + 0.5) * {width!r}) * 1000000.0 + 0.5)
+       / 1000000.0 AS value
+FROM hit
+"""
+
+
 def _q_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language weighted quota sampling (stratified A-ES): identical
     draw keys to the global sampler, one hash-partitioned window."""
@@ -5020,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts_tokens": _q_triangle_counts,
         "events_asof_forward": _q_events_asof_forward,
         "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
+        "histogram_quantiles_events": _q_histogram_quantiles,
     }
 
 
@@ -5645,6 +5699,7 @@ WHERE rn = 1 AND NOT (event_type IS NOT DISTINCT FROM 'error')
         "triangle_counts_tokens": _triangle_sql(),
         "events_asof_forward": _EVENTS_ASOF_FORWARD_SQL,
         "weighted_sample_per_lang_documents": _weighted_sample_per_lang_sql(),
+        "histogram_quantiles_events": _histogram_quantiles_sql(),
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

@@ -198,3 +198,122 @@ def streaming_countmin(
         .groupBy("depth", "pos")
         .agg(F.count("*").alias("count"))
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    bins: int = 256,
+    lo: float = None,
+    hi: float = None,
+) -> DataFrame:
+    """Equi-width histogram sketch — the mergeable QUANTILE summary of
+    the sketch family (count-min answers frequency, KMV distinct, this
+    answers quantiles): fixed [lo, hi) range split into ``bins`` equal
+    buckets, one count per non-empty bucket.
+
+    Pass ``lo``/``hi`` explicitly to make sketches built on different
+    partitions/days MERGEABLE by plain count addition
+    (:func:`histogram_merge`) — the same contract as CMS counter
+    addition. Omitted bounds are computed from the data (one cheap
+    min-max agg; such a sketch only merges with sketches sharing the
+    same observed range). Values at or beyond ``hi`` clamp into the top
+    bucket, below ``lo`` into bucket 0, so merges never lose mass.
+
+    All integer arithmetic (bucket = clamped floor((v-lo)/width));
+    deterministic across engines/partitionings like every sketch here.
+    Output: (bin, n) with lo/hi/width recoverable from the bin index —
+    bin b covers [lo + b*width, lo + (b+1)*width).
+    """
+    if bins < 1:
+        raise ValueError("histogram_sketch: bins must be >= 1")
+    v = F.col(col).cast("double")
+    if lo is None or hi is None:
+        b = df.agg(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        ).collect()[0]
+        lo = float(b["__lo"]) if lo is None else float(lo)
+        hi = float(b["__hi"]) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        hi = lo + 1.0  # degenerate range: everything lands in bucket 0
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two histogram sketches built with the SAME (lo, hi, bins)
+    contract: counts add per bin — one unionByName + re-aggregation,
+    exactly the CMS/rollup_merge maintenance discipline."""
+    for side, df in (("a", a), ("b", b)):
+        missing = {"bin", "n"} - set(df.columns)
+        if missing:
+            raise ValueError(f"histogram_merge: {side} missing {missing}")
+    return (
+        a.unionByName(b)
+        .groupBy("bin")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Quantile read-out from a histogram sketch: for each q, the value
+    at rank ceil(q*n) assuming mass sits at each bucket's midpoint —
+    error bounded by half the bucket width, the standard equi-width
+    histogram guarantee. Cumulative counts + one broadcast rank probe
+    over the (<= bins)-row sketch; all arithmetic from exact integer
+    counts, midpoints floor-quantized to 6 decimals. Output (q, value).
+    """
+    from pyspark.sql import Window
+
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = sketch.select(
+        "bin",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # rank = ceil(q * total); the answering bucket is the first with
+    # cum >= rank; min() over a conditional picks it without a sort
+    joined = qdf.crossJoin(cum).where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
+    )
+    return (
+        joined.groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q",
+            (
+                F.floor(
+                    (F.lit(lo) + (F.col("bin") + F.lit(0.5)) * F.lit(width))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("value"),
+        )
+    )

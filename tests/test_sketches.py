@@ -146,3 +146,50 @@ def test_cms_overestimate_property(spark, counts):
         for r in cms_estimate(sk, df, "w", width=32, depth=3).collect()
     }
     assert all(est[w] >= n for w, n in counts.items())
+
+
+def test_histogram_sketch_merge_and_quantiles(spark):
+    from biomedical_data_integration_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    rows_a = [(float(i),) for i in range(0, 500)]
+    rows_b = [(float(i),) for i in range(500, 1000)]
+    a = spark.createDataFrame(rows_a, "v double")
+    b = spark.createDataFrame(rows_b, "v double")
+    full = spark.createDataFrame(rows_a + rows_b, "v double")
+
+    LO, HI, BINS = 0.0, 1000.0, 100
+    sa = histogram_sketch(a, "v", BINS, LO, HI)
+    sb = histogram_sketch(b, "v", BINS, LO, HI)
+    merged = {r["bin"]: r["n"] for r in histogram_merge(sa, sb).collect()}
+    direct = {r["bin"]: r["n"]
+              for r in histogram_sketch(full, "v", BINS, LO, HI).collect()}
+    assert merged == direct           # partition merge == full recompute
+    assert sum(merged.values()) == 1000
+
+    qs = histogram_quantiles(
+        histogram_sketch(full, "v", BINS, LO, HI), [0.5, 0.9, 0.99],
+        LO, HI, BINS,
+    )
+    got = {r["q"]: r["value"] for r in qs.collect()}
+    # half-bucket-width (5.0) error bound vs the exact quantiles
+    assert abs(got[0.5] - 500.0) <= 5.0 + 1.0
+    assert abs(got[0.9] - 900.0) <= 5.0 + 1.0
+    assert abs(got[0.99] - 990.0) <= 5.0 + 1.0
+
+
+def test_histogram_sketch_clamps_out_of_range(spark):
+    from biomedical_data_integration_spark.operators.sketches import (
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.0,), (250.0,)], "v double"
+    )
+    got = {r["bin"]: r["n"]
+           for r in histogram_sketch(df, "v", 10, 0.0, 100.0).collect()}
+    assert got[0] == 2     # -5 clamps into bucket 0, 0.5 lands there
+    assert got[9] == 2     # 99 in the top bucket; 250 clamps into it
