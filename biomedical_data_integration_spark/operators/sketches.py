@@ -317,3 +317,42 @@ def histogram_quantiles(
             ).alias("value"),
         )
     )
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Streaming face of :func:`histogram_sketch`: the identical clamped
+    bucket projection + counting aggregation compiled onto a streaming
+    DataFrame. Bin counts are pure additive state, so Spark's built-in
+    streaming aggregation IS the sketch maintenance — state bounded by
+    ``bins`` rows regardless of stream volume, and a snapshot
+    (complete/update mode) equals the batch sketch over the same stream
+    prefix. Bounds must be EXPLICIT on a stream (there is no "min-max of
+    the data" on unbounded input — the mergeability contract anyway).
+
+    Snapshots feed :func:`histogram_quantiles` / :func:`histogram_merge`
+    exactly like batch sketches.
+    """
+    if bins < 1:
+        raise ValueError("streaming_histogram: bins must be >= 1")
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:
+        raise ValueError("streaming_histogram: need hi > lo")
+    width = (hi - lo) / bins
+    v = F.col(col).cast("double")
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return (
+        stream.where(v.isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

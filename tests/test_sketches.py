@@ -193,3 +193,32 @@ def test_histogram_sketch_clamps_out_of_range(spark):
            for r in histogram_sketch(df, "v", 10, 0.0, 100.0).collect()}
     assert got[0] == 2     # -5 clamps into bucket 0, 0.5 lands there
     assert got[9] == 2     # 99 in the top bucket; 250 clamps into it
+
+
+def test_streaming_histogram_snapshot_equals_batch(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.sketches import (
+        histogram_sketch,
+        streaming_histogram,
+    )
+
+    rows = [(float(i % 100),) for i in range(400)]
+    df = spark.createDataFrame(rows, "v double")
+    want = {r["bin"]: r["n"]
+            for r in histogram_sketch(df, "v", 20, 0.0, 100.0).collect()}
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(2).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(df.schema).parquet(f"{d}/src")
+        out = streaming_histogram(stream, "v", 20, 0.0, 100.0)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory").queryName("hist_stream_test")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(120)
+        got = {r["bin"]: r["n"]
+               for r in spark.sql("SELECT * FROM hist_stream_test").collect()}
+    assert got == want
