@@ -869,8 +869,28 @@ def _state_rows(sq):
     return None
 
 
+def _stop_and_settle(sq, settle_s=1.0):
+    """Stop a stateful query and wait for its checkpoint writers to
+    finish: sq.stop() returns while state/commit files may still be
+    flushing, and TemporaryDirectory cleanup then races the writer
+    (observed as rmtree 'directory not empty' flakes). awaitTermination
+    + a short settle closes the window."""
+    import time
+
+    sq.stop()
+    try:
+        sq.awaitTermination(30)
+    except Exception:
+        pass
+    time.sleep(settle_s)
+
+
 def _wait_for_state(sq, pred, deadline_s=240):
     """Poll progress until the state row count satisfies pred.
+
+    TTL tests use a ~9 s TTL (0.15 min): shorter TTLs can expire state
+    BEFORE the poller ever observes the full plateau on a loaded host,
+    making the plateau assertion racy.
 
     With ProcessingTimeTimeout the engine schedules no-data micro-batches
     to fire timeouts, so ``processAllAvailable`` never settles — polling
@@ -907,7 +927,7 @@ def test_streaming_dedup_exact_state_plateaus_under_ttl(spark):
             .parquet(f"{src}/*")
         )
         sq = (
-            streaming_dedup_exact(stream, state_ttl_minutes=0.05)  # 3 s
+            streaming_dedup_exact(stream, state_ttl_minutes=0.15)  # 9 s
             .writeStream.format("memory")
             .queryName("dedup_ttl_test")
             .outputMode("append")
@@ -929,7 +949,7 @@ def test_streaming_dedup_exact_state_plateaus_under_ttl(spark):
                 for r in spark.sql("select * from dedup_ttl_test").collect()
             }
         finally:
-            sq.stop()
+            _stop_and_settle(sq)
     assert 100 in got and 101 in got  # expired 'doc 0' re-emitted as 100
 
 
@@ -955,7 +975,7 @@ def test_streaming_funnel_state_expires_idle_users(spark):
         )
         sq = (
             streaming_funnel_steps(
-                stream, ["signup", "purchase"], state_ttl_minutes=0.05
+                stream, ["signup", "purchase"], state_ttl_minutes=0.15
             )
             .writeStream.format("memory")
             .queryName("funnel_ttl_test")
@@ -980,7 +1000,7 @@ def test_streaming_funnel_state_expires_idle_users(spark):
                 if r["user_id"] == 0
             ]
         finally:
-            sq.stop()
+            _stop_and_settle(sq)
     # user 0's funnel RESTARTED after expiry: the purchase arrives with no
     # live signup step, so step 2 never completes (documented recall trade)
     assert u0 and all(r["step_purchase_ts"] is None for r in u0)
@@ -1007,7 +1027,7 @@ def test_streaming_lsh_candidates_state_plateaus_under_ttl(spark):
             .parquet(f"{src}/*")
         )
         sq = (
-            streaming_minhash_lsh_candidates(stream, state_ttl_minutes=0.05)
+            streaming_minhash_lsh_candidates(stream, state_ttl_minutes=0.15)
             .writeStream.format("memory")
             .queryName("lsh_ttl_test")
             .outputMode("append")
@@ -1023,7 +1043,7 @@ def test_streaming_lsh_candidates_state_plateaus_under_ttl(spark):
             ).coalesce(1).write.parquet(f"{src}/f2")
             after = _wait_for_state(sq, lambda n: n > 0)
         finally:
-            sq.stop()
+            _stop_and_settle(sq)
     # only the fresh doc's buckets remain — far fewer than 4 docs' worth
     assert after < before
 
@@ -1335,7 +1355,7 @@ def test_streaming_attribution_state_plateaus_under_ttl(spark):
         )
         sq = (
             streaming_attribute_conversions(
-                stream, state_ttl_minutes=0.05  # 3 s
+                stream, state_ttl_minutes=0.15  # 9 s
             )
             .writeStream.format("memory").queryName("attr_ttl_test")
             .outputMode("append").option("checkpointLocation", ckpt)
@@ -1345,7 +1365,7 @@ def test_streaming_attribution_state_plateaus_under_ttl(spark):
             _wait_for_state(sq, lambda n: n == 8, 180)  # one row per user
             _wait_for_state(sq, lambda n: n == 0, 240)  # TTL drains all
         finally:
-            sq.stop()
+            _stop_and_settle(sq)
 
 
 def test_seasonal_naive_eval_golden(spark):
