@@ -3246,6 +3246,52 @@ FROM staged
 """
 
 
+M4_BUCKETS = 100
+
+
+def _q_events_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 dashboard downsampling (VLDB'14): min/max/first/last per
+    pixel bucket per event type — output is 4*buckets*|groups| rows no
+    matter the input volume; the whole point at 100 TB."""
+    from biomedical_data_integration_spark.streaming.events import (
+        m4_downsample,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return m4_downsample(events, n_buckets=M4_BUCKETS)
+
+
+_M4_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+rng AS (SELECT min(e) AS lo, max(e) AS hi FROM base),
+agg AS (
+  SELECT event_type,
+         least({M4_BUCKETS - 1},
+               CAST(floor((e - lo) * {M4_BUCKETS}
+                          / greatest(hi - lo, 1)) AS INTEGER)) AS bucket,
+         min(struct_pack(v := v, e := e)) AS mn,
+         max(struct_pack(v := v, e := e)) AS mx,
+         min(struct_pack(e := e, v := v)) AS fst,
+         max(struct_pack(e := e, v := v)) AS lst
+  FROM base CROSS JOIN rng
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket, r.role AS role, r.epoch AS epoch,
+       round(r.value, 4) AS value
+FROM agg, unnest([
+  struct_pack(role := 'min',   epoch := mn.e,  value := mn.v),
+  struct_pack(role := 'max',   epoch := mx.e,  value := mx.v),
+  struct_pack(role := 'first', epoch := fst.e, value := fst.v),
+  struct_pack(role := 'last',  epoch := lst.e, value := lst.v)
+]) AS t(r)
+"""
+
+
 HIST_BINS = 256
 HIST_LO, HIST_HI = 0.0, 500.0
 
@@ -5074,6 +5120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": _q_events_asof_forward,
         "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
         "histogram_quantiles_events": _q_histogram_quantiles,
+        "events_m4_downsample": _q_events_m4,
     }
 
 
@@ -5700,6 +5747,7 @@ WHERE rn = 1 AND NOT (event_type IS NOT DISTINCT FROM 'error')
         "events_asof_forward": _EVENTS_ASOF_FORWARD_SQL,
         "weighted_sample_per_lang_documents": _weighted_sample_per_lang_sql(),
         "histogram_quantiles_events": _histogram_quantiles_sql(),
+        "events_m4_downsample": _M4_SQL,
         "events_robust_zscore": """
 WITH m AS (
   SELECT event_type AS g,

@@ -1603,3 +1603,81 @@ def seasonal_naive_eval(
             / (n_scored * F.lit(1e6))
         ).alias("smape"),
     )
+
+
+def m4_downsample(
+    events: DataFrame,
+    n_buckets: int = 400,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB'14): per time bucket keep the
+    min, max, first, and last points — the reduction that renders a
+    pixel-perfect line chart from billions of points, because those four
+    points are exactly what a line crossing a pixel column can display.
+
+    One raw aggregation per group x bucket (min/max over value,
+    min_by/max_by over time — all map-side combinable), emitting up to
+    4 rows per bucket tagged by role. Equal-value/equal-ts ties resolve
+    by (value, epoch) / (epoch, value) tuple order so the selected
+    points are deterministic. The bucket count is the DISPLAY width —
+    output size is 4 * n_buckets * |groups| no matter the input volume,
+    which is the whole point at 100 TB.
+
+    Output: (*group_cols, bucket, role in {min,max,first,last},
+    epoch, value). Bucket boundaries come from the global [min, max]
+    epoch range (computed in the same job, broadcast back).
+    """
+    if n_buckets < 1:
+        raise ValueError("m4_downsample: n_buckets must be >= 1")
+    gcols = list(group_cols)
+    base = events.select(
+        *gcols,
+        F.unix_timestamp(F.col(ts_col)).alias("__e"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    rng = base.agg(
+        F.min("__e").alias("__lo"), F.max("__e").alias("__hi")
+    )
+    span = F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("__e") - F.col("__lo")) * n_buckets / span).cast(
+            "int"
+        ),
+    )
+    # per-role argmin/argmax as struct extremes: tuple order makes ties
+    # deterministic (min value then earliest ts, first ts then min value)
+    by_val = F.struct(F.col("__v"), F.col("__e"))
+    by_ts = F.struct(F.col("__e"), F.col("__v"))
+    agg = (
+        base.crossJoin(F.broadcast(rng))
+        .groupBy(*gcols, bucket.alias("bucket"))
+        .agg(
+            F.min(by_val).alias("__min"),
+            F.max(by_val).alias("__max"),
+            F.min(by_ts).alias("__first"),
+            F.max(by_ts).alias("__last"),
+        )
+    )
+    roles = F.array(
+        F.struct(F.lit("min").alias("role"),
+                 F.col("__min.__e").alias("epoch"),
+                 F.col("__min.__v").alias("value")),
+        F.struct(F.lit("max").alias("role"),
+                 F.col("__max.__e").alias("epoch"),
+                 F.col("__max.__v").alias("value")),
+        F.struct(F.lit("first").alias("role"),
+                 F.col("__first.__e").alias("epoch"),
+                 F.col("__first.__v").alias("value")),
+        F.struct(F.lit("last").alias("role"),
+                 F.col("__last.__e").alias("epoch"),
+                 F.col("__last.__v").alias("value")),
+    )
+    return agg.select(
+        *gcols, "bucket", F.explode(roles).alias("r")
+    ).select(
+        *gcols, "bucket", "r.role", "r.epoch",
+        F.round("r.value", 4).alias("value"),
+    )

@@ -1413,3 +1413,55 @@ def test_seasonal_naive_eval_gap_misalignment_excluded(spark):
     r = out.collect()[0]
     assert r["n_forecast"] == 1 and r["n_unforecast"] == 3
     assert r["mae"] == 1.0  # |2 - 3|
+
+
+def test_m4_downsample_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        m4_downsample,
+    )
+
+    # one group, 1 bucket: min/max/first/last are distinct known points
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 5.0),   # first
+        (2, "2024-01-01 00:10:00", "a", 1.0),   # min
+        (3, "2024-01-01 00:20:00", "a", 9.0),   # max
+        (4, "2024-01-01 00:30:00", "a", 4.0),   # last
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["role"]: (r["epoch"], r["value"])
+        for r in m4_downsample(df, n_buckets=1).collect()
+    }
+    t0 = 1704067200
+    assert got["first"] == (t0, 5.0)
+    assert got["min"] == (t0 + 600, 1.0)
+    assert got["max"] == (t0 + 1200, 9.0)
+    assert got["last"] == (t0 + 1800, 4.0)
+
+
+def test_m4_downsample_bounded_output_and_envelope(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        m4_downsample,
+    )
+
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:{(i * 7) % 60:02d}:00", "a",
+         float((i * 31) % 100))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = m4_downsample(df, n_buckets=10).collect()
+    # bounded: at most 4 rows per (group, bucket)
+    assert len(out) <= 4 * 10
+    # envelope: per-bucket min/max rows bracket every value in the bucket
+    import collections
+    roles = collections.defaultdict(dict)
+    for r in out:
+        roles[r["bucket"]][r["role"]] = r["value"]
+    for b, rr in roles.items():
+        assert rr["min"] <= rr["first"] <= rr["max"]
+        assert rr["min"] <= rr["last"] <= rr["max"]
