@@ -4949,6 +4949,151 @@ FROM intervals
 
 
 # ---------------------------------------------------------------------------
+# retrieval: BM25 full-text search + RRF hybrid fusion (round 5)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = "spark window join customer"
+BM25_TOP_K = 20
+RRF_LIST_N = 50
+RRF_TOP_K = 15
+RRF_QUERY_VEC_ID = 0
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (operators/retrieval.py bm25_search): Lucene
+    non-negative idf, exact integer micro-unit score summation, global
+    top-k via TakeOrderedAndProject. The inverted index is one tokenize
+    scan + one map-side-combinable groupBy; at cluster scale it would be
+    written once, bucketed by term."""
+    from biomedical_data_integration_spark.operators.retrieval import bm25_search
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_QUERY, top_k=BM25_TOP_K)
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 rank list fused with an embedding-cosine
+    rank list by reciprocal-rank fusion (operators/retrieval.py
+    rrf_fuse). The rank lists are top-N-sized, so fusion cost is
+    independent of corpus size."""
+    from pyspark.sql import Window
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_search,
+        rrf_fuse,
+    )
+    from biomedical_data_integration_spark.operators.similarity import cosine_topk
+
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    kw = bm25_search(docs, BM25_QUERY, top_k=RRF_LIST_N).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    sem = cosine_topk(
+        emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID),
+        emb,
+        k=RRF_LIST_N,
+        exclude_self=False,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([kw, sem], top_k=RRF_TOP_K)
+
+
+def _bm25_core_sql(limit: int) -> str:
+    """Shared BM25 CTE chain; float literals rendered with repr() so the
+    oracle parses the EXACT doubles the Spark plan carries."""
+    from biomedical_data_integration_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        tokenize_query,
+    )
+
+    terms = ", ".join(f"('{t}')" for t in tokenize_query(BM25_QUERY))
+    k1 = repr(BM25_K1)
+    k1p1 = repr(BM25_K1 + 1.0)
+    b = repr(BM25_B)
+    one_minus_b = repr(1.0 - BM25_B)
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+postings AS (
+  SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, len(t) AS dl, unnest(t) AS term FROM toks)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM (SELECT id, any_value(dl) AS dl FROM postings GROUP BY id)
+),
+qterms(term) AS (VALUES {terms}),
+hits AS (SELECT p.* FROM postings p JOIN qterms USING (term)),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.id,
+         CAST(floor(
+           (floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 1000000.0
+                  + 0.5) / 1000000.0)
+           * ((h.tf * {k1p1}) /
+              (h.tf + {k1} * ({one_minus_b} + {b} * h.dl / s.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS si
+  FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(si) AS DOUBLE) / 1000000.0 AS score
+  FROM scored GROUP BY id
+  ORDER BY score DESC, doc_id ASC LIMIT {limit}
+)"""
+
+
+def _bm25_search_sql() -> str:
+    return (
+        "WITH " + _bm25_core_sql(BM25_TOP_K)
+        + "\nSELECT doc_id, n_terms_hit, score FROM bm25"
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    cos = _sql_cosine("q.qv", "c.cv", ANN_DIM)
+    return f"""
+WITH {_bm25_core_sql(RRF_LIST_N)},
+kw AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM bm25
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QUERY_VEC_ID}),
+cos_scored AS (
+  SELECT c.vec_id AS doc_id, round({cos}, 6) AS cosine
+  FROM qv q CROSS JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+),
+sem AS (
+  SELECT doc_id, rk FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rk
+    FROM cos_scored
+  ) WHERE rk <= {RRF_LIST_N}
+),
+fused AS (
+  SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,
+         CAST((CASE WHEN kw.rk IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN sem.rk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lists,
+         floor(((CASE WHEN kw.rk IS NOT NULL THEN 1.0 / (60.0 + kw.rk) ELSE 0.0 END)
+              + (CASE WHEN sem.rk IS NOT NULL THEN 1.0 / (60.0 + sem.rk) ELSE 0.0 END))
+               * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id
+)
+SELECT doc_id, n_lists, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -4968,7 +5113,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally every round by tests/test_entry_oracle.py (full registry at
     sf0.001) and tools/check_oracle.py."""
     return {
-        # --- graded window (first 50): the five NEW round-4 operators
+        # --- graded window (first 50), round 5: the NEW operator
+        # families lead (retrieval, selection, drift/privacy audits,
+        # diff/sketch-set ops, EWMA, association rules) so the driver
+        # grades them on first contact. ---
+        "bm25_search_documents": _q_bm25_search,
+        "hybrid_rrf_documents": _q_hybrid_rrf,
+        # --- the round-4 window follows ---
         # (boilerplate removal, domain census, CDC upsert, SCD2,
         # quality-aware keep-best dedup), then
         # the stale r1/r2 tail rotated in for driver re-grading, plus
@@ -5136,6 +5287,8 @@ FROM lineitem
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_search_documents": _bm25_search_sql(),
+        "hybrid_rrf_documents": _hybrid_rrf_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -1,0 +1,204 @@
+"""Full-text retrieval: BM25 scoring and reciprocal-rank-fusion hybrid
+search — the keyword half of a retrieval stack next to the ANN operators
+in :mod:`.similarity` (brute/LSH/IVF cosine).
+
+The reference has no retrieval operators (its only ranking is the
+similarity top-k of the matching pipelines, ``bdikit/api.py:145-152``);
+this family is part of the BASELINE.json "similarity search" extension,
+built Spark-first:
+
+- :func:`bm25_postings` — the inverted index as a DataFrame
+  ``(id, term, tf, dl)``: one tokenize scan + one map-side-combinable
+  groupBy keyed ``(id, term)``. At 100 TB this table is written once,
+  bucketed BY TERM, so query-time term lookups are partition-pruned
+  equi-joins with no shuffle of the corpus.
+- :func:`bm25_search` — scores one query against the corpus: the query's
+  ~10 terms ride a broadcast, postings are filtered to those terms
+  BEFORE any aggregation (the scan is the only corpus-sized work), df
+  counts and idf are term-count-sized, and the final per-doc sum ends in
+  one top-k (``TakeOrderedAndProject``, no global sort).
+- :func:`rrf_fuse` — reciprocal-rank fusion of N ranked lists
+  (Cormack et al., SIGIR'09): ``score(d) = Σ 1/(k0 + rank_i(d))``.
+  Rank lists are top-N-sized (not corpus-sized), so the fusion is a
+  chain of small full-outer joins — broadcast at any scale.
+
+Cross-engine determinism (see memory playbook): idf is floor-quantized
+to 6 decimals straight out of ``ln``; each term's partial score is then
+converted to exact integer micro-units and summed as bigint, so the
+per-document sum is order-free and the DuckDB oracle reproduces it
+bit-for-bit. Ties at the top-k boundary break on document id.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K0 = 60
+
+
+def _quant6(c: Column) -> Column:
+    """floor(x*1e6 + 0.5)/1e6 — engine-exact 6-decimal quantization
+    (HALF_UP on the double value, identical in Spark and DuckDB)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side twin of :func:`..operators.text.tokens_expr`:
+    lowercased whitespace tokens, empties dropped, deduplicated with
+    first-occurrence order kept (BM25 scores each distinct term once)."""
+    seen: dict[str, None] = {}
+    for t in re.split(r"\s+", query.strip().lower()):
+        if t and t not in seen:
+            seen[t] = None
+    return list(seen)
+
+
+def bm25_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted index ``(id, term, tf, dl)`` — term frequency and the
+    document's token count on every posting row (dl rides along so
+    query-time scoring needs no join back to the corpus).
+
+    One explode + one groupBy keyed ``(id, dl, term)``: partial
+    aggregation combines map-side, so the shuffle carries one row per
+    distinct (doc, term), not per token occurrence.
+    """
+    from .text import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    ).select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    return toks.groupBy("id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents for ``query`` under BM25 (Lucene's non-negative
+    idf variant: ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Returns ``(id_col, n_terms_hit, score)`` ordered by
+    ``(score DESC, id ASC)``. Corpus-sized work is exactly one tokenize
+    scan; everything after the term filter is (docs-matching-query)-sized.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("bm25_search: query has no tokens")
+    spark = df.sparkSession
+    postings = bm25_postings(df, id_col=id_col, text_col=text_col)
+    # corpus stats: one aggregate over doc lengths. dl is constant per id
+    # in the postings table, so first(dl) per id avoids a second scan of
+    # the raw corpus.
+    doclens = postings.groupBy("id").agg(F.first("dl").alias("dl"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = postings.join(F.broadcast(qterms), "term")
+    # df per query term over the filtered postings (each posting row is a
+    # distinct (doc, term) pair, so count(*) per term IS the doc count)
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            _quant6(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+            ).alias("idf6"),
+            (
+                (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("tfpart"),
+        )
+        .select(
+            "id",
+            # exact integer micro-units per term hit -> order-free sum
+            F.floor(F.col("idf6") * F.col("tfpart") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("__si"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        (F.sum("__si").cast("double") / F.lit(1e6)).alias("score"),
+    )
+    # global top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a full sort; deterministic via id tiebreak
+    return (
+        agg.orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = RRF_K0,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists: each input holds
+    ``(id_col, rank_col)`` with rank starting at 1; a document absent
+    from a list contributes 0 for it.
+
+    Returns ``(id_col, n_lists, rrf_score)``, top-k by
+    ``(rrf_score DESC, id ASC)``. Scores are sums of exact reciprocals
+    of small integers written as one explicit expression, so both
+    engines evaluate the identical float arithmetic.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    out = None
+    for i, r in enumerate(ranked):
+        part = r.select(
+            F.col(id_col).alias("id"), F.col(rank_col).alias(f"__r{i}")
+        )
+        out = part if out is None else out.join(part, "id", "full_outer")
+    contrib = [
+        F.when(
+            F.col(f"__r{i}").isNotNull(), F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r{i}"))
+        ).otherwise(F.lit(0.0))
+        for i in range(len(ranked))
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    n_lists = None
+    for i in range(len(ranked)):
+        present = F.col(f"__r{i}").isNotNull().cast("int")
+        n_lists = present if n_lists is None else n_lists + present
+    fused = out.select(
+        "id",
+        n_lists.cast("bigint").alias("n_lists"),
+        _quant6(score).alias("rrf_score"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(top_k)
+        .withColumnRenamed("id", id_col)
+    )
