@@ -5094,6 +5094,116 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# drift + privacy audits (round 5)
+# ---------------------------------------------------------------------------
+
+PSI_CUTOFF_S = 1705363200  # 2024-01-16 00:00:00 UTC — splits the month in half
+PSI_BINS = 10
+KANON_K = 5
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event values, first half of the
+    month (baseline) vs second half (operators/profiling.py psi_drift).
+    Equal-mass baseline bins via type-1 quantiles; Laplace-smoothed
+    shares; per-bin terms quantized to micro-units before the order-free
+    total."""
+    from biomedical_data_integration_spark.operators.profiling import psi_drift
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "value", F.unix_timestamp("ts").alias("ts_s")
+    )
+    base = staged.where(F.col("ts_s") < PSI_CUTOFF_S)
+    cur = staged.where(F.col("ts_s") >= PSI_CUTOFF_S)
+    return psi_drift(base, cur, "value", n_bins=PSI_BINS)
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of customer quasi-identifiers
+    (nation, market segment) with account balance as the sensitive
+    attribute (operators/profiling.py k_anonymity) — one map-side
+    combinable groupBy."""
+    from biomedical_data_integration_spark.operators.profiling import k_anonymity
+
+    (customer,) = _tables(spark, sf_dir, "customer")
+    return k_anonymity(
+        customer,
+        ["c_nationkey", "c_mktsegment"],
+        k=KANON_K,
+        sensitive_col="c_acctbal",
+    )
+
+
+def _psi_drift_sql() -> str:
+    nb = PSI_BINS - 1
+    mins = ", ".join(
+        f"min(CASE WHEN cum >= ({k} * n + {nb}) // {PSI_BINS} THEN v END)"
+        for k in range(1, nb + 1)
+    )
+    smooth = repr(0.5 * PSI_BINS)
+    share = (
+        "({c} + 0.5) / (sum({c}) OVER () + " + smooth + ")"
+    )
+    pb = share.format(c="n_baseline")
+    pc = share.format(c="n_current")
+    return f"""
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) < {PSI_CUTOFF_S} AND value IS NOT NULL
+),
+cur AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) >= {PSI_CUTOFF_S} AND value IS NOT NULL
+),
+dd AS (SELECT v, count(*) AS c FROM base GROUP BY 1),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM dd
+),
+bnd AS (SELECT [{mins}] AS bnd FROM cum),
+bcnt AS (
+  SELECT CAST(len(list_filter(bnd, b -> v >= b)) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n_baseline
+  FROM base CROSS JOIN bnd GROUP BY 1
+),
+ccnt AS (
+  SELECT CAST(len(list_filter(bnd, b -> v >= b)) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n_current
+  FROM cur CROSS JOIN bnd GROUP BY 1
+),
+j AS (
+  SELECT coalesce(b.bin, c.bin) AS bin,
+         CAST(coalesce(n_baseline, 0) AS BIGINT) AS n_baseline,
+         CAST(coalesce(n_current, 0) AS BIGINT) AS n_current
+  FROM bcnt b FULL OUTER JOIN ccnt c ON b.bin = c.bin
+),
+t AS (
+  SELECT bin, n_baseline, n_current,
+         CAST(floor(({pb} - {pc}) * ln(({pb}) / ({pc}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS tm
+  FROM j
+)
+SELECT bin, n_baseline, n_current,
+       CAST(tm AS DOUBLE) / 1000000.0 AS psi_term,
+       CAST(sum(tm) OVER () AS DOUBLE) / 1000000.0 AS psi_total
+FROM t
+"""
+
+
+def _k_anonymity_sql() -> str:
+    return f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_diversity,
+       count(*) >= {KANON_K} AS meets_k
+FROM customer GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5119,6 +5229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grades them on first contact. ---
         "bm25_search_documents": _q_bm25_search,
         "hybrid_rrf_documents": _q_hybrid_rrf,
+        "psi_value_drift_events": _q_psi_drift,
+        "k_anonymity_customer": _q_k_anonymity,
         # --- the round-4 window follows ---
         # (boilerplate removal, domain census, CDC upsert, SCD2,
         # quality-aware keep-best dedup), then
@@ -5289,6 +5401,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_search_documents": _bm25_search_sql(),
         "hybrid_rrf_documents": _hybrid_rrf_sql(),
+        "psi_value_drift_events": _psi_drift_sql(),
+        "k_anonymity_customer": _k_anonymity_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

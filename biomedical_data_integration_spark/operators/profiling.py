@@ -559,3 +559,141 @@ def robust_zscore(
         .withColumn(out_col, score)
         .drop("__g1", "__med", "__mad")
     )
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline window and a
+    current window of the same feature — the standard drift score for
+    monitoring a feature/served-model input over time (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 action).
+
+    Bins are equal-mass on the BASELINE (type-1 empirical quantiles via
+    :func:`type1_boundaries` — bit-deterministic cross-engine; bin =
+    #boundaries <= v, the :func:`discretize` convention), so the
+    baseline lands ~uniform and any current-side skew is drift. Shares
+    are Laplace-smoothed ``(c + 0.5) / (N + 0.5 * n_bins)`` so empty
+    bins stay finite; each bin's term ``(p_b - p_c) * ln(p_b / p_c)``
+    is floor-quantized to 6 decimals before the total sums them
+    (order-free bigint micro-units under the hood).
+
+    Returns one row per occupied bin: ``(bin, n_baseline, n_current,
+    psi_term, psi_total)`` with the total repeated via an empty-frame
+    window sum (one result, no second query).
+
+    Scale shape: boundaries are one distinct-agg + one window on the
+    distinct-value table; binning is an expression against a broadcast
+    1-row array; the per-side counts are ONE map-side-combinable groupBy
+    each. Nothing is corpus²; at 100 TB swap the boundary window for the
+    distribution matcher's two-phase bucketed split (same contract).
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError("psi_drift: n_bins must be >= 2")
+    bnd = type1_boundaries(baseline, col, n_bins)
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        bin_expr = F.aggregate(
+            F.col("__boundaries"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+        ).cast("int")
+        return (
+            df.where(v.isNotNull())
+            .crossJoin(F.broadcast(bnd))
+            .select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    b = side_counts(baseline, "n_baseline")
+    c = side_counts(current, "n_current")
+    joined = (
+        b.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_baseline", F.lit(0)).cast("bigint").alias("n_baseline"),
+            F.coalesce("n_current", F.lit(0)).cast("bigint").alias("n_current"),
+        )
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    smooth = F.lit(0.5 * n_bins)
+    pb = (F.col("n_baseline") + F.lit(0.5)) / (
+        F.sum("n_baseline").over(tot) + smooth
+    )
+    pc = (F.col("n_current") + F.lit(0.5)) / (
+        F.sum("n_current").over(tot) + smooth
+    )
+    term_micro = F.floor((pb - pc) * F.log(pb / pc) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        joined.withColumn("__tm", term_micro)
+        .select(
+            "bin",
+            "n_baseline",
+            "n_current",
+            (F.col("__tm").cast("double") / F.lit(1e6)).alias("psi_term"),
+            (F.sum("__tm").over(tot).cast("double") / F.lit(1e6)).alias(
+                "psi_total"
+            ),
+        )
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str = None,
+) -> DataFrame:
+    """Privacy audit for release/training-data prep: group rows into
+    equivalence classes over the quasi-identifier columns and report
+    each class's size against the k-anonymity bar — plus, when
+    ``sensitive_col`` is given, the class's distinct sensitive-value
+    count (l-diversity).
+
+    Returns one row per equivalence class: the quasi columns,
+    ``class_size``, ``meets_k`` (class_size >= k), and (if requested)
+    ``l_diversity``. Classes with ``meets_k = false`` are the rows a
+    release must suppress or generalize.
+
+    ONE map-side-combinable groupBy over the quasi key; the distinct
+    sensitive count is exact (``countDistinct``) — swap for
+    approx_count_distinct at extreme class counts.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity: need at least one quasi-identifier")
+    if k < 1:
+        raise ValueError("k_anonymity: k must be >= 1")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).cast("bigint").alias("l_diversity")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    return out.withColumn("meets_k", F.col("class_size") >= F.lit(k))
+
+
+def suppress_below_k(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Rows whose quasi-identifier equivalence class has >= k members —
+    the k-anonymous subset that is safe to release as-is. One window
+    count keyed by the quasi identifier (single shuffle; no join back)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    return (
+        df.withColumn("__cs", F.count(F.lit(1)).over(w))
+        .where(F.col("__cs") >= F.lit(k))
+        .drop("__cs")
+    )
