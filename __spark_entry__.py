@@ -5204,6 +5204,125 @@ FROM customer GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# sketch set-ops + snapshot diff (round 5)
+# ---------------------------------------------------------------------------
+
+DIFF_ADD_OFFSET = 100000000
+
+
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style set arithmetic from KMV sketches (operators/sketches.py
+    kmv_intersect): distinct users active in the month's first half vs
+    second half — union, intersection, Jaccard estimates without
+    materializing either user set."""
+    from biomedical_data_integration_spark.operators.sketches import kmv_intersect
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    return kmv_intersect(
+        staged.where(F.col("ts_s") < PSI_CUTOFF_S),
+        staged.where(F.col("ts_s") >= PSI_CUTOFF_S),
+        "user_id",
+        k=KMV_K,
+    )
+
+
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.py table_diff): orders vs a
+    deterministically mutated second version (price bumps on keys %97,
+    deletions on %101, inserts on %103). One full-outer key join carrying
+    row fingerprints; the oracle recomputes the diff column-by-column, so
+    a hash match proves the fingerprint comparison is faithful."""
+    from biomedical_data_integration_spark.operators.cdc import table_diff
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    mod = orders.where(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    add = orders.where(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + DIFF_ADD_OFFSET
+    )
+    new = mod.unionByName(add)
+    return table_diff(orders, new, ["o_orderkey"]).select(
+        "o_orderkey",
+        "change_type",
+        F.array_join("changed_columns", ",").alias("changed_columns"),
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    h = _sql_hex_head_value("md5('kmv|' || CAST(user_id AS VARCHAR))")
+    scale = 16 ** 15
+    return f"""
+WITH da AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) < {PSI_CUTOFF_S} AND user_id IS NOT NULL
+),
+db AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) >= {PSI_CUTOFF_S} AND user_id IS NOT NULL
+),
+merged AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT CAST({h} AS DOUBLE) / {scale} AS h, 1 AS in_a, 0 AS in_b FROM da
+    UNION ALL
+    SELECT CAST({h} AS DOUBLE) / {scale} AS h, 0 AS in_a, 1 AS in_b FROM db
+  ) GROUP BY h
+),
+bottom AS (SELECT * FROM merged ORDER BY h LIMIT {KMV_K})
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} / max(h) END, 6) AS union_estimate,
+       round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard_estimate,
+       round((CAST(sum(in_a * in_b) AS DOUBLE) / count(*))
+             * CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                    ELSE {float(KMV_K - 1)} / max(h) END, 6) AS intersect_estimate
+FROM bottom
+"""
+
+
+def _table_diff_sql() -> str:
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"]
+    eq_all = " AND ".join(
+        f"o.{c} IS NOT DISTINCT FROM n.{c}" for c in cols
+    )
+    per_col = ", ".join(
+        f"CASE WHEN NOT (o.{c} IS NOT DISTINCT FROM n.{c}) THEN '{c}' END"
+        for c in cols
+    )
+    return f"""
+WITH newt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + {DIFF_ADD_OFFSET}, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN {eq_all} THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                 AND NOT ({eq_all})
+            THEN array_to_string(list_filter([{per_col}], x -> x IS NOT NULL), ',')
+            ELSE '' END AS changed_columns
+FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5231,6 +5350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_documents": _q_hybrid_rrf,
         "psi_value_drift_events": _q_psi_drift,
         "k_anonymity_customer": _q_k_anonymity,
+        "kmv_overlap_halves_events": _q_kmv_overlap,
+        "table_diff_orders": _q_table_diff,
         # --- the round-4 window follows ---
         # (boilerplate removal, domain census, CDC upsert, SCD2,
         # quality-aware keep-best dedup), then
@@ -5403,6 +5524,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_documents": _hybrid_rrf_sql(),
         "psi_value_drift_events": _psi_drift_sql(),
         "k_anonymity_customer": _k_anonymity_sql(),
+        "kmv_overlap_halves_events": _kmv_overlap_sql(),
+        "table_diff_orders": _table_diff_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

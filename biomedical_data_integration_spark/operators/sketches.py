@@ -356,3 +356,72 @@ def streaming_histogram(
         .groupBy(bucket.alias("bin"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+def kmv_intersect(
+    a: DataFrame,
+    b: DataFrame,
+    col_a: str,
+    col_b: str | None = None,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Theta-sketch-style set operations from two KMV sketches: distinct
+    union, intersection, and Jaccard estimates for ``a[col_a]`` vs
+    ``b[col_b]`` (default ``col_a``) — audience-overlap / retention-set
+    arithmetic without materializing either set.
+
+    Method (Dasgupta et al., the KMV/theta estimator): take the k
+    smallest salted-md5 hashes of the UNION of both distinct domains
+    (threshold = the k-th hash); every kept hash remembers which sides
+    it appeared on. Then ``union_estimate`` is the usual KMV read-out,
+    ``jaccard_estimate = |kept on both| / |kept|``, and
+    ``intersect_estimate = jaccard * union``. Exact (not estimated) when
+    the union fits under k. Deterministic: same salt => same hashes in
+    any engine, so sketches built on different clusters/days merge and
+    compare reproducibly.
+
+    Scale shape: per side ONE distinct + hash projection; the merge is a
+    union + groupBy on the hash (map-side combinable) and a global
+    bottom-k (TakeOrderedAndProject). Nothing is corpus-sized after the
+    distinct.
+    """
+    if k < 2:
+        raise ValueError("kmv_intersect: k must be >= 2")
+    col_b = col_b or col_a
+
+    def side(df: DataFrame, col: str, tag: str) -> DataFrame:
+        return (
+            df.select(F.col(col))
+            .where(F.col(col).isNotNull())
+            .distinct()
+            .select(
+                (md5_bigint(F.col(col), salt=salt).cast("double") / HASH_SCALE)
+                .alias("__h"),
+                F.lit(1 if tag == "a" else 0).alias("__in_a"),
+                F.lit(1 if tag == "b" else 0).alias("__in_b"),
+            )
+        )
+
+    merged = (
+        side(a, col_a, "a")
+        .unionByName(side(b, col_b, "b"))
+        .groupBy("__h")
+        .agg(
+            F.max("__in_a").alias("__in_a"),
+            F.max("__in_b").alias("__in_b"),
+        )
+    )
+    bottom = merged.orderBy("__h").limit(k)
+    union_est = F.when(
+        F.count("*") < k, F.count("*").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.max("__h"))
+    n_both = F.sum(F.col("__in_a") * F.col("__in_b")).cast("bigint")
+    jacc = n_both.cast("double") / F.count("*")
+    return bottom.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        n_both.alias("n_both"),
+        F.round(union_est, 6).alias("union_estimate"),
+        F.round(jacc, 6).alias("jaccard_estimate"),
+        F.round(jacc * union_est, 6).alias("intersect_estimate"),
+    )

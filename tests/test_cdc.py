@@ -142,3 +142,44 @@ def test_upsert_snapshot_delete_tombstones(spark):
         for r in upsert_snapshot(df, ["k"], ["ver"]).collect()
     }
     assert set(plain) == {1, 2, 3} and plain[1] is None
+
+
+def test_table_diff_classifies_all_change_types(spark):
+    from biomedical_data_integration_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "", 40.0), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    got = {r["k"]: r for r in table_diff(old, new, ["k"]).collect()}
+    assert got[1]["change_type"] == "unchanged" and got[1]["changed_columns"] == []
+    assert got[2]["change_type"] == "changed" and got[2]["changed_columns"] == ["s"]
+    assert got[3]["change_type"] == "removed"
+    assert got[5]["change_type"] == "added"
+    # NULL -> '' is a CHANGE (null-tagged canonical form)
+    assert got[4]["change_type"] == "changed" and got[4]["changed_columns"] == ["s"]
+
+
+def test_table_diff_respects_compare_cols(spark):
+    from biomedical_data_integration_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], ["k", "s", "v"])
+    new = spark.createDataFrame([(1, "a", 9.0)], ["k", "s", "v"])
+    got = table_diff(old, new, ["k"], compare_cols=["s"]).collect()[0]
+    assert got["change_type"] == "unchanged"
+
+
+def test_table_diff_validates_args(spark):
+    import pytest
+
+    from biomedical_data_integration_spark.operators.cdc import table_diff
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError):
+        table_diff(df, df, [])
+    with pytest.raises(ValueError):
+        table_diff(df, df, ["k"])

@@ -222,3 +222,52 @@ def test_streaming_histogram_snapshot_equals_batch(spark):
         got = {r["bin"]: r["n"]
                for r in spark.sql("SELECT * FROM hist_stream_test").collect()}
     assert got == want
+
+
+def test_kmv_intersect_exact_under_k(spark):
+    from biomedical_data_integration_spark.operators.sketches import kmv_intersect
+
+    a = spark.createDataFrame([(i,) for i in range(20)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(10, 30)], ["v"])
+    row = kmv_intersect(a, b, "v", k=64).collect()[0]
+    # union of 30 values fits under k -> everything exact
+    assert row["n_kept"] == 30
+    assert row["union_estimate"] == 30.0
+    assert row["n_both"] == 10
+    assert row["intersect_estimate"] == 10.0
+    assert abs(row["jaccard_estimate"] - 10.0 / 30.0) < 1e-6
+
+
+def test_kmv_intersect_estimates_above_k(spark):
+    from biomedical_data_integration_spark.operators.sketches import kmv_intersect
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], ["v"])
+    row = kmv_intersect(a, b, "v", k=128).collect()[0]
+    assert row["n_kept"] == 128
+    # true union 1500, intersection 500, jaccard 1/3 — sketch within ~35%
+    assert 1000 < row["union_estimate"] < 2100
+    assert 0.15 < row["jaccard_estimate"] < 0.55
+    assert 250 < row["intersect_estimate"] < 850
+
+
+def test_kmv_intersect_disjoint_sets(spark):
+    from biomedical_data_integration_spark.operators.sketches import kmv_intersect
+
+    a = spark.createDataFrame([(i,) for i in range(50)], ["v"])
+    b = spark.createDataFrame([(i,) for i in range(100, 150)], ["v"])
+    row = kmv_intersect(a, b, "v", k=256).collect()[0]
+    assert row["n_both"] == 0
+    assert row["intersect_estimate"] == 0.0
+
+
+def test_kmv_intersect_merge_determinism(spark):
+    """Same data partitioned differently -> identical sketch read-out."""
+    from biomedical_data_integration_spark.operators.sketches import kmv_intersect
+
+    a1 = spark.createDataFrame([(i,) for i in range(300)], ["v"])
+    a2 = a1.repartition(7)
+    b = spark.createDataFrame([(i,) for i in range(150, 450)], ["v"])
+    r1 = kmv_intersect(a1, b, "v", k=64).collect()[0]
+    r2 = kmv_intersect(a2, b, "v", k=64).collect()[0]
+    assert r1 == r2
