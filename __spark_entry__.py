@@ -5323,6 +5323,108 @@ FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# data selection: DSIR weights + duplicated-span coverage (round 5)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_SMOOTH = 0.5
+DUPCOV_SHINGLE_WORDS = 3
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py dsir_weights):
+    hashed-unigram log-likelihood ratio of each document under the
+    English-subset target vs the whole corpus — the data-selection
+    signal for tilting a crawl toward a target domain."""
+    from biomedical_data_integration_spark.operators.sampling import dsir_weights
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        n_buckets=DSIR_BUCKETS,
+        smoothing=DSIR_SMOOTH,
+    )
+
+
+def _q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated n-gram ratio (operators/dedup.py
+    duplicate_ngram_coverage): span-level boilerplate signal via one
+    inverted shingle index — never all-pairs."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        duplicate_ngram_coverage,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return duplicate_ngram_coverage(
+        docs, shingle_words=DUPCOV_SHINGLE_WORDS
+    )
+
+
+def _dsir_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    bucket = (
+        "(" + _sql_hex_head_value("md5('dsir|' || tok)") + f") % {DSIR_BUCKETS}"
+    )
+    s = repr(DSIR_SMOOTH)
+    sb = repr(DSIR_SMOOTH * DSIR_BUCKETS)
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+occ AS (
+  SELECT id, {bucket} AS bucket
+  FROM (SELECT id, unnest(t) AS tok FROM toks)
+),
+tocc AS (
+  SELECT {bucket} AS bucket
+  FROM (SELECT unnest({toks}) AS tok FROM documents WHERE lang = 'en')
+),
+rcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw FROM occ GROUP BY 1),
+tcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_target FROM tocc GROUP BY 1),
+tt AS (SELECT CAST(sum(n_target) AS BIGINT) AS v FROM tcnt),
+tr AS (SELECT CAST(sum(n_raw) AS BIGINT) AS v FROM rcnt),
+model AS (
+  SELECT coalesce(r.bucket, t.bucket) AS bucket,
+         CAST(floor((ln((coalesce(t.n_target, 0) + {s}) / (tt.v + {sb}))
+                     - ln((coalesce(r.n_raw, 0) + {s}) / (tr.v + {sb})))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lr
+  FROM rcnt r FULL OUTER JOIN tcnt t ON r.bucket = t.bucket
+  CROSS JOIN tt CROSS JOIN tr
+),
+sc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lr) AS BIGINT) AS s
+  FROM occ JOIN model USING (bucket) GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(sc.s AS DOUBLE) / 1000000.0 AS log_weight,
+       CASE WHEN sc.n_tokens > 0
+            THEN CAST(sc.s AS DOUBLE) / (sc.n_tokens * 1000000.0) END
+         AS avg_log_ratio
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.id
+"""
+
+
+def _dup_coverage_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    shingles = _sql_shingles("t", DUPCOV_SHINGLE_WORDS)
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+sh AS (SELECT DISTINCT id, unnest({shingles}) AS shingle FROM toks),
+dfreq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles
+  FROM sh JOIN dfreq USING (shingle) GROUP BY id
+)
+SELECT id AS doc_id, n_shingles, n_dup_shingles,
+       round(CAST(n_dup_shingles AS DOUBLE) / n_shingles, 6) AS dup_coverage
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5352,6 +5454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customer": _q_k_anonymity,
         "kmv_overlap_halves_events": _q_kmv_overlap,
         "table_diff_orders": _q_table_diff,
+        "dsir_weights_documents": _q_dsir_weights,
+        "dup_ngram_coverage_documents": _q_dup_ngram_coverage,
         # --- the round-4 window follows ---
         # (boilerplate removal, domain census, CDC upsert, SCD2,
         # quality-aware keep-best dedup), then
@@ -5526,6 +5630,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_customer": _k_anonymity_sql(),
         "kmv_overlap_halves_events": _kmv_overlap_sql(),
         "table_diff_orders": _table_diff_sql(),
+        "dsir_weights_documents": _dsir_sql(),
+        "dup_ngram_coverage_documents": _dup_coverage_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

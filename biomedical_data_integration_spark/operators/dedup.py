@@ -828,3 +828,51 @@ def keep_best_duplicates(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-document duplicated-text ratio: the fraction of a document's
+    distinct word n-grams that also occur in at least one OTHER document
+    — the span-level signal behind "deduplicate training data" style
+    filtering (docs made of boilerplate score near 1 even when no single
+    full-document duplicate exists; cf. exact-substring dedup in Lee et
+    al., ACL'22). Filter ``dup_coverage >= t`` to drop template-heavy
+    documents that pairwise dedup (:func:`ngram_jaccard_pairs`) misses.
+
+    Returns ``(id_col, n_shingles, n_dup_shingles, dup_coverage)``;
+    coverage is a ratio of integers rounded to 6 decimals (exact
+    cross-engine).
+
+    Scale shape: one shingle explode (distinct per doc), one shingle-
+    keyed groupBy for document frequency (map-side combinable; the
+    shuffle carries (shingle, df) not text), one join back on shingle,
+    one id-keyed count. The same inverted-index discipline as the
+    n-gram dedup family — never all-pairs.
+    """
+    sh = shingle_sets(df, text_col, id_col, shingle_words)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__df") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_dup_shingles",
+        F.round(
+            F.col("n_dup_shingles").cast("double") / F.col("n_shingles"), 6
+        ).alias("dup_coverage"),
+    )
