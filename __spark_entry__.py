@@ -5425,6 +5425,107 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# association rules + EWMA smoothing (round 5)
+# ---------------------------------------------------------------------------
+
+ASSOC_MIN_SUPPORT = 10
+EWMA_WINDOW = 8
+EWMA_ALPHA = 0.5
+
+
+def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/rules.py): orders as
+    baskets, part brands as items (broadcast part-dim join). The apriori
+    item-support pregate bounds the basket self-join before pair
+    counting."""
+    from biomedical_data_integration_spark.operators.rules import (
+        association_rules,
+    )
+
+    lineitem, part = _tables(spark, sf_dir, "lineitem", "part")
+    baskets = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        baskets, "l_orderkey", "p_brand", min_support=ASSOC_MIN_SUPPORT
+    )
+
+
+def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA smoothing of event values per user
+    (streaming/events.py ewma_smooth): 8 stacked lags sharing ONE
+    window spec — one exchange + one sort, no self-join."""
+    from biomedical_data_integration_spark.streaming.events import ewma_smooth
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return ewma_smooth(
+        staged, ts_col="ts_us", window=EWMA_WINDOW, alpha=EWMA_ALPHA
+    ).select("event_id", "value", "ewma")
+
+
+def _assoc_rules_sql() -> str:
+    ms = ASSOC_MIN_SUPPORT
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL
+),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM items),
+supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+freq AS (SELECT item FROM supp WHERE s >= {ms}),
+pruned AS (SELECT basket, item FROM items JOIN freq USING (item)),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS ps
+  FROM pruned a JOIN pruned b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {ms}
+),
+dirs AS (
+  SELECT item_a AS antecedent, item_b AS consequent, ps FROM pairs
+  UNION ALL
+  SELECT item_b AS antecedent, item_a AS consequent, ps FROM pairs
+)
+SELECT antecedent, consequent, ps AS pair_support,
+       round(CAST(ps AS DOUBLE) / sa.s, 6) AS confidence,
+       round((CAST(ps AS DOUBLE) / sa.s) / (CAST(sc.s AS DOUBLE) / nb.n), 6)
+         AS lift
+FROM dirs
+JOIN supp sa ON dirs.antecedent = sa.item
+JOIN supp sc ON dirs.consequent = sc.item
+CROSS JOIN nb
+"""
+
+
+def _ewma_sql() -> str:
+    terms = []
+    pres = []
+    for i in range(EWMA_WINDOW):
+        wt = repr((1.0 - EWMA_ALPHA) ** i)
+        lag = "v" if i == 0 else f"lag(v, {i}) OVER w"
+        terms.append(
+            f"(CASE WHEN {lag} IS NOT NULL THEN ({lag}) * {wt} ELSE 0.0 END)"
+        )
+        pres.append(f"(CASE WHEN {lag} IS NOT NULL THEN {wt} ELSE 0.0 END)")
+    num = " + ".join(terms)
+    den = " + ".join(pres)
+    return f"""
+WITH staged AS (
+  SELECT event_id, value, user_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+)
+SELECT event_id, value,
+       floor((({num}) / ({den})) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM staged
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5456,6 +5557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_orders": _q_table_diff,
         "dsir_weights_documents": _q_dsir_weights,
         "dup_ngram_coverage_documents": _q_dup_ngram_coverage,
+        "assoc_rules_brands": _q_assoc_rules,
+        "ewma_value_events": _q_ewma_events,
         # --- the round-4 window follows ---
         # (boilerplate removal, domain census, CDC upsert, SCD2,
         # quality-aware keep-best dedup), then
@@ -5632,6 +5735,8 @@ def oracle_sql() -> dict[str, str]:
         "table_diff_orders": _table_diff_sql(),
         "dsir_weights_documents": _dsir_sql(),
         "dup_ngram_coverage_documents": _dup_coverage_sql(),
+        "assoc_rules_brands": _assoc_rules_sql(),
+        "ewma_value_events": _ewma_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

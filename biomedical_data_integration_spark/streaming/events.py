@@ -1681,3 +1681,55 @@ def m4_downsample(
         *gcols, "bucket", "r.role", "r.epoch",
         F.round("r.value", 4).alias("value"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    window: int = 8,
+    tiebreak_col: str = "event_id",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key over event order —
+    the standard smoothing pass before thresholding a noisy metric
+    (pairs with :func:`rate_anomalies` / robust z-scores).
+
+    Truncated form: each row's EWMA uses its last ``window`` values with
+    weights ``(1-alpha)^i`` (i = lag distance), normalized over the
+    weights actually present — so the head of a series is an average of
+    what exists, not biased toward a fake zero history.
+
+    Spark-first shape: ``window`` stacked ``lag`` expressions SHARING
+    ONE window spec — one key-hash exchange + one sort, no self-join,
+    no per-row list building. The weighted sum is a fixed-shape
+    expression tree over the lags, so both engines evaluate the
+    identical IEEE arithmetic (weights are rendered literals; output
+    floor-quantized to 6 decimals). The lag stack is O(window) columns:
+    for windows beyond ~32 use a range-frame aggregate instead.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("ewma_smooth: alpha must be in (0, 1]")
+    if window < 1:
+        raise ValueError("ewma_smooth: window must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    v = F.col(value_col).cast("double")
+    lags = [v if i == 0 else F.lag(v, i).over(w) for i in range(window)]
+    weights = [(1.0 - alpha) ** i for i in range(window)]
+    num = None
+    den = None
+    for lag_expr, wt in zip(lags, weights):
+        term = F.when(lag_expr.isNotNull(), lag_expr * F.lit(wt)).otherwise(
+            F.lit(0.0)
+        )
+        pres = F.when(lag_expr.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    smoothed = F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return df.withColumn(out_col, smoothed)
