@@ -202,3 +202,87 @@ def rrf_fuse(
         .limit(top_k)
         .withColumnRenamed("id", id_col)
     )
+
+
+def bm25_query_scorer(
+    corpus: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Compile ``query`` against a corpus's BM25 statistics into a
+    STATELESS per-row scorer — the streaming face of
+    :func:`bm25_search`.
+
+    The per-term idf and the corpus ``avgdl`` are collected ONCE at
+    compile time (a query holds a handful of terms; the collect is
+    term-count-sized), then baked into a pure expression: per row,
+    ``tf`` of each query term comes from an array filter over the
+    row's own tokens — no joins, no aggregation — so the returned
+    callable maps batch AND streaming DataFrames alike (the
+    ``streaming_materialize`` discipline) and emits the exact score
+    :func:`bm25_search` computes for the same document against the same
+    corpus (same quantized idf, same micro-unit summation).
+
+    Returns ``scorer(df) -> df + (n_terms_hit, score)``.
+    """
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("bm25_query_scorer: query has no tokens")
+    postings = bm25_postings(corpus, id_col=id_col, text_col=text_col)
+    doclens = postings.groupBy("id").agg(F.first("dl").alias("dl"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    dfreq = {
+        r["term"]: r["df"]
+        for r in postings.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .collect()
+    }
+    import math
+
+    idf6 = {
+        t: math.floor(
+            math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5
+        )
+        / 1e6
+        for t, df in dfreq.items()
+        if df > 0
+    }
+
+    from .text import tokens_expr
+
+    def scorer(df: DataFrame) -> DataFrame:
+        toks = tokens_expr(F.col(text_col))
+        staged = df.withColumn("__toks", toks).withColumn(
+            "__dl", F.size(F.col("__toks"))
+        )
+        score = F.lit(0).cast("bigint")
+        hits = F.lit(0)
+        for t, w in sorted(idf6.items()):
+            tf = F.size(
+                F.filter(F.col("__toks"), lambda x: x == F.lit(t))
+            ).cast("double")
+            tfpart = (tf * F.lit(k1 + 1.0)) / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+            )
+            term_si = F.floor(F.lit(w) * tfpart * F.lit(1e6) + F.lit(0.5)).cast(
+                "bigint"
+            )
+            score = score + F.when(tf > 0, term_si).otherwise(F.lit(0))
+            hits = hits + F.when(tf > 0, F.lit(1)).otherwise(F.lit(0))
+        return (
+            staged.withColumn("n_terms_hit", hits.cast("bigint"))
+            .withColumn("score", score.cast("double") / F.lit(1e6))
+            .drop("__toks", "__dl")
+        )
+
+    return scorer

@@ -1733,3 +1733,149 @@ def ewma_smooth(
         den = pres if den is None else den + pres
     smoothed = F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return df.withColumn(out_col, smoothed)
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    tiebreak_col: str = "event_id",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming recursive EWMA per key (``applyInPandasWithState``):
+    the stateful face of :func:`ewma_smooth`. Each key carries ONE
+    number of state — the last smoothed value — and every arriving row
+    emits ``ewma = alpha * v + (1 - alpha) * prev`` folded in (ts,
+    tiebreak) order within the batch.
+
+    Relationship to the batch twin: :func:`ewma_smooth` truncates the
+    recursion at ``window`` lags, so the two agree up to a
+    ``(1-alpha)^window`` tail (identical as window -> inf on the same
+    prefix). State is O(1) per key; ``state_ttl_minutes`` expires idle
+    keys the way the other stateful faces do.
+
+    Output schema = input schema + ``ewma`` double.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("streaming_ewma: alpha must be in (0, 1]")
+    out_schema = StructType(
+        list(stream.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+    cols = [f.name for f in stream.schema.fields]
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
+    a = float(alpha)
+
+    def _fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if not batches:
+            return
+        allrows = pd.concat(batches, ignore_index=True).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort"
+        )
+        prev = state.get[0] if state.exists else None
+        out = []
+        for v in allrows[value_col].astype(float):
+            prev = v if prev is None else a * v + (1.0 - a) * prev
+            out.append(prev)
+        allrows["ewma"] = out
+        state.update((float(prev),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield allrows[cols + ["ewma"]]
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType="last_ewma double",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_bin_counts(
+    stream: DataFrame,
+    boundaries: list[float],
+    value_col: str = "value",
+) -> DataFrame:
+    """Running per-bin counts of a value stream against FIXED bin
+    boundaries (bin = #boundaries <= v, the ``discretize`` convention;
+    boundaries typically come from ``type1_boundaries`` on a baseline
+    window, collected once). Stateless binning expression + ONE
+    streaming groupBy — the maintained side of a drift monitor; read
+    PSI out with :func:`psi_readout` against the frozen baseline
+    counts. Works identically on batch frames.
+    """
+    if not boundaries:
+        raise ValueError("streaming_bin_counts: need at least one boundary")
+    v = F.col(value_col).cast("double")
+    bnd = F.array(*[F.lit(float(b)) for b in boundaries])
+    bin_expr = F.aggregate(
+        bnd,
+        F.lit(0),
+        lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("int")
+    return (
+        stream.where(v.isNotNull())
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def psi_readout(
+    baseline_counts: DataFrame,
+    current_counts: DataFrame,
+    n_bins: int,
+) -> DataFrame:
+    """PSI from two materialized per-bin count tables (the frozen
+    baseline and a :func:`streaming_bin_counts` sink) — the read-out
+    half of the streaming drift monitor, sharing the exact smoothing
+    and quantization of ``operators.profiling.psi_drift``. Returns the
+    same per-bin + ``psi_total`` shape.
+    """
+    from pyspark.sql import Window
+
+    b = baseline_counts.select("bin", F.col("n").alias("n_baseline"))
+    c = current_counts.select("bin", F.col("n").alias("n_current"))
+    joined = b.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_baseline", F.lit(0)).cast("bigint").alias("n_baseline"),
+        F.coalesce("n_current", F.lit(0)).cast("bigint").alias("n_current"),
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    smooth = F.lit(0.5 * n_bins)
+    pb = (F.col("n_baseline") + F.lit(0.5)) / (
+        F.sum("n_baseline").over(tot) + smooth
+    )
+    pc = (F.col("n_current") + F.lit(0.5)) / (
+        F.sum("n_current").over(tot) + smooth
+    )
+    tm = F.floor((pb - pc) * F.log(pb / pc) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return joined.withColumn("__tm", tm).select(
+        "bin",
+        "n_baseline",
+        "n_current",
+        (F.col("__tm").cast("double") / F.lit(1e6)).alias("psi_term"),
+        (F.sum("__tm").over(tot).cast("double") / F.lit(1e6)).alias("psi_total"),
+    )

@@ -1,0 +1,162 @@
+"""Round-5 streaming faces: stateful EWMA, drift monitor, BM25 scorer."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from biomedical_data_integration_spark.streaming.events import (
+    ewma_smooth,
+    psi_readout,
+    streaming_bin_counts,
+    streaming_ewma,
+)
+
+
+def _run_stream(out, name, ckpt, mode="append"):
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    return sq
+
+
+def test_streaming_ewma_matches_recursion_across_batches(spark):
+    rows = [(1, i, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    batch = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        # two files -> two microbatches worth of data; state must carry over
+        batch.where(F.col("ts") < 2).coalesce(1).write.parquet(f"{d}/src/p1")
+        batch.where(F.col("ts") >= 2).coalesce(1).write.parquet(f"{d}/src/p2")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src/*")
+        )
+        out = streaming_ewma(stream, alpha=0.5)
+        assert out.isStreaming
+        _run_stream(out, "ewma_stream_t", f"{d}/ckpt")
+        got = {
+            r["ts"]: r["ewma"]
+            for r in spark.sql("SELECT * FROM ewma_stream_t").collect()
+        }
+    # recursive fold: 10, 15, 22.5, 31.25
+    assert got[0] == pytest.approx(10.0)
+    assert got[1] == pytest.approx(15.0)
+    assert got[2] == pytest.approx(22.5)
+    assert got[3] == pytest.approx(31.25)
+
+
+def test_streaming_ewma_agrees_with_wide_batch_window(spark):
+    """Truncated batch twin with a window >= series length equals the
+    infinite recursion only when normalization is removed; instead check
+    the two agree within the documented (1-alpha)^window tail."""
+    rows = [(1, i, i, float((i * 37) % 50)) for i in range(40)]
+    batch = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, value double"
+    )
+    wide = {
+        r["ts"]: r["ewma"] for r in ewma_smooth(batch, window=32).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        batch.coalesce(1).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(batch.schema).parquet(f"{d}/src")
+        _run_stream(streaming_ewma(stream, alpha=0.5), "ewma_stream_w", f"{d}/ckpt")
+        got = {
+            r["ts"]: r["ewma"]
+            for r in spark.sql("SELECT * FROM ewma_stream_w").collect()
+        }
+    for ts in range(35, 40):  # deep rows: truncation tail < 0.5^32
+        assert got[ts] == pytest.approx(wide[ts], abs=1e-4)
+
+
+def test_streaming_bin_counts_plus_readout_matches_batch_psi(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        psi_drift,
+        type1_boundaries,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i % 20)) for i in range(200)], ["id", "value"]
+    )
+    cur = spark.createDataFrame(
+        [(i, float(i % 20) + 5.0) for i in range(160)], ["id", "value"]
+    )
+    n_bins = 4
+    want = {
+        r["bin"]: r for r in psi_drift(base, cur, "value", n_bins=n_bins).collect()
+    }
+    bounds = type1_boundaries(base, "value", n_bins).collect()[0]["__boundaries"]
+    base_counts = streaming_bin_counts(base, bounds)  # batch frame: same expr
+    with tempfile.TemporaryDirectory() as d:
+        cur.coalesce(1).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(cur.schema).parquet(f"{d}/src")
+        out = streaming_bin_counts(stream, bounds)
+        assert out.isStreaming
+        _run_stream(out, "bins_stream_t", f"{d}/ckpt", mode="complete")
+        cur_counts = spark.sql("SELECT * FROM bins_stream_t")
+        got = {
+            r["bin"]: r
+            for r in psi_readout(base_counts, cur_counts, n_bins).collect()
+        }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["psi_term"] == pytest.approx(want[k]["psi_term"], abs=1e-9)
+        assert got[k]["psi_total"] == pytest.approx(want[k]["psi_total"], abs=1e-9)
+
+
+def test_bm25_query_scorer_matches_search_and_streams(spark):
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_query_scorer,
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the lazy dog sleeps all day long"),
+            (3, "a quick brown rabbit runs past the fox den"),
+            (4, "stock markets fell sharply on quarterly reports"),
+        ],
+        ["doc_id", "text"],
+    )
+    want = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_search(docs, "quick fox", top_k=10).collect()
+    }
+    scorer = bm25_query_scorer(docs, "quick fox")
+    batch_scores = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in scorer(docs).where(F.col("score") > 0).collect()
+    }
+    assert batch_scores == want
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{d}/src")
+        out = scorer(stream)
+        assert out.isStreaming  # stateless projection: no aggregation
+        _run_stream(out, "bm25_stream_t", f"{d}/ckpt")
+        got = {
+            r["doc_id"]: (r["n_terms_hit"], r["score"])
+            for r in spark.sql(
+                "SELECT * FROM bm25_stream_t WHERE score > 0"
+            ).collect()
+        }
+    assert got == want
+
+
+def test_streaming_ewma_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0, 1.0)], "user_id bigint, ts bigint, event_id bigint, value double"
+    )
+    with pytest.raises(ValueError):
+        streaming_ewma(df, alpha=1.5)
+    with pytest.raises(ValueError):
+        streaming_bin_counts(df, [])
