@@ -172,24 +172,31 @@ def kmeans(
                 "__cluster"
             ),
         )
-        # centroid update: ONE groupBy over k keys with dim avg columns —
-        # the shuffle carries k x dim partial sums per map partition
+        # centroid update: posexplode to (cluster, pos, val) then ONE
+        # groupBy over k x dim keys. Same math as a k-row groupBy with
+        # dim avg columns, but the generated aggregate stays small and
+        # STABLE across iterations — the wide-column form re-embeds each
+        # round's centroid literals into a dim-wide codegen unit that
+        # janino recompiles every iteration (measured 2x on sf0.1:
+        # 1.1-1.8 s/round wide vs 0.5-1.2 s/round exploded; the shuffle
+        # carries k x dim partial sums either way)
         new_rows = (
-            assigned.groupBy("__cluster")
+            assigned.select(
+                "__cluster", F.posexplode("__v").alias("__pos", "__val")
+            )
+            .groupBy("__cluster", "__pos")
             .agg(
-                *[
-                    F.round(F.avg(F.col("__v")[i].cast("double")), scale).alias(
-                        f"c{i}"
-                    )
-                    for i in range(dim)
-                ]
+                F.round(F.avg(F.col("__val").cast("double")), scale).alias(
+                    "__m"
+                )
             )
             .collect()
         )
-        updated = {
-            int(r["__cluster"]): [float(r[f"c{i}"]) for i in range(dim)]
-            for r in new_rows
-        }
+        updated: dict = {}
+        for r in new_rows:
+            updated.setdefault(int(r["__cluster"]), [0.0] * dim)[
+                int(r["__pos"])
+            ] = float(r["__m"])
         centroids = [updated.get(i, centroids[i]) for i in range(k)]
 
     final = df.select(
@@ -238,6 +245,13 @@ def semantic_dedup(
         n = df.count()
         k = max(1, min(n, math.ceil(n / target_cluster_size)))
     assigned, _ = kmeans(df, vec_col, id_col, k=k, max_iter=max_iter, scale=scale)
+    # the assignment table is referenced three times below (both join
+    # sides and the survivor anti-join); left lazy, each reference
+    # replays the k-centroid assignment fold over the corpus. Pin the
+    # (id, cluster)-sized table once — the pagerank edge-table
+    # localCheckpoint discipline (measured ~25% off the whole operator
+    # at sf0.1)
+    assigned = assigned.select(id_col, "cluster").localCheckpoint(eager=True)
     # norms fold once per VECTOR here, not once per pair — the O(dim)
     # norm-in-the-join anti-pattern measured 2x+ on the all-pairs plans
     # (see operators/similarity._pair_cosine); arithmetic is unchanged
