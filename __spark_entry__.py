@@ -5526,6 +5526,152 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 
 
 # ---------------------------------------------------------------------------
+# BFS neighborhoods + survivorship + imputation (round 5, wave 2)
+# ---------------------------------------------------------------------------
+
+BFS_SEED_TOKEN = "spark"
+BFS_MAX_HOPS = 2
+GOLDEN_CLUSTER_MOD = 200
+IMPUTE_NULL_MOD = 11
+
+
+def _q_bfs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distances (operators/graph.py bfs_distances) over
+    the token-adjacency graph: min hops from the seed token within 2.
+    Per hop ONE frontier-edge equi-join; frontier/visited tables
+    localCheckpoint-pinned (the pagerank discipline)."""
+    from biomedical_data_integration_spark.operators.graph import (
+        bfs_distances,
+        token_adjacency_edges,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    edges = token_adjacency_edges(docs)
+    seeds = spark.createDataFrame([(BFS_SEED_TOKEN,)], "node string")
+    return bfs_distances(edges, seeds, max_hops=BFS_MAX_HOPS)
+
+
+def _q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/linkage.py golden_record):
+    collapse synthetic customer clusters to one canonical row per
+    cluster — modal value per column, ties to the smallest."""
+    from biomedical_data_integration_spark.operators.linkage import golden_record
+
+    (customer,) = _tables(spark, sf_dir, "customer")
+    staged = customer.select(
+        (F.col("c_custkey") % GOLDEN_CLUSTER_MOD).alias("cluster"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return golden_record(staged, "cluster")
+
+
+def _q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise type-1 median imputation (operators/profiling.py
+    impute_missing): event values deterministically nulled on
+    event_id % 11 then filled with the per-type median — exact integer
+    rank arithmetic, no interpolated percentile."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        impute_missing,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % IMPUTE_NULL_MOD != 0, F.col("value")).alias(
+            "value"
+        ),
+    )
+    return impute_missing(
+        staged, ["value"], "median", group_col="event_type"
+    ).select("event_id", "value", "value_was_null")
+
+
+def _bfs_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+WITH toksrc AS (SELECT {toks} AS ts FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+         i -> struct_pack(src := ts[i], dst := ts[i + 1]))) AS e
+  FROM toksrc WHERE len(ts) >= 2
+),
+e AS (
+  SELECT DISTINCT e.src AS src, e.dst AS dst FROM pairs
+  WHERE e.src IS NOT NULL AND e.dst IS NOT NULL
+),
+d0(node) AS (VALUES ('{BFS_SEED_TOKEN}')),
+n1 AS (
+  SELECT DISTINCT e.dst AS node FROM d0 JOIN e ON d0.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+),
+n2 AS (
+  SELECT DISTINCT e.dst AS node FROM n1 JOIN e ON n1.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM n1)
+)
+SELECT node, CAST(0 AS INTEGER) AS distance FROM d0
+UNION ALL SELECT node, CAST(1 AS INTEGER) FROM n1
+UNION ALL SELECT node, CAST(2 AS INTEGER) FROM n2
+"""
+
+
+def _golden_record_sql() -> str:
+    def winner(col: str) -> str:
+        return f"""
+  (SELECT {col} FROM (
+     SELECT {col}, count(*) AS n FROM staged s2
+     WHERE s2.cluster = c.cluster AND s2.{col} IS NOT NULL
+     GROUP BY {col} ORDER BY n DESC, {col} ASC LIMIT 1
+   )) AS {col}"""
+
+    return f"""
+WITH staged AS (
+  SELECT c_custkey % {GOLDEN_CLUSTER_MOD} AS cluster, c_mktsegment, c_nationkey
+  FROM customer
+),
+c AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+  FROM staged GROUP BY cluster
+)
+SELECT cluster,{winner("c_mktsegment")},{winner("c_nationkey")},
+       n_members
+FROM c
+"""
+
+
+def _impute_median_sql() -> str:
+    return f"""
+WITH staged AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % {IMPUTE_NULL_MOD} <> 0 THEN value END AS value
+  FROM events
+),
+dd AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, count(*) AS c
+  FROM staged WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM dd
+),
+med AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS fill
+  FROM cum GROUP BY event_type
+)
+SELECT s.event_id,
+       coalesce(s.value, m.fill) AS value,
+       s.value IS NULL AS value_was_null
+FROM staged s LEFT JOIN med m ON s.event_type = m.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5548,9 +5694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001) and tools/check_oracle.py."""
     return {
         # --- graded window (first 50), round 5 ---
-        # 1-10: the NEW round-5 operator families (retrieval, drift,
+        # 1-13: the NEW round-5 operator families (retrieval, drift,
         # privacy, sketch set-ops, snapshot diff, selection, rules,
-        # EWMA) so the driver grades them on first contact.
+        # EWMA, BFS, survivorship, imputation) so the driver grades
+        # them on first contact.
         "bm25_search_documents": _q_bm25_search,
         "hybrid_rrf_documents": _q_hybrid_rrf,
         "psi_value_drift_events": _q_psi_drift,
@@ -5561,7 +5708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage_documents": _q_dup_ngram_coverage,
         "assoc_rules_brands": _q_assoc_rules,
         "ewma_value_events": _q_ewma_events,
-        # 11-29: round-4 additions that sat OUTSIDE r4's window --
+        "bfs_token_graph": _q_bfs_tokens,
+        "golden_record_customers": _q_golden_record,
+        "impute_median_events": _q_impute_median,
+        # 14-32: round-4 additions that sat OUTSIDE r4's window --
         # never driver-graded until now (replica-verified locally
         # every round).
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -5583,7 +5733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts_tokens": _q_triangle_counts,
         "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
         "zorder_key_events": _q_zorder_key_events,
-        # 30-44: veterans whose last driver grade was round 2 --
+        # 33-47: veterans whose last driver grade was round 2 --
         # the oldest driver-side evidence in the registry.
         "events_sessionize_30m": _q_events_sessionize,
         "events_tumbling_hourly": _q_events_tumbling,
@@ -5600,7 +5750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority_semijoin": _q_tpch_q4,
         "tpch_q5_local_supplier_volume": _q_tpch_q5,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
-        # 45-50: oldest round-3-graded veterans rotated back through.
+        # 48-50: oldest round-3-graded veterans rotated back through
+        # (the other three r3 picks slid to the tail when wave 2 landed).
         "harmonize_end_to_end": _q_harmonize_end_to_end,
         "multimodal_image_features": _q_multimodal_features,
         "multimodal_audio_features": _q_multimodal_audio,
@@ -5728,6 +5879,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_coverage_documents": _dup_coverage_sql(),
         "assoc_rules_brands": _assoc_rules_sql(),
         "ewma_value_events": _ewma_sql(),
+        "bfs_token_graph": _bfs_sql(),
+        "golden_record_customers": _golden_record_sql(),
+        "impute_median_events": _impute_median_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

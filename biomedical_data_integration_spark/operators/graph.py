@@ -336,3 +336,63 @@ def triangle_counts(
             cc.alias("clustering"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source breadth-first distances: the minimum hop count from
+    any source node to every node within ``max_hops`` — the bounded
+    NEIGHBORHOOD expansion behind "within k links of a seed set"
+    queries (contamination spread, related-entity pull, link-graph
+    crawl frontiers).
+
+    ``edges`` is ``(src, dst[, weight])``; ``sources`` one column of
+    seed node ids. Returns ``(node, distance)`` with sources at 0.
+
+    Per hop: ONE edge-sized equi-join from the current frontier + one
+    min-aggregation — never node²; the visited set and frontier are
+    ``localCheckpoint``-pinned each round (the pagerank discipline) so
+    iteration ``k`` never replays rounds ``0..k-1``. Frontier rows are
+    the only state; at 100 TB the join is shuffle-partitioned on the
+    node id and hop ``k`` touches only edges incident to the frontier.
+    Deterministic: distances are pure integer minima (the oracle
+    replays them as a recursive CTE).
+    """
+    if max_hops < 0:
+        raise ValueError("bfs_distances: max_hops must be >= 0")
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    src_col = sources.columns[0]
+    visited = (
+        sources.select(F.col(src_col).cast("string").alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("distance", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("distance").cast("int").alias("distance"))

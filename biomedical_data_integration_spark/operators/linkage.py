@@ -129,3 +129,50 @@ def link_records(
             "score",
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster (the output of
+    :func:`link_records` + ``duplicate_clusters``, or any grouping) to
+    ONE canonical row — per column, the modal non-null value with ties
+    broken by the smallest value. The master-data "golden record" step
+    that follows matching in an MDM pipeline.
+
+    Returns one row per cluster: ``(cluster_col, <value_cols...>,
+    n_members)``. Deterministic: (count DESC, value ASC) is a total
+    order, so the survivor is a pure function of the cluster contents.
+
+    Scale shape: per column, one map-side-combinable
+    ``groupBy(cluster, value).count`` + one cluster-keyed argmax window
+    — never a per-cluster collect. Columns process as independent jobs
+    joined back on the cluster key (each join is cluster-count-sized).
+    """
+    from pyspark.sql import Window
+
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c != cluster_col]
+    if not value_cols:
+        raise ValueError("golden_record: need at least one value column")
+    out = df.groupBy(F.col(cluster_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    for c in value_cols:
+        counts = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(cluster_col), F.col(c))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.desc("__n"), F.asc(c)
+        )
+        winner = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select(F.col(cluster_col), F.col(c))
+        )
+        out = out.join(winner, cluster_col, "left")
+    return out.select(cluster_col, *value_cols, "n_members")

@@ -697,3 +697,108 @@ def suppress_below_k(
         .where(F.col("__cs") >= F.lit(k))
         .drop("__cs")
     )
+
+
+def impute_missing(
+    df: DataFrame,
+    cols: list[str],
+    strategy: str = "mean",
+    group_col: str = None,
+    fill_value=None,
+) -> DataFrame:
+    """Fill NULLs in ``cols`` — the feature-prep step between profiling
+    (which found the nulls) and training. Strategies:
+
+    - ``mean``: per-group (or global) average.
+    - ``median``: per-group type-1 median — the ACTUAL data value at
+      integer rank ``ceil(n/2)`` (same bit-deterministic convention as
+      :func:`type1_boundaries`; interpolated medians drift cross-engine).
+    - ``mode``: most frequent value, ties to the smallest.
+    - ``constant``: ``fill_value`` verbatim.
+
+    Adds ``<col>_was_null`` boolean flags (models often want
+    missingness as signal) and fills in place. One aggregation per
+    column (map-side combinable, group-keyed) broadcast back — no
+    shuffle of the fact table.
+    """
+    from pyspark.sql import Window
+
+    if strategy not in ("mean", "median", "mode", "constant"):
+        raise ValueError(f"impute_missing: unknown strategy {strategy!r}")
+    if not cols:
+        raise ValueError("impute_missing: need at least one column")
+    if strategy == "constant" and fill_value is None:
+        raise ValueError("impute_missing: constant strategy needs fill_value")
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}_was_null", F.col(c).isNull())
+    if strategy == "constant":
+        return out.fillna({c: fill_value for c in cols})
+    gkey = (
+        [F.lit(0).alias("__g")]
+        if group_col is None
+        else [F.col(group_col).alias("__g")]
+    )
+    joink = F.lit(0) if group_col is None else F.col(group_col)
+    for c in cols:
+        # mean/median are numeric (cast); mode keeps the native type
+        vexpr = (
+            F.col(c) if strategy == "mode" else F.col(c).cast("double")
+        )
+        nn = df.where(F.col(c).isNotNull()).select(
+            *gkey, vexpr.alias("__v")
+        )
+        if strategy == "mean":
+            fills = nn.groupBy("__g").agg(F.avg("__v").alias("__fill"))
+        elif strategy == "median":
+            # type-1 median: value at rank ceil(n/2) off the per-group
+            # distinct-value cumulative-frequency table
+            dd = nn.groupBy("__g", "__v").agg(F.count("*").alias("__c"))
+            wcum = (
+                Window.partitionBy("__g")
+                .orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            wtot = Window.partitionBy("__g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            cum = dd.select(
+                "__g",
+                "__v",
+                F.sum("__c").over(wcum).alias("__cum"),
+                F.sum("__c").over(wtot).alias("__n"),
+            )
+            fills = cum.groupBy("__g").agg(
+                F.min(
+                    F.when(
+                        # integer rank ceil(n/2) — (n+1) div 2, never the
+                        # float (n+1)/2 (rank 2.5 would shift even-n
+                        # medians up one value)
+                        F.col("__cum") >= F.expr("(__n + 1) div 2"),
+                        F.col("__v"),
+                    )
+                ).alias("__fill")
+            )
+        else:  # mode
+            dd = nn.groupBy("__g", "__v").agg(F.count("*").alias("__c"))
+            wmode = Window.partitionBy("__g").orderBy(
+                F.desc("__c"), F.asc("__v")
+            )
+            fills = (
+                dd.withColumn("__rk", F.row_number().over(wmode))
+                .where(F.col("__rk") == 1)
+                .select("__g", F.col("__v").alias("__fill"))
+            )
+        out = (
+            out.join(
+                F.broadcast(fills), joink.eqNullSafe(F.col("__g")), "left"
+            )
+            .withColumn(
+                c,
+                F.when(
+                    F.col(c).isNull(), F.col("__fill").cast(df.schema[c].dataType)
+                ).otherwise(F.col(c)),
+            )
+            .drop("__g", "__fill")
+        )
+    return out
