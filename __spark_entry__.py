@@ -5672,6 +5672,108 @@ FROM staged s LEFT JOIN med m ON s.event_type = m.event_type
 
 
 # ---------------------------------------------------------------------------
+# retrieval evaluation (round 5, wave 2)
+# ---------------------------------------------------------------------------
+
+
+def _q_ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval eval (operators/retrieval.py ranking_metrics):
+    score the brute-cosine ANN's top-5 against same-label ground truth —
+    precision@5 / MRR / nDCG@5 per query, quantized micro-unit gains."""
+    from pyspark.sql import Window
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+    from biomedical_data_integration_spark.operators.similarity import cosine_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = cosine_topk(queries, emb, k=ANN_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(w).alias("rank"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    qrels = (
+        q.join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"), F.col("label").alias("__dl")
+            ),
+            F.col("__ql") == F.col("__dl"),
+        )
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", F.lit(1).alias("relevance"))
+    )
+    return ranking_metrics(ranked, qrels, k=ANN_K)
+
+
+def _ann_ranking_metrics_sql() -> str:
+    cos = _sql_cosine("q.qv", "c.cv", ANN_DIM)
+    k = ANN_K
+    gain = (
+        "CAST(floor(1.0 / log2({pos} + 1.0) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS dl FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, round({cos}, 6) AS cosine
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC)
+              AS INTEGER) AS rk
+  FROM scored
+  QUALIFY rk <= {k}
+),
+qrels AS (
+  SELECT q.query_id, c.neighbor_id AS doc_id
+  FROM q JOIN c ON q.ql = c.dl WHERE q.query_id <> c.neighbor_id
+),
+hits AS (
+  SELECT r.query_id,
+         CAST(count(*) AS BIGINT) AS n_retrieved,
+         CAST(sum(CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         min(CASE WHEN j.doc_id IS NOT NULL THEN r.rk END) AS first_rel,
+         CAST(sum(CASE WHEN j.doc_id IS NOT NULL
+                       THEN {gain.format(pos="r.rk")} ELSE 0 END) AS BIGINT)
+           AS dcg
+  FROM ranked r LEFT JOIN qrels j
+    ON r.query_id = j.query_id AND r.doc_id = j.doc_id
+  GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id,
+         CAST(sum({gain.format(pos="irk")}) AS BIGINT) AS idcg
+  FROM (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS irk
+    FROM qrels
+  ) WHERE irk <= {k}
+  GROUP BY query_id
+)
+SELECT h.query_id, h.n_retrieved, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / {float(k)}, 6) AS precision_at_{k},
+       CASE WHEN h.first_rel IS NOT NULL
+            THEN round(1.0 / h.first_rel, 6) ELSE 0.0 END AS mrr,
+       CASE WHEN coalesce(i.idcg, 0) > 0
+            THEN round(CAST(h.dcg AS DOUBLE) / i.idcg, 6)
+            ELSE 0.0 END AS ndcg_at_{k}
+FROM hits h LEFT JOIN ideal i ON h.query_id = i.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5711,6 +5813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_token_graph": _q_bfs_tokens,
         "golden_record_customers": _q_golden_record,
         "impute_median_events": _q_impute_median,
+        "ann_ranking_metrics_embeddings": _q_ann_ranking_metrics,
         # 14-32: round-4 additions that sat OUTSIDE r4's window --
         # never driver-graded until now (replica-verified locally
         # every round).
@@ -5882,6 +5985,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_token_graph": _bfs_sql(),
         "golden_record_customers": _golden_record_sql(),
         "impute_median_events": _impute_median_sql(),
+        "ann_ranking_metrics_embeddings": _ann_ranking_metrics_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

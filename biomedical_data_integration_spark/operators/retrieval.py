@@ -286,3 +286,99 @@ def bm25_query_scorer(
         )
 
     return scorer
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "relevance",
+    k: int = 10,
+) -> DataFrame:
+    """Offline retrieval evaluation: precision@k, MRR, and nDCG@k per
+    query — the metric face of the retrieval family (BM25 / ANN / RRF
+    all emit the ``(query, doc, rank)`` shape this consumes).
+
+    ``ranked``: one row per retrieved (query, doc) with 1-based rank;
+    ``qrels``: graded relevance judgments (absent pair = 0). Gains use
+    the standard ``rel / log2(rank + 1)`` discount; each position's
+    gain is floor-quantized to 6 decimals and summed as exact bigint
+    micro-units (order-free), and nDCG divides the DCG and ideal-DCG
+    micro sums directly — bit-deterministic cross-engine.
+
+    Scale shape: ONE left join of the top-k rows against qrels on
+    (query, doc) + one query-keyed aggregation; the ideal DCG is a
+    window top-k over qrels keyed by query. Output is query-count-sized.
+    """
+    if k < 1:
+        raise ValueError("ranking_metrics: k must be >= 1")
+    from pyspark.sql import Window
+
+    r = ranked.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rank_col).cast("int").alias("rk"),
+    ).where(F.col("rk") <= k)
+    j = qrels.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rel_col).cast("double").alias("rel"),
+    )
+    gain = lambda rel, pos: F.floor(  # noqa: E731
+        rel / F.log2(pos + F.lit(1.0)) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    hits = (
+        r.join(j, ["q", "d"], "left")
+        .select(
+            "q",
+            "rk",
+            F.coalesce("rel", F.lit(0.0)).alias("rel"),
+        )
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_retrieved"),
+            F.sum((F.col("rel") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.min(F.when(F.col("rel") > 0, F.col("rk"))).alias("__first_rel"),
+            F.sum(gain(F.col("rel"), F.col("rk"))).cast("bigint").alias("__dcg"),
+        )
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("d"))
+    ideal = (
+        j.where(F.col("rel") > 0)
+        .withColumn("__irk", F.row_number().over(wq))
+        .where(F.col("__irk") <= k)
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_relevant_topk"),
+            F.sum(gain(F.col("rel"), F.col("__irk")))
+            .cast("bigint")
+            .alias("__idcg"),
+        )
+    )
+    out = hits.join(ideal, "q", "left")
+    return out.select(
+        F.col("q").alias(query_col),
+        "n_retrieved",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 6).alias(
+            f"precision_at_{k}"
+        ),
+        F.when(
+            F.col("__first_rel").isNotNull(),
+            F.round(F.lit(1.0) / F.col("__first_rel"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        F.when(
+            F.coalesce(F.col("__idcg"), F.lit(0)) > 0,
+            F.round(
+                F.col("__dcg").cast("double") / F.col("__idcg"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"ndcg_at_{k}"),
+    )

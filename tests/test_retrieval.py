@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark.operators.retrieval import (
@@ -116,3 +118,62 @@ def test_rrf_handles_duplicate_free_full_outer(spark):
     a = spark.createDataFrame([(7, 1), (8, 2)], ["doc_id", "rank"])
     got = [r["doc_id"] for r in rrf_fuse([a]).collect()]
     assert got == [7, 8]
+
+
+def test_ranking_metrics_golden(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "x", 1), (2, "y", 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(1, "b", 1), (1, "c", 2), (1, "z", 3), (2, "q", 1)],
+        ["query_id", "doc_id", "relevance"],
+    )
+    got = {
+        r["query_id"]: r
+        for r in ranking_metrics(ranked, qrels, k=3).collect()
+    }
+    q1 = got[1]
+    assert q1["n_hits"] == 2
+    assert q1["precision_at_3"] == pytest.approx(2 / 3, abs=1e-6)
+    assert q1["mrr"] == pytest.approx(1 / 2, abs=1e-6)
+    # dcg = 1/log2(3) + 2/log2(4); idcg = 3/log2(2) + 2/log2(3) + 1/log2(4)
+    g = lambda rel, pos: math.floor(rel / math.log2(pos + 1) * 1e6 + 0.5)  # noqa: E731
+    dcg = g(1, 2) + g(2, 3)
+    idcg = g(3, 1) + g(2, 2) + g(1, 3)
+    assert q1["ndcg_at_3"] == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+    # query 2 retrieved nothing relevant
+    q2 = got[2]
+    assert q2["n_hits"] == 0 and q2["mrr"] == 0.0 and q2["ndcg_at_3"] == 0.0
+
+
+def test_ranking_metrics_perfect_ranking_is_1(spark):
+    from biomedical_data_integration_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], ["query_id", "doc_id", "rank"]
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 1)], ["query_id", "doc_id", "relevance"]
+    )
+    r = ranking_metrics(ranked, qrels, k=2).collect()[0]
+    assert r["ndcg_at_2"] == pytest.approx(1.0, abs=1e-6)
+    assert r["mrr"] == 1.0
+
+
+def test_ranking_metrics_validates(spark):
+    from biomedical_data_integration_spark.operators.retrieval import (
+        ranking_metrics,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1)], ["query_id", "doc_id", "rank"])
+    with pytest.raises(ValueError):
+        ranking_metrics(df, df, k=0)
