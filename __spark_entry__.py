@@ -5774,6 +5774,65 @@ FROM hits h LEFT JOIN ideal i ON h.query_id = i.query_id
 
 
 # ---------------------------------------------------------------------------
+# round-5 flagship: curation scorecard (quality + dup-span + DSIR in ONE plan)
+# ---------------------------------------------------------------------------
+
+SCORECARD_MIN_QUALITY = 0.5
+
+
+def _q_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composed flagship: per-document curation scorecard — the
+    heuristic quality score, the duplicated-span ratio, and the DSIR
+    target-likeness ratio joined into ONE plan with a keep/drop gate.
+    Three independent per-doc signal pipelines (pure expressions /
+    inverted shingle index / hashed-unigram broadcast model) share the
+    corpus scan lineage and meet in two doc-keyed joins; the oracle
+    recomposes the three stage SQL builders verbatim."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        duplicate_ngram_coverage,
+    )
+    from biomedical_data_integration_spark.operators.sampling import dsir_weights
+    from biomedical_data_integration_spark.operators.text import quality_features
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    d = duplicate_ngram_coverage(
+        docs, shingle_words=DUPCOV_SHINGLE_WORDS
+    ).select("doc_id", "dup_coverage")
+    w = dsir_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        n_buckets=DSIR_BUCKETS,
+        smoothing=DSIR_SMOOTH,
+    ).select("doc_id", "avg_log_ratio")
+    keep = (
+        (F.col("quality_score") >= F.lit(SCORECARD_MIN_QUALITY))
+        & F.coalesce(F.col("avg_log_ratio") >= F.lit(0.0), F.lit(False))
+    )
+    return (
+        q.join(d, "doc_id", "left")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id", "quality_score", "dup_coverage", "avg_log_ratio",
+            keep.alias("keep"),
+        )
+    )
+
+
+def _curation_scorecard_sql() -> str:
+    return f"""
+SELECT q.doc_id, q.quality_score, d.dup_coverage, w.avg_log_ratio,
+       (q.quality_score >= {SCORECARD_MIN_QUALITY}
+        AND coalesce(w.avg_log_ratio >= 0.0, FALSE)) AS keep
+FROM (SELECT doc_id, quality_score FROM ({_quality_sql()})) q
+LEFT JOIN (SELECT doc_id, dup_coverage FROM ({_dup_coverage_sql()})) d
+  ON q.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id, avg_log_ratio FROM ({_dsir_sql()})) w
+  ON q.doc_id = w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5814,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record_customers": _q_golden_record,
         "impute_median_events": _q_impute_median,
         "ann_ranking_metrics_embeddings": _q_ann_ranking_metrics,
+        "curation_scorecard_documents": _q_curation_scorecard,
         # 14-32: round-4 additions that sat OUTSIDE r4's window --
         # never driver-graded until now (replica-verified locally
         # every round).
@@ -5986,6 +6046,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_record_customers": _golden_record_sql(),
         "impute_median_events": _impute_median_sql(),
         "ann_ranking_metrics_embeddings": _ann_ranking_metrics_sql(),
+        "curation_scorecard_documents": _curation_scorecard_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),
