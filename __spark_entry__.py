@@ -5833,6 +5833,112 @@ LEFT JOIN (SELECT doc_id, avg_log_ratio FROM ({_dsir_sql()})) w
 
 
 # ---------------------------------------------------------------------------
+# feature prep: target encoding + sequence examples (round 5, wave 3)
+# ---------------------------------------------------------------------------
+
+TE_SMOOTHING = 10.0
+SEQ_CONTEXT_LEN = 3
+
+
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (operators/profiling.py target_encode):
+    order priority encoded against the finished-order rate. Exact
+    integer micro-unit sums; category stats broadcast back — the fact
+    table never shuffles."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        target_encode,
+    )
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    staged = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("finished"),
+    )
+    return target_encode(
+        staged, "o_orderpriority", "finished", smoothing=TE_SMOOTHING
+    ).select("o_orderkey", "o_orderpriority", "o_orderpriority_te")
+
+
+def _q_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event training examples (streaming/events.py
+    sequence_examples): per user, the previous <= 3 event types as
+    context and the current as label — one bounded-frame window."""
+    from biomedical_data_integration_spark.streaming.events import (
+        sequence_examples,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    out = sequence_examples(
+        staged, ts_col="ts_us", context_len=SEQ_CONTEXT_LEN
+    )
+    return out.select(
+        "user_id", "ts_us", "event_id",
+        F.array_join("context", "|").alias("context"),
+        "label",
+    )
+
+
+def _target_encode_sql() -> str:
+    m = repr(TE_SMOOTHING)
+    prior = "CAST(g.gs AS DOUBLE) / g.gn / 1000000.0"
+    enc = (
+        f"CASE WHEN c.cn IS NOT NULL THEN "
+        f"(CAST(c.cs AS DOUBLE) / 1000000.0 + ({prior}) * {m}) / (c.cn + {m}) "
+        f"ELSE {prior} END"
+    )
+    return f"""
+WITH staged AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor((CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
+                    * 1000000.0 + 0.5) AS BIGINT) AS ym
+  FROM orders
+),
+g AS (
+  SELECT CAST(sum(ym) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn
+  FROM staged WHERE ym IS NOT NULL
+),
+c AS (
+  SELECT o_orderpriority AS cat, CAST(sum(ym) AS BIGINT) AS cs,
+         CAST(count(*) AS BIGINT) AS cn
+  FROM staged WHERE ym IS NOT NULL GROUP BY 1
+)
+SELECT s.o_orderkey, s.o_orderpriority,
+       floor(({enc}) * 1000000.0 + 0.5) / 1000000.0 AS o_orderpriority_te
+FROM staged s CROSS JOIN g
+LEFT JOIN c ON s.o_orderpriority IS NOT DISTINCT FROM c.cat
+"""
+
+
+def _sequence_examples_sql() -> str:
+    n = SEQ_CONTEXT_LEN
+    return f"""
+WITH staged AS (
+  SELECT user_id, event_id, CAST(event_type AS VARCHAR) AS event_type,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+ctx AS (
+  SELECT user_id, ts_us, event_id,
+         list(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING) AS ctx_list,
+         event_type AS label
+  FROM staged
+)
+SELECT user_id, ts_us, event_id,
+       array_to_string(ctx_list, '|') AS context, label
+FROM ctx WHERE len(ctx_list) >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5874,6 +5980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_median_events": _q_impute_median,
         "ann_ranking_metrics_embeddings": _q_ann_ranking_metrics,
         "curation_scorecard_documents": _q_curation_scorecard,
+        "target_encode_orders": _q_target_encode,
+        "sequence_examples_events": _q_sequence_examples,
         # 14-32: round-4 additions that sat OUTSIDE r4's window --
         # never driver-graded until now (replica-verified locally
         # every round).
@@ -6047,6 +6155,8 @@ def oracle_sql() -> dict[str, str]:
         "impute_median_events": _impute_median_sql(),
         "ann_ranking_metrics_embeddings": _ann_ranking_metrics_sql(),
         "curation_scorecard_documents": _curation_scorecard_sql(),
+        "target_encode_orders": _target_encode_sql(),
+        "sequence_examples_events": _sequence_examples_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -802,3 +802,77 @@ def impute_missing(
             .drop("__g", "__fill")
         )
     return out
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    leave_one_out: bool = False,
+    out_col: str = None,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    standard high-cardinality categorical feature for tree/linear
+    models: ``enc(cat) = (sum_y(cat) + prior * m) / (n(cat) + m)`` with
+    ``m = smoothing`` and ``prior`` the global target mean.
+
+    ``leave_one_out=True`` excludes the CURRENT row's target from its
+    own encoding (``(sum - y) / (n - 1)`` before smoothing) — the
+    train-time variant that blocks target leakage; categories with a
+    single row fall back to the prior. NULL categories encode from
+    their own NULL group (eqNullSafe join).
+
+    Determinism: sums are computed in exact integer micro-units
+    (``floor(y * 1e6 + 0.5)`` per row, bigint aggregation — order-free),
+    the division happens once per output row, and the result is
+    floor-quantized to 6 decimals — bit-identical cross-engine.
+
+    Scale shape: one global agg + one map-side-combinable groupBy over
+    the category key, broadcast back — the fact table never shuffles.
+    """
+    if smoothing < 0:
+        raise ValueError("target_encode: smoothing must be >= 0")
+    out_col = out_col or f"{cat_col}_te"
+    y_micro = F.floor(
+        F.col(target_col).cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    staged = df.withColumn("__ym", y_micro)
+    gstats = staged.where(F.col("__ym").isNotNull()).agg(
+        F.sum("__ym").cast("bigint").alias("__gs"),
+        F.count(F.lit(1)).cast("bigint").alias("__gn"),
+    )
+    cstats = (
+        staged.where(F.col("__ym").isNotNull())
+        .groupBy(F.col(cat_col).alias("__cat"))
+        .agg(
+            F.sum("__ym").cast("bigint").alias("__cs"),
+            F.count(F.lit(1)).cast("bigint").alias("__cn"),
+        )
+    )
+    prior = F.col("__gs").cast("double") / F.col("__gn") / F.lit(1e6)
+    m = F.lit(float(smoothing))
+    if leave_one_out:
+        s = (F.col("__cs") - F.col("__ym")).cast("double") / F.lit(1e6)
+        n = (F.col("__cn") - F.lit(1)).cast("double")
+        enc = F.when(
+            F.col("__ym").isNotNull() & (F.col("__cn") > 1),
+            (s + prior * m) / (n + m),
+        ).otherwise(prior)
+    else:
+        enc = F.when(
+            F.col("__cn").isNotNull(),
+            (F.col("__cs").cast("double") / F.lit(1e6) + prior * m)
+            / (F.col("__cn") + m),
+        ).otherwise(prior)
+    quant = F.floor(enc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        staged.crossJoin(F.broadcast(gstats))
+        .join(
+            F.broadcast(cstats),
+            F.col(cat_col).eqNullSafe(F.col("__cat")),
+            "left",
+        )
+        .withColumn(out_col, quant)
+        .drop("__ym", "__gs", "__gn", "__cat", "__cs", "__cn")
+    )

@@ -1879,3 +1879,48 @@ def psi_readout(
         (F.col("__tm").cast("double") / F.lit(1e6)).alias("psi_term"),
         (F.sum("__tm").over(tot).cast("double") / F.lit(1e6)).alias("psi_total"),
     )
+
+
+def sequence_examples(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    context_len: int = 4,
+    tiebreak_col: str = "event_id",
+    min_context: int = 1,
+) -> DataFrame:
+    """Supervised next-item examples from an event log: per key, each
+    row becomes ``(context = the previous <= context_len items, label =
+    this item)`` — the dataset-construction step for next-event /
+    session-recommendation / behavioral-LM training.
+
+    Returns ``(key_col, ts_col, tiebreak_col, context array<string>,
+    label)``; rows with fewer than ``min_context`` prior items are
+    dropped (the first event of a key has no signal). Context order is
+    oldest -> newest.
+
+    ONE window (key-hash exchange + sort) with a bounded
+    ``collect_list`` frame — rows-between frames guarantee the list
+    order follows the window sort, so output is deterministic. State is
+    O(context_len) per row, never whole-history.
+    """
+    from pyspark.sql import Window
+
+    if context_len < 1:
+        raise ValueError("sequence_examples: context_len must be >= 1")
+    if min_context < 0:
+        raise ValueError("sequence_examples: min_context must be >= 0")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-context_len, -1)
+    )
+    out = df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        F.collect_list(F.col(item_col).cast("string")).over(w).alias("context"),
+        F.col(item_col).cast("string").alias("label"),
+    )
+    return out.where(F.size("context") >= F.lit(min_context))
