@@ -5939,6 +5939,119 @@ FROM ctx WHERE len(ctx_list) >= 1
 
 
 # ---------------------------------------------------------------------------
+# model-eval statistics: exact AUC + calibration (round 5, wave 3)
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+CALIB_SCALE = 500.0
+
+
+def _q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC (operators/evaluation.py binary_auc):
+    does order value predict the finished status? Mann-Whitney ranks
+    from one score-ordered window; integer arithmetic until the final
+    division."""
+    from biomedical_data_integration_spark.operators.evaluation import binary_auc
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    staged = orders.select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return binary_auc(staged, "score", "label")
+
+
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table with ECE (operators/evaluation.py
+    calibration_report): scaled event values as pseudo-probabilities vs
+    the purchase label; one n_bins-key groupBy."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        calibration_report,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        F.least(F.col("value") / F.lit(CALIB_SCALE), F.lit(1.0)).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return calibration_report(staged, "score", "label", n_bins=CALIB_BINS)
+
+
+def _binary_auc_sql() -> str:
+    return """
+WITH rows_ AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+ranked AS (
+  SELECT y,
+         CAST(2 * min(rn) OVER (PARTITION BY s)
+              + count(*) OVER (PARTITION BY s) - 1 AS BIGINT) AS r2
+  FROM (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM rows_)
+),
+agg AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN y = 1 THEN r2 END) AS BIGINT) AS rp2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         floor(((CAST(rp2 AS DOUBLE) / 2.0
+                 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+                / (CAST(n_pos AS DOUBLE) * n_neg)) * 1000000.0 + 0.5)
+         / 1000000.0
+       END AS auc
+FROM agg
+"""
+
+
+def _calibration_sql() -> str:
+    nb = CALIB_BINS
+    return f"""
+WITH staged AS (
+  SELECT CAST(least(value / {repr(CALIB_SCALE)}, 1.0) AS DOUBLE) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+binned AS (
+  SELECT CAST(least(CAST(floor(s * {nb}) AS INTEGER), {nb - 1}) AS INTEGER)
+           AS bin,
+         CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS sm,
+         y
+  FROM staged
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sm) AS BIGINT) AS sms,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+),
+terms AS (
+  SELECT bin, n,
+         CAST(sms AS DOUBLE) / (n * 1000000.0) AS mean_score,
+         CAST(pos AS DOUBLE) / n AS frac_positive,
+         CAST(floor(abs(CAST(sms AS DOUBLE) / (n * 1000000.0)
+                        - CAST(pos AS DOUBLE) / n)
+                    * (CAST(n AS DOUBLE) / sum(n) OVER ())
+                    * 1000000.0 + 0.5) AS BIGINT) AS gm
+  FROM per
+)
+SELECT bin, n,
+       floor(mean_score * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+       floor(frac_positive * 1000000.0 + 0.5) / 1000000.0 AS frac_positive,
+       CAST(gm AS DOUBLE) / 1000000.0 AS ece_term,
+       CAST(sum(gm) OVER () AS DOUBLE) / 1000000.0 AS ece_total
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -5982,6 +6095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_scorecard_documents": _q_curation_scorecard,
         "target_encode_orders": _q_target_encode,
         "sequence_examples_events": _q_sequence_examples,
+        "auc_orders_totalprice": _q_binary_auc,
+        "calibration_events_purchase": _q_calibration,
         # 14-32: round-4 additions that sat OUTSIDE r4's window --
         # never driver-graded until now (replica-verified locally
         # every round).
@@ -6157,6 +6272,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_scorecard_documents": _curation_scorecard_sql(),
         "target_encode_orders": _target_encode_sql(),
         "sequence_examples_events": _sequence_examples_sql(),
+        "auc_orders_totalprice": _binary_auc_sql(),
+        "calibration_events_purchase": _calibration_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

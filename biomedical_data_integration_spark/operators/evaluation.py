@@ -1,0 +1,147 @@
+"""Model-evaluation statistics over scored tables: exact binary AUC and
+calibration reports — the offline-eval face for the engine's scoring
+operators (classifier scores, LM fluency, linkage similarities,
+retrieval fusions all emit a (score, label)-shaped table eventually).
+
+The reference has no evaluation surface; engine-claimed extension in
+the same family as ``retrieval.ranking_metrics``. Everything is exact
+rank/count arithmetic — no sampling, no sklearn — so results are
+bit-deterministic cross-engine and hold at any scale:
+
+- :func:`binary_auc` — the Mann-Whitney identity:
+  ``AUC = (R_pos - n_pos (n_pos + 1) / 2) / (n_pos n_neg)`` with
+  ``R_pos`` the sum of the positives' AVERAGE ranks (ties share the
+  mean rank — the exact tie-corrected estimator). One score-ordered
+  window + one aggregation; ranks are integer sums so the only
+  division happens once at read-out.
+- :func:`calibration_report` — reliability table over equal-width
+  confidence bins: per bin the mean predicted score vs the observed
+  positive rate, plus each bin's |gap| contribution to Expected
+  Calibration Error. Scores are micro-unit-summed (order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` against binary ``label_col``
+    (anything > 0 is positive), optionally per group.
+
+    Returns ``(group?, n_pos, n_neg, auc)``; groups with no positives
+    or no negatives yield NULL auc. Ties in the score receive their
+    average rank (the standard tie correction), computed from first-rank
+    + count windows — pure integer arithmetic until the final division.
+
+    Scale shape: one (group,) score-ordered window (single exchange +
+    sort) and one group aggregation. For 100 TB AUC sketches, pre-bin
+    scores with ``sketches.histogram_sketch`` and trade exactness for a
+    bounded-error trapezoid — this operator is the exact path.
+    """
+    g = [group_col] if group_col else []
+    rows = df.select(
+        *g,
+        F.col(score_col).cast("double").alias("__s"),
+        (F.col(label_col).cast("double") > 0).cast("int").alias("__y"),
+    ).where(F.col("__s").isNotNull() & F.col(label_col).isNotNull())
+    wrank = Window.partitionBy(*g).orderBy("__s")
+    wtie = Window.partitionBy(*g, "__s")
+    # average rank of a tie group = first_rank + (tie_size - 1) / 2;
+    # doubled to stay integer: 2*first + tie - 1
+    ranked = rows.select(
+        *g,
+        "__y",
+        (
+            F.lit(2) * F.min(F.row_number().over(wrank)).over(wtie)
+            + F.count(F.lit(1)).over(wtie)
+            - F.lit(1)
+        ).cast("bigint").alias("__r2"),
+    )
+    agg = ranked.groupBy(*[F.col(c) for c in g]).agg(
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("__y") == 1, F.col("__r2"))).cast("bigint").alias(
+            "__rp2"
+        ),
+    )
+    auc = (
+        (
+            F.col("__rp2").cast("double") / 2.0
+            - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
+        )
+        / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    )
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(auc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("auc"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic score in [0, 1]: per
+    equal-width confidence bin, the mean predicted score, the observed
+    positive rate, and the bin's weighted |gap| — whose total is the
+    Expected Calibration Error (repeated on every row via an
+    empty-frame window, the engine's one-query-full-answer idiom).
+
+    Returns ``(bin, n, mean_score, frac_positive, ece_term, ece_total)``.
+    Scores micro-unit-summed; gaps floor-quantized at 6 decimals.
+    One map-side-combinable groupBy over ``n_bins`` keys.
+    """
+    if n_bins < 1:
+        raise ValueError("calibration_report: n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    staged = df.select(
+        F.least(
+            F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("__sm"),
+        (F.col(label_col).cast("double") > 0).cast("bigint").alias("__y"),
+    ).where(s.isNotNull() & F.col(label_col).isNotNull())
+    per = staged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__sm").cast("bigint").alias("__sms"),
+        F.sum("__y").cast("bigint").alias("__pos"),
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mean_score = F.col("__sms").cast("double") / (F.col("n") * F.lit(1e6))
+    frac_pos = F.col("__pos").cast("double") / F.col("n")
+    gap_micro = F.floor(
+        F.abs(mean_score - frac_pos)
+        * (F.col("n").cast("double") / F.sum("n").over(tot))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per.withColumn("__gm", gap_micro)
+        .select(
+            "bin",
+            "n",
+            F.floor(mean_score * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+            F.floor(frac_pos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+            (F.col("__gm").cast("double") / F.lit(1e6)).alias("ece_term"),
+            (F.sum("__gm").over(tot).cast("double") / F.lit(1e6)).alias(
+                "ece_total"
+            ),
+        )
+        .toDF("bin", "n", "mean_score", "frac_positive", "ece_term", "ece_total")
+    )
