@@ -6051,6 +6051,73 @@ FROM terms
 """
 
 
+ASSOC_USER_BUCKETS = 7
+
+
+def _q_categorical_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association screen (operators/profiling.py
+    categorical_association): contingency grid of event type vs a user
+    bucket with PMI contributions, mutual information, and chi-square —
+    three map-side-combinable counts over a |A| x |B| grid."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        categorical_association,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(
+        "event_type",
+        (F.col("user_id") % ASSOC_USER_BUCKETS).alias("user_bucket"),
+    )
+    return (
+        categorical_association(staged, "event_type", "user_bucket")
+        .withColumnRenamed("a", "event_type")
+        .withColumnRenamed("b", "user_bucket")
+    )
+
+
+def _categorical_assoc_sql() -> str:
+    return f"""
+WITH staged AS (
+  SELECT event_type AS a, CAST(user_id % {ASSOC_USER_BUCKETS} AS BIGINT) AS b
+  FROM events
+),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM staged GROUP BY 1, 2),
+ma AS (SELECT a, CAST(count(*) AS BIGINT) AS n_a FROM staged GROUP BY 1),
+mb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM staged GROUP BY 1),
+grid AS (SELECT ma.a, mb.b, n_a, n_b FROM ma CROSS JOIN mb),
+j AS (
+  SELECT g.a, g.b, CAST(coalesce(c.n_ab, 0) AS BIGINT) AS n_ab, g.n_a, g.n_b
+  FROM grid g LEFT JOIN cells c
+    ON g.a IS NOT DISTINCT FROM c.a AND g.b IS NOT DISTINCT FROM c.b
+),
+t AS (
+  SELECT a, b, n_ab, n_a, n_b,
+         CAST(sum(n_ab) OVER () AS BIGINT) AS n
+  FROM j
+),
+terms AS (
+  SELECT a, b, n_ab,
+         CASE WHEN n_ab > 0 THEN
+           CAST(floor((CAST(n_ab AS DOUBLE) / n)
+                      * ln((CAST(n_ab AS DOUBLE) / n)
+                           / ((CAST(n_a AS DOUBLE) / n)
+                              * (CAST(n_b AS DOUBLE) / n)))
+                      * 1000000.0 + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS mim,
+         CAST(floor((n_ab - CAST(n_a AS DOUBLE) * n_b / n)
+                    * (n_ab - CAST(n_a AS DOUBLE) * n_b / n)
+                    / (CAST(n_a AS DOUBLE) * n_b / n)
+                    * 1000000.0 + 0.5) AS BIGINT) AS chim
+  FROM t
+)
+SELECT a AS event_type, b AS user_bucket, n_ab,
+       CAST(mim AS DOUBLE) / 1000000.0 AS mi_term,
+       CAST(sum(mim) OVER () AS DOUBLE) / 1000000.0 AS mutual_information,
+       CAST(sum(chim) OVER () AS DOUBLE) / 1000000.0 AS chi_square
+FROM terms
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6097,6 +6164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_examples_events": _q_sequence_examples,
         "auc_orders_totalprice": _q_binary_auc,
         "calibration_events_purchase": _q_calibration,
+        "assoc_stats_events": _q_categorical_assoc,
         # 14-32: round-4 additions that sat OUTSIDE r4's window --
         # never driver-graded until now (replica-verified locally
         # every round).
@@ -6274,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_examples_events": _sequence_examples_sql(),
         "auc_orders_totalprice": _binary_auc_sql(),
         "calibration_events_purchase": _calibration_sql(),
+        "assoc_stats_events": _categorical_assoc_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -876,3 +876,84 @@ def target_encode(
         .withColumn(out_col, quant)
         .drop("__ym", "__gs", "__gn", "__cat", "__cs", "__cn")
     )
+
+
+def categorical_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Association between two categorical columns: the contingency
+    table with each cell's pointwise-mutual-information contribution,
+    plus the table-level mutual information and chi-square statistic
+    (repeated per row via empty-frame windows — the engine's
+    one-query-full-answer idiom). The feature-selection / redundancy
+    screen before encoding categoricals.
+
+    ``mi_term = p_ab * ln(p_ab / (p_a * p_b))``; ``chi2_term =
+    (o - e)^2 / e`` with ``e = n_a * n_b / n``. Terms are
+    floor-quantized to 6 decimals before the order-free totals
+    (bigint micro-units), so results are bit-deterministic.
+
+    Scale shape: three map-side-combinable counts (cells, marginals)
+    joined cell-table-sized; output |A| x |B| rows max. NULL categories
+    are their own level.
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    ma = df.groupBy(F.col(col_a).alias("a")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    mb = df.groupBy(F.col(col_b).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the FULL |A| x |B| grid, not just observed cells — chi-square's
+    # zero-observation cells still contribute (0 - e)^2 / e = e
+    grid = F.broadcast(ma).crossJoin(F.broadcast(mb))
+    joined = (
+        grid.join(
+            cells,
+            grid["a"].eqNullSafe(cells["a"]) & grid["b"].eqNullSafe(cells["b"]),
+            "left",
+        )
+        .drop(cells["a"])
+        .drop(cells["b"])
+        .withColumn("n_ab", F.coalesce("n_ab", F.lit(0)).cast("bigint"))
+    )
+    # total rows n = sum of n_ab over the grid (each observation once)
+    joined = joined.withColumn("__n", F.sum("n_ab").over(tot))
+    p_ab = F.col("n_ab").cast("double") / F.col("__n")
+    p_a = F.col("n_a").cast("double") / F.col("__n")
+    p_b = F.col("n_b").cast("double") / F.col("__n")
+    mi_micro = F.when(
+        F.col("n_ab") > 0,
+        F.floor(
+            p_ab * F.log(p_ab / (p_a * p_b)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    e = F.col("n_a").cast("double") * F.col("n_b") / F.col("__n")
+    chi_micro = F.floor(
+        (F.col("n_ab") - e) * (F.col("n_ab") - e) / e * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        joined.withColumn("__mi", mi_micro)
+        .withColumn("__chi", chi_micro)
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (F.col("__mi").cast("double") / F.lit(1e6)).alias("mi_term"),
+            (F.sum("__mi").over(tot).cast("double") / F.lit(1e6)).alias(
+                "mutual_information"
+            ),
+            (F.sum("__chi").over(tot).cast("double") / F.lit(1e6)).alias(
+                "chi_square"
+            ),
+        )
+    )

@@ -1924,3 +1924,109 @@ def sequence_examples(
         F.col(item_col).cast("string").alias("label"),
     )
     return out.where(F.size("context") >= F.lit(min_context))
+
+
+def streaming_sequence_examples(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    context_len: int = 4,
+    tiebreak_col: str = "event_id",
+    min_context: int = 1,
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming face of :func:`sequence_examples`: per key, state
+    carries ONLY the last ``context_len`` items (a bounded deque), so
+    arriving events emit their (context, label) example immediately —
+    the online dataset-construction path for continual training.
+
+    Within a microbatch rows fold in (ts, tiebreak) order; across
+    batches the state deque replays the batch window exactly (same
+    contexts as the batch twin on the same prefix, tested). State is
+    O(context_len) strings per key; TTL expires idle keys.
+
+    Output: ``(key_col, ts_col, tiebreak_col, context string
+    '|'-joined, label)`` — the context rides as a joined string because
+    Arrow state/output schemas stay flat.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if context_len < 1:
+        raise ValueError("streaming_sequence_examples: context_len must be >= 1")
+    if min_context < 0:
+        raise ValueError("streaming_sequence_examples: min_context must be >= 0")
+    key_f = stream.schema[key_col]
+    ts_f = stream.schema[ts_col]
+    tb_f = stream.schema[tiebreak_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_f.dataType),
+            StructField(ts_col, ts_f.dataType),
+            StructField(tiebreak_col, tb_f.dataType),
+            StructField("context", StringType()),
+            StructField("label", StringType()),
+        ]
+    )
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
+
+    def _fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if not batches:
+            return
+        allrows = pd.concat(batches, ignore_index=True).sort_values(
+            [ts_col, tiebreak_col], kind="mergesort"
+        )
+        deque: list = (
+            list(state.get[0].split("\x1f")) if state.exists and state.get[0]
+            else []
+        )
+        out = []
+        for _, row in allrows.iterrows():
+            item = str(row[item_col])
+            if len(deque) >= min_context:
+                out.append(
+                    (
+                        row[key_col],
+                        row[ts_col],
+                        row[tiebreak_col],
+                        "|".join(deque),
+                        item,
+                    )
+                )
+            deque.append(item)
+            if len(deque) > context_len:
+                deque.pop(0)
+        state.update(("\x1f".join(deque),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[key_col, ts_col, tiebreak_col, "context", "label"],
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType="deque string",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -92,3 +92,79 @@ def test_sequence_examples_validates(spark):
         sequence_examples(df, context_len=0)
     with pytest.raises(ValueError):
         sequence_examples(df, min_context=-1)
+
+
+def test_categorical_association_golden(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        categorical_association,
+    )
+
+    # perfectly dependent: b == a
+    df = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, ["a", "b"]
+    )
+    rows = categorical_association(df, "a", "b").collect()
+    mi = rows[0]["mutual_information"]
+    assert mi == pytest.approx(math.log(2), abs=1e-5)  # H = ln 2 for 50/50
+    chi = rows[0]["chi_square"]
+    assert chi == pytest.approx(10.0, abs=1e-5)  # n * (k-1) for perfect dep
+    # includes the zero cells of the full grid
+    assert len(rows) == 4
+
+
+def test_categorical_association_independent_near_zero(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        categorical_association,
+    )
+
+    rows_src = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+    df = spark.createDataFrame(rows_src, ["a", "b"])
+    rows = categorical_association(df, "a", "b").collect()
+    assert rows[0]["mutual_information"] == pytest.approx(0.0, abs=1e-5)
+    assert rows[0]["chi_square"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_streaming_sequence_examples_matches_batch(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_sequence_examples,
+    )
+
+    rows = [(1, i, i, t) for i, t in enumerate(["v", "c", "p", "v", "s"])]
+    batch = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, event_type string"
+    )
+    want = {
+        (r["user_id"], r["ts"]): (F_join(r["context"]), r["label"])
+        for r in sequence_examples(batch, context_len=3).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        # split into two files -> state must carry the deque across batches
+        batch.where(F.col("ts") < 2).coalesce(1).write.parquet(f"{d}/src/p1")
+        batch.where(F.col("ts") >= 2).coalesce(1).write.parquet(f"{d}/src/p2")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src/*")
+        )
+        out = streaming_sequence_examples(stream, context_len=3)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory").queryName("seq_stream_t")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(120)
+        got = {
+            (r["user_id"], r["ts"]): (r["context"], r["label"])
+            for r in spark.sql("SELECT * FROM seq_stream_t").collect()
+        }
+    assert got == want
+
+
+def F_join(ctx):
+    return "|".join(ctx)
