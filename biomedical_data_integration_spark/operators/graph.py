@@ -45,7 +45,13 @@ def token_adjacency_edges(
     """Directed token-adjacency (bigram) edge list with occurrence-count
     weights: one corpus scan, expression-level pair expansion, one
     map-side-combinable groupBy. Output (src, dst, weight)."""
-    toks = tokens_expr(F.col(text_col))
+    # stage the token array in its OWN projection: inlined, every
+    # element_at(toks, i) in the transform lambda re-runs the whole
+    # split+filter tokenize — O(len^2) per document (measured 15x at
+    # sf0.1: 7.7 s -> 0.5 s for the pair explode). Same trap as
+    # dedup.shingle_sets.
+    staged = df.select(tokens_expr(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -57,7 +63,7 @@ def token_adjacency_edges(
         ),
     ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
     return (
-        df.select(F.explode(pairs).alias("e"))
+        staged.select(F.explode(pairs).alias("e"))
         .select("e.src", "e.dst")
         .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("weight"))

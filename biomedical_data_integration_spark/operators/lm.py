@@ -135,7 +135,13 @@ def lm_score(
     """
     from .text import tokens_expr
 
-    toks = tokens_expr(F.col(text_col))
+    # tokens staged in their OWN projection: inlined, each
+    # element_at(toks, i) re-runs the whole tokenize — O(len^2)/doc
+    # (the shingle_sets / token_adjacency_edges trap, measured 15x)
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -146,9 +152,9 @@ def lm_score(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    occ = df.select(
-        F.col(id_col).alias("id"), F.explode_outer(pairs).alias("e")
-    ).select("id", "e.w1", "e.w2")
+    occ = staged.select("id", F.explode_outer(pairs).alias("e")).select(
+        "id", "e.w1", "e.w2"
+    )
     # broadcast_model=True fits natural-language vocabularies (bigram
     # tables are observed-types-sized, usually tens of MB); set False on
     # extreme vocabularies to let AQE pick a shuffle join instead
