@@ -776,12 +776,18 @@ def bloom_decontaminate(
             cond = cond & is_set(p)
         return cond
 
-    # stage the shingle array in its own projection (HOF input staging,
-    # see PERF_NOTES), then a linear exists() — the train side stays a
-    # broadcast-join + filter, no shuffle
-    staged = train.withColumn(
-        "__sh", word_ngrams(_tokens(F.col(text_col)), shingle_words)
-    ).join(F.broadcast(aux))
+    # stage the TOKEN array before the shingle transform (not just the
+    # shingle result): inlined, every slice in word_ngrams' lambda
+    # re-runs the tokenize — O(len · n_shingles) per doc (the
+    # shingle_sets / token_adjacency_edges trap). Then a linear
+    # exists() — the train side stays a broadcast-join + filter,
+    # no shuffle
+    staged = (
+        train.withColumn("__toks", _tokens(F.col(text_col)))
+        .withColumn("__sh", word_ngrams(F.col("__toks"), shingle_words))
+        .drop("__toks")
+        .join(F.broadcast(aux))
+    )
     contaminated = F.exists(F.col("__sh"), hit)
     return (
         staged.where(~F.coalesce(contaminated, F.lit(False)))
