@@ -130,3 +130,63 @@ def test_ivf_trained_centroids_recall(spark):
     recall_trained = len(trained & truth) / len(truth)
     assert recall_trained >= recall_naive - 0.05  # never meaningfully worse
     assert recall_trained >= 0.5  # sane floor on this data
+
+
+def test_set_similarity_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        set_similarity_join,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(4, 12))
+        rows.append((i, base))
+        if rng.random() < 0.4:  # planted near-duplicates
+            twin = list(base)
+            if len(twin) > 5 and rng.random() < 0.5:
+                twin.pop()
+            rows.append((100 + i, twin))
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    t = 0.8
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(df, "toks", threshold=t).collect()
+    }
+    want = {}
+    sets = {i: set(s) for i, s in rows}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6)
+        if j >= t:
+            want[(a, b)] = j
+    assert got == want
+    assert want  # the planted twins guarantee a non-trivial answer
+
+
+def test_set_similarity_join_exact_duplicates(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        set_similarity_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["c", "b", "a"]), (3, ["x", "y", "z"])],
+        ["doc_id", "toks"],
+    )
+    got = set_similarity_join(df, "toks", threshold=1.0).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_set_similarity_join_validates(spark):
+    import pytest
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        set_similarity_join,
+    )
+
+    df = spark.createDataFrame([(1, ["a"])], ["doc_id", "toks"])
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "toks", threshold=0.0)
