@@ -957,3 +957,122 @@ def categorical_association(
             ),
         )
     )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: ``D = max |F_a(x) -
+    F_b(x)|`` over the pooled distinct values — the sharpest simple
+    two-sample drift test next to :func:`psi_drift` (PSI needs binning;
+    KS is binless and catches location shifts PSI's coarse bins blur).
+
+    Returns one row ``(n_a, n_b, ks_d, ks_at_value)`` — the statistic
+    and the data value where the gap peaks (smallest such value on
+    ties). Exact integer arithmetic: the empirical CDFs are cumulative
+    bigint counts over the pooled distinct-value table, compared as
+    cross-multiplied integers (``|c_a * n_b - c_b * n_a|``), so no
+    float enters until the final division — bit-deterministic.
+
+    Scale shape: two map-side-combinable value counts, one full-outer
+    merge on value, one ordered window for the running sums (single
+    exchange), one max aggregation. For 100 TB, substitute the
+    distribution matcher's two-phase bucketed split for the global
+    ordering window (same contract as type1_boundaries).
+    """
+    from pyspark.sql import Window
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("double").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    ca = counts(a, "__ca")
+    cb = counts(b, "__cb")
+    merged = ca.join(cb, "__v", "full_outer").select(
+        "__v",
+        F.coalesce("__ca", F.lit(0)).cast("bigint").alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).cast("bigint").alias("__cb"),
+    )
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "__v",
+        F.sum("__ca").over(wcum).alias("__fa"),
+        F.sum("__cb").over(wcum).alias("__fb"),
+        F.sum("__ca").over(tot).alias("__na"),
+        F.sum("__cb").over(tot).alias("__nb"),
+    ).select(
+        "__v",
+        "__na",
+        "__nb",
+        # cross-multiplied integer gap: |F_a - F_b| * (n_a * n_b)
+        F.abs(
+            F.col("__fa") * F.col("__nb") - F.col("__fb") * F.col("__na")
+        ).alias("__gap"),
+    )
+    best = cum.orderBy(F.desc("__gap"), F.asc("__v")).limit(1)
+    return best.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.round(
+            F.col("__gap").cast("double") / (F.col("__na") * F.col("__nb")),
+            6,
+        ).alias("ks_d"),
+        F.col("__v").alias("ks_at_value"),
+    )
+
+
+def quantile_transform(
+    df: DataFrame,
+    col: str,
+    group_col: str = None,
+    out_col: str = None,
+) -> DataFrame:
+    """Rank-based feature normalization: map each value to its empirical
+    quantile ``(rank - 1) / (n - 1)`` in [0, 1] (ties share the AVERAGE
+    rank, so equal inputs get equal outputs under any partitioning) —
+    the distribution-free scaling that makes heavy-tailed features
+    comparable before distance-based models.
+
+    One (group-)ordered window (single exchange + sort) computing
+    first-rank + tie-count, then a pure expression. Groups of one row
+    map to 0.5 (the degenerate midpoint). Output floor-quantized to 6
+    decimals.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{col}_q"
+    g = [group_col] if group_col else []
+    v = F.col(col).cast("double")
+    # nulls sort LAST so they never shift the non-null ranks (their q is
+    # masked to NULL below); n counts non-null only
+    wrank = Window.partitionBy(*g).orderBy(v.asc_nulls_last())
+    wtie = Window.partitionBy(*g, v)
+    wall = Window.partitionBy(*g)
+    # average rank doubled to stay integer: 2*first + tie - 1
+    r2 = (
+        F.lit(2) * F.min(F.row_number().over(wrank)).over(wtie)
+        + F.count(F.lit(1)).over(wtie)
+        - F.lit(1)
+    ).cast("bigint")
+    n = F.count(v).over(wall)
+    q = F.when(n > 1, (r2.cast("double") / 2.0 - 1.0) / (n - 1)).otherwise(
+        F.lit(0.5)
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            v.isNotNull(),
+            F.floor(q * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ),
+    )

@@ -87,3 +87,76 @@ def test_k_anonymity_validates_args(spark):
         k_anonymity(_people(spark), [], k=2)
     with pytest.raises(ValueError):
         k_anonymity(_people(spark), ["zip"], k=0)
+
+
+def test_ks_statistic_identical_is_zero(spark):
+    from biomedical_data_integration_spark.operators.profiling import ks_statistic
+
+    df = spark.createDataFrame([(i, float(i % 10)) for i in range(100)], ["id", "v"])
+    row = ks_statistic(df, df, "v").collect()[0]
+    assert row["ks_d"] == 0.0
+    assert row["n_a"] == 100 and row["n_b"] == 100
+
+
+def test_ks_statistic_shift_detected(spark):
+    from biomedical_data_integration_spark.operators.profiling import ks_statistic
+
+    a = spark.createDataFrame([(i, float(i % 10)) for i in range(100)], ["id", "v"])
+    b = spark.createDataFrame(
+        [(i, float(i % 10) + 5.0) for i in range(80)], ["id", "v"]
+    )
+    row = ks_statistic(a, b, "v").collect()[0]
+    # disjoint-ish supports: F_a(4.x) = 0.5, F_b(4.x) = 0 -> D = 0.5
+    assert row["ks_d"] == pytest.approx(0.5, abs=1e-6)
+    assert row["ks_at_value"] == 4.0
+
+
+def test_ks_matches_manual_two_sample(spark):
+    from biomedical_data_integration_spark.operators.profiling import ks_statistic
+
+    av = [1.0, 2.0, 2.0, 3.0]
+    bv = [2.0, 3.0, 4.0]
+    a = spark.createDataFrame([(i, v) for i, v in enumerate(av)], ["id", "v"])
+    b = spark.createDataFrame([(i, v) for i, v in enumerate(bv)], ["id", "v"])
+    row = ks_statistic(a, b, "v").collect()[0]
+    pooled = sorted(set(av + bv))
+    want = max(
+        abs(
+            sum(1 for x in av if x <= t) / len(av)
+            - sum(1 for x in bv if x <= t) / len(bv)
+        )
+        for t in pooled
+    )
+    assert row["ks_d"] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_quantile_transform_ranks_and_ties(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        quantile_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0), (5, None)], ["id", "v"]
+    )
+    got = {r["id"]: r["v_q"] for r in quantile_transform(df, "v").collect()}
+    assert got[1] == 0.0
+    # ties at rank 2,3 -> avg rank 2.5 -> (2.5-1)/3 = 0.5
+    assert got[2] == got[3] == pytest.approx(0.5, abs=1e-6)
+    assert got[4] == 1.0
+    assert got[5] is None
+
+
+def test_quantile_transform_grouped_and_singleton(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        quantile_transform,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0)], ["g", "v"]
+    )
+    got = {
+        (r["g"], r["v"]): r["v_q"]
+        for r in quantile_transform(df, "v", group_col="g").collect()
+    }
+    assert got[("a", 1.0)] == 0.0 and got[("a", 2.0)] == 1.0
+    assert got[("b", 9.0)] == 0.5  # singleton midpoint
