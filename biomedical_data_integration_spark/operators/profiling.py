@@ -1076,3 +1076,80 @@ def quantile_transform(
             F.floor(q * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         ),
     )
+
+
+def group_linregress(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str = None,
+    y_scale: int = 2,
+) -> DataFrame:
+    """Closed-form simple linear regression per group: slope, intercept,
+    and r² of ``y ~ x`` — the trend-detection pass over grouped metrics
+    (per-entity value drift, per-type rate trends) without any ML
+    library.
+
+    Determinism contract: x must be integer-valued (epoch hours, day
+    numbers, sequence indexes — pre-bucket timestamps accordingly) and
+    y is quantized to ``y_scale`` decimals; all five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) are then EXACT bigint sums
+    (order-free under any partitioning), and the closed-form combine
+    runs once per group in double — the same expression both engines
+    evaluate on identical integers. Keep ``x`` spans and ``y_scale``
+    small enough that per-group Σx² and Σy² stay under 2^63 (the
+    docstring math: |x| <= 1e6 and 1e9 rows fit); this is the exact
+    path — at larger magnitudes pre-center x per group upstream.
+
+    Returns ``(group?, n, slope, intercept, r2)`` rounded to 6
+    decimals; groups with zero x-variance yield NULL slope/r2. ONE
+    map-side-combinable aggregation.
+    """
+    if y_scale < 0 or y_scale > 6:
+        raise ValueError("group_linregress: y_scale must be in [0, 6]")
+    g = [group_col] if group_col else []
+    ys = 10 ** y_scale
+    x = F.col(x_col).cast("bigint")
+    y = F.floor(F.col(y_col).cast("double") * F.lit(float(ys)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    rows = df.select(*g, x.alias("__x"), y.alias("__y")).where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    agg = rows.groupBy(*[F.col(c) for c in g]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx / F.lit(float(ys))
+    intercept = (sy / F.lit(float(ys)) - slope * sx) / n
+    r2 = (num * num) / (denx * deny)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *g,
+        "n",
+        F.when(F.col("__sxx") * F.col("n") != F.col("__sx") * F.col("__sx"), q6(slope)).alias(
+            "slope"
+        ),
+        F.when(
+            F.col("__sxx") * F.col("n") != F.col("__sx") * F.col("__sx"),
+            q6(intercept),
+        ).alias("intercept"),
+        F.when(
+            (F.col("__sxx") * F.col("n") != F.col("__sx") * F.col("__sx"))
+            & (F.col("__syy") * F.col("n") != F.col("__sy") * F.col("__sy")),
+            q6(r2),
+        ).alias("r2"),
+    )

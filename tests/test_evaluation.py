@@ -77,3 +77,58 @@ def test_calibration_validates(spark):
     df = spark.createDataFrame([(0.5, 1)], ["score", "label"])
     with pytest.raises(ValueError):
         calibration_report(df, "score", "label", 0)
+
+
+def test_group_linregress_exact_line(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        group_linregress,
+    )
+
+    # y = 2x + 1 exactly
+    df = spark.createDataFrame(
+        [("a", x, 2.0 * x + 1.0) for x in range(10)], ["g", "x", "y"]
+    )
+    r = group_linregress(df, "x", "y", group_col="g").collect()[0]
+    assert r["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert r["intercept"] == pytest.approx(1.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert r["n"] == 10
+
+
+def test_group_linregress_matches_numpy(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        group_linregress,
+    )
+
+    xs = list(range(20))
+    ys = [round(3.5 * x - 7 + ((x * 37) % 11 - 5), 2) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    r = group_linregress(df, "x", "y").collect()[0]
+    ys_q = [round(y, 2) for y in ys]
+    slope, intercept = np.polyfit(xs, ys_q, 1)
+    assert r["slope"] == pytest.approx(slope, abs=1e-4)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-4)
+    corr = np.corrcoef(xs, ys_q)[0, 1]
+    assert r["r2"] == pytest.approx(corr**2, abs=1e-4)
+
+
+def test_group_linregress_degenerate_x(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        group_linregress,
+    )
+
+    df = spark.createDataFrame([(5, 1.0), (5, 2.0)], ["x", "y"])
+    r = group_linregress(df, "x", "y").collect()[0]
+    assert r["slope"] is None and r["r2"] is None
+
+
+def test_group_linregress_validates(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        group_linregress,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], ["x", "y"])
+    with pytest.raises(ValueError):
+        group_linregress(df, "x", "y", y_scale=9)
