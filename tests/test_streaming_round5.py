@@ -160,3 +160,91 @@ def test_streaming_ewma_validates(spark):
         streaming_ewma(df, alpha=1.5)
     with pytest.raises(ValueError):
         streaming_bin_counts(df, [])
+
+
+def _state_rows5(sq):
+    p = sq.lastProgress
+    if not p:
+        return None
+    ops = p.get("stateOperators") or []
+    return ops[0].get("numRowsTotal") if ops else None
+
+
+def _wait_state5(sq, pred, deadline_s=240):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        n = _state_rows5(sq)
+        if n is not None and pred(n):
+            return n
+        time.sleep(0.5)
+    raise AssertionError(f"state never satisfied; last={_state_rows5(sq)}")
+
+
+def test_streaming_ewma_state_plateaus_under_ttl(spark):
+    """One state row per key; idle keys expire when the TTL fires, so
+    state plateaus instead of growing with the key space."""
+    import time
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(i, 0, i, float(i)) for i in range(6)]
+        b1 = spark.createDataFrame(
+            rows, "user_id bigint, ts bigint, event_id bigint, value double"
+        )
+        b1.coalesce(1).write.parquet(f"{d}/src/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/src/*")
+        )
+        sq = (
+            streaming_ewma(stream, state_ttl_minutes=0.15)
+            .writeStream.format("memory").queryName("ewma_ttl_t")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        try:
+            _wait_state5(sq, lambda n: n == 6, 180)
+            _wait_state5(sq, lambda n: n == 0, 240)
+        finally:
+            sq.stop()
+            time.sleep(1.0)
+
+
+def test_streaming_sequence_examples_state_plateaus_under_ttl(spark):
+    """Deque state is one row per key bounded at context_len items;
+    TTL drains idle keys."""
+    import time
+
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_sequence_examples,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(u, i, u * 10 + i, "view") for u in range(4) for i in range(3)]
+        b1 = spark.createDataFrame(
+            rows, "user_id bigint, ts bigint, event_id bigint, event_type string"
+        )
+        b1.coalesce(1).write.parquet(f"{d}/src/f1")
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/src/*")
+        )
+        sq = (
+            streaming_sequence_examples(
+                stream, context_len=2, state_ttl_minutes=0.15
+            )
+            .writeStream.format("memory").queryName("seq_ttl_t")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        try:
+            _wait_state5(sq, lambda n: n == 4, 180)  # one row per user
+            _wait_state5(sq, lambda n: n == 0, 240)  # TTL drains
+        finally:
+            sq.stop()
+            time.sleep(1.0)
