@@ -145,3 +145,69 @@ def calibration_report(
         )
         .toDF("bin", "n", "mean_score", "frac_positive", "ece_term", "ece_total")
     )
+
+
+def regression_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Regression-metrics report: ``(group?, n, mae, rmse, bias, r2)``
+    — the numeric-prediction face of the evaluation family (AUC /
+    calibration cover classification; ranking_metrics covers
+    retrieval).
+
+    Predictions and labels are quantized to ``scale`` decimals so every
+    sufficient statistic (Σ|e|, Σe², Σe, Σy, Σy²) is an EXACT bigint
+    sum — order-free under any partitioning — and the final divisions /
+    sqrt happen once per group (floor-quantized to 6). r2 is
+    ``1 - SSE/SST`` (NULL when the labels have zero variance); bias is
+    ``mean(pred - label)`` — a systematic over/under-prediction probe
+    the symmetric metrics hide.
+
+    ONE map-side-combinable aggregation; keep |v|·10^scale within ~3e9
+    per cell (same bigint-overflow contract as group_linregress).
+    """
+    g = [group_col] if group_col else []
+    s = 10 ** scale
+    qp = F.floor(F.col(pred_col).cast("double") * F.lit(float(s)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    ql = F.floor(F.col(label_col).cast("double") * F.lit(float(s)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    rows = df.select(*g, qp.alias("__p"), ql.alias("__y")).where(
+        F.col("__p").isNotNull() & F.col("__y").isNotNull()
+    )
+    # squared terms ride decimal(38,0): still EXACT integers (scale 0,
+    # headroom to 1e38 — a lone bigint² already busts 2^63 for 5e9-unit
+    # cells), and DuckDB's hugeint sums agree digit-for-digit
+    e = (F.col("__p") - F.col("__y")).cast("decimal(38,0)")
+    yd = F.col("__y").cast("decimal(38,0)")
+    agg = rows.groupBy(*[F.col(c) for c in g]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(e)).alias("__sae"),
+        F.sum(e * e).alias("__sse"),
+        F.sum(e).alias("__se"),
+        F.sum(yd).alias("__sy"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    sd = F.lit(float(s))
+    n = F.col("n").cast("double")
+    sae = F.col("__sae").cast("double")
+    sse = F.col("__sse").cast("double")
+    se = F.col("__se").cast("double")
+    sy = F.col("__sy").cast("double")
+    syy = F.col("__syy").cast("double")
+    sst = syy - sy * sy / n  # n·Var(y) in quantized units²
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        *g,
+        "n",
+        q6(sae / n / sd).alias("mae"),
+        q6(F.sqrt(sse / n) / sd).alias("rmse"),
+        q6(se / n / sd).alias("bias"),
+        F.when(sst > 0, q6(F.lit(1.0) - sse / sst)).alias("r2"),
+    )

@@ -1153,3 +1153,393 @@ def group_linregress(
             q6(r2),
         ).alias("r2"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols,
+    scale: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` — the numeric-column
+    relationship map a profiling pass wants next to
+    :func:`categorical_association` (which covers the categorical side).
+
+    Complete-case semantics: rows with a null in ANY of ``cols`` are
+    dropped once, so every pair sees the same n (the matrix stays
+    positive semi-definite). Values are quantized to ``scale`` decimals
+    so every sufficient statistic (per-column Σx, Σx² and per-pair Σxy)
+    is an EXACT bigint sum — order-free under any partitioning — and
+    the closed-form combine is one double expression per pair
+    (floor-quantized to 6).
+
+    Scale shape: ONE map-side-combinable aggregation producing a single
+    C²-sized row, then a driver-free explode into C(C-1)/2 pair rows —
+    adding columns widens the agg, it never adds passes. Keep |v|·10^scale
+    within ~3e9 per cell so Σx² over 1e12 rows stays inside bigint
+    (same contract as group_linregress).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    if scale < 0 or scale > 6:
+        raise ValueError("correlation_matrix: scale must be in [0, 6]")
+    s = 10 ** scale
+    qs = [
+        F.floor(F.col(c).cast("double") * F.lit(float(s)) + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"__q{i}")
+        for i, c in enumerate(cols)
+    ]
+    rows = df.select(*qs)
+    keep = rows
+    for i in range(len(cols)):
+        keep = keep.where(F.col(f"__q{i}").isNotNull())
+    # squares / cross-products ride decimal(38,0): EXACT integers with
+    # headroom to 1e38 (a 1e7-unit cell squared is 1e14 — bigint dies by
+    # ~1e5 rows of those), matched by DuckDB's exact hugeint sums
+    def dec(i: int):
+        return F.col(f"__q{i}").cast("decimal(38,0)")
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(dec(i)).alias(f"__s{i}"))
+        aggs.append(F.sum(dec(i) * dec(i)).alias(f"__ss{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(F.sum(dec(i) * dec(j)).alias(f"__p{i}_{j}"))
+    wide = keep.agg(*aggs)
+
+    def corr_expr(i: int, j: int):
+        n = F.col("__n").cast("double")
+        sx, sy = F.col(f"__s{i}").cast("double"), F.col(f"__s{j}").cast("double")
+        sxx, syy = F.col(f"__ss{i}").cast("double"), F.col(f"__ss{j}").cast("double")
+        sxy = F.col(f"__p{i}_{j}").cast("double")
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r = num / F.sqrt(dx * dy)
+        q6 = F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return F.when((dx > 0) & (dy > 0), q6)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                F.col("__n").alias("n"),
+                corr_expr(i, j).alias("corr"),
+            )
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("__pair"))
+        .select("__pair.col_x", "__pair.col_y", "__pair.n", "__pair.corr")
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Entropy / mutual-information report between two categorical
+    columns: ``(n, h_a, h_b, h_ab, mi, nmi)`` in nats — the
+    information-theoretic complement to :func:`categorical_association`
+    (χ² measures departure-from-independence; MI measures shared bits,
+    and NMI = MI / sqrt(H_a·H_b) is the [0,1] association score feature
+    selection wants).
+
+    Complete-case over the two columns. All probabilities are ratios of
+    exact bigint counts: MI = Σ_ab (c_ab/n)·ln(c_ab·n / (c_a·c_b)),
+    entropies likewise — the only floats are ln() over identical
+    integer ratios, so results match cross-engine at 6 decimals.
+
+    Scale shape: one joint (a,b) map-side-combinable count; marginals
+    come from windows OVER THE JOINT TABLE (domain-sized, not
+    corpus-sized), so the raw data is scanned once.
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("__a"),
+            F.col(col_b).cast("string").alias("__b"),
+        )
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    t = joint.select(
+        "__c",
+        F.sum("__c").over(wa).alias("__ca"),
+        F.sum("__c").over(wb).alias("__cb"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    c = F.col("__c").cast("double")
+    ca = F.col("__ca").cast("double")
+    cb = F.col("__cb").cast("double")
+    n = F.col("__n").cast("double")
+    agg = t.agg(
+        F.max("__n").cast("bigint").alias("n"),
+        # H terms summed over joint cells; marginal entropies divide by the
+        # cell's own marginal so each (a) group contributes c_a/n·ln(n/c_a)
+        F.sum((c / n) * F.log(n / ca)).alias("__ha_raw"),
+        F.sum((c / n) * F.log(n / cb)).alias("__hb_raw"),
+        F.sum((c / n) * F.log(n / c)).alias("__hab_raw"),
+        F.sum((c / n) * F.log(c * n / (ca * cb))).alias("__mi_raw"),
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ha, hb = F.col("__ha_raw"), F.col("__hb_raw")
+    mi = F.col("__mi_raw")
+    return agg.select(
+        "n",
+        q6(ha).alias("h_a"),
+        q6(hb).alias("h_b"),
+        q6(F.col("__hab_raw")).alias("h_ab"),
+        q6(mi).alias("mi"),
+        F.when(
+            (ha > 0) & (hb > 0), q6(mi / F.sqrt(ha * hb))
+        ).otherwise(F.lit(0.0)).alias("nmi"),
+    )
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the classic
+    fabricated-data / unit-mixing screen for financial-shaped columns.
+
+    Considers values with |v| >= 1 (the leading digit of the INTEGER
+    part — string-sliced from an exact bigint, no float log10 in the
+    digit extraction, so the digit histogram is bit-deterministic).
+    Returns 9 rows ``(digit, n, share, expected, chi2_term)`` where
+    expected = log10(1 + 1/d) and chi2_term = (n_d - n·p_d)² / (n·p_d);
+    Σ chi2_term vs χ²₈ is the test statistic. Digits with zero
+    observations still appear (their chi2_term is n·p_d).
+
+    Scale shape: one map-side-combinable digit count (9 groups), joined
+    to a 9-row literal expectation table — broadcast by size.
+    """
+    digit = F.substring(
+        F.abs(F.col(col).cast("double")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.select(digit.alias("__d"))
+        .where(F.col("__d").isNotNull() & (F.col("__d") >= 1))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    import math
+
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, expected double",
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    from pyspark.sql import Window
+
+    joined = expected.join(
+        F.broadcast(counts), expected.digit == counts["__d"], "left"
+    ).select(
+        "digit",
+        F.coalesce("__c", F.lit(0)).cast("bigint").alias("n"),
+        "expected",
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    t = joined.select(
+        "digit",
+        "n",
+        "expected",
+        tot.alias("__t"),
+    )
+    nn = F.col("n").cast("double")
+    en = F.col("__t").cast("double") * F.col("expected")
+    return t.select(
+        "digit",
+        "n",
+        q6(nn / F.col("__t").cast("double")).alias("share"),
+        q6(F.col("expected")).alias("expected"),
+        q6((nn - en) * (nn - en) / en).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    max_lag: int,
+    group_col: str = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Sample autocorrelation of an ordered series at lags 1..max_lag,
+    optionally per group — the periodicity probe behind seasonal-naive
+    model selection (a strong lag-7 ACF on daily data says "weekly
+    season"; see events_seasonal_naive_eval).
+
+    Lag-k ACF here is the PAIRED Pearson correlation of (x_t, x_{t-k})
+    over the overlapping window — robust to missing steps because it
+    correlates by POSITION in the ordered series. Values quantized to
+    ``scale`` decimals; all sufficient statistics are conditional exact
+    bigint sums, one per lag, in ONE aggregation.
+
+    Scale shape: one (group-)ordered window computing all max_lag lag
+    columns off a single sort, then one map-side-combinable groupBy.
+    The global (ungrouped) form funnels the sort through one task —
+    fine for series-shaped inputs (the intended use: PRE-AGGREGATED
+    per-day / per-hour metric series, not raw events); at 100 TB keep a
+    group key.
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError("autocorrelation: max_lag must be >= 1")
+    s = 10 ** scale
+    g = [group_col] if group_col else []
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.partitionBy(*g).orderBy(F.col(order_col))
+    lagged = df.select(
+        *g,
+        v.alias("__v"),
+        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = []
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        ok = lk.isNotNull() & F.col("__v").isNotNull()
+        z = F.lit(0).cast("bigint")
+        aggs += [
+            F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias(f"__n{k}"),
+            F.sum(F.when(ok, F.col("__v")).otherwise(z)).alias(f"__sx{k}"),
+            F.sum(F.when(ok, lk).otherwise(z)).alias(f"__sy{k}"),
+            F.sum(F.when(ok, F.col("__v") * lk).otherwise(z)).alias(f"__sxy{k}"),
+            F.sum(F.when(ok, F.col("__v") * F.col("__v")).otherwise(z)).alias(
+                f"__sxx{k}"
+            ),
+            F.sum(F.when(ok, lk * lk).otherwise(z)).alias(f"__syy{k}"),
+        ]
+    wide = lagged.groupBy(*[F.col(c) for c in g]).agg(*aggs)
+
+    def acf_expr(k: int):
+        n = F.col(f"__n{k}").cast("double")
+        sx = F.col(f"__sx{k}").cast("double")
+        sy = F.col(f"__sy{k}").cast("double")
+        sxy = F.col(f"__sxy{k}").cast("double")
+        sxx = F.col(f"__sxx{k}").cast("double")
+        syy = F.col(f"__syy{k}").cast("double")
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r = num / F.sqrt(dx * dy)
+        q6 = F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return F.when((dx > 0) & (dy > 0), q6)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"__n{k}").alias("n"),
+                acf_expr(k).alias("acf"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return wide.select(*g, F.explode(rows).alias("__r")).select(
+        *g, "__r.lag", "__r.n", "__r.acf"
+    )
+
+
+def mean_shift_changepoint(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str = None,
+    min_seg: int = 3,
+    scale: int = 2,
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per series (binary-
+    segmentation step 1 / CUSUM peak): the split that maximizes the
+    standardized before/after mean gap — the batch twin of the
+    streaming drift monitor, answering WHERE the level changed, not
+    just whether.
+
+    Statistic at split i of n: ``|S_i·n - i·S_n| / sqrt(i·(n-i))``
+    (the numerator is an exact bigint cross-product over quantized
+    values; equivalent to |mean_L - mean_R| · i·(n-i)/sqrt(i(n-i)) —
+    the CUSUM normalization that doesn't favor edge splits). Rounded to
+    6 BEFORE ranking (smallest split index wins ties). Splits keep at
+    least ``min_seg`` points on each side; series shorter than
+    2·min_seg return no row.
+
+    Returns ``(group?, n, split_after, mean_left, mean_right, shift,
+    stat)`` — ``split_after`` is the order_col value of the last LEFT
+    point. Scale shape: one (group-)ordered prefix-sum window + one
+    rank window on the same sort (single exchange); intended input is a
+    pre-aggregated metric series per group.
+    """
+    from pyspark.sql import Window
+
+    s = 10 ** scale
+    g = [group_col] if group_col else []
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.partitionBy(*g).orderBy(F.col("__o"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*g)
+    t = df.select(
+        *g,
+        F.col(order_col).alias("__o"),
+        v.alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    t = t.select(
+        *g,
+        "__o",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__v").over(wcum).cast("bigint").alias("__si"),
+        F.sum("__v").over(wall).cast("bigint").alias("__sn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("__n"),
+    )
+    i = F.col("__i").cast("double")
+    n = F.col("__n").cast("double")
+    num = F.abs(
+        F.col("__si") * F.col("__n") - F.col("__i") * F.col("__sn")
+    ).cast("double")
+    stat = num / (n * F.lit(float(s)) * F.sqrt(i * (n - i)))
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    cand = t.where(
+        (F.col("__i") >= F.lit(min_seg))
+        & (F.col("__n") - F.col("__i") >= F.lit(min_seg))
+    ).select(
+        *g,
+        "__o",
+        "__i",
+        "__si",
+        "__sn",
+        "__n",
+        q6(stat).alias("__stat"),
+    )
+    wrank = Window.partitionBy(*g).orderBy(F.desc("__stat"), F.asc("__i"))
+    best = cand.select(
+        *g, "__o", "__i", "__si", "__sn", "__n", "__stat",
+        F.row_number().over(wrank).alias("__r"),
+    ).where(F.col("__r") == 1)
+    sd = F.lit(float(s))
+    mean_l = F.col("__si").cast("double") / F.col("__i").cast("double") / sd
+    mean_r = (F.col("__sn") - F.col("__si")).cast("double") / (
+        F.col("__n") - F.col("__i")
+    ).cast("double") / sd
+    return best.select(
+        *g,
+        F.col("__n").alias("n"),
+        F.col("__o").alias("split_after"),
+        q6(mean_l).alias("mean_left"),
+        q6(mean_r).alias("mean_right"),
+        q6(mean_r - mean_l).alias("shift"),
+        F.col("__stat").alias("stat"),
+    )

@@ -425,3 +425,88 @@ def kmv_intersect(
         F.round(jacc, 6).alias("jaccard_estimate"),
         F.round(jacc * union_est, 6).alias("intersect_estimate"),
     )
+
+
+def hll_sketch(df: DataFrame, col, p: int = 10, salt: str = "hll") -> DataFrame:
+    """HyperLogLog registers for distinct-count of ``col``: ``(register,
+    rho)`` with ``register`` the top ``p`` bits of a 60-bit salted-md5
+    hash and ``rho`` the MAX over the bucket of (position of the first
+    1-bit in the remaining 60-p bits). Sparse: empty registers are
+    simply absent (they read as rho=0 at estimate time).
+
+    Mergeable by ``groupBy(register).max(rho)`` across shards / days /
+    streams — the property KMV shares but exact count(distinct) lacks.
+    Bit-deterministic cross-engine: the first-1-bit position is
+    ``(60-p) - bitlength(w) + 1`` with ``bitlength = length(bin(w))``
+    — integer/string ops only, no float log2.
+
+    Scale shape: one map-side-combinable groupBy onto at most 2^p
+    groups; output is 2^p-bounded regardless of input size.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("hll_sketch: p must be in [4, 16]")
+    from biomedical_data_integration_spark.functions.hashing import md5_bigint
+
+    wbits = 60 - p
+    h = md5_bigint(F.col(col) if isinstance(col, str) else col, salt)
+    reg = (h / F.lit(2 ** wbits)).cast("bigint")
+    w = h % F.lit(2 ** wbits)
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    src = df.select(reg.alias("register"), rho.alias("__rho")).where(
+        F.col("register").isNotNull()
+    )
+    return src.groupBy("register").agg(F.max("__rho").alias("rho"))
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two HLL register tables (same p, same salt): register-wise
+    max — the union sketch. Associative/commutative; chain freely."""
+    return (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
+    """Read an HLL register table into a cardinality estimate:
+    ``(m, nonzero, raw_estimate, estimate)``.
+
+    raw = α_m · m² / Σ_j 2^(-rho_j) with empty registers contributing
+    2^0 = 1 (m - nonzero of them); below the classic 2.5·m small-range
+    cutoff (with empty registers present) the estimate switches to
+    linear counting m·ln(m/zeros). Same doubles from the same integers
+    in any engine; rounded to 6.
+
+    One aggregation over a ≤2^p-row table — driver-negligible.
+    """
+    m = 2 ** p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    if p <= 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho").cast("double"))).alias("__s"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    ssum = F.col("__s") + zeros.cast("double")  # empty registers: 2^0 each
+    raw = F.lit(alpha * m * m) / ssum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("nonzero"),
+        q6(raw).alias("raw_estimate"),
+        q6(est).alias("estimate"),
+    )

@@ -132,3 +132,53 @@ def test_group_linregress_validates(spark):
     df = spark.createDataFrame([(1, 1.0)], ["x", "y"])
     with pytest.raises(ValueError):
         group_linregress(df, "x", "y", y_scale=9)
+
+
+def test_regression_report_golden(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        regression_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (3.0, 3.0), (6.0, 4.0)],
+        "pred double, label double",
+    )
+    r = regression_report(df, "pred", "label").collect()[0]
+    # errors: 0, -2, 0, 2 -> mae 1, rmse sqrt(2), bias 0
+    assert r["n"] == 4
+    assert abs(r["mae"] - 1.0) < 1e-6
+    assert abs(r["rmse"] - 2.0 ** 0.5) < 1e-6
+    assert abs(r["bias"]) < 1e-6
+    # sst = sum((y - 3)^2) = 4+1+0+1 = 6, sse = 8 -> r2 = 1 - 8/6
+    assert abs(r["r2"] - (1 - 8 / 6)) < 1e-6
+
+
+def test_regression_report_groups_and_degenerate(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        regression_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 2.0), ("b", 5.0, 7.0), ("b", 6.0, 7.0)],
+        "g string, pred double, label double",
+    )
+    out = {r["g"]: r for r in regression_report(df, "pred", "label", "g").collect()}
+    assert out["a"]["mae"] == 0.0 and out["a"]["r2"] == 1.0
+    # constant labels: r2 undefined -> NULL, other metrics still real
+    assert out["b"]["r2"] is None
+    assert abs(out["b"]["mae"] - 1.5) < 1e-6
+    assert abs(out["b"]["bias"] + 1.5) < 1e-6
+
+
+def test_regression_report_large_magnitudes_no_overflow(spark):
+    # 5-digit prices at scale 4: a lone squared cell exceeds int64 —
+    # the decimal(38,0) path must stay exact
+    from biomedical_data_integration_spark.operators.evaluation import (
+        regression_report,
+    )
+
+    rows = [(float(400000 + i), float(400000 - i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "pred double, label double")
+    r = regression_report(df, "pred", "label", scale=4).collect()[0]
+    # errors are exactly 2i -> mae = mean(2i) = 999
+    assert abs(r["mae"] - 999.0) < 1e-3

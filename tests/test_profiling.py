@@ -283,3 +283,163 @@ def test_robust_zscore_zero_mad_yields_null(spark):
     )
     out = {r["id"]: r["v_rz"] for r in robust_zscore(df, "v").collect()}
     assert all(v is None for v in out.values())
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave-5 statistics: correlation matrix, MI, Benford, ACF, changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 100, 200)
+    y = 3.0 * x + rng.uniform(0, 40, 200)  # strongly correlated
+    z = rng.uniform(0, 100, 200)  # independent
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in correlation_matrix(df, ["x", "y", "z"], scale=4).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    # numpy reference on the SAME quantization
+    q = lambda v: np.floor(v * 1e4 + 0.5)  # noqa: E731
+    ref = np.corrcoef(q(x), q(y))[0, 1]
+    assert abs(out[("x", "y")]["corr"] - ref) < 1e-5
+    assert out[("x", "y")]["n"] == 200
+    assert out[("x", "y")]["corr"] > 0.9
+    assert abs(out[("x", "z")]["corr"]) < 0.2
+
+
+def test_correlation_matrix_nulls_and_constant(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, None, 5.0), (4.0, 8.0, 5.0)],
+        "x double, y double, c double",
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in correlation_matrix(df, ["x", "y", "c"]).collect()
+    }
+    # complete-case: the null row drops everywhere
+    assert out[("x", "y")]["n"] == 3
+    assert abs(out[("x", "y")]["corr"] - 1.0) < 1e-6
+    # zero-variance column yields NULL corr, not NaN/div-by-zero
+    assert out[("x", "c")]["corr"] is None
+
+
+def test_mutual_information_independent_and_identical(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        mutual_information,
+    )
+
+    # perfectly dependent: b == a -> MI == H(a), NMI == 1
+    rows = [(c, c) for c in "aabbccdd"]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert abs(r["mi"] - r["h_a"]) < 1e-6
+    assert abs(r["nmi"] - 1.0) < 1e-6
+    assert abs(r["h_a"] - math.log(4)) < 1e-5  # uniform over 4 symbols
+    # independent uniform 2x2 grid -> MI == 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert abs(r["mi"]) < 1e-6
+    assert abs(r["h_ab"] - (r["h_a"] + r["h_b"])) < 1e-6
+
+
+def test_benford_audit_digits_and_chi2(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        benford_audit,
+    )
+
+    # exact Benford multiset: digit d appears round(1000*log10(1+1/d)) times
+    rows = []
+    for d in range(1, 10):
+        rows += [(float(d) * 10.0,)] * int(round(1000 * math.log10(1 + 1 / d)))
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert sum(r["chi2_term"] for r in out.values()) < 0.1
+    # values < 1 and nulls are ignored; missing digits keep a zero row
+    df = spark.createDataFrame(
+        [(0.5,), (None,), (19.0,), (123.0,)], "v double"
+    )
+    out = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert out[1]["n"] == 2 and out[2]["n"] == 0
+    assert abs(out[1]["share"] - 1.0) < 1e-6
+
+
+def test_autocorrelation_alternating_series(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        autocorrelation,
+    )
+
+    # +1,-1,+1,... : lag-1 acf = -1, lag-2 acf = +1
+    rows = [(i, 1.0 if i % 2 == 0 else -1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {r["lag"]: r for r in autocorrelation(df, "v", "t", 2).collect()}
+    assert abs(out[1]["acf"] + 1.0) < 1e-6
+    assert abs(out[2]["acf"] - 1.0) < 1e-6
+    assert out[1]["n"] == 39 and out[2]["n"] == 38
+
+
+def test_autocorrelation_matches_numpy_paired(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        autocorrelation,
+    )
+
+    rng = np.random.RandomState(3)
+    v = np.cumsum(rng.uniform(-1, 1, 60))  # random walk: high lag-1 acf
+    df = spark.createDataFrame(
+        [("g", i, float(x)) for i, x in enumerate(v)],
+        "g string, t int, v double",
+    )
+    out = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, "v", "t", 3, group_col="g", scale=6).collect()
+    }
+    for k in (1, 2, 3):
+        q = np.floor(v * 1e6 + 0.5)
+        ref = np.corrcoef(q[k:], q[:-k])[0, 1]
+        assert abs(out[k] - ref) < 1e-5
+
+
+def test_mean_shift_changepoint_finds_step(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        mean_shift_changepoint,
+    )
+
+    rows = [("a", i, 10.0 if i < 20 else 30.0) for i in range(40)]
+    rows += [("b", i, 5.0) for i in range(40)]  # flat series: stat ~ 0
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = {
+        r["g"]: r
+        for r in mean_shift_changepoint(df, "v", "t", group_col="g").collect()
+    }
+    assert out["a"]["split_after"] == 19
+    assert abs(out["a"]["mean_left"] - 10.0) < 1e-6
+    assert abs(out["a"]["mean_right"] - 30.0) < 1e-6
+    assert abs(out["a"]["shift"] - 20.0) < 1e-6
+    # flat series: zero statistic everywhere, earliest split wins ties
+    assert out["b"]["stat"] == 0.0 and out["b"]["split_after"] == 2
+    # min_seg respected: series shorter than 2*min_seg emit nothing
+    tiny = spark.createDataFrame([("c", 1, 1.0), ("c", 2, 9.0)], "g string, t int, v double")
+    assert mean_shift_changepoint(tiny, "v", "t", group_col="g").count() == 0

@@ -271,3 +271,59 @@ def test_kmv_intersect_merge_determinism(spark):
     r1 = kmv_intersect(a1, b, "v", k=64).collect()[0]
     r2 = kmv_intersect(a2, b, "v", k=64).collect()[0]
     assert r1 == r2
+
+
+def test_hll_sketch_registers_deterministic_and_bounded(spark):
+    from biomedical_data_integration_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id bigint")
+    regs = hll_sketch(df, "id", p=8)
+    pdf = regs.toPandas()
+    assert len(pdf) <= 256
+    assert (pdf["register"] >= 0).all() and (pdf["register"] <= 255).all()
+    assert (pdf["rho"] >= 1).all() and (pdf["rho"] <= 53).all()
+    # determinism: same input -> identical registers
+    pdf2 = hll_sketch(df, "id", p=8).toPandas()
+    assert sorted(map(tuple, pdf.values.tolist())) == sorted(
+        map(tuple, pdf2.values.tolist())
+    )
+    est = hll_estimate(regs, 8).collect()[0]
+    # standard error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est["estimate"] - 5000) / 5000 < 0.2
+    # merge with itself is idempotent
+    merged = hll_merge(regs, regs)
+    est2 = hll_estimate(merged, 8).collect()[0]
+    assert est2["estimate"] == est["estimate"]
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from biomedical_data_integration_spark.operators.sketches import (
+        hll_merge,
+        hll_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "id bigint")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "id bigint")
+    u = a.unionByName(b)
+    merged = sorted(
+        map(tuple, hll_merge(hll_sketch(a, "id"), hll_sketch(b, "id")).toPandas().values.tolist())
+    )
+    direct = sorted(map(tuple, hll_sketch(u, "id").toPandas().values.tolist()))
+    assert merged == direct
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from biomedical_data_integration_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "id bigint")
+    est = hll_estimate(hll_sketch(df, "id", p=10), 10).collect()[0]
+    # linear counting is near-exact at this occupancy
+    assert abs(est["estimate"] - 20) < 2
+    assert est["nonzero"] <= 20
