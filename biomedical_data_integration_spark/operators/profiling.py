@@ -1323,8 +1323,12 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     Scale shape: one map-side-combinable digit count (9 groups), joined
     to a 9-row literal expectation table — broadcast by size.
     """
+    # explicit floor (not a bare bigint cast): DuckDB's double->bigint
+    # CAST rounds to nearest, Spark's truncates — floor is what both mean
     digit = F.substring(
-        F.abs(F.col(col).cast("double")).cast("bigint").cast("string"), 1, 1
+        F.floor(F.abs(F.col(col).cast("double"))).cast("bigint").cast("string"),
+        1,
+        1,
     ).cast("int")
     counts = (
         df.select(digit.alias("__d"))

@@ -449,7 +449,9 @@ def hll_sketch(df: DataFrame, col, p: int = 10, salt: str = "hll") -> DataFrame:
 
     wbits = 60 - p
     h = md5_bigint(F.col(col) if isinstance(col, str) else col, salt)
-    reg = (h / F.lit(2 ** wbits)).cast("bigint")
+    # integer bit ops, NOT double division: a 60-bit value as double only
+    # keeps 53 bits, so h / 2^wbits could round across a register boundary
+    reg = F.shiftright(h, wbits).cast("bigint")
     w = h % F.lit(2 ** wbits)
     rho = (
         F.when(w == 0, F.lit(wbits + 1))
@@ -479,8 +481,10 @@ def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
     raw = α_m · m² / Σ_j 2^(-rho_j) with empty registers contributing
     2^0 = 1 (m - nonzero of them); below the classic 2.5·m small-range
     cutoff (with empty registers present) the estimate switches to
-    linear counting m·ln(m/zeros). Same doubles from the same integers
-    in any engine; rounded to 6.
+    linear counting m·ln(m/zeros). The harmonic sum is computed as an
+    INTEGER sum of 2^(61-p-rho) (order-free — a float Σ2^-rho is
+    order-DEPENDENT once exponents spread past 53 bits), then divided
+    once in double; rounded to 6.
 
     One aggregation over a ≤2^p-row table — driver-negligible.
     """
@@ -492,13 +496,19 @@ def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
         alpha = 0.697
     elif p == 6:
         alpha = 0.709
+    sb = 61 - p  # scale bits: 2^-rho -> exact bigint 2^(sb - rho)
     agg = registers.agg(
         F.count(F.lit(1)).cast("bigint").alias("nonzero"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho").cast("double"))).alias("__s"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(sb) - F.col("rho").cast("double")).cast(
+                "bigint"
+            )
+        ).alias("__s"),
     )
     zeros = F.lit(m) - F.col("nonzero")
-    ssum = F.col("__s") + zeros.cast("double")  # empty registers: 2^0 each
-    raw = F.lit(alpha * m * m) / ssum
+    # empty registers contribute 2^0 = 2^sb scaled units each
+    ssum = (F.col("__s") + zeros.cast("bigint") * F.lit(2 ** sb)).cast("double")
+    raw = F.lit(alpha * m * m * float(2 ** sb)) / ssum
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
