@@ -211,3 +211,85 @@ def regression_report(
         q6(se / n / sd).alias("bias"),
         F.when(sst > 0, q6(F.lit(1.0) - sse / sst)).alias("r2"),
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Two-sample experiment read-out comparing ``treatment`` against
+    ``control``: Welch's t on the metric plus a two-proportion z on the
+    conversion indicator (value > 0) — the always-asked pair of
+    questions about an A/B split, with no scipy anywhere.
+
+    Returns one row: ``(n_c, n_t, mean_c, mean_t, lift, t_welch,
+    conv_c, conv_t, z_prop)``. Metric values are quantized to ``scale``
+    decimals so Σx and Σx² are exact decimal(38,0) sums (order-free);
+    the Welch statistic ``(m_t - m_c) / sqrt(s²_t/n_t + s²_c/n_c)``
+    (sample variances, n-1) and the pooled-proportion z are computed
+    once from those integers — identical doubles in any engine,
+    floor-quantized to 6. NULL statistics when a side has < 2 rows or
+    zero variance.
+
+    ONE map-side-combinable aggregation over one scan (both variants in
+    the same pass via conditional sums).
+    """
+    s = 10 ** scale
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    is_c = F.col(variant_col) == F.lit(control)
+    is_t = F.col(variant_col) == F.lit(treatment)
+    rows = df.select(is_c.alias("__c"), is_t.alias("__t"), v.alias("__v")).where(
+        (F.col("__c") | F.col("__t")) & F.col("__v").isNotNull()
+    )
+    conv = (F.col("__v") > 0).cast("bigint")
+    agg = rows.agg(
+        F.sum(F.when(F.col("__c"), 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("__c"), F.col("__v"))).alias("__sc"),
+        F.sum(F.when(F.col("__t"), F.col("__v"))).alias("__st"),
+        F.sum(F.when(F.col("__c"), F.col("__v") * F.col("__v"))).alias("__ssc"),
+        F.sum(F.when(F.col("__t"), F.col("__v") * F.col("__v"))).alias("__sst"),
+        F.sum(F.when(F.col("__c"), conv).otherwise(F.lit(0))).cast("bigint").alias("__kc"),
+        F.sum(F.when(F.col("__t"), conv).otherwise(F.lit(0))).cast("bigint").alias("__kt"),
+    )
+    sd = F.lit(float(s))
+    nc = F.col("n_c").cast("double")
+    nt = F.col("n_t").cast("double")
+    mc = F.col("__sc").cast("double") / nc / sd
+    mt = F.col("__st").cast("double") / nt / sd
+    # sample variance in metric units²: (Σx² - (Σx)²/n) / (n-1) / s²
+    var_c = (
+        (F.col("__ssc").cast("double") - F.col("__sc").cast("double") ** 2 / nc)
+        / (nc - 1)
+        / (sd * sd)
+    )
+    var_t = (
+        (F.col("__sst").cast("double") - F.col("__st").cast("double") ** 2 / nt)
+        / (nt - 1)
+        / (sd * sd)
+    )
+    se = F.sqrt(var_t / nt + var_c / nc)
+    t_welch = (mt - mc) / se
+    pc = F.col("__kc").cast("double") / nc
+    pt = F.col("__kt").cast("double") / nt
+    pp = (F.col("__kc") + F.col("__kt")).cast("double") / (nc + nt)
+    z = (pt - pc) / F.sqrt(pp * (1 - pp) * (1 / nc + 1 / nt))
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    both = (F.col("n_c") >= 2) & (F.col("n_t") >= 2)
+    return agg.select(
+        "n_c",
+        "n_t",
+        q6(mc).alias("mean_c"),
+        q6(mt).alias("mean_t"),
+        q6(mt - mc).alias("lift"),
+        F.when(both & (var_c + var_t > 0), q6(t_welch)).alias("t_welch"),
+        q6(pc).alias("conv_c"),
+        q6(pt).alias("conv_t"),
+        F.when(both & (pp > 0) & (pp < 1), q6(z)).alias("z_prop"),
+    )

@@ -1547,3 +1547,105 @@ def mean_shift_changepoint(
         q6(mean_r - mean_l).alias("shift"),
         F.col("__stat").alias("stat"),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    group_col: str = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the distinct points not dominated
+    by any other — q dominates p when q.min <= p.min AND q.max >= p.max
+    with at least one strict. The classic "best trade-off" selection
+    (cheapest for a given quality, freshest for a given size) that a
+    naive implementation writes as an O(n²) NOT EXISTS self-join.
+
+    One sort instead: order distinct points by (min asc, max desc);
+    a point survives iff no PRECEDING point has max >= its max —
+    preceding rows are exactly those with a strictly better min (or an
+    equal min with strictly better max), so a single running-max window
+    decides dominance. Identical points never dominate each other
+    (no strict part) — handled by the up-front distinct.
+
+    Returns distinct ``(group?, minimize_col, maximize_col)`` frontier
+    rows. Scale shape: one distinct (map-side-combinable) + one
+    (group-)ordered window — the ungrouped form funnels one sort task,
+    fine because the DISTINCT already collapsed the data; with heavy
+    duplication the sort input is domain-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    g = [group_col] if group_col else []
+    pts = (
+        df.select(
+            *g,
+            F.col(minimize_col).alias("__x"),
+            F.col(maximize_col).alias("__y"),
+        )
+        .where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .distinct()
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.asc("__x"), F.desc("__y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.select(
+        *g,
+        "__x",
+        "__y",
+        F.max("__y").over(w).alias("__prev_best"),
+    )
+    return flagged.where(
+        F.col("__prev_best").isNull() | (F.col("__prev_best") < F.col("__y"))
+    ).select(
+        *g,
+        F.col("__x").alias(minimize_col),
+        F.col("__y").alias(maximize_col),
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    cols,
+    n_buckets: int = 1 << 18,
+    out_col: str = "features",
+    salt: str = "fh",
+) -> DataFrame:
+    """Hashing-trick encoder: each (column, value) pair maps to a bucket
+    ``md5(salt|col|value) % n_buckets`` with a ±1 sign from the next
+    hash bit — the fixed-width categorical featurizer that needs NO
+    vocabulary pass, no fit/transform state, and no driver round-trip
+    (the standard trick for streaming / 100 TB training prep where a
+    StringIndexer-style dictionary would itself be a big-data problem).
+
+    Appends ``out_col``: array<struct<index:int, sign:int>> with one
+    entry per column IN COLUMN ORDER (collisions are the accepted
+    hashing-trick trade-off; the sign bit makes collision noise
+    zero-mean). NULL values hash too (as the literal token "<null>"),
+    keeping the vector width constant.
+
+    Pure expression — no shuffle, no UDF; the oracle replays the md5
+    arithmetic exactly.
+    """
+    from biomedical_data_integration_spark.functions.hashing import md5_bigint
+
+    if n_buckets < 2:
+        raise ValueError("feature_hash: n_buckets must be >= 2")
+    entries = []
+    for c in cols:
+        token = F.concat(
+            F.lit(c + "="),
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>")),
+        )
+        h = md5_bigint(token, salt)
+        idx = (h % F.lit(n_buckets)).cast("int")
+        # next bit above the bucket field decides the sign
+        sign = F.when(
+            F.shiftright(h, 40) % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+        entries.append(
+            F.struct(idx.alias("index"), sign.cast("int").alias("sign"))
+        )
+    return df.withColumn(out_col, F.array(*entries))

@@ -182,3 +182,48 @@ def test_regression_report_large_magnitudes_no_overflow(spark):
     r = regression_report(df, "pred", "label", scale=4).collect()[0]
     # errors are exactly 2i -> mae = mean(2i) = 999
     assert abs(r["mae"] - 999.0) < 1e-3
+
+
+def test_ab_test_report_golden(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        ab_test_report,
+    )
+
+    rows = [("A", float(v)) for v in (10, 12, 14, 0)] + [
+        ("B", float(v)) for v in (16, 18, 20, 22)
+    ]
+    df = spark.createDataFrame(rows, "variant string, v double")
+    r = ab_test_report(df, "variant", "v", "A", "B").collect()[0]
+    assert (r["n_c"], r["n_t"]) == (4, 4)
+    assert abs(r["mean_c"] - 9.0) < 1e-6 and abs(r["mean_t"] - 19.0) < 1e-6
+    assert abs(r["lift"] - 10.0) < 1e-6
+    # welch: var_c = 116/3, var_t = 20/3 -> se = sqrt(136/12)
+    import math
+
+    t_ref = 10.0 / math.sqrt((116 / 3) / 4 + (20 / 3) / 4)
+    assert abs(r["t_welch"] - t_ref) < 1e-5
+    # conversions: 3/4 vs 4/4, pooled 7/8
+    assert abs(r["conv_c"] - 0.75) < 1e-6 and r["conv_t"] == 1.0
+    p = 7 / 8
+    z_ref = 0.25 / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert abs(r["z_prop"] - z_ref) < 1e-5
+
+
+def test_ab_test_report_degenerate_sides(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        ab_test_report,
+    )
+
+    # single-row control: t and z are NULL, means still real
+    df = spark.createDataFrame(
+        [("A", 5.0), ("B", 6.0), ("B", 8.0)], "variant string, v double"
+    )
+    r = ab_test_report(df, "variant", "v", "A", "B").collect()[0]
+    assert r["t_welch"] is None and r["z_prop"] is None
+    assert abs(r["mean_t"] - 7.0) < 1e-6
+    # all-converted: pooled p == 1 -> z NULL
+    df = spark.createDataFrame(
+        [("A", 5.0), ("A", 7.0), ("B", 6.0), ("B", 8.0)], "variant string, v double"
+    )
+    r = ab_test_report(df, "variant", "v", "A", "B").collect()[0]
+    assert r["z_prop"] is None and r["t_welch"] is not None

@@ -443,3 +443,64 @@ def test_mean_shift_changepoint_finds_step(spark):
     # min_seg respected: series shorter than 2*min_seg emit nothing
     tiny = spark.createDataFrame([("c", 1, 1.0), ("c", 2, 9.0)], "g string, t int, v double")
     assert mean_shift_changepoint(tiny, "v", "t", group_col="g").count() == 0
+
+
+def test_pareto_frontier_golden(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        pareto_frontier,
+    )
+
+    # minimize x, maximize y; (3,5) dominated by (2,5); (2,3) by (2,5);
+    # duplicates of a frontier point survive the distinct exactly once
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 5.0), (2.0, 5.0), (3.0, 5.0), (2.0, 3.0), (4.0, 9.0)],
+        "x double, y double",
+    )
+    out = sorted(
+        (r["x"], r["y"]) for r in pareto_frontier(df, "x", "y").collect()
+    )
+    assert out == [(1.0, 2.0), (2.0, 5.0), (4.0, 9.0)]
+
+
+def test_pareto_frontier_matches_naive(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.profiling import (
+        pareto_frontier,
+    )
+
+    rng = np.random.RandomState(11)
+    pts = [(float(x), float(y)) for x, y in rng.randint(0, 30, (200, 2))]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = sorted(
+        (r["x"], r["y"]) for r in pareto_frontier(df, "x", "y").collect()
+    )
+    uniq = set(pts)
+    naive = sorted(
+        p
+        for p in uniq
+        if not any(
+            q != p and q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in uniq
+        )
+    )
+    assert got == naive
+
+
+def test_feature_hash_deterministic_and_bounded(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        feature_hash,
+    )
+
+    df = spark.createDataFrame(
+        [("hi", "x"), ("lo", None), ("hi", "x")], "a string, b string"
+    )
+    out = feature_hash(df, ["a", "b"], n_buckets=32).collect()
+    # one entry per column, stable across identical rows, bounded index
+    assert all(len(r["features"]) == 2 for r in out)
+    assert out[0]["features"] == out[2]["features"]
+    for r in out:
+        for e in r["features"]:
+            assert 0 <= e["index"] < 32 and e["sign"] in (-1, 1)
+    # nulls hash to a real bucket (constant width), distinct from "x"
+    assert out[1]["features"][1] != out[0]["features"][1]
