@@ -264,15 +264,15 @@ def ab_test_report(
     mc = F.col("__sc").cast("double") / nc / sd
     mt = F.col("__st").cast("double") / nt / sd
     # sample variance in metric units²: (Σx² - (Σx)²/n) / (n-1) / s²
+    # explicit x*x, not pow(x, 2): Math.pow is not contractually exact,
+    # and the oracle must reproduce the same doubles
+    sc_d = F.col("__sc").cast("double")
+    st_d = F.col("__st").cast("double")
     var_c = (
-        (F.col("__ssc").cast("double") - F.col("__sc").cast("double") ** 2 / nc)
-        / (nc - 1)
-        / (sd * sd)
+        (F.col("__ssc").cast("double") - sc_d * sc_d / nc) / (nc - 1) / (sd * sd)
     )
     var_t = (
-        (F.col("__sst").cast("double") - F.col("__st").cast("double") ** 2 / nt)
-        / (nt - 1)
-        / (sd * sd)
+        (F.col("__sst").cast("double") - st_d * st_d / nt) / (nt - 1) / (sd * sd)
     )
     se = F.sqrt(var_t / nt + var_c / nc)
     t_welch = (mt - mc) / se
