@@ -443,6 +443,14 @@ def hll_sketch(df: DataFrame, col, p: int = 10, salt: str = "hll") -> DataFrame:
     Scale shape: one map-side-combinable groupBy onto at most 2^p
     groups; output is 2^p-bounded regardless of input size.
     """
+    return _hll_rows(df, col, p, salt).groupBy("register").agg(
+        F.max("__rho").alias("rho")
+    )
+
+
+def _hll_rows(df: DataFrame, col, p: int, salt: str) -> DataFrame:
+    """(register, __rho) projection shared by the batch and streaming
+    HLL faces — pure expressions, safe on streaming DataFrames."""
     if not 4 <= p <= 16:
         raise ValueError("hll_sketch: p must be in [4, 16]")
     from biomedical_data_integration_spark.functions.hashing import md5_bigint
@@ -458,10 +466,28 @@ def hll_sketch(df: DataFrame, col, p: int = 10, salt: str = "hll") -> DataFrame:
         .otherwise(F.lit(wbits) - F.length(F.bin(w)) + 1)
         .cast("int")
     )
-    src = df.select(reg.alias("register"), rho.alias("__rho")).where(
+    return df.select(reg.alias("register"), rho.alias("__rho")).where(
         F.col("register").isNotNull()
     )
-    return src.groupBy("register").agg(F.max("__rho").alias("rho"))
+
+
+def streaming_hll(
+    stream: DataFrame, col, p: int = 10, salt: str = "hll"
+) -> DataFrame:
+    """Streaming face of :func:`hll_sketch`: the identical register/rho
+    projection compiled onto a streaming DataFrame. HLL state is a
+    register-wise MAX — monotone and bounded by 2^p rows regardless of
+    stream volume — so Spark's built-in streaming max aggregation IS
+    the sketch maintenance; a complete-mode snapshot equals the batch
+    sketch over the same stream prefix (tested), and snapshots from
+    different streams/days union into :func:`hll_merge`.
+
+    Read estimates off snapshots with :func:`hll_estimate` exactly like
+    batch sketches.
+    """
+    return _hll_rows(stream, col, p, salt).groupBy("register").agg(
+        F.max("__rho").alias("rho")
+    )
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:

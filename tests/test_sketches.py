@@ -327,3 +327,34 @@ def test_hll_small_range_uses_linear_counting(spark):
     # linear counting is near-exact at this occupancy
     assert abs(est["estimate"] - 20) < 2
     assert est["nonzero"] <= 20
+
+
+def test_streaming_hll_snapshot_equals_batch(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.sketches import (
+        hll_sketch,
+        streaming_hll,
+    )
+
+    df = spark.createDataFrame([(i % 700,) for i in range(2000)], "id bigint")
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = streaming_hll(stream, "id", p=8)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("hll_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = sorted(
+            map(tuple, spark.sql("select * from hll_stream").collect())
+        )
+    want = sorted(map(tuple, hll_sketch(df, "id", p=8).collect()))
+    assert got == want
