@@ -6906,6 +6906,45 @@ FROM e
 """
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 NPMI collocations over documents (operators/lm.collocations):
+    phrase mining off the same one-scan bigram table the KN LM trains
+    on; rounded-then-ranked with a (w1, w2) total-order tiebreak."""
+    from biomedical_data_integration_spark.operators.lm import collocations
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5, top_k=50)
+
+
+def _collocations_sql() -> str:
+    return (
+        "WITH " + _LM_HEAD.format(toks=_SQL_TOKS.format(col="text"))
+        + """,
+c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ct1 FROM bg GROUP BY 1),
+c2 AS (SELECT w2, CAST(sum(c) AS BIGINT) AS ct2 FROM bg GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM bg),
+p AS (
+  SELECT bg.w1, bg.w2, bg.c AS n12,
+         ln(CAST(bg.c AS DOUBLE) * n.nn
+            / (CAST(c1.ct1 AS DOUBLE) * CAST(c2.ct2 AS DOUBLE))) AS raw_pmi,
+         ln(n.nn / CAST(bg.c AS DOUBLE)) AS denom
+  FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+  WHERE bg.c >= 5
+),
+s AS (
+  SELECT w1, w2, n12,
+         floor(raw_pmi * 1000000.0 + 0.5) / 1000000.0 AS pmi,
+         CASE WHEN denom > 0
+              THEN floor(raw_pmi / denom * 1000000.0 + 0.5) / 1000000.0
+              END AS npmi
+  FROM p
+)
+SELECT w1, w2, n12, pmi, npmi FROM s
+ORDER BY npmi DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6972,7 +7011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_price_quantity_lineitem": _q_pareto,
         "feature_hash_orders": _q_feature_hash,
         "ab_test_events_purchase": _q_ab_test,
-        # 35-50: round-4 additions that sat outside r4's window —
+        "collocations_documents": _q_collocations,
+        # 36-50: round-4 additions that sat outside r4's window —
         # never driver-graded before this round (the last three of that
         # block now sit just past the window; replica-verified).
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -7162,6 +7202,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_price_quantity_lineitem": _pareto_sql(),
         "feature_hash_orders": _feature_hash_sql(),
         "ab_test_events_purchase": _ab_test_sql(),
+        "collocations_documents": _collocations_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

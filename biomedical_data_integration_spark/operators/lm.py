@@ -188,3 +188,62 @@ def lm_score(
             / (F.sum("has_pair") * F.lit(1e6))
         ).alias("avg_logp10"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations (PMI / normalized-PMI ranked bigrams) — the
+    phrase-mining pass that finds "new york"-style units worth fusing
+    into single tokens before LM training or vocabulary induction.
+
+    PMI(w1,w2) = ln(c12·N / (c1·c2)) over the bigram count table (c1/c2
+    are the context/continuation totals, N the total bigram count);
+    NPMI = PMI / ln(N/c12) maps it to (-1, 1] so rankings are
+    frequency-comparable. ``min_count`` drops the unstable singleton
+    tail BEFORE the joins. Rounded to 6 BEFORE ranking; ties break on
+    (w1, w2) so the top-k cut is a total order.
+
+    Scale shape: one corpus scan for the bigram table, two vocab-sized
+    total joins, one global top-k (TakeOrdered — no full sort). N rides
+    the plan as a literal (one scalar job off the counts table).
+    """
+    bg = token_adjacency_edges(df, text_col=text_col).localCheckpoint(
+        eager=True
+    )
+    n_total = bg.agg(F.sum("weight")).collect()[0][0]
+    if not n_total:
+        return df.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, n12 bigint, pmi double, npmi double"
+        )
+    c1 = bg.groupBy(F.col("src").alias("w1")).agg(
+        F.sum("weight").cast("bigint").alias("__ct1")
+    )
+    c2 = bg.groupBy(F.col("dst").alias("w2")).agg(
+        F.sum("weight").cast("bigint").alias("__ct2")
+    )
+    nn = F.lit(float(n_total))
+    filt = bg.where(F.col("weight") >= min_count)
+    c12 = F.col("weight").cast("double")
+    raw_pmi = F.log(
+        c12 * nn / (F.col("__ct1").cast("double") * F.col("__ct2").cast("double"))
+    )
+    denom = F.log(nn / c12)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    scored = (
+        filt.join(c1, filt["src"] == c1["w1"])
+        .join(c2, filt["dst"] == c2["w2"])
+        .select(
+            F.col("src").alias("w1"),
+            F.col("dst").alias("w2"),
+            F.col("weight").cast("bigint").alias("n12"),
+            q6(raw_pmi).alias("pmi"),
+            F.when(denom > 0, q6(raw_pmi / denom)).alias("npmi"),
+        )
+    )
+    return scored.orderBy(F.desc("npmi"), F.asc("w1"), F.asc("w2")).limit(
+        top_k
+    )

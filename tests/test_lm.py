@@ -135,3 +135,35 @@ def test_lm_score_runs_stream_static(spark):
             for r in spark.sql("SELECT * FROM lm_stream_test").collect()
         }
     assert got == want
+
+
+def test_collocations_rank_fused_phrase(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.lm import collocations
+
+    # "san francisco" always co-occurs; "the cat/dog/sun" disperses "the"
+    docs = []
+    for i in range(10):
+        docs.append((i, "san francisco is near the cat and the dog and the sun"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = collocations(df, min_count=5, top_k=5).collect()
+    # "san francisco" and "francisco is" are both PERFECT collocations
+    # (c12 == c1 == c2): npmi == 1, tie broken alphabetically on w1
+    perfect = [(r["w1"], r["w2"]) for r in out if r["npmi"] == 1.0]
+    assert ("san", "francisco") in perfect
+    assert out[0]["w1"] == "francisco"  # alphabetical tiebreak
+    sf = next(r for r in out if (r["w1"], r["w2"]) == ("san", "francisco"))
+    assert sf["n12"] == 10
+    # perfect collocation: c12 == c1 == c2 -> pmi = ln(N/c12)
+    n_total = 10 * 11  # 11 bigrams per doc
+    assert abs(sf["pmi"] - math.log(n_total / 10)) < 1e-5
+    # min_count gate: nothing below 5 appears
+    assert all(r["n12"] >= 5 for r in out)
+
+
+def test_collocations_empty_corpus(spark):
+    from biomedical_data_integration_spark.operators.lm import collocations
+
+    df = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+    assert collocations(df).count() == 0
