@@ -2030,3 +2030,82 @@ def streaming_sequence_examples(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def sequence_match(
+    df: DataFrame,
+    first: str,
+    then: str,
+    within_seconds: int,
+    without: str = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """CEP-style event-pattern matcher: every ``first`` event that is
+    followed by a ``then`` event from the same user within
+    ``within_seconds``, optionally requiring NO ``without`` event
+    strictly between the pair — the "view then purchase within an hour,
+    with no error in between" question funnels can't pose (funnels
+    track first-completion only; this matches EVERY qualifying pair and
+    carries the negative condition).
+
+    Declarative plan, no CEP engine: events are keyed by user and
+    ordered by epoch seconds once; "next ``then``" and "next
+    ``without``" are ``min(when(...))`` RANGE-frame windows
+    (1..within for the positive, 1..unbounded for the guard) stacked on
+    the SAME exchange + sort. A match is a ``first`` row whose next-then
+    exists and precedes-or-equals nothing guarded: ``next_without`` is
+    NULL or >= next_then (the guard must fall strictly BETWEEN the pair
+    to kill it). Ties: a guard at exactly the ``then`` timestamp does
+    not kill the match; a guard at the ``first`` timestamp is not
+    "after" and is ignored — both documented choices, both replayed by
+    the oracle.
+
+    Returns ``(user, first_ts, then_ts, gap_seconds)``. Scale shape:
+    one user-keyed exchange, one sort, two stacked windows, one filter
+    — row volume is the ``first``-event count, never a pair product.
+    """
+    if within_seconds <= 0:
+        raise ValueError("sequence_match: within_seconds must be positive")
+    types = [t for t in (first, then, without) if t is not None]
+    rows = df.select(
+        F.col(user_col).alias("user"),
+        F.unix_timestamp(ts_col).cast("bigint").alias("__ts"),
+        F.col(type_col).alias("__t"),
+    ).where(F.col(type_col).isin(types))
+    wpos = (
+        Window.partitionBy("user")
+        .orderBy("__ts")
+        .rangeBetween(1, int(within_seconds))
+    )
+    next_then = F.min(F.when(F.col("__t") == then, F.col("__ts"))).over(wpos)
+    cols = [
+        F.col("user"),
+        F.col("__ts"),
+        F.col("__t"),
+        next_then.alias("__nt"),
+    ]
+    if without is not None:
+        wguard = (
+            Window.partitionBy("user")
+            .orderBy("__ts")
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        cols.append(
+            F.min(F.when(F.col("__t") == without, F.col("__ts")))
+            .over(wguard)
+            .alias("__ng")
+        )
+    staged = rows.select(*cols)
+    cond = (F.col("__t") == first) & F.col("__nt").isNotNull()
+    if without is not None:
+        cond = cond & (
+            F.col("__ng").isNull() | (F.col("__ng") >= F.col("__nt"))
+        )
+    return staged.where(cond).select(
+        "user",
+        F.col("__ts").alias("first_ts"),
+        F.col("__nt").alias("then_ts"),
+        (F.col("__nt") - F.col("__ts")).alias("gap_seconds"),
+    )

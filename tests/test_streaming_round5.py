@@ -248,3 +248,63 @@ def test_streaming_sequence_examples_state_plateaus_under_ttl(spark):
         finally:
             sq.stop()
             time.sleep(1.0)
+
+
+# ---------------------------------------------------------------------------
+# sequence_match (CEP-style pattern windows)
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_match_positive_negative_and_guard(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        sequence_match,
+    )
+
+    rows = [
+        # u1: view -> purchase in 30s, clean -> match
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:00:30", "purchase"),
+        # u2: error strictly between -> killed
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:00:10", "error"),
+        (2, "2024-01-01 00:00:30", "purchase"),
+        # u3: purchase outside the 60s window -> no match
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 00:02:00", "purchase"),
+        # u4: error AT the purchase ts does not kill (documented tie rule)
+        (4, "2024-01-01 00:00:00", "view"),
+        (4, "2024-01-01 00:00:20", "purchase"),
+        (4, "2024-01-01 00:00:20", "error"),
+        # u5: two views share the SAME next purchase -> two matches
+        (5, "2024-01-01 00:00:00", "view"),
+        (5, "2024-01-01 00:00:10", "view"),
+        (5, "2024-01-01 00:00:40", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sequence_match(
+        df, "view", "purchase", within_seconds=60, without="error"
+    )
+    got = {(r["user"], r["gap_seconds"]) for r in out.collect()}
+    assert got == {(1, 30), (4, 20), (5, 40), (5, 30)}
+    # without the guard, u2 matches too
+    out2 = sequence_match(df, "view", "purchase", within_seconds=60)
+    assert {(r["user"], r["gap_seconds"]) for r in out2.collect()} == {
+        (1, 30), (2, 30), (4, 20), (5, 40), (5, 30)
+    }
+
+
+def test_sequence_match_single_exchange_plan(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        sequence_match,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id bigint, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sequence_match(df, "view", "purchase", 60, without="error")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both windows stack on ONE user-keyed exchange
+    assert plan.count("Exchange hashpartitioning") == 1
