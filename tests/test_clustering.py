@@ -263,3 +263,79 @@ def test_kmeans_maxmin_raises_on_duplicate_seeds(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     with _pytest.raises(ValueError, match="distinct"):
         kmeans(df, k=3, max_iter=1, init="maxmin")
+
+
+# ---------------------------------------------------------------------------
+# PCA: integer covariance + quantized power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-1, 1, (300, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_covariance,
+    )
+
+    out = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(df).collect()}
+    Q = np.floor(X * 1e6 + 0.5)
+    C = np.cov(Q.T, ddof=1) / 1e12
+    assert len(out) == 21  # upper triangle of 6x6
+    for (i, j), v in out.items():
+        assert abs(v - C[i, j]) < 2e-6, (i, j)
+
+
+def test_pca_top_component_spiked_data(spark):
+    import numpy as np
+
+    # strong rank-1 spike along a known direction -> fast convergence
+    rng = np.random.RandomState(9)
+    d = np.array([3.0, -2.0, 1.0, 0.5])
+    d = d / np.linalg.norm(d)
+    X = np.outer(rng.normal(0, 5.0, 400), d) + rng.normal(0, 0.1, (400, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    from biomedical_data_integration_spark.operators.clustering import (
+        pca_project,
+        pca_top_component,
+    )
+
+    rows = sorted(pca_top_component(df).collect(), key=lambda r: r["idx"])
+    v = np.array([r["loading"] for r in rows])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert abs(abs(float(np.dot(v, d))) - 1.0) < 1e-3
+    # sign convention: the largest-|loading| entry is positive
+    assert v[np.argmax(np.abs(v))] > 0
+    # eigenvalue ~ spike variance (25) + noise
+    assert 20.0 < rows[0]["eigenvalue"] < 30.0
+    # projection is the literal dot product
+    proj = pca_project(df, [float(x) for x in v]).collect()
+    ref = X @ v
+    got = {r["vec_id"]: r["pc1"] for r in proj}
+    for i in range(0, 400, 97):
+        assert abs(got[i] - ref[i]) < 1e-4
+
+
+def test_pca_deterministic_across_partitionings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    X = rng.uniform(-1, 1, (120, 5))
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(X)]
+    from biomedical_data_integration_spark.operators.clustering import (
+        pca_top_component,
+    )
+
+    a = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    b = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(17)
+    la = [r["loading"] for r in sorted(pca_top_component(a).collect(), key=lambda r: r["idx"])]
+    lb = [r["loading"] for r in sorted(pca_top_component(b).collect(), key=lambda r: r["idx"])]
+    assert la == lb  # exact equality: integer pipeline end to end
