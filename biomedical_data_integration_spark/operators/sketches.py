@@ -448,9 +448,12 @@ def hll_sketch(df: DataFrame, col, p: int = 10, salt: str = "hll") -> DataFrame:
     )
 
 
-def _hll_rows(df: DataFrame, col, p: int, salt: str) -> DataFrame:
-    """(register, __rho) projection shared by the batch and streaming
-    HLL faces — pure expressions, safe on streaming DataFrames."""
+def _hll_rows(
+    df: DataFrame, col, p: int, salt: str, extra_cols=()
+) -> DataFrame:
+    """(*extra_cols, register, __rho) projection shared by the batch,
+    grouped, and streaming HLL faces — pure expressions, safe on
+    streaming DataFrames."""
     if not 4 <= p <= 16:
         raise ValueError("hll_sketch: p must be in [4, 16]")
     from biomedical_data_integration_spark.functions.hashing import md5_bigint
@@ -466,9 +469,9 @@ def _hll_rows(df: DataFrame, col, p: int, salt: str) -> DataFrame:
         .otherwise(F.lit(wbits) - F.length(F.bin(w)) + 1)
         .cast("int")
     )
-    return df.select(reg.alias("register"), rho.alias("__rho")).where(
-        F.col("register").isNotNull()
-    )
+    return df.select(
+        *extra_cols, reg.alias("register"), rho.alias("__rho")
+    ).where(F.col("register").isNotNull())
 
 
 def streaming_hll(
@@ -546,3 +549,59 @@ def hll_estimate(registers: DataFrame, p: int) -> DataFrame:
         q6(raw).alias("raw_estimate"),
         q6(est).alias("estimate"),
     )
+
+
+def hll_sketch_grouped(
+    df: DataFrame, col, group_cols, p: int = 10, salt: str = "hll"
+) -> DataFrame:
+    """Per-group HLL registers: ``(*group_cols, register, rho)`` — the
+    "distinct users per day/shard/source" sketch. Each group's register
+    table merges independently (max) and rolls up across groups the
+    same way, so daily sketches ALSO answer weekly/monthly uniques by
+    re-maxing — the hypertable-rollup trick for distinct counts, which
+    plain count(distinct) cannot do without a rescan.
+
+    One map-side-combinable groupBy onto |groups|·2^p keys.
+    """
+    group_cols = list(group_cols)
+    return (
+        _hll_rows(df, col, p, salt, extra_cols=group_cols)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, p: int, group_cols
+) -> DataFrame:
+    """Per-group read-out of :func:`hll_sketch_grouped` registers:
+    ``(*group_cols, nonzero, estimate)`` — same integer-scaled harmonic
+    sum and linear-counting fallback as :func:`hll_estimate`, one
+    aggregation over the (groups · 2^p)-bounded register table."""
+    m = 2 ** p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    if p <= 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    sb = 61 - p
+    group_cols = list(group_cols)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(sb) - F.col("rho").cast("double")).cast(
+                "bigint"
+            )
+        ).alias("__s"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    ssum = (F.col("__s") + zeros.cast("bigint") * F.lit(2 ** sb)).cast("double")
+    raw = F.lit(alpha * m * m * float(2 ** sb)) / ssum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(*group_cols, "nonzero", q6(est).alias("estimate"))

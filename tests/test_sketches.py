@@ -358,3 +358,27 @@ def test_streaming_hll_snapshot_equals_batch(spark):
         )
     want = sorted(map(tuple, hll_sketch(df, "id", p=8).collect()))
     assert got == want
+
+
+def test_hll_grouped_rollup_equals_regrouped_sketch(spark):
+    from biomedical_data_integration_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_sketch,
+        hll_sketch_grouped,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 7, i % 400) for i in range(3000)], "day int, uid bigint"
+    )
+    per_day = hll_sketch_grouped(df, "uid", ["day"], p=8)
+    est = {
+        r["day"]: r["estimate"]
+        for r in hll_estimate_grouped(per_day, 8, ["day"]).collect()
+    }
+    assert len(est) == 7
+    # re-max daily registers across days == global sketch (rollup trick)
+    total = per_day.groupBy("register").agg(F.max("rho").alias("rho"))
+    want = sorted(map(tuple, hll_sketch(df, "uid", p=8).collect()))
+    got = sorted(map(tuple, total.collect()))
+    assert got == want
