@@ -2109,3 +2109,130 @@ def sequence_match(
         F.col("__nt").alias("then_ts"),
         (F.col("__nt") - F.col("__ts")).alias("gap_seconds"),
     )
+
+
+def streaming_sequence_match(
+    stream: DataFrame,
+    first: str,
+    then: str,
+    within_seconds: int,
+    without: str = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    state_ttl_minutes: int = None,
+) -> DataFrame:
+    """Streaming twin of :func:`sequence_match` — CEP over an unbounded
+    stream via ``applyInPandasWithState``: per user, pending ``first``
+    events wait (at most ``within_seconds`` of event time) for a
+    ``then``, guards (``without``) mark them, and matches emit as soon
+    as the qualifying ``then`` arrives.
+
+    State per user is two parallel arrays: pending first timestamps and
+    each one's earliest subsequent guard (-1 = none) — bounded by the
+    number of ``first`` events inside one ``within_seconds`` horizon,
+    because anything older than the newest seen timestamp minus the
+    window is pruned every batch. Semantics match the batch twin on
+    in-order delivery (same strict/tie rules: then strictly after
+    first; a guard AT the then timestamp does not kill; each first
+    matches its EARLIEST then); late cross-batch events follow the
+    streaming trade documented on streaming_asof_join — a late guard
+    cannot retro-kill an already-emitted match. ``state_ttl_minutes``
+    expires idle users (processing-time TTL).
+
+    Returns ``(user, first_ts, then_ts, gap_seconds)`` as epoch seconds.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if within_seconds <= 0:
+        raise ValueError(
+            "streaming_sequence_match: within_seconds must be positive"
+        )
+    types = [t for t in (first, then, without) if t is not None]
+    rows = stream.select(
+        F.col(user_col).alias("user"),
+        F.unix_timestamp(ts_col).cast("bigint").alias("__ts"),
+        F.col(type_col).alias("__t"),
+    ).where(F.col(type_col).isin(types))
+    user_type = dict(stream.dtypes)[user_col]
+    out_ddl = (
+        f"`user` {user_type}, `first_ts` bigint, `then_ts` bigint,"
+        f" `gap_seconds` bigint"
+    )
+    state_ddl = "`pf` array<bigint>, `pg` array<bigint>"
+    ttl_ms = (
+        None if state_ttl_minutes is None else int(state_ttl_minutes * 60_000)
+    )
+    T = int(within_seconds)
+
+    def _cep(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        df = pd.concat(pdfs, ignore_index=True).sort_values(
+            "__ts", kind="mergesort"
+        )
+        pf, pg = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1])
+        )
+        out = []
+        user = key[0]
+        last_ts = None
+        for ts, grp in df.groupby("__ts", sort=True):
+            ts = int(ts)
+            kinds = set(grp["__t"])
+            # 1) thens match pending firsts from STRICTLY earlier times
+            if then in kinds:
+                keep_f, keep_g = [], []
+                for f, g in zip(pf, pg):
+                    if ts <= f + T and (g == -1 or g >= ts):
+                        out.append((user, f, ts, ts - f))
+                    else:
+                        keep_f.append(f)
+                        keep_g.append(g)
+                pf, pg = keep_f, keep_g
+            # 2) guards mark pending firsts (same-ts then already matched)
+            if without is not None and without in kinds:
+                pg = [
+                    ts if (g == -1 and f < ts) else g
+                    for f, g in zip(pf, pg)
+                ]
+            # 3) new firsts enter AFTER same-ts thens/guards (strict rules)
+            if first in kinds:
+                for _ in range((grp["__t"] == first).sum()):
+                    pf.append(ts)
+                    pg.append(-1)
+            last_ts = ts
+        if last_ts is not None:
+            pruned = [
+                (f, g) for f, g in zip(pf, pg) if f + T >= last_ts
+            ]
+            pf = [f for f, _ in pruned]
+            pg = [g for _, g in pruned]
+        state.update((pf, pg))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user", "first_ts", "then_ts", "gap_seconds"]
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return rows.groupBy("user").applyInPandasWithState(
+        _cep,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

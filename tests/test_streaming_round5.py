@@ -308,3 +308,101 @@ def test_sequence_match_single_exchange_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # both windows stack on ONE user-keyed exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_streaming_sequence_match_equals_batch(spark):
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import (
+        sequence_match,
+        streaming_sequence_match,
+    )
+
+    (events,) = [
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ]
+    want = sorted(
+        map(
+            tuple,
+            sequence_match(
+                events, "view", "purchase", 3600, without="error"
+            ).collect(),
+        )
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = streaming_sequence_match(
+            stream, "view", "purchase", 3600, without="error"
+        )
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("cep_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = sorted(
+            map(tuple, spark.sql("select * from cep_stream").collect())
+        )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sequence_match_across_batches(spark):
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_sequence_match,
+    )
+
+    schema = "user_id bigint, ts timestamp, event_type string"
+    b1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "view"),      # matches in batch 2
+            (2, "2024-01-01 00:00:00", "view"),      # guarded in batch 2
+            (3, "2024-01-01 00:00:00", "view"),      # expires (then too late)
+        ],
+        "user_id bigint, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:30:00", "purchase"),
+            (2, "2024-01-01 00:10:00", "error"),
+            (2, "2024-01-01 00:30:00", "purchase"),
+            (3, "2024-01-01 02:30:00", "purchase"),
+        ],
+        "user_id bigint, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        b1.coalesce(1).write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = streaming_sequence_match(
+            stream, "view", "purchase", 3600, without="error",
+            state_ttl_minutes=60,
+        )
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("cep_stream2")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            (r["user"], r["gap_seconds"])
+            for r in spark.sql("select * from cep_stream2").collect()
+        }
+    # only user 1 matches: 2 is guarded, 3's purchase falls outside 1h
+    assert got == {(1, 1800)}
