@@ -2236,3 +2236,127 @@ def streaming_sequence_match(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Open/high/low/close bars per (group, time bucket) — the standard
+    downsampling for metric/price series (the M4 operator keeps extreme
+    POINTS for plotting; OHLC keeps the four summary VALUES for
+    analytics).
+
+    Open/close are struct-ordered ``min/max(struct(ts, value))`` — one
+    aggregation, deterministic under ties (equal-ts rows resolve to the
+    smaller value for open, larger for close; Spark and SQL struct
+    comparison are both lexicographic, so the oracle replays exactly).
+    Returns ``(group, bucket_start, open, high, low, close, n)`` with
+    values floor-quantized to 6.
+
+    ONE map-side-combinable groupBy; bars-count-sized output. The
+    streaming face is the same expressions under a watermarked window —
+    compose with streaming_tumbling_window_agg's pattern.
+    """
+    v = F.col(value_col).cast("double")
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    agg = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
+            F.unix_timestamp(ts_col).cast("bigint").alias("__tsl"),
+            v.alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+        .groupBy("grp", "bucket_start")
+        .agg(
+            F.min(F.struct(F.col("__tsl"), F.col("__v"))).alias("__o"),
+            F.max("__v").alias("__hi"),
+            F.min("__v").alias("__lo"),
+            F.max(F.struct(F.col("__tsl"), F.col("__v"))).alias("__c"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "bucket_start",
+        q6(F.col("__o.__v")).alias("open"),
+        q6(F.col("__hi")).alias("high"),
+        q6(F.col("__lo")).alias("low"),
+        q6(F.col("__c.__v")).alias("close"),
+        "n",
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket: str = "hour",
+    scale: int = 2,
+) -> DataFrame:
+    """Time-weighted average per (group, bucket) for IRREGULARLY sampled
+    series: each observation is held piecewise-constant until the next
+    one in the same bucket (the last extends to bucket end), so a value
+    that persisted 59 minutes outweighs a one-minute blip — what a
+    plain avg() gets wrong on event-driven metrics.
+
+    TWAP = Σ q_i·w_i / Σ w_i with q the cent-quantized value and w
+    integer second durations — an exact bigint dot product (order-free;
+    one division at read-out, floor-quantized to 6). Single-observation
+    buckets weight the lone sample to bucket end.
+
+    Scale shape: one (group, bucket)-keyed sort window for the lead
+    timestamp + one groupBy on the same key — one exchange total
+    (the window partitioning covers the groupBy).
+    """
+    from pyspark.sql import Window
+
+    s = 10 ** scale
+    bucket_secs = {"hour": 3600, "day": 86400, "week": 604800}
+    if bucket not in bucket_secs:
+        raise ValueError("time_weighted_average: bucket must be hour/day/week")
+    staged = df.select(
+        F.col(group_col).alias("grp"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
+        F.unix_timestamp(ts_col).cast("bigint").alias("__tsl"),
+        F.floor(F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__q"),
+    ).where(F.col("__q").isNotNull())
+    # (__tsl, __q) total order: equal-ts duplicates would otherwise hand
+    # the interval to an ARBITRARY member (lead over a partial order) —
+    # with the tiebreak the largest quantized value at a tied instant
+    # carries the duration, in both engines
+    w = Window.partitionBy("grp", "bucket_start").orderBy("__tsl", "__q")
+    bucket_end = (
+        F.unix_timestamp("bucket_start").cast("bigint")
+        + F.lit(bucket_secs[bucket])
+    )
+    dur = (
+        F.coalesce(F.lead("__tsl", 1).over(w), bucket_end) - F.col("__tsl")
+    ).cast("bigint")
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    agg = (
+        staged.select("grp", "bucket_start", "__q", dur.alias("__w"))
+        .groupBy("grp", "bucket_start")
+        .agg(
+            F.sum(F.col("__q") * F.col("__w")).cast("bigint").alias("__num"),
+            F.sum("__w").cast("bigint").alias("__den"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "bucket_start",
+        q6(
+            F.col("__num").cast("double")
+            / F.col("__den").cast("double")
+            / F.lit(float(s))
+        ).alias("twap"),
+        "n",
+    )

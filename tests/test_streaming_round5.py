@@ -406,3 +406,58 @@ def test_streaming_sequence_match_across_batches(spark):
         }
     # only user 1 matches: 2 is guarded, 3's purchase falls outside 1h
     assert got == {(1, 1800)}
+
+
+def test_ohlc_bars_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import ohlc_bars
+
+    rows = [
+        ("m", "2024-01-01 10:05:00", 10.0),
+        ("m", "2024-01-01 10:20:00", 30.0),
+        ("m", "2024-01-01 10:40:00", 5.0),
+        ("m", "2024-01-01 10:55:00", 20.0),
+        ("m", "2024-01-01 11:10:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r["bucket_start"]): r
+        for r in ohlc_bars(df).collect()
+    }
+    b10 = out["2024-01-01 10:00:00"]
+    assert (b10["open"], b10["high"], b10["low"], b10["close"], b10["n"]) == (
+        10.0, 30.0, 5.0, 20.0, 4,
+    )
+    assert out["2024-01-01 11:00:00"]["open"] == 7.0
+    # tie at the opening instant: struct order resolves to the SMALLER value
+    tie = spark.createDataFrame(
+        [("m", "2024-01-01 10:00:00", 9.0), ("m", "2024-01-01 10:00:00", 4.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ohlc_bars(tie).collect()[0]
+    assert r["open"] == 4.0 and r["close"] == 9.0
+
+
+def test_time_weighted_average_vs_plain_mean(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        time_weighted_average,
+    )
+
+    # 100 for 59 minutes, 0 for 1 minute: twap ~ 98.3, plain mean 50
+    rows = [
+        ("m", "2024-01-01 10:00:00", 100.0),
+        ("m", "2024-01-01 10:59:00", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = time_weighted_average(df).collect()[0]
+    assert abs(r["twap"] - 100.0 * 59 / 60) < 1e-6
+    assert r["n"] == 2
+    # single observation holds to bucket end
+    one = spark.createDataFrame(
+        [("m", "2024-01-01 10:30:00", 42.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert time_weighted_average(one).collect()[0]["twap"] == 42.0
