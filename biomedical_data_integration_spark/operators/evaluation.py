@@ -293,3 +293,107 @@ def ab_test_report(
         q6(pt).alias("conv_t"),
         F.when(both & (pp > 0) & (pp < 1), q6(z)).alias("z_prop"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    score_scale: int = 3,
+) -> DataFrame:
+    """Precision / recall / F1 / accuracy at a grid of decision
+    thresholds — the PR-curve companion to binary_auc (which summarizes
+    ranking quality in one number; this says what happens at each
+    operating point a deployment could pick).
+
+    "Predict positive" means ``score >= t``. Scores are floor-quantized
+    to ``score_scale`` decimals FIRST, which is exact for any threshold
+    on the same grid (``score >= t  <=>  floor(score*s) >= round(t*s)``
+    when ``t*s`` is integral), so the corpus collapses to at most
+    O(10**score_scale) bins in ONE map-side-combinable groupBy before
+    any threshold logic runs. The bins x thresholds expansion and the
+    final thresholds-keyed aggregation touch only bin-count-sized data
+    — no per-threshold corpus pass, no driver loop. At 100 TB the scan
+    dominates and the sweep is one pass regardless of grid size.
+
+    Returns one row per threshold: ``(threshold, tp, fp, fn, tn,
+    precision, recall, f1, accuracy)`` — ratios floor-quantized to 6,
+    NULL where undefined (no predicted / no actual positives).
+    """
+    if not thresholds:
+        raise ValueError("threshold_sweep: need at least one threshold")
+    s = 10 ** score_scale
+    t_ints = []
+    for t in thresholds:
+        ti = int(round(t * s))
+        if abs(ti - t * s) > 1e-9:
+            raise ValueError(
+                f"threshold_sweep: threshold {t} is not representable at "
+                f"score_scale={score_scale}; coarsen the grid or raise the scale"
+            )
+        t_ints.append(ti)
+    bins = (
+        df.select(
+            F.floor(F.col(score_col).cast("double") * F.lit(float(s)))
+            .cast("bigint")
+            .alias("__b"),
+            (F.col(label_col).cast("double") > 0).cast("int").alias("__y"),
+        )
+        .where(F.col("__b").isNotNull() & F.col(label_col).isNotNull())
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__y").cast("bigint").alias("__np"),
+        )
+    )
+    grid = F.explode(
+        F.array(*[F.lit(ti).cast("bigint") for ti in sorted(t_ints)])
+    ).alias("__t")
+    pred_pos = F.col("__b") >= F.col("__t")
+    agg = (
+        bins.select("__b", "__n", "__np", grid)
+        .groupBy("__t")
+        .agg(
+            F.sum(F.when(pred_pos, F.col("__np")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(pred_pos, F.col("__n") - F.col("__np")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(~pred_pos, F.col("__np")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+            F.sum(
+                F.when(~pred_pos, F.col("__n") - F.col("__np")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tn"),
+        )
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    f1 = (
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    acc = (F.col("tp") + F.col("tn")).cast("double") / (
+        F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+    )
+    return agg.select(
+        (F.col("__t").cast("double") / F.lit(float(s))).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, q6(prec)).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, q6(rec)).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0, q6(f1)
+        ).alias("f1"),
+        q6(acc).alias("accuracy"),
+    )

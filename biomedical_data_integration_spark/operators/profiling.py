@@ -1649,3 +1649,145 @@ def feature_hash(
             F.struct(idx.alias("index"), sign.cast("int").alias("sign"))
         )
     return df.withColumn(out_col, F.array(*entries))
+
+
+def cross_correlation(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """Cross-correlation function (CCF) between two daily metric series
+    drawn from one event stream — "do purchases follow clicks, and by
+    how many days?". ``autocorrelation`` probes a series against its own
+    past; this probes series A (rows with ``key_col = key_a``) against
+    series B at calendar offsets -max_lag..+max_lag. A peak at positive
+    lag L means A leads B by L days.
+
+    Lag-L CCF is the Pearson correlation of pairs (A_t, B_{t+L}) over
+    days where BOTH exist — alignment is by CALENDAR day (an equi-join
+    on shifted dates), not by row position, so gaps pair up honestly.
+    Sufficient statistics are exact bigint sums of cent-quantized daily
+    totals; the moment formula runs in doubles in a fixed order, so the
+    result is bit-reproducible cross-engine.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to (day, a_total, b_total) — everything after is series-sized: a
+    (2*max_lag+1)-way explode of the B side, one equi-join on the
+    shifted day, one lag-keyed aggregation. At 100 TB only the first
+    groupBy sees data volume.
+    """
+    if max_lag < 0:
+        raise ValueError("cross_correlation: max_lag must be >= 0")
+    s = 10 ** scale
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    daily = (
+        df.select(
+            F.to_date(F.col(time_col)).alias("__d"),
+            F.col(key_col).alias("__k"),
+            v.alias("__v"),
+        )
+        .where(
+            F.col("__v").isNotNull()
+            & F.col("__d").isNotNull()
+            & F.col("__k").isin(key_a, key_b)
+        )
+        .groupBy("__d")
+        .agg(
+            F.sum(F.when(F.col("__k") == key_a, F.col("__v"))).alias("__va"),
+            F.sum(F.when(F.col("__k") == key_b, F.col("__v"))).alias("__vb"),
+        )
+    )
+    a = daily.where(F.col("__va").isNotNull()).select("__d", "__va")
+    lags = F.explode(
+        F.array(
+            *[F.lit(l).cast("int") for l in range(-max_lag, max_lag + 1)]
+        )
+    ).alias("lag")
+    # pair (A_t, B_{t+lag}): a B row at day d supplies lag l to the A
+    # row at day d - l
+    b = (
+        daily.where(F.col("__vb").isNotNull())
+        .select("__d", "__vb", lags)
+        .select(
+            F.date_sub(F.col("__d"), F.col("lag")).alias("__d"),
+            "lag",
+            "__vb",
+        )
+    )
+    paired = a.join(b, "__d")
+    agg = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__va").cast("bigint").alias("__sx"),
+        F.sum("__vb").cast("bigint").alias("__sy"),
+        F.sum(F.col("__va") * F.col("__vb")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__va") * F.col("__va")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__vb") * F.col("__vb")).cast("bigint").alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = num / F.sqrt(dx * dy)
+    q6 = F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        "lag", "n", F.when((dx > 0) & (dy > 0), q6).alias("ccf")
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Shannon entropy of a categorical distribution per group — the
+    behavioral-diversity profile (a user whose events are 99% "view"
+    scores near 0; one spread evenly over k types scores ln k). Used to
+    segment exploratory vs habitual actors and to flag bot-like
+    uniformity in training-data curation.
+
+    H = ln(n) - (1/n) * sum(c_i * ln c_i) — computed from exact bigint
+    counts with the logs taken last, so both engines evaluate the same
+    fixed expression over the same integers. ``norm_entropy`` divides
+    by ln(k) (NULL for k = 1, where diversity is undefined).
+
+    Scale shape: two map-side-combinable groupBys — (group, category)
+    counts, then per-group moments. Output is group-count-sized; no
+    windows, no joins.
+    """
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.col(cat_col).alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .groupBy("grp", "__c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    agg = counts.groupBy("grp").agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("__n").cast("double") * F.log(F.col("__n").cast("double")))
+        .alias("__snl"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("__snl") / F.col("n").cast(
+        "double"
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "k",
+        q6(h).alias("entropy"),
+        F.when(
+            F.col("k") > 1, q6(h / F.log(F.col("k").cast("double")))
+        ).alias("norm_entropy"),
+    )

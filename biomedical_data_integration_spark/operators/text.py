@@ -869,3 +869,50 @@ def normalize_text(
     if lowercase:
         expr = F.lower(expr)
     return df.withColumn(out_col, expr)
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic curriculum / quality-filter signal ("drop everything below
+    grade 2 material", "bucket by difficulty for staged pretraining").
+
+    Counts are whole-text regex tallies, exact and engine-portable:
+    words = ``[a-z]+`` runs of the lowercased text, sentences =
+    ``[.!?]+`` runs (min 1), syllables = ``[aeiouy]+`` vowel groups
+    (groups cannot cross a word boundary, so the whole-text tally
+    equals the per-word sum). The two ratios then feed the published
+    formulas in a fixed evaluation order, floor-quantized to 6 — the
+    same ASCII regexes and IEEE arithmetic on both engines.
+
+    Scale shape: pure per-row expressions, no shuffle, no UDF — rides
+    whatever scan partitioning the corpus already has.
+    """
+    lower = F.lower(F.col(text_col))
+    n_words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0)).cast(
+        "bigint"
+    )
+    n_sentences = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)).cast(
+            "bigint"
+        ),
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("n_syllables", n_syllables)
+        .withColumn(
+            "flesch", F.when(F.col("n_words") > 0, q6(flesch))
+        )
+        .withColumn(
+            "fk_grade", F.when(F.col("n_words") > 0, q6(fk))
+        )
+    )

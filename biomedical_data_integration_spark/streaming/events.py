@@ -2360,3 +2360,101 @@ def time_weighted_average(
         ).alias("twap"),
         "n",
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str | None = None,
+    period: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """Classical additive decomposition of a daily metric series into
+    trend + seasonal + residual — the explainer behind the seasonal-naive
+    forecaster (seasonal_naive_eval scores "same day last week"; this
+    shows HOW MUCH of the series that weekly shape actually carries).
+
+    trend is a centered ``period``-point moving average (defined only
+    where the window is full), seasonal is the per-phase mean of the
+    detrended series (phase = days-since-epoch mod period — an integer
+    identity both engines share, unlike locale-dependent day-of-week
+    codes), residual is the leftover. All intermediates stay integral:
+    the detrended value is ``period*v - window_sum`` (exact bigint), so
+    the only floating-point ops are final fixed-order divisions,
+    floor-quantized to 6.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to (group, day) totals; the moving window, the phase means, and the
+    broadcast join back are all series-sized. The ungrouped form sorts
+    one series in one task — intended for per-day aggregates, not raw
+    events.
+    """
+    if period < 2:
+        raise ValueError("seasonal_decompose: period must be >= 2")
+    if period % 2 == 0:
+        raise ValueError(
+            "seasonal_decompose: even periods need a 2x4-MA; use an odd "
+            "period (e.g. 7 for weekly shape on daily data)"
+        )
+    s = 10 ** scale
+    g = [group_col] if group_col else []
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    daily = (
+        df.select(
+            *g,
+            F.to_date(F.col(ts_col)).alias("day"),
+            v.alias("__v"),
+        )
+        .where(F.col("__v").isNotNull() & F.col("day").isNotNull())
+        .groupBy(*g, "day")
+        .agg(F.sum("__v").cast("bigint").alias("__v"))
+    )
+    half = period // 2
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    windowed = daily.select(
+        *g,
+        "day",
+        "__v",
+        F.sum("__v").over(w).cast("bigint").alias("__wsum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("__wcnt"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01")) % period).alias(
+            "__phase"
+        ),
+    )
+    full = F.col("__wcnt") == period
+    # detrended * period, exact bigint where the window is full
+    dscaled = F.when(full, F.lit(period) * F.col("__v") - F.col("__wsum"))
+    staged = windowed.select(
+        *g, "day", "__v", "__wsum", "__phase", dscaled.alias("__dp")
+    )
+    phase_means = staged.groupBy(*g, "__phase").agg(
+        F.sum("__dp").cast("bigint").alias("__sd"),
+        F.count("__dp").cast("bigint").alias("__nd"),
+    )
+    joined = staged.join(F.broadcast(phase_means), [*g, "__phase"])
+    denom = F.lit(float(period * s))
+    value = F.col("__v").cast("double") / F.lit(float(s))
+    trend = F.col("__wsum").cast("double") / denom
+    seasonal = F.col("__sd").cast("double") / (
+        F.col("__nd").cast("double") * denom
+    )
+    residual = F.col("__dp").cast("double") / denom - seasonal
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    has_season = F.col("__nd") > 0
+    return joined.select(
+        *g,
+        "day",
+        q6(value).alias("value"),
+        F.when(F.col("__dp").isNotNull(), q6(trend)).alias("trend"),
+        F.when(has_season, q6(seasonal)).alias("seasonal"),
+        F.when(
+            F.col("__dp").isNotNull() & has_season, q6(residual)
+        ).alias("residual"),
+    )

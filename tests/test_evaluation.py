@@ -227,3 +227,58 @@ def test_ab_test_report_degenerate_sides(spark):
     )
     r = ab_test_report(df, "variant", "v", "A", "B").collect()[0]
     assert r["z_prop"] is None and r["t_welch"] is not None
+
+
+def test_threshold_sweep_golden(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        threshold_sweep,
+    )
+
+    # scores: pos at .9/.7/.3, neg at .8/.2/.1
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.7, 1), (0.3, 1), (0.8, 0), (0.2, 0), (0.1, 0)],
+        "score double, label int",
+    )
+    rows = {
+        r["threshold"]: r
+        for r in threshold_sweep(df, "score", "label", [0.25, 0.75]).collect()
+    }
+    r = rows[0.25]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 0, 2)
+    assert abs(r["precision"] - 0.75) < 1e-6
+    assert r["recall"] == 1.0
+    assert abs(r["f1"] - 2 * 0.75 / 1.75) < 1e-6
+    assert abs(r["accuracy"] - 5 / 6) < 1e-6
+    r = rows[0.75]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 2, 2)
+    assert abs(r["precision"] - 0.5) < 1e-6
+    assert abs(r["recall"] - 1 / 3) < 1e-6
+
+
+def test_threshold_sweep_boundary_is_inclusive_and_exact(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        threshold_sweep,
+    )
+
+    # score exactly AT the threshold predicts positive; 0.299999... does not
+    df = spark.createDataFrame(
+        [(0.3, 1), (0.299, 0), (0.301, 0)], "score double, label int"
+    )
+    r = threshold_sweep(df, "score", "label", [0.3]).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 1, 0, 1)
+
+
+def test_threshold_sweep_degenerate_and_errors(spark):
+    import pytest
+    from biomedical_data_integration_spark.operators.evaluation import (
+        threshold_sweep,
+    )
+
+    # no predicted positives -> precision NULL; no actual positives -> recall NULL
+    df = spark.createDataFrame([(0.1, 0), (0.2, 0)], "score double, label int")
+    r = threshold_sweep(df, "score", "label", [0.5]).collect()[0]
+    assert r["precision"] is None and r["recall"] is None and r["f1"] is None
+    with pytest.raises(ValueError, match="at least one"):
+        threshold_sweep(df, "score", "label", [])
+    with pytest.raises(ValueError, match="not representable"):
+        threshold_sweep(df, "score", "label", [0.12345])

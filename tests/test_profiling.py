@@ -504,3 +504,69 @@ def test_feature_hash_deterministic_and_bounded(spark):
             assert 0 <= e["index"] < 32 and e["sign"] in (-1, 1)
     # nulls hash to a real bucket (constant width), distinct from "x"
     assert out[1]["features"][1] != out[0]["features"][1]
+
+
+def test_cross_correlation_golden_vs_numpy(spark):
+    import numpy as np
+    from biomedical_data_integration_spark.operators.profiling import (
+        cross_correlation,
+    )
+
+    # b is a copied one day after a: perfect correlation at lag +1
+    days = [f"2024-01-{d:02d}" for d in range(1, 11)]
+    vals = [3.0, 7.0, 2.0, 9.0, 5.0, 8.0, 1.0, 6.0, 4.0, 10.0]
+    rows = [(f"{d} 12:00:00", "a", v) for d, v in zip(days, vals)]
+    rows += [
+        (f"{days[i + 1]} 12:00:00", "b", vals[i]) for i in range(len(days) - 1)
+    ]
+    df = spark.createDataFrame(rows, "ts string, k string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "k", "v"
+    )
+    out = {
+        r["lag"]: r
+        for r in cross_correlation(df, "v", "ts", "k", "a", "b", 2).collect()
+    }
+    assert out[1]["ccf"] == 1.0 and out[1]["n"] == 9
+    # numpy cross-check at lag 0: pairs (a_t, b_t) on days 2..10
+    a = np.array(vals[1:])
+    b = np.array(vals[:-1])
+    ref = np.corrcoef(a, b)[0, 1]
+    assert abs(out[0]["ccf"] - ref) < 1e-5
+    assert out[0]["n"] == 9
+
+
+def test_cross_correlation_degenerate_constant_series(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        cross_correlation,
+    )
+
+    rows = [(f"2024-01-{d:02d} 00:00:00", k, 5.0) for d in range(1, 6)
+            for k in ("a", "b")]
+    df = spark.createDataFrame(rows, "ts string, k string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "k", "v"
+    )
+    out = cross_correlation(df, "v", "ts", "k", "a", "b", 1).collect()
+    assert all(r["ccf"] is None for r in out)  # zero variance
+
+
+def test_categorical_entropy_golden(spark):
+    import math
+    from biomedical_data_integration_spark.operators.profiling import (
+        categorical_entropy,
+    )
+
+    rows = (
+        [("u1", "x")] * 4
+        + [("u1", "y")] * 4
+        + [("u2", "x")] * 7
+        + [("u2", "y")] * 1
+        + [("u3", "x")] * 3
+    )
+    df = spark.createDataFrame(rows, "u string, c string")
+    out = {r["u"]: r for r in categorical_entropy(df, "u", "c").collect()}
+    assert abs(out["u1"]["entropy"] - math.log(2)) < 1e-6
+    assert out["u1"]["norm_entropy"] == 1.0
+    h2 = math.log(8) - (7 * math.log(7)) / 8
+    assert abs(out["u2"]["entropy"] - h2) < 1e-5
+    assert out["u3"]["entropy"] == 0.0 and out["u3"]["norm_entropy"] is None
+    assert out["u3"]["k"] == 1 and out["u3"]["n"] == 3

@@ -461,3 +461,77 @@ def test_time_weighted_average_vs_plain_mean(spark):
         "event_type string, ts string, value double",
     ).withColumn("ts", F.to_timestamp("ts"))
     assert time_weighted_average(one).collect()[0]["twap"] == 42.0
+
+
+def test_seasonal_decompose_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        seasonal_decompose,
+    )
+
+    # pure weekly sawtooth on a flat base: residuals vanish, seasonal
+    # recovers the phase offsets, trend recovers the base
+    base = 100.0
+    season = [0.0, 7.0, -7.0]  # period 3
+    rows = []
+    for i in range(12):
+        day = f"2024-01-{i + 1:02d} 06:00:00"
+        rows.append((day, base + season[(i + 2) % 3]))  # 2024-01-01 is phase 2
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.to_timestamp("ts").alias("ts"), F.col("v")
+    )
+    out = seasonal_decompose(df, "v", "ts", period=3)
+    got = {str(r["day"]): r for r in out.collect()}
+    assert len(got) == 12
+    # edges have no full window
+    assert got["2024-01-01"]["trend"] is None
+    assert got["2024-01-12"]["trend"] is None
+    mid = got["2024-01-05"]
+    assert abs(mid["trend"] - base) < 1e-6
+    assert abs(mid["value"] - (base + season[(4 + 2) % 3])) < 1e-6
+    assert abs(mid["seasonal"] - season[(4 + 2) % 3]) < 1e-6
+    assert abs(mid["residual"]) < 1e-6
+    # decomposition identity wherever all parts are defined
+    for r in got.values():
+        if r["trend"] is not None and r["seasonal"] is not None:
+            assert abs(
+                r["value"] - (r["trend"] + r["seasonal"] + r["residual"])
+            ) < 1e-5
+
+
+def test_seasonal_decompose_grouped_and_daily_presum(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        seasonal_decompose,
+    )
+
+    # two observations on one day are summed before decomposition;
+    # groups decompose independently
+    rows = [
+        ("g1", "2024-01-01 01:00:00", 1.0),
+        ("g1", "2024-01-01 13:00:00", 2.0),
+        ("g1", "2024-01-02 01:00:00", 5.0),
+        ("g1", "2024-01-03 01:00:00", 4.0),
+        ("g2", "2024-01-01 01:00:00", 9.0),
+        ("g2", "2024-01-02 01:00:00", 9.0),
+        ("g2", "2024-01-03 01:00:00", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.to_timestamp("ts").alias("ts"), "v"
+    )
+    out = seasonal_decompose(df, "v", "ts", group_col="g", period=3)
+    got = {(r["g"], str(r["day"])): r for r in out.collect()}
+    assert got[("g1", "2024-01-01")]["value"] == 3.0
+    assert abs(got[("g1", "2024-01-02")]["trend"] - 4.0) < 1e-6
+    assert abs(got[("g2", "2024-01-02")]["trend"] - 9.0) < 1e-6
+    assert abs(got[("g2", "2024-01-02")]["residual"]) < 1e-6
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        seasonal_decompose,
+    )
+
+    df = spark.createDataFrame([("2024-01-01", 1.0)], "ts string, v double")
+    with pytest.raises(ValueError, match="odd period"):
+        seasonal_decompose(df, "v", "ts", period=4)
+    with pytest.raises(ValueError, match="period must be"):
+        seasonal_decompose(df, "v", "ts", period=1)

@@ -457,3 +457,39 @@ def test_normalize_text_cleanup(spark):
     raw = normalize_text(df, collapse_whitespace=False, strip_controls=False)
     got = {r["doc_id"]: (r["text"], r["text_normalized"]) for r in raw.collect()}
     assert got[1][0] == rows[0][1] and got[1][1] == rows[0][1]
+
+
+def test_readability_golden(spark):
+    from biomedical_data_integration_spark.operators.text import readability
+
+    # "The cat sat. It ran!" -> words 5, sentences 2, syllables 5
+    df = spark.createDataFrame(
+        [("d1", "The cat sat. It ran!"), ("d2", ""), ("d3", "Strength")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    r = out["d1"]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+    flesch = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    fk = 0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59
+    assert abs(r["flesch"] - flesch) < 1e-5
+    assert abs(r["fk_grade"] - fk) < 1e-5
+    # empty text: zero words -> NULL scores, sentences floor at 1
+    r = out["d2"]
+    assert r["n_words"] == 0 and r["n_sentences"] == 1
+    assert r["flesch"] is None and r["fk_grade"] is None
+    # single word, one vowel group ("e"): 1 word / 1 sentence / 1 syllable
+    r = out["d3"]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (1, 1, 1)
+
+
+def test_readability_vowel_groups_do_not_cross_words(spark):
+    from biomedical_data_integration_spark.operators.text import readability
+
+    # "idea aeon" -> whole-text tally equals the per-word sum (2 + 1;
+    # "aeo" is one group), and never merges across the space
+    df = spark.createDataFrame(
+        [("d", "idea aeon")], "doc_id string, text string"
+    )
+    r = readability(df).collect()[0]
+    assert r["n_syllables"] == 3 and r["n_words"] == 2
