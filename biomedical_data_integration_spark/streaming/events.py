@@ -2261,25 +2261,37 @@ def ohlc_bars(
     streaming face is the same expressions under a watermarked window —
     compose with streaming_tumbling_window_agg's pattern.
     """
-    v = F.col(value_col).cast("double")
-    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    agg = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
-            F.unix_timestamp(ts_col).cast("bigint").alias("__tsl"),
-            v.alias("__v"),
-        )
-        .where(F.col("__v").isNotNull())
-        .groupBy("grp", "bucket_start")
-        .agg(
-            F.min(F.struct(F.col("__tsl"), F.col("__v"))).alias("__o"),
-            F.max("__v").alias("__hi"),
-            F.min("__v").alias("__lo"),
-            F.max(F.struct(F.col("__tsl"), F.col("__v"))).alias("__c"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
+    staged = _ohlc_stage(df, value_col, ts_col, group_col).withColumn(
+        "bucket_start", F.date_trunc(bucket, F.col("__ts"))
     )
+    agg = staged.groupBy("grp", "bucket_start").agg(*_ohlc_aggs())
+    return _ohlc_readout(agg, group_col)
+
+
+def _ohlc_stage(
+    df: DataFrame, value_col: str, ts_col: str, group_col: str
+) -> DataFrame:
+    return df.select(
+        F.col(group_col).alias("grp"),
+        F.col(ts_col).alias("__ts"),
+        F.unix_timestamp(ts_col).cast("bigint").alias("__tsl"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+
+
+def _ohlc_aggs() -> tuple:
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.min(F.struct(F.col("__tsl"), F.col("__v"))).alias("__o"),
+        F.max("__v").alias("__hi"),
+        F.min("__v").alias("__lo"),
+        F.max(F.struct(F.col("__tsl"), F.col("__v"))).alias("__c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def _ohlc_readout(agg: DataFrame, group_col: str) -> DataFrame:
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return agg.select(
         F.col("grp").alias(group_col),
         "bucket_start",
@@ -2289,6 +2301,34 @@ def ohlc_bars(
         q6(F.col("__c.__v")).alias("close"),
         "n",
     )
+
+
+def streaming_ohlc_bars(
+    stream: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming face of ohlc_bars: the SAME staging and aggregation
+    expressions under a watermarked tumbling window. Every component —
+    struct-min open, max high, min low, struct-max close, count — is an
+    order-free, mergeable partial aggregate, so microbatch accumulation
+    converges to the batch bar once the watermark closes the window;
+    state is one small struct per open (group, window) and is evicted
+    at watermark passage.
+    """
+    staged = _ohlc_stage(stream, value_col, ts_col, group_col)
+    agg = (
+        staged.withWatermark("__ts", watermark)
+        .groupBy(
+            F.window(F.col("__ts"), window_duration).alias("w"), F.col("grp")
+        )
+        .agg(*_ohlc_aggs())
+        .withColumn("bucket_start", F.col("w.start"))
+    )
+    return _ohlc_readout(agg, group_col)
 
 
 def time_weighted_average(

@@ -535,3 +535,43 @@ def test_seasonal_decompose_rejects_even_period(spark):
         seasonal_decompose(df, "v", "ts", period=4)
     with pytest.raises(ValueError, match="period must be"):
         seasonal_decompose(df, "v", "ts", period=1)
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    import datetime as dt
+
+    from biomedical_data_integration_spark.streaming.events import (
+        ohlc_bars,
+        streaming_ohlc_bars,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(minutes=m), v)
+        for m, v in [(0, 5.0), (10, 9.0), (20, 1.0), (50, 7.0), (70, 3.0)]
+    ] + [("b", base + dt.timedelta(minutes=5), 2.0)]
+    events = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        sq = (
+            streaming_ohlc_bars(stream, watermark="10 hours")
+            .writeStream.format("memory")
+            .queryName("ohlc_stream_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            tuple(r)
+            for r in spark.sql("select * from ohlc_stream_test").collect()
+        }
+    want = {tuple(r) for r in ohlc_bars(events, bucket="hour").collect()}
+    assert got == want
+    # sanity on the bar itself: hour 0 of "a" opens 5, closes 7
+    bars = {(r[0], r[1]): r for r in want}
+    b = bars[("a", base)]
+    assert (b[2], b[3], b[4], b[5], b[6]) == (5.0, 9.0, 1.0, 7.0, 4)
