@@ -1791,3 +1791,182 @@ def categorical_entropy(
             F.col("k") > 1, q6(h / F.log(F.col("k").cast("double")))
         ).alias("norm_entropy"),
     )
+
+def theil_sen_trend(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_col: str = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Robust trend per group: the Theil-Sen slope (median of all
+    pairwise day-to-day slopes — one wild outlier day drags an OLS fit,
+    but not a median of slopes) with the Mann-Kendall S statistic and
+    its tie-corrected z — the standard nonparametric "is there a
+    monotonic trend at all" test that group_linregress's least-squares
+    line can't answer robustly.
+
+    Exactness: the corpus collapses to cent-quantized DAILY bigint
+    totals first; each pairwise slope is one exact-integer division
+    both engines evaluate identically, S is an integer sum of signs,
+    and the median slope is type-1 — a SELECTED element, never an
+    interpolation, so rank ambiguity among tied slopes cannot change
+    the value. Var(S) uses the published tie correction
+    (n(n-1)(2n+5) - sum t(t-1)(2t+5)) / 18 over exact day counts.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus;
+    the pairwise self-join is SERIES-sized (D days -> D(D-1)/2 rows per
+    group, ~66k for a year of dailies) and co-partitioned on the group
+    key. At 100 TB only the first aggregation sees data volume. The
+    ungrouped form funnels the (tiny) pair table through one task.
+    """
+    from pyspark.sql import Window
+
+    s = 10 ** scale
+    g = [group_col] if group_col else []
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    daily = (
+        df.select(
+            *g,
+            F.datediff(F.to_date(F.col(time_col)), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("__t"),
+            v.alias("__v"),
+        )
+        .where(F.col("__v").isNotNull() & F.col("__t").isNotNull())
+        .groupBy(*g, "__t")
+        .agg(F.sum("__v").cast("bigint").alias("__v"))
+    )
+    left = daily.select(
+        *g, F.col("__t").alias("__t1"), F.col("__v").alias("__v1")
+    )
+    right = daily.select(
+        *g, F.col("__t").alias("__t2"), F.col("__v").alias("__v2")
+    )
+    pairs = (left.join(right, g) if g else left.crossJoin(right)).where(
+        F.col("__t2") > F.col("__t1")
+    )
+    pairs = pairs.select(
+        *g,
+        F.when(F.col("__v2") > F.col("__v1"), F.lit(1))
+        .when(F.col("__v2") < F.col("__v1"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("__sgn"),
+        (
+            (F.col("__v2") - F.col("__v1")).cast("double")
+            / (F.col("__t2") - F.col("__t1")).cast("double")
+        ).alias("__slope"),
+    )
+    wrank = Window.partitionBy(*g).orderBy("__slope")
+    wall = Window.partitionBy(*g)
+    ranked = pairs.select(
+        *g,
+        "__sgn",
+        "__slope",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("__np"),
+    )
+    # type-1 median: the ceil(np/2)-th smallest slope
+    med = ranked.where(
+        F.col("__rn") == F.floor((F.col("__np") + 1) / 2)
+    ).select(*g, F.col("__slope").alias("__med"))
+    pagg = ranked.groupBy(*[F.col(c) for c in g]).agg(
+        F.max("__np").alias("n_pairs"),
+        F.sum("__sgn").cast("bigint").alias("s_statistic"),
+    )
+    ties = daily.groupBy(*g, "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tc")
+    )
+    tagg = ties.groupBy(*[F.col(c) for c in g]).agg(
+        F.sum("__tc").cast("bigint").alias("n_days"),
+        F.sum(
+            F.col("__tc") * (F.col("__tc") - 1) * (2 * F.col("__tc") + 5)
+        )
+        .cast("bigint")
+        .alias("__tcorr"),
+    )
+    joined = (
+        pagg.join(med, g) if g else pagg.crossJoin(med)
+    )
+    joined = joined.join(tagg, g) if g else joined.crossJoin(tagg)
+    n = F.col("n_days").cast("double")
+    var = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tcorr").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_statistic").cast("double")
+    z = (
+        F.when(F.col("s_statistic") > 0, (sd - 1) / F.sqrt(var))
+        .when(F.col("s_statistic") < 0, (sd + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return joined.select(
+        *g,
+        "n_days",
+        "n_pairs",
+        "s_statistic",
+        q6(F.col("__med") / F.lit(float(s))).alias("slope_per_day"),
+        F.when(var > 0, q6(z)).alias("z_mk"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = None,
+) -> DataFrame:
+    """Gini concentration of a non-negative quantity per group — "how
+    unequal is the spend / token-frequency / document-length
+    distribution?" (0 = perfectly even, ->1 = one item holds
+    everything). The corpus-curation use: a vocabulary or source mix
+    whose Gini spikes is dominated by a few heavy hitters.
+
+    Uses the rank formula on the ascending-sorted values,
+    G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) — every term an
+    exact bigint (values cent-quantized; tied values occupy consecutive
+    ranks, and sum(i*x) over a tie block is the same whichever tied row
+    takes which rank), one double division at read-out. Negative values
+    are rejected (Gini is undefined there).
+
+    Scale shape: one sort window + one groupBy per group key. The
+    ungrouped form single-tasks the sort — fine for the intended
+    pre-aggregated inputs (per-user totals, per-token counts); keep a
+    group key at raw-corpus scale.
+    """
+    from pyspark.sql import Window
+
+    g = [group_col] if group_col else []
+    v = F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    staged = df.select(*g, v.alias("__v")).where(F.col("__v").isNotNull())
+    wrank = Window.partitionBy(*g).orderBy("__v")
+    ranked = staged.select(
+        *g,
+        "__v",
+        F.row_number().over(wrank).cast("bigint").alias("__i"),
+    )
+    agg = ranked.groupBy(*[F.col(c) for c in g]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__v").cast("bigint").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__v")).cast("bigint").alias("__six"),
+        F.min("__v").alias("__minv"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("__six").cast("double")
+        - (F.col("n") + 1).cast("double") * F.col("__sx").cast("double")
+    ) / (F.col("n").cast("double") * F.col("__sx").cast("double"))
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out = agg.select(
+        *g,
+        "n",
+        (F.col("__sx").cast("double") / F.lit(100.0)).alias("total"),
+        F.when((F.col("__sx") > 0) & (F.col("__minv") >= 0), q6(gini)).alias(
+            "gini"
+        ),
+    )
+    return out.withColumn(
+        "total", F.floor(F.col("total") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )

@@ -570,3 +570,98 @@ def test_categorical_entropy_golden(spark):
     assert abs(out["u2"]["entropy"] - h2) < 1e-5
     assert out["u3"]["entropy"] == 0.0 and out["u3"]["norm_entropy"] is None
     assert out["u3"]["k"] == 1 and out["u3"]["n"] == 3
+
+
+def test_theil_sen_trend_golden_vs_scipy_formulas(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        theil_sen_trend,
+    )
+
+    # clean +2/day line with one wild outlier: OLS would bend, Theil-Sen
+    # must not
+    rows = []
+    for i, d in enumerate(range(1, 11)):
+        val = 10.0 + 2.0 * i
+        if i == 5:
+            val = 500.0
+        rows.append((f"2024-01-{d:02d} 03:00:00", val))
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "v"
+    )
+    r = theil_sen_trend(df, "v", "ts").collect()[0]
+    assert r["n_days"] == 10 and r["n_pairs"] == 45
+    assert abs(r["slope_per_day"] - 2.0) < 1e-6
+    # S: the outlier flips sign for pairs crossing it; with one spike
+    # at i=5: pairs (j<5, 5) are +1, (5, j>5) are -1 -> S stays high
+    assert r["s_statistic"] > 30
+    assert r["z_mk"] is not None and r["z_mk"] > 3.0
+
+
+def test_theil_sen_trend_ties_and_groups(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        theil_sen_trend,
+    )
+
+    rows = [("g1", f"2024-01-{d:02d}", 5.0) for d in range(1, 6)]
+    rows += [("g2", f"2024-01-{d:02d}", float(d)) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, ts string, v double")
+    out = {r["g"]: r for r in theil_sen_trend(df, "v", "ts", "g").collect()}
+    # all-tied series: S = 0, var fully tie-corrected to 0 -> z NULL
+    r = out["g1"]
+    assert r["s_statistic"] == 0 and r["slope_per_day"] == 0.0
+    assert r["z_mk"] is None
+    # strictly increasing: S = n_pairs, slope exactly 1
+    r = out["g2"]
+    assert r["s_statistic"] == 10 and r["n_pairs"] == 10
+    assert r["slope_per_day"] == 1.0
+    # z = (S-1)/sqrt(n(n-1)(2n+5)/18) with no ties
+    import math
+
+    var = 5 * 4 * 15 / 18
+    assert abs(r["z_mk"] - (10 - 1) / math.sqrt(var)) < 1e-5
+
+
+def test_theil_sen_daily_presum_before_pairs(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        theil_sen_trend,
+    )
+
+    # two rows on day 1 sum to 4.0 -> slope (6-4)/1 = 2
+    rows = [("2024-01-01 01:00:00", 1.0), ("2024-01-01 09:00:00", 3.0),
+            ("2024-01-02 01:00:00", 6.0)]
+    df = spark.createDataFrame(rows, "ts string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "v"
+    )
+    r = theil_sen_trend(df, "v", "ts").collect()[0]
+    assert r["n_days"] == 2 and r["n_pairs"] == 1
+    assert abs(r["slope_per_day"] - 2.0) < 1e-6
+
+
+def test_gini_coefficient_golden(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        gini_coefficient,
+    )
+
+    # perfectly even -> 0; one-holder -> (n-1)/n
+    rows = [("even", 5.0)] * 4 + [("one", 0.0)] * 3 + [("one", 12.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in gini_coefficient(df, "v", "g").collect()}
+    assert out["even"]["gini"] == 0.0
+    assert abs(out["one"]["gini"] - 0.75) < 1e-6
+    assert out["even"]["total"] == 20.0 and out["one"]["n"] == 4
+    # hand case: [1,2,3,4] -> G = (2*(1+4+9+16) - 5*10) / (4*10) = 0.25
+    df2 = spark.createDataFrame(
+        [(float(x),) for x in (3, 1, 4, 2)], "v double"
+    )
+    r = gini_coefficient(df2, "v").collect()[0]
+    assert abs(r["gini"] - 0.25) < 1e-6
+
+
+def test_gini_coefficient_negative_values_yield_null(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        gini_coefficient,
+    )
+
+    df = spark.createDataFrame([(1.0,), (-2.0,), (3.0,)], "v double")
+    r = gini_coefficient(df, "v").collect()[0]
+    assert r["gini"] is None
