@@ -2498,3 +2498,97 @@ def seasonal_decompose(
             F.col("__dp").isNotNull() & has_season, q6(residual)
         ).alias("residual"),
     )
+
+
+def streaming_time_weighted_average(
+    stream: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket: str = "hour",
+    watermark: str = "2 hours",
+    scale: int = 2,
+) -> DataFrame:
+    """Streaming twin of :func:`time_weighted_average`. TWAP needs each
+    sample's duration-to-successor, which a windowed aggregation cannot
+    express — so this buffers a bucket's samples in
+    ``applyInPandasWithState`` keyed by (group, bucket) and emits ONE
+    exact bar per key when the watermark passes the bucket end
+    (event-time timeout): at that point no sample can legally arrive,
+    and the buffered set equals what the batch operator would see.
+    Same integer math and (ts, value) tiebreak as the batch face, so
+    emitted bars match it row-for-row on any in-watermark replay.
+
+    State per open (group, bucket) is the bucket's sample arrays —
+    bounded by the sampling rate times the bucket span, evicted on
+    emit. Output ``(group, bucket_start, twap, n)`` with bucket_start
+    as epoch seconds.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = 10 ** scale
+    bucket_secs = {"hour": 3600, "day": 86400, "week": 604800}
+    if bucket not in bucket_secs:
+        raise ValueError(
+            "streaming_time_weighted_average: bucket must be hour/day/week"
+        )
+    span = bucket_secs[bucket]
+    staged = stream.withWatermark(ts_col, watermark).select(
+        F.col(group_col).alias("grp"),
+        F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col)))
+        .cast("bigint")
+        .alias("bucket_start"),
+        F.col(ts_col).alias("__ts"),
+        F.unix_timestamp(ts_col).cast("bigint").alias("__tsl"),
+        F.floor(F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__q"),
+    ).where(F.col("__q").isNotNull())
+    grp_type = dict(stream.dtypes)[group_col]
+    out_ddl = (
+        f"`{group_col}` {grp_type}, `bucket_start` bigint, `twap` double,"
+        f" `n` bigint"
+    )
+    state_ddl = "`tsl` array<bigint>, `q` array<bigint>"
+
+    def _twap(key, pdf_iter, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        grp, bstart = key
+        if state.hasTimedOut:
+            tsl, q = state.get
+            pairs = sorted(zip(tsl, q))
+            end = int(bstart) + span
+            num = den = 0
+            for i, (t, v) in enumerate(pairs):
+                nxt = pairs[i + 1][0] if i + 1 < len(pairs) else end
+                w = nxt - t
+                num += v * w
+                den += w
+            state.remove()
+            if den > 0:
+                twap = math.floor(num / den / float(s) * 1e6 + 0.5) / 1e6
+                yield pd.DataFrame(
+                    [(grp, int(bstart), twap, len(pairs))],
+                    columns=[group_col, "bucket_start", "twap", "n"],
+                )
+            return
+        tsl, q = ([], []) if not state.exists else (
+            list(state.get[0]), list(state.get[1])
+        )
+        for pdf in pdf_iter:
+            tsl.extend(int(t) for t in pdf["__tsl"])
+            q.extend(int(v) for v in pdf["__q"])
+        state.update((tsl, q))
+        # fire when the watermark passes the bucket end
+        state.setTimeoutTimestamp((int(bstart) + span) * 1000)
+
+    return staged.groupBy("grp", "bucket_start").applyInPandasWithState(
+        _twap,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

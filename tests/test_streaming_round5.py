@@ -575,3 +575,61 @@ def test_streaming_ohlc_matches_batch(spark):
     bars = {(r[0], r[1]): r for r in want}
     b = bars[("a", base)]
     assert (b[2], b[3], b[4], b[5], b[6]) == (5.0, 9.0, 1.0, 7.0, 4)
+
+
+def test_streaming_twap_emits_exact_bars_on_watermark_close(spark):
+    import datetime as dt
+
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_time_weighted_average,
+        time_weighted_average,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(minutes=m), v)
+        for m, v in [(0, 10.0), (30, 20.0), (45, 40.0)]
+    ] + [("b", base + dt.timedelta(minutes=10), 6.0)]
+    events = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    # a sentinel far in the future pushes the watermark past hour 0 in
+    # the SECOND microbatch, closing the hour-0 bars
+    sentinel = spark.createDataFrame(
+        [("zzz", base + dt.timedelta(days=2), 0.0)],
+        ["event_type", "ts", "value"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        events.write.parquet(f"{src}/b0")
+        sentinel.write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        sq = (
+            streaming_time_weighted_average(stream, watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName("twap_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            (r["event_type"], r["bucket_start"]): (r["twap"], r["n"])
+            for r in spark.sql("select * from twap_stream_test").collect()
+        }
+    h0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # batch parity on the closed bars
+    want = {
+        (r["event_type"], int(r["bucket_start"].timestamp())): (
+            r["twap"],
+            r["n"],
+        )
+        for r in time_weighted_average(events, bucket="hour").collect()
+    }
+    assert got[("a", h0)] == want[("a", h0)]
+    assert got[("b", h0)] == want[("b", h0)]
+    # hand value: 10 for 30min, 20 for 15min, 40 for 15min -> 20.0
+    assert got[("a", h0)][0] == 20.0 and got[("a", h0)][1] == 3
