@@ -2592,3 +2592,198 @@ def streaming_time_weighted_average(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def attribute_conversions_linear(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    lookback_days: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 2,
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch inside the lookback
+    window before a conversion gets an EQUAL share of its value — the
+    model marketers reach for when last-touch over-credits the final
+    click. Unlike :func:`attribute_conversions` (one carried row per
+    conversion), the (conversion, touch) pairs ARE the output here, so
+    pair expansion is irreducible; the ``lookback_days`` window is what
+    bounds it (the industry-standard attribution window), and the join
+    is a plain user-keyed equi-join with a range post-filter — one
+    exchange per side, plus one pair-table window to count shares.
+
+    Credit is exact: conversion value in integer cents divided by the
+    window's touch count in one fixed-order double division,
+    floor-quantized to 6. Conversions with zero in-window touches emit
+    one row with NULL touch fields and full (unattributed) credit, so
+    value totals reconcile.
+    """
+    if lookback_days <= 0:
+        raise ValueError(
+            "attribute_conversions_linear: lookback_days must be positive"
+        )
+    s = 10 ** scale
+    lb = int(lookback_days) * 86400
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("epoch"),
+        F.col(type_col).alias("etype"),
+        F.col(value_col).alias("value"),
+    )
+    convs = base.where(F.col("etype") == conversion_type).select(
+        "user_id",
+        F.col("event_id").alias("conv_event_id"),
+        F.col("epoch").alias("conv_epoch"),
+        F.floor(F.col("value").cast("double") * F.lit(float(s)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__cv"),
+    )
+    touches = base.where(F.col("etype").isin(*touch_types)).select(
+        "user_id",
+        F.col("event_id").alias("touch_event_id"),
+        F.col("etype").alias("touch_type"),
+        F.col("epoch").alias("touch_epoch"),
+    )
+    pairs = convs.join(touches, "user_id", "left").where(
+        F.col("touch_epoch").isNull()
+        | (
+            (F.col("touch_epoch") < F.col("conv_epoch"))
+            & (F.col("touch_epoch") >= F.col("conv_epoch") - F.lit(lb))
+        )
+    )
+    w = Window.partitionBy("user_id", "conv_event_id")
+    counted = pairs.withColumn(
+        "__nt",
+        F.count("touch_event_id").over(w).cast("bigint"),
+    )
+    # a conversion whose joined rows are ALL out-of-window would vanish
+    # in the filter above; re-admit it as unattributed via anti-join
+    matched_ids = counted.select("conv_event_id").distinct()
+    orphans = (
+        convs.join(matched_ids, "conv_event_id", "left_anti")
+        .select(
+            "user_id",
+            "conv_event_id",
+            "conv_epoch",
+            "__cv",
+            F.lit(None).cast("string").alias("touch_event_id"),
+            F.lit(None).cast("string").alias("touch_type"),
+            F.lit(None).cast("bigint").alias("touch_epoch"),
+            F.lit(0).cast("bigint").alias("__nt"),
+        )
+    )
+    both = counted.select(
+        "user_id",
+        "conv_event_id",
+        "conv_epoch",
+        "__cv",
+        F.col("touch_event_id").cast("string"),
+        "touch_type",
+        "touch_epoch",
+        "__nt",
+    ).unionByName(orphans)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    credit = F.when(
+        F.col("__nt") > 0,
+        F.col("__cv").cast("double")
+        / F.col("__nt").cast("double")
+        / F.lit(float(s)),
+    ).otherwise(F.col("__cv").cast("double") / F.lit(float(s)))
+    return both.select(
+        "user_id",
+        "conv_event_id",
+        "conv_epoch",
+        "touch_event_id",
+        "touch_type",
+        "touch_epoch",
+        q6(credit).alias("credit_value"),
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    revenue_type: str = "purchase",
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime value: users cohorted by first-activity period,
+    revenue accumulated by cohort age — the "how much is a week-N user
+    worth by week M" curve that retention_cohorts (presence) can't
+    answer (value).
+
+    Returns (cohort_start, period_offset, cohort_users, revenue,
+    cum_revenue_per_user): cohort_users is the cohort's FULL size
+    (denominator fixed at cohort entry, the standard LTV convention),
+    revenue is the cohort's total in that period, cum_revenue_per_user
+    the running sum divided by cohort size. Revenue stays in exact
+    integer cents through the cumulative window; one division at
+    read-out, floor-quantized to 6.
+
+    Plan shape: one user-keyed min window (first activity), one
+    (cohort, offset) groupBy, one cohort-keyed cumulative window over
+    the period-count-sized result — corpus touched twice (first pass
+    and revenue pass share the scan), everything after is tiny.
+    """
+    if period_days <= 0:
+        raise ValueError("cohort_ltv: period_days must be positive")
+    p = int(period_days) * 86400
+    staged = df.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_timestamp(F.col(ts_col)).cast("bigint").alias("epoch"),
+        F.col(type_col).alias("etype"),
+        F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__cv"),
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = staged.withColumn(
+        "__c0",
+        (F.floor(F.min("epoch").over(w) / F.lit(p)) * F.lit(p)).cast("bigint"),
+    )
+    sizes = cohorted.groupBy("__c0").agg(
+        F.countDistinct("user_id").cast("bigint").alias("cohort_users")
+    )
+    rev = (
+        cohorted.where(
+            (F.col("etype") == revenue_type) & F.col("__cv").isNotNull()
+        )
+        .withColumn(
+            "period_offset",
+            F.floor((F.col("epoch") - F.col("__c0")) / F.lit(p)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("__c0", "period_offset")
+        .agg(F.sum("__cv").cast("bigint").alias("__rev"))
+    )
+    wc = (
+        Window.partitionBy("__c0")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        rev.join(F.broadcast(sizes), "__c0")
+        .withColumn("__cum", F.sum("__rev").over(wc).cast("bigint"))
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return out.select(
+        F.date_format(
+            F.to_timestamp(F.col("__c0")), "yyyy-MM-dd"
+        ).alias("cohort_start"),
+        "period_offset",
+        "cohort_users",
+        q6(F.col("__rev").cast("double") / F.lit(100.0)).alias("revenue"),
+        q6(
+            F.col("__cum").cast("double")
+            / F.lit(100.0)
+            / F.col("cohort_users").cast("double")
+        ).alias("cum_revenue_per_user"),
+    )

@@ -633,3 +633,118 @@ def test_streaming_twap_emits_exact_bars_on_watermark_close(spark):
     assert got[("b", h0)] == want[("b", h0)]
     # hand value: 10 for 30min, 20 for 15min, 40 for 15min -> 20.0
     assert got[("a", h0)][0] == 20.0 and got[("a", h0)][1] == 3
+
+
+def test_attribute_conversions_linear_golden(spark):
+    import datetime as dt
+
+    from biomedical_data_integration_spark.streaming.events import (
+        attribute_conversions_linear,
+    )
+
+    base = dt.datetime(2026, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: two in-window touches then a 9.0 purchase -> 4.5 each
+        (1, 1, base - dt.timedelta(days=2), "click", 0.0),
+        (1, 2, base - dt.timedelta(days=1), "view", 0.0),
+        (1, 3, base, "purchase", 9.0),
+        # user 1: a second purchase later sees THREE prior touches? no —
+        # only touches before it and within 30d: touches 1,2 qualify
+        # user 2: touch outside the lookback -> unattributed
+        (2, 4, base - dt.timedelta(days=40), "click", 0.0),
+        (2, 5, base, "purchase", 5.0),
+        # user 3: no touches at all -> unattributed
+        (3, 6, base, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp,"
+        " event_type string, value double"
+    )
+    out = attribute_conversions_linear(df, lookback_days=30)
+    got = sorted(
+        (r["user_id"], r["conv_event_id"], r["touch_event_id"],
+         r["credit_value"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 3, "1", 4.5),
+        (1, 3, "2", 4.5),
+        (2, 5, None, 5.0),
+        (3, 6, None, 7.0),
+    ]
+    # credit totals reconcile with conversion value
+    tot = sum(c for *_, c in got)
+    assert abs(tot - 21.0) < 1e-6
+
+
+def test_attribute_conversions_linear_boundary_strictness(spark):
+    import datetime as dt
+
+    from biomedical_data_integration_spark.streaming.events import (
+        attribute_conversions_linear,
+    )
+
+    base = dt.datetime(2026, 1, 10, 12, 0, 0)
+    rows = [
+        # touch AT the conversion instant does not qualify (strictly before)
+        (1, 1, base, "click", 0.0),
+        # touch EXACTLY lookback ago qualifies (>= boundary)
+        (1, 2, base - dt.timedelta(days=30), "view", 0.0),
+        (1, 3, base, "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp,"
+        " event_type string, value double"
+    )
+    got = {
+        r["touch_event_id"]: r["credit_value"]
+        for r in attribute_conversions_linear(df, lookback_days=30).collect()
+    }
+    assert got == {"2": 6.0}
+
+
+def test_cohort_ltv_golden(spark):
+    import datetime as dt
+
+    from biomedical_data_integration_spark.streaming.events import cohort_ltv
+
+    # two users entering the same 7d period; revenue over two offsets
+    d0 = dt.datetime(2026, 1, 1, 0, 0, 0)  # period floor depends on epoch
+    rows = [
+        (1, d0, "click", 0.0),
+        (1, d0 + dt.timedelta(days=1), "purchase", 10.0),
+        (2, d0 + dt.timedelta(days=2), "purchase", 4.0),
+        (1, d0 + dt.timedelta(days=9), "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        (r["period_offset"], r["cohort_users"], r["revenue"],
+         r["cum_revenue_per_user"])
+        for r in cohort_ltv(df, period_days=7).collect()
+    )
+    # all events share one cohort (same 7d bucket); offsets 0 and 1
+    assert out[0][:3] == (0, 2, 14.0) and out[0][3] == 7.0
+    assert out[1][:3] == (1, 2, 6.0) and out[1][3] == 10.0
+
+
+def test_cohort_ltv_cohort_fixed_at_entry(spark):
+    import datetime as dt
+
+    from biomedical_data_integration_spark.streaming.events import cohort_ltv
+
+    # user 3 enters a LATER period: separate cohort, own denominator
+    d0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, d0, "purchase", 8.0),
+        (3, d0 + dt.timedelta(days=30), "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = cohort_ltv(df, period_days=7).collect()
+    assert len(out) == 2
+    assert {(r["cohort_users"], r["revenue"]) for r in out} == {
+        (1, 8.0), (1, 2.0)
+    }
