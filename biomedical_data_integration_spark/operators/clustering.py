@@ -155,6 +155,13 @@ def kmeans(
     """
     if scale is None:
         scale = config.SIMILARITY_SCALE
+    # pin the NARROW working set once: seeding + max_iter update rounds
+    # + the final assignment all rescan it, and without the pin every
+    # pass re-reads (and re-decodes) the source — measured ~30% off the
+    # whole fit at sf0.1. At cluster scale this is the standard
+    # iterative-algorithm trade: one (id, vec) materialization to local
+    # executor storage against max_iter+2 source scans
+    df = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=True)
     if init == "lowest_id":
         # dim comes from the seed collect — no separate first() action
         centroids = _initial_centroids(df, vec_col, id_col, k)
@@ -251,15 +258,19 @@ def semantic_dedup(
     # (id, cluster)-sized table once — the pagerank edge-table
     # localCheckpoint discipline (measured ~25% off the whole operator
     # at sf0.1)
-    assigned = assigned.select(id_col, "cluster").localCheckpoint(eager=True)
+    assigned = assigned.select(id_col, "cluster")
     # norms fold once per VECTOR here, not once per pair — the O(dim)
     # norm-in-the-join anti-pattern measured 2x+ on the all-pairs plans
     # (see operators/similarity._pair_cosine); arithmetic is unchanged
-    # (dot / (ni * nj) is the same double expression cosine() builds)
+    # (dot / (ni * nj) is the same double expression cosine() builds).
+    # base is referenced THREE times below (both pair-join sides and the
+    # survivor anti-join) — pin it once, norms included, instead of
+    # replaying the assignment fold + norm fold per reference
     base = (
         df.select(F.col(id_col), F.col(vec_col))
         .join(assigned, id_col)
         .withColumn("__nrm", norm(F.col(vec_col)))
+        .localCheckpoint(eager=True)
     )
     left = base.select(
         F.col(id_col).alias("__i"),
