@@ -7779,6 +7779,63 @@ FROM cum JOIN sizes USING (c0)
 """
 
 
+def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling Pearson correlation between the click and purchase
+    daily series (operators/profiling.py rolling_correlation): six
+    stacked exact-bigint window sums on ONE day-ordered frame."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        rolling_correlation,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    out = rolling_correlation(
+        events, "value", "ts", "event_type", "click", "purchase",
+        window_days=30, min_periods=10,
+    )
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+def _rolling_corr_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN q END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN q END) AS BIGINT)
+           AS b
+  FROM (
+    SELECT ts, event_type,
+           CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS q
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+      AND event_type IN ('click', 'purchase')
+  )
+  GROUP BY 1
+),
+paired AS (SELECT * FROM daily WHERE a IS NOT NULL AND b IS NOT NULL),
+stats AS (
+  SELECT day,
+    CAST(count(*) OVER win AS BIGINT) AS n,
+    CAST(sum(a) OVER win AS BIGINT) AS sx,
+    CAST(sum(b) OVER win AS BIGINT) AS sy,
+    CAST(sum(a * b) OVER win AS BIGINT) AS sxy,
+    CAST(sum(a * a) OVER win AS BIGINT) AS sxx,
+    CAST(sum(b * b) OVER win AS BIGINT) AS syy
+  FROM paired
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+  CASE WHEN n >= 10
+        AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0 THEN
+    floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+          * 1000000.0 + 0.5) / 1000000.0
+  END AS corr
+FROM stats
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7865,6 +7922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_user_value_events": _q_gini_user_value,
         "events_attribution_linear": _q_attribution_linear,
         "events_cohort_ltv": _q_cohort_ltv,
+        "rolling_corr_events": _q_rolling_corr,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8071,6 +8129,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_user_value_events": _gini_user_value_sql(),
         "events_attribution_linear": _attribution_linear_sql(),
         "events_cohort_ltv": _cohort_ltv_sql(),
+        "rolling_corr_events": _rolling_corr_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -1970,3 +1970,97 @@ def gini_coefficient(
     return out.withColumn(
         "total", F.floor(F.col("total") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    window_days: int = 30,
+    min_periods: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """Rolling Pearson correlation between two daily metric series — the
+    time-LOCAL companion to cross_correlation (one global number says
+    "clicks and purchases co-move"; this shows WHEN the coupling held
+    and when it broke, the standard regime-change readout).
+
+    Each output day correlates the trailing ``window_days`` of paired
+    (A_t, B_t) daily totals, pairing strictly by calendar day. All six
+    sufficient statistics are exact bigint sums over cent-quantized
+    totals accumulated in ONE rows-frame window pass (the frame is rows
+    over the paired series, which after the calendar inner-join has at
+    most one row per day); the moment formula then runs in doubles in a
+    fixed order. Days with fewer than ``min_periods`` paired
+    observations in the frame emit NULL.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to (day, a, b); everything after — the join and the six stacked
+    window sums — is series-sized on a single day-ordered frame.
+    """
+    from pyspark.sql import Window
+
+    if window_days < 2:
+        raise ValueError("rolling_correlation: window_days must be >= 2")
+    if min_periods < 2:
+        raise ValueError("rolling_correlation: min_periods must be >= 2")
+    s = 10 ** scale
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    daily = (
+        df.select(
+            F.to_date(F.col(time_col)).alias("day"),
+            F.col(key_col).alias("__k"),
+            v.alias("__v"),
+        )
+        .where(
+            F.col("__v").isNotNull()
+            & F.col("day").isNotNull()
+            & F.col("__k").isin(key_a, key_b)
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("__k") == key_a, F.col("__v"))).alias("__a"),
+            F.sum(F.when(F.col("__k") == key_b, F.col("__v"))).alias("__b"),
+        )
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    )
+    # the paired series has one row per day, so a rows-frame of
+    # window_days-1 preceding == "the trailing window_days calendar
+    # days that HAVE a pair" — the pandas .rolling(min_periods)
+    # convention on a gappy series
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    stats = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("__n"),
+        F.sum("__a").over(w).cast("bigint").alias("__sx"),
+        F.sum("__b").over(w).cast("bigint").alias("__sy"),
+        F.sum(F.col("__a") * F.col("__b")).over(w).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__a") * F.col("__a")).over(w).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__b") * F.col("__b")).over(w).cast("bigint").alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = num / F.sqrt(dx * dy)
+    q6 = F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return stats.select(
+        "day",
+        F.col("__n").alias("n"),
+        F.when(
+            (F.col("__n") >= min_periods) & (dx > 0) & (dy > 0), q6
+        ).alias("corr"),
+    )

@@ -665,3 +665,55 @@ def test_gini_coefficient_negative_values_yield_null(spark):
     df = spark.createDataFrame([(1.0,), (-2.0,), (3.0,)], "v double")
     r = gini_coefficient(df, "v").collect()[0]
     assert r["gini"] is None
+
+
+def test_rolling_correlation_golden_vs_numpy(spark):
+    import numpy as np
+    from biomedical_data_integration_spark.operators.profiling import (
+        rolling_correlation,
+    )
+
+    a = [3.0, 7.0, 2.0, 9.0, 5.0, 8.0, 1.0, 6.0]
+    b = [4.0, 6.0, 3.0, 8.0, 6.0, 7.0, 2.0, 5.0]
+    rows = []
+    for i, (x, y) in enumerate(zip(a, b)):
+        d = f"2024-01-{i + 1:02d} 12:00:00"
+        rows += [(d, "p", x), (d, "q", y)]
+    df = spark.createDataFrame(rows, "ts string, k string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "k", "v"
+    )
+    out = {
+        str(r["day"]): r
+        for r in rolling_correlation(
+            df, "v", "ts", "k", "p", "q", window_days=4, min_periods=3
+        ).collect()
+    }
+    # day 2: only 2 periods in frame -> NULL
+    assert out["2024-01-02"]["corr"] is None and out["2024-01-02"]["n"] == 2
+    # day 4: full 4-day frame, numpy parity
+    ref = np.corrcoef(a[:4], b[:4])[0, 1]
+    assert abs(out["2024-01-04"]["corr"] - ref) < 1e-5
+    # day 8: trailing frame days 5..8
+    ref8 = np.corrcoef(a[4:8], b[4:8])[0, 1]
+    assert abs(out["2024-01-08"]["corr"] - ref8) < 1e-5
+
+
+def test_rolling_correlation_unpaired_days_drop(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        rolling_correlation,
+    )
+
+    # day 2 has only series p -> no pair row; frame counts skip it
+    rows = [
+        ("2024-01-01 00:00:00", "p", 1.0), ("2024-01-01 00:00:00", "q", 2.0),
+        ("2024-01-02 00:00:00", "p", 9.0),
+        ("2024-01-03 00:00:00", "p", 3.0), ("2024-01-03 00:00:00", "q", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, k string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "k", "v"
+    )
+    out = rolling_correlation(
+        df, "v", "ts", "k", "p", "q", window_days=5, min_periods=2
+    ).collect()
+    assert len(out) == 2  # day 2 emits nothing
+    assert {r["n"] for r in out} == {1, 2}
