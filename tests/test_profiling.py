@@ -717,3 +717,72 @@ def test_rolling_correlation_unpaired_days_drop(spark):
     ).collect()
     assert len(out) == 2  # day 2 emits nothing
     assert {r["n"] for r in out} == {1, 2}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=2, max_size=12
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_gini_bounds_and_scale_invariance(spark, cents, k):
+    """Gini lies in [0, 1) and is invariant under positive scaling."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        gini_coefficient,
+    )
+
+    if sum(cents) == 0:
+        return
+    df = spark.createDataFrame([(c / 100.0,) for c in cents], "v double")
+    g1 = gini_coefficient(df, "v").collect()[0]["gini"]
+    df2 = spark.createDataFrame([(c * k / 100.0,) for c in cents], "v double")
+    g2 = gini_coefficient(df2, "v").collect()[0]["gini"]
+    assert 0.0 <= g1 < 1.0
+    assert abs(g1 - g2) < 1e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_threshold_sweep_conservation_and_monotonicity(spark, data):
+    """For every threshold tp+fn and fp+tn conserve the class totals,
+    and tp is non-increasing as the threshold rises."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        threshold_sweep,
+    )
+
+    rows = [(s / 1000.0, int(y)) for s, y in data]
+    df = spark.createDataFrame(rows, "score double, label int")
+    pos = sum(y for _, y in rows)
+    neg = len(rows) - pos
+    out = sorted(
+        threshold_sweep(df, "score", "label", [0.2, 0.5, 0.8]).collect(),
+        key=lambda r: r["threshold"],
+    )
+    tps = []
+    for r in out:
+        assert r["tp"] + r["fn"] == pos
+        assert r["fp"] + r["tn"] == neg
+        tps.append(r["tp"])
+    assert tps == sorted(tps, reverse=True)
