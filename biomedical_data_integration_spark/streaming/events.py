@@ -2787,3 +2787,50 @@ def cohort_ltv(
             / F.col("cohort_users").cast("double")
         ).alias("cum_revenue_per_user"),
     )
+
+
+def streaming_corpus_prep(
+    stream: DataFrame,
+    lang: str = "en",
+    min_clf_score: float = 0.5,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the corpus_prep_end_to_end flagship: language
+    filter -> quality-classifier filter -> cross-batch exact dedup ->
+    token-window chunking, composed over an unbounded document stream.
+
+    Three of the four stages are stateless expression projections that
+    map onto a stream unchanged (the SAME operators the batch plan
+    uses — detect_language, classifier_score, chunk_documents); the
+    only state in the pipeline is the exact-dedup content-hash set
+    (streaming_dedup_exact), TTL-bounded for unbounded ingest. Batch
+    face = backfill of this face: on an in-order replay the emitted
+    chunks match the batch flagship row-for-row (tested).
+    """
+    from biomedical_data_integration_spark.operators.text import (
+        chunk_documents,
+        classifier_score,
+        detect_language,
+    )
+
+    by_lang = detect_language(stream, text_col=text_col).where(
+        F.col("detected_lang") == lang
+    )
+    good = classifier_score(by_lang, text_col=text_col).where(
+        F.col("clf_score") >= min_clf_score
+    )
+    kept = good.select(*stream.columns)
+    deduped = streaming_dedup_exact(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        state_ttl_minutes=state_ttl_minutes,
+    )
+    return chunk_documents(
+        deduped, chunk_tokens=chunk_tokens, overlap=overlap,
+        text_col=text_col, id_col=id_col,
+    )

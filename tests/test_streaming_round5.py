@@ -748,3 +748,88 @@ def test_cohort_ltv_cohort_fixed_at_entry(spark):
     assert {(r["cohort_users"], r["revenue"]) for r in out} == {
         (1, 8.0), (1, 2.0)
     }
+
+
+def test_streaming_corpus_prep_matches_batch_flagship(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_corpus_prep,
+    )
+    import __spark_entry__ as entry
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        tuple(r)
+        for r in entry.queries()["corpus_prep_end_to_end"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = streaming_corpus_prep(
+            stream,
+            lang=entry.PREP_LANG,
+            min_clf_score=entry.PREP_MIN_CLF,
+            chunk_tokens=entry.CHUNK_TOKENS,
+            overlap=entry.CHUNK_OVERLAP,
+        )
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("corpus_prep_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "select * from corpus_prep_stream_test"
+            ).collect()
+        }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_corpus_prep_dedups_across_batches(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_corpus_prep,
+    )
+
+    good = (
+        "this is a perfectly reasonable document with enough words to "
+        "pass the quality classifier. it has punctuation, sentences, "
+        "and a normal amount of repetition for english text."
+    )
+    d1 = [(1, good)]
+    d2 = [(2, good), (3, good + " and one more unique sentence here.")]
+    schema = "doc_id bigint, text string"
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        spark.createDataFrame(d1, schema).write.parquet(f"{src}/b0")
+        spark.createDataFrame(d2, schema).write.parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+        out = streaming_corpus_prep(stream, chunk_tokens=16)
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("corpus_prep_dedup_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        ids = {
+            r["id"]
+            for r in spark.sql(
+                "select * from corpus_prep_dedup_test"
+            ).collect()
+        }
+    # doc 2 is a cross-batch exact duplicate of doc 1 -> dropped
+    assert 1 in ids and 3 in ids and 2 not in ids
