@@ -7836,6 +7836,61 @@ FROM stats
 """
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level embedding drift between the even- and odd-id halves
+    (operators/clustering.py embedding_centroid_drift): exact
+    decimal(38,0) per-dimension sums; vector counts cancel in the
+    cosine."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_centroid_drift,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(a, b)
+
+
+def _embedding_drift_sql() -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id % 2 AS side, CAST(r.i AS INT) AS i,
+         CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE) * 1000000.0 + 0.5)
+              AS HUGEINT) AS q
+  FROM embeddings, range(0, {PCA_DIM}) r(i)
+  WHERE embedding IS NOT NULL
+),
+si AS (SELECT side, i, sum(q) AS s FROM e GROUP BY 1, 2),
+nn AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+agg AS (
+  SELECT sum(a.s * b.s) AS sab, sum(a.s * a.s) AS saa,
+         sum(b.s * b.s) AS sbb
+  FROM si a JOIN si b ON a.i = b.i AND a.side = 0 AND b.side = 1
+)
+SELECT n_a, n_b,
+  CASE WHEN CAST(saa AS DOUBLE) > 0 AND CAST(sbb AS DOUBLE) > 0 THEN
+    floor(CAST(sab AS DOUBLE)
+          / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))
+          * 1000000.0 + 0.5) / 1000000.0
+  END AS centroid_cosine,
+  CASE WHEN n_a > 0 THEN
+    floor(sqrt(CAST(saa AS DOUBLE)) / (CAST(n_a AS DOUBLE) * 1000000.0)
+          * 1000000.0 + 0.5) / 1000000.0
+  END AS centroid_norm_a,
+  CASE WHEN n_b > 0 THEN
+    floor(sqrt(CAST(sbb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * 1000000.0)
+          * 1000000.0 + 0.5) / 1000000.0
+  END AS centroid_norm_b
+FROM agg CROSS JOIN nn
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7923,6 +7978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_linear": _q_attribution_linear,
         "events_cohort_ltv": _q_cohort_ltv,
         "rolling_corr_events": _q_rolling_corr,
+        "embedding_drift_halves": _q_embedding_drift,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8130,6 +8186,7 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution_linear": _attribution_linear_sql(),
         "events_cohort_ltv": _cohort_ltv_sql(),
         "rolling_corr_events": _rolling_corr_sql(),
+        "embedding_drift_halves": _embedding_drift_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

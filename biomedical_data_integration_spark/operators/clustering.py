@@ -508,3 +508,67 @@ def pca_project(
     return df.withColumn(
         out_col, F.floor(dotv * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     )
+
+
+def embedding_centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Corpus-level embedding drift: the cosine between two corpora's
+    centroid vectors plus both centroid norms — the one-row readout that
+    says "did this week's embeddings move?" before anything per-vector
+    (SemDeDup, ANN recall) is worth re-running.
+
+    Exactness: per-dimension component sums are decimal(38,0) totals of
+    micro-quantized components (the embedding_covariance discipline);
+    the vector counts CANCEL in the cosine (sum_a . sum_b over
+    |sum_a||sum_b|), so the whole statistic reduces to three exact
+    cross-dimension decimal sums with one fixed-order double read-out.
+
+    Scale shape: one posexplode + (side, dim)-keyed groupBy per corpus
+    — map-side combinable, dim-sized intermediates, a dim-row join, a
+    1-row aggregate. Corpus order, partitioning, and row count never
+    touch the arithmetic.
+    """
+    s = 10 ** scale
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        q = F.floor(
+            F.col("__val").cast("double") * F.lit(float(s)) + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
+            .select("__pos", q.alias("__q"))
+            .groupBy("__pos")
+            .agg(F.sum("__q").alias(f"__s{tag}"))
+        )
+    n_a = df_a.where(F.col(vec_col).isNotNull()).count()
+    n_b = df_b.where(F.col(vec_col).isNotNull()).count()
+    sa = _sums(df_a.where(F.col(vec_col).isNotNull()), "a")
+    sb = _sums(df_b.where(F.col(vec_col).isNotNull()), "b")
+    joined = sa.join(sb, "__pos")
+    agg = joined.agg(
+        F.sum(F.col("__sa") * F.col("__sb")).alias("__sab"),
+        F.sum(F.col("__sa") * F.col("__sa")).alias("__saa"),
+        F.sum(F.col("__sb") * F.col("__sb")).alias("__sbb"),
+    )
+    sab = F.col("__sab").cast("double")
+    saa = F.col("__saa").cast("double")
+    sbb = F.col("__sbb").cast("double")
+    cos = sab / (F.sqrt(saa) * F.sqrt(sbb))
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.when((saa > 0) & (sbb > 0), q6(cos)).alias("centroid_cosine"),
+        F.when(
+            F.lit(n_a) > 0,
+            q6(F.sqrt(saa) / (F.lit(float(n_a)) * F.lit(float(s)))),
+        ).alias("centroid_norm_a"),
+        F.when(
+            F.lit(n_b) > 0,
+            q6(F.sqrt(sbb) / (F.lit(float(n_b)) * F.lit(float(s)))),
+        ).alias("centroid_norm_b"),
+    )

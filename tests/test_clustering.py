@@ -339,3 +339,45 @@ def test_pca_deterministic_across_partitionings(spark):
     la = [r["loading"] for r in sorted(pca_top_component(a).collect(), key=lambda r: r["idx"])]
     lb = [r["loading"] for r in sorted(pca_top_component(b).collect(), key=lambda r: r["idx"])]
     assert la == lb  # exact equality: integer pipeline end to end
+
+
+def test_embedding_centroid_drift_identical_corpora(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_centroid_drift,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    r = embedding_centroid_drift(df, df).collect()[0]
+    assert r["centroid_cosine"] == 1.0
+    assert r["n_a"] == r["n_b"] == 20
+    assert abs(r["centroid_norm_a"] - r["centroid_norm_b"]) < 1e-9
+    # numpy parity on the norm
+    mean = np.mean([v for _, v in vecs], axis=0)
+    # quantization first, like the operator
+    q = np.floor(np.array([v for _, v in vecs]) * 1e6 + 0.5)
+    ref_norm = np.sqrt((q.sum(axis=0) ** 2).sum()) / (20 * 1e6)
+    assert abs(r["centroid_norm_a"] - ref_norm) < 1e-6
+
+
+def test_embedding_centroid_drift_opposed_and_partition_invariance(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_centroid_drift,
+    )
+
+    a = [(i, [1.0, 0.0, 2.0]) for i in range(5)]
+    b = [(i, [-1.0, 0.0, -2.0]) for i in range(7)]
+    da = spark.createDataFrame(a, "vec_id bigint, embedding array<double>")
+    db = spark.createDataFrame(b, "vec_id bigint, embedding array<double>")
+    r = embedding_centroid_drift(da, db).collect()[0]
+    assert r["centroid_cosine"] == -1.0
+    # repartitioning must not change a single output digit
+    r2 = embedding_centroid_drift(
+        da.repartition(13), db.repartition(3)
+    ).collect()[0]
+    assert r == r2
