@@ -7891,6 +7891,35 @@ FROM agg CROSS JOIN nn
 """
 
 
+def _q_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day (streaming/events.py
+    sliding_active_users): contribution-expansion over the COLLAPSED
+    (user, day) table — exact, no sketch."""
+    from biomedical_data_integration_spark.streaming.events import (
+        sliding_active_users,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    out = sliding_active_users(events, window_days=7)
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+def _wau_sql() -> str:
+    return """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+contrib AS (
+  SELECT u, d + CAST(k AS INT) AS day
+  FROM pairs CROSS JOIN range(0, 7) t(k)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u) AS BIGINT) AS active_users
+FROM contrib GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7979,6 +8008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_ltv": _q_cohort_ltv,
         "rolling_corr_events": _q_rolling_corr,
         "embedding_drift_halves": _q_embedding_drift,
+        "events_wau_trailing7": _q_wau,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8187,6 +8217,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_ltv": _cohort_ltv_sql(),
         "rolling_corr_events": _rolling_corr_sql(),
         "embedding_drift_halves": _embedding_drift_sql(),
+        "events_wau_trailing7": _wau_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

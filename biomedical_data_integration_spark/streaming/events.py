@@ -2834,3 +2834,53 @@ def streaming_corpus_prep(
         deduped, chunk_tokens=chunk_tokens, overlap=overlap,
         text_col=text_col, id_col=id_col,
     )
+
+
+def sliding_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window active-user counts per day — the WAU/MAU curve
+    (``window_days`` = 7 or 30). Distinct counts don't subtract, so a
+    sliding frame can't reuse a running aggregate; the exact formulation
+    here is contribution-expansion: collapse the corpus to distinct
+    (user, day) pairs, explode each pair onto the ``window_days`` window
+    END days it supports, and count distinct users per end day.
+
+    Exact (no sketch), and every stage is map-side combinable: corpus ->
+    (user, day) distinct, a x``window_days`` explode of that already
+    user-day-sized table, then one distinct-count groupBy. At 100 TB the
+    explode factor is the window length on the COLLAPSED table —
+    ~|users| x |days| x window rows, independent of event volume. For
+    very long windows, swap in the HLL register path
+    (hll_sketch_grouped re-maxed over the window) documented on the
+    sketch family.
+
+    Output: (day, active_users) for every day that closes a window
+    containing at least one active user — days with zero activity in
+    range emit nothing (gapfill composes if a dense axis is needed).
+    """
+    if window_days < 1:
+        raise ValueError("sliding_active_users: window_days must be >= 1")
+    pairs = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+        )
+        .where(F.col("__u").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(k) for k in range(window_days)])
+    ).alias("__k")
+    contrib = pairs.select(
+        "__u", "__d", offsets
+    ).select(
+        "__u", F.date_add(F.col("__d"), F.col("__k")).alias("day")
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(F.countDistinct("__u").cast("bigint").alias("active_users"))
+    )

@@ -833,3 +833,37 @@ def test_streaming_corpus_prep_dedups_across_batches(spark):
         }
     # doc 2 is a cross-batch exact duplicate of doc 1 -> dropped
     assert 1 in ids and 3 in ids and 2 not in ids
+
+
+def test_sliding_active_users_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        sliding_active_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 05:00:00"),
+        (1, "2024-01-01 09:00:00"),  # same user+day: one pair
+        (2, "2024-01-03 00:00:00"),
+        (1, "2024-01-05 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    out = {
+        str(r["day"]): r["active_users"]
+        for r in sliding_active_users(df, window_days=3).collect()
+    }
+    # day 1: {1}; day 3: {1 (from d1), 2}; day 5: {2 (from d3), 1}
+    assert out["2024-01-01"] == 1
+    assert out["2024-01-03"] == 2
+    assert out["2024-01-05"] == 2
+    # day 4: window [2..4] -> only user 2
+    assert out["2024-01-04"] == 1
+    # window of 1 day degenerates to daily uniques
+    daily = {
+        str(r["day"]): r["active_users"]
+        for r in sliding_active_users(df, window_days=1).collect()
+    }
+    assert daily == {
+        "2024-01-01": 1, "2024-01-03": 1, "2024-01-05": 1,
+    }
