@@ -7920,6 +7920,59 @@ FROM contrib GROUP BY 1
 """
 
 
+def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: two sliding_active_users windows
+    (1-day and 7-day) joined on day — the engagement ratio product
+    analytics tracks. Both inputs share the collapsed (user, day)
+    table's shape; the join is day-count-sized."""
+    from biomedical_data_integration_spark.streaming.events import (
+        sliding_active_users,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    dau = sliding_active_users(events, window_days=1).select(
+        "day", F.col("active_users").alias("dau")
+    )
+    wau = sliding_active_users(events, window_days=7).select(
+        "day", F.col("active_users").alias("wau")
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            q6(
+                F.col("dau").cast("double") / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+    )
+
+
+def _stickiness_sql() -> str:
+    return """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+dau AS (
+  SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+  FROM pairs GROUP BY 1
+),
+wau AS (
+  SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS wau
+  FROM (SELECT u, d + CAST(k AS INT) AS day
+        FROM pairs CROSS JOIN range(0, 7) t(k))
+  GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+  floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) * 1000000.0 + 0.5)
+  / 1000000.0 AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8009,6 +8062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_events": _q_rolling_corr,
         "embedding_drift_halves": _q_embedding_drift,
         "events_wau_trailing7": _q_wau,
+        "events_stickiness_dau_wau": _q_stickiness,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8218,6 +8272,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_corr_events": _rolling_corr_sql(),
         "embedding_drift_halves": _embedding_drift_sql(),
         "events_wau_trailing7": _wau_sql(),
+        "events_stickiness_dau_wau": _stickiness_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),
