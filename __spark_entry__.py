@@ -7973,6 +7973,73 @@ FROM dau JOIN wau USING (day)
 """
 
 
+TTC_WITHIN_S = 86400
+
+
+def _q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for signup -> purchase within 24h:
+    sequence_match supplies the (first, then) pairs, then type-1
+    quantiles (selected elements, never interpolations) of the gap —
+    one rank window over the match-count-sized table."""
+    from biomedical_data_integration_spark.streaming.events import (
+        sequence_match,
+    )
+
+    from pyspark.sql import Window
+
+    (events,) = _tables(spark, sf_dir, "events")
+    m = sequence_match(events, "signup", "purchase", TTC_WITHIN_S)
+    w = Window.orderBy("gap_seconds")
+    ranked = m.select(
+        F.col("gap_seconds").cast("bigint").alias("g"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("g"))
+    ).cast("bigint")
+    return ranked.agg(
+        F.max("n").alias("n_conversions"),
+        pick(0.25).alias("p25_seconds"),
+        pick(0.50).alias("p50_seconds"),
+        pick(0.90).alias("p90_seconds"),
+    )
+
+
+def _time_to_convert_sql() -> str:
+    return f"""
+WITH r AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         event_type AS t
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+w AS (
+  SELECT u, ts, t,
+         min(CASE WHEN t = 'purchase' THEN ts END) OVER
+           (PARTITION BY u ORDER BY ts
+            RANGE BETWEEN 1 FOLLOWING AND {TTC_WITHIN_S} FOLLOWING) AS nt
+  FROM r
+),
+m AS (
+  SELECT CAST(nt - ts AS BIGINT) AS g
+  FROM w WHERE t = 'signup' AND nt IS NOT NULL
+),
+ranked AS (
+  SELECT g, CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM m
+)
+SELECT CAST(max(n) AS BIGINT) AS n_conversions,
+  CAST(min(CASE WHEN rn = ceil(0.25 * n) THEN g END) AS BIGINT)
+    AS p25_seconds,
+  CAST(min(CASE WHEN rn = ceil(0.5 * n) THEN g END) AS BIGINT)
+    AS p50_seconds,
+  CAST(min(CASE WHEN rn = ceil(0.9 * n) THEN g END) AS BIGINT)
+    AS p90_seconds
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8063,6 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift_halves": _q_embedding_drift,
         "events_wau_trailing7": _q_wau,
         "events_stickiness_dau_wau": _q_stickiness,
+        "events_time_to_convert": _q_time_to_convert,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8273,6 +8341,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift_halves": _embedding_drift_sql(),
         "events_wau_trailing7": _wau_sql(),
         "events_stickiness_dau_wau": _stickiness_sql(),
+        "events_time_to_convert": _time_to_convert_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),
