@@ -8040,6 +8040,87 @@ FROM ranked
 """
 
 
+def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase per user, right-censored at
+    each user's last observed day (operators/profiling.py
+    kaplan_meier): one user groupBy stages durations, then the
+    time-point-sized risk/product windows."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        kaplan_meier,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    per_user = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("__first"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.to_date("ts")
+                )
+            ).alias("__conv"),
+            F.max(F.to_date("ts")).alias("__last"),
+        )
+    )
+    staged = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("__conv"), F.col("__last")), F.col("__first")
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.col("__conv").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(staged, "dur", "ev")
+
+
+def _survival_km_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS first_d,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS conv_d,
+         max(CAST(ts AS DATE)) AS last_d
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+staged AS (
+  SELECT CAST(date_diff('day', first_d, coalesce(conv_d, last_d))
+              AS BIGINT) AS t,
+         CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM per_user
+),
+per_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS m, CAST(sum(e) AS BIGINT) AS d
+  FROM staged GROUP BY 1
+),
+risk AS (
+  SELECT t, d,
+    CAST(sum(m) OVER ()
+         - coalesce(sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS n
+  FROM per_t
+),
+curve AS (
+  SELECT t, d, n,
+    CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) = 1 THEN 0.0
+    ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                      THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                      ELSE 0.0 END)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    END AS s
+  FROM risk
+)
+SELECT t, n AS n_risk, d AS d_events,
+       floor(s * 1000000.0 + 0.5) / 1000000.0 AS survival
+FROM curve WHERE d > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8131,6 +8212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wau_trailing7": _q_wau,
         "events_stickiness_dau_wau": _q_stickiness,
         "events_time_to_convert": _q_time_to_convert,
+        "events_survival_km": _q_survival_km,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8342,6 +8424,7 @@ def oracle_sql() -> dict[str, str]:
         "events_wau_trailing7": _wau_sql(),
         "events_stickiness_dau_wau": _stickiness_sql(),
         "events_time_to_convert": _time_to_convert_sql(),
+        "events_survival_km": _survival_km_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

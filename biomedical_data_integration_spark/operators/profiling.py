@@ -2064,3 +2064,90 @@ def rolling_correlation(
             (F.col("__n") >= min_periods) & (dx > 0) & (dy > 0), q6
         ).alias("corr"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve — time-to-event with right censoring
+    (churn, time-to-conversion, hardware failure): S(t) is the product
+    of (1 - d_i/n_i) over event times <= t, where d_i counts events AT
+    t_i and n_i counts subjects still at risk (duration >= t_i).
+    Censored subjects (``event_col`` = 0) leave the risk set without
+    contributing an event — the estimator the naive "fraction converted
+    by t" gets wrong the moment observation windows differ.
+
+    All counts are exact bigints off ONE duration-keyed groupBy (corpus
+    collapses immediately); the risk set is a reverse cumulative sum
+    and the product runs as exp(cumsum(ln ...)) over the
+    time-point-sized table — logs taken last, one fixed window order.
+
+    Returns (group?, t, n_risk, d_events, survival) for event
+    time points only (censoring times move n_risk but emit no row),
+    survival floor-quantized to 6.
+    """
+    from pyspark.sql import Window
+
+    g = [group_col] if group_col else []
+    staged = df.select(
+        *g,
+        F.col(duration_col).cast("bigint").alias("__t"),
+        (F.col(event_col).cast("int") > 0).cast("int").alias("__e"),
+    ).where(F.col("__t").isNotNull() & (F.col("__t") >= 0))
+    per_t = staged.groupBy(*g, "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+        F.sum("__e").cast("bigint").alias("__d"),
+    )
+    w_all = Window.partitionBy(*g)
+    w_lt = (
+        Window.partitionBy(*g)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.select(
+        *g,
+        "__t",
+        "__d",
+        (
+            F.sum("__m").over(w_all)
+            - F.coalesce(F.sum("__m").over(w_lt), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__n"),
+    )
+    # Spark's log() yields NULL (not -inf) at 0, so the "risk set fully
+    # dies" time point is an explicit absorbing zero rather than a log
+    # term; it can only occur at a group's final time point
+    loss = F.when(
+        (F.col("__d") > 0) & (F.col("__d") < F.col("__n")),
+        F.log(
+            (F.col("__n") - F.col("__d")).cast("double")
+            / F.col("__n").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = F.max((F.col("__d") == F.col("__n")).cast("int")).over(w_cum)
+    curve = risk.select(
+        *g,
+        "__t",
+        "__d",
+        "__n",
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum(loss).over(w_cum)))
+        .alias("__s"),
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return curve.where(F.col("__d") > 0).select(
+        *g,
+        F.col("__t").alias("t"),
+        F.col("__n").alias("n_risk"),
+        F.col("__d").alias("d_events"),
+        q6(F.col("__s")).alias("survival"),
+    )

@@ -786,3 +786,52 @@ def test_threshold_sweep_conservation_and_monotonicity(spark, data):
         assert r["fp"] + r["tn"] == neg
         tps.append(r["tp"])
     assert tps == sorted(tps, reverse=True)
+
+
+def test_kaplan_meier_golden(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        kaplan_meier,
+    )
+
+    # classic hand example: censoring at t=2 and t=4
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(out) == {1, 2, 3}  # censor-only times emit no row
+    assert (out[1]["n_risk"], out[1]["d_events"]) == (5, 1)
+    assert abs(out[1]["survival"] - 0.8) < 1e-6
+    assert (out[2]["n_risk"], out[2]["d_events"]) == (4, 1)
+    assert abs(out[2]["survival"] - 0.6) < 1e-6
+    assert (out[3]["n_risk"], out[3]["d_events"]) == (2, 1)
+    assert abs(out[3]["survival"] - 0.3) < 1e-6
+
+
+def test_kaplan_meier_no_censoring_matches_ecdf(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        kaplan_meier,
+    )
+
+    # without censoring KM reduces to 1 - ECDF
+    durs = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame([(d, 1) for d in durs], "dur int, ev int")
+    out = {r["t"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    n = len(durs)
+    for t in set(durs):
+        expect = sum(1 for d in durs if d > t) / n
+        assert abs(out[t] - expect) < 1e-6
+
+
+def test_kaplan_meier_grouped_and_absorbing_zero(spark):
+    from biomedical_data_integration_spark.operators.profiling import (
+        kaplan_meier,
+    )
+
+    rows = [("a", 1, 1), ("a", 1, 1), ("b", 2, 1), ("b", 3, 0)]
+    df = spark.createDataFrame(rows, "g string, dur int, ev int")
+    out = {
+        (r["g"], r["t"]): r["survival"]
+        for r in kaplan_meier(df, "dur", "ev", "g").collect()
+    }
+    # group a: both die at t=1 -> survival hits exactly 0
+    assert out[("a", 1)] == 0.0
+    assert abs(out[("b", 2)] - 0.5) < 1e-6
