@@ -8121,6 +8121,50 @@ FROM curve WHERE d > 0
 """
 
 
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM quintile segmentation (streaming/events.py
+    rfm_scores): one user groupBy + three total-order ntiles over the
+    user-sized table; reference day from the data, not the clock."""
+    from biomedical_data_integration_spark.streaming.events import rfm_scores
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return rfm_scores(events, n_tiles=5)
+
+
+def _rfm_sql() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN
+                 CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               END), 0) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+ref AS (SELECT max(last_d) AS ref_d FROM per_user),
+staged AS (
+  SELECT user_id,
+         CAST(date_diff('day', last_d, ref_d) AS BIGINT) AS recency_days,
+         frequency, cents, CAST(cents AS DOUBLE) / 100.0 AS monetary
+  FROM per_user CROSS JOIN ref
+),
+scored AS (
+  SELECT user_id, recency_days, frequency,
+    floor(monetary * 1000000.0 + 0.5) / 1000000.0 AS monetary,
+    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS INT)
+      AS r_score,
+    CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS INT)
+      AS f_score,
+    CAST(ntile(5) OVER (ORDER BY cents ASC, user_id ASC) AS INT)
+      AS m_score
+  FROM staged
+)
+SELECT *, concat_ws('-', CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+                    CAST(m_score AS VARCHAR)) AS segment
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8213,6 +8257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness_dau_wau": _q_stickiness,
         "events_time_to_convert": _q_time_to_convert,
         "events_survival_km": _q_survival_km,
+        "rfm_segments_events": _q_rfm,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8425,6 +8470,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stickiness_dau_wau": _stickiness_sql(),
         "events_time_to_convert": _time_to_convert_sql(),
         "events_survival_km": _survival_km_sql(),
+        "rfm_segments_events": _rfm_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -2884,3 +2884,90 @@ def sliding_active_users(
         contrib.groupBy("day")
         .agg(F.countDistinct("__u").cast("bigint").alias("active_users"))
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    revenue_type: str = "purchase",
+    n_tiles: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation: per-user Recency / Frequency / Monetary
+    quintile scores (1..n_tiles, higher = better) — the classic
+    customer-value grid marketing pipelines cut campaigns by.
+
+    Recency is days from the user's last activity to the CORPUS
+    reference day (its max activity day, so the readout is
+    run-date-independent and replayable); frequency counts all events;
+    monetary sums cent-quantized ``revenue_type`` value. Scores are
+    ntile buckets over a TOTAL order (metric, then user id), so tied
+    metrics split deterministically — the same rows land in the same
+    tile in any engine and under any partitioning.
+
+    Scale shape: ONE user groupBy collapses the corpus, a 1-row max
+    rides a broadcast, and the three ntiles share the user-count-sized
+    table (three sorts of |users| rows). Output: one row per user with
+    r/f/m metrics, scores, and the concatenated segment label.
+    """
+    from pyspark.sql import Window
+
+    if n_tiles < 2:
+        raise ValueError("rfm_scores: n_tiles must be >= 2")
+    per_user = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(F.to_date(F.col(ts_col))).alias("__last"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(type_col) == revenue_type,
+                        F.floor(
+                            F.col(value_col).cast("double") * F.lit(100.0)
+                            + F.lit(0.5)
+                        ).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__cents"),
+        )
+    )
+    ref = per_user.agg(F.max("__last").alias("__ref"))
+    staged = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff(F.col("__ref"), F.col("__last"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        (F.col("__cents").cast("double") / F.lit(100.0)).alias("monetary"),
+        "__cents",
+    )
+    # higher score = better: most recent / most frequent / highest spend
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.asc("__cents"), F.asc("user_id"))
+    out = staged.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        (F.floor(F.col("monetary") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("monetary"),
+        F.ntile(n_tiles).over(w_r).cast("int").alias("r_score"),
+        F.ntile(n_tiles).over(w_f).cast("int").alias("f_score"),
+        F.ntile(n_tiles).over(w_m).cast("int").alias("m_score"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

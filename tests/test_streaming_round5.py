@@ -867,3 +867,50 @@ def test_sliding_active_users_golden(spark):
     assert daily == {
         "2024-01-01": 1, "2024-01-03": 1, "2024-01-05": 1,
     }
+
+
+def test_rfm_scores_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import rfm_scores
+
+    rows = [
+        # user 1: recent, frequent, big spender
+        (1, "2024-01-10 00:00:00", "purchase", 100.0),
+        (1, "2024-01-10 01:00:00", "click", 0.0),
+        (1, "2024-01-09 00:00:00", "purchase", 50.0),
+        # user 2: old, single, no spend
+        (2, "2024-01-01 00:00:00", "click", 0.0),
+        # user 3: middling
+        (3, "2024-01-05 00:00:00", "purchase", 10.0),
+        (3, "2024-01-06 00:00:00", "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_type string, value double"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    out = {r["user_id"]: r for r in rfm_scores(df, n_tiles=3).collect()}
+    # reference day = 2024-01-10 (user 1's last)
+    assert out[1]["recency_days"] == 0 and out[2]["recency_days"] == 9
+    assert out[1]["frequency"] == 3 and out[2]["frequency"] == 1
+    assert out[1]["monetary"] == 150.0 and out[2]["monetary"] == 0.0
+    # best on all axes / worst on all axes
+    assert (out[1]["r_score"], out[1]["f_score"], out[1]["m_score"]) == (3, 3, 3)
+    assert (out[2]["r_score"], out[2]["f_score"], out[2]["m_score"]) == (1, 1, 1)
+    assert out[3]["segment"] == "2-2-2"
+
+
+def test_rfm_scores_deterministic_tie_split(spark):
+    from biomedical_data_integration_spark.streaming.events import rfm_scores
+
+    # four users with IDENTICAL metrics: tiles split by user id, stably
+    rows = [
+        (u, "2024-01-01 00:00:00", "click", 0.0) for u in (10, 20, 30, 40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_type string, value double"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_type", "value")
+    a = {(r["user_id"], r["segment"]) for r in rfm_scores(df, n_tiles=2).collect()}
+    b = {
+        (r["user_id"], r["segment"])
+        for r in rfm_scores(df.repartition(7), n_tiles=2).collect()
+    }
+    assert a == b
+    assert {s for _, s in a} == {"1-1-1", "2-2-2"}
