@@ -8165,6 +8165,44 @@ FROM scored
 """
 
 
+ZIPF_TOP_K = 100
+
+
+def _q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the documents token-frequency head
+    (operators/text.py zipf_alpha): Hill estimator over the exact
+    top-100 counts; one tokenize scan."""
+    from biomedical_data_integration_spark.operators.text import zipf_alpha
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return zipf_alpha(docs, top_k=ZIPF_TOP_K)
+
+
+def _zipf_alpha_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+WITH t AS (SELECT unnest({toks}) AS term FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+head AS (
+  SELECT cnt FROM c ORDER BY cnt DESC, term ASC LIMIT {ZIPF_TOP_K}
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(max(cnt) AS BIGINT) AS c_max,
+         CAST(min(cnt) AS BIGINT) AS c_min,
+         sum(ln(CAST(cnt AS DOUBLE))) AS sl
+  FROM head
+)
+SELECT k, c_max, c_min,
+  CASE WHEN sl - CAST(k AS DOUBLE) * ln(CAST(c_min AS DOUBLE)) > 0 THEN
+    floor((1.0 + CAST(k AS DOUBLE)
+           / (sl - CAST(k AS DOUBLE) * ln(CAST(c_min AS DOUBLE))))
+          * 1000000.0 + 0.5) / 1000000.0
+  END AS alpha
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8258,6 +8296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": _q_time_to_convert,
         "events_survival_km": _q_survival_km,
         "rfm_segments_events": _q_rfm,
+        "zipf_alpha_documents": _q_zipf_alpha,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8471,6 +8510,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_to_convert": _time_to_convert_sql(),
         "events_survival_km": _survival_km_sql(),
         "rfm_segments_events": _rfm_sql(),
+        "zipf_alpha_documents": _zipf_alpha_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -916,3 +916,49 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fk_grade", F.when(F.col("n_words") > 0, q6(fk))
         )
     )
+
+
+def zipf_alpha(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Zipf-law exponent of the token-frequency distribution via the
+    Hill estimator over the ``top_k`` head: alpha = 1 + k / sum(ln(c_i
+    / c_k)) where c_k is the k-th largest count. Natural corpora sit
+    near alpha ~ 2 (Zipf); a spike says boilerplate/bot domination, a
+    collapse toward 1 says shredded or deduplicated-to-death text —
+    the one-number vocabulary-health readout next to corpus_vocabulary.
+
+    One tokenize scan + hash groupBy (map-side combinable), a
+    distributed top-k on (count desc, token asc) — total order, so the
+    head set is unique — then a k-row aggregate; the only floats are
+    the final logs over exact bigint counts. All-equal head counts
+    (sum of logs = 0) yield NULL alpha.
+
+    Output (one row): k, c_max, c_min, alpha.
+    """
+    if top_k < 2:
+        raise ValueError("zipf_alpha: top_k must be >= 2")
+    counts = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    head = counts.orderBy(F.desc("__c"), F.asc("__t")).limit(top_k)
+    agg = head.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("__c").alias("c_max"),
+        F.min("__c").alias("c_min"),
+        F.sum(
+            F.log(F.col("__c").cast("double"))
+        ).alias("__sl"),
+    )
+    k = F.col("k").cast("double")
+    # sum(ln(c_i / c_min)) = sum(ln c_i) - k * ln(c_min)
+    denom = F.col("__sl") - k * F.log(F.col("c_min").cast("double"))
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "k",
+        "c_max",
+        "c_min",
+        F.when(denom > 0, q6(F.lit(1.0) + k / denom)).alias("alpha"),
+    )

@@ -493,3 +493,21 @@ def test_readability_vowel_groups_do_not_cross_words(spark):
     )
     r = readability(df).collect()[0]
     assert r["n_syllables"] == 3 and r["n_words"] == 2
+
+
+def test_zipf_alpha_golden_and_degenerate(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.text import zipf_alpha
+
+    # counts 8/4/2/1 for a,b,c,d -> exact hill estimate over k=4
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    r = zipf_alpha(df, top_k=4).collect()[0]
+    assert (r["k"], r["c_max"], r["c_min"]) == (4, 8, 1)
+    denom = sum(math.log(c) for c in (8, 4, 2, 1))
+    assert abs(r["alpha"] - (1 + 4 / denom)) < 1e-5
+    # all-equal counts -> NULL alpha
+    df2 = spark.createDataFrame([(0, "x y z")], "doc_id bigint, text string")
+    r2 = zipf_alpha(df2, top_k=3).collect()[0]
+    assert r2["alpha"] is None and r2["c_max"] == r2["c_min"] == 1
