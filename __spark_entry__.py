@@ -8203,6 +8203,48 @@ FROM agg
 """
 
 
+def _q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap (streaming/events.py
+    audience_overlap_daily): exact intersection via one user-day
+    self-join, union by inclusion-exclusion."""
+    from biomedical_data_integration_spark.streaming.events import (
+        audience_overlap_daily,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    out = audience_overlap_daily(events)
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+def _audience_overlap_sql() -> str:
+    return """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+daily AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1),
+inter AS (
+  SELECT t.d, CAST(count(*) AS BIGINT) AS i
+  FROM pairs t JOIN pairs y ON t.u = y.u AND t.d = y.d + 1
+  GROUP BY 1
+),
+joined AS (
+  SELECT t.d AS day, t.n AS today, y.n AS yday,
+         CAST(coalesce(i.i, 0) AS BIGINT) AS i
+  FROM daily t
+  JOIN daily y ON t.d = y.d + 1
+  LEFT JOIN inter i ON i.d = t.d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       today AS active, i AS returning,
+       CAST(today - i AS BIGINT) AS new_users,
+       CAST(yday - i AS BIGINT) AS churned,
+  floor(CAST(i AS DOUBLE) / CAST(today + yday - i AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM joined
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8297,6 +8339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": _q_survival_km,
         "rfm_segments_events": _q_rfm,
         "zipf_alpha_documents": _q_zipf_alpha,
+        "events_audience_overlap": _q_audience_overlap,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8511,6 +8554,7 @@ def oracle_sql() -> dict[str, str]:
         "events_survival_km": _survival_km_sql(),
         "rfm_segments_events": _rfm_sql(),
         "zipf_alpha_documents": _zipf_alpha_sql(),
+        "events_audience_overlap": _audience_overlap_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

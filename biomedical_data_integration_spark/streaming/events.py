@@ -2971,3 +2971,68 @@ def rfm_scores(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def audience_overlap_daily(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-over-day audience overlap: for each day, the Jaccard overlap
+    between its active-user set and the PREVIOUS day's — the
+    returning-vs-churned decomposition at daily grain (retention_cohorts
+    answers "came back eventually"; this answers "came back TOMORROW").
+
+    Exact set arithmetic off the collapsed distinct (user, day) table:
+    a self-join on (user, day = day + 1) counts the intersection, daily
+    distinct counts supply the union by inclusion-exclusion — no set
+    materialization, three map-side-combinable aggregations total.
+
+    Output per day with a previous active day: (day, active, returning,
+    new_users, churned, jaccard) where returning = |today ∩ yesterday|,
+    new_users = today-only, churned = yesterday-only.
+    """
+    pairs = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.col(ts_col)).alias("__d"),
+        )
+        .where(F.col("__u").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+    )
+    daily = pairs.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    inter = (
+        pairs.alias("t")
+        .join(
+            pairs.select(
+                "__u", F.date_add(F.col("__d"), 1).alias("__d")
+            ).alias("y"),
+            ["__u", "__d"],
+        )
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__i"))
+    )
+    today = daily.select(F.col("__d"), F.col("__n").alias("__today"))
+    yday = daily.select(
+        F.date_add(F.col("__d"), 1).alias("__d"),
+        F.col("__n").alias("__yday"),
+    )
+    joined = (
+        today.join(yday, "__d")
+        .join(inter, "__d", "left")
+        .withColumn("__i", F.coalesce(F.col("__i"), F.lit(0)).cast("bigint"))
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    union = F.col("__today") + F.col("__yday") - F.col("__i")
+    return joined.select(
+        F.col("__d").alias("day"),
+        F.col("__today").alias("active"),
+        F.col("__i").alias("returning"),
+        (F.col("__today") - F.col("__i")).cast("bigint").alias("new_users"),
+        (F.col("__yday") - F.col("__i")).cast("bigint").alias("churned"),
+        q6(F.col("__i").cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
+    )

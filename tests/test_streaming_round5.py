@@ -914,3 +914,25 @@ def test_rfm_scores_deterministic_tie_split(spark):
     }
     assert a == b
     assert {s for _, s in a} == {"1-1-1", "2-2-2"}
+
+
+def test_audience_overlap_daily_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        audience_overlap_daily,
+    )
+
+    rows = [
+        (1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-01"),
+        (2, "2024-01-02"), (3, "2024-01-02"), (4, "2024-01-02"),
+        (9, "2024-01-04"),  # gap: no Jan 3 row, Jan 4 has no yesterday
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, d string").select(
+        "user_id", F.to_timestamp("d").alias("ts")
+    )
+    out = {str(r["day"]): r for r in audience_overlap_daily(df).collect()}
+    assert set(out) == {"2024-01-02"}  # only days with a previous day
+    r = out["2024-01-02"]
+    assert (r["active"], r["returning"], r["new_users"], r["churned"]) == (
+        3, 2, 1, 1
+    )
+    assert abs(r["jaccard"] - 0.5) < 1e-6  # |{2,3}| / |{1,2,3,4}|
