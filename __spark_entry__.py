@@ -8245,6 +8245,66 @@ FROM joined
 """
 
 
+MARKOV_PI_ITER = 50
+
+
+def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type journey chain
+    (streaming/events.py markov_stationary): one corpus pass for exact
+    counts, then a bit-reproducible integer power iteration on the
+    |types|-sized chain."""
+    from biomedical_data_integration_spark.streaming.events import (
+        markov_stationary,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return markov_stationary(events, n_iter=MARKOV_PI_ITER)
+
+
+def _markov_stationary_sql() -> str:
+    parts = ["""
+WITH s AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM events
+),
+c AS (
+  SELECT src, dst, CAST(count(*) AS HUGEINT) AS n
+  FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+),
+st AS (
+  SELECT DISTINCT st
+  FROM (SELECT src AS st FROM c UNION SELECT dst FROM c) t
+),
+rt AS (SELECT src, sum(n) AS tot FROM c GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT c.src AS i, c.dst AS j, (c.n * 1000000) // rt.tot AS p
+  FROM c JOIN rt ON c.src = rt.src
+  UNION ALL
+  SELECT st.st, st.st, CAST(1000000 AS HUGEINT)
+  FROM st WHERE st.st NOT IN (SELECT src FROM c)
+),
+v0 AS (SELECT st AS j, CAST(1000000 AS HUGEINT) AS v FROM st)"""]
+    for k in range(1, MARKOV_PI_ITER + 1):
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT p.j, sum(v.v * p.p) AS w FROM p JOIN v{k - 1} v ON p.i = v.j
+  GROUP BY 1
+),
+s{k} AS MATERIALIZED (SELECT sum(w) AS s FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT j, (w * 1000000) // s AS v FROM w{k} CROSS JOIN s{k}
+)""")
+    parts.append(f"""
+SELECT st.st AS state, CAST(coalesce(rt.tot, 0) AS BIGINT) AS n_out,
+       CAST(coalesce(v{MARKOV_PI_ITER}.v, 0) AS DOUBLE) / 1000000.0 AS pi
+FROM st LEFT JOIN rt ON st.st = rt.src
+LEFT JOIN v{MARKOV_PI_ITER} ON st.st = v{MARKOV_PI_ITER}.j
+""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8340,6 +8400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments_events": _q_rfm,
         "zipf_alpha_documents": _q_zipf_alpha,
         "events_audience_overlap": _q_audience_overlap,
+        "events_markov_stationary": _q_markov_stationary,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8555,6 +8616,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments_events": _rfm_sql(),
         "zipf_alpha_documents": _zipf_alpha_sql(),
         "events_audience_overlap": _audience_overlap_sql(),
+        "events_markov_stationary": _markov_stationary_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -3036,3 +3036,77 @@ def audience_overlap_daily(
             "jaccard"
         ),
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    n_iter: int = 50,
+    scale: int = 6,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — where
+    behavior settles if today's transition structure persists; the
+    long-run complement to event_transition_matrix's one-step
+    probabilities (and the journey cousin of pagerank, which ranks a
+    TOKEN graph the same way).
+
+    The chain is |types|-sized however big the corpus, so after ONE
+    corpus pass for exact transition counts the fit runs driver-side as
+    a pure-INTEGER power iteration (the pca_top_component discipline):
+    row probabilities are micro-quantized with truncating division,
+    each step is an exact integer matvec renormalized by truncating L1
+    division, so every engine replaying the same counts reproduces the
+    same bits. Dangling states (no outgoing transitions) self-loop.
+
+    Returns (state, n_out, pi): n_out = outgoing transition count,
+    pi = stationary mass at ``scale`` decimals.
+    """
+    if n_iter < 1:
+        raise ValueError("markov_stationary: n_iter must be >= 1")
+    S = 10 ** scale
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    counts = (
+        events.select(
+            F.lag(type_col).over(w).alias("src"),
+            F.col(type_col).alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )
+    states = sorted({r["src"] for r in counts} | {r["dst"] for r in counts})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    tot = [0] * k
+    for r in counts:
+        tot[idx[r["src"]]] += int(r["n"])
+    p = [[0] * k for _ in range(k)]
+    for r in counts:
+        i, j = idx[r["src"]], idx[r["dst"]]
+        p[i][j] = int(r["n"]) * S // tot[i]
+    for i in range(k):
+        if tot[i] == 0:
+            p[i][i] = S
+    v = [S] * k
+    for _ in range(n_iter):
+        wv = [0] * k
+        for i in range(k):
+            vi = v[i]
+            if vi:
+                row = p[i]
+                for j in range(k):
+                    if row[j]:
+                        wv[j] += vi * row[j]
+        s_l1 = sum(wv)
+        v = [x * S // s_l1 for x in wv]
+    spark = events.sparkSession
+    rows = [
+        (states[i], int(tot[i]), float(v[i]) / float(S)) for i in range(k)
+    ]
+    return spark.createDataFrame(
+        rows, "state string, n_out bigint, pi double"
+    )

@@ -936,3 +936,46 @@ def test_audience_overlap_daily_golden(spark):
         3, 2, 1, 1
     )
     assert abs(r["jaccard"] - 0.5) < 1e-6  # |{2,3}| / |{1,2,3,4}|
+
+
+def test_markov_stationary_golden_two_state(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        markov_stationary,
+    )
+
+    # user journey a->b->a->b->a->a... engineered counts:
+    # from a: 2x to b, 2x to a ; from b: 2x to a -> P = [[.5,.5],[1,0]]
+    # stationary: pi_a = 2/3, pi_b = 1/3
+    seq = ["a", "b", "a", "a", "a", "b", "a"]
+    rows = [
+        (1, i, f"2024-01-01 0{i}:00:00", t) for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("ts").alias("ts"),
+             "event_type")
+    out = {r["state"]: r for r in markov_stationary(df).collect()}
+    assert abs(out["a"]["pi"] - 2 / 3) < 1e-4
+    assert abs(out["b"]["pi"] - 1 / 3) < 1e-4
+    assert out["a"]["n_out"] == 4 and out["b"]["n_out"] == 2
+
+
+def test_markov_stationary_dangling_state_self_loops(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        markov_stationary,
+    )
+
+    # "end" never transitions out: absorbing -> all mass converges there
+    rows = [
+        (1, 0, "2024-01-01 00:00:00", "start"),
+        (1, 1, "2024-01-01 01:00:00", "end"),
+        (2, 2, "2024-01-01 00:00:00", "start"),
+        (2, 3, "2024-01-01 01:00:00", "end"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("ts").alias("ts"),
+             "event_type")
+    out = {r["state"]: r for r in markov_stationary(df).collect()}
+    assert out["end"]["pi"] > 0.99
+    assert out["start"]["n_out"] == 2 and out["end"]["n_out"] == 0
