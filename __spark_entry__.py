@@ -8305,6 +8305,115 @@ LEFT JOIN v{MARKOV_PI_ITER} ON st.st = v{MARKOV_PI_ITER}.j
     return "".join(parts)
 
 
+ATTRIB_ITER = 60
+ATTRIB_TOUCHES = ("click", "view", "signup")
+
+
+def _q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over click/view/signup touches
+    (streaming/events.py markov_attribution): one journey-window corpus
+    pass, then a bit-reproducible integer absorption fixpoint per
+    removal chain."""
+    from biomedical_data_integration_spark.streaming.events import (
+        markov_attribution,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return markov_attribution(
+        events, touch_types=ATTRIB_TOUCHES, n_iter=ATTRIB_ITER
+    )
+
+
+def _markov_attribution_sql() -> str:
+    chans = ", ".join(f"('{c}')" for c in ATTRIB_TOUCHES)
+    in_list = ", ".join(f"'{c}'" for c in ("purchase", *ATTRIB_TOUCHES))
+    tlist = ", ".join(f"'{c}'" for c in ATTRIB_TOUCHES)
+    parts = [f"""
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS i, event_type AS k,
+    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+  FROM events WHERE event_type IN ({in_list})
+),
+seq AS (
+  SELECT u, j, k,
+    lag(k) OVER (PARTITION BY u, j ORDER BY ts, i) AS prev,
+    row_number() OVER (PARTITION BY u, j ORDER BY ts DESC, i DESC) AS rev
+  FROM base
+),
+step AS (
+  SELECT coalesce(prev, 'START') AS src,
+         CASE WHEN k = 'purchase' THEN 'CONV' ELSE k END AS dst
+  FROM seq
+  UNION ALL
+  SELECT k, 'NULL' FROM seq WHERE rev = 1 AND k <> 'purchase'
+),
+c AS (
+  SELECT src, dst, CAST(count(*) AS HUGEINT) AS n FROM step GROUP BY 1, 2
+),
+rt AS (SELECT src, sum(n) AS tot FROM c GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT c.src AS s, c.dst AS d, (c.n * 1000000) // rt.tot AS p
+  FROM c JOIN rt USING (src)
+),
+tr AS (SELECT DISTINCT s FROM p),
+ch AS (SELECT chain FROM (VALUES ('FULL'), {chans}) t(chain)),
+v0 AS (SELECT chain, s, CAST(0 AS HUGEINT) AS v FROM ch CROSS JOIN tr)"""]
+    for k in range(1, ATTRIB_ITER + 1):
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT ch.chain, p.s,
+         sum(CASE WHEN p.d = 'CONV' THEN p.p * 1000000
+                  WHEN p.d = ch.chain THEN 0
+                  ELSE p.p * coalesce(v.v, 0) END) AS acc
+  FROM ch CROSS JOIN p
+  LEFT JOIN v{k - 1} v ON v.chain = ch.chain AND v.s = p.d
+  GROUP BY 1, 2
+),
+v{k} AS MATERIALIZED (
+  SELECT chain, s,
+         CASE WHEN s = chain THEN CAST(0 AS HUGEINT)
+              ELSE acc // 1000000 END AS v
+  FROM w{k}
+)""")
+    parts.append(f""",
+res AS (SELECT chain, v FROM v{ATTRIB_ITER} WHERE s = 'START'),
+fullv AS (SELECT v AS fv FROM res WHERE chain = 'FULL'),
+tc AS (
+  SELECT dst AS channel, CAST(sum(n) AS BIGINT) AS n_touches
+  FROM c WHERE dst IN ({tlist}) GROUP BY 1
+),
+chans AS (SELECT channel FROM (VALUES {chans}) t(channel)),
+per AS (
+  SELECT chans.channel,
+         CAST(coalesce(tc.n_touches, 0) AS BIGINT) AS n_touches,
+         fullv.fv AS fv,
+         coalesce(r.v, fullv.fv) AS rem
+  FROM chans CROSS JOIN fullv
+  LEFT JOIN res r ON r.chain = chans.channel
+  LEFT JOIN tc ON tc.channel = chans.channel
+),
+scored AS (
+  SELECT channel, n_touches, fv, rem,
+         CASE WHEN fv > 0 THEN 1000000 - (rem * 1000000) // fv
+              ELSE CAST(0 AS HUGEINT) END AS re
+  FROM per
+),
+tot_re AS (SELECT sum(re) AS t FROM scored)
+SELECT channel, n_touches,
+  CAST(fv AS DOUBLE) / 1000000.0 AS p_conv_full,
+  CAST(rem AS DOUBLE) / 1000000.0 AS p_conv_removed,
+  CAST(re AS DOUBLE) / 1000000.0 AS removal_effect,
+  CASE WHEN t > 0 THEN
+    floor(CAST(re AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0
+  END AS attribution_share
+FROM scored CROSS JOIN tot_re
+""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8402,6 +8511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_documents": _q_zipf_alpha,
         "events_audience_overlap": _q_audience_overlap,
         "events_markov_stationary": _q_markov_stationary,
+        "events_markov_attribution": _q_markov_attribution,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8618,6 +8728,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_alpha_documents": _zipf_alpha_sql(),
         "events_audience_overlap": _audience_overlap_sql(),
         "events_markov_stationary": _markov_stationary_sql(),
+        "events_markov_attribution": _markov_attribution_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -3110,3 +3110,148 @@ def markov_stationary(
     return spark.createDataFrame(
         rows, "state string, n_out bigint, pi double"
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view", "signup"),
+    n_iter: int = 60,
+    scale: int = 6,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven alternative
+    to last-touch/linear rules: build the journey chain (START ->
+    touches -> CONV/NULL), and credit each channel by how much the
+    overall conversion probability DROPS when that channel stops
+    converting (entering it absorbs to NULL). Shares are the normalized
+    removal effects (Anderl et al.'s standard formulation).
+
+    Journeys: per user, each ``conversion_type`` event closes a journey
+    (touches since the previous conversion -> CONV); a trailing
+    unconverted run ends in NULL. ONE user-keyed window pass builds the
+    exact transition counts; the chain is (|touches|+3)-sized, so the
+    absorption solve runs driver-side as a pure-INTEGER fixpoint:
+    micro-quantized row probabilities (truncating division), v <- P v
+    with v_CONV pinned at 1, v_NULL at 0 — a monotone-from-below integer
+    iteration, so the ``n_iter``-round value is a deterministic lower
+    bound on the true absorption probability and every engine replaying
+    the same counts reproduces the same bits. The removal chain
+    needs no new counts: removing channel c just pins v_c to 0.
+
+    Returns one row per channel: (channel, n_touches, p_conv_full,
+    p_conv_removed, removal_effect, attribution_share).
+    """
+    import math
+
+    if n_iter < 1:
+        raise ValueError("markov_attribution: n_iter must be >= 1")
+    S = 10 ** scale
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    kinds = [conversion_type, *touch_types]
+    staged = (
+        events.where(F.col(type_col).isin(kinds))
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("k"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(type_col) == conversion_type, 1).otherwise(
+                        0
+                    )
+                ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("j"),
+        )
+    )
+    wj = Window.partitionBy("u", "j").orderBy("t", "i")
+    seq = staged.select(
+        "u",
+        "j",
+        "k",
+        F.lag("k").over(wj).alias("prev"),
+        F.row_number().over(
+            Window.partitionBy("u", "j").orderBy(F.desc("t"), F.desc("i"))
+        ).alias("rev"),
+    )
+    conv = F.col("k") == conversion_type
+    step = seq.select(
+        F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
+        F.when(conv, F.lit("CONV")).otherwise(F.col("k")).alias("dst"),
+    )
+    tails = seq.where((F.col("rev") == 1) & ~conv).select(
+        F.col("k").alias("src"), F.lit("NULL").alias("dst")
+    )
+    counts = (
+        step.unionByName(tails)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )
+    states = sorted(
+        {r["src"] for r in counts} | {r["dst"] for r in counts}
+    )
+    tot: dict = {}
+    for r in counts:
+        tot[r["src"]] = tot.get(r["src"], 0) + int(r["n"])
+    p = {
+        (r["src"], r["dst"]): int(r["n"]) * S // tot[r["src"]]
+        for r in counts
+    }
+    transient = [s for s in states if s not in ("CONV", "NULL")]
+
+    def absorb(removed: str | None) -> int:
+        v = {s: 0 for s in transient}
+        for _ in range(n_iter):
+            nv = {}
+            for s in transient:
+                acc = p.get((s, "CONV"), 0) * S
+                for t in transient:
+                    if t != removed and v[t]:
+                        acc += p.get((s, t), 0) * v[t]
+                nv[s] = acc // S
+            if removed is not None:
+                nv[removed] = 0
+            v = nv
+        return v.get("START", 0)
+
+    full = absorb(None)
+    touch_counts = {
+        c: sum(int(r["n"]) for r in counts if r["dst"] == c)
+        for c in touch_types
+    }
+    rows = []
+    re_micro = {}
+    for c in touch_types:
+        rem = absorb(c) if c in states else full
+        re_micro[c] = (S - rem * S // full) if full > 0 else 0
+        rows.append((c, rem))
+    re_total = sum(re_micro.values())
+    out = []
+    for c, rem in rows:
+        share = (
+            float(re_micro[c]) / float(re_total) if re_total > 0 else None
+        )
+        out.append(
+            (
+                c,
+                int(touch_counts.get(c, 0)),
+                float(full) / float(S),
+                float(rem) / float(S),
+                float(re_micro[c]) / float(S),
+                None if share is None else math.floor(share * 1e6 + 0.5)
+                / 1e6,
+            )
+        )
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, n_touches bigint, p_conv_full double,"
+        " p_conv_removed double, removal_effect double,"
+        " attribution_share double",
+    )

@@ -979,3 +979,57 @@ def test_markov_stationary_dangling_state_self_loops(spark):
     out = {r["state"]: r for r in markov_stationary(df).collect()}
     assert out["end"]["pi"] > 0.99
     assert out["start"]["n_out"] == 2 and out["end"]["n_out"] == 0
+
+
+def test_markov_attribution_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        markov_attribution,
+    )
+
+    # u1: click -> purchase ; u2: view -> (no purchase)
+    rows = [
+        (1, 0, "2024-01-01 00:00:00", "click"),
+        (1, 1, "2024-01-01 01:00:00", "purchase"),
+        (2, 2, "2024-01-01 00:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("ts").alias("ts"),
+             "event_type")
+    out = {r["channel"]: r for r in markov_attribution(
+        df, touch_types=("click", "view")
+    ).collect()}
+    # base P(conv) = 0.5; removing click kills the only converting path
+    assert out["click"]["p_conv_full"] == 0.5
+    assert out["click"]["p_conv_removed"] == 0.0
+    assert out["click"]["removal_effect"] == 1.0
+    assert out["click"]["attribution_share"] == 1.0
+    # view never converts: zero removal effect, zero share
+    assert out["view"]["p_conv_removed"] == 0.5
+    assert out["view"]["removal_effect"] == 0.0
+    assert out["view"]["attribution_share"] == 0.0
+    assert out["click"]["n_touches"] == 1 and out["view"]["n_touches"] == 1
+
+
+def test_markov_attribution_multi_journey_split(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        markov_attribution,
+    )
+
+    # one user, TWO journeys split by the first purchase:
+    # j0: click -> purchase (converts), j1: view -> (open, NULL)
+    rows = [
+        (1, 0, "2024-01-01 00:00:00", "click"),
+        (1, 1, "2024-01-01 01:00:00", "purchase"),
+        (1, 2, "2024-01-01 02:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("ts").alias("ts"),
+             "event_type")
+    out = {r["channel"]: r for r in markov_attribution(
+        df, touch_types=("click", "view")
+    ).collect()}
+    # same chain as the two-user case: journeys split correctly
+    assert out["click"]["removal_effect"] == 1.0
+    assert out["view"]["removal_effect"] == 0.0
