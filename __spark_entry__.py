@@ -8414,6 +8414,97 @@ FROM scored CROSS JOIN tot_re
     return "".join(parts)
 
 
+def _q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution over click/view/signup
+    (streaming/events.py shapley_attribution): one journey pass to
+    2^3 coalition counts, exact factorial-weighted marginals."""
+    from biomedical_data_integration_spark.streaming.events import (
+        shapley_attribution,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return shapley_attribution(events, touch_types=ATTRIB_TOUCHES)
+
+
+def _shapley_attribution_sql() -> str:
+    import math as _math
+
+    touches = ATTRIB_TOUCHES
+    k = len(touches)
+    fact = [_math.factorial(i) for i in range(k + 1)]
+    denom = fact[k]
+    in_list = ", ".join(f"'{c}'" for c in ("purchase", *touches))
+    mask_terms = " + ".join(
+        f"{1 << i} * max(CASE WHEN kd = '{c}' THEN 1 ELSE 0 END)"
+        for i, c in enumerate(touches)
+    )
+    ch_vals = ", ".join(
+        f"('{c}', {1 << i})" for i, c in enumerate(touches)
+    )
+    # popcount weight per mask value, inlined (fact[s] * fact[k-s-1])
+    w_cases = " ".join(
+        f"WHEN {m} THEN {fact[bin(m).count('1')] * fact[k - bin(m).count('1') - 1]}"
+        for m in range(1 << k)
+        if bin(m).count("1") < k
+    )
+    return f"""
+WITH base AS (
+  SELECT user_id AS u, event_type AS kd,
+    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+  FROM events WHERE event_type IN ({in_list})
+),
+pj AS (
+  SELECT u, j, CAST({mask_terms} AS INT) AS mask,
+         max(CASE WHEN kd = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM base GROUP BY 1, 2
+),
+cnt AS (
+  SELECT mask, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(conv) AS HUGEINT) AS nc
+  FROM pj WHERE mask > 0 GROUP BY 1
+),
+masks AS (SELECT CAST(m AS INT) AS m FROM range(0, {1 << k}) t(m)),
+vv AS (
+  SELECT masks.m,
+         CASE WHEN cnt.n IS NULL OR masks.m = 0 THEN CAST(0 AS HUGEINT)
+              ELSE (cnt.nc * 1000000) // cnt.n END AS v
+  FROM masks LEFT JOIN cnt ON cnt.mask = masks.m
+),
+ch AS (SELECT channel, b FROM (VALUES {ch_vals}) t(channel, b)),
+marg AS (
+  SELECT ch.channel, ch.b,
+         sum((CASE masks.m {w_cases} END) * (va.v - vb.v)) AS num
+  FROM ch
+  JOIN masks ON (masks.m & ch.b) = 0
+  JOIN vv va ON va.m = (masks.m | ch.b)
+  JOIN vv vb ON vb.m = masks.m
+  GROUP BY 1, 2
+),
+phi AS (
+  SELECT channel, b,
+         CASE WHEN num >= 0 THEN num // {denom}
+              ELSE -((-num) // {denom}) END AS phi
+  FROM marg
+),
+tot AS (SELECT sum(phi) AS t FROM phi),
+withc AS (
+  SELECT ch.channel,
+         CAST(coalesce(sum(cnt.n), 0) AS BIGINT) AS n_journeys_with
+  FROM ch LEFT JOIN cnt ON (cnt.mask & ch.b) <> 0
+  GROUP BY 1
+)
+SELECT p.channel, w.n_journeys_with,
+  CAST(p.phi AS DOUBLE) / 1000000.0 AS shapley_value,
+  CASE WHEN t.t > 0 THEN
+    floor(CAST(p.phi AS DOUBLE) * 1000000.0 / CAST(t.t AS DOUBLE) + 0.5)
+    / 1000000.0
+  END AS share
+FROM phi p JOIN withc w ON w.channel = p.channel CROSS JOIN tot t
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8512,6 +8603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": _q_audience_overlap,
         "events_markov_stationary": _q_markov_stationary,
         "events_markov_attribution": _q_markov_attribution,
+        "events_shapley_attribution": _q_shapley_attribution,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8729,6 +8821,7 @@ def oracle_sql() -> dict[str, str]:
         "events_audience_overlap": _audience_overlap_sql(),
         "events_markov_stationary": _markov_stationary_sql(),
         "events_markov_attribution": _markov_attribution_sql(),
+        "events_shapley_attribution": _shapley_attribution_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -3255,3 +3255,131 @@ def markov_attribution(
         " p_conv_removed double, removal_effect double,"
         " attribution_share double",
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view", "signup"),
+    scale: int = 6,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Shapley-value attribution (simplified game, Zhao et al.): each
+    journey contributes its OBSERVED touch set; the coalition value
+    v(S) is the conversion rate of journeys whose touch set is exactly
+    S, and each channel's credit is the exact Shapley average of its
+    marginal contributions across all coalitions. The cooperative-game
+    counterpart to markov_attribution's removal effect — order-blind,
+    but with the axiomatic fairness guarantees.
+
+    Journeys are the SAME windows as markov_attribution (split at
+    conversions, trailing runs unconverted). ONE corpus pass yields per
+    touch-set-bitmask journey and conversion counts (at most
+    2^|touches| rows); the Shapley sum then runs driver-side with
+    integer-factorial weights over micro-quantized rates — exact
+    rational arithmetic until one final division, engine-replayable
+    since the 2^k coalition table is enumerable in SQL.
+
+    Returns (channel, n_journeys_with, shapley_value, share): value in
+    conversion-probability units; share normalizes over channels (NULL
+    when all values are 0). Keep |touches| small (<= ~10): the game is
+    exponential in channels by definition.
+    """
+    import math
+
+    S = 10 ** scale
+    k = len(touch_types)
+    if k < 1:
+        raise ValueError("shapley_attribution: need at least one touch type")
+    if k > 12:
+        raise ValueError(
+            "shapley_attribution: 2^|touch_types| coalitions — keep the "
+            "channel list under ~12"
+        )
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    kinds = [conversion_type, *touch_types]
+    staged = events.where(F.col(type_col).isin(kinds)).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("kd"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col(type_col) == conversion_type, 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("j"),
+    )
+    bit = {t: 1 << i for i, t in enumerate(touch_types)}
+    mask_expr = None
+    for t in touch_types:
+        term = F.max(
+            F.when(F.col("kd") == t, F.lit(bit[t])).otherwise(F.lit(0))
+        )
+        mask_expr = term if mask_expr is None else mask_expr + term
+    per_journey = staged.groupBy("u", "j").agg(
+        mask_expr.cast("int").alias("mask"),
+        F.max(
+            (F.col("kd") == conversion_type).cast("int")
+        ).alias("conv"),
+    )
+    rows = (
+        per_journey.where(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("nc"),
+        )
+        .collect()
+    )
+    n_by = {int(r["mask"]): int(r["n"]) for r in rows}
+    c_by = {int(r["mask"]): int(r["nc"]) for r in rows}
+    # v(mask) in micro units — truncating division, engine-replayable
+    v = {
+        m: (c_by[m] * S // n_by[m]) if n_by.get(m) else 0
+        for m in range(1, 1 << k)
+    }
+    fact = [math.factorial(i) for i in range(k + 1)]
+    denom = fact[k]
+    phi_num = {t: 0 for t in touch_types}  # sum of weight*(marginal), scaled
+    for t in touch_types:
+        b = bit[t]
+        for m in range(0, 1 << k):
+            if m & b:
+                continue
+            s_size = bin(m).count("1")
+            weight = fact[s_size] * fact[k - s_size - 1]
+            phi_num[t] += weight * (v.get(m | b, 0) - v.get(m, 0))
+    # phi in micro units, truncating toward zero like the engines' //
+    phi = {}
+    for t in touch_types:
+        num = phi_num[t]
+        q = abs(num) // denom
+        phi[t] = q if num >= 0 else -q
+    total = sum(phi.values())
+    with_counts = {
+        t: sum(n_by.get(m, 0) for m in range(1, 1 << k) if m & bit[t])
+        for t in touch_types
+    }
+    out = []
+    for t in touch_types:
+        share = (
+            math.floor(phi[t] * 1e6 / total + 0.5) / 1e6
+            if total > 0
+            else None
+        )
+        out.append(
+            (
+                t,
+                int(with_counts[t]),
+                float(phi[t]) / float(S),
+                share,
+            )
+        )
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, n_journeys_with bigint, shapley_value double,"
+        " share double",
+    )

@@ -1033,3 +1033,57 @@ def test_markov_attribution_multi_journey_split(spark):
     # same chain as the two-user case: journeys split correctly
     assert out["click"]["removal_effect"] == 1.0
     assert out["view"]["removal_effect"] == 0.0
+
+
+def test_shapley_attribution_golden(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        shapley_attribution,
+    )
+
+    # journeys: {click}->conv, {view}->no, {click,view}->conv
+    rows = [
+        (1, 0, "2024-01-01 00:00:00", "click"),
+        (1, 1, "2024-01-01 01:00:00", "purchase"),
+        (2, 2, "2024-01-01 00:00:00", "view"),
+        (3, 3, "2024-01-01 00:00:00", "click"),
+        (3, 4, "2024-01-01 00:30:00", "view"),
+        (3, 5, "2024-01-01 01:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("ts").alias("ts"),
+             "event_type")
+    out = {r["channel"]: r for r in shapley_attribution(
+        df, touch_types=("click", "view")
+    ).collect()}
+    # v({c})=1, v({v})=0, v({c,v})=1 -> phi_c=1, phi_v=0
+    assert out["click"]["shapley_value"] == 1.0
+    assert out["view"]["shapley_value"] == 0.0
+    assert out["click"]["share"] == 1.0 and out["view"]["share"] == 0.0
+    assert out["click"]["n_journeys_with"] == 2
+    assert out["view"]["n_journeys_with"] == 2
+
+
+def test_shapley_attribution_symmetry(spark):
+    from biomedical_data_integration_spark.streaming.events import (
+        shapley_attribution,
+    )
+
+    # symmetric channels must split credit equally (Shapley symmetry axiom)
+    rows = [
+        (1, 0, "2024-01-01 00:00:00", "click"),
+        (1, 1, "2024-01-01 00:30:00", "view"),
+        (1, 2, "2024-01-01 01:00:00", "purchase"),
+        (2, 3, "2024-01-01 00:00:00", "view"),
+        (2, 4, "2024-01-01 00:30:00", "click"),
+        (2, 5, "2024-01-01 01:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("ts").alias("ts"),
+             "event_type")
+    out = {r["channel"]: r for r in shapley_attribution(
+        df, touch_types=("click", "view")
+    ).collect()}
+    assert out["click"]["shapley_value"] == out["view"]["shapley_value"]
+    assert out["click"]["share"] == 0.5 and out["view"]["share"] == 0.5
