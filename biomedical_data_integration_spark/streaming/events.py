@@ -2138,7 +2138,12 @@ def streaming_sequence_match(
     matches its EARLIEST then); late cross-batch events follow the
     streaming trade documented on streaming_asof_join — a late guard
     cannot retro-kill an already-emitted match. ``state_ttl_minutes``
-    expires idle users (processing-time TTL).
+    expires idle users (processing-time TTL). Note the operational
+    trade: an armed processing-time timer keeps the microbatch engine
+    scheduling no-data batches until it fires, so drains that wait for
+    idleness (processAllAvailable) do not return while any user still
+    holds pending state — use TTL on long-running production queries,
+    not on replay-and-drain jobs.
 
     Returns ``(user, first_ts, then_ts, gap_seconds)`` as epoch seconds.
     """
@@ -2216,9 +2221,16 @@ def streaming_sequence_match(
             ]
             pf = [f for f, _ in pruned]
             pg = [g for _, g in pruned]
-        state.update((pf, pg))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+        if pf:
+            state.update((pf, pg))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            # nothing pending: drop the state row entirely instead of
+            # keeping an empty entry alive. Cheaper, and it disarms the
+            # processing-time timer — a user with no pending firsts needs
+            # no TTL sweep
+            state.remove()
         if out:
             yield pd.DataFrame(
                 out, columns=["user", "first_ts", "then_ts", "gap_seconds"]

@@ -387,9 +387,13 @@ def test_streaming_sequence_match_across_batches(spark):
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
+        # no processing-time TTL here: an armed wall-clock timer for the
+        # still-pending user keeps the engine scheduling no-data batches,
+        # so the processAllAvailable drain below would never return (the
+        # operator docstring documents the trade). Window expiry — the
+        # semantics under test — is event-time pruning, not TTL.
         out = streaming_sequence_match(
             stream, "view", "purchase", 3600, without="error",
-            state_ttl_minutes=60,
         )
         sq = (
             out.writeStream.format("memory")
