@@ -4882,7 +4882,7 @@ def _url_domain_stats_sql() -> str:
         "CAST(doc_id % 7 AS VARCHAR) || ' mirror https://cdn-' || lang || "
         "'.org/a ' || text AS text FROM documents"
     )
-    return f"""
+    return rf"""
 WITH staged AS ({staged}),
 urls AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
