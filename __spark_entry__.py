@@ -8505,6 +8505,85 @@ FROM phi p JOIN withc w ON w.channel = p.channel CROSS JOIN tot t
 """
 
 
+def _q_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate trailing 7-day active users from DAILY HLL registers
+    re-maxed over the window (operators/sketches.py) — the long-window
+    path sliding_active_users documents: no per-user expansion, state
+    is days x 2^p registers however large the corpus."""
+    from biomedical_data_integration_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.select(F.to_date("ts").alias("d"), "user_id")
+    regs = hll_sketch_grouped(staged, "user_id", ["d"], p=HLL_DAY_P)
+    shifted = regs.select(
+        F.explode(F.array(*[F.lit(k) for k in range(7)])).alias("k"),
+        "d",
+        "register",
+        "rho",
+    ).select(
+        F.date_add(F.col("d"), F.col("k")).alias("d"), "register", "rho"
+    )
+    merged = shifted.groupBy("d", "register").agg(
+        F.max("rho").cast("int").alias("rho")
+    )
+    est = hll_estimate_grouped(merged, HLL_DAY_P, ["d"])
+    return est.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "nonzero",
+        "estimate",
+    )
+
+
+def _hll_wau_sql() -> str:
+    p = HLL_DAY_P
+    m = 2 ** p
+    wbits = 60 - p
+    sb = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _sql_hex_head_value("md5('hll|' || CAST(user_id AS VARCHAR))")
+    return f"""
+WITH r AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST({h} // {2 ** wbits} AS BIGINT) AS register,
+         CAST({h} % {2 ** wbits} AS BIGINT) AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+rho AS (
+  SELECT d, register,
+         CAST(max(CASE WHEN w = 0 THEN {wbits + 1}
+                       ELSE {wbits} - length(bin(w)) + 1 END) AS INT) AS rho
+  FROM r GROUP BY 1, 2
+),
+shift AS (
+  SELECT d + CAST(k AS INT) AS d, register, rho
+  FROM rho CROSS JOIN range(0, 7) t(k)
+),
+mrg AS (
+  SELECT d, register, CAST(max(rho) AS INT) AS rho FROM shift GROUP BY 1, 2
+),
+a AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS nonzero,
+         CAST(sum(CAST(power(2, {sb} - rho) AS BIGINT)) AS BIGINT) AS s
+  FROM mrg GROUP BY 1
+),
+e AS (
+  SELECT d, nonzero,
+         {alpha * m * m * float(2 ** sb)!r}
+           / (CAST(s + ({m} - nonzero) * {2 ** sb} AS DOUBLE)) AS raw,
+         {m} - nonzero AS zeros
+  FROM a
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, nonzero,
+       floor(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                  ELSE raw END * 1000000.0 + 0.5) / 1000000.0 AS estimate
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8604,6 +8683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_stationary": _q_markov_stationary,
         "events_markov_attribution": _q_markov_attribution,
         "events_shapley_attribution": _q_shapley_attribution,
+        "hll_wau_events": _q_hll_wau,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8822,6 +8902,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_stationary": _markov_stationary_sql(),
         "events_markov_attribution": _markov_attribution_sql(),
         "events_shapley_attribution": _shapley_attribution_sql(),
+        "hll_wau_events": _hll_wau_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -382,3 +382,40 @@ def test_hll_grouped_rollup_equals_regrouped_sketch(spark):
     want = sorted(map(tuple, hll_sketch(df, "uid", p=8).collect()))
     got = sorted(map(tuple, total.collect()))
     assert got == want
+
+
+def test_hll_wau_tracks_exact_sliding_uniques(spark):
+    """Re-maxed daily registers estimate the trailing-window uniques
+    within HLL error (~1.04/sqrt(m))."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.sketches import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+    from biomedical_data_integration_spark.streaming.events import (
+        sliding_active_users,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = 10
+    staged = events.select(F.to_date("ts").alias("d"), "user_id")
+    regs = hll_sketch_grouped(staged, "user_id", ["d"], p=p)
+    shifted = regs.select(
+        F.explode(F.array(*[F.lit(k) for k in range(7)])).alias("k"),
+        "d", "register", "rho",
+    ).select(F.date_add("d", F.col("k")).alias("d"), "register", "rho")
+    merged = shifted.groupBy("d", "register").agg(
+        F.max("rho").cast("int").alias("rho")
+    )
+    est = {
+        str(r["d"]): r["estimate"]
+        for r in hll_estimate_grouped(merged, p, ["d"]).collect()
+    }
+    exact = {
+        str(r["day"]): r["active_users"]
+        for r in sliding_active_users(events, window_days=7).collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.10, (day, est[day], n)
