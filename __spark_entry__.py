@@ -8584,6 +8584,121 @@ FROM e
 """
 
 
+DID_SPLIT_DAY = "2024-01-16"
+
+
+def _q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase values: odd-id users as the
+    treatment cohort, calendar split at DID_SPLIT_DAY
+    (operators/evaluation.py diff_in_diff) — all four cells' exact
+    moments from ONE conditional-sum scan."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        diff_in_diff,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    staged = events.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 1, F.lit("t"))
+        .otherwise(F.lit("c"))
+        .alias("grp"),
+        F.when(
+            F.to_date("ts") < F.lit(DID_SPLIT_DAY), F.lit("pre")
+        )
+        .otherwise(F.lit("post"))
+        .alias("period"),
+        F.col("value"),
+    )
+    return diff_in_diff(staged, "grp", "period", "value", "t", "c",
+                        "pre", "post")
+
+
+def _diff_in_diff_sql() -> str:
+    return f"""
+WITH staged AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 't' ELSE 'c' END AS g,
+         CASE WHEN CAST(ts AS DATE) < DATE '{DID_SPLIT_DAY}'
+              THEN 'pre' ELSE 'post' END AS p,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS q
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 't' AND p = 'pre' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tpre,
+    CAST(sum(CASE WHEN g = 't' AND p = 'post' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tpost,
+    CAST(sum(CASE WHEN g = 'c' AND p = 'pre' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_cpre,
+    CAST(sum(CASE WHEN g = 'c' AND p = 'post' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_cpost,
+    CAST(sum(CASE WHEN g = 't' AND p = 'pre' THEN q ELSE 0 END) AS BIGINT)
+      AS s_tpre,
+    CAST(sum(CASE WHEN g = 't' AND p = 'post' THEN q ELSE 0 END) AS BIGINT)
+      AS s_tpost,
+    CAST(sum(CASE WHEN g = 'c' AND p = 'pre' THEN q ELSE 0 END) AS BIGINT)
+      AS s_cpre,
+    CAST(sum(CASE WHEN g = 'c' AND p = 'post' THEN q ELSE 0 END) AS BIGINT)
+      AS s_cpost,
+    CAST(sum(CASE WHEN g = 't' AND p = 'pre' THEN q * q ELSE 0 END)
+         AS BIGINT) AS ss_tpre,
+    CAST(sum(CASE WHEN g = 't' AND p = 'post' THEN q * q ELSE 0 END)
+         AS BIGINT) AS ss_tpost,
+    CAST(sum(CASE WHEN g = 'c' AND p = 'pre' THEN q * q ELSE 0 END)
+         AS BIGINT) AS ss_cpre,
+    CAST(sum(CASE WHEN g = 'c' AND p = 'post' THEN q * q ELSE 0 END)
+         AS BIGINT) AS ss_cpost
+  FROM staged
+),
+m AS (
+  SELECT *,
+    CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE) / 100.0 AS m_tpre,
+    CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) / 100.0 AS m_tpost,
+    CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE) / 100.0 AS m_cpre,
+    CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) / 100.0 AS m_cpost,
+    (CAST(n_tpre AS DOUBLE) * CAST(ss_tpre AS DOUBLE)
+     - CAST(s_tpre AS DOUBLE) * CAST(s_tpre AS DOUBLE))
+      / (CAST(n_tpre AS DOUBLE) * (CAST(n_tpre AS DOUBLE) - 1))
+      / 10000.0 / CAST(n_tpre AS DOUBLE) AS vn_tpre,
+    (CAST(n_tpost AS DOUBLE) * CAST(ss_tpost AS DOUBLE)
+     - CAST(s_tpost AS DOUBLE) * CAST(s_tpost AS DOUBLE))
+      / (CAST(n_tpost AS DOUBLE) * (CAST(n_tpost AS DOUBLE) - 1))
+      / 10000.0 / CAST(n_tpost AS DOUBLE) AS vn_tpost,
+    (CAST(n_cpre AS DOUBLE) * CAST(ss_cpre AS DOUBLE)
+     - CAST(s_cpre AS DOUBLE) * CAST(s_cpre AS DOUBLE))
+      / (CAST(n_cpre AS DOUBLE) * (CAST(n_cpre AS DOUBLE) - 1))
+      / 10000.0 / CAST(n_cpre AS DOUBLE) AS vn_cpre,
+    (CAST(n_cpost AS DOUBLE) * CAST(ss_cpost AS DOUBLE)
+     - CAST(s_cpost AS DOUBLE) * CAST(s_cpost AS DOUBLE))
+      / (CAST(n_cpost AS DOUBLE) * (CAST(n_cpost AS DOUBLE) - 1))
+      / 10000.0 / CAST(n_cpost AS DOUBLE) AS vn_cpost
+  FROM a
+),
+f AS (
+  SELECT *,
+    (m_tpost - m_tpre) - (m_cpost - m_cpre) AS did_,
+    vn_tpost + vn_tpre + vn_cpost + vn_cpre AS se2,
+    (n_tpre >= 2 AND n_tpost >= 2 AND n_cpre >= 2 AND n_cpost >= 2)
+      AS ok
+  FROM m
+)
+SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+  floor(m_tpre * 1000000.0 + 0.5) / 1000000.0 AS mean_tpre,
+  floor(m_tpost * 1000000.0 + 0.5) / 1000000.0 AS mean_tpost,
+  floor(m_cpre * 1000000.0 + 0.5) / 1000000.0 AS mean_cpre,
+  floor(m_cpost * 1000000.0 + 0.5) / 1000000.0 AS mean_cpost,
+  floor((m_tpost - m_tpre) * 1000000.0 + 0.5) / 1000000.0 AS delta_t,
+  floor((m_cpost - m_cpre) * 1000000.0 + 0.5) / 1000000.0 AS delta_c,
+  floor(did_ * 1000000.0 + 0.5) / 1000000.0 AS did,
+  CASE WHEN ok AND se2 > 0 THEN
+    floor(sqrt(se2) * 1000000.0 + 0.5) / 1000000.0 END AS se_did,
+  CASE WHEN ok AND se2 > 0 THEN
+    floor(did_ / sqrt(se2) * 1000000.0 + 0.5) / 1000000.0 END AS t_did
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8684,6 +8799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_attribution": _q_markov_attribution,
         "events_shapley_attribution": _q_shapley_attribution,
         "hll_wau_events": _q_hll_wau,
+        "events_diff_in_diff": _q_diff_in_diff,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -8903,6 +9019,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_attribution": _markov_attribution_sql(),
         "events_shapley_attribution": _shapley_attribution_sql(),
         "hll_wau_events": _hll_wau_sql(),
+        "events_diff_in_diff": _diff_in_diff_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

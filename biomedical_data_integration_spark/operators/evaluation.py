@@ -397,3 +397,95 @@ def threshold_sweep(
         ).alias("f1"),
         q6(acc).alias("accuracy"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    treatment_group,
+    control_group,
+    pre_period,
+    post_period,
+    scale: int = 2,
+) -> DataFrame:
+    """Difference-in-differences effect estimate — the workhorse causal
+    readout for "we changed X for cohort T at time t": the treatment
+    group's pre→post change minus the control group's, which nets out
+    any shared time trend the A/B report (ab_test_report) can't
+    separate from the intervention.
+
+    ONE conditional-sum scan collects all four cells' exact bigint
+    moments (cent-quantized); the DiD point estimate and the standard
+    error (pooled independent-cell variances, the classic 2x2
+    formulation) come from fixed-order double arithmetic at read-out.
+    Cells with n < 2 yield NULL se/t.
+
+    Returns one row: per-cell means, the two deltas, ``did`` (the
+    effect), ``se_did``, ``t_did`` — floor-quantized to 6.
+    """
+    s = 10 ** scale
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    cells = {
+        "tpre": (treatment_group, pre_period),
+        "tpost": (treatment_group, post_period),
+        "cpre": (control_group, pre_period),
+        "cpost": (control_group, post_period),
+    }
+    aggs = []
+    for tag, (g, p) in cells.items():
+        cond = (F.col(group_col) == g) & (F.col(period_col) == p)
+        z = F.lit(0).cast("bigint")
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__n_{tag}"),
+            F.sum(F.when(cond, q).otherwise(z)).cast("bigint").alias(f"__s_{tag}"),
+            F.sum(F.when(cond, q * q).otherwise(z))
+            .cast("bigint")
+            .alias(f"__ss_{tag}"),
+        ]
+    agg = df.where(F.col(value_col).isNotNull()).agg(*aggs)
+
+    def mean(tag):
+        return F.col(f"__s_{tag}").cast("double") / F.col(
+            f"__n_{tag}"
+        ).cast("double") / F.lit(float(s))
+
+    def var_over_n(tag):
+        n = F.col(f"__n_{tag}").cast("double")
+        sm = F.col(f"__s_{tag}").cast("double")
+        ss = F.col(f"__ss_{tag}").cast("double")
+        var = (n * ss - sm * sm) / (n * (n - 1)) / F.lit(float(s * s))
+        return var / n
+
+    did = (mean("tpost") - mean("tpre")) - (mean("cpost") - mean("cpre"))
+    se2 = (
+        var_over_n("tpost")
+        + var_over_n("tpre")
+        + var_over_n("cpost")
+        + var_over_n("cpre")
+    )
+    all_n2 = (
+        (F.col("__n_tpre") >= 2)
+        & (F.col("__n_tpost") >= 2)
+        & (F.col("__n_cpre") >= 2)
+        & (F.col("__n_cpost") >= 2)
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("__n_tpre").alias("n_tpre"),
+        F.col("__n_tpost").alias("n_tpost"),
+        F.col("__n_cpre").alias("n_cpre"),
+        F.col("__n_cpost").alias("n_cpost"),
+        q6(mean("tpre")).alias("mean_tpre"),
+        q6(mean("tpost")).alias("mean_tpost"),
+        q6(mean("cpre")).alias("mean_cpre"),
+        q6(mean("cpost")).alias("mean_cpost"),
+        q6(mean("tpost") - mean("tpre")).alias("delta_t"),
+        q6(mean("cpost") - mean("cpre")).alias("delta_c"),
+        q6(did).alias("did"),
+        F.when(all_n2 & (se2 > 0), q6(F.sqrt(se2))).alias("se_did"),
+        F.when(all_n2 & (se2 > 0), q6(did / F.sqrt(se2))).alias("t_did"),
+    )

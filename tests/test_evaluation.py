@@ -282,3 +282,43 @@ def test_threshold_sweep_degenerate_and_errors(spark):
         threshold_sweep(df, "score", "label", [])
     with pytest.raises(ValueError, match="not representable"):
         threshold_sweep(df, "score", "label", [0.12345])
+
+
+def test_diff_in_diff_golden(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        diff_in_diff,
+    )
+
+    # control flat 10->11 (+1 trend), treatment 10->14 (+4): DiD = +3
+    rows = (
+        [("t", "pre", v) for v in (9.0, 10.0, 11.0)]
+        + [("t", "post", v) for v in (13.0, 14.0, 15.0)]
+        + [("c", "pre", v) for v in (9.5, 10.0, 10.5)]
+        + [("c", "post", v) for v in (10.5, 11.0, 11.5)]
+    )
+    df = spark.createDataFrame(rows, "g string, p string, v double")
+    r = diff_in_diff(df, "g", "p", "v", "t", "c", "pre", "post").collect()[0]
+    assert r["mean_tpre"] == 10.0 and r["mean_tpost"] == 14.0
+    assert r["delta_t"] == 4.0 and r["delta_c"] == 1.0
+    assert r["did"] == 3.0
+    # pooled se: var/n = 1/3 (t cells), 0.25/3 (c cells)
+    se = math.sqrt(1 / 3 + 1 / 3 + 0.25 / 3 + 0.25 / 3)
+    assert abs(r["se_did"] - se) < 1e-5
+    assert abs(r["t_did"] - 3.0 / se) < 1e-4
+
+
+def test_diff_in_diff_degenerate_cell(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        diff_in_diff,
+    )
+
+    # single-row cell: point estimate stands, se/t are NULL
+    rows = [("t", "pre", 1.0), ("t", "post", 2.0), ("t", "post", 2.0),
+            ("c", "pre", 1.0), ("c", "pre", 1.0), ("c", "post", 1.0),
+            ("c", "post", 1.0)]
+    df = spark.createDataFrame(rows, "g string, p string, v double")
+    r = diff_in_diff(df, "g", "p", "v", "t", "c", "pre", "post").collect()[0]
+    assert r["did"] == 1.0
+    assert r["se_did"] is None and r["t_did"] is None
