@@ -8699,6 +8699,133 @@ FROM f
 """
 
 
+def _q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B effect on per-user post-period purchase value
+    with the pre-period total as covariate (operators/evaluation.py
+    cuped_adjusted_effect): one user groupBy stages the panel, one
+    conditional-sum scan collects every moment."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        cuped_adjusted_effect,
+    )
+
+    (events,) = _tables(spark, sf_dir, "events")
+    cents = F.floor(
+        F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    pre = F.to_date("ts") < F.lit(DID_SPLIT_DAY)
+    per_user = (
+        events.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, cents)), F.lit(0))
+            .cast("bigint")
+            .alias("__pre"),
+            F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0))
+            .cast("bigint")
+            .alias("__post"),
+        )
+    )
+    staged = per_user.select(
+        F.when(F.col("user_id") % 2 == 1, F.lit("t"))
+        .otherwise(F.lit("c"))
+        .alias("variant"),
+        (F.col("__post").cast("double") / F.lit(100.0)).alias("y"),
+        (F.col("__pre").cast("double") / F.lit(100.0)).alias("x"),
+    )
+    return cuped_adjusted_effect(staged, "variant", "y", "x", "c", "t")
+
+
+def _cuped_sql() -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '{DID_SPLIT_DAY}'
+            THEN CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+          END), 0) AS BIGINT) AS pre,
+    CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{DID_SPLIT_DAY}'
+            THEN CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+          END), 0) AS BIGINT) AS post
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+rows_ AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+    CAST(floor(CAST(post AS DOUBLE) / 100.0 * 100.0 + 0.5) AS BIGINT) AS y,
+    CAST(floor(CAST(pre AS DOUBLE) / 100.0 * 100.0 + 0.5) AS BIGINT) AS x
+  FROM per_user
+),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc,
+    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+    CAST(sum(CASE WHEN t = 0 THEN x ELSE 0 END) AS BIGINT) AS sxc,
+    CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+    CAST(sum(CASE WHEN t = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syyc,
+    CAST(sum(CASE WHEN t = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syyt,
+    CAST(sum(CASE WHEN t = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxxc,
+    CAST(sum(CASE WHEN t = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxxt,
+    CAST(sum(CASE WHEN t = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxyc,
+    CAST(sum(CASE WHEN t = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxyt
+  FROM rows_
+),
+m AS (
+  SELECT *,
+    CAST(nc AS DOUBLE) + CAST(nt AS DOUBLE) AS n,
+    CAST(syc AS DOUBLE) + CAST(syt AS DOUBLE) AS sy,
+    CAST(sxc AS DOUBLE) + CAST(sxt AS DOUBLE) AS sx,
+    CAST(syyc AS DOUBLE) + CAST(syyt AS DOUBLE) AS syy,
+    CAST(sxxc AS DOUBLE) + CAST(sxxt AS DOUBLE) AS sxx,
+    CAST(sxyc AS DOUBLE) + CAST(sxyt AS DOUBLE) AS sxy
+  FROM a
+),
+k AS (
+  SELECT *,
+    n * sxy - sx * sy AS cov_,
+    n * sxx - sx * sx AS varx,
+    n * syy - sy * sy AS vary
+  FROM m
+),
+f AS (
+  SELECT *,
+    cov_ / varx AS theta,
+    sx / n AS mxall,
+    CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) AS myc,
+    CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) AS myt,
+    CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS mxc,
+    CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) AS mxt,
+    (vary - (cov_ / varx) * cov_) / (n * (n - 1)) AS var_adj,
+    (nc >= 2 AND nt >= 2 AND n * sxx - sx * sx > 0
+     AND n * syy - sy * sy > 0) AS ok
+  FROM k
+)
+SELECT nc AS n_c, nt AS n_t,
+  floor((myt - myc) / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS effect_raw,
+  CASE WHEN ok THEN
+    floor(theta / 1.0 * 1000000.0 + 0.5) / 1000000.0 END AS theta,
+  CASE WHEN ok THEN
+    floor((1.0 - (vary - theta * cov_) / vary) * 1000000.0 + 0.5)
+    / 1000000.0 END AS var_reduction,
+  CASE WHEN ok THEN
+    floor(((myt - theta * (mxt - mxall)) - (myc - theta * (mxc - mxall)))
+          / 100.0 * 1000000.0 + 0.5) / 1000000.0 END AS effect_cuped,
+  CASE WHEN ok AND var_adj > 0 THEN
+    floor(sqrt(var_adj * (1.0 / CAST(nc AS DOUBLE)
+                          + 1.0 / CAST(nt AS DOUBLE))) / 100.0
+          * 1000000.0 + 0.5) / 1000000.0 END AS se_cuped,
+  CASE WHEN ok AND var_adj > 0 THEN
+    floor((((myt - theta * (mxt - mxall)) - (myc - theta * (mxc - mxall)))
+           / 100.0)
+          / (sqrt(var_adj * (1.0 / CAST(nc AS DOUBLE)
+                             + 1.0 / CAST(nt AS DOUBLE))) / 100.0)
+          * 1000000.0 + 0.5) / 1000000.0 END AS t_cuped
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8800,6 +8927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_shapley_attribution": _q_shapley_attribution,
         "hll_wau_events": _q_hll_wau,
         "events_diff_in_diff": _q_diff_in_diff,
+        "events_cuped_effect": _q_cuped,
         # past 50: round-4 additions that sat outside r4's window and
         # the overflow of this round's new queries — replica-verified.
         "bpe_pair_stats_documents": _q_bpe_pair_stats,
@@ -9020,6 +9148,7 @@ def oracle_sql() -> dict[str, str]:
         "events_shapley_attribution": _shapley_attribution_sql(),
         "hll_wau_events": _hll_wau_sql(),
         "events_diff_in_diff": _diff_in_diff_sql(),
+        "events_cuped_effect": _cuped_sql(),
         "harmonize_lineitem": _ORACLE_HARMONIZE,
         "harmonize_lineitem_expr": _ORACLE_HARMONIZE,
         "harmonize_end_to_end": _harmonize_e2e_sql(),

@@ -489,3 +489,108 @@ def diff_in_diff(
         F.when(all_n2 & (se2 > 0), q6(F.sqrt(se2))).alias("se_did"),
         F.when(all_n2 & (se2 > 0), q6(did / F.sqrt(se2))).alias("t_did"),
     )
+
+
+def cuped_adjusted_effect(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    covariate_col: str,
+    control,
+    treatment,
+    scale: int = 2,
+) -> DataFrame:
+    """CUPED variance reduction for A/B readouts (Deng et al., WSDM'13):
+    regress the experiment metric on a PRE-experiment covariate
+    (theta = cov(y, x) / var(x), pooled across variants), analyze
+    y - theta * (x - mean(x)) instead of y — same expected effect,
+    variance shrunk by the covariate's explanatory share (rho²), which
+    is often a 30-50% sensitivity win for free.
+
+    ONE conditional-sum scan collects exact cent-quantized bigint
+    moments (per-variant and pooled, including the cross moment); theta
+    and both adjusted means are closed-form fixed-order double
+    arithmetic at read-out — no second pass, no per-row adjusted column
+    materialized. Degenerate inputs (var(x) = 0, a variant with n < 2)
+    yield NULL adjusted stats.
+
+    Returns one row: (n_c, n_t, effect_raw, theta, var_reduction,
+    effect_cuped, se_cuped, t_cuped).
+    """
+    s = 10 ** scale
+    qy = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    qx = F.floor(
+        F.col(covariate_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    rows = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+        & F.col(variant_col).isin(control, treatment)
+    ).select(
+        (F.col(variant_col) == treatment).cast("int").alias("__t"),
+        qy.alias("__y"),
+        qx.alias("__x"),
+    )
+    z = F.lit(0).cast("bigint")
+    sides = {"c": F.col("__t") == 0, "t": F.col("__t") == 1}
+    aggs = []
+    for tag, cond in sides.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__n{tag}"),
+            F.sum(F.when(cond, F.col("__y")).otherwise(z)).cast("bigint").alias(f"__sy{tag}"),
+            F.sum(F.when(cond, F.col("__x")).otherwise(z)).cast("bigint").alias(f"__sx{tag}"),
+            F.sum(F.when(cond, F.col("__y") * F.col("__y")).otherwise(z))
+            .cast("bigint").alias(f"__syy{tag}"),
+            F.sum(F.when(cond, F.col("__x") * F.col("__x")).otherwise(z))
+            .cast("bigint").alias(f"__sxx{tag}"),
+            F.sum(F.when(cond, F.col("__x") * F.col("__y")).otherwise(z))
+            .cast("bigint").alias(f"__sxy{tag}"),
+        ]
+    agg = rows.agg(*aggs)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    nc, nt = d("__nc"), d("__nt")
+    n = nc + nt
+    sy = d("__syc") + d("__syt")
+    sx = d("__sxc") + d("__sxt")
+    syy = d("__syyc") + d("__syyt")
+    sxx = d("__sxxc") + d("__sxxt")
+    sxy = d("__sxyc") + d("__sxyt")
+    # pooled (biased-n) moments — theta is a ratio, the 1/n cancels
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    theta = cov / varx
+    # adjusted per-variant mean: mean(y) - theta * (mean(x) - mean(x)_pooled)
+    mx_all = sx / n
+    my_c = d("__syc") / nc
+    my_t = d("__syt") / nt
+    mx_c = d("__sxc") / nc
+    mx_t = d("__sxt") / nt
+    adj_c = my_c - theta * (mx_c - mx_all)
+    adj_t = my_t - theta * (mx_t - mx_all)
+    # var of the adjusted metric, pooled: (vary - theta * cov) / n²·…
+    # classic identity var(y - θx) = var(y) - θ²·var(x) at θ = cov/varx
+    var_adj = (vary - theta * cov) / (n * (n - 1))
+    se = F.sqrt(var_adj * (1 / nc + 1 / nt)) / F.lit(float(s))
+    effect_raw = (my_t - my_c) / F.lit(float(s))
+    effect_cuped = (adj_t - adj_c) / F.lit(float(s))
+    red = F.lit(1.0) - (vary - theta * cov) / vary
+    ok = (F.col("__nc") >= 2) & (F.col("__nt") >= 2) & (varx > 0) & (vary > 0)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("__nc").alias("n_c"),
+        F.col("__nt").alias("n_t"),
+        q6(effect_raw).alias("effect_raw"),
+        F.when(ok, q6(theta / F.lit(1.0))).alias("theta"),
+        F.when(ok, q6(red)).alias("var_reduction"),
+        F.when(ok, q6(effect_cuped)).alias("effect_cuped"),
+        F.when(ok & (var_adj > 0), q6(se)).alias("se_cuped"),
+        F.when(
+            ok & (var_adj > 0), q6(effect_cuped / se)
+        ).alias("t_cuped"),
+    )

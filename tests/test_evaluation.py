@@ -322,3 +322,45 @@ def test_diff_in_diff_degenerate_cell(spark):
     r = diff_in_diff(df, "g", "p", "v", "t", "c", "pre", "post").collect()[0]
     assert r["did"] == 1.0
     assert r["se_did"] is None and r["t_did"] is None
+
+
+def test_cuped_golden_vs_numpy(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        cuped_adjusted_effect,
+    )
+
+    rng = np.random.RandomState(11)
+    x = np.round(rng.normal(50, 10, 200), 2)          # pre-period metric
+    noise = np.round(rng.normal(0, 2, 200), 2)
+    y = np.round(x * 0.8 + noise, 2)                  # strongly covariate-driven
+    variant = np.array(["c"] * 100 + ["t"] * 100)
+    y[100:] = np.round(y[100:] + 1.5, 2)              # true effect
+    rows = [(str(v), float(yy), float(xx)) for v, yy, xx in zip(variant, y, x)]
+    df = spark.createDataFrame(rows, "variant string, y double, x double")
+    r = cuped_adjusted_effect(df, "variant", "y", "x", "c", "t").collect()[0]
+    # raw effect = mean diff
+    assert abs(r["effect_raw"] - (y[100:].mean() - y[:100].mean())) < 1e-4
+    # theta from pooled moments (quantization to cents first)
+    yq = np.floor(y * 100 + 0.5)
+    xq = np.floor(x * 100 + 0.5)
+    theta = np.cov(yq, xq, bias=True)[0, 1] / np.var(xq)
+    assert abs(r["theta"] - theta) < 1e-4
+    # CUPED kills most of the covariate-driven variance
+    assert r["var_reduction"] > 0.9
+    # adjusted effect stays near the truth, t-stat is large
+    assert abs(r["effect_cuped"] - 1.5) < 0.5
+    assert r["t_cuped"] > 3.0
+
+
+def test_cuped_degenerate_constant_covariate(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        cuped_adjusted_effect,
+    )
+
+    rows = [("c", 1.0, 5.0), ("c", 2.0, 5.0), ("t", 3.0, 5.0), ("t", 4.0, 5.0)]
+    df = spark.createDataFrame(rows, "variant string, y double, x double")
+    r = cuped_adjusted_effect(df, "variant", "y", "x", "c", "t").collect()[0]
+    assert r["effect_raw"] == 2.0
+    assert r["theta"] is None and r["effect_cuped"] is None
