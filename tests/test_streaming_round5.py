@@ -603,15 +603,22 @@ def test_streaming_twap_emits_exact_bars_on_watermark_close(spark):
     )
     with tempfile.TemporaryDirectory() as d:
         src, ckpt = f"{d}/in", f"{d}/ckpt"
-        events.write.parquet(f"{src}/b0")
-        sentinel.write.parquet(f"{src}/b1")
+        # one part-file per batch and a watermark wider than the in-hour
+        # spread: with maxFilesPerTrigger=1, a multi-part b0 would split
+        # across triggers and a tight watermark could drop the earlier
+        # samples as late (observed flake)
+        events.coalesce(1).write.parquet(f"{src}/b0")
+        import time as _time
+
+        _time.sleep(1.1)  # file-source orders by mtime: b0 strictly first
+        sentinel.coalesce(1).write.parquet(f"{src}/b1")
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{src}/*")
         )
         sq = (
-            streaming_time_weighted_average(stream, watermark="10 minutes")
+            streaming_time_weighted_average(stream, watermark="2 hours")
             .writeStream.format("memory")
             .queryName("twap_stream_test")
             .outputMode("append")
