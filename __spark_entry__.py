@@ -61,6 +61,10 @@ TEMP_MIX_ALPHA = 0.5
 # cosine ~0.3, so this prunes a meaningful fraction (294/500 survive at
 # sf0.01) instead of the no-op a real-world 0.95 would be here
 SEMDEDUP_THRESHOLD = 0.3
+# auto-k: k = ceil(n / target) keeps cluster SIZE (the scale invariant)
+# fixed — 100 gives k=5 at the 500-row SFs and k=20 at sf0.1, exercising
+# a genuinely different k per scale
+SEMDEDUP_TARGET_CLUSTER = 100
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
 PACK_BUDGET = 256
@@ -511,22 +515,29 @@ SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= {ANN_K}
 """
 
 
-def _kmeans_cte(k: int, iters: int, dim: int) -> str:
+def _kmeans_cte(k, iters: int, dim: int) -> str:
     """CTE chain replaying operators/clustering.kmeans in SQL: seed with
     the k lowest-id vectors, then per iteration an argmin assignment
     (distances rounded to 6 BEFORE ranking, cluster id tiebreak) and a
     per-dimension mean update (rounded to 6; empty clusters keep the
-    previous centroid via the LEFT JOIN + coalesce)."""
+    previous centroid via the LEFT JOIN + coalesce).
+
+    ``k`` is an int, or a SQL scalar expression over ``e`` (the auto-k
+    SemDeDup contract: cluster COUNT derived from the corpus count so
+    cluster SIZE — the scale invariant — stays fixed)."""
     d2 = (
         f"round(list_sum(list_transform(range(1, {dim + 1}),"
         f" j -> (e.v[j] - c.vec[j]) * (e.v[j] - c.vec[j]))), 6)"
     )
+    k_expr = str(k) if isinstance(k, int) else f"(SELECT {k} FROM e)"
     parts = [
         "e AS (SELECT vec_id AS id,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings)",
-        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)"
-        f" AS cluster, v AS vec FROM (SELECT id, v FROM e ORDER BY id LIMIT {k}))",
+        "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)"
+        " AS cluster, v AS vec FROM ("
+        "SELECT id, v, row_number() OVER (ORDER BY id) AS __rn FROM e)"
+        f" WHERE __rn <= {k_expr})",
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -568,8 +579,12 @@ def _kmeans_sql() -> str:
 
 def _semantic_dedup_sql() -> str:
     cos = _sql_cosine("l.lv", "r.rv", ANN_DIM)
+    k_auto = (
+        "greatest(1, least(count(*), CAST(ceil(count(*) /"
+        f" {float(SEMDEDUP_TARGET_CLUSTER)!r}) AS BIGINT)))"
+    )
     return (
-        _kmeans_cte(KMEANS_K, KMEANS_ITERS, ANN_DIM)
+        _kmeans_cte(k_auto, KMEANS_ITERS, ANN_DIM)
         + f""",
 pairs AS (
   SELECT l.vec_id AS i FROM
@@ -4288,15 +4303,21 @@ def _q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters as the blocking key, then drop every
-    vector with a lower-id same-cluster neighbor at cosine >= threshold."""
+    vector with a lower-id same-cluster neighbor at cosine >= threshold.
+
+    Graded in the SCALE configuration (round-5 verdict item 3): ``k=None``
+    derives the cluster count from the corpus count so cluster SIZE stays
+    fixed and pair work grows linearly with n — a fixed k is the
+    documented quadratic trap (operators/clustering.semantic_dedup)."""
     from biomedical_data_integration_spark.operators.clustering import (
         semantic_dedup,
     )
 
     (emb,) = _tables(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, vec_col="embedding", id_col="vec_id", k=KMEANS_K,
+        emb, vec_col="embedding", id_col="vec_id", k=None,
         max_iter=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD,
+        target_cluster_size=SEMDEDUP_TARGET_CLUSTER,
     )
 
 
@@ -6774,10 +6795,16 @@ def _q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fh = feature_hash(
         orders, ["o_orderpriority", "o_orderstatus"], n_buckets=FH_BUCKETS
     )
+    # Graded outputs must be scalar-typed: the driver's canonicalizer
+    # sorts cell values and cannot hash raw array cells (r05 red row).
+    # One scalar column per vector slot keeps the md5 arithmetic graded
+    # end-to-end without any stringified-list convention.
     return fh.select(
         "o_orderkey",
-        F.expr("transform(features, x -> x.index)").alias("idx"),
-        F.expr("transform(features, x -> x.sign)").alias("sign"),
+        F.expr("features[0].index").alias("idx_0"),
+        F.expr("features[1].index").alias("idx_1"),
+        F.expr("features[0].sign").alias("sign_0"),
+        F.expr("features[1].sign").alias("sign_1"),
     )
 
 
@@ -6849,8 +6876,8 @@ def _feature_hash_sql() -> str:
     i2, s2 = col_exprs("o_orderstatus")
     return f"""
 SELECT o_orderkey,
-       [{i1}, {i2}] AS idx,
-       [CAST({s1} AS INT), CAST({s2} AS INT)] AS sign
+       {i1} AS idx_0, {i2} AS idx_1,
+       CAST({s1} AS INT) AS sign_0, CAST({s2} AS INT) AS sign_1
 FROM orders
 """
 
