@@ -319,7 +319,10 @@ def threshold_sweep(
 
     Returns one row per threshold: ``(threshold, tp, fp, fn, tn,
     precision, recall, f1, accuracy)`` — ratios floor-quantized to 6,
-    NULL where undefined (no predicted / no actual positives).
+    NULL where undefined (no predicted / no actual positives). EVERY
+    requested threshold yields a row even when the input has no valid
+    (score, label) pairs — zero counts, NULL ratios — so callers
+    iterating the grid never see a silently shorter frame.
     """
     if not thresholds:
         raise ValueError("threshold_sweep: need at least one threshold")
@@ -351,7 +354,7 @@ def threshold_sweep(
         F.array(*[F.lit(ti).cast("bigint") for ti in sorted(t_ints)])
     ).alias("__t")
     pred_pos = F.col("__b") >= F.col("__t")
-    agg = (
+    counts = (
         bins.select("__b", "__n", "__np", grid)
         .groupBy("__t")
         .agg(
@@ -372,6 +375,20 @@ def threshold_sweep(
             .cast("bigint")
             .alias("tn"),
         )
+    )
+    # anchor the output on the REQUESTED grid, not on the data: an
+    # empty bins table must still produce one zero-count row per
+    # threshold (grid and counts are both threshold-sized; the join is
+    # driver-trivial and broadcast either way)
+    grid_df = df.sparkSession.createDataFrame(
+        [(ti,) for ti in sorted(t_ints)], "__t bigint"
+    )
+    agg = grid_df.join(F.broadcast(counts), "__t", "left").select(
+        "__t",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(c)
+            for c in ("tp", "fp", "fn", "tn")
+        ],
     )
     q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
@@ -395,7 +412,9 @@ def threshold_sweep(
         F.when(
             F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0, q6(f1)
         ).alias("f1"),
-        q6(acc).alias("accuracy"),
+        F.when(
+            F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn") > 0, q6(acc)
+        ).alias("accuracy"),
     )
 
 
@@ -416,11 +435,18 @@ def diff_in_diff(
     any shared time trend the A/B report (ab_test_report) can't
     separate from the intervention.
 
-    ONE conditional-sum scan collects all four cells' exact bigint
-    moments (cent-quantized); the DiD point estimate and the standard
-    error (pooled independent-cell variances, the classic 2x2
-    formulation) come from fixed-order double arithmetic at read-out.
-    Cells with n < 2 yield NULL se/t.
+    ONE conditional-sum scan collects all four cells' exact quantized
+    moments; sums ride decimal(38,0) — still EXACT integers, with
+    headroom to 1e38, because a lone bigint² already busts 2^63 for
+    5e9-unit cells (same overflow contract as ab_test_report /
+    regression_report; DuckDB's hugeint sums agree digit-for-digit).
+    The DiD point estimate and the standard error (pooled
+    independent-cell variances, the classic 2x2 formulation) come from
+    fixed-order double arithmetic at read-out; the ``n·Σq² − (Σq)²``
+    form cancels in doubles when ``|v|·10^scale`` exceeds ~1e8 with
+    tiny relative spread, costing se digits (not sign or magnitude) —
+    the read-out bound that remains after the sums themselves are
+    exact. Cells with n < 2 yield NULL se/t.
 
     Returns one row: per-cell means, the two deltas, ``did`` (the
     effect), ``se_did``, ``t_did`` — floor-quantized to 6.
@@ -428,7 +454,7 @@ def diff_in_diff(
     s = 10 ** scale
     q = F.floor(
         F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     cells = {
         "tpre": (treatment_group, pre_period),
         "tpost": (treatment_group, post_period),
@@ -438,13 +464,11 @@ def diff_in_diff(
     aggs = []
     for tag, (g, p) in cells.items():
         cond = (F.col(group_col) == g) & (F.col(period_col) == p)
-        z = F.lit(0).cast("bigint")
+        z = F.lit(0).cast("decimal(38,0)")
         aggs += [
             F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__n_{tag}"),
-            F.sum(F.when(cond, q).otherwise(z)).cast("bigint").alias(f"__s_{tag}"),
-            F.sum(F.when(cond, q * q).otherwise(z))
-            .cast("bigint")
-            .alias(f"__ss_{tag}"),
+            F.sum(F.when(cond, q).otherwise(z)).alias(f"__s_{tag}"),
+            F.sum(F.when(cond, q * q).otherwise(z)).alias(f"__ss_{tag}"),
         ]
     agg = df.where(F.col(value_col).isNotNull()).agg(*aggs)
 
@@ -507,12 +531,18 @@ def cuped_adjusted_effect(
     variance shrunk by the covariate's explanatory share (rho²), which
     is often a 30-50% sensitivity win for free.
 
-    ONE conditional-sum scan collects exact cent-quantized bigint
-    moments (per-variant and pooled, including the cross moment); theta
-    and both adjusted means are closed-form fixed-order double
-    arithmetic at read-out — no second pass, no per-row adjusted column
-    materialized. Degenerate inputs (var(x) = 0, a variant with n < 2)
-    yield NULL adjusted stats.
+    ONE conditional-sum scan collects exact cent-quantized moments
+    (per-variant and pooled, including the cross moment); squared and
+    cross sums ride decimal(38,0) — still EXACT integers, with headroom
+    to 1e38, because a lone bigint² already busts 2^63 for 5e9-unit
+    values (same overflow contract as ab_test_report /
+    regression_report). Theta and both adjusted means are closed-form
+    fixed-order double arithmetic at read-out — no second pass, no
+    per-row adjusted column materialized; the ``n·Σ − Σ·Σ`` moment
+    combinations cancel in doubles when ``|v|·10^scale`` exceeds ~1e8
+    with tiny relative spread (variance digits, not sign/magnitude —
+    see diff_in_diff). Degenerate inputs (var(x) = 0, a variant with
+    n < 2) yield NULL adjusted stats.
 
     Returns one row: (n_c, n_t, effect_raw, theta, var_reduction,
     effect_cuped, se_cuped, t_cuped).
@@ -520,10 +550,10 @@ def cuped_adjusted_effect(
     s = 10 ** scale
     qy = F.floor(
         F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     qx = F.floor(
         F.col(covariate_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     rows = df.where(
         F.col(value_col).isNotNull()
         & F.col(covariate_col).isNotNull()
@@ -533,20 +563,20 @@ def cuped_adjusted_effect(
         qy.alias("__y"),
         qx.alias("__x"),
     )
-    z = F.lit(0).cast("bigint")
+    z = F.lit(0).cast("decimal(38,0)")
     sides = {"c": F.col("__t") == 0, "t": F.col("__t") == 1}
     aggs = []
     for tag, cond in sides.items():
         aggs += [
             F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__n{tag}"),
-            F.sum(F.when(cond, F.col("__y")).otherwise(z)).cast("bigint").alias(f"__sy{tag}"),
-            F.sum(F.when(cond, F.col("__x")).otherwise(z)).cast("bigint").alias(f"__sx{tag}"),
+            F.sum(F.when(cond, F.col("__y")).otherwise(z)).alias(f"__sy{tag}"),
+            F.sum(F.when(cond, F.col("__x")).otherwise(z)).alias(f"__sx{tag}"),
             F.sum(F.when(cond, F.col("__y") * F.col("__y")).otherwise(z))
-            .cast("bigint").alias(f"__syy{tag}"),
+            .alias(f"__syy{tag}"),
             F.sum(F.when(cond, F.col("__x") * F.col("__x")).otherwise(z))
-            .cast("bigint").alias(f"__sxx{tag}"),
+            .alias(f"__sxx{tag}"),
             F.sum(F.when(cond, F.col("__x") * F.col("__y")).otherwise(z))
-            .cast("bigint").alias(f"__sxy{tag}"),
+            .alias(f"__sxy{tag}"),
         ]
     agg = rows.agg(*aggs)
 

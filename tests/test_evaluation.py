@@ -284,6 +284,30 @@ def test_threshold_sweep_degenerate_and_errors(spark):
         threshold_sweep(df, "score", "label", [0.12345])
 
 
+def test_threshold_sweep_empty_input_keeps_grid(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        threshold_sweep,
+    )
+
+    # no valid (score, label) rows at all: every requested threshold
+    # still yields a zero-count row (NULL ratios), not an empty frame
+    empty = spark.createDataFrame([], "score double, label int")
+    rows = sorted(
+        threshold_sweep(empty, "score", "label", [0.25, 0.5, 0.75]).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.25, 0.5, 0.75]
+    for r in rows:
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 0)
+        assert r["precision"] is None and r["recall"] is None
+    # all-null labels filter to nothing too — same contract
+    nulls = spark.createDataFrame(
+        [(0.4, None), (None, 1)], "score double, label int"
+    )
+    rows = threshold_sweep(nulls, "score", "label", [0.5]).collect()
+    assert len(rows) == 1 and rows[0]["tp"] == 0
+
+
 def test_diff_in_diff_golden(spark):
     import math
 
@@ -352,6 +376,60 @@ def test_cuped_golden_vs_numpy(spark):
     # adjusted effect stays near the truth, t-stat is large
     assert abs(r["effect_cuped"] - 1.5) < 0.5
     assert r["t_cuped"] > 3.0
+
+
+def test_did_cuped_large_magnitude_moments_exact(spark):
+    """Σq² must not wrap: values ~1e7 at scale=2 quantize to q~1e9, so
+    q² ~ 1e18 and ~40 rows push the squared-moment sum past 2^63 — the
+    decimal(38,0) moment contract (shared with ab_test_report) keeps it
+    exact where a bigint sum silently wraps negative."""
+    import math
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        cuped_adjusted_effect,
+        diff_in_diff,
+    )
+
+    base = 1.0e7
+    rows = []
+    for i in range(40):
+        jitter = float(i % 7)  # deterministic spread, sd > 0
+        rows += [
+            ("t", "pre", base + jitter),
+            ("t", "post", base + 40.0 + jitter),
+            ("c", "pre", base + jitter),
+            ("c", "post", base + 10.0 + jitter),
+        ]
+    df = spark.createDataFrame(rows, "g string, p string, v double")
+    r = diff_in_diff(df, "g", "p", "v", "t", "c", "pre", "post").collect()[0]
+    assert r["did"] == 30.0
+    # all four cells share the same jitter spread: var = var(i % 7).
+    # A wrapped bigint Σq² turns the variance negative (se_did NULL /
+    # garbage); with exact decimal sums only the documented double
+    # cancellation in the n·Σq² − (Σq)² read-out remains (<1% here)
+    cell = [float(i % 7) for i in range(40)]
+    m = sum(cell) / len(cell)
+    var = sum((x - m) ** 2 for x in cell) / (len(cell) - 1)
+    se = math.sqrt(4 * var / 40)
+    assert r["se_did"] is not None and abs(r["se_did"] - se) / se < 0.01
+    assert r["t_did"] is not None and r["t_did"] > 0
+
+    cu_rows = [
+        (v, base + float(i % 7) + (30.0 if v == "t" else 0.0),
+         base + float(i % 7))
+        for v in ("c", "t")
+        for i in range(40)
+    ]
+    cdf = spark.createDataFrame(cu_rows, "variant string, y double, x double")
+    c = cuped_adjusted_effect(cdf, "variant", "y", "x", "c", "t").collect()[0]
+    # y = x + variant effect exactly => theta = 1 EXACTLY (wrapped
+    # bigint moments would make it garbage); the adjusted variance
+    # keeps only the treatment-effect spread, so var_reduction is the
+    # small covariate share var(x)/vary, not ~1
+    assert c["theta"] is not None and abs(c["theta"] - 1.0) < 1e-6
+    assert c["effect_raw"] == 30.0
+    assert c["effect_cuped"] is not None and abs(c["effect_cuped"] - 30.0) < 1e-4
+    assert c["var_reduction"] is not None and 0.0 < c["var_reduction"] < 0.05
 
 
 def test_cuped_degenerate_constant_covariate(spark):
