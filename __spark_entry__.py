@@ -7943,7 +7943,9 @@ contrib AS (
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(count(DISTINCT u) AS BIGINT) AS active_users
-FROM contrib GROUP BY 1
+FROM contrib
+WHERE day <= (SELECT max(d) FROM pairs)
+GROUP BY 1
 """
 
 
@@ -8553,8 +8555,17 @@ def _q_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.date_add(F.col("d"), F.col("k")).alias("d"), "register", "rho"
     )
-    merged = shifted.groupBy("d", "register").agg(
-        F.max("rho").cast("int").alias("rho")
+    # clip the fabricated trailing window-end days past the last
+    # observed activity day — same contract as sliding_active_users
+    bound = staged.where(
+        F.col("user_id").isNotNull() & F.col("d").isNotNull()
+    ).agg(F.max("d").alias("__max_d"))
+    merged = (
+        shifted.join(F.broadcast(bound))
+        .where(F.col("d") <= F.col("__max_d"))
+        .drop("__max_d")
+        .groupBy("d", "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
     )
     est = hll_estimate_grouped(merged, HLL_DAY_P, ["d"])
     return est.select(
@@ -8589,7 +8600,9 @@ shift AS (
   FROM rho CROSS JOIN range(0, 7) t(k)
 ),
 mrg AS (
-  SELECT d, register, CAST(max(rho) AS INT) AS rho FROM shift GROUP BY 1, 2
+  SELECT d, register, CAST(max(rho) AS INT) AS rho FROM shift
+  WHERE d <= (SELECT max(d) FROM rho)
+  GROUP BY 1, 2
 ),
 a AS (
   SELECT d, CAST(count(*) AS BIGINT) AS nonzero,

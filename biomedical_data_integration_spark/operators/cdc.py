@@ -142,11 +142,20 @@ def table_diff(
     non-key columns, in ``old``'s column order). The changed-column list
     is computed with plain null-safe inequality expressions — no UDFs.
 
-    Scale shape: ONE full-outer equi-join on the key (sort-merge at
-    scale; the fingerprint rides each side's projection so the join
-    carries two hashes + the key, not full rows when ``compare_cols``
-    is wide). Output is key-count-sized; filter ``change_type !=
-    'unchanged'`` for the usual delta report.
+    Scale shape: TWO phases so the big shuffle stays narrow no matter
+    how wide ``compare_cols`` is. Phase 1 full-outer-joins only
+    ``(key, fingerprint)`` from each side — the table-sized exchange
+    carries two hashes + the key, never row payloads. Phase 2 computes
+    ``changed_columns`` only for fingerprint-MISMATCHED keys: each
+    source is re-scanned (column-pruned to key + compare cols) and
+    semi-joined down to the changed keys before the per-column
+    comparison, so the wide data shuffled is changed-rows-sized — in
+    the usual reconciliation where changes are a sliver of the table,
+    that's ~free. The phase-1 table is pinned with ``localCheckpoint``
+    (it anchors both the changed-key filter and the final left join;
+    left lazy, the narrow join would replay per reference). Output is
+    key-count-sized; filter ``change_type != 'unchanged'`` for the
+    usual delta report.
     """
     if not key_cols:
         raise ValueError("table_diff: need at least one key column")
@@ -162,20 +171,45 @@ def table_diff(
             F.col(c).isNull(), F.lit("\x00")
         ).otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
 
-    def staged(df: DataFrame, tag: str) -> DataFrame:
+    fingerprint = F.md5(
+        F.concat_ws("\x1f", *[canon(c) for c in compare_cols])
+    )
+
+    def narrow(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             *[F.col(c) for c in key_cols],
-            F.md5(F.concat_ws("\x1f", *[canon(c) for c in compare_cols]))
-            .alias(f"__fp_{tag}"),
+            fingerprint.alias(f"__fp_{tag}"),
+        )
+
+    change_type = (
+        F.when(F.col("__fp_o").isNull(), F.lit("added"))
+        .when(F.col("__fp_n").isNull(), F.lit("removed"))
+        .when(F.col("__fp_o") == F.col("__fp_n"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    base = (
+        narrow(old, "o")
+        .join(narrow(new, "n"), list(key_cols), "full_outer")
+        .select(
+            *[F.col(c) for c in key_cols],
+            change_type.alias("change_type"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    changed_keys = base.where(F.col("change_type") == "changed").select(
+        *[F.col(c) for c in key_cols]
+    )
+
+    def wide(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *[F.col(c) for c in key_cols],
             *[
                 F.col(c).cast("string").alias(f"__{tag}_{c}")
                 for c in compare_cols
             ],
-        )
+        ).join(changed_keys, list(key_cols))
 
-    o = staged(old, "o")
-    n = staged(new, "n")
-    joined = o.join(n, list(key_cols), "full_outer")
     changed_cols = F.filter(
         F.array(
             *[
@@ -188,16 +222,17 @@ def table_diff(
         ),
         lambda x: x.isNotNull(),
     )
-    change_type = (
-        F.when(F.col("__fp_o").isNull(), F.lit("added"))
-        .when(F.col("__fp_n").isNull(), F.lit("removed"))
-        .when(F.col("__fp_o") == F.col("__fp_n"), F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
+    details = (
+        wide(old, "o")
+        .join(wide(new, "n"), list(key_cols))
+        .select(
+            *[F.col(c) for c in key_cols],
+            changed_cols.alias("__changed"),
+        )
     )
-    return joined.select(
+    return base.join(details, list(key_cols), "left").select(
         *[F.col(c) for c in key_cols],
-        change_type.alias("change_type"),
-        F.when(change_type == "changed", changed_cols)
-        .otherwise(F.array().cast("array<string>"))
+        F.col("change_type"),
+        F.coalesce(F.col("__changed"), F.array().cast("array<string>"))
         .alias("changed_columns"),
     )

@@ -1946,9 +1946,12 @@ def streaming_sequence_examples(
     contexts as the batch twin on the same prefix, tested). State is
     O(context_len) strings per key; TTL expires idle keys.
 
-    Output: ``(key_col, ts_col, tiebreak_col, context string
-    '|'-joined, label)`` — the context rides as a joined string because
-    Arrow state/output schemas stay flat.
+    Output: ``(key_col, ts_col, tiebreak_col, context string, label)``
+    — the context rides flat because Arrow state/output schemas stay
+    flat, encoded as a JSON array string (``from_json(context,
+    'array<string>')`` recovers the batch twin's array column). JSON
+    keeps any item content unambiguous — a raw ``'|'``/``'\\x1f'``
+    join would silently corrupt items containing the delimiter.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -1978,6 +1981,8 @@ def streaming_sequence_examples(
     )
 
     def _fold(key, pdf_iter, state: GroupState):
+        import json
+
         import pandas as pd
 
         if state.hasTimedOut:
@@ -1990,8 +1995,7 @@ def streaming_sequence_examples(
             [ts_col, tiebreak_col], kind="mergesort"
         )
         deque: list = (
-            list(state.get[0].split("\x1f")) if state.exists and state.get[0]
-            else []
+            json.loads(state.get[0]) if state.exists and state.get[0] else []
         )
         out = []
         for _, row in allrows.iterrows():
@@ -2002,14 +2006,14 @@ def streaming_sequence_examples(
                         row[key_col],
                         row[ts_col],
                         row[tiebreak_col],
-                        "|".join(deque),
+                        json.dumps(deque),
                         item,
                     )
                 )
             deque.append(item)
             if len(deque) > context_len:
                 deque.pop(0)
-        state.update(("\x1f".join(deque),))
+        state.update((json.dumps(deque),))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         if out:
@@ -2871,8 +2875,12 @@ def sliding_active_users(
     sketch family.
 
     Output: (day, active_users) for every day that closes a window
-    containing at least one active user — days with zero activity in
-    range emit nothing (gapfill composes if a dense axis is needed).
+    containing at least one active user, CLIPPED to the last day with
+    any observed activity — the expansion would otherwise emit up to
+    ``window_days - 1`` "future" end days past the data (a fabricated
+    declining tail a dashboard would plot as real). Days with zero
+    activity in range emit nothing (gapfill composes if a dense axis
+    is needed).
     """
     if window_days < 1:
         raise ValueError("sliding_active_users: window_days must be >= 1")
@@ -2892,9 +2900,20 @@ def sliding_active_users(
     ).select(
         "__u", F.date_add(F.col("__d"), F.col("__k")).alias("day")
     )
+    # last observed activity day, straight off the source (one 1-row
+    # aggregate, no distinct replay); rides a broadcast into the filter
+    bound = (
+        df.where(F.col(user_col).isNotNull())
+        .select(F.to_date(F.col(ts_col)).alias("__d"))
+        .where(F.col("__d").isNotNull())
+        .agg(F.max("__d").alias("__max_d"))
+    )
     return (
         contrib.groupBy("day")
         .agg(F.countDistinct("__u").cast("bigint").alias("active_users"))
+        .join(F.broadcast(bound))
+        .where(F.col("day") <= F.col("__max_d"))
+        .drop("__max_d")
     )
 
 

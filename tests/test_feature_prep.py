@@ -166,5 +166,48 @@ def test_streaming_sequence_examples_matches_batch(spark):
     assert got == want
 
 
+def test_streaming_sequence_examples_delimiter_safe(spark):
+    """Items containing '|' or '\\x1f' must survive the flat context
+    encoding — JSON round-trips them; the old raw join corrupted both
+    the emitted context and the cross-batch state deque."""
+    import json
+    import tempfile
+
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_sequence_examples,
+    )
+
+    items = ["a|b", "c\x1fd", "plain"]
+    rows = [(1, i, i, t) for i, t in enumerate(items)]
+    batch = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, event_type string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        # two files so the '\x1f'-bearing deque crosses a state boundary
+        batch.where(F.col("ts") < 2).coalesce(1).write.parquet(f"{d}/src/p1")
+        batch.where(F.col("ts") >= 2).coalesce(1).write.parquet(f"{d}/src/p2")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src/*")
+        )
+        out = streaming_sequence_examples(stream, context_len=3)
+        sq = (
+            out.writeStream.format("memory").queryName("seq_delim_t")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        sq.awaitTermination(120)
+        got = {
+            r["ts"]: (json.loads(r["context"]), r["label"])
+            for r in spark.sql("SELECT * FROM seq_delim_t").collect()
+        }
+    assert got[1] == (["a|b"], "c\x1fd")
+    assert got[2] == (["a|b", "c\x1fd"], "plain")
+
+
 def F_join(ctx):
-    return "|".join(ctx)
+    import json
+
+    return json.dumps(list(ctx))

@@ -405,8 +405,14 @@ def test_hll_wau_tracks_exact_sliding_uniques(spark):
         F.explode(F.array(*[F.lit(k) for k in range(7)])).alias("k"),
         "d", "register", "rho",
     ).select(F.date_add("d", F.col("k")).alias("d"), "register", "rho")
-    merged = shifted.groupBy("d", "register").agg(
-        F.max("rho").cast("int").alias("rho")
+    # clip like sliding_active_users: no window-end days past the data
+    bound = staged.agg(F.max("d").alias("__max_d"))
+    merged = (
+        shifted.join(F.broadcast(bound))
+        .where(F.col("d") <= F.col("__max_d"))
+        .drop("__max_d")
+        .groupBy("d", "register")
+        .agg(F.max("rho").cast("int").alias("rho"))
     )
     est = {
         str(r["d"]): r["estimate"]

@@ -870,6 +870,10 @@ def test_sliding_active_users_golden(spark):
     assert out["2024-01-05"] == 2
     # day 4: window [2..4] -> only user 2
     assert out["2024-01-04"] == 1
+    # no fabricated tail past the last observed activity day (Jan 5):
+    # the Jan-5 pair would otherwise project end days Jan 6 and Jan 7
+    assert "2024-01-06" not in out and "2024-01-07" not in out
+    assert max(out) == "2024-01-05"
     # window of 1 day degenerates to daily uniques
     daily = {
         str(r["day"]): r["active_users"]
