@@ -624,3 +624,364 @@ def cuped_adjusted_effect(
             ok & (var_adj > 0), q6(effect_cuped / se)
         ).alias("t_cuped"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test comparing ``group_a``
+    against ``group_b`` — the non-parametric sibling of
+    :func:`ab_test_report`'s Welch t: rank-based, so heavy tails and
+    outliers (revenue-shaped metrics) can't dominate the statistic.
+
+    Exact tie handling with NO per-row ranking shuffle: values are
+    quantized to ``scale`` decimals, the corpus collapses to the
+    distinct-value table (value, n_a, n_b) in one combinable groupBy,
+    and average ranks come from a cumulative window over that table —
+    ties share the mean rank by construction. Doubled rank-sums
+    (``2R`` so half-ranks stay integral) ride bigints, so U is exact;
+    the normal approximation ``z = (U - n_a n_b / 2) / sigma`` uses the
+    tie-corrected variance ``sigma^2 = n_a n_b / 12 * ((n + 1) -
+    sum(t^3 - t) / (n (n - 1)))`` (no continuity correction —
+    documented, mirrored by the oracle). NULL z when a side is empty
+    or all values tie.
+
+    Returns one row: ``(n_a, n_b, u_a, u_b, z)``; U floor-quantized to
+    6 (it is integral or half-integral by construction).
+
+    Scale shape: one corpus scan -> distinct-value groupBy (combinable),
+    one window + one aggregate over the distinct-value-sized table.
+    """
+    s = 10 ** scale
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    vals = (
+        df.where((is_a | is_b) & F.col(value_col).isNotNull())
+        .select(q.alias("__v"), is_a.cast("int").alias("__a"))
+        .groupBy("__v")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__na"),
+            F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("__nb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("__na") + F.col("__nb")
+    # average rank of a run of t tied values starting after c prior
+    # rows is c + (t + 1) / 2; doubled: 2c + t + 1 (exact bigint)
+    ranked = vals.select(
+        "__na",
+        "__nb",
+        t.alias("__t"),
+        (
+            F.lit(2) * F.coalesce(F.sum(t).over(w), F.lit(0).cast("bigint"))
+            + t
+            + F.lit(1)
+        ).alias("__r2"),
+    )
+    agg = ranked.agg(
+        F.sum("__na").cast("bigint").alias("n_a"),
+        F.sum("__nb").cast("bigint").alias("n_b"),
+        F.sum(F.col("__na") * F.col("__r2")).cast("bigint").alias("__r2a"),
+        # tie correction sum(t^3 - t) over runs; decimal headroom like
+        # the moment sums elsewhere in this module
+        F.sum(
+            (
+                F.col("__t").cast("decimal(38,0)")
+                * F.col("__t").cast("decimal(38,0)")
+                * F.col("__t").cast("decimal(38,0)")
+                - F.col("__t").cast("decimal(38,0)")
+            )
+        ).alias("__ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    # U_a = R_a - n_a (n_a + 1) / 2, with 2 R_a exact
+    u_a = (
+        F.col("__r2a").cast("double") - na * (na + 1)
+    ) / F.lit(2.0)
+    u_b = na * nb - u_a
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + 1) - F.col("__ties").cast("double") / (n * (n - 1)))
+    )
+    z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, q6(u_a)).alias("u_a"),
+        F.when(ok, q6(u_b)).alias("u_b"),
+        F.when(ok & (var > 0), q6(z)).alias("z"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """One-way ANOVA across the levels of ``group_col``: does the group
+    mean differ anywhere? — the k-group generalization the pairwise
+    tests in this module can't pose without multiplicity.
+
+    Exact moment collection: per-group n / sum(q) / sum(q^2) with
+    cent-quantized values on decimal(38,0) (the module's overflow
+    contract), ONE combinable groupBy. The sum-of-squares decomposition
+    runs on the k-row group table; each group's ``S_g^2 / n_g`` term is
+    floor-quantized to micro-units BEFORE the cross-group sum so the
+    k-term float sum is order-free (the cross-engine determinism rule
+    every multi-term readout here follows). F = (SSB / (k-1)) /
+    (SSW / (N-k)); NULL F when k < 2, N <= k, or SSW = 0.
+
+    Returns one row: ``(k, n, ss_between, ss_within, f_stat, eta_sq)``
+    — SS in metric units^2, floor-quantized to 6.
+    """
+    s = 10 ** scale
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    per = (
+        df.where(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), q.alias("__q"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__q").alias("__s"),
+            F.sum(F.col("__q") * F.col("__q")).alias("__ss"),
+        )
+    )
+    # S_g^2 / n_g in quantized units^2, micro-quantized per group ->
+    # the k-term sum is an exact bigint sum in any order / any engine
+    term = F.floor(
+        F.col("__s").cast("double")
+        * F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    agg = per.select("__n", "__s", "__ss", term.alias("__term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__s").alias("__st"),
+        F.sum("__ss").alias("__sst"),
+        F.sum("__term").cast("bigint").alias("__terms"),
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    st = F.col("__st").cast("double")
+    sst = F.col("__sst").cast("double")
+    terms = F.col("__terms").cast("double") / F.lit(1e6)
+    s2 = F.lit(float(s * s))
+    ssb = (terms - st * st / n) / s2
+    ssw = (sst - terms) / s2
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    eta = ssb / (ssb + ssw)
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ok = (F.col("k") >= 2) & (n > k) & (ssw > 0)
+    return agg.select(
+        "k",
+        "n",
+        q6(ssb).alias("ss_between"),
+        q6(ssw).alias("ss_within"),
+        F.when(ok, q6(f_stat)).alias("f_stat"),
+        F.when(ssb + ssw > 0, q6(eta)).alias("eta_sq"),
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a [0, 1] score
+    against binary outcomes — the non-parametric recalibration step
+    (Zadrozny & Elkan '02) used where Platt scaling's sigmoid is too
+    rigid; the fitted value per bin is the pool-adjacent-violators
+    solution.
+
+    PAV without a sequential driver loop: the corpus collapses to
+    ``n_bins`` equal-width score bins (same binning as
+    :func:`calibration_report`) in one combinable groupBy, then the
+    closed-form minimax identity ``fit_i = max_{j<=i} min_{k>=j}
+    mean(pos_j..k / n_j..k)`` runs on the bin-sized table: prefix sums
+    via one window, an O(B^2) bin-pair join (B*(B+1)/2 rows — trivial
+    for any sane B), a per-j min, and a running max. Segment means are
+    single double divisions of exact integer prefix sums — identical
+    in any engine, so min/max comparisons are deterministic.
+
+    Returns one row per NON-EMPTY bin: ``(bin, n, pos, rate, fit)``
+    with rate/fit floor-quantized to 6; ``fit`` is non-decreasing in
+    ``bin`` by construction.
+    """
+    if n_bins < 1:
+        raise ValueError("isotonic_calibration: n_bins must be >= 1")
+    sc = F.col(score_col).cast("double")
+    staged = df.select(
+        F.least(
+            F.floor(sc * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        (F.col(label_col).cast("double") > 0).cast("bigint").alias("__y"),
+    ).where(sc.isNotNull() & F.col(label_col).isNotNull())
+    per = staged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("pos"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = per.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).alias("__cn"),
+        F.sum("pos").over(wcum).alias("__cp"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("__j"),
+        (F.col("__cn") - F.col("n")).alias("__cn0"),
+        (F.col("__cp") - F.col("pos")).alias("__cp0"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("__k"),
+        F.col("__cn").alias("__cn1"),
+        F.col("__cp").alias("__cp1"),
+    )
+    seg_mean = (F.col("__cp1") - F.col("__cp0")).cast("double") / (
+        F.col("__cn1") - F.col("__cn0")
+    ).cast("double")
+    m_j = (
+        lo.join(hi, F.col("__k") >= F.col("__j"))
+        .groupBy("__j")
+        .agg(F.min(seg_mean).alias("__m"))
+    )
+    wmax = Window.orderBy("__j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fit = m_j.select(
+        F.col("__j").alias("bin"), F.max("__m").over(wmax).alias("__fit")
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return per.join(fit, "bin").select(
+        "bin",
+        "n",
+        "pos",
+        q6(F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+            "rate"
+        ),
+        q6(F.col("__fit")).alias("fit"),
+    )
+
+
+def stratified_effect(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    covariate_col: str,
+    control,
+    treatment,
+    n_strata: int = 5,
+    scale: int = 2,
+) -> DataFrame:
+    """Propensity-style stratified effect estimate: bucket units into
+    ``n_strata`` covariate strata (type-1 empirical quantile bounds —
+    data values at integer ranks, the engine's cross-engine-exact
+    quantile contract), then report the treatment-control mean gap
+    INSIDE each stratum — the standard subclassification fix when the
+    covariate confounds a naive A/B readout (Cochran '68 five-strata
+    rule). The overall adjusted effect is the stratum-weighted sum of
+    the per-stratum diffs, which callers (and the oracle) reproduce
+    from this table exactly because diffs are floor-quantized before
+    weighting.
+
+    Returns one row per stratum with BOTH variants present:
+    ``(stratum, n_c, n_t, mean_c, mean_t, diff, weight)`` — means/diff
+    floor-quantized to 6, weight = stratum share of all units, also
+    quantized.
+
+    Scale shape: one distinct-value cumulative table for the bounds
+    (broadcast as literals), one conditional-sum groupBy over
+    ``n_strata`` keys.
+    """
+    from biomedical_data_integration_spark.operators.profiling import (
+        type1_boundaries,
+    )
+
+    if n_strata < 2:
+        raise ValueError("stratified_effect: n_strata must be >= 2")
+    s = 10 ** scale
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+        & F.col(variant_col).isin(control, treatment)
+    )
+    brow = type1_boundaries(base, covariate_col, n_strata).collect()
+    bounds = (
+        [float(b) for b in brow[0]["__boundaries"] if b is not None]
+        if brow
+        else []
+    )
+    x = F.col(covariate_col).cast("double")
+    stratum = F.lit(0)
+    for b in bounds:
+        stratum = stratum + (x >= F.lit(b)).cast("int")
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(s)) + F.lit(0.5)
+    ).cast("bigint")
+    is_t = F.col(variant_col) == F.lit(treatment)
+    per = (
+        base.select(
+            stratum.alias("stratum"),
+            is_t.cast("int").alias("__t"),
+            qv.alias("__q"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.lit(1) - F.col("__t")).cast("bigint").alias("n_c"),
+            F.sum("__t").cast("bigint").alias("n_t"),
+            F.sum(F.when(F.col("__t") == 0, F.col("__q")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("__sc"),
+            F.sum(F.when(F.col("__t") == 1, F.col("__q")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("__st"),
+        )
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mc = F.col("__sc").cast("double") / F.col("n_c") / F.lit(float(s))
+    mt = F.col("__st").cast("double") / F.col("n_t") / F.lit(float(s))
+    q6 = lambda x_: F.floor(x_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    both = (F.col("n_c") > 0) & (F.col("n_t") > 0)
+    return (
+        per.withColumn(
+            "__all", F.sum(F.col("n_c") + F.col("n_t")).over(tot)
+        )
+        .where(both)
+        .select(
+            "stratum",
+            "n_c",
+            "n_t",
+            q6(mc).alias("mean_c"),
+            q6(mt).alias("mean_t"),
+            q6(mt - mc).alias("diff"),
+            q6(
+                (F.col("n_c") + F.col("n_t")).cast("double")
+                / F.col("__all").cast("double")
+            ).alias("weight"),
+        )
+    )

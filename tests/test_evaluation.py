@@ -442,3 +442,104 @@ def test_cuped_degenerate_constant_covariate(spark):
     r = cuped_adjusted_effect(df, "variant", "y", "x", "c", "t").collect()[0]
     assert r["effect_raw"] == 2.0
     assert r["theta"] is None and r["effect_cuped"] is None
+
+
+def test_mann_whitney_golden_with_ties(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        mann_whitney_u,
+    )
+
+    # pooled sorted: 1a, {2a,2b}, {3a,3b}, 4b -> R_a = 1 + 2.5 + 4.5 = 8
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u_a"] == 2.0 and r["u_b"] == 7.0
+    # ties: two runs of t=2 -> sum(t^3 - t) = 12
+    import math
+
+    var = 3 * 3 / 12 * ((6 + 1) - 12 / (6 * 5))
+    z = (2.0 - 4.5) / math.sqrt(var)
+    assert abs(r["z"] - z) < 1e-6
+    # all-tied input: variance 0 -> z NULL, U = n_a n_b / 2
+    tied = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    r = mann_whitney_u(tied, "g", "v", "a", "b").collect()[0]
+    assert r["u_a"] == 1.0 and r["z"] is None
+
+
+def test_anova_oneway_golden(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        anova_oneway,
+    )
+
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 2.0), ("g2", 3.0), ("g2", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert (r["k"], r["n"]) == (2, 6)
+    assert abs(r["ss_between"] - 1.5) < 1e-6
+    assert abs(r["ss_within"] - 4.0) < 1e-6
+    assert abs(r["f_stat"] - 1.5) < 1e-6
+    assert abs(r["eta_sq"] - 1.5 / 5.5) < 1e-6
+    # one group -> F NULL
+    one = spark.createDataFrame([("g1", 1.0), ("g1", 2.0)], "g string, v double")
+    r = anova_oneway(one, "g", "v").collect()[0]
+    assert r["f_stat"] is None
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    # 3 occupied bins with rates 0.6, 0.2, 0.7: PAV pools the first two
+    rows = []
+    rows += [(0.05, 1)] * 6 + [(0.05, 0)] * 4     # bin 0: rate .6
+    rows += [(0.35, 1)] * 2 + [(0.35, 0)] * 8     # bin 3: rate .2
+    rows += [(0.75, 1)] * 7 + [(0.75, 0)] * 3     # bin 7: rate .7
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in isotonic_calibration(df, "score", "label", 10).collect()}
+    assert set(out) == {0, 3, 7}
+    assert abs(out[0]["rate"] - 0.6) < 1e-6 and abs(out[0]["fit"] - 0.4) < 1e-6
+    assert abs(out[3]["fit"] - 0.4) < 1e-6
+    assert abs(out[7]["fit"] - 0.7) < 1e-6
+    # monotone non-decreasing
+    fits = [out[b]["fit"] for b in sorted(out)]
+    assert fits == sorted(fits)
+    # already-monotone input is untouched (fit == rate)
+    mono = spark.createDataFrame(
+        [(0.1, 0)] * 9 + [(0.1, 1)] + [(0.9, 1)] * 9 + [(0.9, 0)],
+        "score double, label int",
+    )
+    out = {r["bin"]: r for r in isotonic_calibration(mono, "score", "label", 10).collect()}
+    assert abs(out[1]["fit"] - 0.1) < 1e-6 and abs(out[9]["fit"] - 0.9) < 1e-6
+
+
+def test_stratified_effect_golden(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        stratified_effect,
+    )
+
+    # type-1 median of x = 0..9 (each twice) is the value at rank
+    # ceil(20/2) = 10, i.e. 4.0 -> low stratum {0..3}, high {4..9};
+    # treatment adds +1 below the boundary and +3 at/above it
+    rows = []
+    for i in range(10):
+        x = float(i)
+        base = 10.0 if i < 4 else 20.0
+        rows.append(("c", base, x))
+        rows.append(("t", base + (1.0 if i < 4 else 3.0), x))
+    df = spark.createDataFrame(rows, "variant string, y double, x double")
+    out = sorted(
+        stratified_effect(df, "variant", "y", "x", "c", "t", n_strata=2).collect(),
+        key=lambda r: r["stratum"],
+    )
+    assert len(out) == 2
+    lo, hi = out
+    assert abs(lo["diff"] - 1.0) < 1e-6 and abs(hi["diff"] - 3.0) < 1e-6
+    assert abs(lo["weight"] - 0.4) < 1e-6 and abs(hi["weight"] - 0.6) < 1e-6
+    assert lo["n_c"] == 4 and lo["n_t"] == 4
+    assert hi["n_c"] == 6 and hi["n_t"] == 6
