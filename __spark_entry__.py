@@ -7398,12 +7398,19 @@ bins AS (
 ),
 grid AS (SELECT CAST(t AS BIGINT) AS t FROM (VALUES {grid}) v(t)),
 agg AS (
-  SELECT t,
-    CAST(sum(CASE WHEN b >= t THEN np ELSE 0 END) AS BIGINT) AS tp,
-    CAST(sum(CASE WHEN b >= t THEN n - np ELSE 0 END) AS BIGINT) AS fp,
-    CAST(sum(CASE WHEN b < t THEN np ELSE 0 END) AS BIGINT) AS fn,
-    CAST(sum(CASE WHEN b < t THEN n - np ELSE 0 END) AS BIGINT) AS tn
-  FROM bins CROSS JOIN grid GROUP BY t
+  -- anchored on the GRID (LEFT JOIN + coalesce), mirroring
+  -- threshold_sweep's contract: empty/all-null input still yields one
+  -- zero-count row per requested threshold
+  SELECT g.t,
+    CAST(coalesce(sum(CASE WHEN b >= g.t THEN np ELSE 0 END), 0)
+         AS BIGINT) AS tp,
+    CAST(coalesce(sum(CASE WHEN b >= g.t THEN n - np ELSE 0 END), 0)
+         AS BIGINT) AS fp,
+    CAST(coalesce(sum(CASE WHEN b < g.t THEN np ELSE 0 END), 0)
+         AS BIGINT) AS fn,
+    CAST(coalesce(sum(CASE WHEN b < g.t THEN n - np ELSE 0 END), 0)
+         AS BIGINT) AS tn
+  FROM grid g LEFT JOIN bins ON TRUE GROUP BY g.t
 )
 SELECT CAST(t AS DOUBLE) / 1000.0 AS threshold, tp, fp, fn, tn,
   CASE WHEN tp + fp > 0 THEN
@@ -7416,8 +7423,10 @@ SELECT CAST(t AS DOUBLE) / 1000.0 AS threshold, tp, fp, fn, tn,
     floor(2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000.0 + 0.5)
     / 1000000.0
   END AS f1,
-  floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1000000.0 + 0.5)
-  / 1000000.0 AS accuracy
+  CASE WHEN tp + fp + fn + tn > 0 THEN
+    floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1000000.0 + 0.5)
+    / 1000000.0
+  END AS accuracy
 FROM agg
 """
 

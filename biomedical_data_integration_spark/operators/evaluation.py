@@ -644,7 +644,8 @@ def mann_whitney_u(
     distinct-value table (value, n_a, n_b) in one combinable groupBy,
     and average ranks come from a cumulative window over that table —
     ties share the mean rank by construction. Doubled rank-sums
-    (``2R`` so half-ranks stay integral) ride bigints, so U is exact;
+    (``2R`` so half-ranks stay integral) ride decimal(38,0) — they grow
+    as O(n^2), past int64 at ~3e9 pooled rows — so U is exact;
     the normal approximation ``z = (U - n_a n_b / 2) / sigma`` uses the
     tie-corrected variance ``sigma^2 = n_a n_b / 12 * ((n + 1) -
     sum(t^3 - t) / (n (n - 1)))`` (no continuity correction —
@@ -689,7 +690,13 @@ def mann_whitney_u(
     agg = ranked.agg(
         F.sum("__na").cast("bigint").alias("n_a"),
         F.sum("__nb").cast("bigint").alias("n_b"),
-        F.sum(F.col("__na") * F.col("__r2")).cast("bigint").alias("__r2a"),
+        # doubled rank-sum grows O(n^2) (up to n(n+1)) — ride
+        # decimal(38,0), not bigint, so "U is exact" holds past the
+        # ~3e9-pooled-row int64 ceiling (same contract as __ties below)
+        F.sum(
+            F.col("__na").cast("decimal(38,0)")
+            * F.col("__r2").cast("decimal(38,0)")
+        ).alias("__r2a"),
         # tie correction sum(t^3 - t) over runs; decimal headroom like
         # the moment sums elsewhere in this module
         F.sum(
@@ -764,20 +771,26 @@ def anova_oneway(
         )
     )
     # S_g^2 / n_g in quantized units^2, micro-quantized per group ->
-    # the k-term sum is an exact bigint sum in any order / any engine
+    # the k-term sum is an exact decimal sum in any order / any engine.
+    # decimal(38,0), NOT bigint: S_g^2/n_g*1e6 passes 2^63 around 1e8
+    # rows/group at metric mean ~10 (scale=2), and the non-ANSI
+    # double->bigint cast would silently saturate there, corrupting
+    # SSB/SSW/F; decimal carries magnitude to 1e38 (precision past 2^53
+    # is double-limited either way — same contract as the other
+    # floor-quantized double readouts in this module)
     term = F.floor(
         F.col("__s").cast("double")
         * F.col("__s").cast("double")
         / F.col("__n").cast("double")
         * F.lit(1e6)
         + F.lit(0.5)
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     agg = per.select("__n", "__s", "__ss", term.alias("__term")).agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("__n").cast("bigint").alias("n"),
         F.sum("__s").alias("__st"),
         F.sum("__ss").alias("__sst"),
-        F.sum("__term").cast("bigint").alias("__terms"),
+        F.sum("__term").alias("__terms"),
     )
     k = F.col("k").cast("double")
     n = F.col("n").cast("double")

@@ -1994,9 +1994,21 @@ def streaming_sequence_examples(
         allrows = pd.concat(batches, ignore_index=True).sort_values(
             [ts_col, tiebreak_col], kind="mergesort"
         )
-        deque: list = (
-            json.loads(state.get[0]) if state.exists and state.get[0] else []
-        )
+        deque: list = []
+        if state.exists and state.get[0]:
+            raw = state.get[0]
+            try:
+                parsed = json.loads(raw)
+                deque = (
+                    [str(x) for x in parsed]
+                    if isinstance(parsed, list)
+                    else raw.split("\x1f")
+                )
+            except json.JSONDecodeError:
+                # checkpoint written by the pre-JSON encoding ('\x1f'-
+                # joined items): fall back so an in-flight query resumes
+                # instead of dying; new state is written as JSON
+                deque = raw.split("\x1f")
         out = []
         for _, row in allrows.iterrows():
             item = str(row[item_col])
