@@ -8,14 +8,20 @@ driver-side similarity-flooding fixpoint, `bdikit` has nothing corpus-scale).
 Design for 100 TB:
 
 - **Lloyd's k-means** (:func:`kmeans`): centroids are k x dim doubles —
-  driver-sized for any practical k — so every iteration is ONE scan of the
-  corpus with the centroids shipped as array literals (constant-folded,
-  plan size independent of the corpus) and ONE tiny shuffle of k groups
-  for the centroid update (partial aggregation combines map-side; the
-  exchange carries k x dim doubles per partition, not rows). No corpus
-  shuffle, no cache requirement: each iteration re-scans the (columnar,
-  pruned) vector column, which at 1000 executors is bandwidth-parallel.
-  This is the same shape MLlib uses, expressed on plain arrays.
+  driver-held between iterations — so every iteration is ONE scan of the
+  corpus with the centroids shipped either as array literals (small k)
+  or as ONE broadcast single-row array-of-structs (large k; routed by
+  ``planning.centroid_assign_kernel`` — the literal form's plan is
+  O(k·dim) and re-codegens every iteration because the literal values
+  change, so above ``CENTROID_LITERAL_LIMIT`` the constant-shape
+  higher-order fold over the broadcast array takes over: plan size O(1)
+  in k, one codegen for the whole fit). Each iteration then runs ONE
+  tiny shuffle of k groups for the centroid update (partial aggregation
+  combines map-side; the exchange carries k x dim doubles per
+  partition, not rows). No corpus shuffle, no cache requirement: each
+  iteration re-scans the (columnar, pruned) vector column, which at
+  1000 executors is bandwidth-parallel. This is the same shape MLlib
+  uses, expressed on plain arrays.
 - **Determinism** (oracle-checkable): seeding picks the k lowest-id
   vectors (no RNG); distances round to ``config.SIMILARITY_SCALE``
   decimals BEFORE the argmin with cluster id as tiebreaker; updated
@@ -63,7 +69,13 @@ def _assign_expr(
 ) -> Column:
     """(cluster, dist2) struct for the nearest centroid: distances round
     to ``scale`` decimals before the argmin, ties break on cluster id —
-    struct ordering gives min by (dist2, cluster) in one expression."""
+    struct ordering gives min by (dist2, cluster) in one expression.
+
+    This is the LITERAL kernel (one inlined fold per centroid): plan
+    size O(k·dim) and re-codegen'd whenever the literal values change.
+    Use :func:`_with_assignment`, which routes through
+    ``planning.centroid_assign_kernel`` to the broadcast-join kernel
+    above ``CENTROID_LITERAL_LIMIT`` centroids."""
     return F.array_min(
         F.array(
             *[
@@ -74,6 +86,72 @@ def _assign_expr(
                 for i, c in enumerate(centroids)
             ]
         )
+    )
+
+
+def _with_assignment(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    scale: int,
+    out: str = "__a",
+    kernel: Optional[str] = None,
+) -> DataFrame:
+    """Append ``out`` = nearest-centroid ``struct(dist2, cluster)``,
+    choosing the kernel by ``planning.centroid_assign_kernel(k)``.
+
+    - ``literal``: :func:`_assign_expr` — k inlined constant folds.
+      Fastest for small k, but plan size grows O(k·dim) and k-means
+      recompiles it every iteration (the literals change).
+    - ``join``: centroids ship as ONE broadcast single-row
+      ``array<struct<cluster,cvec>>`` crossJoined on (broadcast
+      nested-loop against one row — no shuffle, no row explosion) and
+      the argmin is ``array_min(transform(...))`` over that runtime
+      array: plan shape CONSTANT in k, one codegen reused across all
+      iterations, per-row work the same O(k·dim) arithmetic. With
+      SemDeDup's auto-k (k ∝ n) this keeps the plan from growing with
+      the corpus — the 100 TB requirement (janino bails to interpreted
+      mode long before k=10k literal folds).
+
+    Both kernels round dist2 to ``scale`` decimals BEFORE the argmin
+    and tiebreak on cluster id, with identical left-to-right fold
+    order — assignments are bit-equal, so the SQL oracle is
+    kernel-agnostic."""
+    from biomedical_data_integration_spark import planning
+
+    if kernel is None:
+        kernel = planning.centroid_assign_kernel(len(centroids))
+    if kernel == "literal":
+        return df.withColumn(out, _assign_expr(F.col(vec_col), centroids, scale))
+    cents = df.sparkSession.createDataFrame(
+        [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)],
+        "__cents array<struct<cluster:int,cvec:array<double>>>",
+    )
+    assign = F.array_min(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            c["cvec"],
+                            lambda v, cc: (v.cast("double") - cc)
+                            * (v.cast("double") - cc),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    scale,
+                ).alias("dist2"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn(out, assign)
+        .drop("__cents")
     )
 
 
@@ -107,9 +185,13 @@ def _maxmin_seeds(
     dim = len(seeds[0])
     pool = df.where(F.size(F.col(vec_col)) == dim)
     while len(seeds) < k:
-        nearest = _assign_expr(F.col(vec_col), seeds, scale)["dist2"]
         row = (
-            pool.select(F.col(id_col), F.col(vec_col), nearest.alias("__d"))
+            _with_assignment(pool, vec_col, seeds, scale)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("__a")["dist2"].alias("__d"),
+            )
             .orderBy(F.desc("__d"), F.asc(id_col))
             .limit(1)
             .collect()
@@ -172,12 +254,10 @@ def kmeans(
     dim = len(centroids[0])
 
     for _ in range(max_iter):
-        assigned = df.select(
+        assigned = _with_assignment(df, vec_col, centroids, scale).select(
             F.col(id_col),
             F.col(vec_col).alias("__v"),
-            _assign_expr(F.col(vec_col), centroids, scale)["cluster"].alias(
-                "__cluster"
-            ),
+            F.col("__a")["cluster"].alias("__cluster"),
         )
         # centroid update: posexplode to (cluster, pos, val) then ONE
         # groupBy over k x dim keys. Same math as a k-row groupBy with
@@ -206,10 +286,7 @@ def kmeans(
             ] = float(r["__m"])
         centroids = [updated.get(i, centroids[i]) for i in range(k)]
 
-    final = df.select(
-        F.col(id_col),
-        _assign_expr(F.col(vec_col), centroids, scale).alias("__a"),
-    ).select(
+    final = _with_assignment(df, vec_col, centroids, scale).select(
         id_col,
         F.col("__a")["cluster"].alias("cluster"),
         F.col("__a")["dist2"].alias("dist2"),
@@ -319,10 +396,20 @@ def assign_clusters(
         scale = config.SIMILARITY_SCALE
     if not centroids:
         raise ValueError("assign_clusters: centroids must be non-empty")
-    a = _assign_expr(F.col(vec_col), centroids, scale)
-    return df.withColumns(
-        {"cluster": a["cluster"], "dist2": a["dist2"]}
-    )
+    # streaming face stays on the literal kernel regardless of k: a
+    # stream-batch crossJoin is legal but the pure projection keeps the
+    # operator stateless/shuffle-free in a streaming plan; batch callers
+    # with large k should go through kmeans/_with_assignment
+    if df.isStreaming:
+        a = _assign_expr(F.col(vec_col), centroids, scale)
+        return df.withColumns({"cluster": a["cluster"], "dist2": a["dist2"]})
+    out = _with_assignment(df, vec_col, centroids, scale)
+    return out.withColumns(
+        {
+            "cluster": F.col("__a")["cluster"],
+            "dist2": F.col("__a")["dist2"],
+        }
+    ).drop("__a")
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,23 @@ Scale rationale for the defaults:
   ~10k entries bloats the codegen'd plan (constant-folding cost grows
   superlinearly); larger dictionaries compile to a broadcast LEFT join
   with identical missing->null semantics.
+- ``CENTROID_LITERAL_LIMIT`` (4 centroids): nearest-centroid
+  assignment inlines one zip_with/aggregate fold PER CENTROID when the
+  centroids ride as literals — plan size O(k·dim), and k-means
+  re-codegens it EVERY iteration because the literal values change
+  (the changing-literal churn trap). Above the limit the centroids
+  ship as ONE broadcast single-row array-of-structs and the argmin is
+  a constant-shape higher-order fold: plan size O(1) in k, one codegen
+  reused across iterations, and with SemDeDup's auto-k (k ∝ n) the
+  PLAN no longer grows with the corpus. Arithmetic is identical
+  (rounded dist2, cluster-id tiebreak), so assignments are bit-equal
+  across kernels. The limit is low on purpose: measured at sf0.1
+  (n=2k, dim=64, 3-iteration fits, tools/bench_centroid_kernel.py)
+  the join kernel wins from k=8 (3.8s vs 5.6s), 2.5x at k=20, 4.9x at
+  k=200, with FLAT per-(row·k) cost (28-79 us) where the literal
+  kernel pays codegen churn per iteration — churn, not per-row math,
+  dominates small-k fits. Only trivial k<=4 (binary splits, stream
+  faces) stays on the pure-projection literal form.
 """
 
 from __future__ import annotations
@@ -52,6 +69,7 @@ EXACT_PAIR_LIMIT = 2_000_000
 BRUTE_VECTOR_LIMIT = 20_000
 DRIVER_EDGE_LIMIT = 1_000_000
 LITERAL_DICT_LIMIT = 10_000
+CENTROID_LITERAL_LIMIT = 4
 
 
 def _resolve(limit: Optional[int], default: int) -> int:
@@ -95,3 +113,11 @@ def dict_mapper_kernel(n_entries: int, limit: Optional[int] = None) -> str:
     ``"broadcast_join"``."""
     lim = _resolve(limit, LITERAL_DICT_LIMIT)
     return "literal" if n_entries <= lim else "broadcast_join"
+
+
+def centroid_assign_kernel(k: int, limit: Optional[int] = None) -> str:
+    """``"literal"`` per-centroid inlined folds for small k, else
+    ``"join"`` (broadcast single-row centroid table + constant-shape
+    higher-order argmin)."""
+    lim = _resolve(limit, CENTROID_LITERAL_LIMIT)
+    return "literal" if k <= lim else "join"
