@@ -899,6 +899,314 @@ def isotonic_calibration(
     )
 
 
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two categorical
+    labelings of the same units — the standard inter-annotator (or
+    model-vs-heuristic) agreement readout an LLM-eval pipeline needs
+    before trusting a cheap auto-rater against a gold rater.
+
+    Exact integer form: with n units, ``agree`` the count of matching
+    pairs, and per-category marginals ``na_k`` / ``nb_k``,
+    ``kappa = (n·agree - Σ_k na_k·nb_k) / (n² - Σ_k na_k·nb_k)`` —
+    every term an order-free integer sum (marginal products ride
+    decimal(38,0)), ONE double division at read-out. NULL kappa when
+    the denominator is 0 (both raters constant).
+
+    Returns one row ``(n, agree, po, pe, kappa)`` — po/pe/kappa
+    floor-quantized to 6.
+
+    Scale shape: one corpus scan -> two combinable groupBys (pair
+    agreement count + per-rater marginals on category-sized tables),
+    one category-keyed inner join of the two marginal tables.
+    """
+    base = df.where(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(rater_a_col).cast("string").alias("__a"),
+        F.col(rater_b_col).cast("string").alias("__b"),
+    )
+    counts = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("bigint"))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ma = base.groupBy(F.col("__a").alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__na")
+    )
+    mb = base.groupBy(F.col("__b").alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nb")
+    )
+    cross = ma.join(mb, "__k").agg(
+        F.coalesce(
+            F.sum(
+                F.col("__na").cast("decimal(38,0)")
+                * F.col("__nb").cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__pe_num")
+    )
+    agg = counts.crossJoin(F.broadcast(cross))
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("__pe_num").cast("double") / (n * n)
+    num = n * F.col("agree").cast("double") - F.col("__pe_num").cast("double")
+    den = n * n - F.col("__pe_num").cast("double")
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n",
+        "agree",
+        F.when(F.col("n") > 0, q6(po)).alias("po"),
+        F.when(F.col("n") > 0, q6(pe)).alias("pe"),
+        F.when(den > 0, q6(num / den)).alias("kappa"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the ``value_col`` distributions
+    of the two sides of boolean ``split_col`` — the bounded, symmetric
+    sibling of the PSI/KS drift monitors (JSD is always in [0, ln 2],
+    defined even where a bin is empty on one side, where PSI blows up).
+
+    Equal-width binning on [lo, hi) with clamped edges (same contract
+    as calibration_report); per-bin probabilities p_i / q_i; ``JSD =
+    ½·Σ p_i·ln(p_i/m_i) + ½·Σ q_i·ln(q_i/m_i)`` with ``m = (p+q)/2``
+    and 0·ln(0/x) = 0. Each bin's contribution is floor-quantized to
+    1e-9 BEFORE the cross-bin sum (the order-free multi-term float
+    contract this module uses everywhere), so the readout is
+    bit-stable under any partitioning and engine.
+
+    Returns one row per bin plus the readout columns repeated:
+    ``(bin, n_a, n_b, p_a, p_b, jsd)`` — jsd identical on every row
+    (window total), p/jsd floor-quantized to 6.
+
+    Scale shape: one corpus scan -> one combinable bin-keyed groupBy
+    (n_bins keys), window total over the bin-sized table.
+    """
+    if n_bins < 1:
+        raise ValueError("js_divergence: n_bins must be >= 1")
+    x = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    side = F.col(split_col).cast("boolean")
+    per = (
+        df.where(x.isNotNull() & side.isNotNull())
+        .select(b.alias("bin"), side.cast("int").alias("__s"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.lit(1) - F.col("__s")).cast("bigint").alias("n_a"),
+            F.sum("__s").cast("bigint").alias("n_b"),
+        )
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(tot).alias("__ta"),
+        F.sum("n_b").over(tot).alias("__tb"),
+    )
+    p = F.col("n_a").cast("double") / F.col("__ta").cast("double")
+    q = F.col("n_b").cast("double") / F.col("__tb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when((F.col("n_a") > 0) & (m > 0), p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when((F.col("n_b") > 0) & (m > 0), q * F.log(q / m)).otherwise(
+            F.lit(0.0)
+        )
+    ) / F.lit(2.0)
+    qterm = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return staged.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.when(F.col("__ta") > 0, q6(p)).alias("p_a"),
+        F.when(F.col("__tb") > 0, q6(q)).alias("p_b"),
+        q6(
+            F.sum(qterm).over(tot).cast("double") / F.lit(1e9)
+        ).alias("jsd"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two columns: Pearson on
+    tie-averaged ranks — the monotonic-dependence readout that survives
+    the heavy tails Pearson can't (revenue vs engagement metrics).
+
+    Exact tie handling without a per-row window: each column collapses
+    to its distinct-(quantized-)value table, average ranks come from a
+    cumulative sum over that table (doubled so half-ranks stay
+    integral, the mann_whitney_u device), and rows re-join their ranks
+    through two value-keyed joins. All five sufficient statistics
+    (Σ2ra, Σ2rb, Σ2ra·2rb, Σ(2ra)², Σ(2rb)²) ride decimal(38,0) —
+    exact at any n — with ONE double readout: ``rho = (n·Σxy - Σx·Σy)
+    / sqrt((n·Σxx - Σx²)(n·Σyy - Σy²))``.
+
+    Returns one row ``(n, rho)``, rho floor-quantized to 6; NULL when
+    either side is constant or n < 2.
+
+    Scale shape: one scan -> two distinct-value groupBys + windows on
+    value-sized tables, two value-keyed joins back, one aggregate.
+    """
+    s = 10 ** scale
+
+    def _q(c: str):
+        return F.floor(
+            F.col(c).cast("double") * F.lit(float(s)) + F.lit(0.5)
+        ).cast("bigint")
+
+    base = df.where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(_q(a_col).alias("__va"), _q(b_col).alias("__vb"))
+
+    def _ranks(col: str):
+        vals = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__t")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return vals.select(
+            col,
+            (
+                F.lit(2)
+                * F.coalesce(
+                    F.sum("__t").over(w), F.lit(0).cast("bigint")
+                )
+                + F.col("__t")
+                + F.lit(1)
+            ).alias(f"__r{col[-1]}"),
+        )
+
+    ranked = base.join(_ranks("__va"), "__va").join(_ranks("__vb"), "__vb")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d("__ra")).alias("__sa"),
+        F.sum(d("__rb")).alias("__sb"),
+        F.sum(d("__ra") * d("__rb")).alias("__sab"),
+        F.sum(d("__ra") * d("__ra")).alias("__saa"),
+        F.sum(d("__rb") * d("__rb")).alias("__sbb"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    cov = n * F.col("__sab").cast("double") - sa * sb
+    va = n * F.col("__saa").cast("double") - sa * sa
+    vb = n * F.col("__sbb").cast("double") - sb * sb
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (va > 0) & (vb > 0),
+            q6(cov / F.sqrt(va * vb)),
+        ).alias("rho"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-square goodness-of-fit of the
+    observed variant counts against the DESIGNED allocation — the
+    first sanity gate on any A/B readout (a biased splitter invalidates
+    ab_test_report/cuped before any effect math runs).
+
+    ``expected`` maps variant value -> designed share (must sum to ~1).
+    ``chi2 = Σ (obs_k - n·share_k)² / (n·share_k)``; each variant's
+    term is floor-quantized to micro-units BEFORE the cross-variant
+    sum (order-free, the module contract). Variants outside
+    ``expected`` raise — a typo'd allocation silently passing is the
+    failure mode this guard exists for.
+
+    Returns one row per variant plus readout columns repeated:
+    ``(variant, n_obs, n_expected, chi2, df)`` — chi2 quantized to 6,
+    df = len(expected) - 1.
+
+    Scale shape: one scan -> one variant-keyed combinable groupBy
+    (variant-count keys), window total on the variant-sized table.
+    """
+    if not expected:
+        raise ValueError("srm_check: expected allocation must be non-empty")
+    tot_share = sum(expected.values())
+    if abs(tot_share - 1.0) > 1e-9:
+        raise ValueError(
+            f"srm_check: expected shares sum to {tot_share!r}, not 1"
+        )
+    per = (
+        df.where(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("variant"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    share = F.create_map(
+        *[
+            x
+            for k, v in sorted(expected.items())
+            for x in (F.lit(str(k)), F.lit(float(v)))
+        ]
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per.select(
+        "variant",
+        "n_obs",
+        F.element_at(share, F.col("variant")).alias("__share"),
+        F.sum("n_obs").over(tot).alias("__n"),
+    )
+    exp = F.col("__n").cast("double") * F.col("__share")
+    dev = F.col("n_obs").cast("double") - exp
+    term = F.floor(dev * dev / exp * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out = staged.select(
+        "variant",
+        "n_obs",
+        q6(exp).alias("n_expected"),
+        q6(F.sum(term).over(tot).cast("double") / F.lit(1e6)).alias("chi2"),
+        F.lit(len(expected) - 1).cast("int").alias("df"),
+        F.col("__share").alias("__sh"),
+    )
+    # unknown variant -> null share -> null expected: fail loudly
+    return out.withColumn(
+        "__guard",
+        F.when(
+            F.col("__sh").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("srm_check: variant not in expected allocation: "),
+                    F.col("variant"),
+                )
+            ),
+        ),
+    ).drop("__guard", "__sh")
+
+
 def stratified_effect(
     df: DataFrame,
     variant_col: str,

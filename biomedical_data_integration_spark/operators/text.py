@@ -206,6 +206,95 @@ def corpus_vocabulary(
     )
 
 
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity scores: type-token ratio, root TTR
+    (Guiraud), and Herdan's C — the corpus-health signals that catch
+    degenerate/templated documents a raw token count misses (TTR
+    collapses on keyword-stuffed spam even when length looks fine).
+
+    Pure expression projection over the shared tokenizer (no shuffle,
+    no UDF): ``ttr = V/N``, ``root_ttr = V/sqrt(N)``, ``herdan_c =
+    ln(V)/ln(N)`` with V = distinct tokens, N = tokens; all NULL for
+    empty documents, herdan_c NULL when N = 1 (ln 1 = 0). Quantized to
+    6 like every scored projection in this module.
+
+    Returns ``(id_col, n_tokens, n_types, ttr, root_ttr, herdan_c)``.
+    """
+    staged = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks").cast("bigint")
+    v = F.size(F.array_distinct("__toks")).cast("bigint")
+    nd = n.cast("double")
+    vd = v.cast("double")
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return staged.select(
+        id_col,
+        n.alias("n_tokens"),
+        v.alias("n_types"),
+        F.when(n > 0, q6(vd / nd)).alias("ttr"),
+        F.when(n > 0, q6(vd / F.sqrt(nd))).alias("root_ttr"),
+        F.when(n > 1, q6(F.log(vd) / F.log(nd))).alias("herdan_c"),
+    )
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate: how many distinct terms the
+    corpus WOULD show at infinite sampling — the coverage readout that
+    says whether a crawl has saturated its domain's vocabulary (term
+    accumulation still climbing => keep crawling).
+
+    Bias-corrected Chao1 (Chao '84/'87): ``V + f1·(f1-1) / (2·(f2+1))``
+    with V = observed distinct terms, f1/f2 = terms seen exactly
+    once/twice — defined even when f2 = 0. Also reports Good-Turing
+    sample coverage ``1 - f1/N``. Integer inputs, one double readout
+    each, floor-quantized to 6.
+
+    Returns one row ``(n_tokens, n_types, f1, f2, chao1, coverage)``.
+
+    Scale shape: one scan -> term-count groupBy (map-side combinable,
+    distinct-term keys) -> one aggregate; no sort, no window.
+    """
+    terms = df.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("__t")
+    )
+    counts = terms.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    agg = counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.coalesce(
+            F.sum((F.col("__c") == 1).cast("bigint")), F.lit(0).cast("bigint")
+        ).alias("f1"),
+        F.coalesce(
+            F.sum((F.col("__c") == 2).cast("bigint")), F.lit(0).cast("bigint")
+        ).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.col("n_types").cast("double") + f1 * (f1 - 1) / (
+        F.lit(2.0) * (f2 + 1)
+    )
+    cov = F.lit(1.0) - f1 / F.col("n_tokens").cast("double")
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        q6(chao1).alias("chao1"),
+        F.when(F.col("n_tokens") > 0, q6(cov)).alias("coverage"),
+    )
+
+
 # PII patterns kept to syntax valid in both Java regex (Spark) and RE2-ish
 # engines (DuckDB): no backrefs, no lookbehind.
 PII_PATTERNS = {

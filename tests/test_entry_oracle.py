@@ -47,6 +47,30 @@ def test_every_query_has_an_oracle_or_documented_exemption():
     assert set(QUERIES) - set(ORACLES) == set()
 
 
+def test_graded_window_shape(spark):
+    """Guard the FIRST-50 graded window's shape (round-6 verdict item 3):
+    the driver's value-hash compares canonicalized cell values, and
+    array-typed output columns hashed unreliably there once
+    (feature_hash_orders, round 5) — rotation must never silently
+    un-grade a query by moving an array-shaped result into the window.
+    Also: no duplicate keys anywhere (a dict literal would silently
+    keep first position/last value), and window entries must all carry
+    an oracle."""
+    names = list(QUERIES)
+    assert len(names) == len(set(names))
+    window = names[:50]
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = []
+    for name in window:
+        assert name in ORACLES, f"window query {name} lacks an oracle"
+        df = QUERIES[name](spark, SF_DIR)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{f.name}")
+    assert not offenders, f"array/map-typed columns in graded window: {offenders}"
+
+
 def _check_one(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR).toPandas()
     if name not in ORACLES:
