@@ -1174,37 +1174,35 @@ def srm_check(
     tot = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # unknown variant -> null share: fail loudly. The guard is FOLDED
+    # into the retained share expression — a separate dropped guard
+    # column would be pruned by the optimizer and never evaluate.
+    share_checked = F.when(
+        F.element_at(share, F.col("variant")).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("srm_check: variant not in expected allocation: "),
+                F.col("variant"),
+            )
+        ).cast("double"),
+    ).otherwise(F.element_at(share, F.col("variant")))
     staged = per.select(
         "variant",
         "n_obs",
-        F.element_at(share, F.col("variant")).alias("__share"),
+        share_checked.alias("__share"),
         F.sum("n_obs").over(tot).alias("__n"),
     )
     exp = F.col("__n").cast("double") * F.col("__share")
     dev = F.col("n_obs").cast("double") - exp
     term = F.floor(dev * dev / exp * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    out = staged.select(
+    return staged.select(
         "variant",
         "n_obs",
         q6(exp).alias("n_expected"),
         q6(F.sum(term).over(tot).cast("double") / F.lit(1e6)).alias("chi2"),
         F.lit(len(expected) - 1).cast("int").alias("df"),
-        F.col("__share").alias("__sh"),
     )
-    # unknown variant -> null share -> null expected: fail loudly
-    return out.withColumn(
-        "__guard",
-        F.when(
-            F.col("__sh").isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("srm_check: variant not in expected allocation: "),
-                    F.col("variant"),
-                )
-            ),
-        ),
-    ).drop("__guard", "__sh")
 
 
 def stratified_effect(

@@ -543,3 +543,112 @@ def test_stratified_effect_golden(spark):
     assert abs(lo["weight"] - 0.4) < 1e-6 and abs(hi["weight"] - 0.6) < 1e-6
     assert lo["n_c"] == 4 and lo["n_t"] == 4
     assert hi["n_c"] == 6 and hi["n_t"] == 6
+
+
+def test_cohen_kappa_golden(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        cohen_kappa,
+    )
+
+    # classic 2x2: n=10, agree=7; marginals a: 6 hi/4 lo, b: 5 hi/5 lo
+    # pe_num = 6*5 + 4*5 = 50; kappa = (10*7 - 50) / (100 - 50) = 0.4
+    rows = (
+        [("hi", "hi")] * 4 + [("hi", "lo")] * 2
+        + [("lo", "hi")] * 1 + [("lo", "lo")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["agree"]) == (10, 7)
+    assert abs(r["po"] - 0.7) < 1e-6
+    assert abs(r["pe"] - 0.5) < 1e-6
+    assert abs(r["kappa"] - 0.4) < 1e-6
+    # constant raters: denominator 0 -> kappa NULL
+    const = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
+    r = cohen_kappa(const, "a", "b").collect()[0]
+    assert r["kappa"] is None and r["po"] == 1.0
+
+
+def test_js_divergence_golden_and_bounds(spark):
+    import math
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        js_divergence,
+    )
+
+    # side A all in bin 0, side B all in bin 9: maximal JSD = ln 2
+    rows = [(1.0, False)] * 5 + [(490.0, True)] * 5
+    df = spark.createDataFrame(rows, "value double, is_b boolean")
+    out = js_divergence(df, "value", "is_b", n_bins=10, lo=0.0, hi=500.0)
+    r = out.collect()
+    assert len(r) == 2
+    assert all(abs(x["jsd"] - math.log(2)) < 1e-5 for x in r)
+    # identical distributions -> JSD 0
+    same = spark.createDataFrame(
+        [(100.0, False), (100.0, True)], "value double, is_b boolean"
+    )
+    r0 = js_divergence(same, "value", "is_b").collect()[0]
+    assert abs(r0["jsd"]) < 1e-9
+
+
+def test_spearman_corr_golden(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        spearman_corr,
+    )
+
+    # perfectly monotone (nonlinear) relation -> rho = 1
+    rows = [(1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 100.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = spearman_corr(df, "a", "b").collect()[0]
+    assert r["n"] == 4 and abs(r["rho"] - 1.0) < 1e-6
+    # reversed -> rho = -1
+    rev = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 4.0), (3.0, 1.0)], "a double, b double"
+    )
+    r = spearman_corr(rev, "a", "b").collect()[0]
+    assert abs(r["rho"] + 1.0) < 1e-6
+    # constant side -> NULL
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "a double, b double"
+    )
+    assert spearman_corr(const, "a", "b").collect()[0]["rho"] is None
+    # ties share average ranks: a=(1,2,2,3), b=(1,2,3,4) -> rho from
+    # ranks (1, 2.5, 2.5, 4) vs (1, 2, 3, 4)
+    tied = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)], "a double, b double"
+    )
+    r = tied.transform(lambda d: spearman_corr(d, "a", "b")).collect()[0]
+    import math
+
+    ra, rb = [1, 2.5, 2.5, 4], [1, 2, 3, 4]
+    n = 4
+    sa, sb = sum(ra), sum(rb)
+    sab = sum(x * y for x, y in zip(ra, rb))
+    saa, sbb = sum(x * x for x in ra), sum(y * y for y in rb)
+    rho = (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    assert abs(r["rho"] - rho) < 1e-6
+
+
+def test_srm_check_golden_and_unknown_variant(spark):
+    import pytest
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        srm_check,
+    )
+
+    rows = [("A",)] * 60 + [("B",)] * 40
+    df = spark.createDataFrame(rows, "variant string")
+    out = srm_check(df, "variant", {"A": 0.5, "B": 0.5}).collect()
+    by = {r["variant"]: r for r in out}
+    assert by["A"]["n_obs"] == 60 and by["A"]["n_expected"] == 50.0
+    # chi2 = (60-50)^2/50 + (40-50)^2/50 = 4.0
+    assert all(abs(r["chi2"] - 4.0) < 1e-6 for r in out)
+    assert all(r["df"] == 1 for r in out)
+    # shares must sum to 1
+    with pytest.raises(ValueError):
+        srm_check(df, "variant", {"A": 0.5})
+    # unknown variant fails loudly at execution
+    bad = spark.createDataFrame([("A",), ("C",)], "variant string")
+    with pytest.raises(Exception, match="not in expected allocation"):
+        srm_check(bad, "variant", {"A": 0.5, "B": 0.5}).collect()

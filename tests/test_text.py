@@ -511,3 +511,42 @@ def test_zipf_alpha_golden_and_degenerate(spark):
     df2 = spark.createDataFrame([(0, "x y z")], "doc_id bigint, text string")
     r2 = zipf_alpha(df2, top_k=3).collect()[0]
     assert r2["alpha"] is None and r2["c_max"] == r2["c_min"] == 1
+
+
+def test_lexical_diversity_golden(spark):
+    from biomedical_data_integration_spark.operators.text import (
+        lexical_diversity,
+    )
+
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "x"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_types"]) == (4, 3)
+    assert abs(r1["ttr"] - 0.75) < 1e-6
+    assert abs(r1["root_ttr"] - 3 / math.sqrt(4)) < 1e-6
+    assert abs(r1["herdan_c"] - math.log(3) / math.log(4)) < 1e-6
+    # single token: herdan undefined (ln 1 = 0 denominator)
+    assert out[2]["ttr"] == 1.0 and out[2]["herdan_c"] is None
+    # empty doc: all ratios NULL
+    assert out[3]["n_tokens"] == 0 and out[3]["ttr"] is None
+
+
+def test_chao1_richness_golden(spark):
+    from biomedical_data_integration_spark.operators.text import (
+        chao1_richness,
+    )
+
+    # counts: a->3, b->2, c->1, d->1  => V=4, f1=2, f2=1
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c d")], "doc_id int, text string"
+    )
+    r = chao1_richness(df).collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    # chao1 = 4 + 2*1/(2*2) = 4.5 ; coverage = 1 - 2/7
+    assert abs(r["chao1"] - 4.5) < 1e-6
+    assert abs(r["coverage"] - (1 - 2 / 7)) < 1e-6
