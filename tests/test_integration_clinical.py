@@ -138,3 +138,23 @@ def test_training_data_pipeline_composition(spark, tmp_path):
     manifest = write_training_shards(deduped, out, shard_tokens=2_000,
                                      text_col="text", id_col="id")
     assert sum(m["n_docs"] for m in manifest) == n_clean
+
+
+def test_getting_started_example_runs(spark):
+    """The shipped examples/getting-started.py walkthrough (the
+    reference's getting-started.ipynb flow) must stay runnable."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "getting-started.py",
+    )
+    spec = importlib.util.spec_from_file_location("getting_started", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    harmonized = mod.run(spark)
+    assert harmonized.columns == ["gender", "bmi", "ethnicity", "figo_stage"]
+    got = {tuple(r) for r in harmonized.collect()}
+    assert ("female", 38.88, "hispanic or latino", "Stage IA") in got
