@@ -20,6 +20,7 @@ from biomedical_data_integration_spark.api import (
     split_value_matches,
     top_matches,
     top_value_matches,
+    ValueMatchEditor,
     view_value_matches,
 )
 from biomedical_data_integration_spark.plans.mappers import (
@@ -73,5 +74,6 @@ __all__ = [
     "split_value_matches",
     "top_matches",
     "top_value_matches",
+    "ValueMatchEditor",
     "view_value_matches",
 ]

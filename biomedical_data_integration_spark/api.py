@@ -155,12 +155,122 @@ def split_value_matches(matches: DataFrame) -> Dict[tuple, DataFrame]:
     }
 
 
-def view_value_matches(matches: DataFrame, n: int = 50) -> None:
-    """Notebook display helper (``bdikit/api.py:291-330`` renders a Panel
-    widget; engine-side this is a grouped console view)."""
+class ValueMatchEditor:
+    """Review-and-edit surface for value-match results — the engine's
+    counterpart of the reference's editable Tabulator widget
+    (``bdikit/api.py:291-330`` with ``edit=True``).
+
+    Matches collect driver-side (value-match results are
+    vocabulary-sized) into per-``(source_column, target_column)`` groups.
+    Edits happen either interactively (ipywidgets text inputs per row,
+    WHEN ipywidgets is importable in a notebook) or programmatically via
+    :meth:`set` / :meth:`drop` — the API tests and headless pipelines
+    use. :meth:`to_mapping_spec` emits the edited plan in the exact
+    ``MappingSpecLike`` shape :func:`merge_mappings` consumes.
+    """
+
+    def __init__(self, matches: DataFrame):
+        rows = (
+            matches.select(
+                "source_column", "target_column", "source_value",
+                "target_value", "similarity",
+            )
+            .orderBy(
+                "source_column", "target_column",
+                F.desc_nulls_last("similarity"), "source_value",
+            )
+            .collect()
+        )
+        self._groups: dict = {}
+        for r in rows:
+            key = (r["source_column"], r["target_column"])
+            self._groups.setdefault(key, {})[r["source_value"]] = (
+                r["target_value"],
+                r["similarity"],
+            )
+
+    def groups(self):
+        """The ``(source_column, target_column)`` pairs under review."""
+        return sorted(self._groups)
+
+    def set(self, source_col: str, target_col: str,
+            source_value: str, target_value: str) -> "ValueMatchEditor":
+        """Override (or add) one value mapping; chainable."""
+        key = (source_col, target_col)
+        if key not in self._groups:
+            raise KeyError(f"no match group {key!r}; groups: {self.groups()}")
+        old = self._groups[key].get(source_value, (None, None))
+        self._groups[key][source_value] = (target_value, old[1])
+        return self
+
+    def drop(self, source_col: str, target_col: str,
+             source_value: str) -> "ValueMatchEditor":
+        """Remove one source value from the mapping (it will pass through
+        as unmatched); chainable."""
+        key = (source_col, target_col)
+        if key not in self._groups:
+            raise KeyError(f"no match group {key!r}; groups: {self.groups()}")
+        self._groups[key].pop(source_value, None)
+        return self
+
+    def to_mapping_spec(self):
+        """The edited plan as ``MappingSpecLike`` — feed straight into
+        :func:`merge_mappings` / :func:`materialize_mapping`. Unmatched
+        (null-target) values are excluded, mirroring how the reference's
+        harmonization spec drops NaN matches."""
+        spec = []
+        for (s, t), vals in sorted(self._groups.items()):
+            matches = [
+                (sv, tv)
+                for sv, (tv, _sim) in sorted(vals.items())
+                if tv is not None
+            ]
+            spec.append({"source": s, "target": t, "matches": matches})
+        return spec
+
+    def _ipython_display_(self):  # pragma: no cover - notebook path
+        try:
+            import ipywidgets as widgets
+            from IPython.display import display
+        except ImportError:
+            for (s, t), vals in sorted(self._groups.items()):
+                print(f"** {s} -> {t} **")
+                for sv, (tv, sim) in sorted(vals.items()):
+                    print(f"  {sv!r} -> {tv!r} (sim={sim})")
+            return
+        boxes = []
+        for (s, t), vals in sorted(self._groups.items()):
+            rows = [widgets.HTML(f"<b>{s} &rarr; {t}</b>")]
+            for sv, (tv, sim) in sorted(vals.items()):
+                text = widgets.Text(value="" if tv is None else str(tv),
+                                    description=str(sv))
+
+                def _mk(key, source_value):
+                    def _on_change(change):
+                        old = self._groups[key].get(source_value, (None, None))
+                        self._groups[key][source_value] = (
+                            change["new"] or None, old[1]
+                        )
+                    return _on_change
+
+                text.observe(_mk((s, t), sv), names="value")
+                rows.append(text)
+            boxes.append(widgets.VBox(rows))
+        display(widgets.VBox(boxes))
+
+
+def view_value_matches(matches: DataFrame, edit: bool = False, n: int = 50):
+    """Value-match review (``bdikit/api.py:291-330``): grouped console
+    view by default; with ``edit=True`` returns a
+    :class:`ValueMatchEditor` (ipywidgets in a notebook, programmatic
+    ``set``/``drop`` anywhere) whose :meth:`~ValueMatchEditor.to_mapping_spec`
+    feeds :func:`merge_mappings`."""
+    if edit:
+        return ValueMatchEditor(matches)
     matches.orderBy(
         "source_column", "target_column", F.desc("similarity")
     ).show(n, truncate=False)
+    return None
 
 
 def preview_domain(

@@ -110,17 +110,43 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return img[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
 
 
+def _pil_decode(b: bytes):
+    """Optional-dependency leg: decode compressed codecs (JPEG/PNG/GIF/
+    WebP/...) through Pillow WHEN it is importable on the executor;
+    returns None when Pillow is absent so the caller can raise the
+    stdlib-path guidance error instead. Import is lazy and per-call-site
+    cached by Python's module cache — no import cost on the stdlib path."""
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(b))
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB" if ("A" in img.mode or len(img.mode) > 1) else "L")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 def decode_image(b: bytes) -> np.ndarray:
-    """Decode PPM/PGM/BMP bytes to a ``(H, W, C) uint8`` array
-    (C=1 grayscale, C=3 RGB). Raises ValueError on unknown payloads."""
+    """Decode image bytes to a ``(H, W, C) uint8`` array (C=1 grayscale,
+    C=3 RGB). PPM/PGM/BMP decode dependency-free (stdlib/numpy, the
+    deterministic contract the oracles rely on); other magics fall
+    through to Pillow when it is installed on executors, else raise
+    ValueError with guidance."""
     b = bytes(b)
     if b[:2] in (b"P5", b"P6"):
         return _decode_pnm(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    pil = _pil_decode(b)
+    if pil is not None:
+        return pil
     raise ValueError(
-        f"unsupported image payload (magic {b[:2]!r}); the real decoder "
-        "handles PPM/PGM/BMP — compressed codecs need PIL on executors"
+        f"unsupported image payload (magic {b[:2]!r}); the dependency-free "
+        "decoder handles PPM/PGM/BMP — compressed codecs (JPEG/PNG/...) "
+        "decode automatically when Pillow is installed on executors"
     )
 
 
@@ -160,10 +186,36 @@ def image_stat_features(img: np.ndarray) -> List[float]:
 # ----------------------------------------------------------------- audio
 
 
+def _soundfile_decode(b: bytes):
+    """Optional-dependency leg: decode compressed audio (FLAC/OGG/...)
+    through soundfile WHEN importable on the executor; returns None when
+    absent so the caller raises the stdlib-path guidance error."""
+    try:
+        import soundfile as sf  # type: ignore
+    except ImportError:
+        return None
+    data, sr = sf.read(io.BytesIO(b), dtype="float64", always_2d=True)
+    return int(sr), int(data.shape[1]), data
+
+
 def decode_wav(b: bytes) -> Tuple[int, int, np.ndarray]:
-    """Parse integer-PCM WAV bytes with stdlib ``wave``: returns
+    """Parse audio bytes: integer-PCM WAV decodes dependency-free with
+    stdlib ``wave`` (the deterministic contract the oracles rely on);
+    non-WAV payloads (FLAC/OGG/...) fall through to soundfile when it is
+    installed on executors, else raise with guidance. Returns
     ``(sample_rate, n_channels, samples)`` where samples is float64 in
     [-1, 1], shape ``(n_frames, n_channels)``."""
+    raw_b = bytes(b)
+    if raw_b[:4] != b"RIFF":
+        decoded = _soundfile_decode(raw_b)
+        if decoded is not None:
+            return decoded
+        raise ValueError(
+            f"unsupported audio payload (magic {raw_b[:4]!r}); the "
+            "dependency-free decoder handles integer-PCM WAV — compressed "
+            "codecs (FLAC/OGG/...) decode automatically when soundfile is "
+            "installed on executors"
+        )
     with wave.open(io.BytesIO(bytes(b)), "rb") as wf:
         sr = wf.getframerate()
         nch = wf.getnchannels()

@@ -158,3 +158,38 @@ def test_getting_started_example_runs(spark):
     assert harmonized.columns == ["gender", "bmi", "ethnicity", "figo_stage"]
     got = {tuple(r) for r in harmonized.collect()}
     assert ("female", 38.88, "hispanic or latino", "Stage IA") in got
+
+
+def test_view_value_matches_edit_roundtrip(spark, clinical):
+    """edit=True returns an editor whose edited spec round-trips through
+    merge_mappings -> materialize_mapping (the reference's editable
+    Tabulator semantics, bdikit/api.py:291-330)."""
+    vmatches = bdi.match_values(
+        clinical, "gdc", [("Ethnicity", "ethnicity")], method="tfidf"
+    )
+    editor = bdi.view_value_matches(vmatches, edit=True)
+    assert editor.groups() == [("Ethnicity", "ethnicity")]
+    # the analyst overrides one computed match and drops another
+    editor.set("Ethnicity", "ethnicity", "Not reported", "unknown")
+    editor.drop("Ethnicity", "ethnicity", "Hispanic or Latino")
+    spec = editor.to_mapping_spec()
+    assert spec == [
+        {
+            "source": "Ethnicity",
+            "target": "ethnicity",
+            "matches": [
+                ("Not reported", "unknown"),
+                ("Not-Hispanic or Latino", "not hispanic or latino"),
+            ],
+        }
+    ]
+    plan = bdi.merge_mappings(spec)
+    out = bdi.materialize_mapping(clinical, plan)
+    got = {r["ethnicity"] for r in out.collect()}
+    # dropped value passes through unmatched (null), override applied
+    assert got == {"unknown", "not hispanic or latino", None}
+    # unknown group errors loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        editor.set("Race", "race", "x", "y")

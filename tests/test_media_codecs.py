@@ -231,3 +231,70 @@ def test_read_media_binaries_glob_filter(spark, media_dir):
     assert only_wav.count() == 1
     forced = read_media_binaries(spark, str(path), media_type="image")
     assert {r["media_type"] for r in forced.collect()} == {"image"}
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _has_soundfile() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not installed")
+def test_png_roundtrip_via_optional_pillow():
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from biomedical_data_integration_spark.functions.media import decode_image
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    out = decode_image(buf.getvalue())
+    assert out.shape == (4, 4, 3)
+    assert (out == img).all()  # PNG is lossless
+
+
+@pytest.mark.skipif(not _has_soundfile(), reason="soundfile not installed")
+def test_flac_roundtrip_via_optional_soundfile():
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    from biomedical_data_integration_spark.functions.media import decode_wav
+
+    t = np.arange(800) / 8000.0
+    mono = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    buf = io.BytesIO()
+    sf.write(buf, mono, 8000, format="FLAC")
+    sr, nch, samples = decode_wav(buf.getvalue())
+    assert (sr, nch) == (8000, 1)
+    assert np.abs(samples[:, 0] - mono).max() < 1e-3  # FLAC is lossless-ish at 16-bit
+
+
+def test_unsupported_payloads_raise_with_guidance_when_libs_absent():
+    from biomedical_data_integration_spark.functions.media import (
+        decode_image,
+        decode_wav,
+    )
+
+    if not _has_pil():
+        with pytest.raises(ValueError, match="Pillow"):
+            decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+    if not _has_soundfile():
+        with pytest.raises(ValueError, match="soundfile"):
+            decode_wav(b"fLaCxxxxyyyy")
