@@ -4386,6 +4386,97 @@ def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the two-level hierarchy
+    (operators/clustering.semantic_dedup_two_level): auto-k cell count
+    (k = ceil(n/target)) realized as ceil(sqrt(k)) coarse x ceil(k/k1)
+    sub clusters, so assignment work is O(n*sqrt(k)*dim) and pair work
+    ~n*target — no quadratic anywhere as the corpus grows. The oracle
+    replays BOTH k-means levels (phase-2 per-coarse-cluster Lloyd
+    iterations included) plus the cell-blocked pair join."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        semantic_dedup_two_level,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return semantic_dedup_two_level(
+        emb, vec_col="embedding", id_col="vec_id", max_iter=KMEANS_ITERS,
+        threshold=SEMDEDUP_THRESHOLD,
+        target_cluster_size=SEMDEDUP_TARGET_CLUSTER,
+    )
+
+
+def _semantic_dedup_two_level_sql() -> str:
+    dim = ANN_DIM
+    iters = KMEANS_ITERS
+    k_sql = (
+        "greatest(1, least(count(*), CAST(ceil(count(*) /"
+        f" {float(SEMDEDUP_TARGET_CLUSTER)!r}) AS BIGINT)))"
+    )
+    k1_sql = f"greatest(1, CAST(ceil(sqrt({k_sql})) AS BIGINT))"
+    k2_sql = (
+        f"greatest(1, CAST(ceil(CAST({k_sql} AS DOUBLE) /"
+        f" ceil(sqrt({k_sql}))) AS BIGINT))"
+    )
+    d2b = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}),"
+        f" j -> (e2.v[j] - c.vec[j]) * (e2.v[j] - c.vec[j]))), 6)"
+    )
+    parts = [
+        _kmeans_cte(k1_sql, iters, dim),
+        f"""e2 AS (
+  SELECT f.vec_id AS id, f.cluster AS coarse, e.v
+  FROM final_assign f JOIN e ON e.id = f.vec_id),
+c2_0 AS (
+  SELECT coarse, CAST(rn - 1 AS INTEGER) AS sub, v AS vec FROM (
+    SELECT coarse, id, v,
+           row_number() OVER (PARTITION BY coarse ORDER BY id) AS rn
+    FROM e2)
+  WHERE rn <= (SELECT {k2_sql} FROM e))""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a2_{i} AS (
+  SELECT id, coarse, sub FROM (
+    SELECT e2.id, e2.coarse, c.sub,
+           row_number() OVER (PARTITION BY e2.id ORDER BY {d2b}, c.sub) AS rn
+    FROM e2 JOIN c2_{i - 1} c ON e2.coarse = c.coarse) WHERE rn = 1),
+n2_{i} AS (
+  SELECT coarse, sub, list(val ORDER BY idx) AS vec FROM (
+    SELECT a.coarse, a.sub, r.idx, round(avg(e2.v[r.idx]), 6) AS val
+    FROM a2_{i} a JOIN e2 ON a.id = e2.id
+    CROSS JOIN range(1, {dim + 1}) AS r(idx)
+    GROUP BY a.coarse, a.sub, r.idx) GROUP BY coarse, sub),
+c2_{i} AS (
+  SELECT p.coarse, p.sub, coalesce(n.vec, p.vec) AS vec
+  FROM c2_{i - 1} p LEFT JOIN n2_{i} n USING (coarse, sub))"""
+        )
+    parts.append(
+        f"""fa2 AS (
+  SELECT id AS vec_id, coarse, sub FROM (
+    SELECT e2.id, e2.coarse, c.sub,
+           row_number() OVER (PARTITION BY e2.id ORDER BY {d2b}, c.sub) AS rn
+    FROM e2 JOIN c2_{iters} c ON e2.coarse = c.coarse) WHERE rn = 1)"""
+    )
+    cos = _sql_cosine("l.lv", "r.rv", dim)
+    return (
+        ",\n".join(parts)
+        + f""",
+pairs2 AS (
+  SELECT l.vec_id AS i FROM
+    (SELECT f.vec_id, f.coarse, f.sub, emb.embedding AS lv
+     FROM fa2 f JOIN embeddings emb USING (vec_id)) l
+  JOIN
+    (SELECT f.vec_id, f.coarse, f.sub, emb.embedding AS rv
+     FROM fa2 f JOIN embeddings emb USING (vec_id)) r
+  ON l.coarse = r.coarse AND l.sub = r.sub AND r.vec_id < l.vec_id
+  WHERE round({cos}, 6) >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, coarse, sub FROM fa2
+WHERE vec_id NOT IN (SELECT i FROM pairs2)"""
+    )
+
+
 FUNNEL_STEPS = ["signup", "click", "purchase"]
 RETENTION_PERIOD_DAYS = 7
 
@@ -9637,7 +9728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_events": _q_zorder_key_events,
         # 50: the harmonization flagship — last driver evidence r03.
         "harmonize_end_to_end": _q_harmonize_end_to_end,
-        # --- tail (51+): the round-5/6 window (driver-green r5 AND r6,
+        # --- tail (51+): round-7 additions past the window (graded on
+        # next rotation; replica-verified now) ---
+        "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
+        # --- tail: the round-5/6 window (driver-green r5 AND r6,
         # the freshest evidence in the registry) ---
         "bm25_search_documents": _q_bm25_search,
         "hybrid_rrf_documents": _q_hybrid_rrf,
@@ -9818,6 +9912,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_search_documents": _bm25_search_sql(),
         "kmeans_maxmin_embeddings": _kmeans_maxmin_sql(),
+        "semantic_dedup_two_level_embeddings": _semantic_dedup_two_level_sql(),
         "anova_events_value": _anova_sql(),
         "mann_whitney_events_value": _mann_whitney_sql(),
         "isotonic_events_purchase": _isotonic_sql(),

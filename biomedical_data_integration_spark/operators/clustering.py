@@ -294,6 +294,144 @@ def kmeans(
     return final, centroids
 
 
+def _two_level_assign(
+    base: DataFrame, cents: DataFrame, vec_col: str, scale: int
+) -> DataFrame:
+    """Nearest SUB-centroid within each row's coarse cluster: group the
+    (coarse, sub, vec) centroid table into one array per coarse key,
+    broadcast-join on ``coarse`` (equi-join — each row sees ONLY its
+    coarse cluster's sub-centroids), argmin via the constant-shape
+    higher-order fold. Appends ``__a`` = struct(dist2, sub)."""
+    arr = cents.groupBy("coarse").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("sub"), F.col("__cv").alias("cvec")))
+        ).alias("__cents2")
+    )
+    assign = F.array_min(
+        F.transform(
+            F.col("__cents2"),
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            c["cvec"],
+                            lambda v, cc: (v.cast("double") - cc)
+                            * (v.cast("double") - cc),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    scale,
+                ).alias("dist2"),
+                c["sub"].alias("sub"),
+            ),
+        )
+    )
+    return (
+        base.join(F.broadcast(arr), "coarse")
+        .withColumn("__a", assign)
+        .drop("__cents2")
+    )
+
+
+def kmeans_two_level(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k1: int = 8,
+    k2: int = 8,
+    max_iter: int = 3,
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """Two-level hierarchical Lloyd's k-means — the TRUE corpus-scale
+    clustering path: ``k1`` coarse clusters over the whole corpus, then
+    ``k2`` sub-clusters fitted INSIDE each coarse cluster, giving
+    ~``k1·k2`` total cells with per-row assignment work O((k1+k2)·dim)
+    instead of the flat fit's O(k1·k2·dim). With k ∝ n (the SemDeDup
+    auto-k contract) the flat fit is O(n·k·dim) = quadratic-in-n
+    compute; picking k1 ≈ k2 ≈ √k makes the same cell count cost
+    O(n·√k·dim).
+
+    Phase-2 state never touches the driver: sub-centroids live in a
+    (coarse, sub, vec) DataFrame — seeds are the k2 lowest-id vectors
+    per coarse cluster (one window), each iteration is one
+    coarse-keyed broadcast join + argmin fold + one (coarse, sub,
+    dim)-keyed combinable groupBy, and the table is
+    localCheckpoint-pinned per iteration so plans don't replay
+    (lazy-plan discipline). Only the k1 phase-1 centroids are
+    driver-held (via :func:`kmeans`). Empty sub-clusters keep their
+    previous centroid (LEFT-join coalesce, the phase-1 contract).
+
+    Determinism: same rounded-distance/lowest-id-tiebreak contract as
+    :func:`kmeans` at both levels — bit-reproducible, SQL-replayable.
+
+    Returns assignments ``(id_col, coarse int, sub int, dist2 double)``.
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    from pyspark.sql import Window
+
+    coarse, _ = kmeans(
+        df, vec_col, id_col, k=k1, max_iter=max_iter, scale=scale
+    )
+    base = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(coarse.select(id_col, F.col("cluster").alias("coarse")), id_col)
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("coarse").orderBy(id_col)
+    cents = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k2)
+        .select(
+            "coarse",
+            (F.col("__rn") - 1).cast("int").alias("sub"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        assigned = _two_level_assign(base, cents, vec_col, scale).select(
+            "coarse",
+            F.col("__a")["sub"].alias("sub"),
+            F.col(vec_col).alias("__v"),
+        )
+        upd = (
+            assigned.select(
+                "coarse", "sub", F.posexplode("__v").alias("__pos", "__val")
+            )
+            .groupBy("coarse", "sub", "__pos")
+            .agg(
+                F.round(F.avg(F.col("__val").cast("double")), scale).alias(
+                    "__m"
+                )
+            )
+            .groupBy("coarse", "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__cvn")
+            )
+        )
+        cents = (
+            cents.join(upd, ["coarse", "sub"], "left")
+            .select(
+                "coarse",
+                "sub",
+                F.coalesce(F.col("__cvn"), F.col("__cv")).alias("__cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _two_level_assign(base, cents, vec_col, scale).select(
+        id_col,
+        "coarse",
+        F.col("__a")["sub"].alias("sub"),
+        F.col("__a")["dist2"].alias("dist2"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -375,6 +513,73 @@ def semantic_dedup(
     return (
         base.join(dominated, id_col, "left_anti")
         .select(id_col, "cluster")
+    )
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 3,
+    threshold: float = 0.95,
+    scale: Optional[int] = None,
+    target_cluster_size: int = 250,
+) -> DataFrame:
+    """SemDeDup on the two-level hierarchy — the corpus-scale
+    configuration: cluster COUNT still derives from the corpus count
+    (``k = ceil(n / target_cluster_size)``, the auto-k contract), but
+    the cells come from :func:`kmeans_two_level` with ``k1 = ceil(√k)``
+    coarse × ``k2 = ceil(k/k1)`` sub clusters, so BOTH the pair join
+    (blocked on the (coarse, sub) cell) AND the assignment stay bounded:
+    pair work ~n·target, assignment work O(n·√k·dim) — no quadratic
+    anywhere as n grows. Returns survivors ``(id_col, coarse, sub)``;
+    a row is dropped iff a LOWER-id same-cell neighbor sits at cosine
+    >= ``threshold``.
+    """
+    import math
+
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    n = df.count()
+    k = max(1, min(n, math.ceil(n / target_cluster_size)))
+    k1 = max(1, math.ceil(math.sqrt(k)))
+    k2 = max(1, math.ceil(k / k1))
+    assigned = kmeans_two_level(
+        df, vec_col, id_col, k1=k1, k2=k2, max_iter=max_iter, scale=scale
+    )
+    base = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned.select(id_col, "coarse", "sub"), id_col)
+        .withColumn("__nrm", norm(F.col(vec_col)))
+        .localCheckpoint(eager=True)
+    )
+    left = base.select(
+        F.col(id_col).alias("__i"),
+        F.col(vec_col).alias("__vi"),
+        F.col("__nrm").alias("__ni"),
+        F.col("coarse").alias("__c1"),
+        F.col("sub").alias("__c2"),
+    )
+    right = base.select(
+        F.col(id_col).alias("__j"),
+        F.col(vec_col).alias("__vj"),
+        F.col("__nrm").alias("__nj"),
+        F.col("coarse").alias("__c1"),
+        F.col("sub").alias("__c2"),
+    )
+    denom = F.col("__ni") * F.col("__nj")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("__vi"), F.col("__vj")) / denom
+    )
+    dominated = (
+        left.join(right, ["__c1", "__c2"])
+        .where(F.col("__j") < F.col("__i"))
+        .where(F.round(sim, scale) >= F.lit(threshold))
+        .select(F.col("__i").alias(id_col))
+        .distinct()
+    )
+    return base.join(dominated, id_col, "left_anti").select(
+        id_col, "coarse", "sub"
     )
 
 

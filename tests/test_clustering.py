@@ -381,3 +381,73 @@ def test_embedding_centroid_drift_opposed_and_partition_invariance(spark):
         da.repartition(13), db.repartition(3)
     ).collect()[0]
     assert r == r2
+
+
+def test_kmeans_two_level_refines_coarse(spark):
+    from biomedical_data_integration_spark.operators.clustering import (
+        kmeans,
+        kmeans_two_level,
+    )
+
+    # four obvious 2-D blobs: coarse split left/right, sub split up/down
+    pts = []
+    vid = 0
+    for cx, cy in [(0.0, 0.0), (0.0, 10.0), (100.0, 0.0), (100.0, 10.0)]:
+        for dx in (0.0, 0.5, 1.0):
+            pts.append((vid, [cx + dx, cy + dx]))
+            vid += 1
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    out = kmeans_two_level(df, k1=2, k2=2, max_iter=3).collect()
+    assert len(out) == 12
+    # coarse assignment matches the standalone phase-1 fit exactly
+    coarse, _ = kmeans(df, k=2, max_iter=3)
+    want = {r["vec_id"]: r["cluster"] for r in coarse.collect()}
+    assert all(r["coarse"] == want[r["vec_id"]] for r in out)
+    # cells are the four blobs: each (coarse, sub) cell holds one blob
+    cells = {}
+    for r in out:
+        cells.setdefault((r["coarse"], r["sub"]), set()).add(r["vec_id"] // 3)
+    assert len(cells) == 4
+    assert all(len(blobs) == 1 for blobs in cells.values())
+    # every point sits near its sub-centroid
+    assert all(r["dist2"] <= 1.0 for r in out)
+
+
+def test_kmeans_two_level_partitioning_invariance(spark):
+    from biomedical_data_integration_spark.operators.clustering import (
+        kmeans_two_level,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    pts = [
+        (i, [rng.uniform(0, 10), rng.uniform(0, 10), rng.uniform(0, 10)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    a = kmeans_two_level(df, k1=3, k2=2, max_iter=2).collect()
+    b = kmeans_two_level(
+        df.repartition(7), k1=3, k2=2, max_iter=2
+    ).collect()
+    ka = {r["vec_id"]: (r["coarse"], r["sub"], r["dist2"]) for r in a}
+    kb = {r["vec_id"]: (r["coarse"], r["sub"], r["dist2"]) for r in b}
+    assert ka == kb
+
+
+def test_semantic_dedup_two_level_drops_same_cell_dups(spark):
+    from biomedical_data_integration_spark.operators.clustering import (
+        semantic_dedup_two_level,
+    )
+
+    # identical vectors land in the same cell; lowest id survives
+    pts = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+           (3, [0.0, 1.0]), (4, [0.70710678, 0.70710678])]
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    out = semantic_dedup_two_level(
+        df, max_iter=2, threshold=0.99, target_cluster_size=2
+    )
+    survivors = {r["vec_id"] for r in out.collect()}
+    # exact duplicates: the higher id of each identical pair is dropped
+    assert 0 in survivors and 2 in survivors and 4 in survivors
+    assert 1 not in survivors and 3 not in survivors
