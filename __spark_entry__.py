@@ -4386,6 +4386,50 @@ def _q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining (operators/similarity.mine_triplets):
+    per sampled anchor, nearest same-label neighbor (positive) and
+    nearest different-label neighbor (hard negative) by cosine — the
+    training-pair face of the ANN family."""
+    from biomedical_data_integration_spark.operators.similarity import (
+        mine_triplets,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 50 == 0)
+    return mine_triplets(emb, anchors)
+
+
+def _mine_triplets_sql() -> str:
+    cos = _sql_cosine("q.qv", "c.cv", ANN_DIM)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, label AS nl, embedding AS cv
+      FROM embeddings),
+scored AS (
+  SELECT q.anchor_id, q.anchor_label, c.neighbor_id,
+         CASE WHEN c.nl = q.anchor_label THEN 1 ELSE 0 END AS same,
+         round({cos}, 6) AS cosine
+  FROM q CROSS JOIN c WHERE q.anchor_id <> c.neighbor_id
+),
+picked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT anchor_id, anchor_label,
+  max(CASE WHEN same = 1 THEN neighbor_id END) AS positive_id,
+  max(CASE WHEN same = 1 THEN cosine END) AS positive_cosine,
+  max(CASE WHEN same = 0 THEN neighbor_id END) AS negative_id,
+  max(CASE WHEN same = 0 THEN cosine END) AS negative_cosine
+FROM picked GROUP BY 1, 2
+"""
+
+
 def _q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on the two-level hierarchy
     (operators/clustering.semantic_dedup_two_level): auto-k cell count
@@ -9731,6 +9775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (51+): round-7 additions past the window (graded on
         # next rotation; replica-verified now) ---
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
+        "mine_triplets_embeddings": _q_mine_triplets,
         # --- tail: the round-5/6 window (driver-green r5 AND r6,
         # the freshest evidence in the registry) ---
         "bm25_search_documents": _q_bm25_search,
@@ -9913,6 +9958,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_documents": _bm25_search_sql(),
         "kmeans_maxmin_embeddings": _kmeans_maxmin_sql(),
         "semantic_dedup_two_level_embeddings": _semantic_dedup_two_level_sql(),
+        "mine_triplets_embeddings": _mine_triplets_sql(),
         "anova_events_value": _anova_sql(),
         "mann_whitney_events_value": _mann_whitney_sql(),
         "isotonic_events_purchase": _isotonic_sql(),

@@ -275,6 +275,84 @@ def hyperplane_lsh_topk(
     )
 
 
+def mine_triplets(
+    df: DataFrame,
+    anchors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training triplet mining: per anchor, the nearest
+    SAME-label neighbor (the positive) and the nearest DIFFERENT-label
+    neighbor (the hard negative) by cosine — the (anchor, positive,
+    hard-negative) examples a contrastive/metric-learning fine-tune
+    consumes, mined straight from the embedding table.
+
+    Exact brute scoring over broadcast anchors (anchor sets are
+    query-sized); at corpus scale swap the candidate generation for
+    :func:`ivf_topk` / :func:`hyperplane_lsh_topk` candidates exactly as
+    the ANN family does — the (query, same-label) argmin at the end is
+    kernel-agnostic. Norms fold once per vector (``_pair_cosine``);
+    rounded-cosine + neighbor-id tiebreak keeps the pick total-ordered.
+
+    Returns ``(anchor_id, anchor_label, positive_id, positive_cosine,
+    negative_id, negative_cosine)`` — positive columns NULL when the
+    anchor's label has no other member.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nl"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c.repartition(par))
+        .where(F.col("anchor_id") != F.col("neighbor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            (F.col("__nl") == F.col("anchor_label")).cast("int").alias("__same"),
+            F.round(_pair_cosine(), config.SIMILARITY_SCALE).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "__same").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    picked = scored.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") == 1
+    )
+    return picked.groupBy("anchor_id", "anchor_label").agg(
+        F.max(
+            F.when(
+                F.col("__same") == 1,
+                F.struct(F.col("neighbor_id"), F.col("cosine")),
+            )
+        ).alias("__p"),
+        F.max(
+            F.when(
+                F.col("__same") == 0,
+                F.struct(F.col("neighbor_id"), F.col("cosine")),
+            )
+        ).alias("__n"),
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("__p")["neighbor_id"].alias("positive_id"),
+        F.col("__p")["cosine"].alias("positive_cosine"),
+        F.col("__n")["neighbor_id"].alias("negative_id"),
+        F.col("__n")["cosine"].alias("negative_cosine"),
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

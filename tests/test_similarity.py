@@ -190,3 +190,29 @@ def test_set_similarity_join_validates(spark):
     df = spark.createDataFrame([(1, ["a"])], ["doc_id", "toks"])
     with pytest.raises(ValueError):
         set_similarity_join(df, "toks", threshold=0.0)
+
+
+def test_mine_triplets_golden(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        mine_triplets,
+    )
+
+    # label 0: ids 0,1 near each other; label 1: ids 2,3; id 4 label 2 alone
+    pts = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.98, 0.2], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.2, 0.98], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>, label int")
+    out = {r["anchor_id"]: r for r in
+           mine_triplets(df, df.where("vec_id IN (0, 4)")).collect()}
+    r0 = out[0]
+    assert r0["positive_id"] == 1           # same-label nearest
+    assert r0["negative_id"] in (2, 3)      # best different-label
+    assert r0["positive_cosine"] > r0["negative_cosine"]
+    # singleton label: no positive exists
+    r4 = out[4]
+    assert r4["positive_id"] is None and r4["positive_cosine"] is None
+    assert r4["negative_id"] is not None
