@@ -451,3 +451,28 @@ def test_semantic_dedup_two_level_drops_same_cell_dups(spark):
     # exact duplicates: the higher id of each identical pair is dropped
     assert 0 in survivors and 2 in survivors and 4 in survivors
     assert 1 not in survivors and 3 not in survivors
+
+
+def test_centroid_kernels_bit_equal(spark):
+    """The literal and broadcast-join assignment kernels must produce
+    BIT-EQUAL (cluster, dist2) — the property that lets every SQL oracle
+    stay kernel-agnostic."""
+    import random
+
+    from biomedical_data_integration_spark.operators.clustering import (
+        _with_assignment,
+    )
+
+    rng = random.Random(11)
+    pts = [(i, [rng.uniform(-5, 5) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    cents = [[rng.uniform(-5, 5) for _ in range(16)] for _ in range(12)]
+
+    def grab(kernel):
+        out = _with_assignment(df, "embedding", cents, 6, kernel=kernel)
+        return {
+            r["vec_id"]: (r["__a"]["cluster"], r["__a"]["dist2"])
+            for r in out.select("vec_id", "__a").collect()
+        }
+
+    assert grab("literal") == grab("join")
