@@ -1154,15 +1154,30 @@ def srm_check(
     """
     if not expected:
         raise ValueError("srm_check: expected allocation must be non-empty")
+    per = (
+        df.where(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("variant"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    return srm_readout(per, expected)
+
+
+def srm_readout(counts: DataFrame, expected: dict) -> DataFrame:
+    """:func:`srm_check` from a pre-aggregated ``(variant, n_obs)``
+    table — the read-out half of a streaming allocation monitor:
+    maintain counts with ``streaming.events.streaming_variant_counts``
+    (one built-in streaming groupBy), snapshot, and read the chi-square
+    out here. Identical math/quantization to ``srm_check``."""
+    if not expected:
+        raise ValueError("srm_check: expected allocation must be non-empty")
     tot_share = sum(expected.values())
     if abs(tot_share - 1.0) > 1e-9:
         raise ValueError(
             f"srm_check: expected shares sum to {tot_share!r}, not 1"
         )
-    per = (
-        df.where(F.col(variant_col).isNotNull())
-        .groupBy(F.col(variant_col).cast("string").alias("variant"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    per = counts.select(
+        F.col("variant").cast("string").alias("variant"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
     )
     share = F.create_map(
         *[

@@ -1839,6 +1839,22 @@ def streaming_bin_counts(
     )
 
 
+def streaming_variant_counts(
+    stream: DataFrame,
+    variant_col: str = "variant",
+) -> DataFrame:
+    """Running per-variant unit counts — the maintained side of a
+    streaming sample-ratio-mismatch monitor (one built-in streaming
+    groupBy, complete-mode snapshot); read the chi-square out with
+    ``operators.evaluation.srm_readout`` against the designed
+    allocation. Works identically on batch frames."""
+    return (
+        stream.where(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("variant"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+
+
 def psi_readout(
     baseline_counts: DataFrame,
     current_counts: DataFrame,

@@ -1102,3 +1102,40 @@ def test_shapley_attribution_symmetry(spark):
     ).collect()}
     assert out["click"]["shapley_value"] == out["view"]["shapley_value"]
     assert out["click"]["share"] == 0.5 and out["view"]["share"] == 0.5
+
+
+def test_streaming_srm_monitor_equals_batch(spark):
+    """streaming_variant_counts (complete-mode snapshot) + srm_readout
+    == batch srm_check on the same rows."""
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        srm_check,
+        srm_readout,
+    )
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_variant_counts,
+    )
+
+    rows = [("A",)] * 55 + [("B",)] * 45
+    batch = spark.createDataFrame(rows, "variant string")
+    expected = {"A": 0.5, "B": 0.5}
+    want = sorted(map(tuple, srm_check(batch, "variant", expected).collect()))
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        batch.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        counts = streaming_variant_counts(stream, "variant")
+        sq = (
+            counts.writeStream.format("memory")
+            .queryName("srm_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        snap = spark.sql("select * from srm_counts")
+        got = sorted(map(tuple, srm_readout(snap, expected).collect()))
+    assert got == want
