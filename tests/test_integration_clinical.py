@@ -193,3 +193,27 @@ def test_view_value_matches_edit_roundtrip(spark, clinical):
 
     with _pytest.raises(KeyError):
         editor.set("Race", "race", "x", "y")
+
+
+def test_corpus_curation_example_runs(spark):
+    """The shipped examples/corpus-curation.py pipeline walkthrough must
+    stay runnable against the test corpus."""
+    import importlib.util
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("testdata not present")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "corpus-curation.py",
+    )
+    spec = importlib.util.spec_from_file_location("corpus_curation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    packed = mod.run(spark, sf)
+    assert packed.count() > 0
+    assert {"bucket", "bin", "bin_offset"} <= set(packed.columns)
