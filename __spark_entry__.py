@@ -9116,7 +9116,8 @@ WITH per AS (
   GROUP BY 1
 ),
 t AS (
-  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
          CAST(sum(s) AS DOUBLE) AS st, CAST(sum(ss) AS DOUBLE) AS sst,
          CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
                              * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
@@ -9176,7 +9177,8 @@ ranked AS (
   FROM vals
 ),
 agg AS (
-  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+  SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_b,
          CAST(sum(CAST(na AS HUGEINT) * r2) AS DOUBLE) AS r2a,
          CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS ties
   FROM ranked
@@ -9393,7 +9395,8 @@ WITH b AS (
 ),
 c AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN a = bb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         CAST(coalesce(sum(CASE WHEN a = bb THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS agree
   FROM b
 ),
 ma AS (SELECT a AS k2, CAST(count(*) AS BIGINT) AS na FROM b GROUP BY 1),

@@ -688,8 +688,8 @@ def mann_whitney_u(
         ).alias("__r2"),
     )
     agg = ranked.agg(
-        F.sum("__na").cast("bigint").alias("n_a"),
-        F.sum("__nb").cast("bigint").alias("n_b"),
+        F.coalesce(F.sum("__na"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("__nb"), F.lit(0)).cast("bigint").alias("n_b"),
         # doubled rank-sum grows O(n^2) (up to n(n+1)) — ride
         # decimal(38,0), not bigint, so "U is exact" holds past the
         # ~3e9-pooled-row int64 ceiling (same contract as __ties below)
@@ -787,7 +787,7 @@ def anova_oneway(
     ).cast("decimal(38,0)")
     agg = per.select("__n", "__s", "__ss", term.alias("__term")).agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("__n").cast("bigint").alias("n"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n"),
         F.sum("__s").alias("__st"),
         F.sum("__ss").alias("__sst"),
         F.sum("__term").alias("__terms"),
@@ -931,7 +931,9 @@ def cohen_kappa(
     )
     counts = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum((F.col("__a") == F.col("__b")).cast("bigint"))
+        F.coalesce(
+            F.sum((F.col("__a") == F.col("__b")).cast("bigint")), F.lit(0)
+        )
         .cast("bigint")
         .alias("agree"),
     )

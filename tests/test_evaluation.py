@@ -652,3 +652,34 @@ def test_srm_check_golden_and_unknown_variant(spark):
     bad = spark.createDataFrame([("A",), ("C",)], "variant string")
     with pytest.raises(Exception, match="not in expected allocation"):
         srm_check(bad, "variant", {"A": 0.5, "B": 0.5}).collect()
+
+
+def test_new_stats_operators_empty_input(spark):
+    """Empty inputs produce well-defined degenerate readouts (no NaNs,
+    no exceptions) across the round-7 statistics family."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        anova_oneway,
+        cohen_kappa,
+        js_divergence,
+        mann_whitney_u,
+        spearman_corr,
+    )
+
+    empty_gv = spark.createDataFrame([], "g string, v double")
+    r = anova_oneway(empty_gv, "g", "v").collect()[0]
+    assert (r["k"], r["n"]) == (0, 0) and r["f_stat"] is None
+
+    r = mann_whitney_u(empty_gv, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (0, 0) and r["z"] is None
+
+    empty_ab = spark.createDataFrame([], "a double, b double")
+    r = spearman_corr(empty_ab, "a", "b").collect()[0]
+    assert r["n"] == 0 and r["rho"] is None
+
+    empty_rr = spark.createDataFrame([], "a string, b string")
+    r = cohen_kappa(empty_rr, "a", "b").collect()[0]
+    assert (r["n"], r["agree"]) == (0, 0)
+    assert r["po"] is None and r["kappa"] is None
+
+    empty_vs = spark.createDataFrame([], "value double, is_b boolean")
+    assert js_divergence(empty_vs, "value", "is_b").count() == 0
