@@ -1222,6 +1222,49 @@ def srm_readout(counts: DataFrame, expected: dict) -> DataFrame:
     )
 
 
+def apply_isotonic(
+    df: DataFrame,
+    fit_rows,
+    score_col: str,
+    out_col: str = "calibrated",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Serve a fitted isotonic calibration: map scores through the
+    per-bin step function :func:`isotonic_calibration` produced — the
+    fit→serve pair of the calibration family (the kmeans→assign_clusters
+    precedent). ``fit_rows`` is the collected fit table (rows or (bin,
+    fit) pairs). Pure literal-map projection: shuffle-free, streams
+    unchanged on a streaming DataFrame. Scores binned exactly like the
+    fit (equal-width on [0, 1], clamped top bin); bins the fit never saw
+    (empty during fitting) fall back to the nearest lower fitted bin's
+    value — isotonic fits are non-decreasing, so that is the tightest
+    lower bound — or the lowest fitted value below every fitted bin.
+    """
+    def _pair(r):
+        # Row is a tuple subclass — prefer named access when available
+        try:
+            return int(r["bin"]), float(r["fit"])
+        except (TypeError, KeyError, ValueError, IndexError):
+            return int(r[0]), float(r[1])
+
+    pairs = sorted(_pair(r) for r in fit_rows)
+    if not pairs:
+        raise ValueError("apply_isotonic: empty fit")
+    # densify: every bin 0..n_bins-1 gets the nearest lower fitted value
+    dense = []
+    cur = pairs[0][1]
+    it = dict(pairs)
+    for b in range(n_bins):
+        cur = it.get(b, cur)
+        dense.append(cur)
+    sc = F.col(score_col).cast("double")
+    b = F.least(F.floor(sc * n_bins).cast("int"), F.lit(n_bins - 1))
+    lut = F.array(*[F.lit(v) for v in dense])
+    return df.withColumn(
+        out_col, F.when(sc.isNotNull(), F.element_at(lut, b + 1))
+    )
+
+
 def stratified_effect(
     df: DataFrame,
     variant_col: str,

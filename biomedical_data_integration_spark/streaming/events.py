@@ -1897,6 +1897,52 @@ def psi_readout(
     )
 
 
+def jsd_readout(
+    baseline_counts: DataFrame,
+    current_counts: DataFrame,
+) -> DataFrame:
+    """Jensen-Shannon divergence from two materialized per-bin count
+    tables — the bounded, empty-bin-safe sibling of :func:`psi_readout`
+    on the SAME maintained side (:func:`streaming_bin_counts`). Shares
+    ``operators.evaluation.js_divergence``'s arithmetic: 0·ln(0/x) = 0,
+    per-bin contributions nano-quantized before the cross-bin sum.
+    Returns ``(bin, n_baseline, n_current, jsd_term, jsd_total)``.
+    """
+    from pyspark.sql import Window
+
+    b = baseline_counts.select("bin", F.col("n").alias("n_baseline"))
+    c = current_counts.select("bin", F.col("n").alias("n_current"))
+    joined = b.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_baseline", F.lit(0)).cast("bigint").alias("n_baseline"),
+        F.coalesce("n_current", F.lit(0)).cast("bigint").alias("n_current"),
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = F.col("n_baseline").cast("double") / F.sum("n_baseline").over(tot)
+    q = F.col("n_current").cast("double") / F.sum("n_current").over(tot)
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when((F.col("n_baseline") > 0) & (m > 0), p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(
+            (F.col("n_current") > 0) & (m > 0), q * F.log(q / m)
+        ).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    tm = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return joined.withColumn("__tm", tm).select(
+        "bin",
+        "n_baseline",
+        "n_current",
+        (F.col("__tm").cast("double") / F.lit(1e9)).alias("jsd_term"),
+        (F.sum("__tm").over(tot).cast("double") / F.lit(1e9)).alias(
+            "jsd_total"
+        ),
+    )
+
+
 def sequence_examples(
     df: DataFrame,
     key_col: str = "user_id",

@@ -683,3 +683,30 @@ def test_new_stats_operators_empty_input(spark):
 
     empty_vs = spark.createDataFrame([], "value double, is_b boolean")
     assert js_divergence(empty_vs, "value", "is_b").count() == 0
+
+
+def test_apply_isotonic_serves_fit(spark):
+    from biomedical_data_integration_spark.operators.evaluation import (
+        apply_isotonic,
+        isotonic_calibration,
+    )
+
+    rows = []
+    # bins 0/10/19 occupied with rates 0.2, 0.5, 0.9 (already monotone)
+    for sc, y, cnt in [(0.01, 1, 2), (0.01, 0, 8),
+                       (0.52, 1, 5), (0.52, 0, 5),
+                       (0.99, 1, 9), (0.99, 0, 1)]:
+        rows += [(sc, y)] * cnt
+    df = spark.createDataFrame(rows, "score double, label int")
+    fit = isotonic_calibration(df, "score", "label", n_bins=20).collect()
+    served = apply_isotonic(df, fit, "score", n_bins=20)
+    got = {r["score"]: r["calibrated"] for r in served.distinct().collect()}
+    assert abs(got[0.01] - 0.2) < 1e-6
+    assert abs(got[0.52] - 0.5) < 1e-6
+    assert abs(got[0.99] - 0.9) < 1e-6
+    # unseen bin between fitted bins -> nearest LOWER fitted value
+    probe = spark.createDataFrame([(0.30,), (0.75,)], "score double")
+    got2 = {r["score"]: r["calibrated"]
+            for r in apply_isotonic(probe, fit, "score", n_bins=20).collect()}
+    assert abs(got2[0.30] - 0.2) < 1e-6
+    assert abs(got2[0.75] - 0.5) < 1e-6

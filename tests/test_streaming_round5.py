@@ -1139,3 +1139,26 @@ def test_streaming_srm_monitor_equals_batch(spark):
         snap = spark.sql("select * from srm_counts")
         got = sorted(map(tuple, srm_readout(snap, expected).collect()))
     assert got == want
+
+
+def test_streaming_jsd_monitor_readout(spark):
+    """streaming_bin_counts + jsd_readout: identical distributions give
+    jsd_total ~ 0; disjoint distributions give ln 2."""
+    import math
+
+    from biomedical_data_integration_spark.streaming.events import (
+        jsd_readout,
+        streaming_bin_counts,
+    )
+
+    bounds = [100.0, 200.0, 300.0, 400.0]
+    base = spark.createDataFrame([(50.0,)] * 5 + [(250.0,)] * 5, "value double")
+    same = jsd_readout(
+        streaming_bin_counts(base, bounds), streaming_bin_counts(base, bounds)
+    ).collect()
+    assert all(abs(r["jsd_total"]) < 1e-9 for r in same)
+    far = spark.createDataFrame([(450.0,)] * 10, "value double")
+    diff = jsd_readout(
+        streaming_bin_counts(base, bounds), streaming_bin_counts(far, bounds)
+    ).collect()
+    assert all(abs(r["jsd_total"] - math.log(2)) < 1e-5 for r in diff)
