@@ -716,12 +716,13 @@ def mann_whitney_u(
         F.col("__r2a").cast("double") - na * (na + 1)
     ) / F.lit(2.0)
     u_b = na * nb - u_a
-    var = (
-        na
-        * nb
-        / F.lit(12.0)
-        * ((n + 1) - F.col("__ties").cast("double") / (n * (n - 1)))
-    )
+    # the tie term divides by n(n-1): guard n <= 1 (a one-row input) so
+    # the WHEN condition below doesn't trip ANSI divide-by-zero — var is
+    # meaningless there anyway (z is NULL via the var > 0 gate)
+    tie_term = F.when(
+        n > 1, F.col("__ties").cast("double") / (n * (n - 1))
+    ).otherwise(F.lit(0.0))
+    var = na * nb / F.lit(12.0) * ((n + 1) - tie_term)
     z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
     q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
@@ -1186,6 +1187,8 @@ def srm_readout(counts: DataFrame, expected: dict) -> DataFrame:
         raise ValueError(
             f"srm_check: expected shares sum to {tot_share!r}, not 1"
         )
+    if any(v <= 0 for v in expected.values()):
+        raise ValueError("srm_check: every expected share must be > 0")
     per = counts.select(
         F.col("variant").cast("string").alias("variant"),
         F.col("n_obs").cast("bigint").alias("n_obs"),

@@ -812,3 +812,16 @@ def test_spearman_range_and_monotone_invariance(spark, vals):
     )
     r2 = spearman_corr(df2, "a", "b").collect()[0]
     assert r2["rho"] == r["rho"]
+
+
+def test_mann_whitney_single_row_input(spark):
+    """n = 1 pooled row must yield NULL z, not an ANSI divide-by-zero
+    (the tie term divides by n(n-1))."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        mann_whitney_u,
+    )
+
+    one = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    r = mann_whitney_u(one, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 0)
+    assert r["u_a"] is None and r["z"] is None
