@@ -446,11 +446,16 @@ def corpus_report(
         distinct_fn(F.md5("text")).cast("double").alias("__n_distinct"),
     ).withColumn(
         # clamped at 0: the HLL path's overestimate of distincts would
-        # otherwise report a (nonsensical) negative duplicate rate
+        # otherwise report a (nonsensical) negative duplicate rate.
+        # n_docs = 0 guard: an empty corpus reports NULL, not an
+        # ANSI divide-by-zero (empty-input sweep, round 7)
         "exact_dup_rate",
-        F.greatest(
-            F.lit(0.0),
-            F.lit(1.0) - F.col("__n_distinct") / F.col("n_docs"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.col("__n_distinct") / F.col("n_docs"),
+            ),
         ),
     )
     metrics = [

@@ -835,3 +835,16 @@ def test_kaplan_meier_grouped_and_absorbing_zero(spark):
     # group a: both die at t=1 -> survival hits exactly 0
     assert out[("a", 1)] == 0.0
     assert abs(out[("b", 2)] - 0.5) < 1e-6
+
+
+def test_corpus_report_empty_corpus(spark):
+    """Empty corpus: NULL rates, zero counts — not an ANSI
+    divide-by-zero (found by the round-7 empty-input sweep)."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        corpus_report,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    rows = {r["metric"]: r["value"] for r in corpus_report(empty).collect()}
+    assert rows["n_docs"] == 0.0
+    assert rows["exact_dup_rate"] is None
