@@ -4,7 +4,8 @@ of the test tables and classify the outcome. Guard-raised ValueErrors
 ArithmeticException / DIVIDE_BY_ZERO are latent ANSI-mode bugs of the
 class hypothesis caught in js_divergence/mann_whitney.
 
-Usage: python tools/empty_input_sweep.py [sf_dir]
+Usage: python tools/empty_input_sweep.py [sf_dir] [n_rows]
+(n_rows defaults to 0; pass 1 for the single-row / n-1 == 0 class)
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ TABLES = (
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
@@ -34,10 +36,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    tmp = tempfile.mkdtemp(prefix="empty_sf_")
+    tmp = tempfile.mkdtemp(prefix=f"degen{n_rows}_sf_")
     for t in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-        df.limit(0).write.mode("overwrite").parquet(
+        df.limit(n_rows).write.mode("overwrite").parquet(
             os.path.join(tmp, f"{t}.parquet")
         )
     ok = guard = arith = other = 0
