@@ -601,13 +601,11 @@ def assign_clusters(
         scale = config.SIMILARITY_SCALE
     if not centroids:
         raise ValueError("assign_clusters: centroids must be non-empty")
-    # streaming face stays on the literal kernel regardless of k: a
-    # stream-batch crossJoin is legal but the pure projection keeps the
-    # operator stateless/shuffle-free in a streaming plan; batch callers
-    # with large k should go through kmeans/_with_assignment
-    if df.isStreaming:
-        a = _assign_expr(F.col(vec_col), centroids, scale)
-        return df.withColumns({"cluster": a["cluster"], "dist2": a["dist2"]})
+    # the kernel policy applies on streams too: a stream-static
+    # broadcast crossJoin against the 1-row centroid table is supported
+    # (stateless, no watermark requirement), so large-k serving plans
+    # stay O(1) in k exactly like the batch fits (tested stream==batch
+    # on both kernels)
     out = _with_assignment(df, vec_col, centroids, scale)
     return out.withColumns(
         {

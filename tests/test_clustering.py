@@ -476,3 +476,42 @@ def test_centroid_kernels_bit_equal(spark):
         }
 
     assert grab("literal") == grab("join")
+
+
+def test_assign_clusters_streaming_join_kernel(spark):
+    """Streaming assignment above CENTROID_LITERAL_LIMIT rides the
+    broadcast-join kernel (stream-static crossJoin) and still matches
+    the batch face row for row."""
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    cents = [[float(5 * i), 0.0] for i in range(8)]  # k=8 > limit
+    batch = _vecs(
+        spark, [(i, [float(5 * i) + 0.4, 0.1]) for i in range(8)]
+    )
+    want = {r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in assign_clusters(batch, cents).collect()}
+    assert {c for c, _ in want.values()} == set(range(8))
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = assign_clusters(stream, cents)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("assign_join_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist2"])
+            for r in spark.sql("select * from assign_join_test").collect()
+        }
+    assert got == want
