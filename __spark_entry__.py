@@ -339,6 +339,87 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {DEDUP_JACCARD_THRESHOLD}
 """
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion near-dup join (operators/dedup.py
+    minhash_lsh_join): odd-id documents play the NEW crawl, even-id
+    documents the standing corpus; banded-signature bucket join is
+    new x corpus only — delta-sized work against persistable corpus
+    state."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        minhash_lsh_join,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return minhash_lsh_join(
+        new, corpus, num_perm=MINHASH_NUM_PERM, bands=MINHASH_BANDS,
+        verify_threshold=DEDUP_JACCARD_THRESHOLD,
+    )
+
+
+def _minhash_join_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    shingles = _sql_shingles("toks", 3)
+    mins = ",\n    ".join(
+        f"min(md5('mh{i}|' || shingle)) AS h{i}"
+        for i in range(MINHASH_NUM_PERM)
+    )
+    rows_per_band = MINHASH_NUM_PERM // MINHASH_BANDS
+
+    def bands_for(side: str) -> str:
+        selects = []
+        for b in range(MINHASH_BANDS):
+            cols = " || '|' || ".join(
+                f"h{i}"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            selects.append(
+                f"SELECT id, {b} AS band, md5({cols}) AS key FROM sig_{side}"
+            )
+        return "\n  UNION ALL ".join(selects)
+
+    return f"""
+WITH toks_n AS (SELECT doc_id AS id, {toks} AS toks FROM documents
+                WHERE doc_id % 2 = 1),
+toks_c AS (SELECT doc_id AS id, {toks} AS toks FROM documents
+           WHERE doc_id % 2 = 0),
+sh_n AS (SELECT DISTINCT id, unnest({shingles}) AS shingle FROM toks_n),
+sh_c AS (SELECT DISTINCT id, unnest({shingles}) AS shingle FROM toks_c),
+sig_n AS (SELECT id, {mins} FROM sh_n GROUP BY id),
+sig_c AS (SELECT id, {mins} FROM sh_c GROUP BY id),
+bands_n AS (
+  {bands_for('n')}
+),
+bands_c AS (
+  {bands_for('c')}
+),
+cand AS (
+  SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+  FROM bands_n a JOIN bands_c b ON a.band = b.band AND a.key = b.key
+),
+sizes_n AS (SELECT id, count(*) AS n FROM sh_n GROUP BY id),
+sizes_c AS (SELECT id, count(*) AS n FROM sh_c GROUP BY id),
+inter AS (
+  SELECT c.new_id, c.corpus_id, count(*) AS inter
+  FROM cand c
+  JOIN sh_n x ON x.id = c.new_id
+  JOIN sh_c y ON y.id = c.corpus_id AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.new_id, i.corpus_id,
+         round(CAST(i.inter AS DOUBLE) / (nn.n + nc.n - i.inter), 6)
+           AS jaccard
+  FROM inter i
+  JOIN sizes_n nn ON nn.id = i.new_id
+  JOIN sizes_c nc ON nc.id = i.corpus_id
+)
+SELECT new_id, corpus_id, jaccard FROM jac
+WHERE jaccard >= {DEDUP_JACCARD_THRESHOLD}
+"""
+
+
 def _ngram_jaccard_sql() -> str:
     toks = _SQL_TOKS.format(col="text")
     shingles = _sql_shingles("toks", 3)
@@ -9784,6 +9865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next rotation; replica-verified now) ---
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
         "mine_triplets_embeddings": _q_mine_triplets,
+        "dedup_incremental_documents": _q_dedup_incremental,
         # --- tail: the round-5/6 window (driver-green r5 AND r6,
         # the freshest evidence in the registry) ---
         "bm25_search_documents": _q_bm25_search,
@@ -9967,6 +10049,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_maxmin_embeddings": _kmeans_maxmin_sql(),
         "semantic_dedup_two_level_embeddings": _semantic_dedup_two_level_sql(),
         "mine_triplets_embeddings": _mine_triplets_sql(),
+        "dedup_incremental_documents": _minhash_join_sql(),
         "anova_events_value": _anova_sql(),
         "mann_whitney_events_value": _mann_whitney_sql(),
         "isotonic_events_purchase": _isotonic_sql(),

@@ -190,6 +190,112 @@ def _signatures_from_shingles(sh: DataFrame, num_perm: int) -> DataFrame:
     )
 
 
+def _band_entries(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, key) rows from a signature table — the LSH bucket
+    entries both the self-join (:func:`minhash_lsh_pairs`) and the
+    two-corpus join (:func:`minhash_lsh_join`) bucket on."""
+    rows_per_band = num_perm // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                "|",
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric two-corpus MinHash-LSH near-dup join — the INCREMENTAL
+    ingestion mode: which NEW documents near-duplicate something already
+    in the corpus? (Production dedup is almost never one self-join over
+    everything ever crawled; it's each new crawl against the standing
+    corpus — this is that operator. Same machinery as
+    :func:`minhash_lsh_pairs`: banded signatures, (band, key) equi-join
+    candidates, exact-Jaccard verification with the lossless size-ratio
+    pregate — but the bucket join is new × corpus, never corpus ×
+    corpus, so a small delta costs delta-sized work against corpus-sized
+    state that can be PERSISTED band entries from previous runs.)
+
+    Returns ``(new_id, corpus_id, jaccard)`` with jaccard >=
+    ``verify_threshold``; anti-join ``new_df`` on ``new_id`` to admit
+    only novel documents.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    sh_n = shingle_sets(new_df, text_col, id_col, shingle_words).persist()
+    sh_c = shingle_sets(corpus_df, text_col, id_col, shingle_words).persist()
+    n_e = _band_entries(
+        _signatures_from_shingles(sh_n, num_perm), num_perm, bands
+    ).withColumnRenamed("id", "new_id")
+    c_e = _band_entries(
+        _signatures_from_shingles(sh_c, num_perm), num_perm, bands
+    ).withColumnRenamed("id", "corpus_id")
+    candidates = (
+        n_e.join(c_e, ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sizes_n = sh_n.groupBy("id").agg(F.count("*").alias("n_n"))
+    sizes_c = sh_c.groupBy("id").agg(F.count("*").alias("n_c"))
+    candidates = (
+        candidates.join(
+            sizes_n.withColumnRenamed("id", "new_id"), "new_id"
+        )
+        .join(sizes_c.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .where(
+            F.least("n_n", "n_c")
+            >= verify_threshold * F.greatest("n_n", "n_c")
+        )
+    )
+    inter = (
+        candidates.join(sh_n.withColumnRenamed("id", "new_id"), "new_id")
+        .join(
+            sh_c.withColumnRenamed("id", "corpus_id"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id", "n_n", "n_c")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.select(
+            "new_id",
+            "corpus_id",
+            F.round(
+                F.col("inter")
+                / (F.col("n_n") + F.col("n_c") - F.col("inter")),
+                config.SIMILARITY_SCALE,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
 def minhash_band_keys(shingles: Column, num_perm: int, bands: int) -> Column:
     """Per-ROW banded MinHash keys: array<struct<band int, key string>>.
 
@@ -253,32 +359,13 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
 
     # ONE persisted shingle set feeds the signatures, the size agg, and
     # both sides of the verify join — without it the tokenize + explode +
     # distinct pipeline (the most expensive scan here) runs 4x
     sh = shingle_sets(df, text_col, id_col, shingle_words).persist()
     sig = _signatures_from_shingles(sh, num_perm)
-    band_entries = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                "|",
-                            )
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_entries = _band_entries(sig, num_perm, bands)
 
     a = band_entries.withColumnRenamed("id", "id_a")
     b = band_entries.withColumnRenamed("id", "id_b")

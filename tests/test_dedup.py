@@ -263,3 +263,31 @@ def test_keep_best_duplicates_prefers_high_score(spark):
            for r in keep_best_duplicates(docs, pairs, "quality").collect()}
     # doc 2 wins the cluster (score tie with 3 -> lowest id); singletons kept
     assert out == {2: 1, 4: None, 9: None}
+
+
+def test_minhash_lsh_join_asymmetric(spark):
+    from biomedical_data_integration_spark.operators.dedup import (
+        minhash_lsh_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different content about spark engines "
+                        "and distributed join strategies for large corpora")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " extra"),           # near-dup of corpus doc 0
+         (3, "novel text that matches nothing in the standing corpus at "
+             "all whatsoever in any shingle window")],
+        "doc_id bigint, text string",
+    )
+    out = minhash_lsh_join(new, corpus, verify_threshold=0.5).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in out} == {(1, 0)}
+    assert all(r["jaccard"] >= 0.5 for r in out)
+    # corpus x corpus near-dups must NOT appear (asymmetric contract)
+    both = spark.createDataFrame(
+        [(0, base), (2, base + " twice")], "doc_id bigint, text string"
+    )
+    none = minhash_lsh_join(new.where("doc_id = 3"), both)
+    assert none.count() == 0
