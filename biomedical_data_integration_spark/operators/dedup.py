@@ -221,6 +221,27 @@ def _band_entries(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+def minhash_corpus_entries(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The standing corpus's ``(id, band, key)`` LSH bucket entries —
+    the PERSISTABLE state incremental ingestion buckets new crawls
+    against (:func:`minhash_lsh_join` computes these per call; write
+    them to parquet once and reuse across ingests, batch or streaming
+    via ``streaming.events.streaming_minhash_join_candidates``). Keys
+    are bit-identical to both the batch grouped path and the per-row
+    streaming path (``minhash_band_keys``)."""
+    sh = shingle_sets(corpus_df, text_col, id_col, shingle_words)
+    return _band_entries(
+        _signatures_from_shingles(sh, num_perm), num_perm, bands
+    )
+
+
 def minhash_lsh_join(
     new_df: DataFrame,
     corpus_df: DataFrame,

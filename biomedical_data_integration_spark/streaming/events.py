@@ -258,6 +258,64 @@ def streaming_minhash_lsh_candidates(
     )
 
 
+def streaming_minhash_join_candidates(
+    stream: DataFrame,
+    corpus_entries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Streaming incremental-ingestion candidates: arriving documents
+    bucket against the STANDING corpus's persisted band entries
+    (``operators.dedup.minhash_corpus_entries``) — the streaming face
+    of ``minhash_lsh_join``'s candidate stage.
+
+    Entirely STATELESS: per-row banded keys (``minhash_band_keys``, no
+    shuffle, bit-identical to the batch grouped path) exploded into a
+    stream-static inner equi-join on (band, key). No watermark, no
+    managed state — the corpus side is a batch table refreshed on the
+    corpus's own cadence. Exact-Jaccard verification stays a batch job
+    over the candidate log (same rationale as
+    ``streaming_minhash_lsh_candidates``: shingle sets don't belong in
+    streaming state).
+
+    Output: ``(new_id, corpus_id, band, key)``; the same pair may emit
+    from several bands — downstream ``distinct()`` absorbs it.
+    """
+    from biomedical_data_integration_spark.functions.strings import word_ngrams
+    from biomedical_data_integration_spark.operators.dedup import (
+        _tokens,
+        minhash_band_keys,
+    )
+
+    staged = (
+        stream.select(
+            F.col(id_col).alias("__id"),
+            _tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__id", word_ngrams(F.col("__toks"), shingle_words).alias("__sh")
+        )
+        .where(F.col("__sh").isNotNull())
+    )
+    entries = staged.select(
+        "__id",
+        F.explode(minhash_band_keys(F.col("__sh"), num_perm, bands)).alias(
+            "bk"
+        ),
+    ).select(
+        "__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    corpus = corpus_entries.select(
+        F.col("id").alias("corpus_id"), "band", "key"
+    )
+    return entries.join(corpus, ["band", "key"]).select(
+        F.col("__id").alias("new_id"), "corpus_id", "band", "key"
+    )
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",

@@ -1162,3 +1162,57 @@ def test_streaming_jsd_monitor_readout(spark):
         streaming_bin_counts(base, bounds), streaming_bin_counts(far, bounds)
     ).collect()
     assert all(abs(r["jsd_total"] - math.log(2)) < 1e-5 for r in diff)
+
+
+def test_streaming_minhash_join_matches_batch_candidates(spark):
+    """The stateless stream-static incremental-dedup candidate join
+    emits exactly the batch minhash_lsh_join candidate set."""
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.dedup import (
+        minhash_corpus_entries,
+        minhash_lsh_join,
+    )
+    from biomedical_data_integration_spark.streaming.events import (
+        streaming_minhash_join_candidates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "until the corpus remembers it")
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "entirely different standing corpus text about "
+                        "watermarks and state stores in streaming engines")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " now"), (3, "fresh novel never-seen material with no "
+                                 "overlap in any shingle window at all")],
+        "doc_id bigint, text string",
+    )
+    want = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_join(new, corpus, verify_threshold=0.0).collect()
+    }
+    entries = minhash_corpus_entries(corpus)
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        new.write.parquet(src)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        out = streaming_minhash_join_candidates(stream, entries)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("mh_join_cands")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            (r["new_id"], r["corpus_id"])
+            for r in spark.sql(
+                "select distinct new_id, corpus_id from mh_join_cands"
+            ).collect()
+        }
+    assert got == want and (1, 0) in got
