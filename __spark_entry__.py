@@ -4511,6 +4511,44 @@ FROM picked GROUP BY 1, 2
 """
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anomaly scores
+    (operators/clustering.embedding_outliers): per-cluster MAD robust z
+    of the distance to the assigned k-means centroid — composition of
+    two already-oracled operators, replayed end-to-end."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_outliers,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return embedding_outliers(
+        emb, vec_col="embedding", id_col="vec_id", k=KMEANS_K,
+        max_iter=KMEANS_ITERS,
+    )
+
+
+def _embedding_outliers_sql() -> str:
+    return (
+        _kmeans_cte(KMEANS_K, KMEANS_ITERS, ANN_DIM)
+        + """,
+m AS (
+  SELECT cluster AS g, quantile_cont(dist2, 0.5) AS med
+  FROM final_assign GROUP BY 1
+),
+s AS (
+  SELECT m.g, m.med,
+         quantile_cont(abs(f.dist2 - m.med), 0.5) AS mad
+  FROM final_assign f JOIN m ON f.cluster = m.g
+  GROUP BY m.g, m.med
+)
+SELECT f.vec_id, f.cluster, f.dist2,
+       CASE WHEN s.mad > 0
+            THEN round(0.6745 * (f.dist2 - s.med) / s.mad, 6)
+       END AS outlier_rz
+FROM final_assign f JOIN s ON f.cluster = s.g"""
+    )
+
+
 def _q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on the two-level hierarchy
     (operators/clustering.semantic_dedup_two_level): auto-k cell count
@@ -9866,6 +9904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
         "mine_triplets_embeddings": _q_mine_triplets,
         "dedup_incremental_documents": _q_dedup_incremental,
+        "embedding_outliers_kmeans": _q_embedding_outliers,
         # --- tail: the round-5/6 window (driver-green r5 AND r6,
         # the freshest evidence in the registry) ---
         "bm25_search_documents": _q_bm25_search,
@@ -10050,6 +10089,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_two_level_embeddings": _semantic_dedup_two_level_sql(),
         "mine_triplets_embeddings": _mine_triplets_sql(),
         "dedup_incremental_documents": _minhash_join_sql(),
+        "embedding_outliers_kmeans": _embedding_outliers_sql(),
         "anova_events_value": _anova_sql(),
         "mann_whitney_events_value": _mann_whitney_sql(),
         "isotonic_events_purchase": _isotonic_sql(),

@@ -583,6 +583,39 @@ def semantic_dedup_two_level(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 3,
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-space outlier scores: fit :func:`kmeans`, then score
+    each vector by the MAD-based robust z of its squared distance to
+    its assigned centroid WITHIN its cluster — the anomaly gate that
+    catches mislabeled/poisoned/off-distribution vectors a global
+    distance threshold misses (each cluster supplies its own deviation
+    unit, so dense and diffuse clusters are judged on their own terms).
+
+    Pure composition: the kmeans fit (kernel-policy assignment) plus
+    ``profiling.robust_zscore`` on the cluster-keyed dist2 — both
+    already SQL-replayable, so the composition is too. Returns
+    ``(id_col, cluster, dist2, outlier_rz)``; NULL score in clusters
+    whose MAD is 0 (no meaningful deviation unit).
+    """
+    from biomedical_data_integration_spark.operators.profiling import (
+        robust_zscore,
+    )
+
+    assigned, _ = kmeans(
+        df, vec_col, id_col, k=k, max_iter=max_iter, scale=scale
+    )
+    return robust_zscore(
+        assigned, "dist2", group_col="cluster", out_col="outlier_rz"
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

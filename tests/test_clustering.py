@@ -515,3 +515,24 @@ def test_assign_clusters_streaming_join_kernel(spark):
             for r in spark.sql("select * from assign_join_test").collect()
         }
     assert got == want
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_outliers,
+    )
+
+    # one tight blob + one vector far from it, k=1: the far vector's
+    # robust z dwarfs the blob members'
+    pts = [(i, [float(i % 3) * 0.1, 0.0]) for i in range(9)]
+    pts.append((9, [50.0, 50.0]))
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           embedding_outliers(df, k=1, max_iter=2).collect()}
+    assert len(out) == 10
+    z_far = out[9]["outlier_rz"]
+    assert z_far is not None and z_far > 10
+    assert all(
+        out[i]["outlier_rz"] is None or out[i]["outlier_rz"] < z_far
+        for i in range(9)
+    )
