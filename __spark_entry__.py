@@ -9826,9 +9826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation debt), closing with the harmonization flagship (last
     driver evidence r03). The round-5/6 window (driver-green twice,
     the freshest evidence) rotates just past the cut, preceded by the
-    round-7 tail additions (two-level SemDeDup, triplet mining). Every
-    one of the 213 registry queries has a SQL oracle, zero exemptions
-    (all 213 verified green vs DuckDB at sf0.01 locally this round);
+    round-7 tail additions (two-level SemDeDup, triplet mining,
+    incremental-ingestion dedup, embedding outliers). Every one of the
+    215 registry queries has a SQL oracle, zero exemptions (the full
+    registry verified green vs DuckDB at sf0.01 locally this round);
     every
     entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
