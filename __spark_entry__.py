@@ -9828,7 +9828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the freshest evidence) rotates just past the cut, preceded by the
     round-7 tail additions (two-level SemDeDup, triplet mining,
     incremental-ingestion dedup, embedding outliers). Every one of the
-    215 registry queries has a SQL oracle, zero exemptions (the full
+    214 registry queries has a SQL oracle, zero exemptions (the full
     registry verified green vs DuckDB at sf0.01 locally this round);
     every
     entry — window or tail — is verified locally every round by
