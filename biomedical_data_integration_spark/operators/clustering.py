@@ -298,10 +298,18 @@ def _two_level_assign(
     base: DataFrame, cents: DataFrame, vec_col: str, scale: int
 ) -> DataFrame:
     """Nearest SUB-centroid within each row's coarse cluster: group the
-    (coarse, sub, vec) centroid table into one array per coarse key,
-    broadcast-join on ``coarse`` (equi-join — each row sees ONLY its
-    coarse cluster's sub-centroids), argmin via the constant-shape
-    higher-order fold. Appends ``__a`` = struct(dist2, sub)."""
+    (coarse, sub, vec) centroid table into one array per coarse key and
+    equi-join on ``coarse`` — each row sees ONLY its coarse cluster's
+    sub-centroids; argmin via the constant-shape higher-order fold.
+    Appends ``__a`` = struct(dist2, sub).
+
+    The join strategy is deliberately left to Catalyst/AQE (no forced
+    broadcast): at bench scale the k1-row array table is tiny and AQE
+    converts to a broadcast join at runtime from the exact shuffle
+    sizes, while at corpus scale (k1·k2·dim beyond executor memory —
+    millions of cells) the same plan degrades gracefully to a
+    coarse-keyed shuffle join instead of OOMing the driver on a forced
+    broadcast."""
     arr = cents.groupBy("coarse").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("sub"), F.col("__cv").alias("cvec")))
@@ -329,7 +337,7 @@ def _two_level_assign(
         )
     )
     return (
-        base.join(F.broadcast(arr), "coarse")
+        base.join(arr, "coarse")
         .withColumn("__a", assign)
         .drop("__cents2")
     )
