@@ -4486,10 +4486,10 @@ def _mine_triplets_sql() -> str:
     return f"""
 WITH q AS (
   SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qv
-  FROM embeddings WHERE vec_id % 50 = 0
+  FROM embeddings WHERE vec_id % 50 = 0 AND label IS NOT NULL
 ),
 c AS (SELECT vec_id AS neighbor_id, label AS nl, embedding AS cv
-      FROM embeddings),
+      FROM embeddings WHERE label IS NOT NULL),
 scored AS (
   SELECT q.anchor_id, q.anchor_label, c.neighbor_id,
          CASE WHEN c.nl = q.anchor_label THEN 1 ELSE 0 END AS same,
@@ -9711,7 +9711,12 @@ def _srm_sql() -> str:
 WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
 v AS (SELECT CASE WHEN {h} % 2 = 0 THEN 'A' ELSE 'B' END AS variant FROM u),
 per AS (
-  SELECT variant, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY 1
+  -- seeded from the DESIGNED allocation (srm_readout contract): a
+  -- zero-traffic variant still contributes its full chi-square term
+  SELECT e.variant, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+  FROM (SELECT 'A' AS variant UNION ALL SELECT 'B' AS variant) e
+  LEFT JOIN (SELECT variant, count(*) AS n_obs FROM v GROUP BY 1) o
+    USING (variant)
 ),
 staged AS (
   SELECT variant, n_obs, 0.5 AS share, sum(n_obs) OVER () AS n FROM per

@@ -1189,9 +1189,22 @@ def srm_readout(counts: DataFrame, expected: dict) -> DataFrame:
         )
     if any(v <= 0 for v in expected.values()):
         raise ValueError("srm_check: every expected share must be > 0")
-    per = counts.select(
-        F.col("variant").cast("string").alias("variant"),
-        F.col("n_obs").cast("bigint").alias("n_obs"),
+    # Seed one zero row per DESIGNED variant: a variant that received no
+    # traffic is the worst sample-ratio mismatch and must contribute its
+    # full (0 - n·share)²/(n·share) term — without the seed it would
+    # contribute nothing while df still assumed len(expected) variants.
+    seed = counts.sparkSession.createDataFrame(
+        [(str(k), 0) for k in sorted(expected, key=str)],
+        "variant string, n_obs bigint",
+    )
+    per = (
+        counts.select(
+            F.col("variant").cast("string").alias("variant"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+        )
+        .unionByName(seed)
+        .groupBy("variant")
+        .agg(F.sum("n_obs").cast("bigint").alias("n_obs"))
     )
     share = F.create_map(
         *[
@@ -1270,7 +1283,13 @@ def apply_isotonic(
         cur = it.get(b, cur)
         dense.append(cur)
     sc = F.col(score_col).cast("double")
-    b = F.least(F.floor(sc * n_bins).cast("int"), F.lit(n_bins - 1))
+    # clamp BOTH sides: a score < 0 would bin to -1 (element_at(lut, 0)
+    # throws) and <= -1/n_bins would silently index from the END of the
+    # LUT — lowest scores served the highest calibrated value.
+    b = F.least(
+        F.greatest(F.floor(sc * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
     lut = F.array(*[F.lit(v) for v in dense])
     return df.withColumn(
         out_col, F.when(sc.isNotNull(), F.element_at(lut, b + 1))

@@ -298,14 +298,20 @@ def mine_triplets(
     Returns ``(anchor_id, anchor_label, positive_id, positive_cosine,
     negative_id, negative_cosine)`` — positive columns NULL when the
     anchor's label has no other member.
+
+    NULL-label rows are excluded up front on BOTH sides: an unlabeled
+    neighbor is neither a positive nor a hard negative (three-valued
+    ``__nl == anchor_label`` would silently drop it from one leg and a
+    SQL ``CASE ... ELSE 0`` would silently make it a negative — the
+    semantics are explicit here and mirrored in the oracle's WHERE).
     """
-    q = anchors.select(
+    q = anchors.where(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    c = df.select(
+    c = df.where(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__nl"),
         F.col(vec_col).alias("cv"),

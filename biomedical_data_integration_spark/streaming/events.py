@@ -1978,8 +1978,23 @@ def jsd_readout(
     tot = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    p = F.col("n_baseline").cast("double") / F.sum("n_baseline").over(tot)
-    q = F.col("n_current").cast("double") / F.sum("n_current").over(tot)
+    staged = joined.select(
+        "bin",
+        "n_baseline",
+        "n_current",
+        F.sum("n_baseline").over(tot).alias("__ta"),
+        F.sum("n_current").over(tot).alias("__tb"),
+    )
+    # guarded divisions, exactly like js_divergence: an empty/all-zero
+    # side must yield NULL jsd, not an ANSI divide-by-zero
+    p = F.when(
+        F.col("__ta") > 0,
+        F.col("n_baseline").cast("double") / F.col("__ta").cast("double"),
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("__tb") > 0,
+        F.col("n_current").cast("double") / F.col("__tb").cast("double"),
+    ).otherwise(F.lit(0.0))
     m = (p + q) / F.lit(2.0)
     term = (
         F.when((F.col("n_baseline") > 0) & (m > 0), p * F.log(p / m)).otherwise(
@@ -1990,14 +2005,17 @@ def jsd_readout(
         ).otherwise(F.lit(0.0))
     ) / F.lit(2.0)
     tm = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
-    return joined.withColumn("__tm", tm).select(
+    both = (F.col("__ta") > 0) & (F.col("__tb") > 0)
+    return staged.withColumn("__tm", tm).select(
         "bin",
         "n_baseline",
         "n_current",
-        (F.col("__tm").cast("double") / F.lit(1e9)).alias("jsd_term"),
-        (F.sum("__tm").over(tot).cast("double") / F.lit(1e9)).alias(
-            "jsd_total"
+        F.when(both, F.col("__tm").cast("double") / F.lit(1e9)).alias(
+            "jsd_term"
         ),
+        F.when(
+            both, F.sum("__tm").over(tot).cast("double") / F.lit(1e9)
+        ).alias("jsd_total"),
     )
 
 

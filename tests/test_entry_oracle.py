@@ -47,17 +47,46 @@ def test_every_query_has_an_oracle_or_documented_exemption():
     assert set(QUERIES) - set(ORACLES) == set()
 
 
+def _source_dict_keys(func_name):
+    """String keys of the dict literal returned by ``func_name`` in
+    __spark_entry__.py, read from the SOURCE (ast) — a duplicate key in
+    the literal silently merges (first position, last value) before any
+    runtime check can see it, so `list(queries())` cannot guard this."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(entrymod))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == func_name:
+            for ret in ast.walk(node):
+                if isinstance(ret, ast.Return) and isinstance(
+                    ret.value, ast.Dict
+                ):
+                    return [
+                        k.value
+                        for k in ret.value.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+    raise AssertionError(f"no dict-literal return found in {func_name}")
+
+
+def test_no_duplicate_keys_in_source():
+    """A repeated key in the queries()/oracle_sql() dict literal would
+    silently shadow an earlier entry — check the source, not the dict."""
+    for fn in ("queries", "oracle_sql"):
+        keys = _source_dict_keys(fn)
+        dupes = sorted({k for k in keys if keys.count(k) > 1})
+        assert not dupes, f"duplicate keys in {fn}() literal: {dupes}"
+
+
 def test_graded_window_shape(spark):
     """Guard the FIRST-50 graded window's shape (round-6 verdict item 3):
     the driver's value-hash compares canonicalized cell values, and
     array-typed output columns hashed unreliably there once
     (feature_hash_orders, round 5) — rotation must never silently
     un-grade a query by moving an array-shaped result into the window.
-    Also: no duplicate keys anywhere (a dict literal would silently
-    keep first position/last value), and window entries must all carry
-    an oracle."""
+    Window entries must all carry an oracle."""
     names = list(QUERIES)
-    assert len(names) == len(set(names))
     window = names[:50]
     from pyspark.sql.types import ArrayType, MapType
 

@@ -654,6 +654,52 @@ def test_srm_check_golden_and_unknown_variant(spark):
         srm_check(bad, "variant", {"A": 0.5, "B": 0.5}).collect()
 
 
+def test_srm_check_zero_traffic_variant(spark):
+    """A designed variant with NO rows must contribute its full
+    (0 - n·share)²/(n·share) term — the worst sample-ratio mismatch
+    (ADVICE r8): 100 rows all on 'A' with a 50/50 design -> chi2 =
+    (100-50)²/50 + (0-50)²/50 = 100."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        srm_check,
+    )
+
+    df = spark.createDataFrame([("A",)] * 100, "variant string")
+    out = srm_check(df, "variant", {"A": 0.5, "B": 0.5}).collect()
+    by = {r["variant"]: r for r in out}
+    assert set(by) == {"A", "B"}
+    assert by["B"]["n_obs"] == 0 and by["B"]["n_expected"] == 50.0
+    assert all(abs(r["chi2"] - 100.0) < 1e-6 for r in out)
+
+
+def test_apply_isotonic_clamps_out_of_range_scores(spark):
+    """Scores outside [0, 1] clamp to the edge bins (ADVICE r8): a
+    negative score must serve the LOWEST fitted value, not throw on
+    element_at(lut, 0) or silently index from the END of the LUT."""
+    from biomedical_data_integration_spark.operators.evaluation import (
+        apply_isotonic,
+        isotonic_calibration,
+    )
+
+    rows = (
+        [(0.05, 0)] * 8 + [(0.05, 1)] * 2
+        + [(0.95, 1)] * 9 + [(0.95, 0)]
+    )
+    df = spark.createDataFrame(rows, "score double, label int")
+    fit = isotonic_calibration(df, "score", "label", n_bins=10).collect()
+    probe = spark.createDataFrame(
+        [(-0.5,), (-0.05,), (0.0,), (1.0,), (2.5,)], "score double"
+    )
+    got = {
+        r["score"]: r["calibrated"]
+        for r in apply_isotonic(probe, fit, "score", n_bins=10).collect()
+    }
+    assert abs(got[-0.5] - 0.2) < 1e-6
+    assert abs(got[-0.05] - 0.2) < 1e-6
+    assert abs(got[0.0] - 0.2) < 1e-6
+    assert abs(got[1.0] - 0.9) < 1e-6
+    assert abs(got[2.5] - 0.9) < 1e-6
+
+
 def test_new_stats_operators_empty_input(spark):
     """Empty inputs produce well-defined degenerate readouts (no NaNs,
     no exceptions) across the round-7 statistics family."""

@@ -216,3 +216,29 @@ def test_mine_triplets_golden(spark):
     r4 = out[4]
     assert r4["positive_id"] is None and r4["positive_cosine"] is None
     assert r4["negative_id"] is not None
+
+
+def test_mine_triplets_null_labels_excluded(spark):
+    """NULL-label rows are neither anchors nor candidates (ADVICE r8):
+    an unlabeled neighbor must not become a silent hard negative, and
+    the nearest LABELED neighbor wins instead."""
+    from biomedical_data_integration_spark.operators.similarity import (
+        mine_triplets,
+    )
+
+    pts = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.99, 0.05], None),  # nearest to 0 overall, but unlabeled
+        (3, [0.0, 1.0], 1),
+        (4, [0.5, 0.5], None),    # unlabeled anchor candidate
+    ]
+    df = spark.createDataFrame(
+        pts, "vec_id int, embedding array<double>, label int"
+    )
+    out = {r["anchor_id"]: r for r in
+           mine_triplets(df, df.where("vec_id IN (0, 4)")).collect()}
+    assert 4 not in out, "NULL-label anchor must be dropped"
+    r0 = out[0]
+    assert r0["positive_id"] == 1, "unlabeled id 2 must not shadow the positive"
+    assert r0["negative_id"] == 3, "unlabeled id 2 must not be a hard negative"

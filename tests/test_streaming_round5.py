@@ -1164,6 +1164,28 @@ def test_streaming_jsd_monitor_readout(spark):
     assert all(abs(r["jsd_total"] - math.log(2)) < 1e-5 for r in diff)
 
 
+def test_streaming_jsd_readout_one_sided_is_null(spark):
+    """An empty/all-zero side yields NULL jsd (ADVICE r8), not an ANSI
+    divide-by-zero — the js_divergence contract this function shares."""
+    from biomedical_data_integration_spark.streaming.events import (
+        jsd_readout,
+        streaming_bin_counts,
+    )
+
+    bounds = [100.0, 200.0]
+    base = spark.createDataFrame([(50.0,)] * 5, "value double")
+    empty = spark.createDataFrame([], "value double")
+    out = jsd_readout(
+        streaming_bin_counts(base, bounds), streaming_bin_counts(empty, bounds)
+    ).collect()
+    assert out, "baseline bins must still appear"
+    assert all(r["jsd_term"] is None and r["jsd_total"] is None for r in out)
+    # both-zero counts tables (schema-only) also stay NULL, no throw
+    zero = streaming_bin_counts(empty, bounds)
+    out2 = jsd_readout(zero, zero).collect()
+    assert all(r["jsd_total"] is None for r in out2)
+
+
 def test_streaming_minhash_join_matches_batch_candidates(spark):
     """The stateless stream-static incremental-dedup candidate join
     emits exactly the batch minhash_lsh_join candidate set."""
