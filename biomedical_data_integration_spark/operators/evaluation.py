@@ -37,39 +37,65 @@ def binary_auc(
 
     Returns ``(group?, n_pos, n_neg, auc)``; groups with no positives
     or no negatives yield NULL auc. Ties in the score receive their
-    average rank (the standard tie correction), computed from first-rank
-    + count windows — pure integer arithmetic until the final division.
+    average rank (the standard tie correction), computed from a
+    distinct-score cumulative-count table — pure integer arithmetic
+    until the final division.
 
-    Scale shape: one (group,) score-ordered window (single exchange +
-    sort) and one group aggregation. For 100 TB AUC sketches, pre-bin
-    scores with ``sketches.histogram_sketch`` and trade exactness for a
+    Scale shape: one combinable (group, score) groupBy collapses the
+    corpus to distinct scores, then ranks come from the bucketed
+    two-pass prefix sum (functions/prefix.py — no single-task sort;
+    grouped fits use a group-partitioned window instead, parallel
+    across groups). For 100 TB AUC sketches, pre-bin scores with
+    ``sketches.histogram_sketch`` and trade exactness for a
     bounded-error trapezoid — this operator is the exact path.
     """
+    from ..functions.prefix import exclusive_prefix_sums
+
     g = [group_col] if group_col else []
     rows = df.select(
         *g,
         F.col(score_col).cast("double").alias("__s"),
         (F.col(label_col).cast("double") > 0).cast("int").alias("__y"),
     ).where(F.col("__s").isNotNull() & F.col(label_col).isNotNull())
-    wrank = Window.partitionBy(*g).orderBy("__s")
-    wtie = Window.partitionBy(*g, "__s")
-    # average rank of a tie group = first_rank + (tie_size - 1) / 2;
-    # doubled to stay integer: 2*first + tie - 1
-    ranked = rows.select(
-        *g,
-        "__y",
-        (
-            F.lit(2) * F.min(F.row_number().over(wrank)).over(wtie)
-            + F.count(F.lit(1)).over(wtie)
-            - F.lit(1)
-        ).cast("bigint").alias("__r2"),
+    per = rows.groupBy(*g, "__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+        F.sum("__y").cast("bigint").alias("__p"),
     )
+    # doubled average rank of a run of t tied scores after c prior rows:
+    # 2c + t + 1 (== 2*first + tie - 1 of the per-row form, exactly)
+    if g:
+        w = (
+            Window.partitionBy(*g)
+            .orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranked = per.select(
+            *g,
+            "__t",
+            "__p",
+            (
+                F.lit(2) * F.coalesce(F.sum("__t").over(w), F.lit(0))
+                + F.col("__t")
+                + F.lit(1)
+            ).alias("__r2"),
+        )
+    else:
+        ranked = exclusive_prefix_sums(per, "__s", ["__t"]).select(
+            "__t",
+            "__p",
+            (
+                F.lit(2) * F.col("__t_xps") + F.col("__t") + F.lit(1)
+            ).alias("__r2"),
+        )
     agg = ranked.groupBy(*[F.col(c) for c in g]).agg(
-        F.sum("__y").cast("bigint").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("n_neg"),
-        F.sum(F.when(F.col("__y") == 1, F.col("__r2"))).cast("bigint").alias(
-            "__rp2"
-        ),
+        F.sum("__p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("__t") - F.col("__p")).cast("bigint").alias("n_neg"),
+        # doubled positive rank-sum grows O(n²): decimal(38,0), not
+        # bigint (the mann_whitney_u overflow contract)
+        F.sum(
+            F.col("__p").cast("decimal(38,0)")
+            * F.col("__r2").cast("decimal(38,0)")
+        ).alias("__rp2"),
     )
     auc = (
         (
@@ -673,19 +699,19 @@ def mann_whitney_u(
             F.sum(F.lit(1) - F.col("__a")).cast("bigint").alias("__nb"),
         )
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    t = F.col("__na") + F.col("__nb")
+    from ..functions.prefix import exclusive_prefix_sums
+
     # average rank of a run of t tied values starting after c prior
-    # rows is c + (t + 1) / 2; doubled: 2c + t + 1 (exact bigint)
-    ranked = vals.select(
+    # rows is c + (t + 1) / 2; doubled: 2c + t + 1 (exact bigint).
+    # c comes from the bucketed two-pass prefix sum — no single-task
+    # global sort over the distinct-value table (which is ~n for
+    # continuous metrics at scale=6 quantization).
+    staged = vals.withColumn("__t", F.col("__na") + F.col("__nb"))
+    ranked = exclusive_prefix_sums(staged, "__v", ["__t"]).select(
         "__na",
         "__nb",
-        t.alias("__t"),
-        (
-            F.lit(2) * F.coalesce(F.sum(t).over(w), F.lit(0).cast("bigint"))
-            + t
-            + F.lit(1)
-        ).alias("__r2"),
+        "__t",
+        (F.lit(2) * F.col("__t_xps") + F.col("__t") + F.lit(1)).alias("__r2"),
     )
     agg = ranked.agg(
         F.coalesce(F.sum("__na"), F.lit(0)).cast("bigint").alias("n_a"),
@@ -1097,20 +1123,19 @@ def spearman_corr(
         F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
     ).select(_q(a_col).alias("__va"), _q(b_col).alias("__vb"))
 
+    from ..functions.prefix import exclusive_prefix_sums
+
     def _ranks(col: str):
         vals = base.groupBy(col).agg(
             F.count(F.lit(1)).cast("bigint").alias("__t")
         )
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return vals.select(
+        # bucketed two-pass prefix sum (functions/prefix.py) — the
+        # distinct-value table is ~n for continuous metrics, so no
+        # single-task Window.orderBy sort over it
+        return exclusive_prefix_sums(vals, col, ["__t"]).select(
             col,
             (
-                F.lit(2)
-                * F.coalesce(
-                    F.sum("__t").over(w), F.lit(0).cast("bigint")
-                )
-                + F.col("__t")
-                + F.lit(1)
+                F.lit(2) * F.col("__t_xps") + F.col("__t") + F.lit(1)
             ).alias(f"__r{col[-1]}"),
         )
 

@@ -307,15 +307,16 @@ def type1_boundaries(df: DataFrame, col: str, n_parts: int) -> DataFrame:
     Pure integer rank arithmetic + exact data values — no float
     interpolation — so the boundaries are bit-identical across engines,
     partitionings, and row orders (interpolated percentiles drift an ulp
-    around repeated values). Cost: one distinct-count aggregation plus a
-    window over the distinct-values table; at cluster scale substitute
-    the two-phase bucketed split the distribution matcher uses
-    (schema_matching.py) for the single-partition ordering window.
+    around repeated values). Cost: one distinct-count aggregation plus
+    the bucketed two-pass prefix sum (functions/prefix.py) over the
+    distinct-values table — no single-task ordering window, so the
+    boundaries stay parallel even when the column is continuous
+    (distinct cardinality ~n).
 
     Shared by z-order quantile bucketing (operators/layout.py) and
     equal-frequency discretization below.
     """
-    from pyspark.sql import Window
+    from ..functions.prefix import exclusive_prefix_sums
 
     if n_parts < 2:
         raise ValueError("type1_boundaries: n_parts must be >= 2")
@@ -324,18 +325,13 @@ def type1_boundaries(df: DataFrame, col: str, n_parts: int) -> DataFrame:
         df.select(F.col(col).cast("double").alias("__v"))
         .where(F.col("__v").isNotNull())
         .groupBy("__v")
-        .agg(F.count("*").alias("__c"))
+        .agg(F.count("*").cast("bigint").alias("__c"))
     )
-    wcum = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = dd.select(
+    xps = exclusive_prefix_sums(dd, "__v", ["__c"], with_totals=True)
+    cum = xps.select(
         "__v",
-        F.sum("__c").over(wcum).alias("__cum"),
-        F.sum("__c").over(wtot).alias("__n"),
+        (F.col("__c_xps") + F.col("__c")).alias("__cum"),
+        F.col("__c_tot").alias("__n"),
     )
     aggs = [
         F.min(
@@ -982,12 +978,12 @@ def ks_statistic(
     float enters until the final division — bit-deterministic.
 
     Scale shape: two map-side-combinable value counts, one full-outer
-    merge on value, one ordered window for the running sums (single
-    exchange), one max aggregation. For 100 TB, substitute the
-    distribution matcher's two-phase bucketed split for the global
-    ordering window (same contract as type1_boundaries).
+    merge on value, then running sums AND totals from the bucketed
+    two-pass prefix sum (functions/prefix.py) — no single-task ordering
+    window over the pooled distinct-value table (~n for continuous
+    metrics), one max aggregation.
     """
-    from pyspark.sql import Window
+    from ..functions.prefix import exclusive_prefix_sums
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
@@ -1004,25 +1000,18 @@ def ks_statistic(
         F.coalesce("__ca", F.lit(0)).cast("bigint").alias("__ca"),
         F.coalesce("__cb", F.lit(0)).cast("bigint").alias("__cb"),
     )
-    wcum = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    xps = exclusive_prefix_sums(
+        merged, "__v", ["__ca", "__cb"], with_totals=True
     )
-    tot = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = merged.select(
+    cum = xps.select(
         "__v",
-        F.sum("__ca").over(wcum).alias("__fa"),
-        F.sum("__cb").over(wcum).alias("__fb"),
-        F.sum("__ca").over(tot).alias("__na"),
-        F.sum("__cb").over(tot).alias("__nb"),
-    ).select(
-        "__v",
-        "__na",
-        "__nb",
-        # cross-multiplied integer gap: |F_a - F_b| * (n_a * n_b)
+        F.col("__ca_tot").alias("__na"),
+        F.col("__cb_tot").alias("__nb"),
+        # cross-multiplied integer gap: |F_a - F_b| * (n_a * n_b),
+        # inclusive running sums = exclusive prefix + the row's own count
         F.abs(
-            F.col("__fa") * F.col("__nb") - F.col("__fb") * F.col("__na")
+            (F.col("__ca_xps") + F.col("__ca")) * F.col("__cb_tot")
+            - (F.col("__cb_xps") + F.col("__cb")) * F.col("__ca_tot")
         ).alias("__gap"),
     )
     best = cum.orderBy(F.desc("__gap"), F.asc("__v")).limit(1)
@@ -1049,16 +1038,43 @@ def quantile_transform(
     the distribution-free scaling that makes heavy-tailed features
     comparable before distance-based models.
 
-    One (group-)ordered window (single exchange + sort) computing
-    first-rank + tie-count, then a pure expression. Groups of one row
-    map to 0.5 (the degenerate midpoint). Output floor-quantized to 6
-    decimals.
+    Grouped: one group-ordered window (parallel across groups).
+    Ungrouped: distinct-value collapse + the bucketed two-pass prefix
+    sum (functions/prefix.py) + a value-keyed join back — no
+    single-task sort over the row table. Groups of one row map to 0.5
+    (the degenerate midpoint). Output floor-quantized to 6 decimals.
     """
     from pyspark.sql import Window
 
     out_col = out_col or f"{col}_q"
     g = [group_col] if group_col else []
     v = F.col(col).cast("double")
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    if not g:
+        from ..functions.prefix import exclusive_prefix_sums
+
+        per = (
+            df.where(v.isNotNull())
+            .groupBy(v.alias("__v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        )
+        xps = exclusive_prefix_sums(per, "__v", ["__t"], with_totals=True)
+        # average rank doubled to stay integer: a run of t tied values
+        # after c prior rows has 2*avg_rank = 2c + t + 1
+        r2 = F.lit(2) * F.col("__t_xps") + F.col("__t") + F.lit(1)
+        n = F.col("__t_tot")
+        qv = F.when(
+            n > 1, (r2.cast("double") / 2.0 - 1.0) / (n - 1)
+        ).otherwise(F.lit(0.5))
+        rt = xps.select("__v", q6(qv).alias("__q"))
+        # Spark join equality treats NaN == NaN and exact doubles match
+        # their groupBy key bit-for-bit, so every non-null row re-joins
+        # its rank; NULL values never match -> NULL out_col (old mask)
+        return (
+            df.join(rt, v == F.col("__v"), "left")
+            .withColumn(out_col, F.when(v.isNotNull(), F.col("__q")))
+            .drop("__v", "__q")
+        )
     # nulls sort LAST so they never shift the non-null ranks (their q is
     # masked to NULL below); n counts non-null only
     wrank = Window.partitionBy(*g).orderBy(v.asc_nulls_last())
@@ -1076,10 +1092,7 @@ def quantile_transform(
     )
     return df.withColumn(
         out_col,
-        F.when(
-            v.isNotNull(),
-            F.floor(q * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
-        ),
+        F.when(v.isNotNull(), q6(q)),
     )
 
 

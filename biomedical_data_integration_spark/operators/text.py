@@ -767,14 +767,15 @@ def curriculum_buckets(
     corpus into ``n_buckets`` ordered tiers (bucket 1 = highest quality)
     — the ordering stage of curriculum training / quality-tiered mixing.
 
-    ``exact=True`` uses a global ``ntile`` window (total order by score
-    desc, id asc): exact equal-sized tiers, but the rank is a
-    single-partition sort — fine to ~10^8 rows, NOT the 100 TB path.
-    ``exact=False`` derives bucket edges from ``percentile_approx`` over
-    the scores (one aggregate + a broadcast threshold comparison, fully
-    parallel) — tier sizes are approximate but the plan has no global
-    sort; this is the cluster-scale default for real corpora, same
-    exact/approx contract as the distribution schema matcher.
+    ``exact=True`` gives exact equal-sized tiers (total order by score
+    desc, id asc) via ``functions.prefix.global_ntile`` — distinct-score
+    prefix sums + a score-partitioned tiebreak window, bit-equal to the
+    window ``ntile`` with NO single-task global sort, so exact tiers
+    now hold at corpus scale too. ``exact=False`` derives bucket edges
+    from ``percentile_approx`` over the scores (one aggregate + a
+    broadcast threshold comparison) — tier sizes are approximate; kept
+    as the cheapest single-pass variant, same exact/approx contract as
+    the distribution schema matcher.
 
     Returns (id_col, clf_score, bucket int).
     """
@@ -784,9 +785,11 @@ def curriculum_buckets(
         df, text_col=text_col, weights=weights, bias=bias
     ).select(F.col(id_col), F.col("clf_score"))
     if exact:
-        w = Window.orderBy(F.desc("clf_score"), F.asc(id_col))
-        return scored.withColumn(
-            "bucket", F.ntile(n_buckets).over(w).cast("int")
+        from ..functions.prefix import global_ntile
+
+        return global_ntile(
+            scored, "clf_score", id_col, n_buckets, "bucket",
+            descending=True,
         )
     edges = scored.agg(
         F.percentile_approx(

@@ -3089,11 +3089,13 @@ def rfm_scores(
     tile in any engine and under any partitioning.
 
     Scale shape: ONE user groupBy collapses the corpus, a 1-row max
-    rides a broadcast, and the three ntiles share the user-count-sized
-    table (three sorts of |users| rows). Output: one row per user with
-    r/f/m metrics, scores, and the concatenated segment label.
+    rides a broadcast, and the three ntiles ride
+    ``functions.prefix.global_ntile`` — distinct-metric prefix sums +
+    metric-partitioned tiebreak windows, so no single-task sort over
+    the user-count-sized table (|users| ~ 1e9 at corpus scale); tiles
+    are bit-equal to the window ntile form.
     """
-    from pyspark.sql import Window
+    from ..functions.prefix import global_ntile
 
     if n_tiles < 2:
         raise ValueError("rfm_scores: n_tiles must be >= 2")
@@ -3130,18 +3132,21 @@ def rfm_scores(
         "__cents",
     )
     # higher score = better: most recent / most frequent / highest spend
-    w_r = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
-    w_m = Window.orderBy(F.asc("__cents"), F.asc("user_id"))
-    out = staged.select(
+    tiled = global_ntile(
+        staged, "recency_days", "user_id", n_tiles, "r_score",
+        descending=True,
+    )
+    tiled = global_ntile(tiled, "frequency", "user_id", n_tiles, "f_score")
+    tiled = global_ntile(tiled, "__cents", "user_id", n_tiles, "m_score")
+    out = tiled.select(
         "user_id",
         "recency_days",
         "frequency",
         (F.floor(F.col("monetary") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
         .alias("monetary"),
-        F.ntile(n_tiles).over(w_r).cast("int").alias("r_score"),
-        F.ntile(n_tiles).over(w_f).cast("int").alias("f_score"),
-        F.ntile(n_tiles).over(w_m).cast("int").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return out.withColumn(
         "segment",

@@ -83,6 +83,74 @@ def test_no_large_literal_centroid_arrays(spark):
     assert "__cents" in plan
 
 
+def test_rank_stats_no_single_task_sort(spark):
+    """The rank-statistics family (round-7 verdict item 2) must not
+    sort a table that scales with n on a single task: an ordered window
+    with NO partition key compiles to Exchange SinglePartition + Sort —
+    one executor core for the whole distinct-value table (~n for
+    continuous metrics). After the functions/prefix.py rewrite these
+    plans carry only bucket-partitioned windows; this gate keeps it
+    that way."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from biomedical_data_integration_spark.operators.evaluation import (
+        binary_auc,
+        mann_whitney_u,
+        spearman_corr,
+    )
+    from biomedical_data_integration_spark.operators.profiling import (
+        ks_statistic,
+        type1_boundaries,
+    )
+
+    ev = spark.createDataFrame(
+        [("A", float(i)) for i in range(60)]
+        + [("B", float(i) + 0.5) for i in range(60)],
+        "g string, v double",
+    )
+    from biomedical_data_integration_spark.functions.prefix import (
+        global_ntile,
+    )
+    from biomedical_data_integration_spark.operators.profiling import (
+        quantile_transform,
+    )
+
+    ids = ev.select(
+        "v", F.monotonically_increasing_id().alias("id")
+    )
+    plans = {
+        "mann_whitney_u": mann_whitney_u(ev, "g", "v", "A", "B"),
+        "spearman_corr": spearman_corr(
+            ev.select(F.col("v").alias("a"), (F.col("v") * 2).alias("b")),
+            "a",
+            "b",
+        ),
+        "ks_statistic": ks_statistic(
+            ev.where("g='A'"), ev.where("g='B'"), "v"
+        ),
+        "type1_boundaries": type1_boundaries(ev, "v", 8),
+        "binary_auc": binary_auc(
+            ev.select("v", (F.col("v") > 30).cast("int").alias("y")),
+            "v",
+            "y",
+        ),
+        "quantile_transform": quantile_transform(ev, "v"),
+        "global_ntile": global_ntile(ids, "v", "id", 4, "t"),
+    }
+    offenders = {}
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+        )
+        bad = [s for s in specs if re.match(r"\s*[^,]*\s(ASC|DESC)", s)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"single-task ordered windows: {offenders}"
+
+
 def test_filtered_scans_push_predicates(all_plans):
     """Queries that filter the fact tables must reach the parquet scan
     with pushed filters (spot-check on plans whose shape guarantees it)."""

@@ -1,0 +1,126 @@
+"""functions/prefix.py: the bucketed two-pass distributed prefix sum
+must be BIT-EQUAL to the single-task ordered window it replaces, at any
+bucketing, including the degenerate ones (0 boundaries, more buckets
+than rows, NaN keys)."""
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from biomedical_data_integration_spark.functions.prefix import (
+    exclusive_prefix_sums,
+)
+
+
+def _naive(spark_df, order_col, sum_cols):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    return spark_df.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w), F.lit(0)).alias(f"{c}_xps")
+            for c in sum_cols
+        ],
+    )
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_matches_naive_window_exactly(spark):
+    # 1000 distinct bigint keys, skewed counts
+    df = spark.createDataFrame(
+        [(i * 7 % 1000, (i % 13) + 1, (i % 5) + 1) for i in range(1000)],
+        "v bigint, c1 bigint, c2 bigint",
+    )
+    keys = ["v", "c1_xps", "c2_xps"]
+    for buckets in (1, 2, 7, 64, 2048):  # incl. more buckets than rows
+        got = exclusive_prefix_sums(df, "v", ["c1", "c2"], buckets=buckets)
+        assert _rows(got, keys) == _rows(_naive(df, "v", ["c1", "c2"]), keys)
+
+
+def test_with_totals_and_double_keys(spark):
+    df = spark.createDataFrame(
+        [(float(i) / 3.0, i + 1) for i in range(257)], "v double, c bigint"
+    )
+    got = exclusive_prefix_sums(df, "v", ["c"], buckets=16, with_totals=True)
+    want_tot = sum(range(1, 258))
+    rows = got.collect()
+    assert all(r["c_tot"] == want_tot for r in rows)
+    assert _rows(got, ["v", "c_xps"]) == _rows(_naive(df, "v", ["c"]),
+                                               ["v", "c_xps"])
+
+
+def test_nan_sorts_last(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (float("nan"), 5)], "v double, c bigint"
+    )
+    got = {
+        (None if math.isnan(r["v"]) else r["v"]): r["c_xps"]
+        for r in exclusive_prefix_sums(df, "v", ["c"], buckets=4).collect()
+    }
+    # NaN is the LAST key (Spark ordering): its prefix covers 10 + 20
+    assert got == {1.0: 0, 2.0: 10, None: 30}
+
+
+def test_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "v bigint, c bigint")
+    assert exclusive_prefix_sums(empty, "v", ["c"]).count() == 0
+    one = spark.createDataFrame([(5, 3)], "v bigint, c bigint")
+    got = exclusive_prefix_sums(one, "v", ["c"], with_totals=True).collect()
+    assert len(got) == 1 and got[0]["c_xps"] == 0 and got[0]["c_tot"] == 3
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile must be BIT-EQUAL to F.ntile over the same total
+    order, across tile counts, tie patterns, and N % n remainders."""
+    from biomedical_data_integration_spark.functions.prefix import (
+        global_ntile,
+    )
+
+    # heavy ties in the key, unique tiebreak, N=103 (odd remainders)
+    df = spark.createDataFrame(
+        [((i * 3) % 7, i) for i in range(103)], "k bigint, id bigint"
+    )
+    for n in (2, 4, 5, 103, 200):
+        for desc in (False, True):
+            order = (
+                [F.desc("k"), F.asc("id")] if desc
+                else [F.asc("k"), F.asc("id")]
+            )
+            w = Window.orderBy(*order)
+            want = sorted(
+                (r["k"], r["id"], r["t"])
+                for r in df.select(
+                    "k", "id", F.ntile(n).over(w).cast("int").alias("t")
+                ).collect()
+            )
+            got = sorted(
+                (r["k"], r["id"], r["t"])
+                for r in global_ntile(
+                    df, "k", "id", n, "t", descending=desc
+                ).collect()
+            )
+            assert got == want, f"n={n} desc={desc}"
+
+
+def test_no_single_task_ordered_window_in_plan(spark):
+    """The whole point: the physical plan must contain NO ordered window
+    without a partition key (that is a single-task global sort)."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(100)], "v bigint, c bigint"
+    )
+    plan = (
+        exclusive_prefix_sums(df, "v", ["c"], with_totals=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    )
+    bad = [s for s in specs if re.match(r"\s*[^,]*\s(ASC|DESC)", s)]
+    assert not bad, f"unpartitioned ordered window(s): {bad}"
