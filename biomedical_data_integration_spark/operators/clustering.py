@@ -208,6 +208,142 @@ def _maxmin_seeds(
     return seeds
 
 
+def _parallel_seeds(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    scale: int,
+    rounds: int = 5,
+    oversample: Optional[int] = None,
+) -> List[List[float]]:
+    """k-means‖ seeding (Bahmani et al., VLDB'12): the distributed
+    fix for ``maxmin``'s k-1 sequential driver round-trips. Each of
+    ``rounds`` passes samples EVERY point independently with probability
+    ``min(1, ℓ·d²(x)/φ)`` (ℓ = ``oversample``, default 2k; φ = current
+    total cost), so one scan harvests ~ℓ candidates at once — the scan
+    count is O(rounds), FLAT in k. The ~ℓ·rounds candidates are then
+    weighted by how many points they attract (one more scan) and
+    reduced to k seeds on the driver by weighted farthest-point
+    (candidate-table-sized work, no corpus access).
+
+    Deterministic end-to-end: the sampling coin is
+    ``md5(id | round | salt) / 2^60`` (the engine's hash-gated sampling
+    contract — no RNG state, replayable on any partitioning), distances
+    ride the same rounded contract as every assignment, and the driver
+    reduction breaks ties by lowest id. If sampling harvests fewer than
+    k distinct candidates (tiny inputs), the lowest-id non-candidate
+    vectors top the pool up, keeping small fits total.
+    """
+    from biomedical_data_integration_spark.functions.hashing import (
+        md5_bigint,
+    )
+
+    ell = oversample or 2 * k
+    df = df.where(F.col(vec_col).isNotNull())
+    head = df.orderBy(id_col).limit(max(k, 1)).collect()
+    if len(head) < k:
+        raise ValueError(f"kmeans: need at least k={k} rows, got {len(head)}")
+    first = head[0]
+    cands: dict = {first[id_col]: [float(x) for x in first[vec_col]]}
+    dim = len(cands[first[id_col]])
+    pool = df.where(F.size(F.col(vec_col)) == dim)
+    two60 = float(1 << 60)
+    # incremental cost table (the standard k-means‖ device): each round
+    # measures distances ONLY against that round's NEW candidates and
+    # keeps the running min — total distance work O(rounds·ℓ·dim·n),
+    # not O(rounds²·ℓ·dim·n) from re-assigning against every candidate
+    # so far. Pinned per round (the kmeans_two_level lazy-plan
+    # discipline).
+    costed = (
+        _with_assignment(pool, vec_col, list(cands.values()), scale)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__a")["dist2"].alias("__cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(rounds):
+        phi = costed.agg(F.sum("__cost")).collect()[0][0]
+        if not phi or phi <= 0.0:
+            break  # every point coincides with a candidate: done
+        u = (
+            md5_bigint(
+                F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(r))),
+                "kmeans_parallel",
+            ).cast("double")
+            / F.lit(two60)
+        )
+        picked = (
+            costed.where(
+                u < F.col("__cost") * F.lit(float(ell)) / F.lit(float(phi))
+            )
+            .select(id_col, vec_col)
+            .collect()
+        )
+        new_vecs = []
+        for row in picked:
+            if row[id_col] not in cands:
+                vec = [float(x) for x in row[vec_col]]
+                cands[row[id_col]] = vec
+                new_vecs.append(vec)
+        if not new_vecs:
+            continue
+        if r < rounds - 1:  # last round's cost table is never read
+            costed = (
+                _with_assignment(costed, vec_col, new_vecs, scale)
+                .select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.least(
+                        F.col("__cost"), F.col("__a")["dist2"]
+                    ).alias("__cost"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    if len(cands) < k:
+        # tiny-input top-up: lowest-id vectors not yet candidates
+        for row in head:
+            cands.setdefault(row[id_col], [float(x) for x in row[vec_col]])
+            if len(cands) >= k:
+                break
+    if len(cands) < k:
+        raise ValueError(
+            f"kmeans: only {len(cands)} candidate vectors for k={k}"
+        )
+    # weight candidates by attraction (ONE scan, flat in k and rounds)
+    cand_ids = sorted(cands)
+    cand_vecs = [cands[i] for i in cand_ids]
+    weights_rows = (
+        _with_assignment(pool, vec_col, cand_vecs, scale)
+        .groupBy(F.col("__a")["cluster"].alias("__c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__w"))
+        .collect()
+    )
+    wmap = {int(r["__c"]): int(r["__w"]) for r in weights_rows}
+    weights = [wmap.get(i, 0) for i in range(len(cand_ids))]
+    # driver-side weighted farthest-point reduction to k (candidate-
+    # table-sized: O(k·ℓ·rounds·dim) floats, no Spark)
+    start = max(range(len(cand_ids)), key=lambda i: (weights[i], -i))
+    chosen = [start]
+    mind = [
+        sum((a - b) * (a - b) for a, b in zip(cand_vecs[start], v))
+        for v in cand_vecs
+    ]
+    while len(chosen) < k:
+        nxt = max(
+            (i for i in range(len(cand_ids)) if i not in set(chosen)),
+            key=lambda i: (weights[i] * mind[i], -i),
+        )
+        chosen.append(nxt)
+        for i, v in enumerate(cand_vecs):
+            d = sum((a - b) * (a - b) for a, b in zip(cand_vecs[nxt], v))
+            if d < mind[i]:
+                mind[i] = d
+    return [cand_vecs[i] for i in chosen]
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -229,8 +365,11 @@ def kmeans(
     vectors — one scan, and the contract the SQL oracle replays.
     ``"maxmin"`` is deterministic farthest-point seeding (greedy
     k-means++): much better spread on clumped data, at the cost of k-1
-    extra scans — the pick for real corpora where seed quality matters
-    more than the extra passes.
+    extra scans — the pick for moderate k where seed quality matters
+    more than the extra passes. ``"parallel"`` is k-means‖ (Bahmani
+    oversampling, hash-gated coins): ~rounds+2 scans FLAT in k — the
+    large-k corpus path (maxmin's k-1 sequential round-trips are the
+    round-7 verdict's scale caveat).
 
     Reference has no counterpart (closest public analogue: MLlib KMeans);
     re-derived here on plain arrays so the oracle can replay it in SQL.
@@ -249,6 +388,8 @@ def kmeans(
         centroids = _initial_centroids(df, vec_col, id_col, k)
     elif init == "maxmin":
         centroids = _maxmin_seeds(df, vec_col, id_col, k, scale)
+    elif init == "parallel":
+        centroids = _parallel_seeds(df, vec_col, id_col, k, scale)
     else:
         raise ValueError(f"kmeans: unknown init {init!r}")
     dim = len(centroids[0])
@@ -449,6 +590,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     scale: Optional[int] = None,
     target_cluster_size: int = 250,
+    flat_limit: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup: cluster, then drop every row with a LOWER-id neighbor in
     the SAME cluster at cosine >= ``threshold``. Returns the survivors as
@@ -466,14 +608,43 @@ def semantic_dedup(
     target_cluster_size)`` from a count — pair work then grows linearly
     with n, which is how SemDeDup runs at corpus scale (the paper uses
     tens of thousands of clusters for billions of documents).
+
+    **Auto-k routes through the two-level hierarchy past
+    ``planning.SEMDEDUP_FLAT_LIMIT``** (``flat_limit`` overrides): with
+    k ∝ n, even the flat join-kernel assignment is O(n·k·dim) —
+    quadratic in n — so large fits run :func:`semantic_dedup_two_level`
+    and remap its (coarse, sub) cell to ``cluster = coarse·k2 + sub``,
+    keeping this function's ``(id_col, cluster)`` surface. An explicit
+    ``k`` always stays on the flat path (the caller chose the
+    clustering).
     """
     if scale is None:
         scale = config.SIMILARITY_SCALE
     if k is None:
         import math
 
+        from biomedical_data_integration_spark import planning
+
         n = df.count()
         k = max(1, min(n, math.ceil(n / target_cluster_size)))
+        if planning.semdedup_kernel(n, flat_limit) == "two_level":
+            k1 = max(1, math.ceil(math.sqrt(k)))
+            k2 = max(1, math.ceil(k / k1))
+            out = semantic_dedup_two_level(
+                df,
+                vec_col=vec_col,
+                id_col=id_col,
+                max_iter=max_iter,
+                threshold=threshold,
+                scale=scale,
+                target_cluster_size=target_cluster_size,
+            )
+            return out.select(
+                id_col,
+                (F.col("coarse") * F.lit(k2) + F.col("sub"))
+                .cast("int")
+                .alias("cluster"),
+            )
     assigned, _ = kmeans(df, vec_col, id_col, k=k, max_iter=max_iter, scale=scale)
     # the assignment table is referenced three times below (both join
     # sides and the survivor anti-join); left lazy, each reference

@@ -222,6 +222,46 @@ def test_kmeans_maxmin_seeding_recovers_spread_blobs(spark):
     assert seeds == seeds2
 
 
+def test_kmeans_parallel_seeding_spreads_and_replays(spark):
+    """k-means‖ (init='parallel'): deterministic replay (hash-gated
+    coins, no RNG state), k distinct seeds, and blob coverage on the
+    same clumped fixture maxmin handles — with a scan count FLAT in k
+    (the point of the variant; curve in PERF_NOTES)."""
+    import random
+
+    random.seed(7)
+    rows = []
+    # three far blobs, 60 points each, ids interleaved so lowest ids
+    # do NOT span the blobs
+    for i in range(180):
+        cx, cy = [(0.0, 0.0), (50.0, 50.0), (-50.0, 50.0)][i % 3]
+        rows.append(
+            (i, [cx + random.uniform(-1, 1), cy + random.uniform(-1, 1)])
+        )
+    df = _vecs(spark, rows)
+    assigned, seeds = kmeans(df, k=3, max_iter=1, init="parallel")
+    assert len(seeds) == 3 and len({tuple(s) for s in seeds}) == 3
+    blobs = {(round(s[0] / 50), round(s[1] / 50)) for s in seeds}
+    assert blobs == {(0, 0), (1, 1), (-1, 1)}
+    # deterministic end-to-end: seeds AND assignments replay bit-equal
+    assigned2, seeds2 = kmeans(df, k=3, max_iter=1, init="parallel")
+    assert seeds == seeds2
+    assert sorted(map(tuple, assigned.collect())) == sorted(
+        map(tuple, assigned2.collect())
+    )
+
+
+def test_kmeans_parallel_tiny_input_tops_up(spark):
+    # n barely >= k: sampling may harvest < k candidates; the lowest-id
+    # top-up must keep the fit total instead of failing
+    rows = [(i, [float(i), 0.0]) for i in range(4)]
+    df = _vecs(spark, rows)
+    _, seeds = kmeans(df, k=4, max_iter=1, init="parallel")
+    assert len(seeds) == 4 and len({tuple(s) for s in seeds}) == 4
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans(df, k=5, init="parallel")
+
+
 def test_kmeans_rejects_unknown_init(spark):
     with pytest.raises(ValueError, match="init"):
         kmeans(_vecs(spark, [(0, [1.0, 1.0]), (1, [2.0, 2.0])]), k=2,

@@ -18,6 +18,8 @@ def test_policy_boundaries_flip_exactly_at_the_limit():
     assert planning.components_kernel(1_000_001) == "distributed"
     assert planning.dict_mapper_kernel(10_000) == "literal"
     assert planning.dict_mapper_kernel(10_001) == "broadcast_join"
+    assert planning.semdedup_kernel(20_000) == "flat"
+    assert planning.semdedup_kernel(20_001) == "two_level"
 
 
 def test_policy_limit_overrides():
@@ -26,6 +28,47 @@ def test_policy_limit_overrides():
     assert planning.ann_pair_kernel(7, limit=6) == "lsh"
     assert planning.components_kernel(9, limit=9) == "driver"
     assert planning.dict_mapper_kernel(4, limit=3) == "broadcast_join"
+    assert planning.semdedup_kernel(5, limit=4) == "two_level"
+
+
+def test_semantic_dedup_auto_k_routes_through_two_level(spark):
+    """semantic_dedup(k=None) past the flat limit must return the
+    two-level survivors remapped to the flat (id, cluster) surface —
+    and an explicit k must stay flat regardless of the limit."""
+    import pyspark.sql.functions as F
+
+    from biomedical_data_integration_spark.operators.clustering import (
+        semantic_dedup,
+        semantic_dedup_two_level,
+    )
+
+    rows = [
+        (i, [float(i % 9), float((i * 3) % 7), float(i) / 40.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    routed = semantic_dedup(
+        df, k=None, max_iter=1, target_cluster_size=5, flat_limit=10
+    )
+    assert routed.columns == ["vec_id", "cluster"]
+    # k = ceil(40/5) = 8 -> k1 = 3, k2 = 3: cluster = coarse*3 + sub
+    direct = semantic_dedup_two_level(
+        df, max_iter=1, target_cluster_size=5
+    ).select(
+        "vec_id",
+        (F.col("coarse") * 3 + F.col("sub")).cast("int").alias("cluster"),
+    )
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # below the limit: byte-identical to the explicit flat fit
+    flat = semantic_dedup(
+        df, k=None, max_iter=1, target_cluster_size=5, flat_limit=100
+    )
+    explicit = semantic_dedup(df, k=8, max_iter=1)
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
 
 
 def _domains(spark, n_src, n_tgt):
