@@ -110,6 +110,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "runs_per_query": runs,
+                "estimator": "min",
             }
         )
     )
@@ -121,6 +123,8 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf_dir,
                 "n_queries": len(timings),
+                "runs_per_query": runs,
+                "estimator": "min",
             }
         )
     )

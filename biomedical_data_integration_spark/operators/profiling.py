@@ -1948,10 +1948,11 @@ def gini_coefficient(
     takes which rank), one double division at read-out. Negative values
     are rejected (Gini is undefined there).
 
-    Scale shape: one sort window + one groupBy per group key. The
-    ungrouped form single-tasks the sort — fine for the intended
-    pre-aggregated inputs (per-user totals, per-token counts); keep a
-    group key at raw-corpus scale.
+    Scale shape: grouped, one sort window per group key (parallel
+    across groups). Ungrouped, the distinct-value table + the bucketed
+    two-pass prefix sum (functions/prefix.py): a tie block of t copies
+    of x after c prior rows contributes ``x·(2tc + t² + t)`` to the
+    DOUBLED rank-sum — exact integer arithmetic, no single-task sort.
     """
     from pyspark.sql import Window
 
@@ -1960,6 +1961,37 @@ def gini_coefficient(
         "bigint"
     )
     staged = df.select(*g, v.alias("__v")).where(F.col("__v").isNotNull())
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    if not g:
+        from ..functions.prefix import exclusive_prefix_sums
+
+        per = staged.groupBy("__v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__t")
+        )
+        xps = exclusive_prefix_sums(per, "__v", ["__t"])
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        tt, cc, xx = d(F.col("__t")), d(F.col("__t_xps")), d(F.col("__v"))
+        agg = xps.agg(
+            F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint").alias("n"),
+            # rank-weighted sums grow O(n²·x): decimal(38,0), the
+            # module's overflow contract
+            F.sum(xx * tt).alias("__sx"),
+            F.sum(
+                xx * (F.lit(2) * tt * cc + tt * tt + tt)
+            ).alias("__six2"),
+            F.min("__v").alias("__minv"),
+        )
+        gini = (
+            F.col("__six2").cast("double")
+            - (F.col("n") + 1).cast("double") * F.col("__sx").cast("double")
+        ) / (F.col("n").cast("double") * F.col("__sx").cast("double"))
+        return agg.select(
+            "n",
+            q6(F.col("__sx").cast("double") / F.lit(100.0)).alias("total"),
+            F.when(
+                (F.col("__sx") > 0) & (F.col("__minv") >= 0), q6(gini)
+            ).alias("gini"),
+        )
     wrank = Window.partitionBy(*g).orderBy("__v")
     ranked = staged.select(
         *g,
@@ -1976,7 +2008,6 @@ def gini_coefficient(
         F.lit(2.0) * F.col("__six").cast("double")
         - (F.col("n") + 1).cast("double") * F.col("__sx").cast("double")
     ) / (F.col("n").cast("double") * F.col("__sx").cast("double"))
-    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     out = agg.select(
         *g,
         "n",

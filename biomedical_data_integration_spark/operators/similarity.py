@@ -455,24 +455,22 @@ def set_similarity_join_pairs(
         F.col(id_col).alias("id"), F.col(token_col).alias("tok")
     )
     ranks = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
-    from pyspark.sql import Window
-
-    ranks = ranks.withColumn(
-        "__r",
-        F.row_number().over(Window.orderBy(F.asc("__f"), F.asc("tok"))),
-    ).select("tok", "__r")
-    # per-set tokens sorted rarest-first: struct sort on (rank, token).
-    # Referenced THREE times below (prefix explode + both verify sides)
-    # — left lazy, each reference replays the rank join + per-set sort
-    # over the corpus, so pin it once (the localCheckpoint discipline;
-    # measured 2x on the whole operator at sf0.1). Row count = input
-    # sets, payload = the sorted token arrays.
+    # per-set tokens sorted rarest-first: struct sort on (FREQUENCY,
+    # token) — the global ordering only needs to be CONSISTENT across
+    # sets, and (freq, tok) is order-isomorphic to the dense rank the
+    # prefix filter is defined on, so no global row_number (which was a
+    # single-task sort over the vocabulary table) exists anywhere in
+    # the plan. Referenced THREE times below (prefix explode + both
+    # verify sides) — left lazy, each reference replays the rank join +
+    # per-set sort over the corpus, so pin it once (the localCheckpoint
+    # discipline; measured 2x on the whole operator at sf0.1). Row
+    # count = input sets, payload = the sorted token arrays.
     sorted_sets = (
         toks.join(ranks, "tok")
         .groupBy("id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__r"), F.col("tok")))
+                F.collect_list(F.struct(F.col("__f"), F.col("tok")))
             ).alias("__st")
         )
         .select(

@@ -291,3 +291,57 @@ def test_minhash_lsh_join_asymmetric(spark):
     )
     none = minhash_lsh_join(new.where("doc_id = 3"), both)
     assert none.count() == 0
+
+
+def test_minhash_corpus_entries_parquet_round_trip(spark, tmp_path):
+    """The persistence contract (round-7 verdict item 7):
+    minhash_corpus_entries written to parquet and reloaded in a NEW
+    session must bucket a delta to exactly the candidate set the direct
+    two-corpus join computes — the state really is reusable across
+    ingests, not an artifact of in-session plan reuse."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        minhash_corpus_entries,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different content about spark engines "
+                        "and distributed join strategies for large corpora")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " extra"),
+         (3, "novel text that matches nothing in the standing corpus at "
+             "all whatsoever in any shingle window")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "corpus_band_entries")
+    minhash_corpus_entries(corpus).write.mode("overwrite").parquet(path)
+
+    # fresh session: nothing cached, nothing shared but the files
+    s2 = spark.newSession()
+    persisted = s2.read.parquet(path).withColumnRenamed("id", "corpus_id")
+    delta_entries = minhash_corpus_entries(
+        s2.createDataFrame(new.collect(), new.schema)
+    ).withColumnRenamed("id", "new_id")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in delta_entries.join(persisted, ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+        .collect()
+    }
+    # direct (no persistence) candidate set over the same two corpora
+    direct_new = minhash_corpus_entries(new).withColumnRenamed("id", "new_id")
+    direct_corp = minhash_corpus_entries(corpus).withColumnRenamed(
+        "id", "corpus_id"
+    )
+    want = {
+        (r["new_id"], r["corpus_id"])
+        for r in direct_new.join(direct_corp, ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert (1, 0) in got  # the near-dup buckets together

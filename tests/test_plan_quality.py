@@ -138,6 +138,19 @@ def test_rank_stats_no_single_task_sort(spark):
         ),
         "quantile_transform": quantile_transform(ev, "v"),
         "global_ntile": global_ntile(ids, "v", "id", 4, "t"),
+        "gini_ungrouped": __import__(
+            "biomedical_data_integration_spark.operators.profiling",
+            fromlist=["gini_coefficient"],
+        ).gini_coefficient(ev, "v"),
+        "set_similarity": __import__(
+            "biomedical_data_integration_spark.operators.similarity",
+            fromlist=["set_similarity_join_pairs"],
+        ).set_similarity_join_pairs(
+            spark.createDataFrame(
+                [(i, f"t{(i * 3) % 17}") for i in range(60)],
+                "id bigint, tok string",
+            )
+        ),
     }
     offenders = {}
     for name, df in plans.items():

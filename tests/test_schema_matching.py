@@ -15,7 +15,7 @@ METHODS = [
     "similarity_flooding",
     "composite",
     "coma",       # alias of the native composite (SURVEY §2.3)
-    "cupid",      # alias
+    "cupid",      # TreeMatch (structural, round 8)
     "two_phase",
     "ct_learning",
     "max_val_sim",
@@ -281,3 +281,111 @@ def test_simflood_rejects_unknown_policy():
         SimilarityFloodingSchemaMatcher(coeff_policy="bogus")
     with pytest.raises(ValueError, match="formula"):
         SimilarityFloodingSchemaMatcher(formula="bogus")
+
+
+def test_cupid_structural_phase_breaks_name_ties(spark):
+    """Cupid TreeMatch (round-8): two source structs each carry a
+    'city' leaf whose name matches BOTH target city leaves equally —
+    only sibling context (street/zip vs employer name) can route them.
+    The structural phase must score address.city higher against the
+    location struct's city than against the company struct's city."""
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType, StringType,
+    )
+
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        CupidSchemaMatcher,
+    )
+
+    def struct(fields):
+        return StructType(
+            [StructField(n, t, True) for n, t in fields]
+        )
+
+    src = spark.createDataFrame(
+        [],
+        struct(
+            [
+                ("address", struct(
+                    [("street", StringType()),
+                     ("city", StringType()),
+                     ("zip", IntegerType())])),
+                ("employer", struct(
+                    [("employer_name", StringType()),
+                     ("city", StringType())])),
+            ]
+        ),
+    )
+    tgt = spark.createDataFrame(
+        [],
+        struct(
+            [
+                ("location", struct(
+                    [("street", StringType()),
+                     ("city", StringType()),
+                     ("zip", IntegerType())])),
+                ("company", struct(
+                    [("employer_name", StringType()),
+                     ("city", StringType())])),
+            ]
+        ),
+    )
+    m = CupidSchemaMatcher()
+    got = {
+        (r["source"], r["target"]): r["similarity"]
+        for r in m.scores(src, tgt).collect()
+    }
+    # name sims are symmetric: without structure these four tie exactly
+    assert (
+        got[("address.city", "location.city")]
+        > got[("address.city", "company.city")]
+    )
+    assert (
+        got[("employer.city", "company.city")]
+        > got[("employer.city", "location.city")]
+    )
+    # anchors themselves match strongly
+    assert got[("address.street", "location.street")] >= 0.7
+
+
+def test_cupid_flat_schema_ranks_by_name_with_type_compat(spark):
+    """Flat schemas: Cupid degenerates to linguistic ranking modulated
+    by type compatibility — an identically-named leaf with an
+    incompatible type must score below a compatible one."""
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        CupidSchemaMatcher,
+    )
+
+    src = spark.createDataFrame([], "order_total double, note string")
+    tgt = spark.createDataFrame(
+        [], "order_total double, order_totals string, comment string"
+    )
+    got = {
+        (r["source"], r["target"]): r["similarity"]
+        for r in CupidSchemaMatcher().scores(src, tgt).collect()
+    }
+    # same name + same type beats near-name + incompatible type
+    assert (
+        got[("order_total", "order_total")]
+        > got[("order_total", "order_totals")]
+    )
+
+
+def test_cupid_registered_and_usable_via_match_schema(spark):
+    import biomedical_data_integration_spark as bdi
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        CupidSchemaMatcher,
+        get_schema_matcher,
+    )
+
+    assert isinstance(get_schema_matcher("cupid"), CupidSchemaMatcher)
+    src = spark.createDataFrame([("x", 1)], "customer_name string, qty int")
+    tgt = spark.createDataFrame(
+        [("y", 2)], "name_of_customer string, quantity int"
+    )
+    out = bdi.match_schema(src, tgt, method="cupid")
+    got = {
+        r["source"]: r["target"] for r in out.collect()
+    }
+    assert got["customer_name"] == "name_of_customer"
+    assert got["qty"] == "quantity"
