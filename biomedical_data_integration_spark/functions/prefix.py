@@ -52,12 +52,22 @@ def exclusive_prefix_sums(
     buckets: Optional[int] = None,
     rel_err: float = 1e-3,
     with_totals: bool = False,
+    kernel: Optional[str] = None,
 ) -> DataFrame:
     """Exclusive prefix sums (sum over STRICTLY-earlier rows in
     ``order_col`` order) of every column in ``sum_cols``, appended as
     ``<col>_xps``; with ``with_totals`` also the grand totals as
-    ``<col>_tot`` on every row (replacing the usual unpartitioned
-    full-frame total window with the same no-single-task shape).
+    ``<col>_tot`` on every row.
+
+    Kernel policy (``planning.rank_cumsum_kernel``, the engine-wide
+    measured-cardinality pattern): ``kernel=None`` counts the input
+    once and routes — a bounded table takes ONE ordered window (single
+    task on collapsed data beats ~5 stages of scheduling; the count is
+    a cheap aggregate), an unbounded one takes the bucketed two-pass
+    shape with no single-task sort. Passing explicit ``buckets``
+    forces the bucketed kernel; ``kernel="window"|"bucketed"`` pins it
+    outright. Results are BIT-EQUAL on either kernel (tested), so the
+    switch is invisible to oracles.
 
     Contract: ``order_col`` must be unique per row (callers pass
     distinct-value tables) and non-NULL; NaN (float/double order
@@ -66,6 +76,35 @@ def exclusive_prefix_sums(
     two-level sum is only bit-equal to the global window for exact
     arithmetic.
     """
+    if kernel is None:
+        if buckets is not None:
+            kernel = "bucketed"
+        else:
+            from biomedical_data_integration_spark import planning
+
+            kernel = planning.rank_cumsum_kernel(df.count())
+    if kernel == "window":
+        w = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        out = df.select(
+            "*",
+            *[
+                F.coalesce(F.sum(c).over(w), F.lit(0)).alias(f"{c}_xps")
+                for c in sum_cols
+            ],
+        )
+        if with_totals:
+            tot = Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            out = out.select(
+                "*",
+                *[F.sum(c).over(tot).alias(f"{c}_tot") for c in sum_cols],
+            )
+        return out
+    if kernel != "bucketed":
+        raise ValueError(f"exclusive_prefix_sums: unknown kernel {kernel!r}")
     b = buckets or DEFAULT_PREFIX_BUCKETS
     dtype = dict(df.dtypes)[order_col]
     is_float = dtype in ("float", "double")
@@ -144,6 +183,7 @@ def global_ntile(
     n: int,
     out_col: str,
     descending: bool = False,
+    kernel: Optional[str] = None,
 ) -> DataFrame:
     """Exact global ``ntile(n)`` over the total order ``(key_col
     [DESC], tiebreak_col ASC)`` WITHOUT the single-task sort
@@ -161,16 +201,35 @@ def global_ntile(
     ``key_col`` must be numeric non-NULL (``descending`` negates it —
     monotone and exact for ints/doubles) and ``(key, tiebreak)`` must
     be unique per row. Adds ``out_col`` (int).
+
+    Kernel policy: ``kernel=None`` counts the rows once and routes
+    (``planning.rank_cumsum_kernel``) — bounded tables take the plain
+    ``F.ntile`` window (one exchange; bit-equal, tested), unbounded
+    ones the prefix-sum decomposition above.
     """
     if n < 1:
         raise ValueError("global_ntile: n must be >= 1")
+    if kernel is None:
+        from biomedical_data_integration_spark import planning
+
+        kernel = planning.rank_cumsum_kernel(df.count())
+    if kernel == "window":
+        order = (
+            [F.desc(key_col), F.asc(tiebreak_col)]
+            if descending
+            else [F.asc(key_col), F.asc(tiebreak_col)]
+        )
+        w = Window.orderBy(*order)
+        return df.withColumn(out_col, F.ntile(n).over(w).cast("int"))
+    if kernel != "bucketed":
+        raise ValueError(f"global_ntile: unknown kernel {kernel!r}")
     k = F.col(key_col)
     staged = df.withColumn("__gk", (-k) if descending else k)
     per = staged.groupBy("__gk").agg(
         F.count(F.lit(1)).cast("bigint").alias("__t")
     )
     offs = exclusive_prefix_sums(
-        per, "__gk", ["__t"], with_totals=True
+        per, "__gk", ["__t"], with_totals=True, kernel="bucketed"
     ).select(
         "__gk",
         F.col("__t_xps").alias("__off"),

@@ -71,6 +71,7 @@ DRIVER_EDGE_LIMIT = 1_000_000
 LITERAL_DICT_LIMIT = 10_000
 CENTROID_LITERAL_LIMIT = 4
 SEMDEDUP_FLAT_LIMIT = 20_000
+RANK_SORT_LIMIT = 4_000_000
 
 
 def _resolve(limit: Optional[int], default: int) -> int:
@@ -114,6 +115,24 @@ def dict_mapper_kernel(n_entries: int, limit: Optional[int] = None) -> str:
     ``"broadcast_join"``."""
     lim = _resolve(limit, LITERAL_DICT_LIMIT)
     return "literal" if n_entries <= lim else "broadcast_join"
+
+
+def rank_cumsum_kernel(n_rows: int, limit: Optional[int] = None) -> str:
+    """``"window"`` single-task ordered window for bounded tables, else
+    ``"bucketed"`` (functions/prefix.py two-pass distributed prefix
+    sum).
+
+    The bucketed form is the 100 TB shape — no single-task sort — but
+    costs ~5 extra stages of fixed latency (boundary job, bucket
+    exchange, totals branch, broadcast join): measured crossover
+    2-5M distinct values on local[32] (PERF_NOTES round 8;
+    tools/bench_prefix_sums.py — window 4.9 s vs bucketed 3.5 s at
+    10M, diverging). Below the limit one sorted task on a collapsed
+    table is cheaper than the scheduling; above it one core becomes
+    the bottleneck. Results are bit-equal on either kernel (tested),
+    so the switch is invisible to every oracle."""
+    lim = _resolve(limit, RANK_SORT_LIMIT)
+    return "window" if n_rows <= lim else "bucketed"
 
 
 def semdedup_kernel(n_vectors: int, limit: Optional[int] = None) -> str:

@@ -3131,13 +3131,22 @@ def rfm_scores(
         (F.col("__cents").cast("double") / F.lit(100.0)).alias("monetary"),
         "__cents",
     )
-    # higher score = better: most recent / most frequent / highest spend
+    # higher score = better: most recent / most frequent / highest spend.
+    # ONE user count routes all three ntile kernels (the three metric
+    # tables share the same row count — no per-ntile policy job).
+    from biomedical_data_integration_spark import planning
+
+    kern = planning.rank_cumsum_kernel(staged.count())
     tiled = global_ntile(
         staged, "recency_days", "user_id", n_tiles, "r_score",
-        descending=True,
+        descending=True, kernel=kern,
     )
-    tiled = global_ntile(tiled, "frequency", "user_id", n_tiles, "f_score")
-    tiled = global_ntile(tiled, "__cents", "user_id", n_tiles, "m_score")
+    tiled = global_ntile(
+        tiled, "frequency", "user_id", n_tiles, "f_score", kernel=kern
+    )
+    tiled = global_ntile(
+        tiled, "__cents", "user_id", n_tiles, "m_score", kernel=kern
+    )
     out = tiled.select(
         "user_id",
         "recency_days",

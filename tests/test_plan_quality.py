@@ -83,17 +83,22 @@ def test_no_large_literal_centroid_arrays(spark):
     assert "__cents" in plan
 
 
-def test_rank_stats_no_single_task_sort(spark):
+def test_rank_stats_no_single_task_sort(spark, monkeypatch):
     """The rank-statistics family (round-7 verdict item 2) must not
     sort a table that scales with n on a single task: an ordered window
     with NO partition key compiles to Exchange SinglePartition + Sort —
     one executor core for the whole distinct-value table (~n for
     continuous metrics). After the functions/prefix.py rewrite these
-    plans carry only bucket-partitioned windows; this gate keeps it
-    that way."""
+    plans carry only bucket-partitioned windows past
+    planning.RANK_SORT_LIMIT (forced to 0 here so the tiny fixtures
+    compile the at-scale kernel); this gate keeps it that way."""
     import re
 
     import pyspark.sql.functions as F
+
+    from biomedical_data_integration_spark import planning
+
+    monkeypatch.setattr(planning, "RANK_SORT_LIMIT", 0)
 
     from biomedical_data_integration_spark.operators.evaluation import (
         binary_auc,

@@ -20,6 +20,8 @@ def test_policy_boundaries_flip_exactly_at_the_limit():
     assert planning.dict_mapper_kernel(10_001) == "broadcast_join"
     assert planning.semdedup_kernel(20_000) == "flat"
     assert planning.semdedup_kernel(20_001) == "two_level"
+    assert planning.rank_cumsum_kernel(4_000_000) == "window"
+    assert planning.rank_cumsum_kernel(4_000_001) == "bucketed"
 
 
 def test_policy_limit_overrides():

@@ -99,22 +99,26 @@ def test_global_ntile_matches_window_ntile(spark):
             got = sorted(
                 (r["k"], r["id"], r["t"])
                 for r in global_ntile(
-                    df, "k", "id", n, "t", descending=desc
+                    df, "k", "id", n, "t", descending=desc,
+                    kernel="bucketed",
                 ).collect()
             )
             assert got == want, f"n={n} desc={desc}"
 
 
 def test_no_single_task_ordered_window_in_plan(spark):
-    """The whole point: the physical plan must contain NO ordered window
-    without a partition key (that is a single-task global sort)."""
+    """The whole point: the BUCKETED kernel's physical plan must
+    contain NO ordered window without a partition key (that is a
+    single-task global sort)."""
     import re
 
     df = spark.createDataFrame(
         [(i, 1) for i in range(100)], "v bigint, c bigint"
     )
     plan = (
-        exclusive_prefix_sums(df, "v", ["c"], with_totals=True)
+        exclusive_prefix_sums(
+            df, "v", ["c"], with_totals=True, kernel="bucketed"
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -124,3 +128,84 @@ def test_no_single_task_ordered_window_in_plan(spark):
     )
     bad = [s for s in specs if re.match(r"\s*[^,]*\s(ASC|DESC)", s)]
     assert not bad, f"unpartitioned ordered window(s): {bad}"
+
+
+def test_kernel_policy_routes_and_kernels_agree(spark, monkeypatch):
+    """kernel=None consults planning.rank_cumsum_kernel on the counted
+    input: below the limit the plain window compiles (one exchange, no
+    boundary job), above it the bucketed shape — and both kernels (and
+    both ntile kernels) return identical rows."""
+    import re
+
+    from biomedical_data_integration_spark import planning
+    from biomedical_data_integration_spark.functions.prefix import (
+        global_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 3 % 101, (i % 7) + 1) for i in range(101)],
+        "v bigint, c bigint",
+    ).dropDuplicates(["v"])
+    keys = ["v", "c_xps"]
+    win = exclusive_prefix_sums(df, "v", ["c"], kernel="window")
+    bkt = exclusive_prefix_sums(df, "v", ["c"], kernel="bucketed")
+    assert _rows(win, keys) == _rows(bkt, keys)
+    # policy: small -> window plan (has an unpartitioned ordered spec)
+    plan_small = (
+        exclusive_prefix_sums(df, "v", ["c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(
+        r"windowspecdefinition\(\s*[^,]*\s(ASC|DESC)", plan_small
+    ), "small input should take the single-window kernel"
+    # policy override: limit 0 -> bucketed plan (no such spec)
+    monkeypatch.setattr(planning, "RANK_SORT_LIMIT", 0)
+    plan_big = (
+        exclusive_prefix_sums(df, "v", ["c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.search(
+        r"windowspecdefinition\(\s*[^,]*\s(ASC|DESC)", plan_big
+    ), "past the limit the bucketed kernel must compile"
+    # ntile kernels agree too
+    ids = spark.createDataFrame(
+        [((i * 3) % 7, i) for i in range(53)], "k bigint, id bigint"
+    )
+    a = sorted(map(tuple, global_ntile(ids, "k", "id", 4, "t",
+                                       kernel="window").collect()))
+    b = sorted(map(tuple, global_ntile(ids, "k", "id", 4, "t",
+                                       kernel="bucketed").collect()))
+    assert a == b
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    buckets=st.sampled_from([1, 3, 8, 64]),
+)
+def test_prefix_sums_property_matches_window(spark, rows, buckets):
+    """Fuzzed bit-equality: any unique-key bigint table, any bucketing,
+    including negative keys and negative summands."""
+    df = spark.createDataFrame(rows, "v bigint, c bigint")
+    got = _rows(
+        exclusive_prefix_sums(df, "v", ["c"], buckets=buckets),
+        ["v", "c_xps"],
+    )
+    want = _rows(_naive(df, "v", ["c"]), ["v", "c_xps"])
+    assert got == want
