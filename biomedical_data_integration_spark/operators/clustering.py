@@ -795,6 +795,107 @@ def embedding_outliers(
     )
 
 
+def embedding_health_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """One-row embedding-corpus health readout — the sanity gate before
+    any ANN/SemDeDup/clustering run spends cluster time on a broken
+    embedding table: ``(n, dim, mean_norm, median_norm, anisotropy,
+    zero_frac)``.
+
+    - ``mean_norm`` / ``median_norm``: L2-norm location (collapsed or
+      exploded norms indicate an encoder/normalization bug); the median
+      is the type-1 empirical quantile (:func:`type1_boundaries` — the
+      cross-engine-exact rank statistic, policy-routed).
+    - ``anisotropy`` = ‖mean vector‖ / mean‖v‖ ∈ [0, 1]: ~0 for a
+      centered (isotropic-ish) corpus, → 1 when every vector points the
+      same way (the classic "embedding cone" degeneration that wrecks
+      cosine contrast — Ethayarajh '19).
+    - ``zero_frac``: all-zero vectors (dead encoder outputs) that
+      silently score cosine 0 against everything.
+
+    Determinism: per-vector norms and per-component sums ride exact
+    bigint micro-units (order-free under any partitioning, the module
+    contract); the mean vector's norm is one double expression over the
+    dim-sized component table. Scale shape: one corpus scan for the
+    norm aggregate + one posexplode scan into a (dim)-keyed combinable
+    groupBy; every table after the scans is 1-row or dim-sized.
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    from biomedical_data_integration_spark.operators.profiling import (
+        type1_boundaries,
+    )
+
+    staged = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__nm")
+    )
+    qn = F.floor(F.col("__nm") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    base = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum(qn), F.lit(0)).cast("bigint").alias("__qsum"),
+        F.coalesce(
+            F.sum((F.col("__nm") == 0.0).cast("int")), F.lit(0)
+        ).cast("bigint").alias("__zeros"),
+        F.max(F.size("__v")).cast("int").alias("dim"),
+    )
+    # per-component micro-unit sums: exact, order-free; dim-sized table
+    comp = (
+        staged.select(F.posexplode("__v").alias("__pos", "__x"))
+        .groupBy("__pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("__x").cast("double") * F.lit(1e6) + F.lit(0.5))
+                .cast("bigint")
+            ).alias("__cs")
+        )
+    )
+    # Σ cs² on decimal(38,0): cs ~ n·1e6·|x| can pass int64 at corpus
+    # scale and a double sum is order-dependent — exact decimal keeps
+    # the readout bit-stable (the module contract)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mu2 = comp.agg(
+        F.coalesce(
+            F.sum(d(F.col("__cs")) * d(F.col("__cs"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__mu2q")
+    )
+    q = lambda x: F.floor(x * F.lit(10.0 ** scale) + F.lit(0.5)) / F.lit(  # noqa: E731
+        10.0 ** scale
+    )
+    med = type1_boundaries(staged, "__nm", 2).select(
+        F.element_at(F.col("__boundaries"), 1).alias("__med")
+    )
+    mean_norm = F.col("__qsum").cast("double") / (
+        F.col("n").cast("double") * F.lit(1e6)
+    )
+    # anisotropy = ||mu|| / mean||v||; both carry the same 1/(n·1e6)
+    # factor, so the ratio reduces to ONE division both engines share:
+    # sqrt(Σcs²) / Σqnorm
+    aniso = F.sqrt(F.col("__mu2q").cast("double")) / F.col("__qsum").cast(
+        "double"
+    )
+    return (
+        base.crossJoin(F.broadcast(mu2))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n",
+            "dim",
+            F.when(F.col("n") > 0, q(mean_norm)).alias("mean_norm"),
+            F.when(F.col("n") > 0, q(F.col("__med"))).alias("median_norm"),
+            F.when(
+                (F.col("n") > 0) & (F.col("__qsum") > 0), q(aniso)
+            ).alias("anisotropy"),
+            F.when(
+                F.col("n") > 0,
+                q(F.col("__zeros").cast("double") / F.col("n")),
+            ).alias("zero_frac"),
+        )
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

@@ -576,3 +576,37 @@ def test_embedding_outliers_flags_far_vector(spark):
         out[i]["outlier_rz"] is None or out[i]["outlier_rz"] < z_far
         for i in range(9)
     )
+
+
+def test_embedding_health_report_golden(spark):
+    """Known fixture: two unit vectors + one zero vector. mean_norm =
+    2/3, median (type-1, rank ceil(3/2)=2) = 1.0... wait rank 2 of
+    sorted norms [0, 1, 1] is 1.0; anisotropy of opposite unit vectors
+    cancels the mean vector to ~0; zero_frac = 1/3."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_health_report,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    r = embedding_health_report(df).collect()[0]
+    assert r["n"] == 3 and r["dim"] == 2
+    assert abs(r["mean_norm"] - 2.0 / 3.0) < 1e-6
+    assert abs(r["median_norm"] - 1.0) < 1e-9
+    assert abs(r["anisotropy"]) < 1e-9          # opposing vectors cancel
+    assert abs(r["zero_frac"] - 1.0 / 3.0) < 1e-6
+    # cone degeneration: identical vectors -> anisotropy 1
+    cone = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(5)],
+        "vec_id int, embedding array<double>",
+    )
+    rc = embedding_health_report(cone).collect()[0]
+    assert abs(rc["anisotropy"] - 1.0) < 1e-6
+    assert abs(rc["mean_norm"] - 5.0) < 1e-6 and rc["zero_frac"] == 0.0
+    # empty input: well-defined NULL readouts, no division errors
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    re_ = embedding_health_report(empty).collect()[0]
+    assert re_["n"] == 0 and re_["mean_norm"] is None
+    assert re_["anisotropy"] is None and re_["zero_frac"] is None
