@@ -9966,7 +9966,8 @@ med AS (
       SELECT nm AS v, CAST(count(*) AS BIGINT) AS c FROM norms GROUP BY 1))
 )
 SELECT n,
-  CAST({dim} AS INTEGER) AS dim,
+  -- NULL on an empty corpus, matching Spark's data-derived max(size)
+  CASE WHEN n > 0 THEN CAST({dim} AS INTEGER) END AS dim,
   CASE WHEN n > 0 THEN
     floor(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
           * 1000000.0 + 0.5) / 1000000.0 END AS mean_norm,
@@ -9997,7 +9998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the ONLY registry entries with zero driver evidence, round-7
     verdict item 1), the three round-8 additions (grouped AUC on the
     partitioned-window path; exact global deciles on the new
-    prefix-sum ntile; the embedding-corpus health gate), then 44 of the LONGEST-ungraded veterans
+    prefix-sum ntile; the embedding-corpus health gate), then 43 of the LONGEST-ungraded veterans
     (driver evidence r1-r4: sessionization, TPC-H, multimodal, CDC,
     value/schema matching, the dedup family). The round-7 window
     (driver-green r07, the freshest evidence) rotates just past the
@@ -10022,7 +10023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_by_segment_orders": _q_auc_by_segment,
         "user_value_tiles_events": _q_user_value_tiles,
         "embedding_health_embeddings": _q_embedding_health,
-        # 7-50: the longest-ungraded veterans (driver evidence r1-r4).
+        # 8-50: the longest-ungraded veterans (driver evidence r1-r4).
         "events_sessionize_30m": _q_events_sessionize,
         "events_tumbling_hourly": _q_events_tumbling,
         "split_hash_documents": _q_split_hash,
@@ -10171,7 +10172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_user_value_events": _q_gini_user_value,
         "events_attribution_linear": _q_attribution_linear,
         # --- tail: remaining veterans, all judge-replica-verified every
-        # round (the 44 longest-ungraded moved into this round's window) ---
+        # round (the 43 longest-ungraded moved into this round's window) ---
         "dedup_clusters_documents": _q_dedup_clusters,
         "decontaminate_train_eval": _q_decontaminate,
         "ann_cosine_topk_embeddings": _q_ann_cosine,

@@ -76,13 +76,19 @@ def exclusive_prefix_sums(
     two-level sum is only bit-equal to the global window for exact
     arithmetic.
     """
+    if kernel is None and buckets is not None:
+        kernel = "bucketed"
+    if kernel != "window":
+        # the bucketed shape reads df 3x (boundary collect, intra
+        # windows, totals branch) and the routing count once more — pin
+        # the collapsed table ONCE instead of replaying its (possibly
+        # corpus-scale) upstream lineage per reference, the repo's
+        # localCheckpoint discipline (set_similarity, kmeans_two_level)
+        df = df.localCheckpoint(eager=True)
     if kernel is None:
-        if buckets is not None:
-            kernel = "bucketed"
-        else:
-            from biomedical_data_integration_spark import planning
+        from biomedical_data_integration_spark import planning
 
-            kernel = planning.rank_cumsum_kernel(df.count())
+        kernel = planning.rank_cumsum_kernel(df.count())
     if kernel == "window":
         w = Window.orderBy(order_col).rowsBetween(
             Window.unboundedPreceding, -1
@@ -199,13 +205,20 @@ def global_ntile(
     so tiles are bit-equal to the window form at any size.
 
     ``key_col`` must be numeric non-NULL (``descending`` negates it —
-    monotone and exact for ints/doubles) and ``(key, tiebreak)`` must
-    be unique per row. Adds ``out_col`` (int).
+    monotone and exact for ints/doubles away from the int64 minimum,
+    which would overflow the negation under ANSI) and ``(key,
+    tiebreak)`` must be unique per row. Adds ``out_col`` (int).
+    Descending float keys: NaN maps to ``-inf`` AFTER negation so both
+    kernels rank it FIRST (Spark orders NaN above +inf) — bit-equal
+    unless NaN and a literal +inf key coexist (then their mutual order
+    follows the tiebreak, documented residual).
 
     Kernel policy: ``kernel=None`` counts the rows once and routes
     (``planning.rank_cumsum_kernel``) — bounded tables take the plain
     ``F.ntile`` window (one exchange; bit-equal, tested), unbounded
-    ones the prefix-sum decomposition above.
+    ones the prefix-sum decomposition above (row table pinned once:
+    it feeds the distinct-key collapse, the tie window, and the
+    offsets join — the localCheckpoint discipline).
     """
     if n < 1:
         raise ValueError("global_ntile: n must be >= 1")
@@ -224,7 +237,15 @@ def global_ntile(
     if kernel != "bucketed":
         raise ValueError(f"global_ntile: unknown kernel {kernel!r}")
     k = F.col(key_col)
-    staged = df.withColumn("__gk", (-k) if descending else k)
+    is_float = dict(df.dtypes)[key_col] in ("float", "double")
+    if descending and is_float:
+        # NaN is the LARGEST value in Spark ordering: under descending
+        # it must rank FIRST in both kernels, but -NaN is still NaN
+        # (which exclusive_prefix_sums sorts LAST) — map it to -inf
+        gk = F.when(F.isnan(k), F.lit(float("-inf"))).otherwise(-k)
+    else:
+        gk = (-k) if descending else k
+    staged = df.withColumn("__gk", gk).localCheckpoint(eager=True)
     per = staged.groupBy("__gk").agg(
         F.count(F.lit(1)).cast("bigint").alias("__t")
     )

@@ -303,14 +303,23 @@ def _parallel_seeds(
                 .localCheckpoint(eager=True)
             )
     if len(cands) < k:
-        # tiny-input top-up: lowest-id vectors not yet candidates
-        for row in head:
+        # tiny-input top-up: lowest-id vectors not yet candidates —
+        # drawn from POOL (dimension-filtered), never raw head rows, so
+        # a malformed short vector can't become a seed
+        for row in pool.orderBy(id_col).limit(k).collect():
             cands.setdefault(row[id_col], [float(x) for x in row[vec_col]])
             if len(cands) >= k:
                 break
     if len(cands) < k:
         raise ValueError(
             f"kmeans: only {len(cands)} candidate vectors for k={k}"
+        )
+    if len({tuple(v) for v in cands.values()}) < k:
+        # mirror maxmin's contract: k seeds require k DISTINCT vectors —
+        # duplicate seeds would silently leave permanently empty clusters
+        raise ValueError(
+            f"kmeans: only {len({tuple(v) for v in cands.values()})} "
+            f"distinct vectors among the candidates; lower k"
         )
     # weight candidates by attraction (ONE scan, flat in k and rounds)
     cand_ids = sorted(cands)
@@ -628,8 +637,11 @@ def semantic_dedup(
         n = df.count()
         k = max(1, min(n, math.ceil(n / target_cluster_size)))
         if planning.semdedup_kernel(n, flat_limit) == "two_level":
-            k1 = max(1, math.ceil(math.sqrt(k)))
-            k2 = max(1, math.ceil(k / k1))
+            # ONE derivation of the cell grid, shared with the callee
+            # (passing k1/k2 also skips its second corpus count) — the
+            # remap below is collision-free exactly because the callee
+            # runs THESE k1/k2
+            k1, k2 = _auto_k_cells(k)
             out = semantic_dedup_two_level(
                 df,
                 vec_col=vec_col,
@@ -638,6 +650,8 @@ def semantic_dedup(
                 threshold=threshold,
                 scale=scale,
                 target_cluster_size=target_cluster_size,
+                k1=k1,
+                k2=k2,
             )
             return out.select(
                 id_col,
@@ -695,6 +709,18 @@ def semantic_dedup(
     )
 
 
+def _auto_k_cells(k: int) -> Tuple[int, int]:
+    """The auto-k cell grid: ``k1 = ceil(√k)`` coarse × ``k2 =
+    ceil(k/k1)`` sub clusters — the ONE place the derivation lives
+    (semantic_dedup's flat-id remap ``coarse·k2 + sub`` is only
+    collision-free when caller and callee agree on k2)."""
+    import math
+
+    k1 = max(1, math.ceil(math.sqrt(k)))
+    k2 = max(1, math.ceil(k / k1))
+    return k1, k2
+
+
 def semantic_dedup_two_level(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -703,6 +729,8 @@ def semantic_dedup_two_level(
     threshold: float = 0.95,
     scale: Optional[int] = None,
     target_cluster_size: int = 250,
+    k1: Optional[int] = None,
+    k2: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup on the two-level hierarchy — the corpus-scale
     configuration: cluster COUNT still derives from the corpus count
@@ -713,16 +741,18 @@ def semantic_dedup_two_level(
     pair work ~n·target, assignment work O(n·√k·dim) — no quadratic
     anywhere as n grows. Returns survivors ``(id_col, coarse, sub)``;
     a row is dropped iff a LOWER-id same-cell neighbor sits at cosine
-    >= ``threshold``.
+    >= ``threshold``. Pass BOTH ``k1`` and ``k2`` to pin the cell grid
+    (and skip the corpus count) — the semantic_dedup auto-k router
+    does, so its flat-id remap shares this fit's k2.
     """
     import math
 
     if scale is None:
         scale = config.SIMILARITY_SCALE
-    n = df.count()
-    k = max(1, min(n, math.ceil(n / target_cluster_size)))
-    k1 = max(1, math.ceil(math.sqrt(k)))
-    k2 = max(1, math.ceil(k / k1))
+    if k1 is None or k2 is None:
+        n = df.count()
+        k = max(1, min(n, math.ceil(n / target_cluster_size)))
+        k1, k2 = _auto_k_cells(k)
     assigned = kmeans_two_level(
         df, vec_col, id_col, k1=k1, k2=k2, max_iter=max_iter, scale=scale
     )

@@ -609,4 +609,15 @@ def test_embedding_health_report_golden(spark):
     empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
     re_ = embedding_health_report(empty).collect()[0]
     assert re_["n"] == 0 and re_["mean_norm"] is None
+    assert re_["dim"] is None  # data-derived, matching the oracle's guard
     assert re_["anisotropy"] is None and re_["zero_frac"] is None
+
+
+def test_kmeans_parallel_raises_on_duplicate_vectors(spark):
+    """Review r8: fewer than k DISTINCT vectors must raise (the maxmin
+    contract) instead of silently returning duplicate seeds that leave
+    permanently empty clusters."""
+    rows = [(i, [float(i % 2), 0.0]) for i in range(8)]
+    df = _vecs(spark, rows)
+    with pytest.raises(ValueError, match="distinct"):
+        kmeans(df, k=3, max_iter=1, init="parallel")

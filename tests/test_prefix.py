@@ -209,3 +209,35 @@ def test_prefix_sums_property_matches_window(spark, rows, buckets):
     )
     want = _rows(_naive(df, "v", ["c"]), ["v", "c_xps"])
     assert got == want
+
+
+def test_global_ntile_nan_descending_kernels_agree(spark):
+    """Review r8: -NaN is still NaN, so the bucketed kernel used to
+    rank a NaN key LAST under descending while the window kernel (desc
+    = NaN first, Spark's NaN-above-inf ordering) ranked it FIRST — the
+    same data would tile differently on either side of the routing
+    limit. Both kernels must agree, including tiles."""
+    from biomedical_data_integration_spark.functions.prefix import (
+        global_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 2), (float("nan"), 3), (0.5, 4), (3.0, 5)],
+        "k double, id bigint",
+    )
+    for n in (2, 3, 5):
+        a = sorted(
+            (r["id"], r["t"])
+            for r in global_ntile(
+                df, "k", "id", n, "t", descending=True, kernel="window"
+            ).collect()
+        )
+        b = sorted(
+            (r["id"], r["t"])
+            for r in global_ntile(
+                df, "k", "id", n, "t", descending=True, kernel="bucketed"
+            ).collect()
+        )
+        assert a == b, f"n={n}: window={a} bucketed={b}"
+        # NaN ranks FIRST under descending -> tile 1
+        assert dict(a)[3] == 1
