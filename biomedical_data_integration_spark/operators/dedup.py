@@ -221,6 +221,120 @@ def _band_entries(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
+def lsh_tuning_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    sample_mod: int = 2,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Measured-vs-theoretical LSH quality curve — the report that
+    picks ``(num_perm, bands)`` BEFORE a corpus-scale dedup run spends
+    cluster time on the wrong S-curve.
+
+    On the deterministic document sample ``id % sample_mod == 0``:
+    every overlapping pair's EXACT shingle Jaccard (inverted-index
+    self-join — only pairs sharing a shingle materialize, never the
+    cross product), joined against the banded candidate set the
+    CURRENT (num_perm, bands) would emit. Per equal-width Jaccard
+    bucket: pair count, banded count, measured recall, and the
+    closed-form banding probability ``1 - (1 - s^r)^b`` at the bucket
+    midpoint (computed once in Python and injected as literals, so
+    both engines read identical doubles — no cross-engine ``pow``).
+
+    Returns ``(bucket, jaccard_lo, n_pairs, n_banded, recall,
+    theory_p)`` — n_buckets rows max; zero-overlap pairs are excluded
+    (their Jaccard and banding probability are both ~0). Scale shape:
+    ``sample_mod`` bounds the verified pair space (raise it with the
+    corpus); everything else is the dedup family's own bucketed joins
+    over sample-sized tables.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    if sample_mod < 1 or n_buckets < 1:
+        raise ValueError("lsh_tuning_report: sample_mod/n_buckets >= 1")
+    r = num_perm // bands
+    sampled = df.where(F.col(id_col) % sample_mod == 0)
+    sh = shingle_sets(sampled, text_col, id_col, shingle_words).localCheckpoint(
+        eager=True
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("n", "na")
+        .join(sizes.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    entries = _band_entries(_signatures_from_shingles(sh, num_perm), num_perm, bands)
+    cand = (
+        entries.alias("x")
+        .join(
+            entries.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+        )
+        .distinct()
+        .withColumn("__banded", F.lit(1).cast("bigint"))
+    )
+    staged = jac.join(cand, ["id_a", "id_b"], "left").select(
+        F.least(
+            F.floor(F.col("jaccard") * n_buckets).cast("int"),
+            F.lit(n_buckets - 1),
+        ).alias("bucket"),
+        F.coalesce(F.col("__banded"), F.lit(0)).alias("__banded"),
+    )
+    # closed-form banding curve at bucket midpoints, Python-computed so
+    # Spark and the SQL oracle consume byte-identical literals
+    theory = [
+        round(1.0 - (1.0 - ((i + 0.5) / n_buckets) ** r) ** bands, 6)
+        for i in range(n_buckets)
+    ]
+    tmap = F.element_at(
+        F.array(*[F.lit(v) for v in theory]), F.col("bucket") + 1
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return staged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("__banded").cast("bigint").alias("n_banded"),
+    ).select(
+        "bucket",
+        q6(F.col("bucket").cast("double") / n_buckets).alias("jaccard_lo"),
+        "n_pairs",
+        "n_banded",
+        q6(
+            F.col("n_banded").cast("double") / F.col("n_pairs").cast("double")
+        ).alias("recall"),
+        tmap.alias("theory_p"),
+    )
+
+
 def minhash_corpus_entries(
     corpus_df: DataFrame,
     text_col: str = "text",

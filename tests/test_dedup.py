@@ -345,3 +345,41 @@ def test_minhash_corpus_entries_parquet_round_trip(spark, tmp_path):
     }
     assert got == want
     assert (1, 0) in got  # the near-dup buckets together
+
+
+def test_lsh_tuning_report_curve(spark):
+    """lsh_tuning_report: exact-Jaccard buckets, candidate flags, and
+    the closed-form S-curve line up — identical docs band (recall 1 in
+    the top bucket), disjoint-ish docs land low with theory ~0, and
+    every n_banded <= n_pairs with recall = the exact ratio."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        lsh_tuning_report,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(words)),                      # base
+        (2, " ".join(words)),                      # identical -> jac 1.0
+        (4, " ".join(words[:20] + [f"x{i}" for i in range(20)])),  # partial
+        (6, " ".join(f"z{i}" for i in range(40))),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["bucket"]: r for r in lsh_tuning_report(
+        df, sample_mod=1, n_buckets=10).collect()}
+    top = out[9]
+    assert top["n_pairs"] >= 1 and top["n_banded"] == top["n_pairs"]
+    assert top["recall"] == 1.0 and top["theory_p"] > 0.99
+    for r in out.values():
+        assert 0 <= r["n_banded"] <= r["n_pairs"]
+        assert abs(r["recall"] - r["n_banded"] / r["n_pairs"]) < 1e-6
+        assert 0.0 <= r["theory_p"] <= 1.0
+    # the half-overlap pairs land in a MID bucket with a mid-low
+    # S-curve probability (the tuning signal); the disjoint doc shares
+    # no shingle, so it is excluded entirely (documented contract)
+    mid = [r for b, r in out.items() if b < 9]
+    assert mid and all(r["theory_p"] < 0.5 for r in mid)
+    assert sum(r["n_pairs"] for r in out.values()) == 3  # (0,2),(0,4),(2,4)
+    # sample gate: only ids % mod == 0 participate
+    gated = lsh_tuning_report(df, sample_mod=4, n_buckets=10).collect()
+    # ids 0 and 4 remain -> exactly one overlapping pair
+    assert sum(r["n_pairs"] for r in gated) == 1
