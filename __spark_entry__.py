@@ -9964,10 +9964,21 @@ med AS (
   SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS mv FROM (
     SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM (
       SELECT nm AS v, CAST(count(*) AS BIGINT) AS c FROM norms GROUP BY 1))
+),
+dims AS (
+  -- vectors shorter/longer than the max length = encoder-bug census
+  SELECT CAST(count(*)
+              - COALESCE(count(*) FILTER (WHERE len(embedding) = mx), 0)
+              AS BIGINT) AS n_dim_mismatch
+  FROM embeddings
+       CROSS JOIN (SELECT max(len(embedding)) AS mx FROM embeddings
+                   WHERE embedding IS NOT NULL)
+  WHERE embedding IS NOT NULL
 )
 SELECT n,
   -- NULL on an empty corpus, matching Spark's data-derived max(size)
   CASE WHEN n > 0 THEN CAST({dim} AS INTEGER) END AS dim,
+  n_dim_mismatch,
   CASE WHEN n > 0 THEN
     floor(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
           * 1000000.0 + 0.5) / 1000000.0 END AS mean_norm,
@@ -9979,7 +9990,7 @@ SELECT n,
   CASE WHEN n > 0 THEN
     floor(CAST(zeros AS DOUBLE) / CAST(n AS DOUBLE)
           * 1000000.0 + 0.5) / 1000000.0 END AS zero_frac
-FROM base CROSS JOIN mu2 CROSS JOIN med
+FROM base CROSS JOIN mu2 CROSS JOIN med CROSS JOIN dims
 """
 
 

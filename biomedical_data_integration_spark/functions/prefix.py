@@ -53,6 +53,7 @@ def exclusive_prefix_sums(
     rel_err: float = 1e-3,
     with_totals: bool = False,
     kernel: Optional[str] = None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exclusive prefix sums (sum over STRICTLY-earlier rows in
     ``order_col`` order) of every column in ``sum_cols``, appended as
@@ -69,6 +70,16 @@ def exclusive_prefix_sums(
     outright. Results are BIT-EQUAL on either kernel (tested), so the
     switch is invisible to oracles.
 
+    ``n_rows`` is a caller-supplied cardinality hint: when given (and
+    ``kernel`` is None) the routing count job is SKIPPED entirely and
+    the policy consults the hint instead. Any upper bound on the
+    row count is a valid hint — the policy is a single threshold, so
+    an overestimate can only route a small table to the bucketed
+    kernel (correct either way, bit-equal), never a corpus-scale
+    table to the single-task window. Composed pipelines (rfm's three
+    ntiles, spearman's two rank tables) thread one known count through
+    every call instead of paying a routing scan per rank op.
+
     Contract: ``order_col`` must be unique per row (callers pass
     distinct-value tables) and non-NULL; NaN (float/double order
     columns) sorts into the top bucket, matching Spark's NaN-last
@@ -78,17 +89,21 @@ def exclusive_prefix_sums(
     """
     if kernel is None and buckets is not None:
         kernel = "bucketed"
-    if kernel != "window":
-        # the bucketed shape reads df 3x (boundary collect, intra
-        # windows, totals branch) and the routing count once more — pin
-        # the collapsed table ONCE instead of replaying its (possibly
-        # corpus-scale) upstream lineage per reference, the repo's
-        # localCheckpoint discipline (set_similarity, kmeans_two_level)
-        df = df.localCheckpoint(eager=True)
     if kernel is None:
         from biomedical_data_integration_spark import planning
 
-        kernel = planning.rank_cumsum_kernel(df.count())
+        n = int(n_rows) if n_rows is not None else df.count()
+        kernel = planning.rank_cumsum_kernel(n)
+    if kernel != "window":
+        # the bucketed shape reads df 3x (boundary collect, intra
+        # windows, totals branch) — pin the collapsed table ONCE
+        # instead of replaying its (possibly corpus-scale) upstream
+        # lineage per reference, the repo's localCheckpoint discipline
+        # (set_similarity, kmeans_two_level). The window kernel reads
+        # df exactly once, so it skips the materialization job — and
+        # with an ``n_rows`` hint the routing count is skipped too,
+        # making the small-table fast path zero extra jobs.
+        df = df.localCheckpoint(eager=True)
     if kernel == "window":
         w = Window.orderBy(order_col).rowsBetween(
             Window.unboundedPreceding, -1
@@ -190,6 +205,7 @@ def global_ntile(
     out_col: str,
     descending: bool = False,
     kernel: Optional[str] = None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exact global ``ntile(n)`` over the total order ``(key_col
     [DESC], tiebreak_col ASC)`` WITHOUT the single-task sort
@@ -218,14 +234,17 @@ def global_ntile(
     ``F.ntile`` window (one exchange; bit-equal, tested), unbounded
     ones the prefix-sum decomposition above (row table pinned once:
     it feeds the distinct-key collapse, the tie window, and the
-    offsets join — the localCheckpoint discipline).
+    offsets join — the localCheckpoint discipline). A caller-supplied
+    ``n_rows`` hint (any upper bound on the row count) skips the
+    routing count job entirely — the rfm hoist pattern, generalized.
     """
     if n < 1:
         raise ValueError("global_ntile: n must be >= 1")
     if kernel is None:
         from biomedical_data_integration_spark import planning
 
-        kernel = planning.rank_cumsum_kernel(df.count())
+        nr = int(n_rows) if n_rows is not None else df.count()
+        kernel = planning.rank_cumsum_kernel(nr)
     if kernel == "window":
         order = (
             [F.desc(key_col), F.asc(tiebreak_col)]

@@ -832,8 +832,8 @@ def embedding_health_report(
 ) -> DataFrame:
     """One-row embedding-corpus health readout — the sanity gate before
     any ANN/SemDeDup/clustering run spends cluster time on a broken
-    embedding table: ``(n, dim, mean_norm, median_norm, anisotropy,
-    zero_frac)``.
+    embedding table: ``(n, dim, n_dim_mismatch, mean_norm, median_norm,
+    anisotropy, zero_frac)``.
 
     - ``mean_norm`` / ``median_norm``: L2-norm location (collapsed or
       exploded norms indicate an encoder/normalization bug); the median
@@ -845,6 +845,12 @@ def embedding_health_report(
       cosine contrast — Ethayarajh '19).
     - ``zero_frac``: all-zero vectors (dead encoder outputs) that
       silently score cosine 0 against everything.
+    - ``n_dim_mismatch``: vectors whose length differs from ``dim``
+      (= max length). A mixed-dim corpus is the canonical encoder-bug
+      case this gate exists for: the per-component sums below blend
+      such vectors, so a non-zero count flags the anisotropy/mean
+      readouts as unreliable rather than letting them mislead
+      silently (ADVICE round 8).
 
     Determinism: per-vector norms and per-component sums ride exact
     bigint micro-units (order-free under any partitioning, the module
@@ -870,6 +876,19 @@ def embedding_health_report(
             F.sum((F.col("__nm") == 0.0).cast("int")), F.lit(0)
         ).cast("bigint").alias("__zeros"),
         F.max(F.size("__v")).cast("int").alias("dim"),
+    )
+    # vector-length census: a combinable count on a ~1-key table; the
+    # mismatch count is total minus the population at the max length
+    sizes = staged.groupBy(F.size("__v").alias("__d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dc")
+    )
+    mism = sizes.agg(
+        (
+            F.coalesce(F.sum("__dc"), F.lit(0))
+            - F.coalesce(F.max_by("__dc", "__d"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_dim_mismatch")
     )
     # per-component micro-unit sums: exact, order-free; dim-sized table
     comp = (
@@ -910,9 +929,11 @@ def embedding_health_report(
     return (
         base.crossJoin(F.broadcast(mu2))
         .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mism))
         .select(
             "n",
             "dim",
+            "n_dim_mismatch",
             F.when(F.col("n") > 0, q(mean_norm)).alias("mean_norm"),
             F.when(F.col("n") > 0, q(F.col("__med"))).alias("median_norm"),
             F.when(

@@ -31,6 +31,7 @@ def binary_auc(
     score_col: str,
     label_col: str,
     group_col: str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact ROC-AUC of ``score_col`` against binary ``label_col``
     (anything > 0 is positive), optionally per group.
@@ -48,6 +49,9 @@ def binary_auc(
     across groups). For 100 TB AUC sketches, pre-bin scores with
     ``sketches.histogram_sketch`` and trade exactness for a
     bounded-error trapezoid — this operator is the exact path.
+    ``n_rows`` (any upper bound on the distinct-score count, e.g. the
+    known corpus row count) skips the kernel-routing count job in the
+    ungrouped path — see ``functions.prefix.exclusive_prefix_sums``.
     """
     from ..functions.prefix import exclusive_prefix_sums
 
@@ -80,7 +84,9 @@ def binary_auc(
             ).alias("__r2"),
         )
     else:
-        ranked = exclusive_prefix_sums(per, "__s", ["__t"]).select(
+        ranked = exclusive_prefix_sums(
+            per, "__s", ["__t"], n_rows=n_rows
+        ).select(
             "__t",
             "__p",
             (
@@ -659,6 +665,7 @@ def mann_whitney_u(
     group_a,
     group_b,
     scale: int = 6,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test comparing ``group_a``
     against ``group_b`` — the non-parametric sibling of
@@ -707,7 +714,9 @@ def mann_whitney_u(
     # global sort over the distinct-value table (which is ~n for
     # continuous metrics at scale=6 quantization).
     staged = vals.withColumn("__t", F.col("__na") + F.col("__nb"))
-    ranked = exclusive_prefix_sums(staged, "__v", ["__t"]).select(
+    ranked = exclusive_prefix_sums(
+        staged, "__v", ["__t"], n_rows=n_rows
+    ).select(
         "__na",
         "__nb",
         "__t",
@@ -1092,6 +1101,7 @@ def spearman_corr(
     a_col: str,
     b_col: str,
     scale: int = 6,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Spearman rank correlation between two columns: Pearson on
     tie-averaged ranks — the monotonic-dependence readout that survives
@@ -1132,7 +1142,11 @@ def spearman_corr(
         # bucketed two-pass prefix sum (functions/prefix.py) — the
         # distinct-value table is ~n for continuous metrics, so no
         # single-task Window.orderBy sort over it
-        return exclusive_prefix_sums(vals, col, ["__t"]).select(
+        # one caller hint covers BOTH rank tables: each distinct-value
+        # table is bounded by the pair-row count (upper-bound routing)
+        return exclusive_prefix_sums(
+            vals, col, ["__t"], n_rows=n_rows
+        ).select(
             col,
             (
                 F.lit(2) * F.col("__t_xps") + F.col("__t") + F.lit(1)

@@ -298,7 +298,9 @@ def winsorize(
     )
 
 
-def type1_boundaries(df: DataFrame, col: str, n_parts: int) -> DataFrame:
+def type1_boundaries(
+    df: DataFrame, col: str, n_parts: int, n_rows: int = None
+) -> DataFrame:
     """1-row DataFrame with an array of the ``n_parts - 1`` type-1
     empirical quantile cut points of ``col``: the ACTUAL data value at
     integer rank ``ceil(k * n / n_parts)`` read off a distinct-value
@@ -327,7 +329,9 @@ def type1_boundaries(df: DataFrame, col: str, n_parts: int) -> DataFrame:
         .groupBy("__v")
         .agg(F.count("*").cast("bigint").alias("__c"))
     )
-    xps = exclusive_prefix_sums(dd, "__v", ["__c"], with_totals=True)
+    xps = exclusive_prefix_sums(
+        dd, "__v", ["__c"], with_totals=True, n_rows=n_rows
+    )
     cum = xps.select(
         "__v",
         (F.col("__c_xps") + F.col("__c")).alias("__cum"),
@@ -964,6 +968,7 @@ def ks_statistic(
     a: DataFrame,
     b: DataFrame,
     col: str,
+    n_rows: int = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic: ``D = max |F_a(x) -
     F_b(x)|`` over the pooled distinct values — the sharpest simple
@@ -1001,7 +1006,7 @@ def ks_statistic(
         F.coalesce("__cb", F.lit(0)).cast("bigint").alias("__cb"),
     )
     xps = exclusive_prefix_sums(
-        merged, "__v", ["__ca", "__cb"], with_totals=True
+        merged, "__v", ["__ca", "__cb"], with_totals=True, n_rows=n_rows
     )
     cum = xps.select(
         "__v",
@@ -1031,6 +1036,7 @@ def quantile_transform(
     col: str,
     group_col: str = None,
     out_col: str = None,
+    n_rows: int = None,
 ) -> DataFrame:
     """Rank-based feature normalization: map each value to its empirical
     quantile ``(rank - 1) / (n - 1)`` in [0, 1] (ties share the AVERAGE
@@ -1058,7 +1064,9 @@ def quantile_transform(
             .groupBy(v.alias("__v"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
         )
-        xps = exclusive_prefix_sums(per, "__v", ["__t"], with_totals=True)
+        xps = exclusive_prefix_sums(
+            per, "__v", ["__t"], with_totals=True, n_rows=n_rows
+        )
         # average rank doubled to stay integer: a run of t tied values
         # after c prior rows has 2*avg_rank = 2c + t + 1
         r2 = F.lit(2) * F.col("__t_xps") + F.col("__t") + F.lit(1)
@@ -1066,14 +1074,23 @@ def quantile_transform(
         qv = F.when(
             n > 1, (r2.cast("double") / 2.0 - 1.0) / (n - 1)
         ).otherwise(F.lit(0.5))
-        rt = xps.select("__v", q6(qv).alias("__q"))
+        # rank-table columns renamed to names PROVABLY absent from the
+        # caller's frame: a df that already carries __v/__q must not
+        # make the join condition ambiguous or get its column silently
+        # dropped
+        vk, qk = "__qt_v", "__qt_q"
+        while vk in df.columns or qk in df.columns:
+            vk, qk = vk + "_", qk + "_"
+        rt = xps.select(
+            F.col("__v").alias(vk), q6(qv).alias(qk)
+        )
         # Spark join equality treats NaN == NaN and exact doubles match
         # their groupBy key bit-for-bit, so every non-null row re-joins
         # its rank; NULL values never match -> NULL out_col (old mask)
         return (
-            df.join(rt, v == F.col("__v"), "left")
-            .withColumn(out_col, F.when(v.isNotNull(), F.col("__q")))
-            .drop("__v", "__q")
+            df.join(rt, v == F.col(vk), "left")
+            .withColumn(out_col, F.when(v.isNotNull(), F.col(qk)))
+            .drop(vk, qk)
         )
     # nulls sort LAST so they never shift the non-null ranks (their q is
     # masked to NULL below); n counts non-null only
@@ -1934,6 +1951,7 @@ def gini_coefficient(
     df: DataFrame,
     value_col: str,
     group_col: str = None,
+    n_rows: int = None,
 ) -> DataFrame:
     """Gini concentration of a non-negative quantity per group — "how
     unequal is the spend / token-frequency / document-length
@@ -1968,7 +1986,7 @@ def gini_coefficient(
         per = staged.groupBy("__v").agg(
             F.count(F.lit(1)).cast("bigint").alias("__t")
         )
-        xps = exclusive_prefix_sums(per, "__v", ["__t"])
+        xps = exclusive_prefix_sums(per, "__v", ["__t"], n_rows=n_rows)
         d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
         tt, cc, xx = d(F.col("__t")), d(F.col("__t_xps")), d(F.col("__v"))
         agg = xps.agg(

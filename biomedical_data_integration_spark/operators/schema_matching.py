@@ -289,11 +289,13 @@ class CupidSchemaMatcher(BaseSchemaMatcher):
     leaves`` where a leaf pair links strongly iff ``wsim > th_accept``
     and its name similarity clears ``th_ns`` (name-dissimilar leaves
     never anchor structure); the mutual reinforcement adjusts the leaf
-    ssims underneath — ``×c_inc`` (capped 1.0) when the inner ssim
-    clears ``th_high``, ``×c_dec`` below ``th_low`` (thresholded on
-    the structural evidence itself: blending in inner lsim first would
-    make c_inc unreachable exactly when ancestors are renamed — see
-    the inline note). The emitted table is every leaf pair's FINAL
+    ssims underneath — ``×c_inc`` (capped 1.0) when the paper's inner
+    blend ``w_struct·ssim + (1-w_struct)·lsim`` OR the raw ssim clears
+    ``th_high``, ``×c_dec`` when BOTH fall below ``th_low`` (the raw
+    ssim escape keeps c_inc reachable exactly when ancestors are
+    renamed, and the AND protects renamed-but-structurally-identical
+    subtrees — see the inline note; this is where ``w_struct``
+    acts). The emitted table is every leaf pair's FINAL
     ``wsim = leaf_w_struct·ssim + (1-leaf_w_struct)·lsim`` (> 0),
     so flat schemas still rank by names but modulated by type
     compatibility, and nested schemas let sibling context break name
@@ -386,17 +388,26 @@ class CupidSchemaMatcher(BaseSchemaMatcher):
                 )
             )
             s_sim = (strong_s + strong_t) / float(len(sl) + len(tl))
-            # Reinforcement fires on the STRUCTURAL evidence (s_sim):
-            # thresholding the blended wsim instead would make c_inc
-            # unreachable whenever the inner names differ (w_struct=0.2
-            # caps the structural contribution at 0.2 < th_high) —
-            # precisely the renamed-ancestor case the tree phase exists
-            # to solve. lsim still reaches the emitted leaf scores
-            # through leaf_wsim.
+            # Inner-pair wsim per the paper: w_struct·ssim +
+            # (1-w_struct)·lsim of the inner NODE names — this is
+            # where w_struct acts (leaf blending uses leaf_w_struct).
+            # Reinforcement fires on EITHER the blend clearing
+            # th_high (the paper's rule: name-similar ancestors
+            # amplify moderate structural evidence) OR the raw
+            # structural evidence alone (without this escape, a
+            # RENAMED ancestor — lsim 0, the case the tree phase
+            # exists to solve — caps the blend at w_struct < th_high
+            # and c_inc becomes unreachable). Symmetrically c_dec
+            # needs BOTH readings below th_low, so a renamed-but-
+            # structurally-identical subtree is never penalized.
+            inner_wsim = (
+                self.w_struct * s_sim
+                + (1.0 - self.w_struct) * lsim(si["path"], ti["path"])
+            )
             factor = None
-            if s_sim > self.th_high:
+            if s_sim > self.th_high or inner_wsim > self.th_high:
                 factor = self.c_inc
-            elif s_sim < self.th_low:
+            elif s_sim < self.th_low and inner_wsim < self.th_low:
                 factor = self.c_dec
             if factor is not None:
                 for a in sl:

@@ -762,6 +762,7 @@ def curriculum_buckets(
     exact: bool = True,
     weights=None,
     bias: float = 0.0,
+    n_rows: int = None,
 ) -> DataFrame:
     """Curriculum bucketing: quality-score every document and split the
     corpus into ``n_buckets`` ordered tiers (bucket 1 = highest quality)
@@ -789,7 +790,7 @@ def curriculum_buckets(
 
         return global_ntile(
             scored, "clf_score", id_col, n_buckets, "bucket",
-            descending=True,
+            descending=True, n_rows=n_rows,
         )
     edges = scored.agg(
         F.percentile_approx(

@@ -3134,8 +3134,12 @@ def rfm_scores(
     # higher score = better: most recent / most frequent / highest spend.
     # ONE user count routes all three ntile kernels (the three metric
     # tables share the same row count — no per-ntile policy job).
+    # Pin the per-user table FIRST: the routing count and the three
+    # chained ntiles then share one materialization of the corpus-wide
+    # user groupBy instead of replaying it per reference.
     from biomedical_data_integration_spark import planning
 
+    staged = staged.localCheckpoint(eager=True)
     kern = planning.rank_cumsum_kernel(staged.count())
     tiled = global_ntile(
         staged, "recency_days", "user_id", n_tiles, "r_score",

@@ -593,6 +593,7 @@ def test_embedding_health_report_golden(spark):
     )
     r = embedding_health_report(df).collect()[0]
     assert r["n"] == 3 and r["dim"] == 2
+    assert r["n_dim_mismatch"] == 0
     assert abs(r["mean_norm"] - 2.0 / 3.0) < 1e-6
     assert abs(r["median_norm"] - 1.0) < 1e-9
     assert abs(r["anisotropy"]) < 1e-9          # opposing vectors cancel
@@ -611,6 +612,29 @@ def test_embedding_health_report_golden(spark):
     assert re_["n"] == 0 and re_["mean_norm"] is None
     assert re_["dim"] is None  # data-derived, matching the oracle's guard
     assert re_["anisotropy"] is None and re_["zero_frac"] is None
+    assert re_["n_dim_mismatch"] == 0
+
+
+def test_embedding_health_flags_mixed_dims(spark):
+    """A corpus with vectors of differing lengths — the encoder-bug
+    case the gate exists for — must surface a non-zero
+    n_dim_mismatch instead of silently blending component sums
+    (ADVICE round 8)."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_health_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0]),        # truncated output
+            (3, [0.6, 0.8, 0.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    r = embedding_health_report(df).collect()[0]
+    assert r["dim"] == 3 and r["n_dim_mismatch"] == 1
 
 
 def test_kmeans_parallel_raises_on_duplicate_vectors(spark):

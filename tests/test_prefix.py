@@ -241,3 +241,70 @@ def test_global_ntile_nan_descending_kernels_agree(spark):
         assert a == b, f"n={n}: window={a} bucketed={b}"
         # NaN ranks FIRST under descending -> tile 1
         assert dict(a)[3] == 1
+
+
+def test_n_rows_hint_skips_routing_count(spark, monkeypatch):
+    """A caller-supplied cardinality hint must make kernel routing
+    count-free: no ``DataFrame.count`` job may run while the plan is
+    built (the 100 TB contract — a routing count is a full scan of the
+    collapsed table). The hint is an upper bound: values on either
+    side of RANK_SORT_LIMIT route to window/bucketed respectively,
+    and both give identical rows."""
+    import re
+
+    from pyspark.sql import DataFrame
+
+    from biomedical_data_integration_spark.functions.prefix import (
+        global_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 7 % 97, (i % 5) + 1) for i in range(97)],
+        "v bigint, c bigint",
+    ).dropDuplicates(["v"])
+    ids = spark.createDataFrame(
+        [((i * 3) % 7, i) for i in range(53)], "k bigint, id bigint"
+    )
+
+    def _forbidden(self):
+        raise AssertionError("routing count ran despite n_rows hint")
+
+    monkeypatch.setattr(DataFrame, "count", _forbidden)
+    small = exclusive_prefix_sums(df, "v", ["c"], n_rows=97)
+    big = exclusive_prefix_sums(df, "v", ["c"], n_rows=10_000_001)
+    t_small = global_ntile(ids, "k", "id", 4, "t", n_rows=53)
+    t_big = global_ntile(ids, "k", "id", 4, "t", n_rows=10_000_001)
+    # hint routes by value: small hint -> single ordered window,
+    # oversized hint -> bucketed (no unpartitioned ordered spec)
+    pat = r"windowspecdefinition\(\s*[^,]*\s(ASC|DESC)"
+    plan_small = (
+        small._jdf.queryExecution().executedPlan().toString()
+    )
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert re.search(pat, plan_small)
+    assert not re.search(pat, plan_big)
+    monkeypatch.undo()
+    keys = ["v", "c_xps"]
+    assert _rows(small, keys) == _rows(big, keys)
+    a = sorted(map(tuple, t_small.collect()))
+    b = sorted(map(tuple, t_big.collect()))
+    assert a == b
+
+
+def test_window_kernel_skips_checkpoint_job(spark, monkeypatch):
+    """Small inputs routed to the window kernel must NOT pay a
+    localCheckpoint materialization — the window form reads df exactly
+    once (ADVICE round 8)."""
+    from pyspark.sql import DataFrame
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(10)], "v bigint, c bigint"
+    )
+
+    def _forbidden(self, eager=True):
+        raise AssertionError("window kernel checkpointed its input")
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", _forbidden)
+    out = exclusive_prefix_sums(df, "v", ["c"], n_rows=10)
+    monkeypatch.undo()
+    assert out.count() == 10

@@ -160,3 +160,22 @@ def test_quantile_transform_grouped_and_singleton(spark):
     }
     assert got[("a", 1.0)] == 0.0 and got[("a", 2.0)] == 1.0
     assert got[("b", 9.0)] == 0.5  # singleton midpoint
+
+
+def test_quantile_transform_survives_internal_name_collision(spark):
+    """An input that already carries __v / __q columns must neither
+    make the rank join ambiguous nor lose those columns (ADVICE round
+    8: the old ungrouped path joined raw df against internal names)."""
+    from biomedical_data_integration_spark.operators.profiling import (
+        quantile_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a", "b"), (2, 20.0, "c", "d"), (3, 40.0, "e", "f")],
+        ["id", "v", "__v", "__q"],
+    )
+    out = quantile_transform(df, "v")
+    assert "__v" in out.columns and "__q" in out.columns
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["__v"] == "a" and rows[1]["__q"] == "b"
+    assert rows[1]["v_q"] == 0.0 and rows[3]["v_q"] == 1.0

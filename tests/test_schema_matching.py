@@ -389,3 +389,49 @@ def test_cupid_registered_and_usable_via_match_schema(spark):
     }
     assert got["customer_name"] == "name_of_customer"
     assert got["qty"] == "quantity"
+
+
+def test_cupid_w_struct_drives_inner_reinforcement(spark):
+    """w_struct must be LIVE (ADVICE round 8): for an inner pair whose
+    names match but whose structural evidence is only moderate, the
+    paper's blend w_struct*ssim + (1-w_struct)*lsim decides whether
+    c_inc fires. Low w_struct (name-dominated blend) clears th_high
+    and amplifies the leaf ssims; w_struct=1.0 (structure-only blend)
+    reproduces the raw-ssim rule and does not."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    from biomedical_data_integration_spark.operators.schema_matching import (
+        CupidSchemaMatcher,
+    )
+
+    def struct(fields):
+        return StructType([StructField(n, t, True) for n, t in fields])
+
+    # shared inner name 'shipment'; leaves mostly DISSIMILAR by name so
+    # structural evidence stays moderate (below th_high), and the probe
+    # pair (weight_kg vs mass) has zero name similarity — its score is
+    # pure leaf ssim, so any change isolates the reinforcement factor.
+    src = spark.createDataFrame(
+        [],
+        struct([("shipment", struct(
+            [("weight_kg", DoubleType()), ("origin_port", StringType())]
+        ))]),
+    )
+    tgt = spark.createDataFrame(
+        [],
+        struct([("shipment", struct(
+            [("mass", DoubleType()), ("destination", StringType())]
+        ))]),
+    )
+    probe = ("shipment.weight_kg", "shipment.mass")
+
+    def score(w_struct):
+        m = CupidSchemaMatcher(w_struct=w_struct)
+        return {
+            (r["source"], r["target"]): r["similarity"]
+            for r in m.scores(src, tgt).collect()
+        }[probe]
+
+    assert score(0.2) > score(1.0)
