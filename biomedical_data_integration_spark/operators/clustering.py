@@ -275,13 +275,28 @@ def _parallel_seeds(
             ).cast("double")
             / F.lit(two60)
         )
+        # hard driver-memory bound: a round samples ~ℓ candidates in
+        # expectation, but a degenerate cost distribution (or a bad
+        # oversample choice) has no natural ceiling — cap the collect
+        # at 8·ℓ and raise with guidance instead of silently OOMing
+        # the driver (limit() on an unsorted frame would truncate
+        # NON-deterministically, breaking the replayable contract)
+        cap = 8 * ell
         picked = (
             costed.where(
                 u < F.col("__cost") * F.lit(float(ell)) / F.lit(float(phi))
             )
             .select(id_col, vec_col)
+            .limit(cap + 1)
             .collect()
         )
+        if len(picked) > cap:
+            raise ValueError(
+                f"kmeans parallel seeding: round {r} sampled more than "
+                f"{cap} candidates (8x oversample={ell}) — degenerate "
+                "cost distribution; lower oversample or use "
+                "init='maxmin'"
+            )
         new_vecs = []
         for row in picked:
             if row[id_col] not in cands:
@@ -378,7 +393,10 @@ def kmeans(
     more than the extra passes. ``"parallel"`` is k-means‖ (Bahmani
     oversampling, hash-gated coins): ~rounds+2 scans FLAT in k — the
     large-k corpus path (maxmin's k-1 sequential round-trips are the
-    round-7 verdict's scale caveat).
+    round-7 verdict's scale caveat). ``"auto"`` routes between the two
+    quality inits by k (``planning.seeding_kernel``: maxmin through
+    k=20, parallel above) — the entry point for fits no oracle
+    replays.
 
     Reference has no counterpart (closest public analogue: MLlib KMeans);
     re-derived here on plain arrays so the oracle can replay it in SQL.
@@ -392,6 +410,14 @@ def kmeans(
     # iterative-algorithm trade: one (id, vec) materialization to local
     # executor storage against max_iter+2 source scans
     df = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=True)
+    if init == "auto":
+        # quality seeding routed by k (planning.seeding_kernel):
+        # farthest-point while the k-1 driver round-trips stay cheap,
+        # k-means‖ past the limit (scan count flat in k). Fits that an
+        # oracle replays pin init explicitly instead.
+        from biomedical_data_integration_spark import planning
+
+        init = planning.seeding_kernel(k)
     if init == "lowest_id":
         # dim comes from the seed collect — no separate first() action
         centroids = _initial_centroids(df, vec_col, id_col, k)
@@ -501,6 +527,7 @@ def kmeans_two_level(
     k2: int = 8,
     max_iter: int = 3,
     scale: Optional[int] = None,
+    coarse_init: str = "lowest_id",
 ) -> DataFrame:
     """Two-level hierarchical Lloyd's k-means — the TRUE corpus-scale
     clustering path: ``k1`` coarse clusters over the whole corpus, then
@@ -522,7 +549,12 @@ def kmeans_two_level(
     previous centroid (LEFT-join coalesce, the phase-1 contract).
 
     Determinism: same rounded-distance/lowest-id-tiebreak contract as
-    :func:`kmeans` at both levels — bit-reproducible, SQL-replayable.
+    :func:`kmeans` at both levels — bit-reproducible, SQL-replayable
+    with the default ``coarse_init="lowest_id"``. ``coarse_init``
+    passes through to the phase-1 :func:`kmeans` fit: ``"auto"``
+    routes quality seeding by k1 (``planning.seeding_kernel`` —
+    maxmin small, k-means‖ large, scans flat in k) for fits no oracle
+    replays.
 
     Returns assignments ``(id_col, coarse int, sub int, dist2 double)``.
     """
@@ -531,7 +563,8 @@ def kmeans_two_level(
     from pyspark.sql import Window
 
     coarse, _ = kmeans(
-        df, vec_col, id_col, k=k1, max_iter=max_iter, scale=scale
+        df, vec_col, id_col, k=k1, max_iter=max_iter, scale=scale,
+        init=coarse_init,
     )
     base = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -731,6 +764,7 @@ def semantic_dedup_two_level(
     target_cluster_size: int = 250,
     k1: Optional[int] = None,
     k2: Optional[int] = None,
+    coarse_init: str = "lowest_id",
 ) -> DataFrame:
     """SemDeDup on the two-level hierarchy — the corpus-scale
     configuration: cluster COUNT still derives from the corpus count
@@ -744,6 +778,9 @@ def semantic_dedup_two_level(
     >= ``threshold``. Pass BOTH ``k1`` and ``k2`` to pin the cell grid
     (and skip the corpus count) — the semantic_dedup auto-k router
     does, so its flat-id remap shares this fit's k2.
+    ``coarse_init="auto"`` upgrades the phase-1 seeding by policy
+    (``planning.seeding_kernel``) for fits no oracle replays; the
+    default keeps the SQL-replayable lowest-id contract.
     """
     import math
 
@@ -754,7 +791,8 @@ def semantic_dedup_two_level(
         k = max(1, min(n, math.ceil(n / target_cluster_size)))
         k1, k2 = _auto_k_cells(k)
     assigned = kmeans_two_level(
-        df, vec_col, id_col, k1=k1, k2=k2, max_iter=max_iter, scale=scale
+        df, vec_col, id_col, k1=k1, k2=k2, max_iter=max_iter, scale=scale,
+        coarse_init=coarse_init,
     )
     base = (
         df.select(F.col(id_col), F.col(vec_col))

@@ -230,6 +230,8 @@ def lsh_tuning_report(
     shingle_words: int = 3,
     sample_mod: int = 2,
     n_buckets: int = 10,
+    max_shingle_freq: Optional[int] = None,
+    band_entries: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Measured-vs-theoretical LSH quality curve — the report that
     picks ``(num_perm, bands)`` BEFORE a corpus-scale dedup run spends
@@ -249,8 +251,24 @@ def lsh_tuning_report(
     theory_p)`` — n_buckets rows max; zero-overlap pairs are excluded
     (their Jaccard and banding probability are both ~0). Scale shape:
     ``sample_mod`` bounds the verified pair space (raise it with the
-    corpus); everything else is the dedup family's own bucketed joins
-    over sample-sized tables.
+    corpus), and ``max_shingle_freq`` bounds it STRUCTURALLY: a
+    boilerplate shingle shared by k sampled documents yields k² pair
+    candidates in the exact-Jaccard self-join — the cap drops
+    shingles whose in-sample document frequency exceeds it from the
+    whole report (Jaccard, sizes, and self-computed signatures all
+    read the same capped shingle universe, so the curve stays
+    internally consistent — same knob and trade as
+    :func:`ngram_jaccard_pairs`). Everything else is the dedup
+    family's own bucketed joins over sample-sized tables.
+
+    ``band_entries`` lets tuning ride the STANDING corpus state: pass
+    the persisted ``(id, band, key)`` table from
+    :func:`minhash_corpus_entries` (same num_perm/bands/
+    shingle_words) and the report skips recomputing signatures,
+    filtering the entries to the sample instead — bit-identical to
+    the self-computed path (tested). The supplied entries are used
+    as-is (production signatures), so a simultaneous
+    ``max_shingle_freq`` caps only the exact-Jaccard side.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -258,9 +276,16 @@ def lsh_tuning_report(
         raise ValueError("lsh_tuning_report: sample_mod/n_buckets >= 1")
     r = num_perm // bands
     sampled = df.where(F.col(id_col) % sample_mod == 0)
-    sh = shingle_sets(sampled, text_col, id_col, shingle_words).localCheckpoint(
-        eager=True
-    )
+    sh = shingle_sets(sampled, text_col, id_col, shingle_words)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__f"))
+            .where(F.col("__f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n"))
     inter = (
         sh.alias("a")
@@ -288,7 +313,12 @@ def lsh_tuning_report(
             ).alias("jaccard"),
         )
     )
-    entries = _band_entries(_signatures_from_shingles(sh, num_perm), num_perm, bands)
+    if band_entries is None:
+        entries = _band_entries(
+            _signatures_from_shingles(sh, num_perm), num_perm, bands
+        )
+    else:
+        entries = band_entries.where(F.col("id") % sample_mod == 0)
     cand = (
         entries.alias("x")
         .join(

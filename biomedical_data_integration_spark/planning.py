@@ -72,6 +72,7 @@ LITERAL_DICT_LIMIT = 10_000
 CENTROID_LITERAL_LIMIT = 4
 SEMDEDUP_FLAT_LIMIT = 20_000
 RANK_SORT_LIMIT = 4_000_000
+MAXMIN_SEED_LIMIT = 20
 
 
 def _resolve(limit: Optional[int], default: int) -> int:
@@ -150,6 +151,23 @@ def semdedup_kernel(n_vectors: int, limit: Optional[int] = None) -> str:
     (both paths are oracle-backed registry queries)."""
     lim = _resolve(limit, SEMDEDUP_FLAT_LIMIT)
     return "flat" if n_vectors <= lim else "two_level"
+
+
+def seeding_kernel(k: int, limit: Optional[int] = None) -> str:
+    """``"maxmin"`` deterministic farthest-point seeding for bounded
+    k, else ``"parallel"`` (k-means‖, Bahmani oversampling).
+
+    Maxmin's seed quality is the gold standard but costs k-1
+    SEQUENTIAL driver round-trips — 96 jobs at k=50 vs k-means‖'s 29
+    at any k (tools/bench_seeding.py, round 8: scans flat in k, 2.1x
+    wall at k=50 and diverging). Below the limit the round-trips are
+    cheaper than k-means‖'s fixed ~rounds+2 scans; above it the
+    sequential chain becomes the fit's critical path. Unlike the rank
+    kernels the two inits produce DIFFERENT (both valid) seeds, so
+    this policy backs ``init="auto"`` — oracle-replayed fits pin
+    their init explicitly and never consult it."""
+    lim = _resolve(limit, MAXMIN_SEED_LIMIT)
+    return "maxmin" if k <= lim else "parallel"
 
 
 def centroid_assign_kernel(k: int, limit: Optional[int] = None) -> str:

@@ -645,3 +645,82 @@ def test_kmeans_parallel_raises_on_duplicate_vectors(spark):
     df = _vecs(spark, rows)
     with pytest.raises(ValueError, match="distinct"):
         kmeans(df, k=3, max_iter=1, init="parallel")
+
+
+def test_kmeans_init_auto_routes_by_seeding_policy(spark, monkeypatch):
+    """init="auto" must consult planning.seeding_kernel(k): below the
+    limit the maxmin seeder runs, above it the k-means-parallel one —
+    asserted by instrumenting both seeders (the policy-wiring test
+    pattern, round-9 verdict item)."""
+    from biomedical_data_integration_spark import planning
+    from biomedical_data_integration_spark.operators import clustering
+
+    rows = [(i, [float(i % 17), float((i * 3) % 13)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    calls = []
+    real_maxmin = clustering._maxmin_seeds
+    real_parallel = clustering._parallel_seeds
+
+    def spy_maxmin(*a, **kw):
+        calls.append("maxmin")
+        return real_maxmin(*a, **kw)
+
+    def spy_parallel(*a, **kw):
+        calls.append("parallel")
+        return real_parallel(*a, **kw)
+
+    monkeypatch.setattr(clustering, "_maxmin_seeds", spy_maxmin)
+    monkeypatch.setattr(clustering, "_parallel_seeds", spy_parallel)
+    clustering.kmeans(df, k=3, max_iter=1, init="auto")
+    assert calls == ["maxmin"]
+    monkeypatch.setattr(planning, "MAXMIN_SEED_LIMIT", 2)
+    clustering.kmeans(df, k=3, max_iter=1, init="auto")
+    assert calls == ["maxmin", "parallel"]
+
+
+def test_two_level_coarse_init_threads_through(spark, monkeypatch):
+    """kmeans_two_level(coarse_init=...) must reach the phase-1 kmeans
+    fit; the default stays on the SQL-replayable lowest-id contract."""
+    from biomedical_data_integration_spark.operators import clustering
+
+    rows = [(i, [float(i % 11), float((i * 7) % 5)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    seen = []
+    real_kmeans = clustering.kmeans
+
+    def spy(df_, *a, **kw):
+        seen.append(kw.get("init", "lowest_id"))
+        return real_kmeans(df_, *a, **kw)
+
+    monkeypatch.setattr(clustering, "kmeans", spy)
+    clustering.kmeans_two_level(df, k1=2, k2=2, max_iter=1)
+    clustering.kmeans_two_level(
+        df, k1=2, k2=2, max_iter=1, coarse_init="maxmin"
+    )
+    assert seen == ["lowest_id", "maxmin"]
+
+
+def test_parallel_seeds_cap_raises_on_degenerate_coins(spark, monkeypatch):
+    """The per-round candidate collect has a HARD 8*oversample bound
+    (round-9 verdict): force every sampling coin to zero (the
+    degenerate-cost simulation) and the seeder must raise with
+    guidance instead of collecting the whole corpus to the driver."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from biomedical_data_integration_spark.functions import hashing
+    from biomedical_data_integration_spark.operators import clustering
+
+    rows = [
+        (i, [float(i), float(2 * i % 31)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    monkeypatch.setattr(
+        hashing, "md5_bigint", lambda col, salt=None: F.lit(0)
+    )
+    with pytest.raises(ValueError, match="oversample"):
+        clustering._parallel_seeds(
+            df, "embedding", "vec_id", k=2, scale=6, oversample=2
+        )

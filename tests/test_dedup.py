@@ -383,3 +383,73 @@ def test_lsh_tuning_report_curve(spark):
     gated = lsh_tuning_report(df, sample_mod=4, n_buckets=10).collect()
     # ids 0 and 4 remain -> exactly one overlapping pair
     assert sum(r["n_pairs"] for r in gated) == 1
+
+
+def test_lsh_tuning_max_shingle_freq_bounds_hot_key(spark):
+    """A boilerplate shingle present in EVERY document is the
+    quadratic hot key in the exact-Jaccard self-join (round-8 verdict):
+    with max_shingle_freq below the corpus size it must be dropped
+    structurally — documents that share ONLY the boilerplate produce
+    zero verified pairs, while genuinely overlapping pairs survive."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        lsh_tuning_report,
+    )
+
+    boiler = "all rights reserved"
+    rows = [
+        (2 * i, f"unique{i}a unique{i}b unique{i}c {boiler}")
+        for i in range(12)
+    ]
+    # one genuine near-dup pair sharing real content
+    rows += [
+        (100, f"alpha beta gamma delta epsilon {boiler}"),
+        (102, f"alpha beta gamma delta zeta {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = lsh_tuning_report(df, sample_mod=1, n_buckets=10)
+    capped = lsh_tuning_report(
+        df, sample_mod=1, n_buckets=10, max_shingle_freq=4
+    )
+    # every doc shares the boilerplate shingles -> ~n^2/2 pairs uncapped
+    n_unc = sum(r["n_pairs"] for r in uncapped.collect())
+    assert n_unc == (14 * 13) // 2
+    # capped: only the exact boilerplate 3-gram has df 14 (shingles
+    # STRADDLING the boilerplate boundary stay unique per doc), so the
+    # sole surviving pair is the genuine one
+    cap_rows = capped.collect()
+    assert sum(r["n_pairs"] for r in cap_rows) == 1
+    (pair_bucket,) = [r for r in cap_rows if r["n_pairs"] == 1]
+    # Jaccard over the CAPPED universe: 2 shared ("alpha beta gamma",
+    # "beta gamma delta") / 8 union surviving shingles = 0.25
+    assert pair_bucket["jaccard_lo"] == 0.2
+
+
+def test_lsh_tuning_band_entries_reuse_matches_self_computed(spark):
+    """Passing the persisted corpus (id, band, key) table
+    (minhash_corpus_entries) must reproduce the self-computed report
+    bit-for-bit — tuning rides the standing dedup state instead of
+    recomputing signatures (round-8 verdict item)."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        lsh_tuning_report,
+        minhash_corpus_entries,
+    )
+
+    words = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(words[: 10 + (i * 7) % 20] + [f"u{i}"]))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    entries = minhash_corpus_entries(df, num_perm=16, bands=4)
+    self_computed = sorted(
+        map(tuple, lsh_tuning_report(df, sample_mod=2).collect())
+    )
+    reused = sorted(
+        map(
+            tuple,
+            lsh_tuning_report(
+                df, sample_mod=2, band_entries=entries
+            ).collect(),
+        )
+    )
+    assert self_computed == reused and len(reused) > 0

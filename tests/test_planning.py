@@ -22,6 +22,8 @@ def test_policy_boundaries_flip_exactly_at_the_limit():
     assert planning.semdedup_kernel(20_001) == "two_level"
     assert planning.rank_cumsum_kernel(4_000_000) == "window"
     assert planning.rank_cumsum_kernel(4_000_001) == "bucketed"
+    assert planning.seeding_kernel(20) == "maxmin"
+    assert planning.seeding_kernel(21) == "parallel"
 
 
 def test_policy_limit_overrides():
@@ -31,6 +33,7 @@ def test_policy_limit_overrides():
     assert planning.components_kernel(9, limit=9) == "driver"
     assert planning.dict_mapper_kernel(4, limit=3) == "broadcast_join"
     assert planning.semdedup_kernel(5, limit=4) == "two_level"
+    assert planning.seeding_kernel(4, limit=3) == "parallel"
 
 
 def test_semantic_dedup_auto_k_routes_through_two_level(spark):
