@@ -9994,6 +9994,102 @@ FROM base CROSS JOIN mu2 CROSS JOIN med CROSS JOIN dims
 """
 
 
+def _q_embedding_health_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health DRIFT face
+    (operators/clustering.embedding_health_drift): two consecutive
+    corpus snapshots (simulated by vec_id parity) compared on the same
+    exact-integer sums — the day-over-day gate that catches encoder
+    regressions BETWEEN ingests, which the one-shot health report
+    cannot see. Composition of the O(dim) maintained stats state and
+    the readout (the psi/jsd monitor pattern), so the identical
+    expressions serve batch and streaming."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_health_drift,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return embedding_health_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        vec_col="embedding",
+    )
+
+
+def _embedding_health_drift_sql() -> str:
+    dim = ANN_DIM
+
+    def side(sfx: str, parity: int) -> str:
+        pred = f"(vec_id % 2 = {parity})"
+        return f"""
+norms_{sfx} AS (
+  SELECT sqrt(list_sum(list_transform(range(1, {dim + 1}),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           AS nm
+  FROM embeddings WHERE embedding IS NOT NULL AND {pred}
+),
+base_{sfx} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(COALESCE(sum(CAST(floor(nm * 1000000.0 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS qsum,
+         CAST(COALESCE(sum(CASE WHEN nm = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS zeros
+  FROM norms_{sfx}
+),
+comp_{sfx} AS (
+  SELECT j,
+         CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cs
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS j) idx
+  WHERE embedding IS NOT NULL AND {pred}
+  GROUP BY 1
+),
+mu2_{sfx} AS (
+  SELECT COALESCE(sum(CAST(cs AS HUGEINT) * CAST(cs AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS mu2q
+  FROM comp_{sfx}
+),
+dims_{sfx} AS (
+  SELECT CAST(count(*)
+              - COALESCE(count(*) FILTER (WHERE len(embedding) = mx), 0)
+              AS BIGINT) AS n_dim_mismatch
+  FROM embeddings
+       CROSS JOIN (SELECT max(len(embedding)) AS mx FROM embeddings
+                   WHERE embedding IS NOT NULL AND {pred})
+  WHERE embedding IS NOT NULL AND {pred}
+),
+side_{sfx} AS (
+  SELECT n AS n_{sfx},
+    CASE WHEN n > 0 THEN CAST({dim} AS INTEGER) END AS dim_{sfx},
+    n_dim_mismatch AS n_dim_mismatch_{sfx},
+    CASE WHEN n > 0 THEN
+      floor(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+            * 1000000.0 + 0.5) / 1000000.0 END AS mean_norm_{sfx},
+    CASE WHEN n > 0 AND qsum > 0 THEN
+      floor(sqrt(CAST(mu2q AS DOUBLE)) / CAST(qsum AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 END AS anisotropy_{sfx},
+    CASE WHEN n > 0 THEN
+      floor(CAST(zeros AS DOUBLE) / CAST(n AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 END AS zero_frac_{sfx}
+  FROM base_{sfx} CROSS JOIN mu2_{sfx} CROSS JOIN dims_{sfx}
+)"""
+
+    dq = (
+        lambda m: f"floor((CAST({m}_b AS DOUBLE) - CAST({m}_a AS DOUBLE))"
+        f" * 1000000.0 + 0.5) / 1000000.0 AS d_{m}"
+    )
+    return f"""
+WITH {side('a', 0).lstrip()},
+{side('b', 1).lstrip()}
+SELECT side_a.*, side_b.*,
+  {dq('mean_norm')},
+  {dq('anisotropy')},
+  {dq('zero_frac')}
+FROM side_a CROSS JOIN side_b
+"""
+
+
 def _q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH parameter-quality curve (operators/dedup.lsh_tuning_report):
     measured banded-candidate recall per exact-Jaccard bucket on a
@@ -10125,6 +10221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_by_segment_orders": _q_auc_by_segment,
         "user_value_tiles_events": _q_user_value_tiles,
         "embedding_health_embeddings": _q_embedding_health,
+        "embedding_health_drift_embeddings": _q_embedding_health_drift,
         "lsh_tuning_documents": _q_lsh_tuning,
         # 9-50: the longest-ungraded veterans (driver evidence r1-r4).
         "events_sessionize_30m": _q_events_sessionize,
@@ -10394,6 +10491,7 @@ def oracle_sql() -> dict[str, str]:
         "auc_by_segment_orders": _auc_by_segment_sql(),
         "user_value_tiles_events": _user_value_tiles_sql(),
         "embedding_health_embeddings": _embedding_health_sql(),
+        "embedding_health_drift_embeddings": _embedding_health_drift_sql(),
         "lsh_tuning_documents": _lsh_tuning_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),

@@ -985,6 +985,192 @@ def embedding_health_report(
     )
 
 
+def embedding_stats_state(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """The MAINTAINED side of the embedding-health drift monitor: the
+    corpus collapsed to a ``(stat string, key int, v bigint)`` table of
+    exact integer sums — every row of which is map-side combinable, so
+    the same expression runs unchanged as ONE streaming groupBy
+    (update/complete mode, the ``streaming_bin_counts`` /
+    ``streaming_variant_counts`` pattern) or as a batch aggregate.
+
+    Rows per input vector: ``("cs", pos, micro(x_pos))`` per component
+    (the anisotropy numerator state), ``("n", 0, 1)``, ``("qn", 0,
+    micro(norm))``, ``("z", 0, 1 if norm == 0)``, ``("sz", size, 1)``
+    (the vector-length census). State is O(dim + #distinct-lengths)
+    rows regardless of corpus size; micro = ``floor(x·1e6 + 0.5)`` as
+    bigint, order-free under any partitioning (the module contract).
+    Read the drift out with :func:`embedding_health_drift_readout`
+    against a frozen baseline snapshot of the same shape.
+    """
+    v = F.col(vec_col)
+    nm = norm(v)
+    micro = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    staged = df.where(v.isNotNull()).select(
+        v.alias("__v"), nm.alias("__nm")
+    )
+    rows = staged.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("__v"),
+                    lambda x, i: F.struct(
+                        F.lit("cs").alias("stat"),
+                        i.cast("int").alias("key"),
+                        micro(x.cast("double")).alias("v"),
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit("n").alias("stat"),
+                        F.lit(0).alias("key"),
+                        F.lit(1).cast("bigint").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("qn").alias("stat"),
+                        F.lit(0).alias("key"),
+                        micro(F.col("__nm")).alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("z").alias("stat"),
+                        F.lit(0).alias("key"),
+                        (F.col("__nm") == 0.0).cast("bigint").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("sz").alias("stat"),
+                        F.size("__v").alias("key"),
+                        F.lit(1).cast("bigint").alias("v"),
+                    ),
+                ),
+            )
+        ).alias("__s")
+    )
+    return rows.groupBy(
+        F.col("__s")["stat"].alias("stat"), F.col("__s")["key"].alias("key")
+    ).agg(F.sum(F.col("__s")["v"]).cast("bigint").alias("v"))
+
+
+def _health_side(stats: DataFrame, scale: int) -> DataFrame:
+    """One-row health readout from an :func:`embedding_stats_state`
+    table: ``(n, dim, n_dim_mismatch, mean_norm, anisotropy,
+    zero_frac)`` — the sums-only subset of
+    :func:`embedding_health_report` (the median needs value-
+    distribution state the O(dim) drift face deliberately does not
+    keep; monitor norm DISTRIBUTION drift with the psi/ks readouts)."""
+    s, k, v = F.col("stat"), F.col("key"), F.col("v")
+    base = stats.agg(
+        F.coalesce(F.sum(F.when(s == "n", v)), F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.coalesce(F.sum(F.when(s == "qn", v)), F.lit(0))
+        .cast("bigint")
+        .alias("__qsum"),
+        F.coalesce(F.sum(F.when(s == "z", v)), F.lit(0))
+        .cast("bigint")
+        .alias("__zeros"),
+        F.max(F.when((s == "sz") & (v > 0), k)).cast("int").alias("dim"),
+    )
+    sz = stats.where(s == "sz")
+    mism = sz.agg(
+        (
+            F.coalesce(F.sum("v"), F.lit(0))
+            - F.coalesce(F.max_by("v", "key"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_dim_mismatch")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mu2 = stats.where(s == "cs").agg(
+        F.coalesce(
+            F.sum(d(v) * d(v)), F.lit(0).cast("decimal(38,0)")
+        ).alias("__mu2q")
+    )
+    q = lambda x: F.floor(  # noqa: E731
+        x * F.lit(10.0 ** scale) + F.lit(0.5)
+    ) / F.lit(10.0 ** scale)
+    mean_norm = F.col("__qsum").cast("double") / (
+        F.col("n").cast("double") * F.lit(1e6)
+    )
+    aniso = F.sqrt(F.col("__mu2q").cast("double")) / F.col(
+        "__qsum"
+    ).cast("double")
+    return (
+        base.crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(mu2))
+        .select(
+            "n",
+            "dim",
+            "n_dim_mismatch",
+            F.when(F.col("n") > 0, q(mean_norm)).alias("mean_norm"),
+            F.when(
+                (F.col("n") > 0) & (F.col("__qsum") > 0), q(aniso)
+            ).alias("anisotropy"),
+            F.when(
+                F.col("n") > 0,
+                q(F.col("__zeros").cast("double") / F.col("n")),
+            ).alias("zero_frac"),
+        )
+    )
+
+
+def embedding_health_drift_readout(
+    baseline_stats: DataFrame,
+    current_stats: DataFrame,
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """Day-over-day embedding-health drift from two MATERIALIZED
+    :func:`embedding_stats_state` tables — the read-out half of the
+    encoder-regression monitor between ingests (the psi/jsd readout
+    pattern: maintained sums in a sink, comparison on demand).
+
+    One row: each side's ``(n, dim, n_dim_mismatch, mean_norm,
+    anisotropy, zero_frac)`` suffixed ``_a``/``_b`` plus quantized
+    deltas ``d_mean_norm / d_anisotropy / d_zero_frac`` (b - a; NULL
+    when either side's readout is NULL). Exact integer sums on both
+    sides, so the readout is bit-stable under any partitioning and
+    SQL-replayable.
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    a = _health_side(baseline_stats, scale)
+    b = _health_side(current_stats, scale)
+    sel_a = [F.col(c).alias(f"{c}_a") for c in a.columns]
+    sel_b = [F.col(c).alias(f"{c}_b") for c in b.columns]
+    q = lambda x: F.floor(  # noqa: E731
+        x * F.lit(10.0 ** scale) + F.lit(0.5)
+    ) / F.lit(10.0 ** scale)
+    out = a.select(*sel_a).crossJoin(F.broadcast(b.select(*sel_b)))
+    for m in ("mean_norm", "anisotropy", "zero_frac"):
+        out = out.withColumn(
+            f"d_{m}", q(F.col(f"{m}_b") - F.col(f"{m}_a"))
+        )
+    return out
+
+
+def embedding_health_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-health drift between two corpus snapshots (baseline
+    ``a``, current ``b``) — the batch face of the drift monitor: a
+    non-zero ``d_anisotropy`` / collapsed ``mean_norm_b`` between
+    consecutive ingests is the encoder-regression signal the one-shot
+    :func:`embedding_health_report` cannot see. Composition of
+    :func:`embedding_stats_state` + :func:`embedding_health_drift_readout`,
+    so batch and streaming read the SAME expressions (parity-tested).
+    """
+    return embedding_health_drift_readout(
+        embedding_stats_state(a, vec_col),
+        embedding_stats_state(b, vec_col),
+        scale=scale,
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: Sequence[Sequence[float]],

@@ -724,3 +724,35 @@ def test_parallel_seeds_cap_raises_on_degenerate_coins(spark, monkeypatch):
         clustering._parallel_seeds(
             df, "embedding", "vec_id", k=2, scale=6, oversample=2
         )
+
+
+def test_embedding_health_drift_golden_and_empty_side(spark):
+    """Batch drift face: per-side readouts match embedding_health_report
+    on the same slices, deltas are quantized b - a, and an empty
+    baseline yields NULL readouts/deltas instead of divide errors."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_health_drift,
+        embedding_health_report,
+    )
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(3, [3.0, 4.0]), (4, [3.0, 4.0])],
+        "vec_id int, embedding array<double>",
+    )
+    row = embedding_health_drift(a, b).collect()[0]
+    ra = embedding_health_report(a).collect()[0]
+    rb = embedding_health_report(b).collect()[0]
+    for m in ("n", "dim", "n_dim_mismatch", "mean_norm", "anisotropy",
+              "zero_frac"):
+        assert row[f"{m}_a"] == ra[m] and row[f"{m}_b"] == rb[m]
+    assert row["d_mean_norm"] == pytest.approx(5.0 - 2.0 / 3.0, abs=1e-6)
+    assert row["d_anisotropy"] == pytest.approx(1.0, abs=1e-6)
+    assert row["d_zero_frac"] == pytest.approx(-1.0 / 3.0, abs=1e-6)
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    er = embedding_health_drift(empty, b).collect()[0]
+    assert er["n_a"] == 0 and er["mean_norm_a"] is None
+    assert er["d_mean_norm"] is None and er["d_anisotropy"] is None

@@ -1238,3 +1238,44 @@ def test_streaming_minhash_join_matches_batch_candidates(spark):
             ).collect()
         }
     assert got == want and (1, 0) in got
+
+
+def test_streaming_embedding_stats_plus_drift_readout_matches_batch(spark):
+    """Embedding-health drift monitor (round-9): the maintained
+    O(dim) stats state runs as ONE complete-mode streaming groupBy,
+    and the readout over the materialized snapshot must equal the
+    batch embedding_health_drift row exactly (identical expressions
+    on exact integer sums)."""
+    from biomedical_data_integration_spark.operators.clustering import (
+        embedding_health_drift,
+        embedding_health_drift_readout,
+        embedding_stats_state,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.1 * (i % 5), 0.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cur = spark.createDataFrame(
+        # drifted snapshot: collapsed spread + one dead vector
+        [(i, [0.9, 0.0, 0.0]) for i in range(30)]
+        + [(99, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    want = embedding_health_drift(base, cur).collect()[0].asDict()
+    base_stats = embedding_stats_state(base)  # batch frame: same expr
+    with tempfile.TemporaryDirectory() as d:
+        cur.coalesce(1).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(cur.schema).parquet(f"{d}/src")
+        out = embedding_stats_state(stream)
+        assert out.isStreaming
+        _run_stream(out, "emb_stats_t", f"{d}/ckpt", mode="complete")
+        cur_stats = spark.sql("SELECT * FROM emb_stats_t")
+        got = (
+            embedding_health_drift_readout(base_stats, cur_stats)
+            .collect()[0]
+            .asDict()
+        )
+    assert got == want
+    # the drift face actually SEES the regression
+    assert want["zero_frac_b"] > 0 and want["d_anisotropy"] is not None
