@@ -10205,6 +10205,127 @@ FROM staged GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# exact-substring span removal + Gopher quality rules (round 9)
+# ---------------------------------------------------------------------------
+
+SPAN_SHINGLE_WORDS = 5
+
+
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (operators/dedup.remove_duplicate_spans):
+    every occurrence of a word 5-gram appearing >= 2 times across the
+    corpus (within-doc repeats count, like a suffix array) is excised
+    and the surviving tokens re-joined in order — the Lee et al. ACL'22
+    dedup step that document-level MinHash/exact dedup cannot do. The
+    token-level rebuild runs only over AFFECTED documents; the rest are
+    a pure projection."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, shingle_words=SPAN_SHINGLE_WORDS)
+
+
+def _dedup_spans_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    k = SPAN_SHINGLE_WORDS
+    return f"""
+WITH tk AS (SELECT doc_id AS id, {toks} AS t,
+                   len({toks}) AS n FROM documents),
+occ0 AS (SELECT id, unnest(range(1, n - {k} + 2)) AS pos, t
+         FROM tk WHERE n >= {k}),
+occ AS (SELECT id, pos,
+               array_to_string(list_slice(t, pos, pos + {k} - 1), ' ')
+                 AS shingle
+        FROM occ0),
+dup AS (SELECT shingle FROM occ GROUP BY 1 HAVING count(*) >= 2),
+dupocc AS (SELECT id, pos FROM occ JOIN dup USING (shingle)),
+cov0 AS (SELECT id, unnest(range(pos, pos + {k})) AS pos FROM dupocc),
+cov AS (SELECT DISTINCT id, pos FROM cov0),
+ncov AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed
+         FROM cov GROUP BY 1),
+tokpos AS (SELECT id, unnest(t) AS word, unnest(range(1, n + 1)) AS pos
+           FROM tk WHERE id IN (SELECT id FROM cov)),
+kept AS (SELECT tokpos.* FROM tokpos ANTI JOIN cov USING (id, pos)),
+rebuilt AS (SELECT id, string_agg(word, ' ' ORDER BY pos) AS newt
+            FROM kept GROUP BY id)
+SELECT tk.id AS doc_id,
+  CASE WHEN ncov.n_removed IS NOT NULL THEN coalesce(rebuilt.newt, '')
+       ELSE array_to_string(tk.t, ' ') END AS text_deduped,
+  CAST(tk.n AS BIGINT) AS n_tokens,
+  CAST(coalesce(ncov.n_removed, 0) AS BIGINT) AS n_removed,
+  CASE WHEN tk.n > 0
+       THEN round(CAST(coalesce(ncov.n_removed, 0) AS DOUBLE) / tk.n, 6)
+       ELSE 0.0 END AS removed_ratio
+FROM tk LEFT JOIN ncov USING (id) LEFT JOIN rebuilt USING (id)
+"""
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher document-quality gates (operators/text.gopher_rules,
+    Rae et al. 2021 A1.1): per-rule boolean flags + the conjunctive
+    passes_gopher keep gate, every flag decided in integer arithmetic
+    on exact counts — a pure expression projection, no shuffle."""
+    from biomedical_data_integration_spark.operators.text import gopher_rules
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
+def _gopher_rules_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+    toks = _SQL_TOKS.format(col="text")
+    stops = ", ".join(
+        f"'{w}'" for w in
+        ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+    return f"""
+WITH base AS (
+  SELECT *, {toks} AS __t, string_split(text, chr(10)) AS __l
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, lang, source, n_chars,
+    CAST(len(__t) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(__t, w -> length(w))), 0)
+         AS BIGINT) AS n_word_chars,
+    CAST((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+         AS BIGINT) AS n_symbols,
+    CAST(len(list_filter(__t, w -> regexp_matches(w, '[a-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(len(list_filter([{stops}], s -> list_contains(__t, s)))
+         AS BIGINT) AS n_stop_words,
+    CAST(len(__l) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(__l,
+         l -> regexp_matches(ltrim(l), '^[-*•‣◦]')))
+         AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(__l,
+         l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+         AS BIGINT) AS n_ellipsis_lines
+  FROM base
+)
+SELECT *,
+  (n_words >= {min_words} AND n_words <= {max_words}) AS flag_word_count,
+  (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+    AS flag_mean_word_len,
+  (10 * n_symbols <= n_words) AS flag_symbol_ratio,
+  (10 * n_bullet_lines <= 9 * n_lines) AS flag_bullet_lines,
+  (10 * n_ellipsis_lines <= 3 * n_lines) AS flag_ellipsis_lines,
+  (5 * n_alpha_words >= 4 * n_words) AS flag_alpha_words,
+  (n_stop_words >= 2) AS flag_stop_words,
+  ((n_words >= {min_words} AND n_words <= {max_words})
+   AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+   AND (10 * n_symbols <= n_words)
+   AND (10 * n_bullet_lines <= 9 * n_lines)
+   AND (10 * n_ellipsis_lines <= 3 * n_lines)
+   AND (5 * n_alpha_words >= 4 * n_words)
+   AND (n_stop_words >= 2)) AS passes_gopher
+FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_harmonize_lineitem(spark, SF_DEFAULT)
@@ -10240,6 +10361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence veterans, and the 7 oldest round-4 names. ---
         "embedding_health_drift_embeddings": _q_embedding_health_drift,
         "lsh_tuning_capped_documents": _q_lsh_tuning_capped,
+        "dedup_spans_documents": _q_dedup_spans,
+        "gopher_rules_documents": _q_gopher_rules,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
         "events_interval_sessions": _q_events_interval,
@@ -10517,6 +10640,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_tuning_capped_documents": _lsh_tuning_sql(
             max_df=LSH_TUNING_MAX_DF
         ),
+        "dedup_spans_documents": _dedup_spans_sql(),
+        "gopher_rules_documents": _gopher_rules_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),
         "set_similarity_ppjoin_documents": _set_similarity_sql(),

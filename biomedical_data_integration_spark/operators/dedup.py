@@ -1134,3 +1134,132 @@ def duplicate_ngram_coverage(
             F.col("n_dup_shingles").cast("double") / F.col("n_shingles"), 6
         ).alias("dup_coverage"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span removal — the *removal* counterpart of
+    :func:`duplicate_ngram_coverage` (which only scores). Every
+    occurrence of a word ``shingle_words``-gram that appears at least
+    ``min_count`` times across the corpus (counting repeats inside the
+    same document, like a suffix array would) marks its token span
+    removed; the surviving tokens are re-joined in order. This is the
+    word-granularity form of the "deduplicate training data" exact
+    substring dedup (Lee et al., ACL'22) — the step that excises shared
+    boilerplate passages from otherwise-unique documents, which
+    document-level dedup (MinHash, SimHash, exact hash) cannot do.
+
+    Returns ``(id_col, text_deduped, n_tokens, n_removed,
+    removed_ratio)`` — one row per input document. ``text_deduped`` is
+    token-normalized (lowercased, single-space separated) for EVERY row
+    so output text is uniform whether or not spans were removed; fully
+    duplicated documents come back with ``text_deduped = ''`` (filter
+    on ``removed_ratio`` downstream). Documents shorter than
+    ``shingle_words`` tokens have no positional shingles and pass
+    through untouched — whole-document duplicates are exact dedup's
+    job, not span removal's.
+
+    Scale shape (the inverted-index discipline — never all-pairs, never
+    a corpus collect):
+
+    - one tokenize scan; positional shingles are an expression-level
+      transform over the token array;
+    - shingle document frequency = ONE map-side-combinable groupBy
+      whose shuffle carries ``(shingle, count)``, not text;
+    - duplicated occurrences come back via a semi join on the shingle
+      key; covered positions explode only the DUPLICATED spans
+      (bounded by dup occurrences x shingle_words, not corpus tokens);
+    - the token-level rebuild (posexplode + anti join + ordered
+      re-concat) runs ONLY over affected documents (semi join first) —
+      untouched documents re-join their token array as a pure
+      projection, no shuffle. A boilerplate-free corpus therefore pays
+      one groupBy and nothing else.
+    """
+    text = F.col(text_col)
+    k = int(shingle_words)
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens(text).alias("__toks")
+    ).withColumn("__n", F.size(F.col("__toks")))
+
+    # positional shingles: pos in 1..n-k+1 (1-based, matching F.slice)
+    pos_shingles = F.when(
+        F.col("__n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - F.lit(k) + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(F.col("__toks"), i, k), " ").alias(
+                    "shingle"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,shingle:string>>"))
+    occ = toks.select(
+        "id", F.explode(pos_shingles).alias("__s")
+    ).select("id", F.col("__s.pos").alias("pos"), F.col("__s.shingle").alias("shingle"))
+
+    dup_sh = (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= int(min_count))
+        .select("shingle")
+    )
+    dup_occ = occ.join(dup_sh, "shingle", "leftsemi")
+    covered = (
+        dup_occ.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    n_cov = covered.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_removed")
+    )
+
+    # rebuild ONLY the affected documents: posexplode -> anti join on the
+    # covered (id, pos) -> ordered re-concat; one id-keyed exchange
+    affected = toks.join(covered.select("id").distinct(), "id", "leftsemi")
+    tokpos = affected.select(
+        "id", F.posexplode(F.col("__toks")).alias("__p0", "__w")
+    ).select("id", (F.col("__p0") + 1).alias("pos"), F.col("__w").alias("word"))
+    kept = tokpos.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("__new")
+    )
+
+    out = (
+        toks.join(n_cov, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__n_removed").isNotNull(), F.coalesce(F.col("__new"), F.lit("")))
+            .otherwise(F.array_join(F.col("__toks"), " "))
+            .alias("text_deduped"),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("__n_removed"), F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.when(
+                F.col("__n") > 0,
+                F.round(
+                    F.coalesce(F.col("__n_removed"), F.lit(0)).cast("double")
+                    / F.col("__n"),
+                    config.SIMILARITY_SCALE,
+                ),
+            ).otherwise(F.lit(0.0)).alias("removed_ratio"),
+        )
+    )
+    return out

@@ -1055,3 +1055,114 @@ def zipf_alpha(
         "c_min",
         F.when(denom > 0, q6(F.lit(1.0) + k / denom)).alias("alpha"),
     )
+
+
+# The Gopher rules' required stop words (Rae et al. 2021, appendix A1.1):
+# a document must contain at least two of these to pass the stop-word gate.
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality gates (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1) as per-document boolean
+    flags plus the conjunctive ``passes_gopher`` keep gate — the
+    rule-based sibling of the weighted :func:`quality_features` score
+    (the reference has no corpus-quality surface at all; its pipeline
+    stops at schema/value harmonization, ``bdikit/api.py``).
+
+    Rules (every flag decided in INTEGER arithmetic on exact counts, so
+    no float boundary can flip a gate between engines):
+
+    - ``flag_word_count``      — ``min_words <= n <= max_words``
+    - ``flag_mean_word_len``   — mean word length in [3, 10] chars
+    - ``flag_symbol_ratio``    — (# of ``#`` + ``...``) / words <= 0.1
+    - ``flag_bullet_lines``    — lines starting with a bullet <= 90%
+    - ``flag_ellipsis_lines``  — lines ending with an ellipsis <= 30%
+    - ``flag_alpha_words``     — >= 80% of words contain a letter
+    - ``flag_stop_words``      — >= 2 distinct Gopher stop words present
+
+    Scale shape: a pure expression projection over one scan — no
+    shuffle, no UDF, no state; it composes into any corpus-prep plan as
+    a free filter stage.
+    """
+    text = F.col(text_col)
+    staged = df.withColumn("__toks", tokens_expr(text)).withColumns(
+        {
+            "__n_words": F.size(F.col("__toks")).cast("bigint"),
+            "__n_chars": F.aggregate(
+                F.col("__toks"),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + F.length(t),
+            ),
+            "__n_alpha_words": F.size(
+                F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]"))
+            ).cast("bigint"),
+            "__n_stop_hits": F.size(
+                F.array_intersect(
+                    F.array_distinct(F.col("__toks")),
+                    F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+                )
+            ).cast("bigint"),
+            "__lines": F.split(text, "\n"),
+        }
+    ).withColumns(
+        {
+            "__n_lines": F.size(F.col("__lines")).cast("bigint"),
+            "__n_bullet": F.size(
+                F.filter(
+                    F.col("__lines"),
+                    lambda l: F.ltrim(l).rlike("^[-*•‣◦]"),
+                )
+            ).cast("bigint"),
+            "__n_ellipsis": F.size(
+                F.filter(
+                    F.col("__lines"),
+                    lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"),
+                )
+            ).cast("bigint"),
+            # '#' occurrences + '...' occurrences (each '...' counts once)
+            "__n_symbols": (
+                F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+                + (
+                    F.length(text)
+                    - F.length(F.replace(text, F.lit("..."), F.lit("")))
+                )
+                / F.lit(3)
+            ).cast("bigint"),
+        }
+    )
+    n = F.col("__n_words")
+    flags = {
+        "flag_word_count": (n >= min_words) & (n <= max_words),
+        "flag_mean_word_len": (F.lit(3) * n <= F.col("__n_chars"))
+        & (F.col("__n_chars") <= F.lit(10) * n),
+        "flag_symbol_ratio": F.lit(10) * F.col("__n_symbols") <= n,
+        "flag_bullet_lines": F.lit(10) * F.col("__n_bullet")
+        <= F.lit(9) * F.col("__n_lines"),
+        "flag_ellipsis_lines": F.lit(10) * F.col("__n_ellipsis")
+        <= F.lit(3) * F.col("__n_lines"),
+        "flag_alpha_words": F.lit(5) * F.col("__n_alpha_words")
+        >= F.lit(4) * n,
+        "flag_stop_words": F.col("__n_stop_hits") >= 2,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return staged.select(
+        *[F.col(c) for c in df.columns],
+        F.col("__n_words").alias("n_words"),
+        F.col("__n_chars").alias("n_word_chars"),
+        F.col("__n_symbols").alias("n_symbols"),
+        F.col("__n_alpha_words").alias("n_alpha_words"),
+        F.col("__n_stop_hits").alias("n_stop_words"),
+        F.col("__n_lines").alias("n_lines"),
+        F.col("__n_bullet").alias("n_bullet_lines"),
+        F.col("__n_ellipsis").alias("n_ellipsis_lines"),
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes_gopher"),
+    )

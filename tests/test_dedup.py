@@ -453,3 +453,90 @@ def test_lsh_tuning_band_entries_reuse_matches_self_computed(spark):
         )
     )
     assert self_computed == reused and len(reused) > 0
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span removal (Lee et al. ACL'22, word granularity)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def span_docs(spark):
+    return spark.createDataFrame(
+        [
+            # 1 and 2 share the 4-gram "alpha beta gamma delta" inside
+            # otherwise-unique text
+            (1, "intro one alpha beta gamma delta tail one unique"),
+            (2, "Other START Alpha Beta GAMMA delta closing words two"),
+            # 3 is entirely made of a span duplicated in 4
+            (3, "omega psi chi phi"),
+            (4, "omega psi chi phi plus extra trailing content here"),
+            # 5 repeats its own 4-gram twice (within-doc repeat)
+            (5, "rep one rep two rep one rep two rep one rep two"),
+            # 6 is shorter than the shingle width: passes through
+            (6, "tiny doc"),
+            # 7 shares nothing
+            (7, "seven distinct words nothing shared with anything else"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _span_map(df, **kw):
+    from biomedical_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    return {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, **kw).collect()
+    }
+
+
+def test_remove_duplicate_spans_excises_shared_span(span_docs):
+    out = _span_map(span_docs, shingle_words=4)
+    # the shared 4-gram vanishes from BOTH docs, case-normalized
+    assert out[1]["text_deduped"] == "intro one tail one unique"
+    assert out[2]["text_deduped"] == "other start closing words two"
+    assert out[1]["n_removed"] == 4 and out[2]["n_removed"] == 4
+
+
+def test_remove_duplicate_spans_fully_covered_doc_empties(span_docs):
+    out = _span_map(span_docs, shingle_words=4)
+    assert out[3]["text_deduped"] == ""
+    assert out[3]["n_removed"] == out[3]["n_tokens"] == 4
+    assert out[3]["removed_ratio"] == 1.0
+    # the other copy keeps its unique suffix
+    assert out[4]["text_deduped"] == "plus extra trailing content here"
+
+
+def test_remove_duplicate_spans_within_doc_repeats_count(span_docs):
+    out = _span_map(span_docs, shingle_words=4)
+    # "rep one rep two" repeats inside doc 5 alone -> fully covered
+    assert out[5]["text_deduped"] == ""
+    assert out[5]["removed_ratio"] == 1.0
+
+
+def test_remove_duplicate_spans_untouched_docs_normalized(span_docs):
+    out = _span_map(span_docs, shingle_words=4)
+    # short doc: no positional shingles, passes through token-normalized
+    assert out[6]["text_deduped"] == "tiny doc"
+    assert out[6]["n_removed"] == 0
+    assert out[7]["n_removed"] == 0
+    assert (
+        out[7]["text_deduped"]
+        == "seven distinct words nothing shared with anything else"
+    )
+    # one row per input document, no drops
+    assert len(out) == 7
+
+
+def test_remove_duplicate_spans_min_count(span_docs):
+    # min_count=3: the pairwise-shared spans (2 occurrences) survive...
+    out = _span_map(span_docs, shingle_words=4, min_count=3)
+    assert all(
+        r["n_removed"] == 0 for d, r in out.items() if d != 5
+    )
+    # ...but doc 5's "rep one rep two" occurs at positions 1, 5, 9 ->
+    # count 3 -> still removed (fully covering the doc)
+    assert out[5]["text_deduped"] == ""
+    assert out[5]["n_removed"] == out[5]["n_tokens"]

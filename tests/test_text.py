@@ -550,3 +550,82 @@ def test_chao1_richness_golden(spark):
     # chao1 = 4 + 2*1/(2*2) = 4.5 ; coverage = 1 - 2/7
     assert abs(r["chao1"] - 4.5) < 1e-6
     assert abs(r["coverage"] - (1 - 2 / 7)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+
+def _gopher_map(spark, rows, **kw):
+    from biomedical_data_integration_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in gopher_rules(df, **kw).collect()}
+
+
+GOOD_TEXT = (
+    "the data pipeline reads parquet files and writes clean shards that "
+    "downstream training jobs consume with care because every document "
+    "must have sensible words of normal length and enough common english "
+    "glue words to look like prose rather than markup or code for the "
+    "filters to be happy about keeping it in the corpus today"
+)
+
+
+def test_gopher_good_document_passes(spark):
+    out = _gopher_map(spark, [(1, GOOD_TEXT)])
+    r = out[1]
+    assert r["passes_gopher"]
+    assert r["flag_word_count"] and r["flag_stop_words"]
+    assert r["n_stop_words"] >= 2
+
+
+def test_gopher_word_count_gate(spark):
+    out = _gopher_map(spark, [(1, "too short to pass"), (2, GOOD_TEXT)])
+    assert not out[1]["flag_word_count"]
+    assert not out[1]["passes_gopher"]
+    assert out[2]["flag_word_count"]
+    # a tighter min_words knob flips the good doc too
+    out = _gopher_map(spark, [(2, GOOD_TEXT)], min_words=1000)
+    assert not out[2]["flag_word_count"]
+
+
+def test_gopher_symbol_ratio_gate(spark):
+    hashy = " ".join(["word#tag"] * 30 + ["plain"] * 30)
+    out = _gopher_map(spark, [(1, hashy)], min_words=10)
+    assert out[1]["n_symbols"] == 30
+    assert not out[1]["flag_symbol_ratio"]
+
+
+def test_gopher_ellipsis_and_bullet_lines(spark):
+    bullets = "\n".join(["- item %d" % i for i in range(10)])
+    out = _gopher_map(spark, [(1, bullets)], min_words=1)
+    assert out[1]["n_bullet_lines"] == 10
+    assert not out[1]["flag_bullet_lines"]
+    dots = "\n".join(["line %d goes on..." % i for i in range(10)])
+    out = _gopher_map(spark, [(2, dots)], min_words=1)
+    assert out[2]["n_ellipsis_lines"] == 10
+    assert not out[2]["flag_ellipsis_lines"]
+
+
+def test_gopher_alpha_words_and_mean_length(spark):
+    nums = " ".join(["12345"] * 40 + ["word"] * 8)
+    out = _gopher_map(spark, [(1, nums)], min_words=10)
+    # 8/48 alpha words < 80%
+    assert not out[1]["flag_alpha_words"]
+    longs = " ".join(["extraordinarily"] * 60)
+    out = _gopher_map(spark, [(2, longs)], min_words=10)
+    # mean word length 15 > 10
+    assert not out[2]["flag_mean_word_len"]
+    shorts = " ".join(["a", "an", "i"] * 40)
+    out = _gopher_map(spark, [(3, shorts)], min_words=10)
+    # mean word length < 3
+    assert not out[3]["flag_mean_word_len"]
+
+
+def test_gopher_stop_word_gate(spark):
+    nostops = " ".join(["data pipeline reads parquet shards"] * 12)
+    out = _gopher_map(spark, [(1, nostops)], min_words=10)
+    assert out[1]["n_stop_words"] == 0
+    assert not out[1]["flag_stop_words"]
