@@ -10326,6 +10326,115 @@ FROM m
 """
 
 
+PQ_M = 4
+PQ_CODES = 8
+PQ_ITERS = 2
+PQ_K = 10
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.pq_train/
+    pq_encode/pq_topk — Jégou et al. TPAMI'11): codebooks for all 4
+    subspaces train in ONE Lloyd loop (one scan + one (s,code,pos)
+    groupBy per iteration), the corpus compresses to m small ints per
+    vector, and search is m integer table lookups + a bigint sum per
+    row — the corpus vectors are never read at query time. Completes
+    the FAISS-style ANN stack next to ivf/lsh/int8."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    emb = emb.where(F.col("embedding").isNotNull())
+    cb = pq_train(
+        emb, m=PQ_M, n_codes=PQ_CODES, max_iter=PQ_ITERS
+    )
+    codes = pq_encode(emb, cb)
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return pq_topk(codes, query, cb, k=PQ_K)
+
+
+def _pq_topk_sql() -> str:
+    m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
+    dsub = dim // m
+    d2 = (
+        f"round(list_sum(list_transform(range(1, {dsub + 1}),"
+        f" j -> (x.sv[j] - c.cv[j]) * (x.sv[j] - c.cv[j]))), 6)"
+    )
+    qd2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        f" j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j])))"
+    )
+    parts = [
+        "e AS (SELECT vec_id AS id,"
+        " list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v"
+        " FROM embeddings WHERE embedding IS NOT NULL)",
+        f"""sub AS (
+  SELECT id, CAST(r.s AS INTEGER) AS s,
+         list_slice(v, r.s * {dsub} + 1, (r.s + 1) * {dsub}) AS sv
+  FROM e CROSS JOIN range(0, {m}) AS r(s))""",
+        f"""cent0 AS (
+  SELECT s, CAST(__rn - 1 AS INTEGER) AS code, sv AS cv FROM (
+    SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY id) AS __rn
+    FROM sub) WHERE __rn <= {nc})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+  SELECT id, s, code FROM (
+    SELECT x.id, x.s, c.code,
+           row_number() OVER (PARTITION BY x.id, x.s
+                              ORDER BY {d2}, c.code) AS rn
+    FROM sub x JOIN cent{i - 1} c ON x.s = c.s) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cnew{i} AS (
+  SELECT s, code, list(val ORDER BY idx) AS cv FROM (
+    SELECT a.s, a.code, r.idx, round(avg(x.sv[r.idx]), 6) AS val
+    FROM assign{i} a JOIN sub x ON a.id = x.id AND a.s = x.s
+    CROSS JOIN range(1, {dsub + 1}) AS r(idx)
+    GROUP BY a.s, a.code, r.idx) GROUP BY s, code)"""
+        )
+        parts.append(
+            f"""cent{i} AS (
+  SELECT p.s, p.code, coalesce(n.cv, p.cv) AS cv
+  FROM cent{i - 1} p LEFT JOIN cnew{i} n
+    ON p.s = n.s AND p.code = n.code)"""
+        )
+    parts.append(
+        f"""codes AS (
+  SELECT id, s, code FROM (
+    SELECT x.id, x.s, c.code,
+           row_number() OVER (PARTITION BY x.id, x.s
+                              ORDER BY {d2}, c.code) AS rn
+    FROM sub x JOIN cent{iters} c ON x.s = c.s) WHERE rn = 1)"""
+    )
+    parts.append("qsub AS (SELECT s, sv FROM sub WHERE id = 0)")
+    parts.append(
+        f"""qtab AS (
+  SELECT c.s, c.code,
+         CAST(floor({qd2} * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM cent{iters} c JOIN qsub q ON c.s = q.s)"""
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT id AS vec_id,
+       CAST(CAST(sum(micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS adist
+FROM codes JOIN qtab USING (s, code)
+GROUP BY id
+ORDER BY adist, vec_id
+LIMIT {k}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_harmonize_lineitem(spark, SF_DEFAULT)
@@ -10363,6 +10472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning_capped_documents": _q_lsh_tuning_capped,
         "dedup_spans_documents": _q_dedup_spans,
         "gopher_rules_documents": _q_gopher_rules,
+        "pq_topk_embeddings": _q_pq_topk,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
         "events_interval_sessions": _q_events_interval,
@@ -10642,6 +10752,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_spans_documents": _dedup_spans_sql(),
         "gopher_rules_documents": _gopher_rules_sql(),
+        "pq_topk_embeddings": _pq_topk_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),
         "set_similarity_ppjoin_documents": _set_similarity_sql(),

@@ -26,6 +26,8 @@ shuffle at all; LSH/IVF turn that into an equi-join on bucket/cell.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -529,3 +531,284 @@ def set_similarity_join_pairs(
         )
         .where(F.col("jaccard") >= F.lit(t))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 9): the ANN COMPRESSION path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 8,
+    max_iter: int = 2,
+    scale: Optional[int] = None,
+) -> list:
+    """Train product-quantization codebooks (Jégou et al., TPAMI'11):
+    split each vector into ``m`` contiguous subvectors and fit
+    ``n_codes`` k-means centroids PER subspace. Together with
+    :func:`pq_encode` / :func:`pq_topk` this completes the FAISS-style
+    ANN stack next to :func:`ivf_topk` and :func:`quantize_embeddings_int8`
+    — at 100 TB the codes column is ``m`` small ints per vector (vs
+    ``dim`` floats), and search reads ONLY the codes.
+
+    Returns ``codebooks[s][c]`` = centroid ``c`` of subspace ``s`` (a
+    ``dim/m``-float list) — driver-side literals, like
+    :func:`~biomedical_data_integration_spark.operators.clustering.kmeans`
+    centroids.
+
+    Scale design — all ``m`` subspaces train in ONE Lloyd loop: the
+    corpus explodes once to ``(id, s, subvec)`` (same bytes, narrower
+    rows) and is localCheckpoint-pinned; each iteration is ONE
+    assignment scan (argmin over the m·n_codes literal codebook, rounded
+    dist2 + code tiebreak — the clustering kernel discipline) plus ONE
+    ``(s, code, pos)``-keyed groupBy (m·n_codes·dim/m keys, map-side
+    combinable). m sequential :func:`kmeans` fits would pay m× the
+    scans for identical arithmetic. Deterministic end to end (lowest-id
+    seeds, rounded means), so an ANSI-SQL oracle replays the whole fit.
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    dim = _vec_dim(df, vec_col)
+    if dim is None:
+        raise ValueError("pq_train: empty input — nothing to train on")
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    sub = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("s"),
+                        F.transform(
+                            F.slice(
+                                F.col(vec_col), s * F.lit(dsub) + 1, dsub
+                            ),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select("id", F.col("__e.s").alias("s"), F.col("__e.sv").alias("sv"))
+        .localCheckpoint(eager=True)
+    )
+
+    # lowest-id seeds: the same k lowest-id vectors seed every subspace
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"pq_train: need >= n_codes={n_codes} vectors, "
+            f"got {len(seed_rows)}"
+        )
+    codebooks = [
+        [
+            [float(x) for x in r[vec_col][s * dsub : (s + 1) * dsub]]
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+
+    def _assign(cb) -> Column:
+        # literal codebook array indexed by subspace; per row: argmin
+        # over (rounded dist2, code) — lexicographic array_min IS the
+        # tiebreak. m·n_codes·dsub literals = dim·n_codes doubles; past
+        # ~10^5 of those, switch to the broadcast-join assignment kernel
+        # (planning.centroid_assign_kernel) — same policy as kmeans.
+        lit_books = F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("code"),
+                            F.array(
+                                *[F.lit(v) for v in cb[s][c]]
+                            ).alias("cv"),
+                        )
+                        for c in range(n_codes)
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        book = F.element_at(lit_books, F.col("s") + 1)
+        scored = F.transform(
+            book,
+            lambda e: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sv"), e["cv"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    scale,
+                ).alias("dist2"),
+                e["code"].alias("code"),
+            ),
+        )
+        return F.array_min(scored)
+
+    for _ in range(max_iter):
+        assigned = sub.select(
+            "s", F.col("sv"), _assign(codebooks)["code"].alias("__c")
+        )
+        new_rows = (
+            assigned.select(
+                "s", "__c", F.posexplode("sv").alias("__pos", "__val")
+            )
+            .groupBy("s", "__c", "__pos")
+            .agg(F.round(F.avg("__val"), scale).alias("__mn"))
+            .collect()
+        )
+        updated: dict = {}
+        for r in new_rows:
+            updated.setdefault((int(r["s"]), int(r["__c"])), [0.0] * dsub)[
+                int(r["__pos"])
+            ] = float(r["__mn"])
+        codebooks = [
+            [
+                updated.get((s, c), codebooks[s][c])
+                for c in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+    return codebooks
+
+
+def _pq_sub_struct(vec_col: str, m: int, dsub: int) -> Column:
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.transform(
+                    F.slice(F.col(vec_col), s * F.lit(dsub) + 1, dsub),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            ),
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: Optional[int] = None,
+) -> DataFrame:
+    """Encode vectors against trained PQ codebooks: per subspace the
+    argmin code (rounded dist2, code tiebreak — bit-identical to the
+    training assignment). Returns ``(id_col, codes array<int>)`` —
+    the m-byte compressed corpus representation searched by
+    :func:`pq_topk`. Pure expression projection: no shuffle, no join;
+    the codes column is what a 100 TB pipeline PERSISTS."""
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    def sub_code(s: int) -> Column:
+        sv = F.transform(
+            F.slice(F.col(vec_col), F.lit(s * dsub + 1), dsub),
+            lambda x: x.cast("double"),
+        )
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                sv,
+                                F.array(
+                                    *[F.lit(v) for v in codebooks[s][c]]
+                                ),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        scale,
+                    ).alias("dist2"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(n_codes)
+            ]
+        )
+        return F.array_min(scored)["code"]
+
+    return df.select(
+        F.col(id_col),
+        F.array(*[sub_code(s) for s in range(m)]).alias("codes"),
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query: list,
+    codebooks: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    query's per-(subspace, code) squared distances fold into an
+    m·n_codes literal lookup table driver-side; each corpus row costs m
+    integer array lookups + a bigint sum — the corpus VECTORS are never
+    read. Each table term is micro-unit-quantized (floor(d2·1e6+0.5))
+    so the cross-subspace sum is an order-free integer; ``adist`` reads
+    out as micro/1e6. Global top-k by (adist, id) is a total order —
+    TakeOrderedAndProject, no full sort. Returns ``(id_col, adist)``.
+    """
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(
+            f"pq_topk: query dim {len(query)} != m*dsub {m * dsub}"
+        )
+    table = []
+    for s in range(m):
+        qs = [float(x) for x in query[s * dsub : (s + 1) * dsub]]
+        row = []
+        for c in range(n_codes):
+            # sequential left-to-right sum — the order list_sum and
+            # F.aggregate both use, so an oracle replays it bit-for-bit;
+            # micro-quantization (floor(d2*1e6+0.5)) IS the rounding
+            d2 = sum((a - b) * (a - b) for a, b in zip(qs, codebooks[s][c]))
+            row.append(int(math.floor(d2 * 1_000_000 + 0.5)))
+        table.append(row)
+    lit_table = F.array(
+        *[
+            F.array(*[F.lit(v).cast("bigint") for v in row])
+            for row in table
+        ]
+    )
+    micro = F.aggregate(
+        F.zip_with(
+            lit_table,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    out = codes_df.select(
+        F.col(id_col),
+        (micro.cast("double") / F.lit(1_000_000.0)).alias("adist"),
+    )
+    return out.orderBy("adist", id_col).limit(k)

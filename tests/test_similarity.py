@@ -1,5 +1,7 @@
 """ANN similarity search: brute-force cosine top-k, hyperplane LSH, IVF."""
 
+import pytest
+
 from biomedical_data_integration_spark.operators.similarity import (
     cosine_topk,
     hyperplane_lsh_topk,
@@ -242,3 +244,126 @@ def test_mine_triplets_null_labels_excluded(spark):
     r0 = out[0]
     assert r0["positive_id"] == 1, "unlabeled id 2 must not shadow the positive"
     assert r0["negative_id"] == 3, "unlabeled id 2 must not be a hard negative"
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixture(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 4 planted groups in 8 dims so 2-iteration codebooks separate them
+    centers = rng.randn(4, 8) * 3
+    rows = []
+    for i in range(80):
+        v = centers[i % 4] + rng.randn(8) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def test_pq_roundtrip_finds_planted_neighbors(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    df, rows = _pq_fixture(spark)
+    cb = pq_train(df, m=2, n_codes=4, max_iter=2)
+    assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 4
+    codes = pq_encode(df, cb)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert set(got) == {r[0] for r in rows}
+    # same planted group -> same code word in every subspace
+    for i in range(4, 80):
+        assert got[i] == got[i % 4], f"vec {i} split from its group"
+    # ADC top-k for a group-0 query returns only group-0 vectors first
+    q = rows[0][1]
+    top = pq_topk(codes, q, cb, k=10).collect()
+    assert len(top) == 10
+    assert all(r["vec_id"] % 4 == 0 for r in top)
+    # ascending adist, deterministic id tiebreak within equal distances
+    dists = [r["adist"] for r in top]
+    assert dists == sorted(dists)
+    ids_at_min = [r["vec_id"] for r in top if r["adist"] == dists[0]]
+    assert ids_at_min == sorted(ids_at_min)
+
+
+def test_pq_matches_numpy_replay(spark):
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    df, rows = _pq_fixture(spark)
+    m, nc, iters = 2, 4, 2
+    cb = pq_train(df, m=m, n_codes=nc, max_iter=iters)
+    X = np.array([r[1] for r in rows])
+    dsub = X.shape[1] // m
+    books = [
+        [list(X[i][s * dsub : (s + 1) * dsub]) for i in range(nc)]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        new = {}
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            C = np.array(books[s])
+            d2 = np.round(((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+            assign = np.argmin(d2, axis=1)
+            for c in range(nc):
+                if (assign == c).any():
+                    new[(s, c)] = list(
+                        np.round(Xs[assign == c].mean(0), 6)
+                    )
+        books = [
+            [new.get((s, c), books[s][c]) for c in range(nc)]
+            for s in range(m)
+        ]
+    for s in range(m):
+        for c in range(nc):
+            assert cb[s][c] == pytest.approx(books[s][c], abs=1e-9)
+    # encode agrees with the replayed books
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, cb).collect()}
+    for i, (vid, v) in enumerate(rows):
+        for s in range(m):
+            C = np.array(books[s])
+            d2 = np.round(
+                ((np.array(v[s * dsub : (s + 1) * dsub]) - C) ** 2).sum(-1), 6
+            )
+            assert got[vid][s] == int(np.argmin(d2))
+
+
+def test_pq_validation_errors(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        pq_topk,
+        pq_train,
+    )
+
+    df, _ = _pq_fixture(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=3)
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_train(df.limit(2), m=2, n_codes=4)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(df, [0.0] * 5, [[[0.0] * 4] * 4] * 2)
+
+
+def test_pq_encode_plan_is_projection_only(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    df, _ = _pq_fixture(spark)
+    cb = pq_train(df, m=2, n_codes=4, max_iter=1)
+    plan = (
+        pq_encode(df, cb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "encode must be a pure projection"
+    assert "BatchEvalPython" not in plan
