@@ -10361,21 +10361,20 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, query, cb, k=PQ_K)
 
 
-def _pq_topk_sql() -> str:
-    m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
+def _pq_fit_ctes(dim: int, m: int, nc: int, iters: int) -> list:
+    """CTE chain replaying operators/similarity.pq_train + pq_encode in
+    SQL, assuming a CTE ``e(id, v)`` holds the vectors PQ trains on
+    (raw embeddings for pq_topk, cell residuals for ivfpq): subspace
+    explode, lowest-id seeds, ``iters`` Lloyd rounds (rounded-dist2
+    argmin + code tiebreak; rounded per-dimension means; empty codes
+    keep the previous centroid), then the final per-(id, s) code
+    assignment in ``codes``."""
     dsub = dim // m
     d2 = (
         f"round(list_sum(list_transform(range(1, {dsub + 1}),"
         f" j -> (x.sv[j] - c.cv[j]) * (x.sv[j] - c.cv[j]))), 6)"
     )
-    qd2 = (
-        f"list_sum(list_transform(range(1, {dsub + 1}),"
-        f" j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j])))"
-    )
     parts = [
-        "e AS (SELECT vec_id AS id,"
-        " list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v"
-        " FROM embeddings WHERE embedding IS NOT NULL)",
         f"""sub AS (
   SELECT id, CAST(r.s AS INTEGER) AS s,
          list_slice(v, r.s * {dsub} + 1, (r.s + 1) * {dsub}) AS sv
@@ -10416,6 +10415,22 @@ def _pq_topk_sql() -> str:
                               ORDER BY {d2}, c.code) AS rn
     FROM sub x JOIN cent{iters} c ON x.s = c.s) WHERE rn = 1)"""
     )
+    return parts
+
+
+def _pq_topk_sql() -> str:
+    m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
+    dsub = dim // m
+    qd2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        f" j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j])))"
+    )
+    parts = [
+        "e AS (SELECT vec_id AS id,"
+        " list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v"
+        " FROM embeddings WHERE embedding IS NOT NULL)",
+    ]
+    parts.extend(_pq_fit_ctes(dim, m, nc, iters))
     parts.append("qsub AS (SELECT s, sv FROM sub WHERE id = 0)")
     parts.append(
         f"""qtab AS (
@@ -10432,6 +10447,168 @@ FROM codes JOIN qtab USING (s, code)
 GROUP BY id
 ORDER BY adist, vec_id
 LIMIT {k}
+"""
+
+
+IVFPQ_CELLS = 4
+IVFPQ_NPROBE = 2
+
+
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index + ADC search (operators/similarity.ivfpq_index/
+    ivfpq_topk — FAISS IndexIVFPQ architecture): a coarse quantizer
+    routes vectors to cells, PQ encodes the RESIDUAL to the cell
+    centroid (same code budget, better accuracy), and the query probes
+    only its nprobe closest cells — on a cell-partitioned index table
+    the probe is a partition-pruned scan. The persisted layout is
+    (id, cell, codes): m small ints + a cell id per vector."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    emb = emb.where(F.col("embedding").isNotNull())
+    idx, cents, cb = ivfpq_index(
+        emb, n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES,
+        max_iter=PQ_ITERS,
+    )
+    query = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivfpq_topk(
+        idx, query, cents, cb, k=PQ_K, nprobe=IVFPQ_NPROBE
+    )
+
+
+def _ivfpq_topk_sql() -> str:
+    m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
+    n_cells, nprobe = IVFPQ_CELLS, IVFPQ_NPROBE
+    dsub = dim // m
+    cd2 = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}),"
+        f" j -> (r.v[j] - c.cv[j]) * (r.v[j] - c.cv[j]))), 6)"
+    )
+    qcd2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j])))"
+    )
+    qd2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        f" j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j])))"
+    )
+    parts = [
+        "raw AS (SELECT vec_id AS id,"
+        " list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v"
+        " FROM embeddings WHERE embedding IS NOT NULL)",
+        f"""cents AS (
+  SELECT CAST(__rn - 1 AS INTEGER) AS cell, v AS cv FROM (
+    SELECT id, v, row_number() OVER (ORDER BY id) AS __rn FROM raw)
+  WHERE __rn <= {n_cells})""",
+        f"""acell AS (
+  SELECT id, cell FROM (
+    SELECT r.id, c.cell,
+           row_number() OVER (PARTITION BY r.id
+                              ORDER BY {cd2}, c.cell) AS rn
+    FROM raw r CROSS JOIN cents c) WHERE rn = 1)""",
+        f"""e AS (
+  SELECT r.id,
+         list_transform(range(1, {dim + 1}), j -> r.v[j] - c.cv[j]) AS v
+  FROM raw r JOIN acell a ON r.id = a.id JOIN cents c ON a.cell = c.cell)""",
+    ]
+    parts.extend(_pq_fit_ctes(dim, m, nc, iters))
+    parts.append("q AS (SELECT v FROM raw WHERE id = 0)")
+    parts.append(
+        f"""probed AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY CAST(floor({qcd2} * 1000000.0 + 0.5) AS BIGINT),
+                      c.cell) AS rn
+    FROM cents c CROSS JOIN q) WHERE rn <= {nprobe})""")
+    parts.append(
+        f"""qres AS (
+  SELECT c.cell,
+         list_transform(range(1, {dim + 1}), j -> q.v[j] - c.cv[j]) AS rv
+  FROM cents c JOIN probed USING (cell) CROSS JOIN q)""")
+    parts.append(
+        f"""qsub AS (
+  SELECT cell, CAST(r.s AS INTEGER) AS s,
+         list_slice(rv, r.s * {dsub} + 1, (r.s + 1) * {dsub}) AS sv
+  FROM qres CROSS JOIN range(0, {m}) AS r(s))""")
+    parts.append(
+        f"""qtab AS (
+  SELECT q.cell, c.s, c.code,
+         CAST(floor({qd2} * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM cent{iters} c JOIN qsub q ON c.s = q.s)""")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT cd.id AS vec_id,
+       CAST(CAST(sum(t.micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS adist
+FROM codes cd
+JOIN acell a ON cd.id = a.id
+JOIN qtab t ON a.cell = t.cell AND cd.s = t.s AND cd.code = t.code
+GROUP BY cd.id
+ORDER BY adist, vec_id
+LIMIT {k}
+"""
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (operators/text.c4_clean — Raffel et al.
+    JMLR'20 §2.2): terminal-punct + min-words line filter, then the
+    >= 3-sentence / lorem-ipsum / curly-brace page gates. The synthetic
+    corpus is single-line and unpunctuated, so the query stages
+    deterministic sentence breaks first (every ' join '/' sort ' ->
+    '.\\n') — the operator then has real lines to keep, drop, and
+    count. Pure expression projection end to end."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import c4_clean
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), " (join|sort) ", ".\n")
+    )
+    return c4_clean(staged)
+
+
+def _c4_clean_sql(min_words: int = 5, min_sentences: int = 3) -> str:
+    toks_of = "list_filter(string_split_regex(trim({x}), '\\s+'), t -> length(t) > 0)"
+    return f"""
+WITH staged AS (
+  SELECT doc_id, regexp_replace(text, ' (join|sort) ', '.' || chr(10), 'g')
+           AS text, lang, source, n_chars
+  FROM documents
+),
+base AS (
+  SELECT *, string_split(text, chr(10)) AS __lines FROM staged
+),
+f AS (
+  SELECT *, list_filter(__lines,
+           l -> len({toks_of.format(x='l')}) >= {min_words}
+                AND regexp_matches(rtrim(l), '[.!?"]$')) AS __kept
+  FROM base
+),
+c AS (
+  -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+  SELECT *, coalesce(array_to_string(__kept, chr(10)), '') AS text_clean
+  FROM f
+)
+SELECT doc_id, text, lang, source, n_chars, text_clean,
+  CAST(len(__kept) AS BIGINT) AS n_lines_kept,
+  CAST(len(__lines) - len(__kept) AS BIGINT) AS n_lines_dropped,
+  CAST(len(list_filter(string_split_regex(text_clean, '[.!?]'),
+       s -> length(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+  (len(list_filter(string_split_regex(text_clean, '[.!?]'),
+       s -> length(trim(s)) > 0)) >= {min_sentences}
+   AND NOT contains(lower(text_clean), 'lorem ipsum')
+   AND NOT contains(text_clean, '{{')) AS keep_c4
+FROM c
 """
 
 
@@ -10473,6 +10650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_documents": _q_dedup_spans,
         "gopher_rules_documents": _q_gopher_rules,
         "pq_topk_embeddings": _q_pq_topk,
+        "c4_clean_documents": _q_c4_clean,
+        "ivfpq_topk_embeddings": _q_ivfpq_topk,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
         "events_interval_sessions": _q_events_interval,
@@ -10753,6 +10932,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans_documents": _dedup_spans_sql(),
         "gopher_rules_documents": _gopher_rules_sql(),
         "pq_topk_embeddings": _pq_topk_sql(),
+        "c4_clean_documents": _c4_clean_sql(),
+        "ivfpq_topk_embeddings": _ivfpq_topk_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),
         "set_similarity_ppjoin_documents": _set_similarity_sql(),

@@ -710,6 +710,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: Optional[int] = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode vectors against trained PQ codebooks: per subspace the
     argmin code (rounded dist2, code tiebreak — bit-identical to the
@@ -754,6 +755,7 @@ def pq_encode(
 
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.array(*[sub_code(s) for s in range(m)]).alias("codes"),
     )
 
@@ -810,5 +812,209 @@ def pq_topk(
     out = codes_df.select(
         F.col(id_col),
         (micro.cast("double") / F.lit(1_000_000.0)).alias("adist"),
+    )
+    return out.orderBy("adist", id_col).limit(k)
+
+
+def ivfpq_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    max_iter: int = 2,
+    scale: Optional[int] = None,
+) -> tuple:
+    """Build an IVFPQ index (FAISS's IndexIVFPQ architecture): a coarse
+    quantizer routes each vector to one of ``n_cells`` cells, and
+    product quantization encodes the RESIDUAL to the cell centroid —
+    residuals are smaller and better-centered than raw vectors, so the
+    same code budget quantizes them more accurately. At 100 TB this is
+    THE index layout: the persisted table is ``(id, cell, codes)`` —
+    ``m`` small ints + a cell id per vector — partitioned/bucketed by
+    ``cell`` so a probe is a partition-pruned scan.
+
+    Coarse centroids are the ``n_cells`` lowest-id vectors (the
+    deterministic contract every oracle replays — pass the output of
+    :func:`~biomedical_data_integration_spark.operators.clustering.kmeans`
+    for trained cells, same trade as :func:`ivf_topk`). Assignment is
+    the rounded-dist2 + cell-id-tiebreak argmin over a literal centroid
+    array — one expression, no join. Codebooks train on residuals via
+    :func:`pq_train` (one Lloyd loop for all subspaces).
+
+    Returns ``(index_df, centroids, codebooks)`` with ``index_df`` =
+    ``(id_col, cell int, codes array<int>)``.
+    """
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    cent_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    if len(cent_rows) < n_cells:
+        raise ValueError(
+            f"ivfpq_index: need >= n_cells={n_cells} vectors, "
+            f"got {len(cent_rows)}"
+        )
+    centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    lit_cents = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v"),
+                            F.array(*[F.lit(v) for v in centroids[cell]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    scale,
+                ).alias("dist2"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell in range(n_cells)
+        ]
+    )
+    resid = (
+        df.select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("__v"),
+        )
+        .withColumn("cell", F.array_min(scored)["cell"])
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(lit_cents, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ).alias("__resid"),
+        )
+    )
+    codebooks = pq_train(
+        resid,
+        vec_col="__resid",
+        id_col=id_col,
+        m=m,
+        n_codes=n_codes,
+        max_iter=max_iter,
+        scale=scale,
+    )
+    index_df = pq_encode(
+        resid,
+        codebooks,
+        vec_col="__resid",
+        id_col=id_col,
+        scale=scale,
+        extra_cols=("cell",),
+    )
+    return index_df, centroids, codebooks
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    query: list,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search over an :func:`ivfpq_index`: the query probes its
+    ``nprobe`` closest cells (micro-quantized distance, cell-id
+    tiebreak — driver arithmetic, centroids are literals) and scores
+    ONLY their members: per probed cell the residual query folds into
+    an m·n_codes integer lookup table, per row the cost is one cell
+    gate + m array lookups + a bigint sum. The cell filter is a pushed
+    predicate — on a cell-partitioned index table it prunes
+    (n_cells - nprobe)/n_cells of the corpus before any IO. Returns
+    ``(id_col, adist)`` — TakeOrderedAndProject top-k on (adist, id).
+    """
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = len(centroids[0])
+    if len(query) != dim:
+        raise ValueError(
+            f"ivfpq_topk: query dim {len(query)} != index dim {dim}"
+        )
+    qd = [
+        (
+            int(
+                math.floor(
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(query, centroids[cell])
+                    )
+                    * 1_000_000
+                    + 0.5
+                )
+            ),
+            cell,
+        )
+        for cell in range(len(centroids))
+    ]
+    probed = [cell for _, cell in sorted(qd)[:nprobe]]
+
+    tables = {}
+    for cell in probed:
+        qres = [a - b for a, b in zip(query, centroids[cell])]
+        tables[cell] = [
+            [
+                int(
+                    math.floor(
+                        sum(
+                            (a - b) * (a - b)
+                            for a, b in zip(
+                                qres[s * dsub : (s + 1) * dsub],
+                                codebooks[s][c],
+                            )
+                        )
+                        * 1_000_000
+                        + 0.5
+                    )
+                )
+                for c in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+
+    def lit_table(cell: int) -> Column:
+        return F.array(
+            *[
+                F.array(*[F.lit(v).cast("bigint") for v in row])
+                for row in tables[cell]
+            ]
+        )
+
+    table_for_cell = None
+    for cell in probed:
+        branch = F.when(F.col("cell") == cell, lit_table(cell))
+        table_for_cell = (
+            branch if table_for_cell is None
+            else table_for_cell.when(F.col("cell") == cell, lit_table(cell))
+        )
+    micro = F.aggregate(
+        F.zip_with(
+            table_for_cell,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        index_df.where(F.col("cell").isin([int(c) for c in probed]))
+        .select(
+            F.col(id_col),
+            (micro.cast("double") / F.lit(1_000_000.0)).alias("adist"),
+        )
     )
     return out.orderBy("adist", id_col).limit(k)

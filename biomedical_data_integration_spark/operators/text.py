@@ -1166,3 +1166,73 @@ def gopher_rules(
         *[v.alias(k) for k, v in flags.items()],
         passes.alias("passes_gopher"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al., JMLR 2020 §2.2) —
+    the line-level sibling of the document-level :func:`gopher_rules`:
+
+    - keep only lines with >= ``min_words_per_line`` words that end in
+      terminal punctuation (``.  !  ?  "``) — the terminal-punct gate
+      toggles via ``require_terminal_punct``;
+    - after line filtering, DROP pages with fewer than
+      ``min_sentences`` sentences, pages containing ``lorem ipsum``
+      (case-insensitive), and pages containing a curly brace ``{``
+      (code leakage).
+
+    Returns every input row with ``text_clean`` (surviving lines
+    re-joined with ``\\n``, order preserved), ``n_lines_kept``,
+    ``n_lines_dropped``, ``n_sentences``, and the ``keep_c4`` page
+    gate. (C4's bad-word list and its three-sentence span dedup are
+    deliberately separate concerns: the former is a wordlist lookup
+    this corpus has no use for, the latter IS
+    :func:`~biomedical_data_integration_spark.operators.dedup.remove_duplicate_spans`.)
+
+    Scale shape: a pure expression projection over one scan — line
+    split, filter, and re-join never leave the row, so the operator
+    composes into corpus prep as a free stage (same contract as
+    :func:`gopher_rules`).
+    """
+    text = F.col(text_col)
+    word_count = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(l), "\\s+"), lambda t: F.length(t) > 0)
+    )
+    line_ok = lambda l: (  # noqa: E731
+        (word_count(l) >= min_words_per_line)
+        & (
+            F.rtrim(l).rlike('[.!?"]$')
+            if require_terminal_punct
+            else F.lit(True)
+        )
+    )
+    staged = df.withColumn("__lines", F.split(text, "\n")).withColumn(
+        "__kept", F.filter(F.col("__lines"), line_ok)
+    )
+    clean = F.array_join(F.col("__kept"), "\n")
+    n_sentences = F.size(
+        F.filter(
+            F.split(clean, "[.!?]"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    ).cast("bigint")
+    keep = (
+        (n_sentences >= min_sentences)
+        & ~F.lower(clean).contains("lorem ipsum")
+        & ~clean.contains("{")
+    )
+    return staged.select(
+        *[F.col(c) for c in df.columns],
+        clean.alias("text_clean"),
+        F.size(F.col("__kept")).cast("bigint").alias("n_lines_kept"),
+        (F.size(F.col("__lines")) - F.size(F.col("__kept")))
+        .cast("bigint")
+        .alias("n_lines_dropped"),
+        n_sentences.alias("n_sentences"),
+        keep.alias("keep_c4"),
+    )

@@ -367,3 +367,86 @@ def test_pq_encode_plan_is_projection_only(spark):
     )
     assert "Exchange" not in plan, "encode must be a pure projection"
     assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_residual_coding_beats_plain_pq(spark):
+    """Residual quantization: the query vector (which IS a coarse
+    centroid here, residual 0) must come back with adist == 0, and an
+    exact-L2 ground-truth overlap at least as good as plain PQ."""
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    df, rows = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=4, m=2, n_codes=4, max_iter=2)
+    q = rows[0][1]
+    got = ivfpq_topk(idx, q, cents, cb, k=10, nprobe=2).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["adist"] == 0.0
+    X = np.array([r[1] for r in rows])
+    exact = set(np.argsort(((X - np.array(q)) ** 2).sum(1))[:10].tolist())
+    ivfpq_ids = {r["vec_id"] for r in got}
+    cb2 = pq_train(df, m=2, n_codes=4, max_iter=2)
+    pq_ids = {
+        r["vec_id"]
+        for r in pq_topk(pq_encode(df, cb2), q, cb2, k=10).collect()
+    }
+    assert len(ivfpq_ids & exact) >= len(pq_ids & exact)
+
+
+def test_ivfpq_index_layout_and_probe_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    df, rows = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=4, m=2, n_codes=4, max_iter=1)
+    assert idx.columns == ["vec_id", "cell", "codes"]
+    cells = {r["cell"] for r in idx.select("cell").distinct().collect()}
+    assert cells <= set(range(4))
+    # nprobe=1 scores ONLY the query's own cell members
+    q = rows[0][1]
+    got = ivfpq_topk(idx, q, cents, cb, k=80, nprobe=1).collect()
+    own_cell = [r["cell"] for r in idx.where("vec_id = 0").collect()][0]
+    members = {
+        r["vec_id"] for r in idx.where(F.col("cell") == own_cell).collect()
+    }
+    assert {r["vec_id"] for r in got} <= members
+    # the cell predicate is pushed to the scan when reading from parquet
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    idx.write.mode("overwrite").parquet(os.path.join(d, "idx"))
+    idx2 = spark.read.parquet(os.path.join(d, "idx"))
+    plan = (
+        ivfpq_topk(idx2, q, cents, cb, k=5, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # nprobe=1 folds isin([c]) to an equality predicate; either way the
+    # cell gate must reach the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "In(cell" in plan or "EqualTo(cell" in plan
+
+
+def test_ivfpq_validation(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    df, _ = _pq_fixture(spark)
+    with pytest.raises(ValueError, match="n_cells"):
+        ivfpq_index(df.limit(2), n_cells=4, m=2, n_codes=2)
+    idx, cents, cb = ivfpq_index(df, n_cells=2, m=2, n_codes=4, max_iter=1)
+    with pytest.raises(ValueError, match="query dim"):
+        ivfpq_topk(idx, [0.0] * 3, cents, cb)

@@ -629,3 +629,71 @@ def test_gopher_stop_word_gate(spark):
     out = _gopher_map(spark, [(1, nostops)], min_words=10)
     assert out[1]["n_stop_words"] == 0
     assert not out[1]["flag_stop_words"]
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _c4_map(spark, rows, **kw):
+    from biomedical_data_integration_spark.operators.text import c4_clean
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in c4_clean(df, **kw).collect()}
+
+
+def test_c4_keeps_terminal_punct_lines_in_order(spark):
+    text = "\n".join(
+        [
+            "This is a proper first sentence with enough words.",
+            "short line.",                       # < 5 words -> dropped
+            "No terminal punctuation on this line here",  # dropped
+            "A second proper sentence keeps the page alive!",
+            'He said "this quoted line also counts fine."',
+            "And one final closing sentence to be safe?",
+        ]
+    )
+    out = _c4_map(spark, [(1, text)])
+    r = out[1]
+    assert r["n_lines_kept"] == 4 and r["n_lines_dropped"] == 2
+    lines = r["text_clean"].split("\n")
+    assert lines[0].startswith("This is a proper")
+    assert lines[1].startswith("A second proper")   # order preserved
+    assert r["keep_c4"] and r["n_sentences"] >= 3
+
+
+def test_c4_page_gates(spark):
+    good = "\n".join(["Sentence number %d is long enough today." % i
+                      for i in range(4)])
+    out = _c4_map(
+        spark,
+        [
+            (1, good),
+            (2, good + "\nSome Lorem Ipsum filler text appears here."),
+            (3, good + "\nvar config = { key: value } is code."),
+            (4, "Only one proper sentence lives on this page."),
+        ],
+    )
+    assert out[1]["keep_c4"]
+    assert not out[2]["keep_c4"], "lorem ipsum page must drop"
+    assert not out[3]["keep_c4"], "curly-brace page must drop"
+    assert not out[4]["keep_c4"], "fewer than 3 sentences must drop"
+    # line filtering still reported for dropped pages
+    assert out[4]["n_lines_kept"] == 1
+
+
+def test_c4_terminal_punct_toggle(spark):
+    text = "five good words but no punctuation"
+    out = _c4_map(spark, [(1, text)])
+    assert out[1]["n_lines_kept"] == 0
+    out = _c4_map(spark, [(1, text)], require_terminal_punct=False)
+    assert out[1]["n_lines_kept"] == 1
+
+
+def test_c4_plan_is_projection_only(spark):
+    from biomedical_data_integration_spark.operators.text import c4_clean
+
+    df = spark.createDataFrame([(1, "a.")], ["doc_id", "text"])
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
