@@ -1279,3 +1279,68 @@ def test_streaming_embedding_stats_plus_drift_readout_matches_batch(spark):
     assert got == want
     # the drift face actually SEES the regression
     assert want["zero_frac_b"] > 0 and want["d_anisotropy"] is not None
+
+
+def test_streaming_quality_gates_match_batch(spark):
+    """gopher_rules and c4_clean are pure expression projections, so the
+    SAME operator compiles onto an unbounded stream (the corpus_prep
+    contract) — microbatch output must equal the batch face row-for-row,
+    and the plans must stay stateless (no aggregation)."""
+    from biomedical_data_integration_spark.operators.text import (
+        c4_clean,
+        gopher_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A clean first sentence stands right here today.\n"
+                "short.\nAnother full sentence follows with plenty of words."),
+            (2, "the data pipeline reads parquet files and writes shards "
+                "that training jobs consume with care and joy every day."),
+            (3, "no punct few words"),
+        ],
+        ["doc_id", "text"],
+    )
+    want_g = {tuple(r) for r in gopher_rules(docs, min_words=5).collect()}
+    want_c = {tuple(r) for r in c4_clean(docs).collect()}
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(docs.schema).parquet(f"{d}/src")
+        out_g = gopher_rules(stream, min_words=5)
+        out_c = c4_clean(stream)
+        assert out_g.isStreaming and out_c.isStreaming
+        _run_stream(out_g, "gopher_stream_t", f"{d}/ck1")
+        _run_stream(out_c, "c4_stream_t", f"{d}/ck2")
+        got_g = {tuple(r) for r in spark.sql("SELECT * FROM gopher_stream_t").collect()}
+        got_c = {tuple(r) for r in spark.sql("SELECT * FROM c4_stream_t").collect()}
+    assert got_g == want_g
+    assert got_c == want_c
+
+
+def test_streaming_pq_encode_matches_batch(spark):
+    """PQ serving face: with trained codebooks as literals, pq_encode is
+    a stateless projection — an arriving vector stream encodes to the
+    exact batch codes (the assign_clusters serving pattern)."""
+    from biomedical_data_integration_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(24)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pq_train(df, m=2, n_codes=4, max_iter=1)
+    want = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, cb).collect()}
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/src")
+        stream = spark.readStream.schema(df.schema).parquet(f"{d}/src")
+        out = pq_encode(stream, cb)
+        assert out.isStreaming
+        _run_stream(out, "pq_stream_t", f"{d}/ckpt")
+        got = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.sql("SELECT * FROM pq_stream_t").collect()
+        }
+    assert got == want
