@@ -10612,6 +10612,68 @@ FROM c
 """
 
 
+UNIMAX_BUDGET = 500_000
+UNIMAX_EPOCHS = 2
+
+
+def _q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (operators/sampling.
+    unimax_allocation — Chung et al. ICLR'23): waterfill a token budget
+    uniformly across languages with a per-language epoch cap, in closed
+    form (one corpus aggregation, then windows over the |langs|-row
+    table — every cap decided in pure integer arithmetic)."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return unimax_allocation(
+        docs, total_budget=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS
+    )
+
+
+def _unimax_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    B, N = UNIMAX_BUDGET, UNIMAX_EPOCHS
+    return f"""
+WITH totals AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS tokens_total
+  FROM documents GROUP BY lang
+),
+caps AS (SELECT *, CAST(tokens_total * {N} AS BIGINT) AS capacity
+         FROM totals),
+st AS (
+  SELECT *,
+    row_number() OVER (ORDER BY capacity, lang NULLS FIRST) AS rn,
+    coalesce(sum(capacity) OVER (ORDER BY capacity, lang NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+    count(*) OVER () AS n_langs
+  FROM caps
+),
+fl AS (SELECT *,
+         (capacity * (n_langs - rn + 1) <= {B} - cum_prev) AS capped
+       FROM st),
+ag AS (
+  SELECT *,
+    coalesce(sum(CASE WHEN capped THEN capacity END) OVER (), 0)
+      AS capped_sum,
+    sum(CASE WHEN NOT capped THEN 1 END) OVER () AS n_uncapped
+  FROM fl
+),
+al AS (
+  SELECT *, CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+                 ELSE round(CAST({B} - capped_sum AS DOUBLE) / n_uncapped, 6)
+            END AS alloc_tokens
+  FROM ag
+)
+SELECT lang, n_docs, tokens_total, capacity, capped, alloc_tokens,
+  CASE WHEN tokens_total > 0
+       THEN round(alloc_tokens / tokens_total, 6) END AS epochs
+FROM al
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_harmonize_lineitem(spark, SF_DEFAULT)
@@ -10652,6 +10714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_embeddings": _q_pq_topk,
         "c4_clean_documents": _q_c4_clean,
         "ivfpq_topk_embeddings": _q_ivfpq_topk,
+        "unimax_allocation_documents": _q_unimax,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
         "events_interval_sessions": _q_events_interval,
@@ -10934,6 +10997,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_embeddings": _pq_topk_sql(),
         "c4_clean_documents": _c4_clean_sql(),
         "ivfpq_topk_embeddings": _ivfpq_topk_sql(),
+        "unimax_allocation_documents": _unimax_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),
         "set_similarity_ppjoin_documents": _set_similarity_sql(),

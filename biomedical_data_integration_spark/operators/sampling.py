@@ -483,3 +483,125 @@ def dsir_weights(
             / (F.count(F.col("bucket")) * F.lit(1e6)),
         ).alias("avg_log_ratio"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    tokens_fn=None,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al., ICLR 2023):
+    distribute a token budget as UNIFORMLY as possible across languages,
+    capping every language at ``max_epochs`` epochs of its own corpus —
+    the fairer alternative to temperature sampling
+    (:func:`temperature_mix`), which still lets head languages dominate
+    and can oversample tail languages past degeneracy.
+
+    The paper's sequential waterfilling has a closed form: sort
+    languages by capacity ``c_l = max_epochs * tokens_l`` ascending;
+    language at rank ``i`` (of L) is CAPPED iff
+    ``c_i * (L - i + 1) <= B - cumsum_{<i}(c)`` (the prefix property
+    makes the per-row test exact), capped languages get ``c_l``, the
+    rest split the remaining budget equally. With integer budget/epochs
+    every flag decides in pure integer arithmetic — no float boundary
+    can flip a cap between engines.
+
+    Returns one row per language: ``(lang_col, n_docs, tokens_total,
+    capacity, capped, alloc_tokens, epochs)`` — ``epochs`` > 1 means
+    the language repeats in training (this operator allocates; pair
+    with the hash-gate samplers to materialize a <= 1-epoch draw).
+
+    Scale shape: ONE map-side-combinable aggregation over the corpus
+    (language-cardinality output), then windows over the LANGUAGE table
+    — |langs| rows however large the corpus, so the unpartitioned
+    ordered window is bounded by construction (the collapsed-table
+    pattern: markov_stationary, pareto_frontier).
+    """
+    from pyspark.sql import Window
+
+    from biomedical_data_integration_spark.operators.text import tokens_expr
+
+    if total_budget <= 0:
+        raise ValueError("unimax_allocation: total_budget must be > 0")
+    if int(max_epochs) < 1 or max_epochs != int(max_epochs):
+        raise ValueError(
+            "unimax_allocation: max_epochs must be an integer >= 1"
+        )
+    max_epochs = int(max_epochs)
+    tok = tokens_fn or tokens_expr
+
+    totals = (
+        df.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(tok(F.col(text_col))))
+            .cast("bigint")
+            .alias("tokens_total"),
+        )
+        .withColumn(
+            "capacity",
+            (F.col("tokens_total") * F.lit(max_epochs)).cast("bigint"),
+        )
+    )
+    order = Window.orderBy(
+        F.col("capacity").asc(), F.col("lang").asc_nulls_first()
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    B = F.lit(int(total_budget)).cast("bigint")
+    staged = (
+        totals.withColumn("__rn", F.row_number().over(order))
+        .withColumn(
+            "__cum_prev",
+            F.coalesce(
+                F.sum("capacity").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn("__L", F.count(F.lit(1)).over(whole))
+        .withColumn(
+            "capped",
+            F.col("capacity") * (F.col("__L") - F.col("__rn") + 1)
+            <= B - F.col("__cum_prev"),
+        )
+        .withColumn(
+            "__capped_sum",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("capacity"))).over(
+                    whole
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "__n_uncapped",
+            F.sum(F.when(~F.col("capped"), F.lit(1))).over(whole),
+        )
+    )
+    alloc = F.when(
+        F.col("capped"), F.col("capacity").cast("double")
+    ).otherwise(
+        F.round(
+            (B - F.col("__capped_sum")).cast("double")
+            / F.col("__n_uncapped"),
+            6,
+        )
+    )
+    return staged.select(
+        F.col("lang").alias(lang_col),
+        "n_docs",
+        "tokens_total",
+        "capacity",
+        "capped",
+        alloc.alias("alloc_tokens"),
+        F.when(
+            F.col("tokens_total") > 0,
+            F.round(alloc / F.col("tokens_total"), 6),
+        ).alias("epochs"),
+    )

@@ -303,3 +303,93 @@ def test_weighted_sample_per_group_quotas_and_consistency(spark):
         [(1, "x", 1.0), (2, "x", 2.0)], "doc_id bigint, g string, w double"
     )
     assert weighted_sample_per_group(small, "g", 5, "w").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation (Chung et al., ICLR 2023)
+# ---------------------------------------------------------------------------
+
+
+def _unimax_corpus(spark):
+    rows = []
+    did = 0
+    for lang, n_docs, words in [("en", 40, 20), ("de", 10, 20), ("yo", 2, 20)]:
+        for _ in range(n_docs):
+            rows.append((did, lang, " ".join(["w"] * words)))
+            did += 1
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_unimax_waterfill_matches_sequential_reference(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = _unimax_corpus(spark)
+    # tokens: en 800, de 200, yo 40; capacities at 4 epochs: 3200/800/160
+    out = {
+        r["lang"]: r
+        for r in unimax_allocation(df, total_budget=1000, max_epochs=4).collect()
+    }
+    # sequential waterfilling reference: ascending capacity
+    # yo: 160*3 <= 1000 -> capped at 160; de: 800*2 <= 840 -> wait 800*2=1600 > 840
+    #   -> de and en split (1000-160)/2 = 420 each
+    assert out["yo"]["capped"] and out["yo"]["alloc_tokens"] == 160.0
+    assert not out["de"]["capped"] and out["de"]["alloc_tokens"] == 420.0
+    assert not out["en"]["capped"] and out["en"]["alloc_tokens"] == 420.0
+    # allocations exhaust the budget exactly
+    assert sum(r["alloc_tokens"] for r in out.values()) == 1000.0
+    # epochs: yo trains 4 epochs (its cap), de 2.1, en 0.525
+    assert out["yo"]["epochs"] == 4.0
+    assert out["de"]["epochs"] == 2.1
+    assert out["en"]["epochs"] == 0.525
+
+
+def test_unimax_budget_exceeds_all_capacities(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = _unimax_corpus(spark)
+    out = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            df, total_budget=10_000_000, max_epochs=2
+        ).collect()
+    }
+    # everything capped at 2 epochs; budget not exhausted
+    assert all(r["capped"] for r in out.values())
+    for lang, tokens in [("en", 800), ("de", 200), ("yo", 40)]:
+        assert out[lang]["alloc_tokens"] == 2.0 * tokens
+        assert out[lang]["epochs"] == 2.0
+
+
+def test_unimax_tiny_budget_is_uniform(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = _unimax_corpus(spark)
+    out = {
+        r["lang"]: r
+        for r in unimax_allocation(df, total_budget=90, max_epochs=1).collect()
+    }
+    # 90 < 3 * min-capacity(40): nobody capped, uniform 30 each
+    assert not any(r["capped"] for r in out.values())
+    assert all(r["alloc_tokens"] == 30.0 for r in out.values())
+
+
+def test_unimax_validates(spark):
+    import pytest
+
+    from biomedical_data_integration_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    df = _unimax_corpus(spark)
+    with pytest.raises(ValueError, match="total_budget"):
+        unimax_allocation(df, total_budget=0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocation(df, total_budget=10, max_epochs=0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocation(df, total_budget=10, max_epochs=1.5)
