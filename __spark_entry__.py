@@ -10674,6 +10674,152 @@ FROM al
 """
 
 
+GOPHER_REP_TOP = (2, 3, 4)
+GOPHER_REP_DUP = (5, 6, 7, 8, 9, 10)
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition suite (operators/text.gopher_repetition —
+    Rae et al. 2021 Table A1): dup line/paragraph count+char fractions,
+    top-{2,3,4}-gram char fraction, dup-{5..10}-gram char fraction,
+    each with its published threshold flag decided in integer
+    arithmetic. One tagged explode covers every n."""
+    from biomedical_data_integration_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return gopher_repetition(
+        docs, top_ngrams=GOPHER_REP_TOP, dup_ngrams=GOPHER_REP_DUP
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    from biomedical_data_integration_spark.operators.text import (
+        GOPHER_REPETITION_THRESHOLDS as TH,
+    )
+
+    toks = _SQL_TOKS.format(col="text")
+    tops, dups = GOPHER_REP_TOP, GOPHER_REP_DUP
+    ns = sorted(set(tops) | set(dups))
+
+    def strict(n: int) -> str:
+        return (
+            f"CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(range(1, len(t) - {n} + 2),"
+            f" i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')) "
+            f"ELSE [] END"
+        )
+
+    tagged = "\n  UNION ALL ".join(
+        f"SELECT id, {n} AS n, unnest({strict(n)}) AS g FROM toks"
+        for n in ns
+    )
+    top_cols = ",\n    ".join(
+        f"CAST(coalesce(sum(CASE WHEN n = {n} THEN topchars END), 0)"
+        f" AS BIGINT) AS topc_{n}"
+        for n in tops
+    )
+    dup_cols = ",\n    ".join(
+        f"CAST(coalesce(sum(CASE WHEN n = {n} THEN dupchars END), 0)"
+        f" AS BIGINT) AS dupc_{n}"
+        for n in dups
+    )
+
+    def unit(pat: str, pre: str) -> str:
+        return f"""
+{pre}_u AS (
+  SELECT id, u, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT id, trim(u0) AS u
+    FROM (SELECT doc_id AS id, unnest(string_split(text, {pat})) AS u0
+          FROM documents)
+    WHERE length(trim(u0)) > 0)
+  GROUP BY id, u),
+{pre}_f AS (
+  SELECT id,
+    CAST(sum(c) AS BIGINT) AS {pre}_n,
+    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS {pre}_dup_n,
+    CAST(sum(c * length(u)) AS BIGINT) AS {pre}_chars,
+    CAST(sum(CASE WHEN c >= 2 THEN c * length(u) ELSE 0 END) AS BIGINT)
+      AS {pre}_dup_chars
+  FROM {pre}_u GROUP BY id)"""
+
+    ratio = (
+        lambda num, den: f"CASE WHEN {den} > 0 THEN"
+        f" round(CAST({num} AS DOUBLE) / {den}, 6) ELSE 0.0 END"
+    )
+    flag = (
+        lambda num, den, th: f"coalesce(100 * {num} <= {th} * {den}, TRUE)"
+    )
+    measures = [
+        ("dup_line_frac", "coalesce(ln_dup_n, 0)", "coalesce(ln_n, 0)"),
+        ("dup_para_frac", "coalesce(pa_dup_n, 0)", "coalesce(pa_n, 0)"),
+        ("dup_line_char_frac", "coalesce(ln_dup_chars, 0)",
+         "coalesce(ln_chars, 0)"),
+        ("dup_para_char_frac", "coalesce(pa_dup_chars, 0)",
+         "coalesce(pa_chars, 0)"),
+    ]
+    for n in tops:
+        measures.append(
+            (f"top_{n}_gram_char_frac", f"coalesce(topc_{n}, 0)", "tchars")
+        )
+    for n in dups:
+        measures.append(
+            (f"dup_{n}_gram_char_frac", f"coalesce(dupc_{n}, 0)", "tchars")
+        )
+    measure_sql = ",\n  ".join(
+        f"{ratio(num, den)} AS {k}" for k, num, den in measures
+    )
+    flag_sql = ",\n  ".join(
+        f"{flag(num, den, TH[k])} AS flag_{k}" for k, num, den in measures
+    )
+    passes = " AND ".join(
+        f"({flag(num, den, TH[k])})" for k, num, den in measures
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+base AS (
+  SELECT id,
+         CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+              AS BIGINT) AS tchars
+  FROM toks),
+tagged AS (
+  {tagged}
+),
+per_gram AS (
+  SELECT id, n, g, CAST(count(*) AS BIGINT) AS c
+  FROM tagged GROUP BY id, n, g),
+top_g AS (
+  SELECT id, n, c * (length(g) - (n - 1)) AS topchars FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, n
+                                 ORDER BY c DESC, g) AS rn
+    FROM per_gram) WHERE rn = 1),
+dup_g AS (
+  SELECT id, n,
+         CAST(sum(CASE WHEN c >= 2 THEN c * (length(g) - (n - 1))
+                       ELSE 0 END) AS BIGINT) AS dupchars
+  FROM per_gram GROUP BY id, n),
+pern AS (
+  SELECT coalesce(t.id, d.id) AS id, coalesce(t.n, d.n) AS n,
+         t.topchars, d.dupchars
+  FROM top_g t FULL OUTER JOIN dup_g d ON t.id = d.id AND t.n = d.n),
+ngram_f AS (
+  SELECT id,
+    {top_cols},
+    {dup_cols}
+  FROM pern GROUP BY id),{unit("chr(10)", "ln")},{unit("chr(10) || chr(10)", "pa")}
+SELECT base.id AS doc_id,
+  tchars AS n_token_chars,
+  {measure_sql},
+  {flag_sql},
+  ({passes}) AS passes_repetition
+FROM base
+LEFT JOIN ngram_f USING (id)
+LEFT JOIN ln_f USING (id)
+LEFT JOIN pa_f USING (id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_harmonize_lineitem(spark, SF_DEFAULT)
@@ -10715,6 +10861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_documents": _q_c4_clean,
         "ivfpq_topk_embeddings": _q_ivfpq_topk,
         "unimax_allocation_documents": _q_unimax,
+        "gopher_repetition_documents": _q_gopher_repetition,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
         "events_interval_sessions": _q_events_interval,
@@ -10998,6 +11145,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean_documents": _c4_clean_sql(),
         "ivfpq_topk_embeddings": _ivfpq_topk_sql(),
         "unimax_allocation_documents": _unimax_sql(),
+        "gopher_repetition_documents": _gopher_repetition_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),
         "set_similarity_ppjoin_documents": _set_similarity_sql(),

@@ -148,3 +148,19 @@ def word_ngrams(tokens: Column, n: int) -> Column:
         lambda i: F.array_join(F.slice(tokens, i, n), " "),
     )
     return F.when(size >= n, full).otherwise(F.array(F.array_join(tokens, " ")))
+
+
+def word_ngrams_strict(tokens: Column, n: int) -> Column:
+    """Word n-grams with NO short-document fallback: documents shorter
+    than ``n`` tokens yield an EMPTY array (unlike :func:`word_ngrams`,
+    whose whole-document fallback exists so dedup never silently drops
+    a document). Repetition/statistics operators use this form — a
+    3-token document must not contribute a fake "5-gram"."""
+    size = F.size(tokens)
+    full = F.transform(
+        F.sequence(F.lit(1), size - F.lit(n) + 1),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(size >= n, full).otherwise(
+        F.array().cast("array<string>")
+    )

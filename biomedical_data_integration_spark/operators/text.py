@@ -12,6 +12,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark.functions.strings import (
+    word_ngrams_strict,
+)
 
 # Tiny high-frequency stopword lists per language. Order matters: argmax
 # ties resolve in this (alphabetical) order for determinism.
@@ -1235,4 +1238,203 @@ def c4_clean(
         .alias("n_lines_dropped"),
         n_sentences.alias("n_sentences"),
         keep.alias("keep_c4"),
+    )
+
+
+# Published Gopher repetition thresholds (Rae et al. 2021, Table A1),
+# in hundredths so every flag decides in integer arithmetic.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 30,
+    "dup_para_frac": 30,
+    "dup_line_char_frac": 20,
+    "dup_para_char_frac": 20,
+    "top_2_gram_char_frac": 20,
+    "top_3_gram_char_frac": 18,
+    "top_4_gram_char_frac": 16,
+    "dup_5_gram_char_frac": 15,
+    "dup_6_gram_char_frac": 14,
+    "dup_7_gram_char_frac": 13,
+    "dup_8_gram_char_frac": 12,
+    "dup_9_gram_char_frac": 11,
+    "dup_10_gram_char_frac": 10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ngrams: tuple = (2, 3, 4),
+    dup_ngrams: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The FULL Gopher repetition-removal suite (Rae et al. 2021 Table
+    A1) — :func:`repetition_features` keeps the two cheap signals; this
+    is the complete published rule set with its thresholds:
+
+    - duplicate line / paragraph fraction (count-based) <= 30%
+    - duplicate line / paragraph CHARACTER fraction <= 20%
+    - top-{2,3,4}-gram character fraction <= 20/18/16%
+    - duplicate-{5..10}-gram character fraction <= 15..10%
+
+    Character fractions follow the standard reimplementation (Dolma /
+    NeMo-Curator): for the top n-gram, ``count * chars(gram) /
+    total_token_chars``; for duplicates, the same summed over every
+    n-gram occurring >= 2 times. ``chars(gram)`` excludes the joining
+    spaces. Every flag compares scaled INTEGERS (ratio*100 vs the
+    published hundredths), so no float boundary can flip a gate.
+
+    Scale shape: ONE tagged n-gram explode covers every n (each token
+    row fans out to its (n, gram) memberships), then one map-side-
+    combinable ``(id, n, gram)`` count and one ``(id, n)`` aggregation
+    whose output is |docs| x |n| rows; lines and paragraphs are one
+    explode each. Everything re-joins on the id key — |docs|-sized
+    tables throughout, no pair joins.
+    """
+    text = F.col(text_col)
+    ns = sorted(set(top_ngrams) | set(dup_ngrams))
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_expr(text).alias("__toks"), text
+    ).select(
+        "id",
+        "__toks",
+        text,
+        F.aggregate(
+            F.col("__toks"),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("__tchars"),
+    )
+
+    # one tagged explode for EVERY n: (id, n, gram). NB: the tagging
+    # lambda must take ONE argument — a two-arg lambda would receive
+    # (element, index) from F.transform and tag with the array index.
+    def _tag(n: int) -> Column:
+        return F.transform(
+            word_ngrams_strict(F.col("__toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in ns]))
+    grams = staged.select("id", F.explode(tagged).alias("__t")).select(
+        "id", F.col("__t.n").alias("n"), F.col("__t.g").alias("g")
+    )
+    per_gram = grams.groupBy("id", "n", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # chars(gram) excludes the n-1 joining spaces
+    glen = F.length(F.col("g")) - (F.col("n") - 1)
+    per_n = per_gram.groupBy("id", "n").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("neg_c"),
+                F.col("g").alias("g"),
+            )
+        ).alias("__top"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * glen).otherwise(0))
+        .cast("bigint")
+        .alias("__dupchars"),
+    )
+    top_chars = (
+        -F.col("__top.neg_c")
+    ) * (F.length(F.col("__top.g")) - (F.col("n") - 1))
+    ngram_cols = {}
+    for n in top_ngrams:
+        ngram_cols[f"__topc_{n}"] = F.sum(
+            F.when(F.col("n") == n, top_chars).otherwise(0)
+        ).cast("bigint")
+    for n in dup_ngrams:
+        ngram_cols[f"__dupc_{n}"] = F.sum(
+            F.when(F.col("n") == n, F.col("__dupchars")).otherwise(0)
+        ).cast("bigint")
+    ngram_feats = per_n.groupBy("id").agg(
+        *[v.alias(k) for k, v in ngram_cols.items()]
+    )
+
+    def _dup_unit(col: Column, split_pat: str):
+        units = F.filter(
+            F.transform(F.split(col, split_pat), lambda s: F.trim(s)),
+            lambda s: F.length(s) > 0,
+        )
+        return units
+
+    def _unit_feats(split_pat: str, prefix: str) -> DataFrame:
+        units = _dup_unit(text, split_pat)
+        u = staged.select("id", F.explode(units).alias("u"))
+        per_u = u.groupBy("id", "u").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        return per_u.groupBy("id").agg(
+            F.sum("c").cast("bigint").alias(f"__{prefix}_n"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"__{prefix}_dup_n"),
+            F.sum(F.col("c") * F.length(F.col("u")))
+            .cast("bigint")
+            .alias(f"__{prefix}_chars"),
+            F.sum(
+                F.when(
+                    F.col("c") >= 2, F.col("c") * F.length(F.col("u"))
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"__{prefix}_dup_chars"),
+        )
+
+    line_feats = _unit_feats("\n", "ln")
+    para_feats = _unit_feats("\n\n", "pa")
+
+    out = (
+        staged.select("id", "__tchars")
+        .join(ngram_feats, "id", "left")
+        .join(line_feats, "id", "left")
+        .join(para_feats, "id", "left")
+    )
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, F.round(num.cast("double") / den, config.SIMILARITY_SCALE)
+        ).otherwise(F.lit(0.0))
+
+    def flag(num: Column, den: Column, hundredths: int) -> Column:
+        # 100*num <= thresh*den, exact integers; empty denominators pass
+        return F.coalesce(
+            F.lit(100) * num <= F.lit(hundredths) * den, F.lit(True)
+        )
+
+    z = lambda c: F.coalesce(c, F.lit(0).cast("bigint"))  # noqa: E731
+    th = GOPHER_REPETITION_THRESHOLDS
+    measures = {
+        "dup_line_frac": (z(F.col("__ln_dup_n")), z(F.col("__ln_n"))),
+        "dup_para_frac": (z(F.col("__pa_dup_n")), z(F.col("__pa_n"))),
+        "dup_line_char_frac": (
+            z(F.col("__ln_dup_chars")),
+            z(F.col("__ln_chars")),
+        ),
+        "dup_para_char_frac": (
+            z(F.col("__pa_dup_chars")),
+            z(F.col("__pa_chars")),
+        ),
+    }
+    for n in top_ngrams:
+        measures[f"top_{n}_gram_char_frac"] = (
+            z(F.col(f"__topc_{n}")),
+            F.col("__tchars"),
+        )
+    for n in dup_ngrams:
+        measures[f"dup_{n}_gram_char_frac"] = (
+            z(F.col(f"__dupc_{n}")),
+            F.col("__tchars"),
+        )
+    flags = {
+        f"flag_{k}": flag(num, den, th[k]) for k, (num, den) in measures.items()
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("__tchars").alias("n_token_chars"),
+        *[ratio(num, den).alias(k) for k, (num, den) in measures.items()],
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes_repetition"),
     )

@@ -697,3 +697,100 @@ def test_c4_plan_is_projection_only(spark):
     df = spark.createDataFrame([(1, "a.")], ["doc_id", "text"])
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# full Gopher repetition suite (Rae et al. 2021 Table A1)
+# ---------------------------------------------------------------------------
+
+
+def _rep_map(spark, rows, **kw):
+    from biomedical_data_integration_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in gopher_repetition(df, **kw).collect()}
+
+
+def test_gopher_repetition_clean_doc_passes(spark):
+    # long enough that a singleton n-gram stays under every threshold
+    # (the published rules assume the >= 50-word Gopher page gate)
+    text = " ".join(f"word{i:02d}" for i in range(60))
+    out = _rep_map(spark, [(1, text)])
+    r = out[1]
+    assert r["passes_repetition"]
+    assert r["dup_5_gram_char_frac"] == 0.0
+    assert r["dup_line_frac"] == 0.0
+
+
+def test_gopher_repetition_duplicate_lines_and_chars(spark):
+    text = "\n".join(["the same line again"] * 4 + ["one unique closing line"])
+    out = _rep_map(spark, [(1, text)])
+    r = out[1]
+    # 4 of 5 lines are copies of one value -> dup fraction 0.8
+    assert r["dup_line_frac"] == 0.8
+    assert not r["flag_dup_line_frac"]
+    # char-weighted: 4*19 / (4*19 + 23)
+    assert r["dup_line_char_frac"] == round(76 / 99, 6)
+    assert not r["flag_dup_line_char_frac"]
+    assert not r["passes_repetition"]
+
+
+def test_gopher_repetition_top_ngram_fraction(spark):
+    # "very top pair" dominates: top 2-gram "very top" occurs 6 times
+    text = " ".join(["very top"] * 6) + " tail words differ here"
+    out = _rep_map(spark, [(1, text)], top_ngrams=(2,), dup_ngrams=(5,))
+    r = out[1]
+    toks = text.split()
+    tchars = sum(len(t) for t in toks)
+    assert r["n_token_chars"] == tchars
+    # top 2-gram by (count desc, gram asc): "top very" occurs 5, "very top" 6
+    assert r["top_2_gram_char_frac"] == round(6 * len("verytop") / tchars, 6)
+    assert not r["flag_top_2_gram_char_frac"]
+
+
+def test_gopher_repetition_dup_ngram_fraction(spark):
+    # a repeated 5-gram block: "a b c d e" x3 then unique tail
+    text = "a b c d e " * 3 + "u v w x y z q r s t"
+    out = _rep_map(spark, [(1, text)], top_ngrams=(2,), dup_ngrams=(5,))
+    r = out[1]
+    assert r["dup_5_gram_char_frac"] > 0
+    assert not r["flag_dup_5_gram_char_frac"]
+    # short doc yields NO fake n-grams (strict n-gram form) — though its
+    # top-2-gram fraction is legitimately 1.0 (Gopher word-count-gates
+    # such pages out before the repetition rules apply)
+    out = _rep_map(spark, [(2, "tiny doc")], top_ngrams=(2,), dup_ngrams=(5,))
+    assert out[2]["dup_5_gram_char_frac"] == 0.0
+    assert out[2]["flag_dup_5_gram_char_frac"]
+    assert out[2]["top_2_gram_char_frac"] == 1.0
+    assert not out[2]["passes_repetition"]
+
+
+def test_gopher_repetition_matches_independent_replay(spark):
+    """Python replay of the Dolma-style formulas on random-ish text."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(8)
+    ]
+    out = _rep_map(spark, rows, top_ngrams=(2, 3), dup_ngrams=(5,))
+    from collections import Counter
+
+    for did, text in rows:
+        toks = text.lower().split()
+        tchars = sum(len(t) for t in toks)
+        r = out[did]
+        assert r["n_token_chars"] == tchars
+        for n, key in [(2, "top_2_gram_char_frac"), (3, "top_3_gram_char_frac")]:
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            want = round(top[1] * (len(top[0]) - (n - 1)) / tchars, 6)
+            assert r[key] == want, (did, key)
+        grams5 = [" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)]
+        c5 = Counter(grams5)
+        dup = sum(cnt * (len(g) - 4) for g, cnt in c5.items() if cnt >= 2)
+        assert r["dup_5_gram_char_frac"] == round(dup / tchars, 6)
