@@ -10228,12 +10228,12 @@ def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, shingle_words=SPAN_SHINGLE_WORDS)
 
 
-def _dedup_spans_sql() -> str:
+def _dedup_spans_sql(src: str = "documents") -> str:
     toks = _SQL_TOKS.format(col="text")
     k = SPAN_SHINGLE_WORDS
     return f"""
 WITH tk AS (SELECT doc_id AS id, {toks} AS t,
-                   len({toks}) AS n FROM documents),
+                   len({toks}) AS n FROM {src}),
 occ0 AS (SELECT id, unnest(range(1, n - {k} + 2)) AS pos, t
          FROM tk WHERE n >= {k}),
 occ AS (SELECT id, pos,
@@ -10274,7 +10274,7 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
-def _gopher_rules_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+def _gopher_rules_sql(min_words: int = 50, max_words: int = 100_000, src: str = "documents") -> str:
     toks = _SQL_TOKS.format(col="text")
     stops = ", ".join(
         f"'{w}'" for w in
@@ -10283,7 +10283,7 @@ def _gopher_rules_sql(min_words: int = 50, max_words: int = 100_000) -> str:
     return f"""
 WITH base AS (
   SELECT *, {toks} AS __t, string_split(text, chr(10)) AS __l
-  FROM documents
+  FROM {src}
 ),
 m AS (
   SELECT doc_id, text, lang, source, n_chars,
@@ -10577,13 +10577,13 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(staged)
 
 
-def _c4_clean_sql(min_words: int = 5, min_sentences: int = 3) -> str:
+def _c4_clean_sql(min_words: int = 5, min_sentences: int = 3, src: str = "documents") -> str:
     toks_of = "list_filter(string_split_regex(trim({x}), '\\s+'), t -> length(t) > 0)"
     return f"""
 WITH staged AS (
   SELECT doc_id, regexp_replace(text, ' (join|sort) ', '.' || chr(10), 'g')
            AS text, lang, source, n_chars
-  FROM documents
+  FROM {src}
 ),
 base AS (
   SELECT *, string_split(text, chr(10)) AS __lines FROM staged
@@ -10632,14 +10632,15 @@ def _q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unimax_sql() -> str:
+def _unimax_sql(src: str = "documents", budget: int = None, epochs: int = None) -> str:
     toks = _SQL_TOKS.format(col="text")
-    B, N = UNIMAX_BUDGET, UNIMAX_EPOCHS
+    B = UNIMAX_BUDGET if budget is None else int(budget)
+    N = UNIMAX_EPOCHS if epochs is None else int(epochs)
     return f"""
 WITH totals AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len({toks})) AS BIGINT) AS tokens_total
-  FROM documents GROUP BY lang
+  FROM {src} GROUP BY lang
 ),
 caps AS (SELECT *, CAST(tokens_total * {N} AS BIGINT) AS capacity
          FROM totals),
@@ -10694,13 +10695,14 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gopher_repetition_sql() -> str:
+def _gopher_repetition_sql(tops=None, dups=None, src: str = "documents") -> str:
     from biomedical_data_integration_spark.operators.text import (
         GOPHER_REPETITION_THRESHOLDS as TH,
     )
 
     toks = _SQL_TOKS.format(col="text")
-    tops, dups = GOPHER_REP_TOP, GOPHER_REP_DUP
+    tops = GOPHER_REP_TOP if tops is None else tuple(tops)
+    dups = GOPHER_REP_DUP if dups is None else tuple(dups)
     ns = sorted(set(tops) | set(dups))
 
     def strict(n: int) -> str:
@@ -10732,7 +10734,7 @@ def _gopher_repetition_sql() -> str:
   SELECT id, u, CAST(count(*) AS BIGINT) AS c FROM (
     SELECT id, trim(u0) AS u
     FROM (SELECT doc_id AS id, unnest(string_split(text, {pat})) AS u0
-          FROM documents)
+          FROM {src})
     WHERE length(trim(u0)) > 0)
   GROUP BY id, u),
 {pre}_f AS (
@@ -10777,7 +10779,7 @@ def _gopher_repetition_sql() -> str:
         f"({flag(num, den, TH[k])})" for k, num, den in measures
     )
     return f"""
-WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM {src}),
 base AS (
   SELECT id,
          CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0)
@@ -10817,6 +10819,97 @@ FROM base
 LEFT JOIN ngram_f USING (id)
 LEFT JOIN ln_f USING (id)
 LEFT JOIN pa_f USING (id)
+"""
+
+
+CURATION_V3_MIN_WORDS = 20
+CURATION_V3_BUDGET = 8_000
+CURATION_V3_EPOCHS = 2
+
+
+def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 flagship: this session's new families composed as ONE
+    plan — C4 line/page cleaning -> Gopher word/length/alpha gates ->
+    Gopher repetition gate (top-2 + dup-5) -> exact-substring span
+    removal -> UniMax per-language epoch rates joined onto the
+    survivors. Every stage is the graded operator itself; the oracle
+    recomposes the stages' own SQL builders."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from biomedical_data_integration_spark.operators.sampling import (
+        unimax_allocation,
+    )
+    from biomedical_data_integration_spark.operators.text import (
+        c4_clean,
+        gopher_repetition,
+        gopher_rules,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), " (join|sort) ", ".\n")
+    )
+    c4 = (
+        c4_clean(staged)
+        .where("keep_c4")
+        .select(
+            "doc_id", F.col("text_clean").alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    g = (
+        gopher_rules(c4, min_words=CURATION_V3_MIN_WORDS)
+        .where("flag_word_count AND flag_mean_word_len AND flag_alpha_words")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    rep_keep = (
+        gopher_repetition(g, top_ngrams=(2,), dup_ngrams=(5,))
+        .where("flag_top_2_gram_char_frac AND flag_dup_5_gram_char_frac")
+        .select("doc_id")
+    )
+    kept = g.join(rep_keep, "doc_id", "leftsemi")
+    spans = remove_duplicate_spans(kept, shingle_words=SPAN_SHINGLE_WORDS)
+    alloc = unimax_allocation(
+        kept, total_budget=CURATION_V3_BUDGET, max_epochs=CURATION_V3_EPOCHS
+    ).select("lang", "epochs")
+    return (
+        spans.join(kept.select("doc_id", "lang"), "doc_id")
+        .join(alloc, "lang")
+        .select(
+            "doc_id", "lang", "text_deduped",
+            "n_tokens", "n_removed", "epochs",
+        )
+    )
+
+
+def _curation_v3_sql() -> str:
+    return f"""
+WITH s1 AS (
+  SELECT doc_id, text_clean AS text, lang, source, n_chars
+  FROM ({_c4_clean_sql()}) WHERE keep_c4
+),
+s2 AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM ({_gopher_rules_sql(min_words=CURATION_V3_MIN_WORDS, src="s1")})
+  WHERE flag_word_count AND flag_mean_word_len AND flag_alpha_words
+),
+s3 AS (
+  SELECT doc_id
+  FROM ({_gopher_repetition_sql(tops=(2,), dups=(5,), src="s2")})
+  WHERE flag_top_2_gram_char_frac AND flag_dup_5_gram_char_frac
+),
+s4 AS (SELECT s2.* FROM s2 JOIN s3 USING (doc_id)),
+spans AS ({_dedup_spans_sql(src="s4")}),
+alloc AS ({_unimax_sql(src="s4", budget=CURATION_V3_BUDGET,
+                       epochs=CURATION_V3_EPOCHS)})
+SELECT sp.doc_id, s4.lang, sp.text_deduped, sp.n_tokens, sp.n_removed,
+       a.epochs
+FROM spans sp
+JOIN s4 USING (doc_id)
+JOIN alloc a ON s4.lang = a.lang
 """
 
 
@@ -10862,6 +10955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk_embeddings": _q_ivfpq_topk,
         "unimax_allocation_documents": _q_unimax,
         "gopher_repetition_documents": _q_gopher_repetition,
+        "corpus_curation_v3_end_to_end": _q_curation_v3,
         "text_surprisal_documents": _q_text_surprisal,
         "events_props_extract": _q_events_props,
         "events_interval_sessions": _q_events_interval,
@@ -11146,6 +11240,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk_embeddings": _ivfpq_topk_sql(),
         "unimax_allocation_documents": _unimax_sql(),
         "gopher_repetition_documents": _gopher_repetition_sql(),
+        "corpus_curation_v3_end_to_end": _curation_v3_sql(),
         "calibration_events_purchase": _calibration_sql(),
         "assoc_stats_events": _categorical_assoc_sql(),
         "set_similarity_ppjoin_documents": _set_similarity_sql(),
