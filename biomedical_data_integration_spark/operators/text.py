@@ -1283,111 +1283,154 @@ def gopher_repetition(
     spaces. Every flag compares scaled INTEGERS (ratio*100 vs the
     published hundredths), so no float boundary can flip a gate.
 
-    Scale shape: ONE tagged n-gram explode covers every n (each token
-    row fans out to its (n, gram) memberships), then one map-side-
-    combinable ``(id, n, gram)`` count and one ``(id, n)`` aggregation
-    whose output is |docs| x |n| rows; lines and paragraphs are one
-    explode each. Everything re-joins on the id key — |docs|-sized
-    tables throughout, no pair joins.
+    Scale shape: SHUFFLE-FREE. Every measure is per-document, so no
+    count ever needs to leave the row: each n-gram array is
+    ``array_sort``-ed (equal grams become adjacent runs) and ONE
+    sequential fold per (doc, n) tallies run lengths — duplicate chars,
+    and the top run with the first-in-sorted-order tie-break, which IS
+    the (count desc, gram asc) argmax the oracle replays. Lines and
+    paragraphs fold the same way. O(g log g) per document, pure
+    projection — composes with :func:`gopher_rules`/:func:`c4_clean` as
+    a free stage. (The first implementation exploded a 9-width tagged
+    n-gram table into a corpus-sized (id, n, gram) shuffle; the 1x/3x/
+    10x sweep showed it as the steepest curve of the round — this form
+    removed the shuffle entirely, PERF_NOTES round 9.)
     """
     text = F.col(text_col)
     ns = sorted(set(top_ngrams) | set(dup_ngrams))
-    staged = df.select(
-        F.col(id_col).alias("id"), tokens_expr(text).alias("__toks"), text
-    ).select(
-        "id",
-        "__toks",
-        text,
-        F.aggregate(
-            F.col("__toks"),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + F.length(t),
-        ).alias("__tchars"),
+
+    # fold accumulator: (prev gram, current run, dup chars so far,
+    # best run count, best run gram). Runs close when the gram changes;
+    # the finish lambda closes the last run.
+    acc_t = (
+        "struct<prev:string,run:bigint,dup:bigint,topc:bigint,topg:string>"
     )
 
-    # one tagged explode for EVERY n: (id, n, gram). NB: the tagging
-    # lambda must take ONE argument — a two-arg lambda would receive
-    # (element, index) from F.transform and tag with the array index.
-    def _tag(n: int) -> Column:
-        return F.transform(
-            word_ngrams_strict(F.col("__toks"), n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+    def _run_stats(grams: Column, n: int) -> Column:
+        """struct(dupchars bigint, topchars bigint) for one n."""
+        glen = lambda g: F.length(g) - F.lit(n - 1)  # noqa: E731
+
+        def step(acc, g):
+            same = acc["prev"].eqNullSafe(g)
+            closing_dup = F.when(
+                (~same) & (acc["run"] >= 2),
+                acc["run"] * glen(acc["prev"]),
+            ).otherwise(F.lit(0).cast("bigint"))
+            new_top = (~same) & (acc["run"] > acc["topc"])
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                (acc["dup"] + closing_dup).alias("dup"),
+                F.when(new_top, acc["run"])
+                .otherwise(acc["topc"])
+                .alias("topc"),
+                F.when(new_top, acc["prev"])
+                .otherwise(acc["topg"])
+                .alias("topg"),
+            )
+
+        def finish(acc):
+            final_dup = acc["dup"] + F.when(
+                acc["run"] >= 2, acc["run"] * glen(acc["prev"])
+            ).otherwise(F.lit(0).cast("bigint"))
+            last_top = acc["run"] > acc["topc"]
+            topc = F.when(last_top, acc["run"]).otherwise(acc["topc"])
+            topg = F.when(last_top, acc["prev"]).otherwise(acc["topg"])
+            return F.struct(
+                final_dup.alias("dupchars"),
+                F.coalesce(topc * glen(topg), F.lit(0).cast("bigint"))
+                .alias("topchars"),
+            )
+
+        init = F.lit(None).cast(acc_t).alias("acc")
+        zero = F.named_struct(
+            F.lit("prev"), F.lit(None).cast("string"),
+            F.lit("run"), F.lit(0).cast("bigint"),
+            F.lit("dup"), F.lit(0).cast("bigint"),
+            F.lit("topc"), F.lit(0).cast("bigint"),
+            F.lit("topg"), F.lit(None).cast("string"),
+        )
+        return F.aggregate(
+            F.array_sort(grams), zero.cast(acc_t), step, finish
         )
 
-    tagged = F.flatten(F.array(*[_tag(n) for n in ns]))
-    grams = staged.select("id", F.explode(tagged).alias("__t")).select(
-        "id", F.col("__t.n").alias("n"), F.col("__t.g").alias("g")
-    )
-    per_gram = grams.groupBy("id", "n", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    # chars(gram) excludes the n-1 joining spaces
-    glen = F.length(F.col("g")) - (F.col("n") - 1)
-    per_n = per_gram.groupBy("id", "n").agg(
-        F.min(
-            F.struct(
-                (-F.col("c")).alias("neg_c"),
-                F.col("g").alias("g"),
-            )
-        ).alias("__top"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c") * glen).otherwise(0))
-        .cast("bigint")
-        .alias("__dupchars"),
-    )
-    top_chars = (
-        -F.col("__top.neg_c")
-    ) * (F.length(F.col("__top.g")) - (F.col("n") - 1))
-    ngram_cols = {}
-    for n in top_ngrams:
-        ngram_cols[f"__topc_{n}"] = F.sum(
-            F.when(F.col("n") == n, top_chars).otherwise(0)
-        ).cast("bigint")
-    for n in dup_ngrams:
-        ngram_cols[f"__dupc_{n}"] = F.sum(
-            F.when(F.col("n") == n, F.col("__dupchars")).otherwise(0)
-        ).cast("bigint")
-    ngram_feats = per_n.groupBy("id").agg(
-        *[v.alias(k) for k, v in ngram_cols.items()]
-    )
+    def _unit_stats(units: Column) -> Column:
+        """struct(n, dup_n, chars, dup_chars) for lines/paragraphs."""
 
-    def _dup_unit(col: Column, split_pat: str):
-        units = F.filter(
-            F.transform(F.split(col, split_pat), lambda s: F.trim(s)),
+        def step(acc, u):
+            same = acc["prev"].eqNullSafe(u)
+            closing_dup = F.when(
+                (~same) & (acc["run"] >= 2), acc["run"]
+            ).otherwise(F.lit(0).cast("bigint"))
+            closing_dupc = F.when(
+                (~same) & (acc["run"] >= 2),
+                acc["run"] * F.length(acc["prev"]),
+            ).otherwise(F.lit(0).cast("bigint"))
+            return F.struct(
+                u.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                (acc["dup"] + closing_dup).alias("dup"),
+                (acc["topc"] + closing_dupc).alias("topc"),
+                F.lit(None).cast("string").alias("topg"),
+            )
+
+        def finish(acc):
+            dup_n = acc["dup"] + F.when(
+                acc["run"] >= 2, acc["run"]
+            ).otherwise(F.lit(0).cast("bigint"))
+            dup_c = acc["topc"] + F.when(
+                acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+            ).otherwise(F.lit(0).cast("bigint"))
+            return F.struct(
+                dup_n.alias("dup_n"), dup_c.alias("dup_chars")
+            )
+
+        zero = F.named_struct(
+            F.lit("prev"), F.lit(None).cast("string"),
+            F.lit("run"), F.lit(0).cast("bigint"),
+            F.lit("dup"), F.lit(0).cast("bigint"),
+            F.lit("topc"), F.lit(0).cast("bigint"),
+            F.lit("topg"), F.lit(None).cast("string"),
+        )
+        return F.struct(
+            F.size(units).cast("bigint").alias("n"),
+            F.aggregate(F.array_sort(units), zero.cast(acc_t), step, finish)
+            .alias("d"),
+            F.aggregate(
+                units,
+                F.lit(0).cast("bigint"),
+                lambda a, u: a + F.length(u),
+            ).alias("chars"),
+        )
+
+    def _units(split_pat: str) -> Column:
+        return F.filter(
+            F.transform(F.split(text, split_pat), lambda s: F.trim(s)),
             lambda s: F.length(s) > 0,
         )
-        return units
 
-    def _unit_feats(split_pat: str, prefix: str) -> DataFrame:
-        units = _dup_unit(text, split_pat)
-        u = staged.select("id", F.explode(units).alias("u"))
-        per_u = u.groupBy("id", "u").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c")
-        )
-        return per_u.groupBy("id").agg(
-            F.sum("c").cast("bigint").alias(f"__{prefix}_n"),
-            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-            .cast("bigint")
-            .alias(f"__{prefix}_dup_n"),
-            F.sum(F.col("c") * F.length(F.col("u")))
-            .cast("bigint")
-            .alias(f"__{prefix}_chars"),
-            F.sum(
-                F.when(
-                    F.col("c") >= 2, F.col("c") * F.length(F.col("u"))
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias(f"__{prefix}_dup_chars"),
-        )
-
-    line_feats = _unit_feats("\n", "ln")
-    para_feats = _unit_feats("\n\n", "pa")
-
-    out = (
-        staged.select("id", "__tchars")
-        .join(ngram_feats, "id", "left")
-        .join(line_feats, "id", "left")
-        .join(para_feats, "id", "left")
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens_expr(text).alias("__toks"), text
+    ).withColumns(
+        {
+            "__tchars": F.aggregate(
+                F.col("__toks"),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + F.length(t),
+            ),
+            "__ln": _unit_stats(_units("\n")),
+            "__pa": _unit_stats(_units("\n\n")),
+            **{
+                f"__g{n}": _run_stats(
+                    word_ngrams_strict(F.col("__toks"), n), n
+                )
+                for n in ns
+            },
+        }
     )
 
     def ratio(num: Column, den: Column) -> Column:
@@ -1396,42 +1439,41 @@ def gopher_repetition(
         ).otherwise(F.lit(0.0))
 
     def flag(num: Column, den: Column, hundredths: int) -> Column:
-        # 100*num <= thresh*den, exact integers; empty denominators pass
         return F.coalesce(
             F.lit(100) * num <= F.lit(hundredths) * den, F.lit(True)
         )
 
-    z = lambda c: F.coalesce(c, F.lit(0).cast("bigint"))  # noqa: E731
     th = GOPHER_REPETITION_THRESHOLDS
     measures = {
-        "dup_line_frac": (z(F.col("__ln_dup_n")), z(F.col("__ln_n"))),
-        "dup_para_frac": (z(F.col("__pa_dup_n")), z(F.col("__pa_n"))),
+        "dup_line_frac": (F.col("__ln.d.dup_n"), F.col("__ln.n")),
+        "dup_para_frac": (F.col("__pa.d.dup_n"), F.col("__pa.n")),
         "dup_line_char_frac": (
-            z(F.col("__ln_dup_chars")),
-            z(F.col("__ln_chars")),
+            F.col("__ln.d.dup_chars"),
+            F.col("__ln.chars"),
         ),
         "dup_para_char_frac": (
-            z(F.col("__pa_dup_chars")),
-            z(F.col("__pa_chars")),
+            F.col("__pa.d.dup_chars"),
+            F.col("__pa.chars"),
         ),
     }
     for n in top_ngrams:
         measures[f"top_{n}_gram_char_frac"] = (
-            z(F.col(f"__topc_{n}")),
+            F.col(f"__g{n}.topchars"),
             F.col("__tchars"),
         )
     for n in dup_ngrams:
         measures[f"dup_{n}_gram_char_frac"] = (
-            z(F.col(f"__dupc_{n}")),
+            F.col(f"__g{n}.dupchars"),
             F.col("__tchars"),
         )
     flags = {
-        f"flag_{k}": flag(num, den, th[k]) for k, (num, den) in measures.items()
+        f"flag_{k}": flag(num, den, th[k])
+        for k, (num, den) in measures.items()
     }
     passes = None
     for c in flags.values():
         passes = c if passes is None else (passes & c)
-    return out.select(
+    return staged.select(
         F.col("id").alias(id_col),
         F.col("__tchars").alias("n_token_chars"),
         *[ratio(num, den).alias(k) for k, (num, den) in measures.items()],

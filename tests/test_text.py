@@ -794,3 +794,20 @@ def test_gopher_repetition_matches_independent_replay(spark):
         c5 = Counter(grams5)
         dup = sum(cnt * (len(g) - 4) for g, cnt in c5.items() if cnt >= 2)
         assert r["dup_5_gram_char_frac"] == round(dup / tchars, 6)
+
+
+def test_gopher_repetition_plan_is_shuffle_free(spark):
+    """The sorted-run-fold form must stay a pure projection: every
+    measure is per-document, so no count ever leaves the row (the first
+    implementation's tagged-ngram explode shuffled ~9x corpus tokens —
+    the steepest scale curve of round 9 until this rewrite)."""
+    from biomedical_data_integration_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame([(1, "a b a b c d e f g h")], ["doc_id", "text"])
+    plan = (
+        gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
