@@ -572,9 +572,19 @@ def pq_train(
     """
     if scale is None:
         scale = config.SIMILARITY_SCALE
-    dim = _vec_dim(df, vec_col)
-    if dim is None:
+    # lowest-id seeds double as the dim probe (the kmeans discipline:
+    # dim comes from the seed collect — no separate first() action)
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    )
+    if not seed_rows:
         raise ValueError("pq_train: empty input — nothing to train on")
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"pq_train: need >= n_codes={n_codes} vectors, "
+            f"got {len(seed_rows)}"
+        )
+    dim = len(seed_rows[0][vec_col])
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -602,17 +612,6 @@ def pq_train(
     )
 
     # lowest-id seeds: the same k lowest-id vectors seed every subspace
-    seed_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_codes)
-        .collect()
-    )
-    if len(seed_rows) < n_codes:
-        raise ValueError(
-            f"pq_train: need >= n_codes={n_codes} vectors, "
-            f"got {len(seed_rows)}"
-        )
     codebooks = [
         [
             [float(x) for x in r[vec_col][s * dsub : (s + 1) * dsub]]
