@@ -10290,9 +10290,10 @@ m AS (
     CAST(len(__t) AS BIGINT) AS n_words,
     CAST(coalesce(list_sum(list_transform(__t, w -> length(w))), 0)
          AS BIGINT) AS n_word_chars,
-    CAST((length(text) - length(replace(text, '#', '')))
-         + (length(text) - length(replace(text, '...', ''))) // 3
-         AS BIGINT) AS n_symbols,
+    CAST(length(text) - length(replace(text, '#', ''))
+         AS BIGINT) AS n_hash_symbols,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         AS BIGINT) AS n_ellipsis_symbols,
     CAST(len(list_filter(__t, w -> regexp_matches(w, '[a-z]')))
          AS BIGINT) AS n_alpha_words,
     CAST(len(list_filter([{stops}], s -> list_contains(__t, s)))
@@ -10310,14 +10311,14 @@ SELECT *,
   (n_words >= {min_words} AND n_words <= {max_words}) AS flag_word_count,
   (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
     AS flag_mean_word_len,
-  (10 * n_symbols <= n_words) AS flag_symbol_ratio,
+  (10 * n_hash_symbols <= n_words AND 10 * n_ellipsis_symbols <= n_words) AS flag_symbol_ratio,
   (10 * n_bullet_lines <= 9 * n_lines) AS flag_bullet_lines,
   (10 * n_ellipsis_lines <= 3 * n_lines) AS flag_ellipsis_lines,
   (5 * n_alpha_words >= 4 * n_words) AS flag_alpha_words,
   (n_stop_words >= 2) AS flag_stop_words,
   ((n_words >= {min_words} AND n_words <= {max_words})
    AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
-   AND (10 * n_symbols <= n_words)
+   AND (10 * n_hash_symbols <= n_words AND 10 * n_ellipsis_symbols <= n_words)
    AND (10 * n_bullet_lines <= 9 * n_lines)
    AND (10 * n_ellipsis_lines <= 3 * n_lines)
    AND (5 * n_alpha_words >= 4 * n_words)
@@ -10927,12 +10928,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the CORRECTNESS_r*.json history (never-driver-graded queries
     first, then ascending last-graded round, tie-broken by position
     in that round's file; the tail keeps freshest evidence nearest
-    the cut) and ``--emit-dict`` regenerates this literal. Round 9
-    window: the two round-9 additions (embedding-health drift face;
-    the df-capped LSH tuning curve), all 41 queries whose only driver
-    evidence was round 3, and the 7 oldest round-4 names — after this
-    round no query's driver evidence predates round 4. Every one
-    of the 220 registry queries has a SQL oracle, zero exemptions;
+    the cut) and ``--emit-dict`` regenerates this literal. Final
+    round-9 window: the TEN round-9 additions (drift face, df-capped
+    LSH curve, span removal, Gopher gates + full repetition suite, C4,
+    PQ, IVFPQ, UniMax, curation-v3 flagship) and 40 of the 41 queries
+    whose only driver evidence was round 3 — harmonize_lineitem
+    (r3#49) and the 7 oldest round-4 names sit just past the cut and
+    lead the round-10 rotation. Every one of the 228 registry queries
+    has a SQL oracle, zero exemptions;
     every entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
     tools/check_oracle.py. tests/test_entry_oracle.py also guards the
@@ -10943,9 +10946,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- graded window (first 50), round 9: emitted MECHANICALLY
         # by tools/next_window.py from the CORRECTNESS_r*.json history
-        # (never-graded first, then oldest driver evidence). This
-        # round: the 2 round-9 additions, all 41 remaining round-3-
-        # evidence veterans, and the 7 oldest round-4 names. ---
+        # (never-graded first, then oldest driver evidence). Final
+        # round-9 shape: the 10 round-9 additions + 40 round-3-
+        # evidence veterans; harmonize_lineitem (r3#49) and the 7
+        # oldest round-4 names lead the round-10 rotation. ---
         "embedding_health_drift_embeddings": _q_embedding_health_drift,
         "lsh_tuning_capped_documents": _q_lsh_tuning_capped,
         "dedup_spans_documents": _q_dedup_spans,

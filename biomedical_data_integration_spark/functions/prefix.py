@@ -87,22 +87,32 @@ def exclusive_prefix_sums(
     two-level sum is only bit-equal to the global window for exact
     arithmetic.
     """
+    pinned = False
     if kernel is None and buckets is not None:
         kernel = "bucketed"
     if kernel is None:
         from biomedical_data_integration_spark import planning
 
-        n = int(n_rows) if n_rows is not None else df.count()
+        if n_rows is not None:
+            n = int(n_rows)
+        else:
+            # a routing count means df's (possibly corpus-scale)
+            # upstream lineage MUST execute once — pin it at that
+            # moment so the count is the only execution and both
+            # kernels then read the pinned copy. Counting the raw
+            # frame first would replay the lineage a second time in
+            # whichever kernel follows.
+            df = df.localCheckpoint(eager=True)
+            pinned = True
+            n = df.count()
         kernel = planning.rank_cumsum_kernel(n)
-    if kernel != "window":
+    if kernel != "window" and not pinned:
         # the bucketed shape reads df 3x (boundary collect, intra
-        # windows, totals branch) — pin the collapsed table ONCE
-        # instead of replaying its (possibly corpus-scale) upstream
-        # lineage per reference, the repo's localCheckpoint discipline
-        # (set_similarity, kmeans_two_level). The window kernel reads
-        # df exactly once, so it skips the materialization job — and
-        # with an ``n_rows`` hint the routing count is skipped too,
-        # making the small-table fast path zero extra jobs.
+        # windows, totals branch) — pin the collapsed table ONCE,
+        # the repo's localCheckpoint discipline (set_similarity,
+        # kmeans_two_level). The window kernel reads df exactly once,
+        # so with an ``n_rows`` hint (or an explicit kernel) the
+        # small-table fast path stays zero extra jobs.
         df = df.localCheckpoint(eager=True)
     if kernel == "window":
         w = Window.orderBy(order_col).rowsBetween(
@@ -240,10 +250,19 @@ def global_ntile(
     """
     if n < 1:
         raise ValueError("global_ntile: n must be >= 1")
+    pinned = False
     if kernel is None:
         from biomedical_data_integration_spark import planning
 
-        nr = int(n_rows) if n_rows is not None else df.count()
+        if n_rows is not None:
+            nr = int(n_rows)
+        else:
+            # pin before the routing count (same reasoning as
+            # exclusive_prefix_sums): the count's lineage execution
+            # becomes the ONLY one; both kernels read the pinned copy
+            df = df.localCheckpoint(eager=True)
+            pinned = True
+            nr = df.count()
         kernel = planning.rank_cumsum_kernel(nr)
     if kernel == "window":
         order = (
@@ -264,7 +283,11 @@ def global_ntile(
         gk = F.when(F.isnan(k), F.lit(float("-inf"))).otherwise(-k)
     else:
         gk = (-k) if descending else k
-    staged = df.withColumn("__gk", gk).localCheckpoint(eager=True)
+    staged = df.withColumn("__gk", gk)
+    if not pinned:
+        # already-pinned inputs (routing-count path) skip the second
+        # materialization: __gk is a cheap projection over pinned rows
+        staged = staged.localCheckpoint(eager=True)
     per = staged.groupBy("__gk").agg(
         F.count(F.lit(1)).cast("bigint").alias("__t")
     )

@@ -1073,7 +1073,11 @@ def _health_side(stats: DataFrame, scale: int) -> DataFrame:
         .alias("__zeros"),
         F.max(F.when((s == "sz") & (v > 0), k)).cast("int").alias("dim"),
     )
-    sz = stats.where(s == "sz")
+    # zero-count size rows (possible in merged/streamed stats tables)
+    # are excluded from BOTH aggregates, matching the (v > 0) guard the
+    # dim column applies — otherwise a stale sz row at the largest key
+    # would zero the max_by term and count every vector as mismatched
+    sz = stats.where((s == "sz") & (v > 0))
     mism = sz.agg(
         (
             F.coalesce(F.sum("v"), F.lit(0))

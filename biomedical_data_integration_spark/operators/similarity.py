@@ -995,9 +995,9 @@ def ivfpq_topk(
 
     table_for_cell = None
     for cell in probed:
-        branch = F.when(F.col("cell") == cell, lit_table(cell))
         table_for_cell = (
-            branch if table_for_cell is None
+            F.when(F.col("cell") == cell, lit_table(cell))
+            if table_for_cell is None
             else table_for_cell.when(F.col("cell") == cell, lit_table(cell))
         )
     micro = F.aggregate(

@@ -1083,7 +1083,7 @@ def gopher_rules(
 
     - ``flag_word_count``      — ``min_words <= n <= max_words``
     - ``flag_mean_word_len``   — mean word length in [3, 10] chars
-    - ``flag_symbol_ratio``    — (# of ``#`` + ``...``) / words <= 0.1
+    - ``flag_symbol_ratio``    — ``#``/words <= 0.1 AND ``...``/words <= 0.1 (per symbol, as published)
     - ``flag_bullet_lines``    — lines starting with a bullet <= 90%
     - ``flag_ellipsis_lines``  — lines ending with an ellipsis <= 30%
     - ``flag_alpha_words``     — >= 80% of words contain a letter
@@ -1128,10 +1128,15 @@ def gopher_rules(
                     lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"),
                 )
             ).cast("bigint"),
-            # '#' occurrences + '...' occurrences (each '...' counts once)
-            "__n_symbols": (
-                F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-                + (
+            # the published rule tests EACH symbol's word ratio
+            # separately ("> 0.1 for either the hash symbol or the
+            # ellipsis"), so the two counts stay distinct columns
+            "__n_hash": (
+                F.length(text)
+                - F.length(F.replace(text, F.lit("#"), F.lit("")))
+            ).cast("bigint"),
+            "__n_ellipsis_sym": (
+                (
                     F.length(text)
                     - F.length(F.replace(text, F.lit("..."), F.lit("")))
                 )
@@ -1144,7 +1149,8 @@ def gopher_rules(
         "flag_word_count": (n >= min_words) & (n <= max_words),
         "flag_mean_word_len": (F.lit(3) * n <= F.col("__n_chars"))
         & (F.col("__n_chars") <= F.lit(10) * n),
-        "flag_symbol_ratio": F.lit(10) * F.col("__n_symbols") <= n,
+        "flag_symbol_ratio": (F.lit(10) * F.col("__n_hash") <= n)
+        & (F.lit(10) * F.col("__n_ellipsis_sym") <= n),
         "flag_bullet_lines": F.lit(10) * F.col("__n_bullet")
         <= F.lit(9) * F.col("__n_lines"),
         "flag_ellipsis_lines": F.lit(10) * F.col("__n_ellipsis")
@@ -1160,7 +1166,8 @@ def gopher_rules(
         *[F.col(c) for c in df.columns],
         F.col("__n_words").alias("n_words"),
         F.col("__n_chars").alias("n_word_chars"),
-        F.col("__n_symbols").alias("n_symbols"),
+        F.col("__n_hash").alias("n_hash_symbols"),
+        F.col("__n_ellipsis_sym").alias("n_ellipsis_symbols"),
         F.col("__n_alpha_words").alias("n_alpha_words"),
         F.col("__n_stop_hits").alias("n_stop_words"),
         F.col("__n_lines").alias("n_lines"),
@@ -1344,7 +1351,6 @@ def gopher_repetition(
                 .alias("topchars"),
             )
 
-        init = F.lit(None).cast(acc_t).alias("acc")
         zero = F.named_struct(
             F.lit("prev"), F.lit(None).cast("string"),
             F.lit("run"), F.lit(0).cast("bigint"),

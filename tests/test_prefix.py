@@ -252,7 +252,10 @@ def test_n_rows_hint_skips_routing_count(spark, monkeypatch):
     and both give identical rows."""
     import re
 
-    from pyspark.sql import DataFrame
+    # patch the CONCRETE class: pyspark.sql.DataFrame is an abstract
+    # facade in PySpark 4 — patching it never intercepts the classic
+    # session's methods (the value-matching collect test's lesson)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from biomedical_data_integration_spark.functions.prefix import (
         global_ntile,
@@ -295,7 +298,7 @@ def test_window_kernel_skips_checkpoint_job(spark, monkeypatch):
     """Small inputs routed to the window kernel must NOT pay a
     localCheckpoint materialization — the window form reads df exactly
     once (ADVICE round 8)."""
-    from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
 
     df = spark.createDataFrame(
         [(i, 1) for i in range(10)], "v bigint, c bigint"

@@ -594,8 +594,15 @@ def test_gopher_word_count_gate(spark):
 def test_gopher_symbol_ratio_gate(spark):
     hashy = " ".join(["word#tag"] * 30 + ["plain"] * 30)
     out = _gopher_map(spark, [(1, hashy)], min_words=10)
-    assert out[1]["n_symbols"] == 30
+    assert out[1]["n_hash_symbols"] == 30
     assert not out[1]["flag_symbol_ratio"]
+    # the published rule is PER symbol: 6% hash + 6% ellipsis each pass
+    # the 10% gate even though pooled they would not
+    mixed = " ".join(["w#"] * 6 + ["w..."] * 6 + ["w"] * 88)
+    out = _gopher_map(spark, [(2, mixed)], min_words=10)
+    assert out[2]["n_hash_symbols"] == 6
+    assert out[2]["n_ellipsis_symbols"] == 6
+    assert out[2]["flag_symbol_ratio"]
 
 
 def test_gopher_ellipsis_and_bullet_lines(spark):

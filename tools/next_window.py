@@ -13,7 +13,7 @@ CORRECTNESS_r*.json history instead of hand-ordering:
 
 Modes:
   python tools/next_window.py            # print the 50-name window
-  python tools/next_window.py --full     # print the full 218 ordering
+  python tools/next_window.py --full     # print the full registry ordering
   python tools/next_window.py --emit-dict
       # print a rebuilt queries() dict body (extracted from the
       # current source mapping) in the rotated order, ready to paste
