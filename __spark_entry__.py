@@ -48,6 +48,8 @@ ANN_DIM = 64
 ANN_LSH_PLANES = 4
 ANN_IVF_CELLS = 16
 ANN_IVF_NPROBE = 4
+MMR_POOL = 15
+MMR_LAMBDA = 0.7
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 DIST_SAMPLE_K = 512  # exact=False sampler target (small enough to engage at sf0.001)
 CAP_PER_SOURCE = 15  # per-domain cap; sources hold 25 docs/sf, so the gate fires
@@ -513,6 +515,78 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= {ANN_K}
 """
+
+
+def _mmr_sql(k: int, pool: int, lam: float) -> str:
+    """Unrolled greedy MMR replay: each step i is one window argmax of
+    lam*rel - (1-lam)*max(sim to sel_{i-1}) over the not-yet-selected
+    candidates. Selection compares RAW combines on pre-rounded inputs
+    (bit-identical across engines — same 3 IEEE ops); only the reported
+    mmr_score rounds. Literals embed via repr() so DuckDB parses the
+    exact doubles the pandas loop uses."""
+    cos_rel = _sql_cosine("q.qv", "c.cv", ANN_DIM)
+    cos_pair = _sql_cosine("va.v", "vb.v", ANN_DIM)
+    oml = 1.0 - lam
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.id, round({cos_rel}, 6) AS rel
+  FROM q CROSS JOIN c WHERE q.query_id <> c.id
+),
+cand AS (
+  SELECT query_id, id, rel FROM (
+    SELECT query_id, id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id ASC) AS rk
+    FROM scored) WHERE rk <= {pool}
+),
+cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+pairs AS (
+  SELECT a.query_id, a.id AS id_a, b.id AS id_b, round({cos_pair}, 6) AS sim
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+  JOIN cv va ON va.id = a.id JOIN cv vb ON vb.id = b.id
+),
+st1 AS (
+  SELECT query_id, id, rel, {lam!r} * rel AS mmr FROM cand
+),
+s1 AS (
+  SELECT query_id, id, rel, mmr, 1 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, id ASC) AS rk
+    FROM st1) WHERE rk = 1
+),
+sel1 AS (SELECT query_id, id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f""",
+st{i} AS (
+  SELECT c.query_id, c.id, c.rel,
+         {lam!r} * c.rel - {oml!r} * (
+           SELECT max(p.sim) FROM pairs p
+           JOIN sel{p} s ON s.query_id = p.query_id AND s.id = p.id_b
+           WHERE p.query_id = c.query_id AND p.id_a = c.id) AS mmr
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
+                    WHERE s.query_id = c.query_id AND s.id = c.id)
+),
+s{i} AS (
+  SELECT query_id, id, rel, mmr, {i} AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, id ASC) AS rk
+    FROM st{i}) WHERE rk = 1
+),
+sel{i} AS (SELECT query_id, id FROM sel{p} UNION ALL SELECT query_id, id FROM s{i})"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(
+        f"""
+SELECT query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id,
+       rel AS relevance, round(mmr, 6) AS mmr_score
+FROM ({union})
+"""
+    )
+    return "".join(parts)
 
 
 def _ann_lsh_sql() -> str:
@@ -2514,6 +2588,20 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _tables(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return cosine_topk(queries, emb, k=ANN_K)
+
+
+def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (operators/similarity.mmr_topk — Carbonell
+    & Goldberg SIGIR'98): per query, greedy redundancy-penalized rerank
+    of the cosine top-``pool`` candidates. Candidate generation is the
+    distributed cosine_topk plan; the O(k·pool) greedy runs per-query in
+    ONE applyInPandas group on pre-rounded sims, so the unrolled SQL
+    oracle replays selection exactly."""
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    return mmr_topk(queries_df, emb, k=ANN_K, pool=MMR_POOL, lam=MMR_LAMBDA)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10934,7 +11022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PQ, IVFPQ, UniMax, curation-v3 flagship) and 40 of the 41 queries
     whose only driver evidence was round 3 — harmonize_lineitem
     (r3#49) and the 7 oldest round-4 names sit just past the cut and
-    lead the round-10 rotation. Every one of the 228 registry queries
+    lead the round-10 rotation. Every one of the 229 registry queries
     has a SQL oracle, zero exemptions;
     every entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
@@ -11008,9 +11096,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_embeddings": _q_ann_cosine,
         "ann_lsh_topk_embeddings": _q_ann_lsh,
         "ann_ivf_topk_embeddings": _q_ann_ivf,
-        # --- tail (51+): freshest driver evidence first (the round-8
-        # window rotates just past the cut), every entry replica-
+        # --- tail (51+): post-rotation round-9 additions first (never
+        # driver-graded -> they lead the round-10 window), then freshest
+        # driver evidence first (the round-8 window rotates just past
+        # the cut), every entry replica-
         # verified at sf0.001 by tests/test_entry_oracle.py each run ---
+        "mmr_diverse_topk_embeddings": _q_mmr_topk,
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
         "mine_triplets_embeddings": _q_mine_triplets,
         "dedup_incremental_documents": _q_dedup_incremental,
@@ -11412,6 +11503,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(CAST(text AS VARCHAR))
         "ann_cosine_topk_embeddings": _ann_cosine_sql(),
         "ann_lsh_topk_embeddings": _ann_lsh_sql(),
         "ann_ivf_topk_embeddings": _ann_ivf_sql(ANN_IVF_CELLS, ANN_IVF_NPROBE),
+        "mmr_diverse_topk_embeddings": _mmr_sql(ANN_K, MMR_POOL, MMR_LAMBDA),
         "text_lang_id_documents": _lang_id_sql(),
         "text_quality_documents": _quality_sql(),
         "text_token_counts_documents": f"""

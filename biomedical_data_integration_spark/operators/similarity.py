@@ -1017,3 +1017,153 @@ def ivfpq_topk(
         )
     )
     return out.orderBy("adist", id_col).limit(k)
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldberg, SIGIR'98): per query, greedily pick ``k`` of the ``pool``
+    most-relevant candidates maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)`` — the
+    redundancy-penalized reranker that turns a near-duplicate-heavy
+    neighborhood into a DIVERSE exemplar set (retrieval results, few-shot
+    example selection, per-cluster representative picking for curation).
+
+    Scale design — candidate generation is the distributed part and
+    reuses :func:`cosine_topk` (swap in :func:`ivf_topk` /
+    :func:`hyperplane_lsh_topk` candidates at corpus scale exactly as the
+    ANN family does); the greedy rerank touches only the ``pool``-bounded
+    candidate set. Pairwise candidate similarities are scored in-plan
+    (pool self-join per query — |Q|·pool² narrow rows, never the corpus),
+    and the O(k·pool) selection loop runs per-query inside ONE
+    ``applyInPandas`` group, so queries rerank in parallel across
+    executors and nothing is collected to the driver.
+
+    Determinism: relevances and pairwise sims are rounded to
+    ``SIMILARITY_SCALE`` BEFORE the greedy loop; the 3-op MMR combine on
+    those rounded scalars is bit-identical across engines, so selection
+    compares RAW combines (total-ordered by (mmr desc, id asc)) and only
+    the reported ``mmr_score`` is rounded (half-away-from-zero, matching
+    both engines' ``round``) — an ANSI-SQL oracle replays the whole
+    greedy unrolled.
+
+    Returns ``(query_id, rank, neighbor_id, relevance, mmr_score)`` with
+    ``rank`` 1-based in selection order; rank 1 is the plain
+    most-relevant candidate (empty-set penalty is 0).
+    """
+    if not 0 < k <= pool:
+        raise ValueError(f"mmr_topk: need 0 < k <= pool, got k={k} pool={pool}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_topk: lam must be in [0, 1], got {lam}")
+    cand = cosine_topk(
+        queries,
+        corpus,
+        k=pool,
+        query_id=query_id,
+        query_vec=query_vec,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+    ).select("query_id", F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+
+    cv = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).alias("v"),
+        norm(F.col(corpus_vec)).alias("vn"),
+    )
+    # candidate table is |Q|·pool rows — broadcast it onto the corpus
+    # scan to attach vectors, then self-join per query for pairwise sims
+    cand_v = F.broadcast(cand).join(cv, "id").select("query_id", "id", "rel", "v", "vn")
+    a = cand_v.select(
+        "query_id",
+        F.col("id").alias("id_a"),
+        F.col("rel").alias("rel_a"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    b = cand_v.select(
+        "query_id",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "rel_a",
+            "id_b",
+            F.round(_pair_cosine(), config.SIMILARITY_SCALE).alias("sim"),
+        )
+    )
+    # a pool-of-one candidate has no pairs; union a self row so every
+    # candidate reaches its group (sim NULL = ignored by the loop)
+    grouped = pairs.unionByName(
+        cand.select(
+            "query_id",
+            F.col("id").alias("id_a"),
+            F.col("rel").alias("rel_a"),
+            F.col("id").alias("id_b"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
+
+    q = 10.0 ** config.SIMILARITY_SCALE
+    n_pick, lam_f = int(k), float(lam)
+
+    def _greedy(pdf):
+        import math as _math
+
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.id_a] = float(r.rel_a)
+            if r.id_b != r.id_a and r.sim == r.sim and r.sim is not None:
+                sim[(r.id_a, r.id_b)] = float(r.sim)
+        # penalty is the TRUE max sim to the selected set (cosines can
+        # be NEGATIVE — no zero floor); empty set => 0 by convention
+        maxsim = {c: None for c in rel}
+        remaining = set(rel)
+        out = []
+        for rank in range(1, n_pick + 1):
+            if not remaining:
+                break
+            best, best_mmr = None, None
+            for c in sorted(remaining):
+                pen = 0.0 if maxsim[c] is None else maxsim[c]
+                m = lam_f * rel[c] - (1.0 - lam_f) * pen
+                if best is None or m > best_mmr:
+                    best, best_mmr = c, m
+            rounded = _math.floor(abs(best_mmr) * q + 0.5) / q
+            out.append(
+                (qid, rank, best, rel[best], rounded if best_mmr >= 0 else -rounded)
+            )
+            remaining.discard(best)
+            for c in remaining:
+                s = sim.get((c, best))
+                if s is not None and (maxsim[c] is None or s > maxsim[c]):
+                    maxsim[c] = s
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"]
+        )
+
+    return grouped.groupBy("query_id").applyInPandas(
+        _greedy,
+        schema=(
+            "query_id bigint, rank int, neighbor_id bigint, "
+            "relevance double, mmr_score double"
+        ),
+    )

@@ -100,6 +100,40 @@ def test_graded_window_shape(spark):
     assert not offenders, f"array/map-typed columns in graded window: {offenders}"
 
 
+def test_graded_window_is_mechanical_rotation():
+    """The round-9 window must be exactly what tools/next_window.py
+    derives from the CORRECTNESS_r01..r08 history (never-driver-graded
+    first in registry order, then ascending last-graded round tie-broken
+    by file position) — rotation is mechanical, not hand-ordered. The
+    history is PINNED to the r01–r08 files the round-9 window was
+    emitted from, so this guard stays green after the driver writes
+    newer CORRECTNESS files; round 10 re-pins when it re-rotates."""
+    import glob
+    import importlib.util
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "next_window", os.path.join(repo, "tools", "next_window.py")
+    )
+    nw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nw)
+    pinned = sorted(
+        f
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if int(re.search(r"r(\d+)", os.path.basename(f)).group(1)) <= 8
+    )
+    assert len(pinned) == 8, "expected the r01..r08 history files"
+    # registry pinned to what existed when the window was emitted:
+    # ever-driver-graded names plus the window itself (queries added
+    # AFTER the rotation land in the tail and lead the NEXT rotation)
+    hist = nw.history(files=pinned)
+    names = list(QUERIES)
+    emission_registry = [n for n in names if n in hist or n in names[:50]]
+    expected = nw.rotated(files=pinned, registry=emission_registry)[:50]
+    assert names[:50] == expected
+
+
 def _check_one(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR).toPandas()
     if name not in ORACLES:

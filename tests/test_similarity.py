@@ -450,3 +450,131 @@ def test_ivfpq_validation(spark):
     idx, cents, cb = ivfpq_index(df, n_cells=2, m=2, n_codes=4, max_iter=1)
     with pytest.raises(ValueError, match="query dim"):
         ivfpq_topk(idx, [0.0] * 3, cents, cb)
+
+
+def _mmr_corpus(spark):
+    # A (id 1) and A' (id 2) are near-duplicates of the query direction;
+    # B (id 3) is moderately relevant but diverse. Plain top-2 = {1, 2};
+    # MMR should swap the redundant A' for B.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # query
+        (1, [0.99, 0.14, 0.0]),     # A
+        (2, [0.99, 0.141, 0.0]),    # A' ~ duplicate of A
+        (3, [0.6, 0.0, 0.8]),       # B diverse
+        (4, [-1.0, 0.0, 0.0]),      # anti-correlated filler
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_mmr_diversifies_over_plain_topk(spark):
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    emb = _mmr_corpus(spark)
+    queries = emb.where("vec_id = 0")
+    plain = [
+        r["neighbor_id"]
+        for r in cosine_topk(queries, emb, k=2)
+        .orderBy("cosine", ascending=False)
+        .collect()
+    ]
+    assert plain == [1, 2]  # redundant near-duplicates
+    out = (
+        mmr_topk(queries, emb, k=2, pool=4, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in out] == [1, 3]
+    assert [r["rank"] for r in out] == [1, 2]
+    # rank 1 is the plain most-relevant candidate, scored lam * rel
+    assert out[0]["mmr_score"] == pytest.approx(0.5 * out[0]["relevance"], abs=1e-6)
+
+
+def test_mmr_negative_sims_are_true_max_no_zero_floor(spark):
+    """The redundancy penalty is the TRUE max similarity to the selected
+    set — an anti-correlated candidate gets a NEGATIVE penalty (bonus),
+    not a zero floor (the formula in Carbonell & Goldberg has no clamp)."""
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.5]),    # most relevant
+        (2, [0.5, 0.25]),   # same direction as 1 (sim 1.0, penalized)
+        (3, [0.3, -0.9]),   # sim to 1 is NEGATIVE (-0.158): boosted
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where("vec_id = 0")
+    out = (
+        mmr_topk(queries, emb, k=2, pool=3, lam=0.5).orderBy("rank").collect()
+    )
+    assert out[0]["neighbor_id"] == 1
+    # with the true-max penalty, 3's negative sim to 1 outweighs 2's
+    # higher relevance at lam=0.5
+    assert out[1]["neighbor_id"] == 3
+    assert out[1]["mmr_score"] > 0.5 * out[1]["relevance"]
+
+
+def test_mmr_matches_greedy_replay(spark):
+    """Independent numpy greedy over the same rounded inputs reproduces
+    the operator's selection exactly (ids, ranks, scores)."""
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where("vec_id < 2")
+    k, pool, lam = 4, 10, 0.7
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["mmr_score"])
+        for r in mmr_topk(queries, emb, k=k, pool=pool, lam=lam).collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.sqrt((a * a).sum()), np.sqrt((b * b).sum())
+        return 0.0 if na * nb == 0 else float(a.dot(b) / (na * nb))
+
+    for qid in (0, 1):
+        rel = {
+            i: round(cos(vecs[qid], vecs[i]), 6) for i in range(40) if i != qid
+        }
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
+        maxsim = {c: None for c in cand}
+        remaining = set(cand)
+        for rank in range(1, k + 1):
+            best, best_m = None, None
+            for c in sorted(remaining):
+                pen = 0.0 if maxsim[c] is None else maxsim[c]
+                m = lam * rel[c] - (1 - lam) * pen
+                if best is None or m > best_m:
+                    best, best_m = c, m
+            nid, score = got[(qid, rank)]
+            assert nid == best
+            assert score == pytest.approx(best_m, abs=1.1e-6)
+            remaining.discard(best)
+            for c in remaining:
+                s = round(cos(vecs[c], vecs[best]), 6)
+                if maxsim[c] is None or s > maxsim[c]:
+                    maxsim[c] = s
+
+
+def test_mmr_pool_of_one_and_short_corpus(spark):
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where("vec_id = 0")
+    out = mmr_topk(queries, emb, k=3, pool=5, lam=0.7).collect()
+    assert len(out) == 1  # only one candidate exists; loop stops early
+    assert out[0]["neighbor_id"] == 1 and out[0]["rank"] == 1
+
+
+def test_mmr_validation(spark):
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    emb = _mmr_corpus(spark)
+    with pytest.raises(ValueError, match="k <= pool"):
+        mmr_topk(emb, emb, k=10, pool=5)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(emb, emb, k=2, pool=5, lam=1.5)

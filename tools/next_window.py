@@ -31,10 +31,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def history() -> dict[str, tuple[int, int]]:
-    """name -> (last_graded_round, position_in_that_round's_file)."""
+def history(files: list[str] | None = None) -> dict[str, tuple[int, int]]:
+    """name -> (last_graded_round, position_in_that_round's_file).
+
+    ``files`` pins the history to an explicit list (tests freeze the
+    round-9 rotation to the r01–r08 files it was derived from, so the
+    guard stays green after the driver writes new CORRECTNESS files)."""
     out: dict[str, tuple[int, int]] = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    if files is None:
+        files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    for f in files:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         data = json.load(open(f))
         for pos, name in enumerate(data):
@@ -49,9 +55,11 @@ def registry_order() -> list[str]:
     return list(entry.queries())
 
 
-def rotated() -> list[str]:
-    hist = history()
-    reg = registry_order()
+def rotated(
+    files: list[str] | None = None, registry: list[str] | None = None
+) -> list[str]:
+    hist = history(files)
+    reg = registry if registry is not None else registry_order()
     reg_pos = {n: i for i, n in enumerate(reg)}
     never = [n for n in reg if n not in hist]
     graded = [n for n in reg if n in hist]
