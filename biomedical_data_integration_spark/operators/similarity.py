@@ -1073,6 +1073,11 @@ def mmr_topk(
         corpus_id=corpus_id,
         corpus_vec=corpus_vec,
     ).select("query_id", F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+    # pin the candidate table: it is |Q|·pool tiny rows but its lineage is
+    # the |Q|×|corpus| scoring plan, and THREE consumers reference it
+    # below (vector attach, pairwise self-join, self-row union) — without
+    # the pin the dominant cross-join can re-execute per consumer
+    cand = cand.localCheckpoint(eager=True)
 
     cv = corpus.select(
         F.col(corpus_id).alias("id"),
@@ -1131,7 +1136,7 @@ def mmr_topk(
         sim = {}
         for r in pdf.itertuples(index=False):
             rel[r.id_a] = float(r.rel_a)
-            if r.id_b != r.id_a and r.sim == r.sim and r.sim is not None:
+            if r.id_b != r.id_a and r.sim == r.sim:  # NaN-safe null filter
                 sim[(r.id_a, r.id_b)] = float(r.sim)
         # penalty is the TRUE max sim to the selected set (cosines can
         # be NEGATIVE — no zero floor); empty set => 0 by convention
@@ -1160,10 +1165,14 @@ def mmr_topk(
             out, columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"]
         )
 
+    # id columns keep their INPUT types (string doc ids work like the
+    # rest of the similarity family, not just bigint vec ids)
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    nid_t = corpus.schema[corpus_id].dataType.simpleString()
     return grouped.groupBy("query_id").applyInPandas(
         _greedy,
         schema=(
-            "query_id bigint, rank int, neighbor_id bigint, "
+            f"query_id {qid_t}, rank int, neighbor_id {nid_t}, "
             "relevance double, mmr_score double"
         ),
     )

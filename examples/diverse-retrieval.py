@@ -53,18 +53,11 @@ def run(spark: SparkSession, sf_dir: str):
             "query_id", F.col("id").alias("ib"), F.col("embedding").alias("vb")
         )
         pairs = a.join(b, "query_id").where("ia < ib")
-        dot = F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        nrm = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(
-                F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x
-            )
-        )
+        # the package's cosine helper (zero-norm guarded), not a re-fold
+        from biomedical_data_integration_spark.functions.vectors import cosine
+
         return (
-            pairs.select((dot / (nrm("va") * nrm("vb"))).alias("s"))
+            pairs.select(cosine(F.col("va"), F.col("vb")).alias("s"))
             .agg(F.avg("s"))
             .first()[0]
         )

@@ -578,3 +578,24 @@ def test_mmr_validation(spark):
         mmr_topk(emb, emb, k=10, pool=5)
     with pytest.raises(ValueError, match="lam"):
         mmr_topk(emb, emb, k=2, pool=5, lam=1.5)
+
+
+def test_mmr_string_ids(spark):
+    """id columns keep their input types — string doc ids work (the
+    applyInPandas output schema is derived, not hardcoded bigint)."""
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    rows = [
+        ("q", [1.0, 0.0, 0.0]),
+        ("a", [0.99, 0.14, 0.0]),
+        ("b", [0.99, 0.141, 0.0]),
+        ("c", [0.6, 0.0, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    queries = emb.where("doc_id = 'q'")
+    out = mmr_topk(
+        queries, emb, k=2, pool=3, lam=0.5,
+        query_id="doc_id", corpus_id="doc_id",
+    ).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == ["a", "c"]
+    assert out[0]["query_id"] == "q"

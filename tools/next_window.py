@@ -39,7 +39,13 @@ def history(files: list[str] | None = None) -> dict[str, tuple[int, int]]:
     guard stays green after the driver writes new CORRECTNESS files)."""
     out: dict[str, tuple[int, int]] = {}
     if files is None:
-        files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+        files = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    # sort by PARSED round number, not caller/filesystem order — later
+    # rounds must win the per-name overwrite below
+    files = sorted(
+        files,
+        key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
+    )
     for f in files:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         data = json.load(open(f))
