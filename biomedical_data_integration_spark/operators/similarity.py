@@ -1029,6 +1029,7 @@ def mmr_topk(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k (Carbonell &
     Goldberg, SIGIR'98): per query, greedily pick ``k`` of the ``pool``
@@ -1039,10 +1040,14 @@ def mmr_topk(
     example selection, per-cluster representative picking for curation).
 
     Scale design — candidate generation is the distributed part and
-    reuses :func:`cosine_topk` (swap in :func:`ivf_topk` /
-    :func:`hyperplane_lsh_topk` candidates at corpus scale exactly as the
-    ANN family does); the greedy rerank touches only the ``pool``-bounded
-    candidate set. Pairwise candidate similarities are scored in-plan
+    defaults to exact :func:`cosine_topk`; pass ``candidates=`` (any
+    ``(query_id, neighbor_id, cosine)`` table — the output shape of
+    :func:`ivf_topk` / :func:`hyperplane_lsh_topk` / a persisted
+    candidate store) to rerank precomputed ANN results instead of
+    rescoring the corpus, the same standing-state reuse contract as
+    ``lsh_tuning_report(band_entries=...)``. Either way the greedy
+    rerank touches only the ``pool``-bounded candidate set (a supplied
+    table wider than ``pool`` is re-cut by (cosine desc, id asc)). Pairwise candidate similarities are scored in-plan
     (pool self-join per query — |Q|·pool² narrow rows, never the corpus),
     and the O(k·pool) selection loop runs per-query inside ONE
     ``applyInPandas`` group, so queries rerank in parallel across
@@ -1064,15 +1069,29 @@ def mmr_topk(
         raise ValueError(f"mmr_topk: need 0 < k <= pool, got k={k} pool={pool}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"mmr_topk: lam must be in [0, 1], got {lam}")
-    cand = cosine_topk(
-        queries,
-        corpus,
-        k=pool,
-        query_id=query_id,
-        query_vec=query_vec,
-        corpus_id=corpus_id,
-        corpus_vec=corpus_vec,
-    ).select("query_id", F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+    if candidates is None:
+        cand = cosine_topk(
+            queries,
+            corpus,
+            k=pool,
+            query_id=query_id,
+            query_vec=query_vec,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+        )
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        cand = (
+            candidates.select("query_id", "neighbor_id", "cosine")
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= pool)
+            .drop("__rk")
+        )
+    cand = cand.select(
+        "query_id", F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel")
+    )
     # pin the candidate table: it is |Q|·pool tiny rows but its lineage is
     # the |Q|×|corpus| scoring plan, and THREE consumers reference it
     # below (vector attach, pairwise self-join, self-row union) — without
@@ -1167,7 +1186,10 @@ def mmr_topk(
 
     # id columns keep their INPUT types (string doc ids work like the
     # rest of the similarity family, not just bigint vec ids)
-    qid_t = queries.schema[query_id].dataType.simpleString()
+    if candidates is None:
+        qid_t = queries.schema[query_id].dataType.simpleString()
+    else:
+        qid_t = candidates.schema["query_id"].dataType.simpleString()
     nid_t = corpus.schema[corpus_id].dataType.simpleString()
     return grouped.groupBy("query_id").applyInPandas(
         _greedy,

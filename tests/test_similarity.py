@@ -599,3 +599,24 @@ def test_mmr_string_ids(spark):
     ).orderBy("rank").collect()
     assert [r["neighbor_id"] for r in out] == ["a", "c"]
     assert out[0]["query_id"] == "q"
+
+
+def test_mmr_precomputed_candidates_match_self_computed(spark):
+    """candidates= rides a precomputed ANN table (the standing-state
+    reuse contract): feeding cosine_topk's own output must reproduce the
+    self-computed path exactly, and a wider table is re-cut to pool."""
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id % 100 = 0")
+    self_computed = sorted(
+        tuple(r) for r in mmr_topk(queries, emb, k=4, pool=8, lam=0.6).collect()
+    )
+    pre = cosine_topk(queries, emb, k=12)  # wider than pool: re-cut to 8
+    reused = sorted(
+        tuple(r)
+        for r in mmr_topk(
+            queries, emb, k=4, pool=8, lam=0.6, candidates=pre
+        ).collect()
+    )
+    assert reused == self_computed
