@@ -50,6 +50,8 @@ ANN_IVF_CELLS = 16
 ANN_IVF_NPROBE = 4
 MMR_POOL = 15
 MMR_LAMBDA = 0.7
+MAXCOV_K = 8
+MAXCOV_NGRAM = 2
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 DIST_SAMPLE_K = 512  # exact=False sampler target (small enough to engage at sf0.001)
 CAP_PER_SOURCE = 15  # per-domain cap; sources hold 25 docs/sf, so the gate fires
@@ -515,6 +517,64 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= {ANN_K}
 """
+
+
+def _max_coverage_sql(k: int, n: int) -> str:
+    """Unrolled greedy max-coverage replay: step i counts each unselected
+    document's n-gram units outside cov_{i-1} (pure integer gains),
+    argmax by (gain desc, doc_id asc). covered_total is a window sum
+    over the selection order. Every chained CTE is MATERIALIZED — the
+    sel/cov chain references each level several times, and DuckDB's
+    default inlining re-expands the tree EXPONENTIALLY in k (measured:
+    k=5 0.6 s, k=8 minutes, same data)."""
+    toks = _SQL_TOKS.format(col="text")
+    units = _sql_shingles(toks, n) if n > 1 else toks
+    parts = [
+        f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({units})) AS tok FROM documents
+),
+s1g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM toks GROUP BY doc_id
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, gain, 1 AS rank FROM (
+    SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS rk
+    FROM s1g WHERE gain > 0) WHERE rk = 1
+),
+sel1 AS MATERIALIZED (SELECT doc_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f""",
+cov{p} AS MATERIALIZED (
+  SELECT DISTINCT t.tok FROM toks t JOIN sel{p} s ON t.doc_id = s.doc_id
+),
+s{i}g AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM toks t
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM sel{p})
+    AND NOT EXISTS (SELECT 1 FROM cov{p} c WHERE c.tok = t.tok)
+  GROUP BY t.doc_id
+),
+s{i} AS MATERIALIZED (
+  SELECT doc_id, gain, {i} AS rank FROM (
+    SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS rk
+    FROM s{i}g WHERE gain > 0) WHERE rk = 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT doc_id FROM sel{p} UNION ALL SELECT doc_id FROM s{i})"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(
+        f"""
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, gain,
+       CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total
+FROM ({union})
+"""
+    )
+    return "".join(parts)
 
 
 def _mmr_sql(k: int, pool: int, lam: float) -> str:
@@ -2588,6 +2648,19 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _tables(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return cosine_topk(queries, emb, k=ANN_K)
+
+
+def _q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular max-coverage selection (operators/sampling.
+    max_coverage_select — Nemhauser et al. 1978 greedy): the k documents
+    maximizing distinct-token coverage, integer arithmetic end to end;
+    the oracle replays the greedy unrolled."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        max_coverage_select,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return max_coverage_select(docs, k=MAXCOV_K, ngram_n=MAXCOV_NGRAM)
 
 
 def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11022,7 +11095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PQ, IVFPQ, UniMax, curation-v3 flagship) and 40 of the 41 queries
     whose only driver evidence was round 3 — harmonize_lineitem
     (r3#49) and the 7 oldest round-4 names sit just past the cut and
-    lead the round-10 rotation. Every one of the 229 registry queries
+    lead the round-10 rotation. Every one of the 230 registry queries
     has a SQL oracle, zero exemptions;
     every entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
@@ -11102,6 +11175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cut), every entry replica-
         # verified at sf0.001 by tests/test_entry_oracle.py each run ---
         "mmr_diverse_topk_embeddings": _q_mmr_topk,
+        "max_coverage_documents": _q_max_coverage,
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
         "mine_triplets_embeddings": _q_mine_triplets,
         "dedup_incremental_documents": _q_dedup_incremental,
@@ -11504,6 +11578,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(CAST(text AS VARCHAR))
         "ann_lsh_topk_embeddings": _ann_lsh_sql(),
         "ann_ivf_topk_embeddings": _ann_ivf_sql(ANN_IVF_CELLS, ANN_IVF_NPROBE),
         "mmr_diverse_topk_embeddings": _mmr_sql(ANN_K, MMR_POOL, MMR_LAMBDA),
+        "max_coverage_documents": _max_coverage_sql(MAXCOV_K, MAXCOV_NGRAM),
         "text_lang_id_documents": _lang_id_sql(),
         "text_quality_documents": _quality_sql(),
         "text_token_counts_documents": f"""

@@ -605,3 +605,95 @@ def unimax_allocation(
             F.round(alloc / F.col("tokens_total"), 6),
         ).alias("epochs"),
     )
+
+
+def max_coverage_select(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 1,
+) -> DataFrame:
+    """Greedy submodular max-coverage data selection (the classic
+    Nemhauser–Wolsey–Fisher 1978 greedy, (1 − 1/e)-approximate for
+    monotone submodular objectives): pick ``k`` documents maximizing the
+    number of DISTINCT tokens the selection covers — the lexical-
+    diversity counterpart of :func:`dsir_weights` (which tilts toward a
+    target domain, while this maximizes vocabulary coverage inside a
+    budget; both feed a 100 TB pre-training data-selection pass).
+
+    ``ngram_n`` sets the covered unit: 1 = distinct tokens, n>1 =
+    distinct word n-gram shingles (:func:`~biomedical_data_integration_spark.functions.strings.word_ngrams`,
+    whole-document fallback for short docs). Small closed vocabularies
+    saturate token coverage after one pick — shingles keep the
+    objective discriminative (the registry query covers bigrams).
+
+    Returns ``(rank, doc_id, gain, covered_total)``: ``gain`` is the
+    count of not-yet-covered units the rank-th pick contributes,
+    ``covered_total`` the running distinct-coverage. Selection stops
+    early when the best marginal gain hits 0 (coverage saturated) —
+    picking zero-gain filler would be arbitrary, so it never does.
+
+    Scale shape: the distinct ``(doc, token)`` incidence table builds
+    once (per-doc ``array_distinct`` before the explode — no corpus-wide
+    dedup shuffle) and is localCheckpoint-pinned; each greedy step is
+    ONE anti-join + map-side-combinable count over it, and the argmax
+    collects exactly ONE row — k driver round-trips total, the same
+    bounded-iteration contract as maxmin seeding (keep k ≲ 20; for
+    hundreds of representatives use :func:`~biomedical_data_integration_spark.operators.clustering.kmeans`
+    + per-cluster picks instead). Everything is INTEGER arithmetic
+    (counts, id tiebreaks), so an ANSI-SQL oracle replays the greedy
+    unrolled with no float-fold concerns.
+    """
+    from biomedical_data_integration_spark.functions.strings import word_ngrams
+
+    from .text import tokens_expr
+
+    if k < 1:
+        raise ValueError(f"max_coverage_select: k must be >= 1, got {k}")
+    if ngram_n < 1:
+        raise ValueError(
+            f"max_coverage_select: ngram_n must be >= 1, got {ngram_n}"
+        )
+    spark = df.sparkSession
+    units = tokens_expr(F.col(text_col))
+    if ngram_n > 1:
+        units = word_ngrams(units, int(ngram_n))
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(units)).alias("tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected: list = []
+    out_rows = []
+    covered_total = 0
+    for rank in range(1, int(k) + 1):
+        rem = toks
+        if selected:
+            covered = (
+                toks.where(F.col("id").isin(selected))
+                .select("tok")
+                .distinct()
+            )
+            rem = toks.where(~F.col("id").isin(selected)).join(
+                covered, "tok", "left_anti"
+            )
+        best = (
+            rem.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["gain"] == 0:
+            break
+        covered_total += int(best[0]["gain"])
+        selected.append(best[0]["id"])
+        out_rows.append((rank, best[0]["id"], int(best[0]["gain"]), covered_total))
+    id_t = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows,
+        schema=f"rank int, {id_col} {id_t}, gain bigint, covered_total bigint",
+    )

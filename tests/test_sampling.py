@@ -393,3 +393,83 @@ def test_unimax_validates(spark):
         unimax_allocation(df, total_budget=10, max_epochs=0)
     with pytest.raises(ValueError, match="max_epochs"):
         unimax_allocation(df, total_budget=10, max_epochs=1.5)
+
+
+def _maxcov_docs(spark):
+    # doc 1 covers {a b c d}, doc 2 {c d e}, doc 3 {e f}, doc 4 {a b}
+    # greedy: 1 (gain 4), then 3 (gain 2: e,f) beats 2 (gain 1: e)
+    rows = [
+        (1, "a b c d"),
+        (2, "c d e"),
+        (3, "e f"),
+        (4, "a b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_max_coverage_greedy_golden(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        max_coverage_select,
+    )
+
+    out = max_coverage_select(_maxcov_docs(spark), k=3).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["gain"], r["covered_total"]) for r in out] == [
+        (1, 1, 4, 4),
+        (2, 3, 2, 6),
+    ]  # rank 3 never emitted: every remaining doc has zero marginal gain
+
+
+def test_max_coverage_tiebreak_lowest_id(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        max_coverage_select,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "x y"), (3, "p q"), (9, "p x")], ["doc_id", "text"]
+    )
+    out = max_coverage_select(df, k=1).collect()
+    assert out[0]["doc_id"] == 3  # all gains tie at 2 -> lowest id
+
+
+def test_max_coverage_ngram_units(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        max_coverage_select,
+    )
+
+    # same unigram vocab everywhere; only bigrams discriminate
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "b a b a b"), (3, "a a a a")],
+        ["doc_id", "text"],
+    )
+    uni = max_coverage_select(df, k=3, ngram_n=1).collect()
+    assert len(uni) == 1  # token coverage saturates at one pick
+    bi = max_coverage_select(df, k=3, ngram_n=2).orderBy("rank").collect()
+    # doc 1 bigrams {a b, b a}; doc 2 {b a, a b}; doc 3 {a a}
+    assert [(r["doc_id"], r["gain"]) for r in bi] == [(1, 2), (3, 1)]
+
+
+def test_max_coverage_submodular_gains_nonincreasing(spark):
+    """Greedy marginal gains of a coverage objective are non-increasing
+    in rank (submodularity) — checked on real testdata documents."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        max_coverage_select,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = max_coverage_select(docs, k=5, ngram_n=2).orderBy("rank").collect()
+    gains = [r["gain"] for r in out]
+    assert len(gains) == 5
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    assert out[-1]["covered_total"] == sum(gains)
+
+
+def test_max_coverage_validation(spark):
+    from biomedical_data_integration_spark.operators.sampling import (
+        max_coverage_select,
+    )
+
+    df = _maxcov_docs(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        max_coverage_select(df, k=0)
+    with pytest.raises(ValueError, match="ngram_n"):
+        max_coverage_select(df, k=2, ngram_n=0)
