@@ -52,6 +52,8 @@ MMR_POOL = 15
 MMR_LAMBDA = 0.7
 MAXCOV_K = 8
 MAXCOV_NGRAM = 2
+FL_K = 5
+FL_POOL = 24
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 DIST_SAMPLE_K = 512  # exact=False sampler target (small enough to engage at sf0.001)
 CAP_PER_SOURCE = 15  # per-domain cap; sources hold 25 docs/sf, so the gate fires
@@ -571,6 +573,67 @@ sel{i} AS MATERIALIZED (
         f"""
 SELECT CAST(rank AS INTEGER) AS rank, doc_id, gain,
        CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total
+FROM ({union})
+"""
+    )
+    return "".join(parts)
+
+
+def _facility_location_sql(k: int, pool: int) -> str:
+    """Unrolled greedy facility-location replay (MATERIALIZED CTEs — the
+    sel/cur chain re-expands exponentially under default inlining, the
+    max-coverage lesson). All gains are exact bigint micro-unit sums of
+    floor-quantized clamped cosines; argmax by (gain desc, c asc)."""
+    cos = _sql_cosine("cand.qv", "e.embedding", ANN_DIM)
+    parts = [
+        f"""
+WITH cand AS MATERIALIZED (
+  SELECT vec_id AS c, embedding AS qv
+  FROM embeddings
+  ORDER BY md5('fl|' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {pool}
+),
+sims AS MATERIALIZED (
+  SELECT cand.c, e.vec_id AS x,
+         CAST(floor(greatest({cos}, 0) * 1000000) AS BIGINT) AS sim
+  FROM cand CROSS JOIN embeddings e
+),
+s1g AS (
+  SELECT c, CAST(SUM(sim) AS BIGINT) AS gain FROM sims GROUP BY c
+),
+s1 AS MATERIALIZED (
+  SELECT c, gain, 1 AS rank FROM (
+    SELECT *, row_number() OVER (ORDER BY gain DESC, c ASC) AS rk
+    FROM s1g WHERE gain > 0) WHERE rk = 1
+),
+sel1 AS MATERIALIZED (SELECT c FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f""",
+cur{p} AS MATERIALIZED (
+  SELECT x, max(sim) AS cur FROM sims JOIN sel{p} USING (c) GROUP BY x
+),
+s{i}g AS (
+  SELECT s.c, CAST(SUM(greatest(s.sim - coalesce(u.cur, 0), 0)) AS BIGINT) AS gain
+  FROM sims s LEFT JOIN cur{p} u ON s.x = u.x
+  WHERE s.c NOT IN (SELECT c FROM sel{p})
+  GROUP BY s.c
+),
+s{i} AS MATERIALIZED (
+  SELECT c, gain, {i} AS rank FROM (
+    SELECT *, row_number() OVER (ORDER BY gain DESC, c ASC) AS rk
+    FROM s{i}g WHERE gain > 0) WHERE rk = 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT c FROM sel{p} UNION ALL SELECT c FROM s{i})"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(
+        f"""
+SELECT CAST(rank AS INTEGER) AS rank, c AS vec_id, gain AS gain_micro,
+       CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS objective_micro
 FROM ({union})
 """
     )
@@ -2661,6 +2724,19 @@ def _q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _tables(spark, sf_dir, "documents")
     return max_coverage_select(docs, k=MAXCOV_K, ngram_n=MAXCOV_NGRAM)
+
+
+def _q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location coreset (operators/similarity.
+    facility_location_select): k representatives maximizing corpus-wide
+    clamped-cosine coverage; exact bigint micro-unit gains, so the
+    unrolled oracle replays the greedy with no float-fold concerns."""
+    from biomedical_data_integration_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    return facility_location_select(emb, k=FL_K, pool=FL_POOL)
 
 
 def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11095,7 +11171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PQ, IVFPQ, UniMax, curation-v3 flagship) and 40 of the 41 queries
     whose only driver evidence was round 3 — harmonize_lineitem
     (r3#49) and the 7 oldest round-4 names sit just past the cut and
-    lead the round-10 rotation. Every one of the 230 registry queries
+    lead the round-10 rotation. Every one of the 231 registry queries
     has a SQL oracle, zero exemptions;
     every entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
@@ -11176,6 +11252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified at sf0.001 by tests/test_entry_oracle.py each run ---
         "mmr_diverse_topk_embeddings": _q_mmr_topk,
         "max_coverage_documents": _q_max_coverage,
+        "facility_location_embeddings": _q_facility_location,
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
         "mine_triplets_embeddings": _q_mine_triplets,
         "dedup_incremental_documents": _q_dedup_incremental,
@@ -11579,6 +11656,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(CAST(text AS VARCHAR))
         "ann_ivf_topk_embeddings": _ann_ivf_sql(ANN_IVF_CELLS, ANN_IVF_NPROBE),
         "mmr_diverse_topk_embeddings": _mmr_sql(ANN_K, MMR_POOL, MMR_LAMBDA),
         "max_coverage_documents": _max_coverage_sql(MAXCOV_K, MAXCOV_NGRAM),
+        "facility_location_embeddings": _facility_location_sql(FL_K, FL_POOL),
         "text_lang_id_documents": _lang_id_sql(),
         "text_quality_documents": _quality_sql(),
         "text_token_counts_documents": f"""

@@ -1198,3 +1198,119 @@ def mmr_topk(
             "relevance double, mmr_score double"
         ),
     )
+
+
+def facility_location_select(
+    df: DataFrame,
+    k: int = 5,
+    pool: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy facility-location selection over an embedding corpus (the
+    monotone-submodular coreset objective ``max_S Σ_x max_{s∈S}
+    sim⁺(x,s)``, Nemhauser et al. 1978 greedy, (1 − 1/e)-approximate):
+    pick ``k`` representatives so every corpus vector has a similar
+    selected neighbor — the SEMANTIC counterpart of
+    :func:`~biomedical_data_integration_spark.operators.sampling.max_coverage_select`
+    (which maximizes lexical coverage) and the coverage-driven
+    alternative to :func:`mmr_topk` (which serves a query; this
+    summarizes the corpus — exemplar picking, eval-set seeding,
+    prototype selection for semantic dedup review).
+
+    ``sim⁺ = max(0, cosine)`` — anti-correlated vectors contribute no
+    coverage, which keeps the objective monotone and the empty-set
+    baseline exactly 0.
+
+    Scale shape: candidates are the ``pool`` lowest salted-md5 ids (a
+    deterministic pseudo-random sample, SQL-replayable); the
+    pool×corpus similarity table builds in ONE broadcast-join scan of
+    the corpus, floor-quantizes to exact bigint MICRO-UNITS (the
+    dsir/ADC discipline — order-free integer sums, no float-fold drift),
+    and is localCheckpoint-pinned; each greedy step is one join +
+    map-side-combinable sum over it collecting exactly ONE row — k
+    driver round-trips, the maxmin ≤20 iteration contract.
+
+    Returns ``(rank, <id_col>, gain_micro, objective_micro)``: the
+    marginal coverage gain and running objective in 1e-6 units, exact
+    integers end to end. Stops early at zero marginal gain.
+    """
+    from biomedical_data_integration_spark.functions.hashing import md5_hex
+
+    if k < 1:
+        raise ValueError(f"facility_location_select: k must be >= 1, got {k}")
+    if pool < k:
+        raise ValueError(
+            f"facility_location_select: need pool >= k, got pool={pool} k={k}"
+        )
+    spark = df.sparkSession
+    cand = (
+        df.select(
+            F.col(id_col).alias("c"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+            md5_hex(F.col(id_col), salt="fl").alias("__h"),
+        )
+        .orderBy("__h", "c")
+        .limit(int(pool))
+        .drop("__h")
+    )
+    corpus = df.select(
+        F.col(id_col).alias("x"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    sims = (
+        F.broadcast(cand)
+        .crossJoin(corpus)
+        .select(
+            "c",
+            "x",
+            F.floor(F.greatest(_pair_cosine(), F.lit(0.0)) * 1_000_000)
+            .cast("bigint")
+            .alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected: list = []
+    out_rows = []
+    objective = 0
+    for rank in range(1, int(k) + 1):
+        rem = sims
+        if selected:
+            cur = (
+                sims.where(F.col("c").isin(selected))
+                .groupBy("x")
+                .agg(F.max("sim").alias("cur"))
+            )
+            rem = (
+                sims.where(~F.col("c").isin(selected))
+                .join(cur, "x", "left")
+                .select(
+                    "c",
+                    F.greatest(
+                        F.col("sim") - F.coalesce(F.col("cur"), F.lit(0)),
+                        F.lit(0),
+                    ).alias("sim"),
+                )
+            )
+        best = (
+            rem.groupBy("c")
+            .agg(F.sum("sim").cast("bigint").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("c"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["gain"] == 0:
+            break
+        objective += int(best[0]["gain"])
+        selected.append(best[0]["c"])
+        out_rows.append((rank, best[0]["c"], int(best[0]["gain"]), objective))
+    id_t = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows,
+        schema=(
+            f"rank int, {id_col} {id_t}, gain_micro bigint, "
+            "objective_micro bigint"
+        ),
+    )

@@ -620,3 +620,92 @@ def test_mmr_precomputed_candidates_match_self_computed(spark):
         ).collect()
     )
     assert reused == self_computed
+
+
+def test_facility_location_greedy_golden(spark):
+    """Hand-checkable geometry: two tight clusters + an outlier. The
+    first pick is the best single center; the second covers the OTHER
+    cluster (marginal gain) rather than duplicating the first."""
+    from biomedical_data_integration_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.14]),     # cluster A with 0
+        (2, [0.0, 1.0]),
+        (3, [0.14, 0.99]),     # cluster B with 2
+        (4, [-1.0, -1.0]),     # anti-correlated outlier: sim+ = 0 to all
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = facility_location_select(emb, k=3, pool=5).orderBy("rank").collect()
+    picked = [r["vec_id"] for r in out]
+    # one representative from each cluster before any duplicate
+    assert {picked[0], picked[1]} & {0, 1}
+    assert {picked[0], picked[1]} & {2, 3}
+    gains = [r["gain_micro"] for r in out]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))  # submodular
+    assert out[-1]["objective_micro"] == sum(gains)
+
+
+def test_facility_location_matches_numpy_replay(spark):
+    """Independent numpy greedy over the same floor-quantized clamped
+    cosines reproduces the selection and exact integer gains."""
+    import numpy as np
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        facility_location_select,
+    )
+    import hashlib
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 6).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    k, pool = 4, 10
+    got = [
+        (r["rank"], r["vec_id"], r["gain_micro"])
+        for r in facility_location_select(emb, k=k, pool=pool)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def md5key(i):
+        return (hashlib.md5(f"fl|{i}".encode()).hexdigest(), i)
+
+    cand = sorted(range(30), key=md5key)[:pool]
+
+    def simp(a, b):
+        na, nb = np.sqrt((a * a).sum()), np.sqrt((b * b).sum())
+        c = 0.0 if na * nb == 0 else float(a.dot(b) / (na * nb))
+        return int(np.floor(max(c, 0.0) * 1_000_000))
+
+    S = {c: {x: simp(vecs[c], vecs[x]) for x in range(30)} for c in cand}
+    cur = {x: 0 for x in range(30)}
+    remaining = set(cand)
+    want = []
+    for rank in range(1, k + 1):
+        best, best_g = None, None
+        for c in sorted(remaining):
+            g = sum(max(S[c][x] - cur[x], 0) for x in range(30))
+            if best is None or g > best_g:
+                best, best_g = c, g
+        if best_g == 0:
+            break
+        want.append((rank, best, best_g))
+        remaining.discard(best)
+        for x in range(30):
+            cur[x] = max(cur[x], S[best][x])
+    assert got == want
+
+
+def test_facility_location_validation(spark):
+    from biomedical_data_integration_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    emb = _mmr_corpus(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        facility_location_select(emb, k=0)
+    with pytest.raises(ValueError, match="pool >= k"):
+        facility_location_select(emb, k=5, pool=3)
