@@ -677,8 +677,12 @@ def max_coverage_select(
                 .select("tok")
                 .distinct()
             )
+            # covered is bounded by k · per-doc vocab (small by
+            # construction) — broadcast, so the incidence table never
+            # shuffles for the anti-join; the step's only shuffle is the
+            # map-side-combinable gain count
             rem = toks.where(~F.col("id").isin(selected)).join(
-                covered, "tok", "left_anti"
+                F.broadcast(covered), "tok", "left_anti"
             )
         best = (
             rem.groupBy("id")
