@@ -533,8 +533,11 @@ def _max_coverage_sql(k: int, n: int) -> str:
     units = _sql_shingles(toks, n) if n > 1 else toks
     parts = [
         f"""
-WITH toks AS MATERIALIZED (
+WITH toks0 AS (
   SELECT doc_id, unnest(list_distinct({units})) AS tok FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, tok FROM toks0 WHERE tok IS NOT NULL AND tok <> ''
 ),
 s1g AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM toks GROUP BY doc_id

@@ -664,6 +664,11 @@ def max_coverage_select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(units)).alias("tok"),
         )
+        # NULL/empty-text docs must contribute NO units: the word_ngrams
+        # short-doc fallback turns them into a phantom [NULL] / ['']
+        # shingle, and a NULL unit never equi-joins the covered set —
+        # every empty doc would greedily rank as "maximally novel"
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
         .localCheckpoint(eager=True)
     )
     selected: list = []

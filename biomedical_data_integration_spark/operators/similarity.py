@@ -1046,8 +1046,13 @@ def mmr_topk(
     candidate store) to rerank precomputed ANN results instead of
     rescoring the corpus, the same standing-state reuse contract as
     ``lsh_tuning_report(band_entries=...)``. Either way the greedy
-    rerank touches only the ``pool``-bounded candidate set (a supplied
-    table wider than ``pool`` is re-cut by (cosine desc, id asc)). Pairwise candidate similarities are scored in-plan
+    rerank touches only the ``pool``-bounded candidate set. A supplied
+    table is deduped on (query_id, neighbor_id), scoped to the ids in
+    ``queries``, re-cut to ``pool`` by (cosine desc, id asc), and
+    entries whose neighbor no longer resolves in ``corpus`` (stale
+    snapshot) are DROPPED — a candidate without a vector cannot be
+    redundancy-penalized, so keeping it would silently corrupt the
+    rerank. Pairwise candidate similarities are scored in-plan
     (pool self-join per query — |Q|·pool² narrow rows, never the corpus),
     and the O(k·pool) selection loop runs per-query inside ONE
     ``applyInPandas`` group, so queries rerank in parallel across
@@ -1080,11 +1085,22 @@ def mmr_topk(
             corpus_vec=corpus_vec,
         )
     else:
+        # a supplied store may union overlapping sources (dup rows would
+        # silently eat pool slots) and cover more queries than the
+        # caller wants reranked — dedup, then scope to `queries`
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id")
         )
         cand = (
             candidates.select("query_id", "neighbor_id", "cosine")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .join(
+                F.broadcast(
+                    queries.select(F.col(query_id).alias("query_id")).distinct()
+                ),
+                "query_id",
+                "leftsemi",
+            )
             .withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= pool)
             .drop("__rk")
@@ -1131,9 +1147,13 @@ def mmr_topk(
         )
     )
     # a pool-of-one candidate has no pairs; union a self row so every
-    # candidate reaches its group (sim NULL = ignored by the loop)
+    # candidate reaches its group (sim NULL = ignored by the loop).
+    # Self rows come from cand_v, NOT cand: a supplied candidate whose
+    # id no longer resolves in corpus has no vector to penalize others
+    # with — it is DROPPED (reranking it on pure relevance would
+    # silently skip its redundancy penalty)
     grouped = pairs.unionByName(
-        cand.select(
+        cand_v.select(
             "query_id",
             F.col("id").alias("id_a"),
             F.col("rel").alias("rel_a"),

@@ -473,3 +473,20 @@ def test_max_coverage_validation(spark):
         max_coverage_select(df, k=0)
     with pytest.raises(ValueError, match="ngram_n"):
         max_coverage_select(df, k=2, ngram_n=0)
+
+
+def test_max_coverage_null_and_empty_text_contribute_nothing(spark):
+    """NULL/empty-text docs must never be selected: the word_ngrams
+    short-doc fallback would otherwise give each a phantom NULL/''
+    unit that never joins the covered set ('maximally novel' garbage)."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        max_coverage_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, ""), (4, "   ")],
+        "doc_id bigint, text string",
+    )
+    for n in (1, 2):
+        out = max_coverage_select(df, k=4, ngram_n=n).collect()
+        assert [r["doc_id"] for r in out] == [1]

