@@ -54,6 +54,9 @@ MAXCOV_K = 8
 MAXCOV_NGRAM = 2
 FL_K = 5
 FL_POOL = 24
+DSEL_TOP_N = 200
+DSEL_K = 6
+DSEL_NGRAM = 2
 DIST_QUANTILES = 64  # distribution matcher sketch size for the oracle query
 DIST_SAMPLE_K = 512  # exact=False sampler target (small enough to engage at sf0.001)
 CAP_PER_SOURCE = 15  # per-domain cap; sources hold 25 docs/sf, so the gate fires
@@ -521,7 +524,7 @@ SELECT query_id, neighbor_id, cosine FROM ranked WHERE rk <= {ANN_K}
 """
 
 
-def _max_coverage_sql(k: int, n: int) -> str:
+def _max_coverage_sql(k: int, n: int, src: str = "documents") -> str:
     """Unrolled greedy max-coverage replay: step i counts each unselected
     document's n-gram units outside cov_{i-1} (pure integer gains),
     argmax by (gain desc, doc_id asc). covered_total is a window sum
@@ -534,7 +537,7 @@ def _max_coverage_sql(k: int, n: int) -> str:
     parts = [
         f"""
 WITH toks0 AS (
-  SELECT doc_id, unnest(list_distinct({units})) AS tok FROM documents
+  SELECT doc_id, unnest(list_distinct({units})) AS tok FROM {src}
 ),
 toks AS MATERIALIZED (
   SELECT doc_id, tok FROM toks0 WHERE tok IS NOT NULL AND tok <> ''
@@ -641,6 +644,31 @@ FROM ({union})
 """
     )
     return "".join(parts)
+
+
+def _data_selection_sql() -> str:
+    """Recomposition: the graded _dsir_sql body gates to top-N, the
+    graded _max_coverage_sql body (parameterized by source) runs over
+    the survivor CTE — outer CTEs are in scope for the nested WITH."""
+    return f"""
+WITH dsir AS MATERIALIZED (
+  SELECT doc_id, n_tokens, avg_log_ratio FROM ({_dsir_sql()})
+),
+gate AS MATERIALIZED (
+  SELECT doc_id, avg_log_ratio FROM (
+    SELECT doc_id, avg_log_ratio,
+           row_number() OVER (ORDER BY avg_log_ratio DESC, doc_id ASC) AS rk
+    FROM dsir WHERE n_tokens > 0) WHERE rk <= {DSEL_TOP_N}
+),
+survivors AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN gate USING (doc_id)
+),
+cov AS (
+  SELECT * FROM ({_max_coverage_sql(DSEL_K, DSEL_NGRAM, src="survivors")})
+)
+SELECT cov.rank, cov.doc_id, cov.gain, cov.covered_total, g.avg_log_ratio
+FROM cov JOIN gate g USING (doc_id)
+"""
 
 
 def _mmr_sql(k: int, pool: int, lam: float) -> str:
@@ -2740,6 +2768,39 @@ def _q_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _tables(spark, sf_dir, "embeddings")
     return facility_location_select(emb, k=FL_K, pool=FL_POOL)
+
+
+def _q_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 selection capstone, ONE composed plan per stage: DSIR
+    domain gate (top-N by avg target-vs-raw log-ratio, the graded
+    dsir config) -> greedy bigram max-coverage INSIDE the survivors ->
+    the picks re-annotated with their DSIR score. The oracle recomposes
+    the two graded stage builders (the curation-flagship discipline)."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        dsir_weights,
+        max_coverage_select,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    w = dsir_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        n_buckets=DSIR_BUCKETS,
+        smoothing=DSIR_SMOOTH,
+    ).where(F.col("n_tokens") > 0)
+    # global top-N via TakeOrderedAndProject (distributed per-partition
+    # top-N + driver merge) — NOT an unpartitioned ordered window, which
+    # would single-task sort the corpus at scale (the rank-stats rule)
+    gate = (
+        w.orderBy(F.desc("avg_log_ratio"), F.asc("doc_id"))
+        .limit(DSEL_TOP_N)
+        .select("doc_id", "avg_log_ratio")
+    )
+    survivors = docs.join(F.broadcast(gate.select("doc_id")), "doc_id", "leftsemi")
+    cov = max_coverage_select(survivors, k=DSEL_K, ngram_n=DSEL_NGRAM)
+    return cov.join(F.broadcast(gate), "doc_id").select(
+        "rank", "doc_id", "gain", "covered_total", "avg_log_ratio"
+    )
 
 
 def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11176,7 +11237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-9 additions (MMR diversified top-k, greedy max-coverage,
     facility-location coreset — never driver-graded), then
     harmonize_lineitem (r3#49) and the 7 oldest round-4 names, lead
-    the round-10 rotation. Every one of the 231 registry queries
+    the round-10 rotation. Every one of the 232 registry queries
     has a SQL oracle, zero exemptions;
     every entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
@@ -11258,6 +11319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diverse_topk_embeddings": _q_mmr_topk,
         "max_coverage_documents": _q_max_coverage,
         "facility_location_embeddings": _q_facility_location,
+        "data_selection_end_to_end": _q_data_selection,
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
         "mine_triplets_embeddings": _q_mine_triplets,
         "dedup_incremental_documents": _q_dedup_incremental,
@@ -11662,6 +11724,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(CAST(text AS VARCHAR))
         "mmr_diverse_topk_embeddings": _mmr_sql(ANN_K, MMR_POOL, MMR_LAMBDA),
         "max_coverage_documents": _max_coverage_sql(MAXCOV_K, MAXCOV_NGRAM),
         "facility_location_embeddings": _facility_location_sql(FL_K, FL_POOL),
+        "data_selection_end_to_end": _data_selection_sql(),
         "text_lang_id_documents": _lang_id_sql(),
         "text_quality_documents": _quality_sql(),
         "text_token_counts_documents": f"""

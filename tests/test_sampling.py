@@ -490,3 +490,48 @@ def test_max_coverage_null_and_empty_text_contribute_nothing(spark):
     for n in (1, 2):
         out = max_coverage_select(df, k=4, ngram_n=n).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+def test_data_selection_flagship_plan_and_composition(spark):
+    """The selection capstone's DSIR gate compiles to a distributed
+    top-N (TakeOrderedAndProject), never an unpartitioned ordered
+    window; and its picks are exactly max_coverage over the gate's
+    survivor set (composition == stages run by hand)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.sampling import (
+        dsir_weights,
+        max_coverage_select,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = entry.queries()["data_selection_end_to_end"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan.lower()
+
+    got = [(r["rank"], r["doc_id"], r["gain"]) for r in df.orderBy("rank").collect()]
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = dsir_weights(
+        docs, docs.where(F.col("lang") == "en"),
+        n_buckets=entry.DSIR_BUCKETS, smoothing=entry.DSIR_SMOOTH,
+    ).where("n_tokens > 0")
+    keep = [
+        r["doc_id"]
+        for r in w.orderBy(F.desc("avg_log_ratio"), "doc_id")
+        .limit(entry.DSEL_TOP_N).collect()
+    ]
+    by_hand = max_coverage_select(
+        docs.where(F.col("doc_id").isin(keep)),
+        k=entry.DSEL_K, ngram_n=entry.DSEL_NGRAM,
+    )
+    want = [
+        (r["rank"], r["doc_id"], r["gain"])
+        for r in by_hand.orderBy("rank").collect()
+    ]
+    assert got == want
