@@ -11233,9 +11233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-9 window: the TEN round-9 additions (drift face, df-capped
     LSH curve, span removal, Gopher gates + full repetition suite, C4,
     PQ, IVFPQ, UniMax, curation-v3 flagship) and 40 of the 41 queries
-    whose only driver evidence was round 3 — the THREE post-rotation
+    whose only driver evidence was round 3 — the FOUR post-rotation
     round-9 additions (MMR diversified top-k, greedy max-coverage,
-    facility-location coreset — never driver-graded), then
+    facility-location coreset, the data-selection capstone — never
+    driver-graded), then
     harmonize_lineitem (r3#49) and the 7 oldest round-4 names, lead
     the round-10 rotation. Every one of the 232 registry queries
     has a SQL oracle, zero exemptions;
