@@ -2790,11 +2790,15 @@ def _q_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_tokens") > 0)
     # global top-N via TakeOrderedAndProject (distributed per-partition
     # top-N + driver merge) — NOT an unpartitioned ordered window, which
-    # would single-task sort the corpus at scale (the rank-stats rule)
+    # would single-task sort the corpus at scale (the rank-stats rule).
+    # Pin the 200-row gate (rfm-hoist pattern): THREE consumers follow
+    # (survivor semi-join, coverage pin, final annotate join) and each
+    # would otherwise replay the two-scan DSIR lineage
     gate = (
         w.orderBy(F.desc("avg_log_ratio"), F.asc("doc_id"))
         .limit(DSEL_TOP_N)
         .select("doc_id", "avg_log_ratio")
+        .localCheckpoint(eager=True)
     )
     survivors = docs.join(F.broadcast(gate.select("doc_id")), "doc_id", "leftsemi")
     cov = max_coverage_select(survivors, k=DSEL_K, ngram_n=DSEL_NGRAM)

