@@ -23,7 +23,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from biomedical_data_integration_spark import config as _cfg
+
 SF_DEFAULT = "/root/testdata/sf0.001"
+
+# similarity rounding scale shared by the Spark operators (config) and the
+# oracle SQL builders below — interpolated, never hardcoded, so the engine
+# and its oracles cannot silently diverge (ADVICE r9)
+SIM_SCALE = _cfg.SIMILARITY_SCALE
 
 # ---------------------------------------------------------------------------
 # shared constants (embedded in BOTH the Spark plans and the oracle SQL)
@@ -677,7 +684,12 @@ def _mmr_sql(k: int, pool: int, lam: float) -> str:
     candidates. Selection compares RAW combines on pre-rounded inputs
     (bit-identical across engines — same 3 IEEE ops); only the reported
     mmr_score rounds. Literals embed via repr() so DuckDB parses the
-    exact doubles the pandas loop uses."""
+    exact doubles the pandas loop uses. Every chained CTE is AS
+    MATERIALIZED: DuckDB's default CTE inlining re-expands the
+    sel{{i}} chain exponentially in k (k=8 takes minutes inlined —
+    the max-coverage/facility-location lesson, ADVICE r9). The
+    rounding scale interpolates config.SIMILARITY_SCALE so the oracle
+    tracks the engine if the config constant ever moves."""
     cos_rel = _sql_cosine("q.qv", "c.cv", ANN_DIM)
     cos_pair = _sql_cosine("va.v", "vb.v", ANN_DIM)
     oml = 1.0 - lam
@@ -686,36 +698,36 @@ def _mmr_sql(k: int, pool: int, lam: float) -> str:
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
 c AS (SELECT vec_id AS id, embedding AS cv FROM embeddings),
 scored AS (
-  SELECT q.query_id, c.id, round({cos_rel}, 6) AS rel
+  SELECT q.query_id, c.id, round({cos_rel}, {SIM_SCALE}) AS rel
   FROM q CROSS JOIN c WHERE q.query_id <> c.id
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, id, rel FROM (
     SELECT query_id, id, rel,
            row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id ASC) AS rk
     FROM scored) WHERE rk <= {pool}
 ),
 cv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-pairs AS (
-  SELECT a.query_id, a.id AS id_a, b.id AS id_b, round({cos_pair}, 6) AS sim
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.id AS id_a, b.id AS id_b, round({cos_pair}, {SIM_SCALE}) AS sim
   FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
   JOIN cv va ON va.id = a.id JOIN cv vb ON vb.id = b.id
 ),
-st1 AS (
+st1 AS MATERIALIZED (
   SELECT query_id, id, rel, {lam!r} * rel AS mmr FROM cand
 ),
-s1 AS (
+s1 AS MATERIALIZED (
   SELECT query_id, id, rel, mmr, 1 AS rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, id ASC) AS rk
     FROM st1) WHERE rk = 1
 ),
-sel1 AS (SELECT query_id, id FROM s1)"""
+sel1 AS MATERIALIZED (SELECT query_id, id FROM s1)"""
     ]
     for i in range(2, k + 1):
         p = i - 1
         parts.append(
             f""",
-st{i} AS (
+st{i} AS MATERIALIZED (
   SELECT c.query_id, c.id, c.rel,
          {lam!r} * c.rel - {oml!r} * (
            SELECT max(p.sim) FROM pairs p
@@ -725,18 +737,18 @@ st{i} AS (
   WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
                     WHERE s.query_id = c.query_id AND s.id = c.id)
 ),
-s{i} AS (
+s{i} AS MATERIALIZED (
   SELECT query_id, id, rel, mmr, {i} AS rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, id ASC) AS rk
     FROM st{i}) WHERE rk = 1
 ),
-sel{i} AS (SELECT query_id, id FROM sel{p} UNION ALL SELECT query_id, id FROM s{i})"""
+sel{i} AS MATERIALIZED (SELECT query_id, id FROM sel{p} UNION ALL SELECT query_id, id FROM s{i})"""
         )
     union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
     parts.append(
         f"""
 SELECT query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id,
-       rel AS relevance, round(mmr, 6) AS mmr_score
+       rel AS relevance, round(mmr, {SIM_SCALE}) AS mmr_score
 FROM ({union})
 """
     )
@@ -11233,16 +11245,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the CORRECTNESS_r*.json history (never-driver-graded queries
     first, then ascending last-graded round, tie-broken by position
     in that round's file; the tail keeps freshest evidence nearest
-    the cut) and ``--emit-dict`` regenerates this literal. Final
-    round-9 window: the TEN round-9 additions (drift face, df-capped
-    LSH curve, span removal, Gopher gates + full repetition suite, C4,
-    PQ, IVFPQ, UniMax, curation-v3 flagship) and 40 of the 41 queries
-    whose only driver evidence was round 3 — the FOUR post-rotation
-    round-9 additions (MMR diversified top-k, greedy max-coverage,
-    facility-location coreset, the data-selection capstone — never
-    driver-graded), then
-    harmonize_lineitem (r3#49) and the 7 oldest round-4 names, lead
-    the round-10 rotation. Every one of the 232 registry queries
+    the cut) and ``--emit-dict`` regenerates this literal. Round-10
+    window: the FOUR post-rotation round-9 additions (MMR diversified
+    top-k, greedy max-coverage, facility-location coreset, the
+    data-selection capstone — never driver-graded before this round),
+    then harmonize_lineitem (last graded r3#49), the 28 names whose
+    only driver evidence was round 4, and the 17 oldest round-6
+    names. Every registry query
     has a SQL oracle, zero exemptions;
     every entry — window or tail — is verified locally every round by
     tests/test_entry_oracle.py (full registry at sf0.001) and
@@ -11252,12 +11261,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value-hash treats arrays unreliably — the feature_hash_orders
     lesson)."""
     return {
-        # --- graded window (first 50), round 9: emitted MECHANICALLY
-        # by tools/next_window.py from the CORRECTNESS_r*.json history
-        # (never-graded first, then oldest driver evidence). Final
-        # round-9 shape: the 10 round-9 additions + 40 round-3-
-        # evidence veterans; harmonize_lineitem (r3#49) and the 7
-        # oldest round-4 names lead the round-10 rotation. ---
+        # --- graded window (first 50), round 10: emitted MECHANICALLY
+        # by tools/next_window.py from the CORRECTNESS_r01-r09 history
+        # (never-graded first, then oldest driver evidence). Round-10
+        # shape: the 4 post-rotation round-9 selection additions (MMR,
+        # max-coverage, facility-location, data-selection capstone),
+        # then harmonize_lineitem (r3#49) and the oldest round-4/
+        # round-6 evidence names. The round-9 window rotates just
+        # past the cut (freshest evidence nearest the cut). ---
+        "mmr_diverse_topk_embeddings": _q_mmr_topk,
+        "max_coverage_documents": _q_max_coverage,
+        "facility_location_embeddings": _q_facility_location,
+        "data_selection_end_to_end": _q_data_selection,
+        "harmonize_lineitem": _q_harmonize_lineitem,
+        "dedup_simhash_pairs_documents": _q_dedup_simhash_pairs,
+        "dedup_embedding_cosine_embeddings": _q_dedup_embedding_cosine,
+        "dedup_clusters_documents": _q_dedup_clusters,
+        "decontaminate_train_eval": _q_decontaminate,
+        "ann_cosine_topk_embeddings": _q_ann_cosine,
+        "ann_lsh_topk_embeddings": _q_ann_lsh,
+        "ann_ivf_topk_embeddings": _q_ann_ivf,
+        "text_quality_documents": _q_quality,
+        "sample_stratified_orders": _q_sample_stratified,
+        "embedding_quantize_int8": _q_quantize_embeddings,
+        "text_chunk_documents": _q_text_chunks,
+        "pack_sequences_documents": _q_pack_sequences,
+        "schema_match_distribution_approx": _q_schema_match_distribution_approx,
+        "dedup_exact_documents": _q_dedup_exact,
+        "dedup_drop_exact_documents": _q_dedup_drop_exact,
+        "simhash_documents": _q_simhash,
+        "doc_fingerprints_documents": _q_fingerprints,
+        "text_lang_id_documents": _q_lang_id,
+        "text_token_counts_documents": _q_token_counts,
+        "corpus_vocabulary_documents": _q_corpus_vocabulary,
+        "lm_score_documents": _q_lm_score,
+        "corpus_curation_v2_end_to_end": _q_corpus_curation_v2,
+        "link_customers_dirty": _q_link_customers,
+        "pagerank_token_graph": _q_pagerank_tokens,
+        "label_propagation_token_graph": _q_label_propagation_tokens,
+        "zorder_quantile_events": _q_zorder_quantile_events,
+        "events_gapfill_linear": _q_events_gapfill_linear,
+        "weighted_sample_documents": _q_weighted_sample_documents,
+        "bm25_search_documents": _q_bm25_search,
+        "hybrid_rrf_documents": _q_hybrid_rrf,
+        "psi_value_drift_events": _q_psi_drift,
+        "k_anonymity_customer": _q_k_anonymity,
+        "kmv_overlap_halves_events": _q_kmv_overlap,
+        "table_diff_orders": _q_table_diff,
+        "dsir_weights_documents": _q_dsir_weights,
+        "dup_ngram_coverage_documents": _q_dup_ngram_coverage,
+        "assoc_rules_brands": _q_assoc_rules,
+        "ewma_value_events": _q_ewma_events,
+        "bfs_token_graph": _q_bfs_tokens,
+        "golden_record_customers": _q_golden_record,
+        "impute_median_events": _q_impute_median,
+        "ann_ranking_metrics_embeddings": _q_ann_ranking_metrics,
+        "curation_scorecard_documents": _q_curation_scorecard,
+        "target_encode_orders": _q_target_encode,
+        "sequence_examples_events": _q_sequence_examples,
         "embedding_health_drift_embeddings": _q_embedding_health_drift,
         "lsh_tuning_capped_documents": _q_lsh_tuning_capped,
         "dedup_spans_documents": _q_dedup_spans,
@@ -11308,23 +11369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_kfold_documents": _q_group_kfold,
         "balance_classes_embeddings": _q_balance_classes,
         "winsorize_events_value": _q_winsorize_events,
-        "harmonize_lineitem": _q_harmonize_lineitem,
-        "dedup_simhash_pairs_documents": _q_dedup_simhash_pairs,
-        "dedup_embedding_cosine_embeddings": _q_dedup_embedding_cosine,
-        "dedup_clusters_documents": _q_dedup_clusters,
-        "decontaminate_train_eval": _q_decontaminate,
-        "ann_cosine_topk_embeddings": _q_ann_cosine,
-        "ann_lsh_topk_embeddings": _q_ann_lsh,
-        "ann_ivf_topk_embeddings": _q_ann_ivf,
-        # --- tail (51+): post-rotation round-9 additions first (never
-        # driver-graded -> they lead the round-10 window), then freshest
-        # driver evidence first (the round-8 window rotates just past
-        # the cut), every entry replica-
-        # verified at sf0.001 by tests/test_entry_oracle.py each run ---
-        "mmr_diverse_topk_embeddings": _q_mmr_topk,
-        "max_coverage_documents": _q_max_coverage,
-        "facility_location_embeddings": _q_facility_location,
-        "data_selection_end_to_end": _q_data_selection,
         "semantic_dedup_two_level_embeddings": _q_semantic_dedup_two_level,
         "mine_triplets_embeddings": _q_mine_triplets,
         "dedup_incremental_documents": _q_dedup_incremental,
@@ -11425,23 +11469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
         "zorder_key_events": _q_zorder_key_events,
         "harmonize_end_to_end": _q_harmonize_end_to_end,
-        "bm25_search_documents": _q_bm25_search,
-        "hybrid_rrf_documents": _q_hybrid_rrf,
-        "psi_value_drift_events": _q_psi_drift,
-        "k_anonymity_customer": _q_k_anonymity,
-        "kmv_overlap_halves_events": _q_kmv_overlap,
-        "table_diff_orders": _q_table_diff,
-        "dsir_weights_documents": _q_dsir_weights,
-        "dup_ngram_coverage_documents": _q_dup_ngram_coverage,
-        "assoc_rules_brands": _q_assoc_rules,
-        "ewma_value_events": _q_ewma_events,
-        "bfs_token_graph": _q_bfs_tokens,
-        "golden_record_customers": _q_golden_record,
-        "impute_median_events": _q_impute_median,
-        "ann_ranking_metrics_embeddings": _q_ann_ranking_metrics,
-        "curation_scorecard_documents": _q_curation_scorecard,
-        "target_encode_orders": _q_target_encode,
-        "sequence_examples_events": _q_sequence_examples,
         "auc_orders_totalprice": _q_binary_auc,
         "calibration_events_purchase": _q_calibration,
         "assoc_stats_events": _q_categorical_assoc,
@@ -11474,27 +11501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_events_value": _q_theil_sen,
         "gini_user_value_events": _q_gini_user_value,
         "events_attribution_linear": _q_attribution_linear,
-        "text_quality_documents": _q_quality,
-        "sample_stratified_orders": _q_sample_stratified,
-        "embedding_quantize_int8": _q_quantize_embeddings,
-        "text_chunk_documents": _q_text_chunks,
-        "pack_sequences_documents": _q_pack_sequences,
-        "schema_match_distribution_approx": _q_schema_match_distribution_approx,
-        "dedup_exact_documents": _q_dedup_exact,
-        "dedup_drop_exact_documents": _q_dedup_drop_exact,
-        "simhash_documents": _q_simhash,
-        "doc_fingerprints_documents": _q_fingerprints,
-        "text_lang_id_documents": _q_lang_id,
-        "text_token_counts_documents": _q_token_counts,
-        "corpus_vocabulary_documents": _q_corpus_vocabulary,
-        "lm_score_documents": _q_lm_score,
-        "corpus_curation_v2_end_to_end": _q_corpus_curation_v2,
-        "link_customers_dirty": _q_link_customers,
-        "pagerank_token_graph": _q_pagerank_tokens,
-        "label_propagation_token_graph": _q_label_propagation_tokens,
-        "zorder_quantile_events": _q_zorder_quantile_events,
-        "events_gapfill_linear": _q_events_gapfill_linear,
-        "weighted_sample_documents": _q_weighted_sample_documents,
     }
 
 

@@ -1048,11 +1048,11 @@ def mmr_topk(
     ``lsh_tuning_report(band_entries=...)``. Either way the greedy
     rerank touches only the ``pool``-bounded candidate set. A supplied
     table is deduped on (query_id, neighbor_id), scoped to the ids in
-    ``queries``, re-cut to ``pool`` by (cosine desc, id asc), and
-    entries whose neighbor no longer resolves in ``corpus`` (stale
-    snapshot) are DROPPED — a candidate without a vector cannot be
-    redundancy-penalized, so keeping it would silently corrupt the
-    rerank. Pairwise candidate similarities are scored in-plan
+    ``queries``, purged of entries whose neighbor no longer resolves in
+    ``corpus`` (stale snapshot) — a candidate without a vector cannot
+    be redundancy-penalized — and only THEN re-cut to ``pool`` by
+    (cosine desc, id asc), so stale rows never consume pool slots and
+    the rerank always sees the full requested pool of live candidates. Pairwise candidate similarities are scored in-plan
     (pool self-join per query — |Q|·pool² narrow rows, never the corpus),
     and the O(k·pool) selection loop runs per-query inside ONE
     ``applyInPandas`` group, so queries rerank in parallel across
@@ -1087,7 +1087,12 @@ def mmr_topk(
     else:
         # a supplied store may union overlapping sources (dup rows would
         # silently eat pool slots) and cover more queries than the
-        # caller wants reranked — dedup, then scope to `queries`
+        # caller wants reranked — dedup, then scope to `queries`.
+        # STALE entries (neighbor ids that no longer resolve in
+        # `corpus`) are semi-joined out BEFORE the pool cut: a stale
+        # high-cosine row must not consume a pool slot, or the
+        # effective rerank pool silently shrinks below `pool`
+        # (ADVICE r9). The later vector-attach join then drops nothing.
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id")
         )
@@ -1099,6 +1104,11 @@ def mmr_topk(
                     queries.select(F.col(query_id).alias("query_id")).distinct()
                 ),
                 "query_id",
+                "leftsemi",
+            )
+            .join(
+                corpus.select(F.col(corpus_id).alias("neighbor_id")),
+                "neighbor_id",
                 "leftsemi",
             )
             .withColumn("__rk", F.row_number().over(w))

@@ -714,7 +714,9 @@ def test_facility_location_validation(spark):
 def test_mmr_candidates_dedup_scope_and_stale_ids(spark):
     """The candidates= surface honors its contract: duplicate rows are
     deduped (no silently eaten pool slots), queries outside `queries`
-    are not reranked, and stale neighbor ids absent from corpus drop."""
+    are not reranked, and stale neighbor ids absent from corpus drop
+    BEFORE the pool cut — a dirty store reranks exactly like the clean
+    one, full pool intact (ADVICE r9)."""
     from pyspark.sql import functions as F
 
     from biomedical_data_integration_spark.operators.similarity import mmr_topk
@@ -741,20 +743,8 @@ def test_mmr_candidates_dedup_scope_and_stale_ids(spark):
     )
     assert {r[0] for r in got} == {0}          # scoped to `queries`
     assert all(r[2] != 999_999 for r in got)   # stale id dropped
-    # dedup: the duplicate-union store reranks like the clean store
-    # (the stale 999999 row eats one of the 6 pool slots by cosine
-    # rank, so compare against the clean store with the same cut)
-    clean_cut = sorted(
-        tuple(r)
-        for r in mmr_topk(
-            queries, emb, k=3, pool=6,
-            candidates=base.unionByName(
-                spark.createDataFrame(
-                    [(0, 999_999, 0.999999)],
-                    "query_id long, neighbor_id long, cosine double",
-                )
-            ),
-        ).collect()
-    )
-    assert got == clean_cut
+    # stale rows are purged BEFORE the pool cut, so the dirty store
+    # (duplicates + out-of-scope query + stale high-cosine row)
+    # reranks IDENTICALLY to the clean store — full pool preserved
+    assert got == want
     assert want  # sanity: the clean path produced rows
