@@ -18,6 +18,7 @@ Determinism rules shared by both sides (see package docs):
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -10802,21 +10803,17 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_topk_sql() -> str:
-    m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
-    n_cells, nprobe = IVFPQ_CELLS, IVFPQ_NPROBE
-    dsub = dim // m
+def _ivfpq_base_ctes() -> list:
+    """CTE chain replaying operators/similarity.ivfpq_index in SQL:
+    coarse lowest-id centroids, rounded-dist2 cell assignment, residual
+    vectors, then the shared _pq_fit_ctes Lloyd replay ending in
+    ``codes(id, s, code)``. Shared by the in-query ivfpq oracle and the
+    persisted-index pair's oracles — ONE training replay, three faces."""
+    m, nc, iters, dim = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM
+    n_cells = IVFPQ_CELLS
     cd2 = (
         f"round(list_sum(list_transform(range(1, {dim + 1}),"
         f" j -> (r.v[j] - c.cv[j]) * (r.v[j] - c.cv[j]))), 6)"
-    )
-    qcd2 = (
-        f"list_sum(list_transform(range(1, {dim + 1}),"
-        f" j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j])))"
-    )
-    qd2 = (
-        f"list_sum(list_transform(range(1, {dsub + 1}),"
-        f" j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j])))"
     )
     parts = [
         "raw AS (SELECT vec_id AS id,"
@@ -10838,7 +10835,23 @@ def _ivfpq_topk_sql() -> str:
   FROM raw r JOIN acell a ON r.id = a.id JOIN cents c ON a.cell = c.cell)""",
     ]
     parts.extend(_pq_fit_ctes(dim, m, nc, iters))
-    parts.append("q AS (SELECT v FROM raw WHERE id = 0)")
+    return parts
+
+
+def _ivfpq_topk_sql(query_id: int = 0) -> str:
+    m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
+    nprobe = IVFPQ_NPROBE
+    dsub = dim // m
+    qcd2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j])))"
+    )
+    qd2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        f" j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j])))"
+    )
+    parts = _ivfpq_base_ctes()
+    parts.append(f"q AS (SELECT v FROM raw WHERE id = {query_id})")
     parts.append(
         f"""probed AS (
   SELECT cell FROM (
@@ -10874,6 +10887,136 @@ GROUP BY cd.id
 ORDER BY adist, vec_id
 LIMIT {k}
 """
+
+
+IVFPQ_PROBE_QUERY_ID = 100  # distinct from the in-query face's id 0
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Deterministic per-(sf, params) location for the persisted IVFPQ
+    index — under the gitignored spark-warehouse/, keyed by every
+    training parameter so a param change can never serve a stale
+    layout."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    name = (
+        f"ivfpq_{base}_c{IVFPQ_CELLS}_m{PQ_M}_n{PQ_CODES}_i{PQ_ITERS}"
+        f"_d{ANN_DIM}"
+    )
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", name
+    )
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Train-once gate: build + persist the cell-partitioned IVFPQ index
+    only if it is not already on disk, then LOAD it back — callers
+    always serve from the persisted parquet, never from the in-memory
+    training lineage."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "index", "_SUCCESS")):
+        (emb,) = _tables(spark, sf_dir, "embeddings")
+        emb = emb.where(F.col("embedding").isNotNull())
+        idx, cents, cb = ivfpq_index(
+            emb, n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES,
+            max_iter=PQ_ITERS,
+        )
+        ivfpq_save(idx, cents, cb, path)
+    return ivfpq_load(spark, path)
+
+
+def _q_ivfpq_persist_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index BUILD face (operators/similarity.ivfpq_save/
+    ivfpq_load): trains the coarse+PQ quantizers, writes the (id, cell,
+    codes) table partitionBy(cell) + the model sidecar, then summarizes
+    the READ-BACK table per cell — n_vectors, ids_sum, and a
+    position-weighted base-n_codes checksum over every row's code word
+    — so the oracle (which replays training in SQL) certifies the whole
+    write→read round trip, not just the in-memory fit. The serve-side
+    twin is ivfpq_probe_persisted_embeddings, which never trains."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    emb = emb.where(F.col("embedding").isNotNull())
+    idx, cents, cb = ivfpq_index(
+        emb, n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES,
+        max_iter=PQ_ITERS,
+    )
+    path = _ivfpq_index_path(sf_dir)
+    ivfpq_save(idx, cents, cb, path)
+    stored, _, _ = ivfpq_load(spark, path)
+    row_code = F.aggregate(
+        F.col("codes"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * PQ_CODES + x,
+    )
+    return stored.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("vec_id").cast("bigint").alias("ids_sum"),
+        F.sum(row_code).cast("bigint").alias("codes_checksum"),
+    )
+
+
+def _ivfpq_persist_sql() -> str:
+    """Replays training (shared _ivfpq_base_ctes) and folds each id's
+    per-subspace codes into the same big-endian base-n_codes word the
+    Spark side computes from the persisted array column."""
+    m, nc = PQ_M, PQ_CODES
+    weight = f"CAST(round(power({nc}, {m - 1} - cd.s)) AS BIGINT)"
+    joined = ",\n".join(_ivfpq_base_ctes())
+    return f"""
+WITH {joined}
+SELECT a.cell,
+       CAST(count(DISTINCT cd.id) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN cd.s = 0 THEN cd.id ELSE 0 END) AS BIGINT)
+         AS ids_sum,
+       CAST(sum(CAST(cd.code AS BIGINT) * {weight}) AS BIGINT)
+         AS codes_checksum
+FROM codes cd JOIN acell a ON cd.id = a.id
+GROUP BY a.cell
+"""
+
+
+def _q_ivfpq_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ SERVE face: loads the persisted cell-partitioned index
+    (building it once if absent — the train-once gate) and runs a
+    probe-only ADC search for a fresh query vector. The probe plan
+    contains NO training: one partition-pruned scan of the codes table
+    (the cell gate lands in PartitionFilters — gated registry-wide by
+    tests/test_plan_quality.py) + one row lookup for the query vector.
+    At 100 TB this is the serving story the build face's docstring
+    promises: nprobe/n_cells of the files read, corpus vectors never
+    touched."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    idx, cents, cb = _ensure_ivfpq_index(spark, sf_dir)
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.where(
+            F.col("vec_id") == IVFPQ_PROBE_QUERY_ID
+        ).first()["embedding"]
+    ]
+    return ivfpq_topk(
+        idx, query, cents, cb, k=PQ_K, nprobe=IVFPQ_NPROBE
+    )
 
 
 def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11501,6 +11644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_events_value": _q_theil_sen,
         "gini_user_value_events": _q_gini_user_value,
         "events_attribution_linear": _q_attribution_linear,
+        # --- round-10 additions (tail; lead the round-11 rotation) ---
+        "ivfpq_persist_index_embeddings": _q_ivfpq_persist_index,
+        "ivfpq_probe_persisted_embeddings": _q_ivfpq_probe_persisted,
     }
 
 
@@ -12403,4 +12549,8 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "events_hopping_hourly": _EVENTS_HOPPING_SQL,
         "multimodal_image_features": _multimodal_features_sql(),
         "multimodal_audio_features": _multimodal_audio_sql(),
+        "ivfpq_persist_index_embeddings": _ivfpq_persist_sql(),
+        "ivfpq_probe_persisted_embeddings": _ivfpq_topk_sql(
+            query_id=IVFPQ_PROBE_QUERY_ID
+        ),
     }

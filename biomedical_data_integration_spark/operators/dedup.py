@@ -1263,3 +1263,166 @@ def remove_duplicate_spans(
         )
     )
     return out
+
+
+def remove_duplicate_spans_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_chars: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """Character-granularity exact-substring span removal — the
+    sub-token counterpart of :func:`remove_duplicate_spans`. Every
+    character position covered by a ``gram_chars``-character substring
+    that occurs at least ``min_count`` times across the corpus (within-
+    document repeats count, like a suffix array would) is excised and
+    the survivors re-concatenated in order. This closes the granularity
+    gap the word-8-gram form leaves (Lee et al., ACL'22 §4 dedup on
+    byte suffix arrays with a ~50-byte threshold): duplicated markup,
+    code fragments, and other sub-token repeats that never align to
+    word boundaries. Any duplicated substring of length >= ``gram_chars``
+    produces L-k+1 duplicated k-grams covering all L characters, so the
+    positional k-gram index removes exactly the suffix-array spans at
+    this threshold. (Spark strings are addressed per CHARACTER, not per
+    byte — on ASCII corpora the two coincide.)
+
+    Returns ``(id_col, text_deduped, n_chars, n_removed,
+    removed_ratio)``, one row per input document; text passes through
+    VERBATIM where nothing is removed (no token normalization — char
+    mode must not rewrite whitespace), fully-duplicated documents come
+    back as ``''``, and documents shorter than ``gram_chars`` have no
+    positional grams and are untouched.
+
+    Scale shape (inverted-index discipline, plus two char-mode-specific
+    moves):
+
+    - the shuffle key is ``substr(md5(gram), 1, 16)`` — 16 bytes per
+      position instead of ``gram_chars`` text bytes, so the frequency
+      groupBy moves ~0.4x the corpus instead of ~40x (the salted-md5
+      determinism discipline: identical function in the SQL oracle);
+    - duplicated occurrences return via a semi join on the hash key;
+    - the rebuild NEVER explodes to characters: per affected document
+      the duplicated spans fold into a sorted merged-interval list (one
+      expression over the collected occurrence structs — bounded by dup
+      occurrences, not characters) and the surviving text is stitched
+      with one substring fold over those intervals. Untouched documents
+      pass through as a projection; a boilerplate-free corpus pays one
+      groupBy and nothing else.
+    """
+    k = int(gram_chars)
+    if k < 2:
+        raise ValueError(f"remove_duplicate_spans_chars: gram_chars >= 2, got {k}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    ).withColumn("__n", F.length("__t"))
+
+    ghash = lambda s: F.substring(F.md5(s), 1, 16)  # noqa: E731
+    pos_grams = F.when(
+        F.col("__n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - F.lit(k) + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                ghash(F.col("__t").substr(i, F.lit(k))).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    occ = base.select("id", F.explode(pos_grams).alias("__g")).select(
+        "id", F.col("__g.pos").alias("pos"), F.col("__g.gh").alias("gh")
+    )
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= int(min_count))
+        .select("gh")
+    )
+    # per affected doc: sorted dup-occurrence intervals -> merged
+    # disjoint intervals (adjacency merges too — the union of covered
+    # positions is identical and the stitch fold below requires gaps)
+    ivs = (
+        occ.join(dup, "gh", "leftsemi")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").alias("s"),
+                        (F.col("pos") + F.lit(k - 1)).alias("e"),
+                    )
+                )
+            ).alias("__ivs")
+        )
+    )
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged_col = F.aggregate(
+        F.col("__ivs"),
+        empty,
+        lambda acc, x: F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(x["s"].alias("s"), x["e"].alias("e"))),
+        ).otherwise(
+            F.when(
+                x["s"] <= F.element_at(acc, -1)["e"] + 1,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], x["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc, F.array(F.struct(x["s"].alias("s"), x["e"].alias("e")))
+                )
+            )
+        ),
+    )
+    affected = ivs.select("id", merged_col.alias("__m"))
+
+    out = base.join(affected, "id", "left")
+    n_removed = F.aggregate(
+        F.col("__m"),
+        F.lit(0),
+        lambda acc, x: acc + (x["e"] - x["s"] + F.lit(1)),
+    )
+    # stitch: fold over merged intervals accumulating the inter-span
+    # substrings, finish with the tail past the last interval
+    stitched = F.aggregate(
+        F.col("__m"),
+        F.struct(F.lit(0).alias("prev"), F.lit("").alias("out")),
+        lambda acc, x: F.struct(
+            x["e"].alias("prev"),
+            F.concat(
+                acc["out"],
+                F.col("__t").substr(
+                    acc["prev"] + F.lit(1), x["s"] - acc["prev"] - F.lit(1)
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.col("__t").substr(
+                acc["prev"] + F.lit(1), F.col("__n") - acc["prev"]
+            ),
+        ),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("__m").isNotNull(), stitched)
+        .otherwise(F.col("__t"))
+        .alias("text_deduped"),
+        F.col("__n").cast("bigint").alias("n_chars"),
+        F.coalesce(n_removed, F.lit(0)).cast("bigint").alias("n_removed"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.coalesce(n_removed, F.lit(0)).cast("double") / F.col("__n"),
+                config.SIMILARITY_SCALE,
+            ),
+        ).otherwise(F.lit(0.0)).alias("removed_ratio"),
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from typing import Optional
@@ -1017,6 +1017,49 @@ def ivfpq_topk(
         )
     )
     return out.orderBy("adist", id_col).limit(k)
+
+
+def ivfpq_save(
+    index_df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an :func:`ivfpq_index` for train-once/serve-many ANN: the
+    ``(id, cell, codes)`` table is written ``partitionBy("cell")`` — the
+    layout :func:`ivfpq_topk`'s cell gate prunes as a PARTITION filter,
+    so a probe reads only ``nprobe/n_cells`` of the files before any IO
+    — plus a one-row ``model/`` sidecar holding the coarse centroids and
+    PQ codebooks (driver-side literals either way; parquet round-trips
+    doubles exactly, so a reloaded index scores bit-identically).
+
+    At 100 TB this is THE serving story: training touches the corpus
+    once, the persisted index is m small ints + a cell id per vector,
+    and every subsequent query is a partition-pruned scan of the codes
+    table — the corpus vectors are never read again."""
+    spark = index_df.sparkSession
+    index_df.write.mode(mode).partitionBy("cell").parquet(f"{path}/index")
+    model = spark.createDataFrame(
+        [(centroids, codebooks)],
+        "centroids array<array<double>>, "
+        "codebooks array<array<array<double>>>",
+    )
+    model.coalesce(1).write.mode(mode).parquet(f"{path}/model")
+
+
+def ivfpq_load(spark: SparkSession, path: str) -> tuple:
+    """Load an index persisted by :func:`ivfpq_save`. Returns
+    ``(index_df, centroids, codebooks)`` ready for :func:`ivfpq_topk` —
+    the probe never retrains; reading the one-row model sidecar is the
+    only driver-side work."""
+    index_df = spark.read.parquet(f"{path}/index")
+    r = spark.read.parquet(f"{path}/model").first()
+    centroids = [[float(x) for x in c] for c in r["centroids"]]
+    codebooks = [
+        [[float(x) for x in cv] for cv in book] for book in r["codebooks"]
+    ]
+    return index_df, centroids, codebooks
 
 
 def mmr_topk(

@@ -438,6 +438,47 @@ def test_ivfpq_index_layout_and_probe_prunes(spark):
     assert "In(cell" in plan or "EqualTo(cell" in plan
 
 
+def test_ivfpq_save_load_roundtrip_serves_identically(spark):
+    """Persist → load → probe must score bit-identically to probing the
+    in-memory index (parquet round-trips doubles exactly), the loaded
+    model must equal the trained one, and the serve plan must read the
+    index as a partition-pruned scan with NO training lineage."""
+    import os
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_topk,
+    )
+
+    df, rows = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=4, m=2, n_codes=4, max_iter=2)
+    path = os.path.join(tempfile.mkdtemp(), "ivfpq")
+    ivfpq_save(idx, cents, cb, path)
+    idx2, cents2, cb2 = ivfpq_load(spark, path)
+    assert cents2 == cents and cb2 == cb
+    q = rows[3][1]
+    mem = [tuple(r) for r in ivfpq_topk(idx, q, cents, cb, k=10, nprobe=2).collect()]
+    srv = [tuple(r) for r in ivfpq_topk(idx2, q, cents2, cb2, k=10, nprobe=2).collect()]
+    assert srv == mem
+    plan = (
+        ivfpq_topk(idx2, q, cents2, cb2, k=10, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert not plan.split("PartitionFilters: [", 1)[1].startswith("]")
+    # idempotent re-save (mode=overwrite) keeps serving the same answers
+    ivfpq_save(idx, cents, cb, path)
+    idx3, cents3, cb3 = ivfpq_load(spark, path)
+    assert [
+        tuple(r) for r in ivfpq_topk(idx3, q, cents3, cb3, k=10, nprobe=2).collect()
+    ] == mem
+
+
 def test_ivfpq_validation(spark):
     from biomedical_data_integration_spark.operators.similarity import (
         ivfpq_index,
