@@ -4640,6 +4640,127 @@ def _q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIGRAM_VOCAB = 40
+UNIGRAM_POOL = 80
+UNIGRAM_ITERS = 2
+UNIGRAM_PIECE_LEN = 5
+
+
+def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/bpe.train_unigram —
+    SentencePiece's other half next to BPE, Kudo ACL'18): seed with the
+    80 most corpus-frequent substrings (len 2-5) of the word table, then
+    2 hard-EM rounds — greedy longest-match segmentation of every word
+    against the current literal piece set (distributed, expression-level
+    fold; the kmeans literal-centroid discipline) followed by a prune to
+    the 40 most-used pieces. Returns the final vocabulary's in-plan
+    usage recount with integer-quantized probabilities; the oracle
+    replays every round via recursive-CTE segmentation."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        _greedy_segment,
+        train_unigram,
+        word_counts,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    wc = word_counts(docs).localCheckpoint(eager=True)
+    usage = train_unigram(
+        wc, vocab_size=UNIGRAM_VOCAB, iters=UNIGRAM_ITERS,
+        candidate_pool=UNIGRAM_POOL, max_piece_len=UNIGRAM_PIECE_LEN,
+    )
+    pieces = [p for p, _ in usage]
+    final = (
+        wc.select(
+            F.explode(_greedy_segment(F.col("word"), pieces)).alias("piece"),
+            F.col("n_words").alias("__n"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("__n").cast("bigint").alias("n_uses"))
+    )
+    tot = final.agg(F.sum("n_uses").alias("__total"))
+    # integer DIV (not /): floor((2a+b)/(2b)) = round-half-up(a/b) in
+    # exact integer arithmetic — both engines replay it bit-for-bit
+    return final.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "n_uses",
+        F.expr(
+            "CAST((2 * n_uses * 1000000 + __total) DIV (2 * __total)"
+            " AS BIGINT)"
+        ).alias("prob_micro"),
+    )
+
+
+def _unigram_seg_ctes(r: int, pieces_cte: str) -> list:
+    """One recursive-CTE hard-E-step: greedy longest-match segmentation
+    of every word against ``pieces_cte`` (cursor advances by the matched
+    piece length, or 1 on fallback), then frequency-weighted piece usage.
+    Correlated LIMIT-1 subquery = the argmax (length desc, piece asc) —
+    ties are impossible (equal-length distinct pieces cannot match the
+    same position) but the total order keeps the replay deterministic."""
+    best = (
+        "(SELECT p.piece FROM {src} p"
+        " WHERE substr(s.word, s.pos, length(p.piece)) = p.piece"
+        " ORDER BY length(p.piece) DESC, p.piece LIMIT 1)"
+    ).format(src=pieces_cte)
+    return [
+        f"""seg{r} AS (
+  SELECT word, n_words, CAST(1 AS INTEGER) AS pos,
+         CAST(NULL AS VARCHAR) AS pc
+  FROM wc
+  UNION ALL
+  SELECT s.word, s.n_words,
+         CAST(s.pos + coalesce(length({best}), 1) AS INTEGER) AS pos,
+         {best} AS pc
+  FROM seg{r} s WHERE s.pos <= length(s.word))""",
+        f"""usage{r} AS (
+  SELECT pc AS piece, CAST(sum(n_words) AS BIGINT) AS n_uses
+  FROM seg{r} WHERE pc IS NOT NULL GROUP BY 1)""",
+    ]
+
+
+def _unigram_vocab_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    L, pool, v, iters = (
+        UNIGRAM_PIECE_LEN, UNIGRAM_POOL, UNIGRAM_VOCAB, UNIGRAM_ITERS,
+    )
+    parts = [
+        f"toks AS (SELECT unnest({toks}) AS word FROM documents)",
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_words"
+        " FROM toks GROUP BY word)",
+        f"""cand AS (
+  SELECT piece, CAST(sum(n_words) AS BIGINT) AS piece_count FROM (
+    SELECT unnest(flatten(list_transform(range(2, {L + 1}),
+             l -> list_transform(range(1, length(word) - l + 2),
+                    s -> substr(word, CAST(s AS INTEGER),
+                                CAST(l AS INTEGER)))))) AS piece,
+           n_words
+    FROM wc WHERE length(word) >= 2)
+  GROUP BY 1)""",
+        f"""pieces1 AS (
+  SELECT piece FROM cand ORDER BY piece_count DESC, piece LIMIT {pool})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.extend(_unigram_seg_ctes(i, f"pieces{i}"))
+        parts.append(
+            f"""pieces{i + 1} AS (
+  SELECT piece FROM usage{i} ORDER BY n_uses DESC, piece LIMIT {v})"""
+        )
+    # the reported counts are a RECOUNT against the final pruned vocab
+    # (the Spark face's extra E-step), not the pre-prune usage
+    parts.extend(_unigram_seg_ctes(iters + 1, f"pieces{iters + 1}"))
+    joined = ",\n".join(parts)
+    return f"""
+WITH RECURSIVE {joined}
+SELECT u.piece, u.n_uses,
+       CAST((2 * u.n_uses * 1000000 + t.total) // (2 * t.total) AS BIGINT)
+         AS prob_micro
+FROM usage{iters + 1} u CROSS JOIN
+     (SELECT CAST(sum(n_uses) AS BIGINT) AS total FROM usage{iters + 1}) t
+"""
+
+
 def _q_events_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (SURVEY §2.7 'grouping sets / cube / rollup'
     family — ROLLUP is covered by events_rollup_daily; this exercises the
@@ -10581,6 +10702,60 @@ FROM tk LEFT JOIN ncov USING (id) LEFT JOIN rebuilt USING (id)
 """
 
 
+SPAN_GRAM_CHARS = 40
+
+
+def _q_dedup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-granularity exact-substring span removal
+    (operators/dedup.remove_duplicate_spans_chars — Lee et al. ACL'22 §4
+    operate on byte suffix arrays; this is the char-k-gram equivalent at
+    threshold 40): every char position covered by a 40-char substring
+    occurring >= 2 times corpus-wide is excised — catches duplicated
+    markup/code runs that never align to word boundaries. Shuffle key is
+    substr(md5(gram),1,16) (16 bytes/position, not 40 text bytes); the
+    rebuild stitches merged intervals with substring folds — never a
+    per-character explode."""
+    from biomedical_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans_chars,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return remove_duplicate_spans_chars(docs, gram_chars=SPAN_GRAM_CHARS)
+
+
+def _dedup_spans_chars_sql(src: str = "documents") -> str:
+    k = SPAN_GRAM_CHARS
+    return f"""
+WITH tk AS (SELECT doc_id AS id, text AS t, length(text) AS n FROM {src}),
+occ0 AS (SELECT id, CAST(unnest(range(1, n - {k} + 2)) AS INTEGER) AS pos, t
+         FROM tk WHERE n >= {k}),
+occ AS (SELECT id, pos, substr(md5(substr(t, pos, {k})), 1, 16) AS gh
+        FROM occ0),
+dup AS (SELECT gh FROM occ GROUP BY 1 HAVING count(*) >= 2),
+dupocc AS (SELECT id, pos FROM occ JOIN dup USING (gh)),
+cov0 AS (SELECT id, CAST(unnest(range(pos, pos + {k})) AS INTEGER) AS pos
+         FROM dupocc),
+cov AS (SELECT DISTINCT id, pos FROM cov0),
+ncov AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed
+         FROM cov GROUP BY 1),
+chars AS (SELECT id, CAST(unnest(range(1, n + 1)) AS INTEGER) AS pos, t
+          FROM tk WHERE id IN (SELECT id FROM cov)),
+chars1 AS (SELECT id, pos, substr(t, pos, 1) AS ch FROM chars),
+kept AS (SELECT chars1.* FROM chars1 ANTI JOIN cov USING (id, pos)),
+rebuilt AS (SELECT id, string_agg(ch, '' ORDER BY pos) AS newt
+            FROM kept GROUP BY id)
+SELECT tk.id AS doc_id,
+  CASE WHEN ncov.n_removed IS NOT NULL THEN coalesce(rebuilt.newt, '')
+       ELSE tk.t END AS text_deduped,
+  CAST(tk.n AS BIGINT) AS n_chars,
+  CAST(coalesce(ncov.n_removed, 0) AS BIGINT) AS n_removed,
+  CASE WHEN tk.n > 0
+       THEN round(CAST(coalesce(ncov.n_removed, 0) AS DOUBLE) / tk.n, 6)
+       ELSE 0.0 END AS removed_ratio
+FROM tk LEFT JOIN ncov USING (id) LEFT JOIN rebuilt USING (id)
+"""
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Published Gopher document-quality gates (operators/text.gopher_rules,
     Rae et al. 2021 A1.1): per-rule boolean flags + the conjunctive
@@ -11647,6 +11822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-10 additions (tail; lead the round-11 rotation) ---
         "ivfpq_persist_index_embeddings": _q_ivfpq_persist_index,
         "ivfpq_probe_persisted_embeddings": _q_ivfpq_probe_persisted,
+        "dedup_spans_chars_documents": _q_dedup_spans_chars,
+        "unigram_vocab_documents": _q_unigram_vocab,
     }
 
 
@@ -12553,4 +12730,6 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "ivfpq_probe_persisted_embeddings": _ivfpq_topk_sql(
             query_id=IVFPQ_PROBE_QUERY_ID
         ),
+        "dedup_spans_chars_documents": _dedup_spans_chars_sql(),
+        "unigram_vocab_documents": _unigram_vocab_sql(),
     }

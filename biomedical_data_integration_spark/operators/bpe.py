@@ -196,3 +196,234 @@ def encode_bpe(
         return tok_series.map(enc)
 
     return df.withColumn(out_col, _encode(tokens_expr(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the other standard
+# subword trainer next to BPE (Kudo, ACL'18). Same scale shape as train_bpe:
+# the corpus is scanned once for word_counts; everything after runs on the
+# Heaps-bounded word table.
+# ---------------------------------------------------------------------------
+
+# Greedy segmentation inlines the piece vocabulary as a literal array (the
+# kmeans literal-centroid discipline): each fold step compares the cursor
+# against every piece, so the expression is O(word_len * |pieces|). Past
+# this limit the segmentation should ride a broadcast-join kernel instead —
+# the same switchover planning.centroid_assign_kernel applies to centroids.
+UNIGRAM_LITERAL_LIMIT = 2_000
+
+
+def _greedy_segment(word, pieces: List[str]):
+    """Expression: greedy longest-match-first segmentation of ``word``
+    against the literal ``pieces`` vocabulary; returns array<string> of
+    the VOCAB pieces consumed in order (single-character fallbacks keep
+    the cursor moving but are not emitted — they are coverage, not
+    vocabulary). Deterministic: two distinct pieces of equal length
+    cannot match the same position, so longest-match has no ties."""
+    lit = F.array(*[F.lit(p) for p in pieces])
+
+    def step(acc, i):
+        cand = F.filter(
+            lit,
+            lambda p: word.substr(acc["pos"], F.length(p)) == p,
+        )
+        best = F.array_max(
+            F.transform(
+                cand,
+                lambda p: F.struct(
+                    F.length(p).alias("l"), p.alias("p")
+                ),
+            )
+        )
+        hit = best.isNotNull() & (i == acc["pos"])
+        return F.when(
+            i != acc["pos"], acc
+        ).otherwise(
+            F.struct(
+                F.when(hit, acc["pos"] + best["l"])
+                .otherwise(acc["pos"] + 1)
+                .alias("pos"),
+                F.when(hit, F.concat(acc["out"], F.array(best["p"])))
+                .otherwise(acc["out"])
+                .alias("out"),
+            )
+        )
+
+    init = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("out"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))),
+        init,
+        step,
+        lambda acc: acc["out"],
+    )
+
+
+def unigram_candidates(
+    wc: DataFrame,
+    max_piece_len: int = 5,
+    word_col: str = "word",
+    count_col: str = "n_words",
+) -> DataFrame:
+    """Candidate-piece statistics over the word table: every substring
+    of length 2..``max_piece_len`` of every word, weighted by the word's
+    corpus count — the unigram trainer's seed pool (Kudo'18 builds it
+    from suffix-array-frequent substrings; on a Heaps-bounded word table
+    the exhaustive enumeration is vocab-sized work). One explode + one
+    map-side-combinable groupBy; output (piece, piece_count)."""
+    # guard the position sequence: Spark's sequence(1, stop) DESCENDS
+    # ([1, 0]) when stop < 1 — an unguarded call would double-count
+    # whole-word pieces for words with length == piece length
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(int(max_piece_len))),
+            lambda l: F.when(
+                F.length(F.col(word_col)) >= l,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length(F.col(word_col)) - l + 1
+                    ),
+                    lambda s: F.col(word_col).substr(s, l),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        wc.where(F.length(F.col(word_col)) >= 2)
+        .select(F.explode(subs).alias("piece"), F.col(count_col).alias("__n"))
+        .groupBy("piece")
+        .agg(F.sum("__n").alias("piece_count"))
+    )
+
+
+def train_unigram(
+    wc: DataFrame,
+    vocab_size: int = 64,
+    iters: int = 2,
+    candidate_pool: int = 128,
+    max_piece_len: int = 5,
+    word_col: str = "word",
+    count_col: str = "n_words",
+) -> List[Tuple[str, int]]:
+    """Train a unigram-LM piece vocabulary (SentencePiece's other half,
+    next to :func:`train_bpe`) by fixed-iteration hard-EM with greedy
+    longest-match segmentation:
+
+    1. seed = the ``candidate_pool`` most corpus-frequent substrings of
+       length 2..``max_piece_len`` (:func:`unigram_candidates`,
+       deterministic (count desc, piece asc) distributed top-k);
+    2. each iteration segments every word against the CURRENT piece set
+       (greedy longest-match — the deterministic hard-E-step; the
+       expression-level fold runs distributed over the word table with
+       the pieces inlined as literals, the kmeans literal-centroid
+       discipline) and counts piece usage weighted by word frequency
+       (one map-side-combinable groupBy, collected at piece-vocabulary
+       size);
+    3. the M-step keeps the ``vocab_size`` most-used pieces
+       (usage desc, piece asc); zero-usage pieces drop out — the
+       unigram PRUNE step, which is what the iterations are for:
+       pieces that looked frequent as raw substrings but lose every
+       segmentation to a longer piece are culled, freeing slots.
+
+    All-integer end to end (counts, never probabilities), so an
+    ANSI-SQL oracle replays every iteration exactly (recursive-CTE
+    segmentation). Returns the final ``[(piece, n_uses), ...]`` sorted
+    (n_uses desc, piece asc) — feed to :func:`encode_unigram` /
+    :func:`unigram_logprobs`."""
+    if vocab_size < 1:
+        raise ValueError("train_unigram: vocab_size must be >= 1")
+    if iters < 1:
+        raise ValueError("train_unigram: iters must be >= 1")
+    if candidate_pool < vocab_size:
+        raise ValueError(
+            "train_unigram: candidate_pool must be >= vocab_size"
+        )
+    cand = (
+        unigram_candidates(
+            wc, max_piece_len=max_piece_len,
+            word_col=word_col, count_col=count_col,
+        )
+        .orderBy(F.col("piece_count").desc(), F.col("piece").asc())
+        .limit(int(candidate_pool))
+        .collect()
+    )
+    pieces = [r["piece"] for r in cand]
+    usage: List[Tuple[str, int]] = []
+    for _ in range(int(iters)):
+        if not pieces:
+            break
+        if len(pieces) > UNIGRAM_LITERAL_LIMIT:
+            raise ValueError(
+                f"train_unigram: candidate_pool {len(pieces)} exceeds "
+                f"UNIGRAM_LITERAL_LIMIT={UNIGRAM_LITERAL_LIMIT} — the "
+                "literal segmentation expression would not codegen; "
+                "reduce the pool (a broadcast-join segmentation kernel "
+                "is the at-scale alternative)"
+            )
+        seg = _greedy_segment(F.col(word_col), pieces)
+        rows = (
+            wc.select(
+                F.explode(seg).alias("piece"),
+                F.col(count_col).alias("__n"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("__n").alias("n_uses"))
+            .collect()
+        )
+        usage = sorted(
+            ((r["piece"], int(r["n_uses"])) for r in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[: int(vocab_size)]
+        pieces = [p for p, _ in usage]
+    return usage
+
+
+def unigram_logprobs(usage: Sequence[Tuple[str, int]]) -> List[Tuple[str, int]]:
+    """Quantized unigram log-probabilities in micro-nats from a
+    :func:`train_unigram` usage table: ``round(1e6 * ln(n/total))`` per
+    piece, computed with the half-away-from-zero integer rounding both
+    engines share. Integer outputs keep oracle replays exact."""
+    import math as _math
+
+    total = sum(n for _, n in usage)
+    out = []
+    for p, n in usage:
+        v = _math.log(n / total) * 1_000_000.0
+        q = _math.floor(abs(v) + 0.5)
+        out.append((p, -q if v < 0 else q))
+    return out
+
+
+def encode_unigram(
+    df: DataFrame,
+    usage: Sequence[Tuple[str, int]],
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+) -> DataFrame:
+    """Append ``out_col`` (array<string>) segmenting each whitespace
+    token with the trained piece vocabulary via the SAME greedy
+    longest-match the trainer used — a pure expression projection (no
+    Python anywhere, unlike :func:`encode_bpe`'s pandas UDF): uncovered
+    characters are skipped exactly as in training. Piece literals ride
+    the plan (vocab_size-bounded)."""
+    pieces = [p for p, _ in usage]
+    if len(pieces) > UNIGRAM_LITERAL_LIMIT:
+        raise ValueError(
+            f"encode_unigram: vocab {len(pieces)} exceeds "
+            f"UNIGRAM_LITERAL_LIMIT={UNIGRAM_LITERAL_LIMIT}"
+        )
+
+    def seg_tok(w):
+        expr = _greedy_segment(w, pieces)
+        return expr
+
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(tokens_expr(F.col(text_col)), seg_tok)
+        )
+        if pieces
+        else F.array().cast("array<string>"),
+    )

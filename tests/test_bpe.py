@@ -166,3 +166,126 @@ def test_bpe_properties_roundtrip_and_replay(spark, words, n_merges):
     assert got == expected
     pieces = encode_bpe(df, got).collect()[0]["bpe_tokens"]
     assert "".join(pieces) == "".join(words)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM trainer (round-10)
+# ---------------------------------------------------------------------------
+
+
+def _naive_unigram(word_counts_list, vocab_size, iters, pool, max_len):
+    """Pure-python replay of train_unigram's hard-EM."""
+    # candidates
+    cand = {}
+    for w, n in word_counts_list:
+        if len(w) < 2:
+            continue
+        for l in range(2, max_len + 1):
+            for s in range(0, len(w) - l + 1):
+                p = w[s : s + l]
+                cand[p] = cand.get(p, 0) + n
+    pieces = [p for p, _ in sorted(cand.items(), key=lambda t: (-t[1], t[0]))[:pool]]
+
+    def segment(word, ps):
+        out, i = [], 0
+        pset = set(ps)
+        maxl = max((len(p) for p in ps), default=1)
+        while i < len(word):
+            best = None
+            for l in range(min(maxl, len(word) - i), 1, -1):
+                if word[i : i + l] in pset:
+                    best = word[i : i + l]
+                    break
+            if best is None:
+                i += 1
+            else:
+                out.append(best)
+                i += len(best)
+        return out
+
+    usage = []
+    for _ in range(iters):
+        counts = {}
+        for w, n in word_counts_list:
+            for p in segment(w, pieces):
+                counts[p] = counts.get(p, 0) + n
+        usage = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:vocab_size]
+        pieces = [p for p, _ in usage]
+    return usage
+
+
+def test_train_unigram_matches_naive_replay(spark):
+    from biomedical_data_integration_spark.operators.bpe import train_unigram
+
+    texts = [
+        "low low low lowering lowered slowly slow",
+        "newest newer news new knew renew",
+        "value values valued evaluate",
+    ]
+    df = _docs(spark, texts)
+    wc = word_counts(df)
+    got = train_unigram(wc, vocab_size=10, iters=2, candidate_pool=30,
+                        max_piece_len=5)
+    want = _naive_unigram(
+        [(r["word"], r["n_words"]) for r in wc.collect()],
+        vocab_size=10, iters=2, pool=30, max_len=5,
+    )
+    assert got == want
+    # prune keeps AT MOST vocab_size; zero-usage candidates drop out
+    assert 0 < len(got) <= 10 and all(n >= 1 for _, n in got)
+
+
+def test_unigram_candidates_whole_word_counted_once(spark):
+    """Regression: Spark sequence(1, 0) DESCENDS, which double-counted
+    pieces exactly as long as their word before the guard."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        unigram_candidates,
+    )
+
+    df = _docs(spark, ["data data data"])
+    got = {
+        r["piece"]: r["piece_count"]
+        for r in unigram_candidates(word_counts(df), max_piece_len=5).collect()
+    }
+    assert got["data"] == 3          # once per occurrence, not 3x
+    assert got["dat"] == 3 and got["at"] == 3
+
+
+def test_encode_unigram_pure_projection_and_logprobs(spark):
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram,
+        train_unigram,
+        unigram_logprobs,
+    )
+
+    texts = ["low lower lowering", "new newest knew"]
+    df = _docs(spark, texts)
+    usage = train_unigram(word_counts(df), vocab_size=6, iters=2,
+                          candidate_pool=20, max_piece_len=4)
+    out = encode_unigram(df, usage)
+    # pure expression: no python exec nodes in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    toks = {r["doc_id"]: r["unigram_tokens"] for r in out.collect()}
+    pieces = {p for p, _ in usage}
+    assert all(t in pieces for ts in toks.values() for t in ts)
+    assert any(len(ts) > 0 for ts in toks.values())
+    # quantized logprobs: integers, monotone in usage, sum-consistent
+    lp = unigram_logprobs(usage)
+    assert all(isinstance(q, int) and q < 0 for _, q in lp)
+    ranked = sorted(usage, key=lambda t: (-t[1], t[0]))
+    assert [p for p, _ in lp] == [p for p, _ in ranked]
+
+
+def test_train_unigram_validation(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.bpe import train_unigram
+
+    wc = word_counts(_docs(spark, ["ab ab"]))
+    with _pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(wc, vocab_size=0)
+    with _pytest.raises(ValueError, match="candidate_pool"):
+        train_unigram(wc, vocab_size=10, candidate_pool=5)
+    with _pytest.raises(ValueError, match="iters"):
+        train_unigram(wc, vocab_size=2, iters=0)

@@ -540,3 +540,75 @@ def test_remove_duplicate_spans_min_count(span_docs):
     # count 3 -> still removed (fully covering the doc)
     assert out[5]["text_deduped"] == ""
     assert out[5]["n_removed"] == out[5]["n_tokens"]
+
+
+def _char_span_map(spark, rows, **kw):
+    from biomedical_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans_chars,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans_chars(df, **kw).collect()
+    }
+
+
+def test_remove_duplicate_spans_chars_excises_and_passes_verbatim(spark):
+    rows = [
+        (1, "AAAABBBBCCCCDDDD unique tail one"),
+        (2, "AAAABBBBCCCCDDDD unique tail two"),
+        (3, "Totally  Different,  with CASE and  spacing kept!"),
+        (4, "short"),
+        (5, ""),
+    ]
+    out = _char_span_map(spark, rows, gram_chars=16)
+    # shared 29-char prefix fully covered by duplicated 16-grams
+    assert out[1]["text_deduped"] == "one"
+    assert out[2]["text_deduped"] == "two"
+    assert out[1]["n_removed"] == 29 and out[1]["n_chars"] == 32
+    # untouched docs pass through VERBATIM — char mode never rewrites
+    # case or whitespace (unlike the token-normalizing word form)
+    assert out[3]["text_deduped"] == rows[2][1]
+    # below gram width / empty: no positional grams, untouched
+    assert out[4]["text_deduped"] == "short" and out[4]["n_removed"] == 0
+    assert out[5]["text_deduped"] == "" and out[5]["removed_ratio"] == 0.0
+    assert len(out) == 5
+
+
+def test_remove_duplicate_spans_chars_within_doc_and_merge(spark):
+    # within-doc repeat: both occurrences (and the chars between, covered
+    # by grams spanning the boundary) excise; merged intervals stitch
+    rows = [(1, "xx AAAABBBBCCCCDDDD yy AAAABBBBCCCCDDDD zz")]
+    out = _char_span_map(spark, rows, gram_chars=16)
+    assert out[1]["text_deduped"] == "xxyyzz"
+    assert out[1]["n_removed"] == out[1]["n_chars"] - 6
+    # fully self-duplicated doc empties
+    rows2 = [(1, "ababababababababababababababab")]
+    out2 = _char_span_map(spark, rows2, gram_chars=8)
+    assert out2[1]["text_deduped"] == ""
+    assert out2[1]["removed_ratio"] == 1.0
+
+
+def test_remove_duplicate_spans_chars_min_count_and_validation(spark):
+    rows = [
+        (1, "AAAABBBBCCCCDDDD unique tail one"),
+        (2, "AAAABBBBCCCCDDDD unique tail two"),
+    ]
+    out = _char_span_map(spark, rows, gram_chars=16, min_count=3)
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+    assert out[1]["text_deduped"] == rows[0][1]
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans_chars,
+    )
+
+    with _pytest.raises(ValueError, match="gram_chars"):
+        remove_duplicate_spans_chars(
+            _char_span_fixture_df(spark), gram_chars=1
+        )
+
+
+def _char_span_fixture_df(spark):
+    return spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
