@@ -4646,6 +4646,127 @@ UNIGRAM_ITERS = 2
 UNIGRAM_PIECE_LEN = 5
 
 
+QCLF_ITERS = 6
+QCLF_LR = 10.0
+QCLF_THRESHOLD = 0.66
+
+
+def _q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training (operators/text.
+    train_quality_classifier — the CCNet/GPT-3-appendix-A pattern:
+    a linear model learns a quality label so the filter runs as a pure
+    projection at ingest). Label = the engine's own composite
+    quality_score gate (distillation of a rule score into a logistic
+    model); 6 full-batch GD rounds on centered micro-integer features,
+    every round ONE map-side-combinable aggregation with the weights as
+    literals (the kmeans centroid pattern). Returns the trained model's
+    per-document scores — the oracle replays the mean pass, all 6 GD
+    rounds, and the scoring pass in exact integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    label = (F.col("quality_score") >= F.lit(QCLF_THRESHOLD)).cast("int")
+    model = train_quality_classifier(
+        docs, label, iters=QCLF_ITERS, lr=QCLF_LR
+    )
+    scored = score_quality_classifier(docs, model)
+    from biomedical_data_integration_spark.operators.text import (
+        quality_features,
+    )
+
+    labels = quality_features(docs).select(
+        "doc_id", label.cast("bigint").alias("label")
+    )
+    return scored.join(labels, "doc_id").select(
+        "doc_id", "label", "score_micro"
+    )
+
+
+def _quality_clf_sql() -> str:
+    """Replays train_quality_classifier: micro-quantized centered
+    features, QCLF_ITERS GD rounds as chained CTEs (weights thread
+    through one-row CTEs; sums ride DuckDB's HUGEINT — the decimal(38,0)
+    twin of the Spark side), truncating-division updates, then the
+    scoring pass."""
+    feats = (
+        "alpha_ratio", "digit_ratio", "distinct_token_ratio",
+        "mean_token_len", "punct_ratio", "stopword_ratio",
+    )
+    iters, lrm = QCLF_ITERS, int(QCLF_LR * 1_000_000)
+    fm_cols = ",\n         ".join(
+        f"CAST(floor({f} * 1000000.0 + 0.5) AS BIGINT) AS f_{f}"
+        for f in feats
+    )
+    mean_cols = ",\n         ".join(
+        f"CAST(sum(f_{f}) // count(*) AS BIGINT) AS m_{f}" for f in feats
+    )
+    w0 = ", ".join(f"CAST(0 AS BIGINT) AS w_{f}" for f in feats)
+    zsum = " + ".join(f"w.w_{f} * (fm.f_{f} - m.m_{f})" for f in feats)
+    tdiv = (
+        "CASE WHEN {x} < 0 THEN -CAST((-({x})) // ({d}) AS BIGINT)"
+        " ELSE CAST(({x}) // ({d}) AS BIGINT) END"
+    )
+    parts = [
+        f"""f AS ({_quality_sql()}),
+lab AS (
+  SELECT doc_id,
+         CAST(CASE WHEN quality_score >= {QCLF_THRESHOLD!r} THEN 1 ELSE 0 END
+              AS BIGINT) AS y
+  FROM f),
+fm AS (
+  SELECT f.doc_id, lab.y,
+         {fm_cols}
+  FROM f JOIN lab USING (doc_id)),
+m AS (
+  SELECT count(*) AS n,
+         {mean_cols}
+  FROM fm),
+w0 AS (SELECT CAST(0 AS BIGINT) AS b, {w0})"""
+    ]
+    for r in range(1, iters + 1):
+        g_cols = ",\n         ".join(
+            f"sum((p - y * 1000000) * (fm.f_{f} - m.m_{f})) AS g_{f}"
+            for f in feats
+        )
+        upd = ",\n         ".join(
+            "w.w_{f} - {d}".format(
+                f=f,
+                d=tdiv.format(x=f"{lrm} * g.g_{f}", d="g.n * 1000000000000"),
+            )
+            + f" AS w_{f}"
+            for f in feats
+        )
+        parts.append(
+            f"""p{r} AS (
+  SELECT fm.doc_id, fm.y,
+         CAST(floor(1.0 / (1.0 + exp(-((w.b * 1000000 + {zsum})
+              / 1000000000000.0))) * 1000000.0 + 0.5) AS BIGINT) AS p,
+         {", ".join(f"fm.f_{f}" for f in feats)}
+  FROM fm CROSS JOIN w{r - 1} w CROSS JOIN m),
+g{r} AS (
+  SELECT count(*) AS n, sum(p - y * 1000000) AS gb,
+         {g_cols}
+  FROM p{r} fm CROSS JOIN m),
+w{r} AS (
+  SELECT w.b - {tdiv.format(x=f"{lrm} * g.gb", d="g.n * 1000000")} AS b,
+         {upd}
+  FROM w{r - 1} w CROSS JOIN g{r} g)"""
+        )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT fm.doc_id, fm.y AS label,
+       CAST(floor(1.0 / (1.0 + exp(-((w.b * 1000000 + {zsum})
+            / 1000000000000.0))) * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+FROM fm CROSS JOIN w{iters} w CROSS JOIN m
+"""
+
+
 def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators/bpe.train_unigram —
     SentencePiece's other half next to BPE, Kudo ACL'18): seed with the
@@ -11824,6 +11945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_probe_persisted_embeddings": _q_ivfpq_probe_persisted,
         "dedup_spans_chars_documents": _q_dedup_spans_chars,
         "unigram_vocab_documents": _q_unigram_vocab,
+        "train_quality_classifier_documents": _q_train_quality_classifier,
     }
 
 
@@ -12732,4 +12854,5 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         ),
         "dedup_spans_chars_documents": _dedup_spans_chars_sql(),
         "unigram_vocab_documents": _unigram_vocab_sql(),
+        "train_quality_classifier_documents": _quality_clf_sql(),
     }

@@ -8,11 +8,22 @@ then a compact summary as the LAST line (tail-capture-proof)::
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": "..."}
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
-     "sf": "...", "n_queries": M}
+     "sf": "...", "n_queries": M, "drift_vs_prev": R}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect), which is what a cluster job would do — write out the
 result, not pull it to the driver.
+
+``drift_vs_prev`` is the HOST-DRIFT factor (round-9 verdict item 5):
+the median per-query ratio t_now/t_prev over queries present in both
+this run and the previous recorded run (bench_history.jsonl at the repo
+root keeps each run's full per-query map — the driver's BENCH artifact
+truncates it), restricted to queries slower than 0.3 s in the previous
+run (sub-noise timings would dominate the median with jitter). The
+median is robust to the handful of genuinely-changed queries, so a
+value like 1.2 means THE HOST runs ~1.2x slower this round and
+round-over-round totals should be read through it. null when no
+history exists.
 """
 
 from __future__ import annotations
@@ -98,23 +109,66 @@ def main() -> int:
             total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
+    # Host-drift factor vs the previous recorded run (tools/retime.py's
+    # untouched-median method, emitted in-artifact per verdict r9 item 5)
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+    )
+    drift, drift_n, prev_total = None, 0, None
+    try:
+        with open(hist_path) as fh:
+            lines = [ln for ln in fh if ln.strip()]
+        # most recent prior run AT THIS SCALE FACTOR (local sf0.001/sf0.01
+        # smoke runs must not pollute the sf0.1 driver comparison)
+        prev = next(
+            (
+                p
+                for p in (json.loads(ln) for ln in reversed(lines))
+                if p.get("sf") == sf_dir
+            ),
+            None,
+        )
+        if prev is not None:
+            prev_q = prev.get("queries", {})
+            prev_total = prev.get("value")
+            ratios = sorted(
+                timings[k] / prev_q[k]
+                for k in timings
+                if k in prev_q and prev_q[k] > 0.3 and timings[k] > 0
+            )
+            drift_n = len(ratios)
+            if drift_n:
+                mid = drift_n // 2
+                drift = round(
+                    ratios[mid]
+                    if drift_n % 2
+                    else (ratios[mid - 1] + ratios[mid]) / 2,
+                    3,
+                )
+    except Exception as e:  # history is advisory — never fail the bench
+        print(f"# drift computation skipped: {e}", file=sys.stderr)
+
+    summary_extra = {
+        "drift_vs_prev": drift,
+        "drift_n_queries": drift_n,
+        "prev_total": prev_total,
+    }
+
     # Two lines, detail first: the driver captures a fixed-size TAIL of
     # stdout, and the per-query map has outgrown it (r2's total was cut
     # off and failed to parse). The compact summary goes LAST so it always
     # survives; the full per-query map rides the line before it.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "runs_per_query": runs,
-                "estimator": "min",
-            }
-        )
-    )
+    detail = {
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "runs_per_query": runs,
+        "estimator": "min",
+        **summary_extra,
+    }
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -125,9 +179,16 @@ def main() -> int:
                 "n_queries": len(timings),
                 "runs_per_query": runs,
                 "estimator": "min",
+                **summary_extra,
             }
         )
     )
+    # append this run's full map so the NEXT run can compute its drift
+    try:
+        with open(hist_path, "a") as fh:
+            fh.write(json.dumps(detail) + "\n")
+    except Exception as e:
+        print(f"# history append skipped: {e}", file=sys.stderr)
     return 1 if any(v < 0 for v in timings.values()) else 0
 
 

@@ -8,6 +8,8 @@ shuffle, no Python, linear scans that hold at any scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -659,6 +661,161 @@ def classifier_score(
     score = 1.0 / (1.0 + F.exp(-z))
     return feats.withColumn(
         out_col, F.round(score, config.SIMILARITY_SCALE)
+    )
+
+
+QUALITY_CLF_FEATURES = (
+    "alpha_ratio",
+    "digit_ratio",
+    "distinct_token_ratio",
+    "mean_token_len",
+    "punct_ratio",
+    "stopword_ratio",
+)
+
+
+def _tdiv(num: int, den: int) -> int:
+    """Truncating integer division (sign * (|num| // den)) — floor
+    division disagrees between engines on negatives, truncation does
+    not (the pca_top_component discipline)."""
+    q = abs(num) // den
+    return -q if num < 0 else q
+
+
+def _quality_clf_terms(weights_micro: dict, means_micro: dict) -> tuple:
+    """Shared per-document expressions for one GD step / scoring pass:
+    CENTERED micro-integer features (f - corpus mean; centering is what
+    makes full-batch GD converge on these narrow-band ratio features),
+    exact-integer logit accumulation, then ONE double division + sigmoid.
+    Returns (p_micro bigint Column, centered-feature-micro Column dict)."""
+    fc_micro = {
+        f: F.floor(F.col(f) * 1_000_000.0 + 0.5).cast("bigint")
+        - F.lit(int(means_micro[f])).cast("bigint")
+        for f in QUALITY_CLF_FEATURES
+    }
+    z_m2 = F.lit(int(weights_micro["__bias__"])).cast("bigint") * F.lit(
+        1_000_000
+    ).cast("bigint")
+    for f in QUALITY_CLF_FEATURES:  # fixed canonical order
+        z_m2 = z_m2 + F.lit(int(weights_micro[f])).cast("bigint") * fc_micro[f]
+    z = z_m2.cast("double") / F.lit(1.0e12)
+    p = 1.0 / (1.0 + F.exp(-z))
+    p_micro = F.floor(p * 1_000_000.0 + 0.5).cast("bigint")
+    return p_micro, fc_micro
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: "F.Column",
+    iters: int = 3,
+    lr: float = 4.0,
+    text_col: str = "text",
+) -> dict:
+    """Train the :func:`classifier_score` weights IN-ENGINE: logistic
+    regression over the :func:`quality_features` columns by
+    fixed-iteration full-batch gradient descent — the fastText-style
+    quality-filter trainer (CCNet / GPT-3 appendix A train a linear
+    model on curated-vs-raw labels; ``label`` is any 0/1 int expression,
+    e.g. a rules gate to distill or a curated-source flag).
+
+    Determinism (the kmeans/pca integer discipline, so an ANSI-SQL
+    oracle replays every round): features are 6-dp-rounded by
+    quality_features, micro-quantized, and CENTERED on exact integer
+    corpus means (sum DIV n — centering is what lets full-batch GD
+    separate these narrow-band ratio features; without it the shared
+    magnitude swamps the between-document differences); the logit
+    accumulates as an EXACT bigint before ONE double division feeds the
+    sigmoid; the sigmoid output re-quantizes to micro
+    (floor(p*1e6+0.5)); gradient sums are integer products summed as
+    decimal(38,0) — order-free, no float summation anywhere (and no
+    bigint overflow at corpus scale: err*f products reach ~1e13 per
+    row, so a 1e12-row corpus needs the 128-bit accumulator both
+    engines provide); the weight update uses TRUNCATING division.
+    Weights, means, and bias live in integer micro-units.
+
+    Scale shape: the feature projection is computed once and pinned;
+    the mean pass and each of ``iters`` rounds are ONE
+    map-side-combinable aggregation of <= 8 integer sums over it
+    (weights ride as literals, the kmeans centroid pattern). Nothing
+    corpus-sized ever reaches the driver.
+
+    Returns a model dict ``{"weights": {feature: w_micro},
+    "bias": b_micro, "means": {feature: mean_micro}, "n": n}`` for
+    :func:`score_quality_classifier`. For :func:`classifier_score`'s
+    float interface fold the centering into the bias:
+    ``bias = (b_micro - sum_f w_f*mean_f/1e6) / 1e6``,
+    ``weights[f] = w_f/1e6``.
+    """
+    if iters < 1:
+        raise ValueError("train_quality_classifier: iters must be >= 1")
+    lr_micro = int(math.floor(abs(float(lr)) * 1_000_000 + 0.5))
+    if lr_micro == 0:
+        raise ValueError("train_quality_classifier: lr too small")
+    feats = (
+        quality_features(df, text_col=text_col)
+        .withColumn("__y", label.cast("bigint"))
+        .select("__y", *QUALITY_CLF_FEATURES)
+        .localCheckpoint(eager=True)
+    )
+    mrow = feats.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.floor(F.col(f) * 1_000_000.0 + 0.5).cast("decimal(38,0)")
+            ).alias(f"__s_{f}")
+            for f in QUALITY_CLF_FEATURES
+        ],
+    ).collect()[0]
+    n = int(mrow["__n"])
+    if n == 0:
+        raise ValueError("train_quality_classifier: empty input")
+    # features are non-negative, so DIV truncation == floor: exact and
+    # engine-agnostic
+    means = {f: int(mrow[f"__s_{f}"]) // n for f in QUALITY_CLF_FEATURES}
+    w = {f: 0 for f in QUALITY_CLF_FEATURES}
+    w["__bias__"] = 0
+    for _ in range(int(iters)):
+        p_micro, fc_micro = _quality_clf_terms(w, means)
+        err = p_micro - F.col("__y") * F.lit(1_000_000).cast("bigint")
+        row = feats.agg(
+            F.sum(err.cast("decimal(38,0)")).alias("__gb"),
+            *[
+                F.sum((err * fc_micro[f]).cast("decimal(38,0)")).alias(
+                    f"__g_{f}"
+                )
+                for f in QUALITY_CLF_FEATURES
+            ],
+        ).collect()[0]
+        for f in QUALITY_CLF_FEATURES:
+            w[f] -= _tdiv(lr_micro * int(row[f"__g_{f}"]), n * 10**12)
+        w["__bias__"] -= _tdiv(lr_micro * int(row["__gb"]), n * 10**6)
+    return {
+        "weights": {f: w[f] for f in QUALITY_CLF_FEATURES},
+        "bias": w["__bias__"],
+        "means": means,
+        "n": n,
+    }
+
+
+def score_quality_classifier(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus with a :func:`train_quality_classifier` model using
+    the TRAINING-side arithmetic (centered exact-integer logit,
+    micro-quantized sigmoid) so scores replay bit-for-bit: returns
+    ``(id_col, score_micro)``. Pure projection over the feature scan —
+    this is the serving face the trained filter deploys as
+    (classifier_score offers the float-weights equivalent for
+    hand-tuned weights)."""
+    feats = quality_features(df, text_col=text_col)
+    wm = dict(model["weights"])
+    wm["__bias__"] = model["bias"]
+    p_micro, _ = _quality_clf_terms(wm, model["means"])
+    return feats.select(
+        F.col(id_col), p_micro.alias("score_micro")
     )
 
 

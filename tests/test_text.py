@@ -818,3 +818,134 @@ def test_gopher_repetition_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# in-engine quality-classifier training (round-10)
+# ---------------------------------------------------------------------------
+
+
+def _clf_docs(spark):
+    rows = [
+        # high-quality: alphabetic, stopwordy, diverse
+        (1, "the quick brown fox jumps over the lazy dog with great vigor"),
+        (2, "a curious reader will have found that these words flow well"),
+        (3, "science and reason be the tools that have shaped our world"),
+        # low-quality: digit/punct heavy, repetitive
+        (4, "111 222 333 444 !!! ??? ,,, 555 666 777 888 999 000 111"),
+        (5, "buy buy buy buy buy 99.99 $$$ 99.99 buy buy buy buy buy"),
+        (6, "xxxx 1234 xxxx 1234 xxxx 1234 xxxx 1234 xxxx 1234 xxxx"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_train_quality_classifier_matches_naive_replay(spark):
+    """The distributed GD must equal a pure-python replay on collected
+    features — exact integer parity, not approximate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        QUALITY_CLF_FEATURES,
+        quality_features,
+        train_quality_classifier,
+    )
+
+    df = _clf_docs(spark)
+    label = (F.col("doc_id") <= 3).cast("int")
+    got = train_quality_classifier(df, label, iters=4, lr=10.0)
+
+    feats = quality_features(df).select(
+        "doc_id", *QUALITY_CLF_FEATURES
+    ).collect()
+    rows = [
+        (
+            1 if r["doc_id"] <= 3 else 0,
+            [
+                int(math.floor(r[f] * 1_000_000 + 0.5))
+                for f in QUALITY_CLF_FEATURES
+            ],
+        )
+        for r in feats
+    ]
+    n = len(rows)
+    means = [
+        sum(f[i] for _, f in rows) // n
+        for i in range(len(QUALITY_CLF_FEATURES))
+    ]
+    w = [0] * len(QUALITY_CLF_FEATURES)
+    b = 0
+    lrm = 10_000_000
+
+    def tdiv(x, d):
+        q = abs(x) // d
+        return -q if x < 0 else q
+
+    for _ in range(4):
+        gb = 0
+        g = [0] * len(w)
+        for y, f in rows:
+            z = (b * 10**6 + sum(
+                w[i] * (f[i] - means[i]) for i in range(len(w))
+            )) / 1e12
+            p = int(math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6 + 0.5))
+            e = p - y * 10**6
+            gb += e
+            for i in range(len(w)):
+                g[i] += e * (f[i] - means[i])
+        for i in range(len(w)):
+            w[i] -= tdiv(lrm * g[i], n * 10**12)
+        b -= tdiv(lrm * gb, n * 10**6)
+
+    assert got["bias"] == b
+    assert [got["weights"][f] for f in QUALITY_CLF_FEATURES] == w
+    assert [got["means"][f] for f in QUALITY_CLF_FEATURES] == means
+    assert got["n"] == n
+
+
+def test_quality_classifier_separates_and_serves(spark):
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    df = _clf_docs(spark)
+    label = (F.col("doc_id") <= 3).cast("int")
+    model = train_quality_classifier(df, label, iters=8, lr=10.0)
+    scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in score_quality_classifier(df, model).collect()
+    }
+    # trained filter separates the obviously-clean from the obviously-junk
+    assert min(scores[d] for d in (1, 2, 3)) > max(
+        scores[d] for d in (4, 5, 6)
+    )
+    # serving is a pure projection — no python exec, no shuffle
+    plan = (
+        score_quality_classifier(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_train_quality_classifier_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        train_quality_classifier,
+    )
+
+    df = _clf_docs(spark)
+    with _pytest.raises(ValueError, match="iters"):
+        train_quality_classifier(df, F.lit(1), iters=0)
+    with _pytest.raises(ValueError, match="lr"):
+        train_quality_classifier(df, F.lit(1), lr=0.0)
+    with _pytest.raises(ValueError, match="empty"):
+        train_quality_classifier(df.where("doc_id > 99"), F.lit(1))
