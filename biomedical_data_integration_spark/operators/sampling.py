@@ -390,6 +390,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     smoothing: float = 0.5,
+    _model_only: bool = False,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
     arXiv:2302.03169) weights: score every raw document by how much its
@@ -463,6 +464,8 @@ def dsir_weights(
             ).alias("__lr_micro"),
         )
     )
+    if _model_only:
+        return model
     occ = raw.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens_expr(F.col(text_col))).alias("__tok"),
@@ -483,6 +486,31 @@ def dsir_weights(
             / (F.count(F.col("bucket")) * F.lit(1e6)),
         ).alias("avg_log_ratio"),
     )
+
+
+def dsir_bucket_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    smoothing: float = 0.5,
+) -> list:
+    """Collect the :func:`dsir_weights` bucket model as a DENSE
+    ``n_buckets``-long list of micro-quantized log-ratios — the
+    driver-side artifact the streaming face
+    (:func:`~biomedical_data_integration_spark.streaming.streaming_dsir_score`)
+    inlines as literals, the same fit-batch/serve-stream split
+    ``pq_encode`` and ``lm_score`` already use. Buckets no token hashed
+    into (absent from both corpora) get ratio 0 — exactly the
+    contribution the batch scorer's left join + null-skipping sum gives
+    tokens that land there. n_buckets*8 bytes rides the plan; 1024
+    buckets is KBs."""
+    model = dsir_weights(
+        raw, target, text_col=text_col, n_buckets=n_buckets,
+        smoothing=smoothing, _model_only=True,
+    )
+    got = {int(r["bucket"]): int(r["__lr_micro"]) for r in model.collect()}
+    return [got.get(b, 0) for b in range(int(n_buckets))]
 
 
 def unimax_allocation(

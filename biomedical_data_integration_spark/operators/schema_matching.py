@@ -548,7 +548,22 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
             # deterministic sampler: integer threshold arithmetic (DIV)
             # so Spark and the oracle floor identically; expected
             # sample_k survivors per column, every survivor a pure
-            # function of its value bytes
+            # function of its value bytes.
+            #
+            # Why the gate sits AFTER the (c, v) groupBy and not on the
+            # raw rows (round-9 verdict, cost-table note): the threshold
+            # is ceil(DEN*K/ndv) — it needs the column's EXACT distinct
+            # count — and a survivor's Horvitz-Thompson weight is its
+            # exact full-data frequency f, so the frequency aggregation
+            # over all rows is semantically required either way. The
+            # groupBy shuffle carries only distinct values (map-side
+            # combined); what the sampler then saves is everything
+            # downstream — the split sketch, the bucketed cumsum windows,
+            # and the rank probe all run on ~sample_k rows per column
+            # instead of the full domain. A raw-row pre-gate would need a
+            # row-count-based threshold (ceil(DEN*K/n_rows)), which
+            # under-samples duplicated columns and changes the sketch —
+            # a different estimator, not an optimization of this one.
             K, DEN = int(self.sample_k), self._SAMPLE_DEN
             nd = dd.groupBy("c").agg(F.count("*").alias("__ndv"))
             thr = F.least(

@@ -1465,3 +1465,52 @@ def test_m4_downsample_bounded_output_and_envelope(spark):
     for b, rr in roles.items():
         assert rr["min"] <= rr["first"] <= rr["max"]
         assert rr["min"] <= rr["last"] <= rr["max"]
+
+
+def test_streaming_dsir_score_matches_batch(spark):
+    """Fit-batch/serve-stream parity for the DSIR gate: the streaming
+    projection over literal bucket ratios reproduces dsir_weights'
+    (n_tokens, log_weight, avg_log_ratio) row-for-row on an in-order
+    replay of the raw corpus — the selection capstone's ingest twin."""
+    from biomedical_data_integration_spark.operators.sampling import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+    from biomedical_data_integration_spark.streaming import (
+        streaming_dsir_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = docs.where("doc_id % 3 != 0").select("doc_id", "text")
+    target = docs.where("doc_id % 3 = 0").select("doc_id", "text")
+    nb = 256
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"], r["avg_log_ratio"])
+        for r in dsir_weights(raw, target, n_buckets=nb).collect()
+    }
+    ratios = dsir_bucket_ratios(raw, target, n_buckets=nb)
+    assert len(ratios) == nb and all(isinstance(v, int) for v in ratios)
+
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        raw.write.parquet(src)
+        stream = spark.readStream.schema(raw.schema).parquet(src)
+        out = streaming_dsir_score(stream, ratios)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("dsir_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["log_weight"], r["avg_log_ratio"])
+            for r in spark.sql("select * from dsir_stream_test").collect()
+        }
+        # the projection is stateless: no aggregation/join in the plan
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in plan and "Join" not in plan
+    assert got == want
