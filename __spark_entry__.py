@@ -4712,16 +4712,16 @@ def _quality_clf_sql() -> str:
         " ELSE CAST(({x}) // ({d}) AS BIGINT) END"
     )
     parts = [
-        f"""f AS ({_quality_sql()}),
+        f"""qf AS ({_quality_sql()}),
 lab AS (
   SELECT doc_id,
          CAST(CASE WHEN quality_score >= {QCLF_THRESHOLD!r} THEN 1 ELSE 0 END
               AS BIGINT) AS y
-  FROM f),
+  FROM qf),
 fm AS (
-  SELECT f.doc_id, lab.y,
+  SELECT qf.doc_id, lab.y,
          {fm_cols}
-  FROM f JOIN lab USING (doc_id)),
+  FROM qf JOIN lab USING (doc_id)),
 m AS (
   SELECT count(*) AS n,
          {mean_cols}
@@ -4764,6 +4764,58 @@ SELECT fm.doc_id, fm.y AS label,
        CAST(floor(1.0 / (1.0 + exp(-((w.b * 1000000 + {zsum})
             / 1000000000000.0))) * 1000000.0 + 0.5) AS BIGINT) AS score_micro
 FROM fm CROSS JOIN w{iters} w CROSS JOIN m
+"""
+
+
+def _q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation flagship v4 — the TRAINED-filter pipeline (the round-10
+    composition): train the quality classifier in-engine (distilling the
+    composite quality_score gate), keep documents the trained model
+    scores >= 0.5, then excise duplicated char-40-gram spans from the
+    survivors. One plan end to end; the oracle recomposes the two stage
+    builders' own SQL (classifier GD replay + char-span replay over the
+    survivor CTE). Complements v3 (rule-based gates) with the
+    learned-gate shape a production corpus pipeline actually ships."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans_chars,
+    )
+    from biomedical_data_integration_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    label = (F.col("quality_score") >= F.lit(QCLF_THRESHOLD)).cast("int")
+    model = train_quality_classifier(
+        docs, label, iters=QCLF_ITERS, lr=QCLF_LR
+    )
+    # doc-count x 2 cols; TWO consumers below (gate join + final
+    # annotate) — pin so the feature scan + sigmoid run once
+    scored = score_quality_classifier(docs, model).localCheckpoint(
+        eager=True
+    )
+    kept = scored.where(F.col("score_micro") >= 500_000)
+    survivors = docs.join(kept.select("doc_id"), "doc_id")
+    spans = remove_duplicate_spans_chars(
+        survivors, gram_chars=SPAN_GRAM_CHARS
+    )
+    return spans.join(kept, "doc_id").select(
+        "doc_id", "score_micro", "text_deduped", "n_chars", "n_removed",
+        "removed_ratio",
+    )
+
+
+def _curation_v4_sql() -> str:
+    return f"""
+WITH clf AS ({_quality_clf_sql()}),
+kept AS (SELECT doc_id, score_micro FROM clf WHERE score_micro >= 500000),
+surv AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+spans AS ({_dedup_spans_chars_sql(src="surv")})
+SELECT s.doc_id, k.score_micro, s.text_deduped, s.n_chars, s.n_removed,
+       s.removed_ratio
+FROM spans s JOIN kept k USING (doc_id)
 """
 
 
@@ -4841,7 +4893,12 @@ def _unigram_seg_ctes(r: int, pieces_cte: str) -> list:
     ]
 
 
-def _unigram_vocab_sql() -> str:
+def _unigram_train_ctes() -> tuple:
+    """Shared CTE chain replaying train_unigram: word counts, candidate
+    pool, UNIGRAM_ITERS hard-EM rounds, then the final-vocab
+    segmentation (seg{iters+1}/usage{iters+1} against the pruned piece
+    set). Returns (parts, final_round_index) — the vocab face reads
+    usage{final}, the encode face reads seg{final}'s emitted pieces."""
     toks = _SQL_TOKS.format(col="text")
     L, pool, v, iters = (
         UNIGRAM_PIECE_LEN, UNIGRAM_POOL, UNIGRAM_VOCAB, UNIGRAM_ITERS,
@@ -4868,17 +4925,86 @@ def _unigram_vocab_sql() -> str:
             f"""pieces{i + 1} AS (
   SELECT piece FROM usage{i} ORDER BY n_uses DESC, piece LIMIT {v})"""
         )
-    # the reported counts are a RECOUNT against the final pruned vocab
-    # (the Spark face's extra E-step), not the pre-prune usage
+    # the final face runs AGAINST the pruned vocab (the Spark side's
+    # extra E-step), not the pre-prune usage
     parts.extend(_unigram_seg_ctes(iters + 1, f"pieces{iters + 1}"))
+    return parts, iters + 1
+
+
+def _unigram_vocab_sql() -> str:
+    parts, fin = _unigram_train_ctes()
     joined = ",\n".join(parts)
     return f"""
 WITH RECURSIVE {joined}
 SELECT u.piece, u.n_uses,
        CAST((2 * u.n_uses * 1000000 + t.total) // (2 * t.total) AS BIGINT)
          AS prob_micro
-FROM usage{iters + 1} u CROSS JOIN
-     (SELECT CAST(sum(n_uses) AS BIGINT) AS total FROM usage{iters + 1}) t
+FROM usage{fin} u CROSS JOIN
+     (SELECT CAST(sum(n_uses) AS BIGINT) AS total FROM usage{fin}) t
+"""
+
+
+def _q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram ENCODE face (operators/bpe.encode_unigram): train the
+    piece vocabulary (same fit as unigram_vocab_documents), then segment
+    the whole corpus with it — a PURE expression projection, no Python
+    (unlike encode_bpe's pandas UDF). Returns per-document piece counts
+    and the space-joined piece sequence; the oracle replays training via
+    recursive-CTE segmentation, then reassembles each document's pieces
+    in token order."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram,
+        train_unigram,
+        word_counts,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    usage = train_unigram(
+        word_counts(docs), vocab_size=UNIGRAM_VOCAB, iters=UNIGRAM_ITERS,
+        candidate_pool=UNIGRAM_POOL, max_piece_len=UNIGRAM_PIECE_LEN,
+    )
+    enc = encode_unigram(docs, usage)
+    return enc.select(
+        "doc_id",
+        F.coalesce(F.size("unigram_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.coalesce(F.array_join("unigram_tokens", " "), F.lit(""))
+        .alias("pieces_str"),
+    )
+
+
+def _unigram_encode_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    parts, fin = _unigram_train_ctes()
+    parts.append(
+        f"""wp AS (
+  SELECT word, string_agg(pc, ' ' ORDER BY pos) AS pstr,
+         CAST(count(pc) AS BIGINT) AS np
+  FROM seg{fin} WHERE pc IS NOT NULL GROUP BY word)"""
+    )
+    parts.append(
+        f"""dt AS (
+  SELECT doc_id,
+         CAST(e.s.ord AS INTEGER) AS ord, e.s.tok AS tok
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len({toks}) + 1),
+             i -> struct_pack(ord := i, tok := ({toks})[i]))) AS s
+    FROM documents) e(doc_id, s))"""
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH RECURSIVE {joined}
+SELECT d.doc_id,
+  CAST(coalesce(sum(wp.np), 0) AS BIGINT) AS n_pieces,
+  coalesce(string_agg(wp.pstr, ' ' ORDER BY dt.ord)
+           FILTER (WHERE wp.pstr IS NOT NULL), '') AS pieces_str
+FROM documents d
+LEFT JOIN dt ON d.doc_id = dt.doc_id
+LEFT JOIN wp ON dt.tok = wp.word
+GROUP BY d.doc_id
 """
 
 
@@ -10847,33 +10973,33 @@ def _q_dedup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_spans_chars_sql(src: str = "documents") -> str:
     k = SPAN_GRAM_CHARS
     return f"""
-WITH tk AS (SELECT doc_id AS id, text AS t, length(text) AS n FROM {src}),
-occ0 AS (SELECT id, CAST(unnest(range(1, n - {k} + 2)) AS INTEGER) AS pos, t
-         FROM tk WHERE n >= {k}),
-occ AS (SELECT id, pos, substr(md5(substr(t, pos, {k})), 1, 16) AS gh
-        FROM occ0),
-dup AS (SELECT gh FROM occ GROUP BY 1 HAVING count(*) >= 2),
-dupocc AS (SELECT id, pos FROM occ JOIN dup USING (gh)),
-cov0 AS (SELECT id, CAST(unnest(range(pos, pos + {k})) AS INTEGER) AS pos
-         FROM dupocc),
-cov AS (SELECT DISTINCT id, pos FROM cov0),
-ncov AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed
-         FROM cov GROUP BY 1),
-chars AS (SELECT id, CAST(unnest(range(1, n + 1)) AS INTEGER) AS pos, t
-          FROM tk WHERE id IN (SELECT id FROM cov)),
-chars1 AS (SELECT id, pos, substr(t, pos, 1) AS ch FROM chars),
-kept AS (SELECT chars1.* FROM chars1 ANTI JOIN cov USING (id, pos)),
-rebuilt AS (SELECT id, string_agg(ch, '' ORDER BY pos) AS newt
-            FROM kept GROUP BY id)
-SELECT tk.id AS doc_id,
-  CASE WHEN ncov.n_removed IS NOT NULL THEN coalesce(rebuilt.newt, '')
-       ELSE tk.t END AS text_deduped,
-  CAST(tk.n AS BIGINT) AS n_chars,
-  CAST(coalesce(ncov.n_removed, 0) AS BIGINT) AS n_removed,
-  CASE WHEN tk.n > 0
-       THEN round(CAST(coalesce(ncov.n_removed, 0) AS DOUBLE) / tk.n, 6)
+WITH cs_tk AS (SELECT doc_id AS id, text AS t, length(text) AS n FROM {src}),
+cs_occ0 AS (SELECT id, CAST(unnest(range(1, n - {k} + 2)) AS INTEGER) AS pos, t
+         FROM cs_tk WHERE n >= {k}),
+cs_occ AS (SELECT id, pos, substr(md5(substr(t, pos, {k})), 1, 16) AS gh
+        FROM cs_occ0),
+cs_dup AS (SELECT gh FROM cs_occ GROUP BY 1 HAVING count(*) >= 2),
+cs_dupocc AS (SELECT id, pos FROM cs_occ JOIN cs_dup USING (gh)),
+cs_cov0 AS (SELECT id, CAST(unnest(range(pos, pos + {k})) AS INTEGER) AS pos
+         FROM cs_dupocc),
+cs_cov AS (SELECT DISTINCT id, pos FROM cs_cov0),
+cs_ncov AS (SELECT id, CAST(count(*) AS BIGINT) AS n_removed
+         FROM cs_cov GROUP BY 1),
+cs_chars AS (SELECT id, CAST(unnest(range(1, n + 1)) AS INTEGER) AS pos, t
+          FROM cs_tk WHERE id IN (SELECT id FROM cs_cov)),
+cs_chars1 AS (SELECT id, pos, substr(t, pos, 1) AS ch FROM cs_chars),
+cs_kept AS (SELECT cs_chars1.* FROM cs_chars1 ANTI JOIN cs_cov USING (id, pos)),
+cs_rebuilt AS (SELECT id, string_agg(ch, '' ORDER BY pos) AS newt
+            FROM cs_kept GROUP BY id)
+SELECT cs_tk.id AS doc_id,
+  CASE WHEN cs_ncov.n_removed IS NOT NULL THEN coalesce(cs_rebuilt.newt, '')
+       ELSE cs_tk.t END AS text_deduped,
+  CAST(cs_tk.n AS BIGINT) AS n_chars,
+  CAST(coalesce(cs_ncov.n_removed, 0) AS BIGINT) AS n_removed,
+  CASE WHEN cs_tk.n > 0
+       THEN round(CAST(coalesce(cs_ncov.n_removed, 0) AS DOUBLE) / cs_tk.n, 6)
        ELSE 0.0 END AS removed_ratio
-FROM tk LEFT JOIN ncov USING (id) LEFT JOIN rebuilt USING (id)
+FROM cs_tk LEFT JOIN cs_ncov USING (id) LEFT JOIN cs_rebuilt USING (id)
 """
 
 
@@ -11946,6 +12072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_chars_documents": _q_dedup_spans_chars,
         "unigram_vocab_documents": _q_unigram_vocab,
         "train_quality_classifier_documents": _q_train_quality_classifier,
+        "unigram_encode_documents": _q_unigram_encode,
+        "corpus_curation_v4_end_to_end": _q_curation_v4,
     }
 
 
@@ -12855,4 +12983,6 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "dedup_spans_chars_documents": _dedup_spans_chars_sql(),
         "unigram_vocab_documents": _unigram_vocab_sql(),
         "train_quality_classifier_documents": _quality_clf_sql(),
+        "unigram_encode_documents": _unigram_encode_sql(),
+        "corpus_curation_v4_end_to_end": _curation_v4_sql(),
     }

@@ -3057,6 +3057,32 @@ def streaming_dsir_score(
     )
 
 
+def streaming_quality_score(
+    stream: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming face of the TRAINED quality filter: score documents at
+    ingest with a :func:`~biomedical_data_integration_spark.operators.text.train_quality_classifier`
+    model — the fit-batch/serve-stream split :func:`streaming_dsir_score`
+    uses, completing the trained-filter loop (train on a batch corpus,
+    gate the firehose). Scoring is
+    :func:`~biomedical_data_integration_spark.operators.text.score_quality_classifier`'s
+    exact arithmetic unchanged — quality_features and the centered
+    integer logit are pure expressions, so the projection compiles onto
+    an unbounded stream with no watermark, no state, no shuffle; emitted
+    ``score_micro`` values match the batch face bit-for-bit on replay
+    (parity-tested)."""
+    from biomedical_data_integration_spark.operators.text import (
+        score_quality_classifier,
+    )
+
+    return score_quality_classifier(
+        stream, model, text_col=text_col, id_col=id_col
+    )
+
+
 def sliding_active_users(
     df: DataFrame,
     window_days: int = 7,

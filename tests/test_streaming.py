@@ -1514,3 +1514,51 @@ def test_streaming_dsir_score_matches_batch(spark):
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "Aggregate" not in plan and "Join" not in plan
     assert got == want
+
+
+def test_streaming_quality_score_matches_batch(spark):
+    """The trained quality filter serves on a stream bit-for-bit equal
+    to the batch face — train on batch, gate the firehose."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from biomedical_data_integration_spark.streaming import (
+        streaming_quality_score,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    model = train_quality_classifier(
+        docs, (F.col("quality_score") >= 0.66).cast("int"), iters=3, lr=10.0
+    )
+    want = {
+        r["doc_id"]: r["score_micro"]
+        for r in score_quality_classifier(docs, model).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = streaming_quality_score(stream, model)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("qclf_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            r["doc_id"]: r["score_micro"]
+            for r in spark.sql("select * from qclf_stream_test").collect()
+        }
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in plan and "Join" not in plan
+    assert got == want
