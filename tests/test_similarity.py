@@ -789,3 +789,23 @@ def test_mmr_candidates_dedup_scope_and_stale_ids(spark):
     # reranks IDENTICALLY to the clean store — full pool preserved
     assert got == want
     assert want  # sanity: the clean path produced rows
+
+
+def test_ivfpq_ensure_gate_trains_once(spark):
+    """_ensure_ivfpq_index builds on first call and only LOADS after:
+    the persisted index files must not be rewritten by a second call."""
+    import os
+    import shutil
+
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    path = e._ivfpq_index_path(sf)
+    shutil.rmtree(path, ignore_errors=True)
+    idx1, cents1, cb1 = e._ensure_ivfpq_index(spark, sf)
+    marker = os.path.join(path, "index", "_SUCCESS")
+    mtime1 = os.path.getmtime(marker)
+    idx2, cents2, cb2 = e._ensure_ivfpq_index(spark, sf)
+    assert os.path.getmtime(marker) == mtime1  # no rewrite, no retrain
+    assert cents2 == cents1 and cb2 == cb1
+    assert idx2.count() == idx1.count()
