@@ -6031,16 +6031,21 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([kw, sem], top_k=RRF_TOP_K)
 
 
-def _bm25_core_sql(limit: int) -> str:
+def _bm25_core_sql(limit: int, query: str | None = None) -> str:
     """Shared BM25 CTE chain; float literals rendered with repr() so the
-    oracle parses the EXACT doubles the Spark plan carries."""
+    oracle parses the EXACT doubles the Spark plan carries. ``query``
+    defaults to the in-query face's constant; the persisted-probe face
+    passes its own — the scoring arithmetic is face-independent
+    (operators/retrieval._bm25_rank), so both faces share this oracle."""
     from biomedical_data_integration_spark.operators.retrieval import (
         BM25_B,
         BM25_K1,
         tokenize_query,
     )
 
-    terms = ", ".join(f"('{t}')" for t in tokenize_query(BM25_QUERY))
+    terms = ", ".join(
+        f"('{t}')" for t in tokenize_query(query or BM25_QUERY)
+    )
     k1 = repr(BM25_K1)
     k1p1 = repr(BM25_K1 + 1.0)
     b = repr(BM25_B)
@@ -6082,6 +6087,102 @@ bm25 AS (
 def _bm25_search_sql() -> str:
     return (
         "WITH " + _bm25_core_sql(BM25_TOP_K)
+        + "\nSELECT doc_id, n_terms_hit, score FROM bm25"
+    )
+
+
+BM25_N_BUCKETS = 16
+BM25_PROBE_QUERY = "hash value scan order"
+
+
+def _bm25_index_path(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        f"bm25_{base}_b{BM25_N_BUCKETS}",
+    )
+
+
+def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once gate for the persisted BM25 postings (the
+    _ensure_ivfpq_index pattern): tokenize + index only if absent."""
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+    )
+
+    path = _bm25_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        (docs,) = _tables(spark, sf_dir, "documents")
+        bm25_save_index(docs, path, n_buckets=BM25_N_BUCKETS)
+    return path
+
+
+def _q_bm25_persist_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index BUILD face (operators/retrieval.bm25_save_index): the
+    postings table written partitionBy(term-bucket) + the (n_docs,
+    avgdl, n_buckets) sidecar, then a per-bucket summary of the
+    READ-BACK table — the oracle replays tokenization + the md5 bucket
+    hash and certifies the write→read round trip. Serve twin:
+    bm25_probe_persisted_documents."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    path = _bm25_index_path(sf_dir)
+    bm25_save_index(docs, path, n_buckets=BM25_N_BUCKETS)
+    stored = spark.read.parquet(f"{path}/postings")
+    return stored.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count_distinct("term").cast("bigint").alias("n_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.sum("tf").cast("bigint").alias("tf_sum"),
+    )
+
+
+def _bm25_persist_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    bucket = (
+        _sql_hex_head_value("md5('bm25|' || term)") + f" % {BM25_N_BUCKETS}"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+postings AS (
+  SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, len(t) AS dl, unnest(t) AS term FROM toks)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST({bucket} AS INTEGER) AS bucket,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(tf) AS BIGINT) AS tf_sum
+FROM postings
+GROUP BY 1
+"""
+
+
+def _q_bm25_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 SERVE face: answer a query from the persisted bucket-
+    partitioned postings WITHOUT touching the corpus — the query terms'
+    buckets land in PartitionFilters (plan-gated), corpus stats ride as
+    literals from the one-row sidecar, and the scoring tail is the
+    in-query face's exact arithmetic, so this face shares
+    _bm25_core_sql as its oracle (full recompute)."""
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_search_persisted,
+    )
+
+    path = _ensure_bm25_index(spark, sf_dir)
+    return bm25_search_persisted(
+        spark, path, BM25_PROBE_QUERY, top_k=BM25_TOP_K
+    )
+
+
+def _bm25_probe_sql() -> str:
+    return (
+        "WITH " + _bm25_core_sql(BM25_TOP_K, query=BM25_PROBE_QUERY)
         + "\nSELECT doc_id, n_terms_hit, score FROM bm25"
     )
 
@@ -12074,6 +12175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_classifier_documents": _q_train_quality_classifier,
         "unigram_encode_documents": _q_unigram_encode,
         "corpus_curation_v4_end_to_end": _q_curation_v4,
+        "bm25_persist_index_documents": _q_bm25_persist_index,
+        "bm25_probe_persisted_documents": _q_bm25_probe_persisted,
     }
 
 
@@ -12985,4 +13088,6 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "train_quality_classifier_documents": _quality_clf_sql(),
         "unigram_encode_documents": _unigram_encode_sql(),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
+        "bm25_persist_index_documents": _bm25_persist_sql(),
+        "bm25_probe_persisted_documents": _bm25_probe_sql(),
     }

