@@ -6095,12 +6095,16 @@ BM25_N_BUCKETS = 16
 BM25_PROBE_QUERY = "hash value scan order"
 
 
-def _bm25_index_path(sf_dir: str) -> str:
+def _bm25_index_path(sf_dir: str, face: str = "serve") -> str:
+    """Build face gets its own path — same concurrent-faces rationale
+    as _ivfpq_index_path: the serve path is written once, never
+    overwritten, so a probe can never race a rebuild."""
     base = os.path.basename(os.path.normpath(sf_dir))
+    name = f"bm25_{base}_b{BM25_N_BUCKETS}"
+    if face != "serve":
+        name += f"_{face}"
     return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "spark-warehouse",
-        f"bm25_{base}_b{BM25_N_BUCKETS}",
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", name
     )
 
 
@@ -6132,7 +6136,9 @@ def _q_bm25_persist_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (docs,) = _tables(spark, sf_dir, "documents")
-    path = _bm25_index_path(sf_dir)
+    # own path: this face OVERWRITES every run and may execute
+    # concurrently with the probe face (see _bm25_index_path)
+    path = _bm25_index_path(sf_dir, face="build")
     bm25_save_index(docs, path, n_buckets=BM25_N_BUCKETS)
     stored = spark.read.parquet(f"{path}/postings")
     return stored.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
@@ -11415,16 +11421,22 @@ LIMIT {k}
 IVFPQ_PROBE_QUERY_ID = 100  # distinct from the in-query face's id 0
 
 
-def _ivfpq_index_path(sf_dir: str) -> str:
+def _ivfpq_index_path(sf_dir: str, face: str = "serve") -> str:
     """Deterministic per-(sf, params) location for the persisted IVFPQ
     index — under the gitignored spark-warehouse/, keyed by every
     training parameter so a param change can never serve a stale
-    layout."""
+    layout. The BUILD face writes to its own ``face="build"`` path:
+    the two registry faces may execute CONCURRENTLY (the oracle suite
+    fans out 8-wide), and an overwrite racing a reader of the same
+    directory FileScan-fails mid-read — the serve path is written at
+    most once per (sf, params) and never overwritten."""
     base = os.path.basename(os.path.normpath(sf_dir))
     name = (
         f"ivfpq_{base}_c{IVFPQ_CELLS}_m{PQ_M}_n{PQ_CODES}_i{PQ_ITERS}"
         f"_d{ANN_DIM}"
     )
+    if face != "serve":
+        name += f"_{face}"
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", name
     )
@@ -11478,7 +11490,9 @@ def _q_ivfpq_persist_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES,
         max_iter=PQ_ITERS,
     )
-    path = _ivfpq_index_path(sf_dir)
+    # own path: this face OVERWRITES every run and may execute
+    # concurrently with the probe face (see _ivfpq_index_path)
+    path = _ivfpq_index_path(sf_dir, face="build")
     ivfpq_save(idx, cents, cb, path)
     stored, _, _ = ivfpq_load(spark, path)
     row_code = F.aggregate(

@@ -222,6 +222,11 @@ def bm25_save_index(
         f"{path}/postings"
     )
     spark = df.sparkSession
+    # an overwrite re-names every part file; any reader that listed this
+    # path earlier in the session holds a stale FileStatusCache entry and
+    # would FileScanRDD-fail — invalidate it at the only place that
+    # rewrites
+    spark.catalog.refreshByPath(f"{path}/postings")
     stored = spark.read.parquet(f"{path}/postings")
     doclens = stored.groupBy("id").agg(F.first("dl").alias("dl"))
     stats = doclens.agg(
@@ -250,6 +255,11 @@ def bm25_search_persisted(
     if not terms:
         raise ValueError("bm25_search_persisted: query has no tokens")
     srow = spark.read.parquet(f"{path}/stats").first()
+    if srow is None or not srow["n_docs"]:
+        raise ValueError(
+            "bm25_search_persisted: index at "
+            f"{path} is empty — nothing was indexed"
+        )
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     nb = int(srow["n_buckets"])
     buckets = sorted({_bm25_term_bucket(t, nb) for t in terms})

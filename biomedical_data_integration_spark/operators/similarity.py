@@ -1046,6 +1046,11 @@ def ivfpq_save(
         "codebooks array<array<array<double>>>",
     )
     model.coalesce(1).write.mode(mode).parquet(f"{path}/model")
+    # an overwrite re-names every part file; readers that listed these
+    # paths earlier in the session hold stale FileStatusCache entries
+    # and would FileScanRDD-fail — invalidate at the only writer
+    spark.catalog.refreshByPath(f"{path}/index")
+    spark.catalog.refreshByPath(f"{path}/model")
 
 
 def ivfpq_load(spark: SparkSession, path: str) -> tuple:
