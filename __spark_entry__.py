@@ -4819,6 +4819,137 @@ FROM spans s JOIN kept k USING (doc_id)
 """
 
 
+HCLF_BUCKETS = 256
+HCLF_ITERS = 8
+HCLF_LR = 0.4
+HCLF_MIN_JOIN = 2
+
+
+def _q_train_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram text classifier trained in-engine (operators/
+    text.train_hashed_text_classifier — the fastText supervised shape,
+    Joulin et al. 2017): tokens hash into 256 buckets (no vocabulary),
+    features are integer-quantized relative bucket occupancies, and 8
+    diagonally-preconditioned logistic rounds learn a TOKEN-IDENTITY
+    concept (here: documents mentioning 'join' at least twice — a
+    keyword gate the quality twin's ratio features cannot express;
+    0.84 train accuracy vs 0.51 majority). Per round: one id-keyed
+    logit sum + one 256-group gradient aggregation; weights ride as
+    collected literals. The oracle replays feature build, curvatures,
+    every round, and the scoring pass."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        score_hashed_text_classifier,
+        tokens_expr,
+        train_hashed_text_classifier,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    njoin = F.size(
+        F.filter(tokens_expr(F.col("text")), lambda t: t == F.lit("join"))
+    )
+    label = (njoin >= HCLF_MIN_JOIN).cast("int")
+    model = train_hashed_text_classifier(
+        docs, label, n_buckets=HCLF_BUCKETS, iters=HCLF_ITERS, lr=HCLF_LR
+    )
+    scored = score_hashed_text_classifier(docs, model)
+    labels = docs.select("doc_id", label.cast("bigint").alias("label"))
+    return scored.join(labels, "doc_id").select(
+        "doc_id", "label", "score_micro"
+    )
+
+
+def _hashed_clf_sql() -> str:
+    """Replays train_hashed_text_classifier: hashed occupancy features,
+    per-bucket curvatures, HCLF_ITERS preconditioned rounds as chained
+    CTEs (bucket weights as 256-row tables, bias as one-row tables;
+    HUGEINT sums), then the scoring pass."""
+    toks = _SQL_TOKS.format(col="text")
+    nb, iters = HCLF_BUCKETS, HCLF_ITERS
+    lrm = int(HCLF_LR * 1_000_000)
+    bucket = _sql_hex_head_value("md5('hclf|' || token)") + f" % {nb}"
+    tdiv = (
+        "CASE WHEN {x} < 0 THEN -CAST((-({x})) // ({d}) AS BIGINT)"
+        " ELSE CAST(({x}) // ({d}) AS BIGINT) END"
+    )
+    sig = (
+        "CAST(floor(1.0 / (1.0 + exp(-(({z}) / 1000000000000.0)))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    parts = [
+        f"""tk AS MATERIALIZED (
+  SELECT doc_id AS id, {toks} AS t,
+         CAST(CASE WHEN len(list_filter({toks}, x -> x = 'join'))
+                   >= {HCLF_MIN_JOIN} THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents)""",
+        """docs AS MATERIALIZED (
+  SELECT id, y, CAST(greatest(len(t), 0) AS BIGINT) AS nt FROM tk)""",
+        f"""fb AS MATERIALIZED (
+  SELECT id, bucket,
+         CAST((c * {nb} * 1000000) // nt AS BIGINT) AS f
+  FROM (
+    SELECT id, CAST({bucket} AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(any_value(nt) AS BIGINT) AS nt
+    FROM (SELECT tk.id, unnest(t) AS token, len(t) AS nt FROM tk)
+    GROUP BY 1, 2))""",
+        """hcurv AS MATERIALIZED (
+  SELECT bucket, sum(f * f) AS h FROM fb GROUP BY 1)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT CAST(unnest(range(0, {nb})) AS INTEGER) AS bucket,
+         CAST(0 AS BIGINT) AS w)""",
+        "bz0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS v)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM docs)",
+    ]
+    for r in range(1, iters + 2):
+        p = r - 1
+        z = "bz.v * 1000000 + coalesce(zs.zsum, 0)"
+        parts.append(
+            f"""zs{r} AS MATERIALIZED (
+  SELECT fb.id, sum(w.w * fb.f) AS zsum
+  FROM fb JOIN w{p} w USING (bucket) GROUP BY fb.id)""",
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT d.id, d.y, {sig.format(z=z)} AS p
+  FROM docs d LEFT JOIN zs{r} zs USING (id) CROSS JOIN bz{p} bz)""",
+        )
+        if r == iters + 1:
+            break  # final pass only scores; no further update
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT id, p - y * 1000000 AS err FROM p{r})""",
+        )
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT fb.bucket, sum(e.err * fb.f) AS g
+  FROM fb JOIN e{r} e USING (id) GROUP BY 1)""",
+        )
+        parts.append(
+            f"""gb{r} AS MATERIALIZED (SELECT sum(err) AS gb FROM e{r})""",
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT w.bucket,
+         CASE WHEN h.h IS NULL OR h.h <= 0 THEN w.w
+              ELSE w.w - {tdiv.format(x=f"{lrm} * coalesce(g.g, 0)", d="h.h")}
+         END AS w
+  FROM w{p} w LEFT JOIN hcurv h USING (bucket)
+  LEFT JOIN g{r} g USING (bucket))""",
+        )
+        parts.append(
+            f"""bz{r} AS MATERIALIZED (
+  SELECT bz.v - {tdiv.format(x=f"{lrm} * gb.gb", d="nn.n * 1000000")} AS v
+  FROM bz{p} bz CROSS JOIN gb{r} gb CROSS JOIN nn)""",
+        )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT id AS doc_id, y AS label, p AS score_micro FROM p{iters + 1}
+"""
+
+
 def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (operators/bpe.train_unigram —
     SentencePiece's other half next to BPE, Kudo ACL'18): seed with the
@@ -12191,6 +12322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_v4_end_to_end": _q_curation_v4,
         "bm25_persist_index_documents": _q_bm25_persist_index,
         "bm25_probe_persisted_documents": _q_bm25_probe_persisted,
+        "train_hashed_classifier_documents": _q_train_hashed_classifier,
     }
 
 
@@ -13104,4 +13236,5 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),
         "bm25_probe_persisted_documents": _bm25_probe_sql(),
+        "train_hashed_classifier_documents": _hashed_clf_sql(),
     }

@@ -797,6 +797,207 @@ def train_quality_classifier(
     }
 
 
+HASHED_CLF_BUCKETS = 256
+
+
+def _hclf_features(
+    df: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> tuple:
+    """Hashed-unigram feature tables, computed ONCE per fit/score:
+    ``fb`` = (id, bucket, f) with
+    f = floor(count_b * n_buckets * 1e6 / n_tokens) — bucket occupancy
+    relative to the uniform 1/n_buckets mass (so a typical active
+    feature is O(1e6 micro) = O(1), the same scale as the bias — GD
+    then moves weights and bias at comparable rates), as an exact
+    integer (DIV on non-negatives; the oracle uses //). ``docs`` =
+    (id, n_toks >= 0)."""
+    from biomedical_data_integration_spark.functions.hashing import (
+        md5_bigint,
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    ).select("id", F.size("__toks").alias("nt"), F.col("__toks"))
+    docs = toks.select(
+        "id", F.greatest(F.col("nt"), F.lit(0)).alias("nt")
+    )
+    fb = (
+        toks.select("id", "nt", F.explode("__toks").alias("__tok"))
+        .select(
+            "id",
+            "nt",
+            (md5_bigint(F.col("__tok"), salt="hclf") % n_buckets)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("id", "nt", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .select(
+            "id",
+            "bucket",
+            F.expr(
+                f"CAST((__c * {int(n_buckets)} * 1000000) DIV nt AS BIGINT)"
+            ).alias("f"),
+        )
+    )
+    return fb, docs
+
+
+def _hclf_scores(
+    fb: DataFrame, docs: DataFrame, weights_micro: list, bias_micro: int
+) -> DataFrame:
+    """Per-document micro-quantized sigmoid scores for one weight
+    vector: bucket weights ride as a literal array, the logit
+    accumulates as an exact bigint, ONE double division feeds exp."""
+    nb = len(weights_micro)
+    w_lit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights_micro])
+    zs = fb.select(
+        "id",
+        (F.element_at(w_lit, F.col("bucket") + 1) * F.col("f")).alias("__zt"),
+    ).groupBy("id").agg(F.sum("__zt").alias("__zsum"))
+    z_m2 = (
+        F.lit(int(bias_micro)).cast("bigint") * F.lit(1_000_000).cast("bigint")
+        + F.coalesce(F.col("__zsum"), F.lit(0).cast("bigint"))
+    )
+    p = 1.0 / (1.0 + F.exp(-(z_m2.cast("double") / F.lit(1e12))))
+    return docs.join(zs, "id", "left").select(
+        "id",
+        F.floor(p * 1_000_000.0 + 0.5).cast("bigint").alias("p"),
+    )
+
+
+def train_hashed_text_classifier(
+    df: DataFrame,
+    label: "F.Column",
+    n_buckets: int = HASHED_CLF_BUCKETS,
+    iters: int = 4,
+    lr: float = 200.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Logistic regression on HASHED-UNIGRAM frequency features — the
+    fastText supervised shape (Joulin et al., 2017) trained in-engine:
+    each token hashes to one of ``n_buckets`` buckets (salted md5 — no
+    vocabulary to build or ship), a document's feature for bucket b is
+    its mean bucket occupancy ``count_b / n_tokens`` (fastText's
+    averaged bag), and the model is one weight per bucket — so it
+    learns TOKEN-IDENTITY concepts that
+    :func:`train_quality_classifier`'s six ratio features cannot
+    express (topic gates, keyword balances, boilerplate markers).
+    ``lr`` defaults high because the features are <= 1e6 micro-units
+    with typical per-bucket mass ~1/n_buckets.
+
+    Updates are DIAGONALLY PRECONDITIONED (Jacobi-Newton): each
+    bucket's step divides by its own curvature bound
+    ``h_b = sum_d f_db^2`` (computed once, exact integers) and the
+    bias by ``n`` — plain GD on these features crawls, because bucket
+    masses are wildly skewed and the per-document features are
+    correlated (they sum to ~n_buckets), so one global step size
+    either diverges along the common direction or moves rare buckets
+    imperceptibly. With the preconditioner, ``lr=1`` steps each
+    coordinate by its own least-squares-scaled gradient.
+
+    Determinism (the quality twin's contract): features are exact
+    integers (integer-division ratios), the logit accumulates as an
+    exact bigint with ONE double division into the sigmoid, the
+    sigmoid output re-quantizes to micro, gradients and curvatures
+    are integer products summed as decimal(38,0), updates use
+    truncating division with exact integer denominators. An ANSI-SQL
+    oracle replays every round.
+
+    Scale shape: the (id, bucket, f) feature table is computed once
+    (one tokenize scan + one map-side-combinable groupBy) and pinned;
+    each of ``iters`` rounds is one id-keyed sum (per-doc logit), one
+    corpus-row error join, and one ``n_buckets``-group gradient
+    aggregation — weights ride as literals (the kmeans centroid
+    pattern), and only 1 + n_buckets gradient cells reach the driver
+    per round.
+
+    Returns ``{"weights": [w_micro]*n_buckets, "bias": b_micro,
+    "n": n}`` for :func:`score_hashed_text_classifier`.
+    """
+    if iters < 1:
+        raise ValueError("train_hashed_text_classifier: iters must be >= 1")
+    if n_buckets < 2:
+        raise ValueError(
+            "train_hashed_text_classifier: n_buckets must be >= 2"
+        )
+    lr_micro = int(math.floor(abs(float(lr)) * 1_000_000 + 0.5))
+    if lr_micro == 0:
+        raise ValueError("train_hashed_text_classifier: lr too small")
+    labeled = df.select(
+        F.col(id_col), F.col(text_col), label.cast("bigint").alias("__y")
+    )
+    fb, docs = _hclf_features(labeled, n_buckets, text_col, id_col)
+    fb = fb.localCheckpoint(eager=True)
+    ydocs = (
+        docs.join(
+            labeled.select(F.col(id_col).alias("id"), "__y"), "id"
+        ).localCheckpoint(eager=True)
+    )
+    n = ydocs.count()
+    if n == 0:
+        raise ValueError("train_hashed_text_classifier: empty input")
+    # per-bucket curvature bound h_b = sum_d f^2 (micro^2) — one
+    # n_buckets-group aggregation over the pinned feature table
+    hrows = (
+        fb.groupBy("bucket")
+        .agg(
+            F.sum((F.col("f") * F.col("f")).cast("decimal(38,0)")).alias("h")
+        )
+        .collect()
+    )
+    h = {int(r["bucket"]): int(r["h"]) for r in hrows}
+    w = [0] * int(n_buckets)
+    bias = 0
+    for _ in range(int(iters)):
+        errs = _hclf_scores(fb, ydocs, w, bias).join(
+            ydocs.select("id", "__y"), "id"
+        ).select(
+            "id",
+            (F.col("p") - F.col("__y") * F.lit(1_000_000).cast("bigint"))
+            .alias("__err"),
+        )
+        gb = int(
+            errs.agg(
+                F.sum(F.col("__err").cast("decimal(38,0)")).alias("g")
+            ).collect()[0]["g"]
+        )
+        grows = (
+            fb.join(errs, "id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    (F.col("__err") * F.col("f")).cast("decimal(38,0)")
+                ).alias("g")
+            )
+            .collect()
+        )
+        g = {int(r["bucket"]): int(r["g"]) for r in grows}
+        for b in range(int(n_buckets)):
+            hb = h.get(b, 0)
+            if hb > 0:
+                w[b] -= _tdiv(lr_micro * g.get(b, 0), hb)
+        bias -= _tdiv(lr_micro * gb, n * 10**6)
+    return {"weights": w, "bias": bias, "n": int(n)}
+
+
+def score_hashed_text_classifier(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score with a :func:`train_hashed_text_classifier` model using the
+    training-side arithmetic exactly. Returns ``(id_col,
+    score_micro)``; one tokenize scan + one id-keyed sum."""
+    fb, docs = _hclf_features(df, len(model["weights"]), text_col, id_col)
+    return _hclf_scores(fb, docs, model["weights"], model["bias"]).select(
+        F.col("id").alias(id_col), F.col("p").alias("score_micro")
+    )
+
+
 def score_quality_classifier(
     df: DataFrame,
     model: dict,

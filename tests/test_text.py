@@ -949,3 +949,140 @@ def test_train_quality_classifier_validation(spark):
         train_quality_classifier(df, F.lit(1), lr=0.0)
     with _pytest.raises(ValueError, match="empty"):
         train_quality_classifier(df.where("doc_id > 99"), F.lit(1))
+
+
+def test_train_hashed_classifier_matches_naive_replay(spark):
+    """Distributed preconditioned GD == pure-python replay, exact
+    integers end to end."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        score_hashed_text_classifier,
+        train_hashed_text_classifier,
+    )
+
+    rows = [
+        (1, "join join filter sort"),
+        (2, "join merge join group join"),
+        (3, "filter sort group merge"),
+        (4, "sort sort filter merge group"),
+        (5, "join scan"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    y_of = {i: 1 if t.split().count("join") >= 2 else 0 for i, t in rows}
+    nb, iters, lr = 16, 3, 0.4
+    got = train_hashed_text_classifier(
+        df, (F.col("doc_id").isin([1, 2])).cast("int"),
+        n_buckets=nb, iters=iters, lr=lr,
+    )
+    # naive replay
+    def bucket(t):
+        return int(hashlib.md5(f"hclf|{t}".encode()).hexdigest()[:15], 16) % nb
+
+    feats = {}
+    for i, t in rows:
+        toks = t.split()
+        cnt = {}
+        for tok in toks:
+            b = bucket(tok)
+            cnt[b] = cnt.get(b, 0) + 1
+        n = len(toks)
+        feats[i] = {b: (c * nb * 1_000_000) // n for b, c in cnt.items()} if n else {}
+    h = {}
+    for fv in feats.values():
+        for b, f in fv.items():
+            h[b] = h.get(b, 0) + f * f
+    lrm = int(lr * 1_000_000)
+    w = [0] * nb
+    bias = 0
+    n = len(rows)
+
+    def tdiv(x, d):
+        q = abs(x) // d
+        return -q if x < 0 else q
+
+    labels = {i: 1 if i in (1, 2) else 0 for i, _ in rows}
+    for _ in range(iters):
+        errs = {}
+        for i, _t in rows:
+            z = bias * 10**6 + sum(w[b] * f for b, f in feats[i].items())
+            p = int(math.floor(1.0 / (1.0 + math.exp(-z / 1e12)) * 1e6 + 0.5))
+            errs[i] = p - labels[i] * 10**6
+        g = {}
+        for i, _t in rows:
+            for b, f in feats[i].items():
+                g[b] = g.get(b, 0) + errs[i] * f
+        gb = sum(errs.values())
+        for b in range(nb):
+            if h.get(b, 0) > 0:
+                w[b] -= tdiv(lrm * g.get(b, 0), h[b])
+        bias -= tdiv(lrm * gb, n * 10**6)
+    assert got["weights"] == w
+    assert got["bias"] == bias and got["n"] == n
+    # scoring face matches the replay's final pass
+    scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in score_hashed_text_classifier(df, got).collect()
+    }
+    for i, _t in rows:
+        z = bias * 10**6 + sum(w[b] * f for b, f in feats[i].items())
+        p = int(math.floor(1.0 / (1.0 + math.exp(-z / 1e12)) * 1e6 + 0.5))
+        assert scores[i] == p
+
+
+def test_hashed_classifier_learns_token_identity(spark):
+    """The hashed model must learn a keyword concept on the real corpus
+    far above majority — the capability the ratio-feature quality twin
+    lacks by construction."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        score_hashed_text_classifier,
+        tokens_expr,
+        train_hashed_text_classifier,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    njoin = F.size(
+        F.filter(tokens_expr(F.col("text")), lambda t: t == F.lit("join"))
+    )
+    y = (njoin >= 2).cast("int")
+    lab = {
+        r["doc_id"]: r["__y"]
+        for r in docs.select("doc_id", y.alias("__y")).collect()
+    }
+    model = train_hashed_text_classifier(
+        docs, y, n_buckets=256, iters=8, lr=0.4
+    )
+    scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in score_hashed_text_classifier(docs, model).collect()
+    }
+    acc = sum(
+        (scores[d] > 500_000) == bool(lab[d]) for d in lab
+    ) / len(lab)
+    majority = max(
+        sum(lab.values()), len(lab) - sum(lab.values())
+    ) / len(lab)
+    assert acc >= majority + 0.25
+
+
+def test_train_hashed_classifier_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        train_hashed_text_classifier,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="iters"):
+        train_hashed_text_classifier(df, F.lit(1), iters=0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        train_hashed_text_classifier(df, F.lit(1), n_buckets=1)
+    with _pytest.raises(ValueError, match="empty"):
+        train_hashed_text_classifier(df.where("doc_id > 9"), F.lit(1))
