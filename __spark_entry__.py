@@ -4861,10 +4861,12 @@ def _q_train_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hashed_clf_sql() -> str:
-    """Replays train_hashed_text_classifier: hashed occupancy features,
-    per-bucket curvatures, HCLF_ITERS preconditioned rounds as chained
-    CTEs (bucket weights as 256-row tables, bias as one-row tables;
-    HUGEINT sums), then the scoring pass."""
+    """Replays train_hashed_text_classifier: hashed occupancy features
+    with the bias folded in as bucket -1 (constant feature 1e6 — its
+    curvature is n*1e12, so the uniform preconditioned step IS the
+    bias update), per-bucket curvatures, HCLF_ITERS rounds as chained
+    MATERIALIZED CTEs (DuckDB's CTE inlining otherwise re-expands the
+    chain past the fd limit), then the scoring pass."""
     toks = _SQL_TOKS.format(col="text")
     nb, iters = HCLF_BUCKETS, HCLF_ITERS
     lrm = int(HCLF_LR * 1_000_000)
@@ -4883,8 +4885,6 @@ def _hashed_clf_sql() -> str:
          CAST(CASE WHEN len(list_filter({toks}, x -> x = 'join'))
                    >= {HCLF_MIN_JOIN} THEN 1 ELSE 0 END AS BIGINT) AS y
   FROM documents)""",
-        """docs AS MATERIALIZED (
-  SELECT id, y, CAST(greatest(len(t), 0) AS BIGINT) AS nt FROM tk)""",
         f"""fb AS MATERIALIZED (
   SELECT id, bucket,
          CAST((c * {nb} * 1000000) // nt AS BIGINT) AS f
@@ -4893,41 +4893,29 @@ def _hashed_clf_sql() -> str:
            CAST(count(*) AS BIGINT) AS c,
            CAST(any_value(nt) AS BIGINT) AS nt
     FROM (SELECT tk.id, unnest(t) AS token, len(t) AS nt FROM tk)
-    GROUP BY 1, 2))""",
+    GROUP BY 1, 2)
+  UNION ALL
+  SELECT id, CAST(-1 AS INTEGER) AS bucket, CAST(1000000 AS BIGINT) AS f
+  FROM tk)""",
         """hcurv AS MATERIALIZED (
   SELECT bucket, sum(f * f) AS h FROM fb GROUP BY 1)""",
         f"""w0 AS MATERIALIZED (
-  SELECT CAST(unnest(range(0, {nb})) AS INTEGER) AS bucket,
+  SELECT CAST(unnest(range(-1, {nb})) AS INTEGER) AS bucket,
          CAST(0 AS BIGINT) AS w)""",
-        "bz0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS v)",
-        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM docs)",
     ]
     for r in range(1, iters + 2):
         p = r - 1
-        z = "bz.v * 1000000 + coalesce(zs.zsum, 0)"
-        parts.append(
-            f"""zs{r} AS MATERIALIZED (
-  SELECT fb.id, sum(w.w * fb.f) AS zsum
-  FROM fb JOIN w{p} w USING (bucket) GROUP BY fb.id)""",
-        )
         parts.append(
             f"""p{r} AS MATERIALIZED (
-  SELECT d.id, d.y, {sig.format(z=z)} AS p
-  FROM docs d LEFT JOIN zs{r} zs USING (id) CROSS JOIN bz{p} bz)""",
+  SELECT fb.id, {sig.format(z="sum(w.w * fb.f)")} AS p
+  FROM fb JOIN w{p} w USING (bucket) GROUP BY fb.id)""",
         )
         if r == iters + 1:
             break  # final pass only scores; no further update
         parts.append(
-            f"""e{r} AS MATERIALIZED (
-  SELECT id, p - y * 1000000 AS err FROM p{r})""",
-        )
-        parts.append(
             f"""g{r} AS MATERIALIZED (
-  SELECT fb.bucket, sum(e.err * fb.f) AS g
-  FROM fb JOIN e{r} e USING (id) GROUP BY 1)""",
-        )
-        parts.append(
-            f"""gb{r} AS MATERIALIZED (SELECT sum(err) AS gb FROM e{r})""",
+  SELECT fb.bucket, sum((p.p - tk.y * 1000000) * fb.f) AS g
+  FROM fb JOIN p{r} p USING (id) JOIN tk USING (id) GROUP BY 1)""",
         )
         parts.append(
             f"""w{r} AS MATERIALIZED (
@@ -4938,15 +4926,11 @@ def _hashed_clf_sql() -> str:
   FROM w{p} w LEFT JOIN hcurv h USING (bucket)
   LEFT JOIN g{r} g USING (bucket))""",
         )
-        parts.append(
-            f"""bz{r} AS MATERIALIZED (
-  SELECT bz.v - {tdiv.format(x=f"{lrm} * gb.gb", d="nn.n * 1000000")} AS v
-  FROM bz{p} bz CROSS JOIN gb{r} gb CROSS JOIN nn)""",
-        )
     joined = ",\n".join(parts)
     return f"""
 WITH {joined}
-SELECT id AS doc_id, y AS label, p AS score_micro FROM p{iters + 1}
+SELECT tk.id AS doc_id, tk.y AS label, p.p AS score_micro
+FROM p{iters + 1} p JOIN tk USING (id)
 """
 
 

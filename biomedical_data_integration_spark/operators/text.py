@@ -841,27 +841,41 @@ def _hclf_features(
             ).alias("f"),
         )
     )
+    # the BIAS is bucket -1 with constant feature 1e6 (value 1.0): its
+    # curvature is then n*1e12 and the preconditioned step reduces to
+    # exactly lr*sum(err)/n — the bias update — so one gradient
+    # aggregation covers weights AND bias, halving per-round jobs; it
+    # also guarantees every document (even token-less ones) has a
+    # feature row, so the logit join needs no outer handling
+    fb = fb.unionByName(
+        docs.select(
+            "id",
+            F.lit(-1).cast("int").alias("bucket"),
+            F.lit(1_000_000).cast("bigint").alias("f"),
+        )
+    )
     return fb, docs
 
 
 def _hclf_scores(
-    fb: DataFrame, docs: DataFrame, weights_micro: list, bias_micro: int
+    fb: DataFrame, weights_micro: list, bias_micro: int
 ) -> DataFrame:
     """Per-document micro-quantized sigmoid scores for one weight
-    vector: bucket weights ride as a literal array, the logit
-    accumulates as an exact bigint, ONE double division feeds exp."""
-    nb = len(weights_micro)
-    w_lit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights_micro])
+    vector: weights (bias = bucket -1, see :func:`_hclf_features`) ride
+    as a literal array indexed by bucket+2, the logit accumulates as an
+    exact bigint over each document's feature rows, ONE double division
+    feeds exp. Every document has at least its bias row, so the id
+    group is complete with no outer join."""
+    w_lit = F.array(
+        F.lit(int(bias_micro)).cast("bigint"),
+        *[F.lit(int(v)).cast("bigint") for v in weights_micro],
+    )
     zs = fb.select(
         "id",
-        (F.element_at(w_lit, F.col("bucket") + 1) * F.col("f")).alias("__zt"),
+        (F.element_at(w_lit, F.col("bucket") + 2) * F.col("f")).alias("__zt"),
     ).groupBy("id").agg(F.sum("__zt").alias("__zsum"))
-    z_m2 = (
-        F.lit(int(bias_micro)).cast("bigint") * F.lit(1_000_000).cast("bigint")
-        + F.coalesce(F.col("__zsum"), F.lit(0).cast("bigint"))
-    )
-    p = 1.0 / (1.0 + F.exp(-(z_m2.cast("double") / F.lit(1e12))))
-    return docs.join(zs, "id", "left").select(
+    p = 1.0 / (1.0 + F.exp(-(F.col("__zsum").cast("double") / F.lit(1e12))))
+    return zs.select(
         "id",
         F.floor(p * 1_000_000.0 + 0.5).cast("bigint").alias("p"),
     )
@@ -906,13 +920,13 @@ def train_hashed_text_classifier(
     truncating division with exact integer denominators. An ANSI-SQL
     oracle replays every round.
 
-    Scale shape: the (id, bucket, f) feature table is computed once
-    (one tokenize scan + one map-side-combinable groupBy) and pinned;
-    each of ``iters`` rounds is one id-keyed sum (per-doc logit), one
-    corpus-row error join, and one ``n_buckets``-group gradient
-    aggregation — weights ride as literals (the kmeans centroid
-    pattern), and only 1 + n_buckets gradient cells reach the driver
-    per round.
+    Scale shape: the (id, bucket, f) feature table — bias included as
+    bucket -1 — is computed once (one tokenize scan + one map-side-
+    combinable groupBy) and pinned; each of ``iters`` rounds is ONE job
+    (per-doc logit sum → error → per-bucket gradient aggregation, bias
+    gradient riding the same groupBy as bucket -1) collecting
+    n_buckets+1 cells — weights ride as literals (the kmeans centroid
+    pattern).
 
     Returns ``{"weights": [w_micro]*n_buckets, "bias": b_micro,
     "n": n}`` for :func:`score_hashed_text_classifier`.
@@ -931,16 +945,14 @@ def train_hashed_text_classifier(
     )
     fb, docs = _hclf_features(labeled, n_buckets, text_col, id_col)
     fb = fb.localCheckpoint(eager=True)
-    ydocs = (
-        docs.join(
-            labeled.select(F.col(id_col).alias("id"), "__y"), "id"
-        ).localCheckpoint(eager=True)
-    )
-    n = ydocs.count()
+    labels = labeled.select(
+        F.col(id_col).alias("id"), "__y"
+    ).localCheckpoint(eager=True)
+    n = labels.count()
     if n == 0:
         raise ValueError("train_hashed_text_classifier: empty input")
-    # per-bucket curvature bound h_b = sum_d f^2 (micro^2) — one
-    # n_buckets-group aggregation over the pinned feature table
+    # per-bucket curvature bound h_b = sum_d f^2 (micro^2), bias at
+    # bucket -1 — one aggregation over the pinned feature table
     hrows = (
         fb.groupBy("bucket")
         .agg(
@@ -952,17 +964,10 @@ def train_hashed_text_classifier(
     w = [0] * int(n_buckets)
     bias = 0
     for _ in range(int(iters)):
-        errs = _hclf_scores(fb, ydocs, w, bias).join(
-            ydocs.select("id", "__y"), "id"
-        ).select(
+        errs = _hclf_scores(fb, w, bias).join(labels, "id").select(
             "id",
             (F.col("p") - F.col("__y") * F.lit(1_000_000).cast("bigint"))
             .alias("__err"),
-        )
-        gb = int(
-            errs.agg(
-                F.sum(F.col("__err").cast("decimal(38,0)")).alias("g")
-            ).collect()[0]["g"]
         )
         grows = (
             fb.join(errs, "id")
@@ -979,7 +984,9 @@ def train_hashed_text_classifier(
             hb = h.get(b, 0)
             if hb > 0:
                 w[b] -= _tdiv(lr_micro * g.get(b, 0), hb)
-        bias -= _tdiv(lr_micro * gb, n * 10**6)
+        # bias = bucket -1: h(-1) = n*1e12 and g(-1) = 1e6 * sum(err),
+        # so the preconditioned step IS lr*sum(err)/n in micro units
+        bias -= _tdiv(lr_micro * g.get(-1, 0), h.get(-1, n * 10**12))
     return {"weights": w, "bias": bias, "n": int(n)}
 
 
@@ -992,8 +999,8 @@ def score_hashed_text_classifier(
     """Score with a :func:`train_hashed_text_classifier` model using the
     training-side arithmetic exactly. Returns ``(id_col,
     score_micro)``; one tokenize scan + one id-keyed sum."""
-    fb, docs = _hclf_features(df, len(model["weights"]), text_col, id_col)
-    return _hclf_scores(fb, docs, model["weights"], model["bias"]).select(
+    fb, _ = _hclf_features(df, len(model["weights"]), text_col, id_col)
+    return _hclf_scores(fb, model["weights"], model["bias"]).select(
         F.col("id").alias(id_col), F.col("p").alias("score_micro")
     )
 
