@@ -12056,14 +12056,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value-hash treats arrays unreliably — the feature_hash_orders
     lesson)."""
     return {
-        # --- graded window (first 50), round 10: emitted MECHANICALLY
-        # by tools/next_window.py from the CORRECTNESS_r01-r09 history
-        # (never-graded first, then oldest driver evidence). Round-10
-        # shape: the 4 post-rotation round-9 selection additions (MMR,
-        # max-coverage, facility-location, data-selection capstone),
-        # then harmonize_lineitem (r3#49) and the oldest round-4/
-        # round-6 evidence names. The round-9 window rotates just
+        # --- graded window (first 50), round 11: emitted MECHANICALLY
+        # by tools/next_window.py from the CORRECTNESS_r01-r10 history
+        # (never-graded first, then oldest driver evidence). Round-11
+        # shape: the TEN round-10 train/serve additions (persisted
+        # IVFPQ + BM25 pairs, char-span dedup, unigram vocab/encode,
+        # quality + hashed classifiers, curation v4 — never
+        # driver-graded), then the 32 round-6-evidence names and the
+        # 8 oldest round-7 names. The round-10 window rotates just
         # past the cut (freshest evidence nearest the cut). ---
+        "ivfpq_persist_index_embeddings": _q_ivfpq_persist_index,
+        "ivfpq_probe_persisted_embeddings": _q_ivfpq_probe_persisted,
+        "dedup_spans_chars_documents": _q_dedup_spans_chars,
+        "unigram_vocab_documents": _q_unigram_vocab,
+        "train_quality_classifier_documents": _q_train_quality_classifier,
+        "unigram_encode_documents": _q_unigram_encode,
+        "corpus_curation_v4_end_to_end": _q_curation_v4,
+        "bm25_persist_index_documents": _q_bm25_persist_index,
+        "bm25_probe_persisted_documents": _q_bm25_probe_persisted,
+        "train_hashed_classifier_documents": _q_train_hashed_classifier,
+        "auc_orders_totalprice": _q_binary_auc,
+        "calibration_events_purchase": _q_calibration,
+        "assoc_stats_events": _q_categorical_assoc,
+        "set_similarity_ppjoin_documents": _q_set_similarity,
+        "ks_drift_events": _q_ks_drift,
+        "quantile_transform_orders": _q_quantile_transform,
+        "linregress_events_trend": _q_group_linregress,
+        "corr_matrix_lineitem": _q_corr_matrix,
+        "mutual_information_documents": _q_mutual_information,
+        "benford_orders_totalprice": _q_benford,
+        "acf_events_daily": _q_acf_events,
+        "changepoint_events_daily": _q_changepoint_events,
+        "regression_report_orders": _q_regression_report,
+        "hll_distinct_custkeys_orders": _q_hll_distinct,
+        "pareto_price_quantity_lineitem": _q_pareto,
+        "feature_hash_orders": _q_feature_hash,
+        "ab_test_events_purchase": _q_ab_test,
+        "collocations_documents": _q_collocations,
+        "events_sequence_view_purchase": _q_sequence_match,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_top_component_embeddings": _q_pca_top_component,
+        "pca_project_embeddings": _q_pca_project,
+        "hll_daily_users_events": _q_hll_daily_users,
+        "events_ohlc_hourly": _q_ohlc,
+        "events_twap_hourly": _q_twap,
+        "ccf_events_click_purchase": _q_ccf,
+        "user_entropy_events": _q_user_entropy,
+        "readability_documents": _q_readability,
+        "events_seasonal_decompose": _q_seasonal_decompose,
+        "theil_sen_events_value": _q_theil_sen,
+        "gini_user_value_events": _q_gini_user_value,
+        "events_attribution_linear": _q_attribution_linear,
+        "kmeans_maxmin_embeddings": _q_kmeans_maxmin_embeddings,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "pr_curve_events_purchase": _q_pr_curve,
+        "anova_events_value": _q_anova_events,
+        "mann_whitney_events_value": _q_mann_whitney_events,
+        "isotonic_events_purchase": _q_isotonic_events,
+        "stratified_effect_events": _q_stratified_effect_events,
         "mmr_diverse_topk_embeddings": _q_mmr_topk,
         "max_coverage_documents": _q_max_coverage,
         "facility_location_embeddings": _q_facility_location,
@@ -12214,14 +12265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_matches_hash_embedding": _q_top_matches_embedding,
         "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh_documents": _q_dedup_minhash_lsh,
-        "kmeans_maxmin_embeddings": _q_kmeans_maxmin_embeddings,
-        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "pr_curve_events_purchase": _q_pr_curve,
-        "anova_events_value": _q_anova_events,
-        "mann_whitney_events_value": _q_mann_whitney_events,
-        "isotonic_events_purchase": _q_isotonic_events,
-        "stratified_effect_events": _q_stratified_effect_events,
         "cohen_kappa_events": _q_cohen_kappa_events,
         "js_divergence_events": _q_js_divergence_events,
         "spearman_events_daily": _q_spearman_events_daily,
@@ -12264,49 +12307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
         "zorder_key_events": _q_zorder_key_events,
         "harmonize_end_to_end": _q_harmonize_end_to_end,
-        "auc_orders_totalprice": _q_binary_auc,
-        "calibration_events_purchase": _q_calibration,
-        "assoc_stats_events": _q_categorical_assoc,
-        "set_similarity_ppjoin_documents": _q_set_similarity,
-        "ks_drift_events": _q_ks_drift,
-        "quantile_transform_orders": _q_quantile_transform,
-        "linregress_events_trend": _q_group_linregress,
-        "corr_matrix_lineitem": _q_corr_matrix,
-        "mutual_information_documents": _q_mutual_information,
-        "benford_orders_totalprice": _q_benford,
-        "acf_events_daily": _q_acf_events,
-        "changepoint_events_daily": _q_changepoint_events,
-        "regression_report_orders": _q_regression_report,
-        "hll_distinct_custkeys_orders": _q_hll_distinct,
-        "pareto_price_quantity_lineitem": _q_pareto,
-        "feature_hash_orders": _q_feature_hash,
-        "ab_test_events_purchase": _q_ab_test,
-        "collocations_documents": _q_collocations,
-        "events_sequence_view_purchase": _q_sequence_match,
-        "embedding_covariance": _q_embedding_covariance,
-        "pca_top_component_embeddings": _q_pca_top_component,
-        "pca_project_embeddings": _q_pca_project,
-        "hll_daily_users_events": _q_hll_daily_users,
-        "events_ohlc_hourly": _q_ohlc,
-        "events_twap_hourly": _q_twap,
-        "ccf_events_click_purchase": _q_ccf,
-        "user_entropy_events": _q_user_entropy,
-        "readability_documents": _q_readability,
-        "events_seasonal_decompose": _q_seasonal_decompose,
-        "theil_sen_events_value": _q_theil_sen,
-        "gini_user_value_events": _q_gini_user_value,
-        "events_attribution_linear": _q_attribution_linear,
-        # --- round-10 additions (tail; lead the round-11 rotation) ---
-        "ivfpq_persist_index_embeddings": _q_ivfpq_persist_index,
-        "ivfpq_probe_persisted_embeddings": _q_ivfpq_probe_persisted,
-        "dedup_spans_chars_documents": _q_dedup_spans_chars,
-        "unigram_vocab_documents": _q_unigram_vocab,
-        "train_quality_classifier_documents": _q_train_quality_classifier,
-        "unigram_encode_documents": _q_unigram_encode,
-        "corpus_curation_v4_end_to_end": _q_curation_v4,
-        "bm25_persist_index_documents": _q_bm25_persist_index,
-        "bm25_probe_persisted_documents": _q_bm25_probe_persisted,
-        "train_hashed_classifier_documents": _q_train_hashed_classifier,
     }
 
 

@@ -70,6 +70,7 @@ BRUTE_VECTOR_LIMIT = 20_000
 DRIVER_EDGE_LIMIT = 1_000_000
 LITERAL_DICT_LIMIT = 10_000
 CENTROID_LITERAL_LIMIT = 4
+SEGMENT_LITERAL_LIMIT = 2_000
 SEMDEDUP_FLAT_LIMIT = 20_000
 RANK_SORT_LIMIT = 4_000_000
 MAXMIN_SEED_LIMIT = 20
