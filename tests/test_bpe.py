@@ -289,3 +289,98 @@ def test_train_unigram_validation(spark):
         train_unigram(wc, vocab_size=10, candidate_pool=5)
     with _pytest.raises(ValueError, match="iters"):
         train_unigram(wc, vocab_size=2, iters=0)
+
+
+def test_segmentation_kernel_policy():
+    from biomedical_data_integration_spark import planning
+
+    assert planning.segmentation_kernel(40) == "literal"
+    assert planning.segmentation_kernel(2_000) == "literal"
+    assert planning.segmentation_kernel(2_001) == "join"
+    assert planning.segmentation_kernel(5, limit=3) == "join"
+
+
+def test_encode_unigram_join_kernel_parity(spark):
+    """The broadcast-join segmentation kernel must emit BIT-EQUAL piece
+    sequences to the literal fold on the same vocabulary — the two
+    kernels are interchangeable behind planning.segmentation_kernel."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram,
+        train_unigram,
+    )
+
+    texts = [
+        "low lower lowering lowest",
+        "new newest knew renewal",
+        "the theme there these",
+        "",
+        "zzz qqq",
+    ]
+    df = _docs(spark, texts)
+    usage = train_unigram(word_counts(df), vocab_size=8, iters=2,
+                          candidate_pool=30, max_piece_len=4)
+    lit = encode_unigram(df, usage, kernel="literal").select(
+        "doc_id", F.array_join("unigram_tokens", " ").alias("s")
+    ).orderBy("doc_id").collect()
+    jn = encode_unigram(df, usage, kernel="join").select(
+        "doc_id", F.array_join("unigram_tokens", " ").alias("s")
+    ).orderBy("doc_id").collect()
+    assert lit == jn
+    # empty documents still get a row with an empty sequence
+    by_id = {r["doc_id"]: r["s"] for r in jn}
+    assert by_id[3] == ""
+
+
+def test_encode_unigram_routes_past_literal_limit(spark):
+    """Past SEGMENT_LITERAL_LIMIT the default routing takes the join
+    kernel (no ValueError); the pieces DataFrame form never collects."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram,
+        encode_unigram_join,
+    )
+
+    df = _docs(spark, ["abc abd bcd", "abc xyz"])
+    big_usage = [("ab", 5), ("bc", 4)] + [
+        (f"q{i:04d}", 1) for i in range(2_100)
+    ]
+    out = encode_unigram(df, big_usage)  # policy routes to join
+    rows = {r["doc_id"]: r["unigram_tokens"] for r in out.collect()}
+    assert rows[0] == ["ab", "ab", "bc"] and rows[1] == ["ab"]
+    # literal kernel still refuses past its limit when forced
+    with pytest.raises(ValueError, match="literal kernel"):
+        encode_unigram(df, big_usage, kernel="literal")
+    # DataFrame-vocabulary form (collect-free path)
+    pieces = spark.createDataFrame([("ab",), ("bc",)], "piece string")
+    out2 = encode_unigram_join(df, pieces)
+    rows2 = {r["doc_id"]: r["unigram_tokens"] for r in out2.collect()}
+    assert rows2 == rows
+
+
+def test_encode_unigram_join_requires_id(spark):
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram_join,
+    )
+
+    df = spark.createDataFrame([("abc",)], "text string")
+    with pytest.raises(ValueError, match="id_col"):
+        encode_unigram_join(df, [("ab", 1)])
+
+
+def test_segment_words_join_longest_match_and_greedy(spark):
+    """Longest match wins at each position; the cursor then RESUMES
+    past the consumed piece (greedy, not all-positions): 'abcd' with
+    pieces {ab, abc, cd} -> [abc] (abc beats ab at pos 1; pos 4 'd'
+    has no match), never [ab, cd]."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        segment_words_join,
+    )
+
+    words = spark.createDataFrame([("abcd",), ("xabcd",)], "word string")
+    pieces = spark.createDataFrame(
+        [("ab",), ("abc",), ("cd",)], "piece string"
+    )
+    got = {r["word"]: r["pieces"] for r in
+           segment_words_join(words, pieces).collect()}
+    assert got["abcd"] == ["abc"]
+    # 'xabcd': pos1 'x' no match -> pos2 'abc' -> pos5 'd' no match
+    assert got["xabcd"] == ["abc"]

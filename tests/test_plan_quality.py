@@ -207,3 +207,17 @@ def test_persisted_bm25_probe_is_partition_pruned(all_plans):
     assert not seg.startswith("]"), "empty PartitionFilters on the probe"
     assert "bucket" in seg.split("]", 1)[0]
     assert "documents.parquet" not in plan, "probe plan scans the corpus"
+
+
+def test_unigram_join_segmentation_is_broadcast(all_plans):
+    """The large-vocab unigram encode (round-11 verdict item 2) must
+    match candidate substrings against the piece vocabulary via
+    BROADCAST joins only — the corpus-derived word table is never the
+    shuffled side of the match, and no cartesian/nested-loop shape
+    beyond the tiny broadcast length table appears."""
+    plan = all_plans["unigram_encode_large_vocab_documents"]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # greedy fold is constant-shape: no per-piece literal array rides
+    # the plan (the literal kernel would inline 2500 strings)
+    assert plan.count("q2") < 50  # no 2500-piece literal blob
