@@ -19,12 +19,19 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biomedical_data_integration_spark import config as _cfg
+
+# serializes the train-once _ensure gates: the oracle replica runs the
+# registry 8-wide in one process, and two probe faces sharing a serve
+# path must never both see "absent" and double-build (an overwrite
+# racing a reader FileScan-fails — the round-10 concurrency lesson)
+_ENSURE_LOCK = threading.Lock()
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -4771,6 +4778,140 @@ FROM fm CROSS JOIN w{iters} w CROSS JOIN m
 """
 
 
+def _clf_model_path(sf_dir: str, kind: str) -> str:
+    """Per-(sf, params) sidecar location for a persisted classifier
+    model (the _ivfpq_index_path discipline): keyed by every training
+    parameter so a param change can never serve stale weights; written
+    at most once (the _ensure gates hold _ENSURE_LOCK, so two probe
+    faces in the 8-wide oracle replica can never double-build)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if kind == "quality":
+        name = f"qclf_{base}_i{QCLF_ITERS}_lr{QCLF_LR}_t{QCLF_THRESHOLD}"
+    else:
+        name = (
+            f"hclf_{base}_b{HCLF_BUCKETS}_i{HCLF_ITERS}"
+            f"_lr{HCLF_LR}_j{HCLF_MIN_JOIN}"
+        )
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", name
+    )
+
+
+def _ensure_quality_clf(spark: SparkSession, sf_dir: str) -> dict:
+    """Train-once gate for the persisted quality-classifier model
+    (round-11 verdict item 4): run the GD rounds and persist the
+    one-row weights sidecar only if absent; every caller serves from
+    the loaded sidecar — scoring is a pure projection, no training
+    jobs."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        load_classifier,
+        save_classifier,
+        train_quality_classifier,
+    )
+
+    path = _clf_model_path(sf_dir, "quality")
+    with _ENSURE_LOCK:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (docs,) = _tables(spark, sf_dir, "documents")
+            label = (
+                F.col("quality_score") >= F.lit(QCLF_THRESHOLD)
+            ).cast("int")
+            model = train_quality_classifier(
+                docs, label, iters=QCLF_ITERS, lr=QCLF_LR
+            )
+            save_classifier(spark, model, path)
+    return load_classifier(spark, path)
+
+
+def _q_quality_probe_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier SERVE face: score the corpus with the
+    PERSISTED model sidecar (train-once gate — the GD rounds never
+    re-run; compare train_quality_classifier_documents, the build face
+    that retrains per execution by design). The plan is a single
+    projection over one documents scan: weights/means ride as literals,
+    no aggregation, no exchange (plan-gated). Oracle replays training +
+    scoring from scratch — same chain as the build face, probe columns
+    only."""
+    from biomedical_data_integration_spark.operators.text import (
+        score_quality_classifier,
+    )
+
+    model = _ensure_quality_clf(spark, sf_dir)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return score_quality_classifier(docs, model).select(
+        "doc_id", "score_micro"
+    )
+
+
+def _ensure_hashed_clf(spark: SparkSession, sf_dir: str) -> dict:
+    """Train-once gate for the persisted hashed-classifier model (the
+    _ensure_quality_clf twin for the fastText-shape trainer)."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        load_classifier,
+        save_classifier,
+        tokens_expr,
+        train_hashed_text_classifier,
+    )
+
+    path = _clf_model_path(sf_dir, "hashed")
+    with _ENSURE_LOCK:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (docs,) = _tables(spark, sf_dir, "documents")
+            njoin = F.size(
+                F.filter(
+                    tokens_expr(F.col("text")),
+                    lambda t: t == F.lit("join"),
+                )
+            )
+            label = (njoin >= HCLF_MIN_JOIN).cast("int")
+            model = train_hashed_text_classifier(
+                docs, label, n_buckets=HCLF_BUCKETS, iters=HCLF_ITERS,
+                lr=HCLF_LR,
+            )
+            save_classifier(spark, model, path)
+    return load_classifier(spark, path)
+
+
+def _q_hashed_probe_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashed-classifier SERVE face: score from the PERSISTED weights
+    sidecar — one tokenize scan + one id-keyed sum with the 256 bucket
+    weights as literals; the 8 preconditioned GD rounds never re-run
+    (plan-gated: no decimal(38,0) gradient aggregation in the plan).
+    Oracle replays training + scoring from scratch, probe columns
+    only."""
+    from biomedical_data_integration_spark.operators.text import (
+        score_hashed_text_classifier,
+    )
+
+    model = _ensure_hashed_clf(spark, sf_dir)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return score_hashed_text_classifier(docs, model).select(
+        "doc_id", "score_micro"
+    )
+
+
+def _quality_probe_sql() -> str:
+    return (
+        f"WITH clf AS ({_quality_clf_sql()})\n"
+        "SELECT doc_id, score_micro FROM clf"
+    )
+
+
+def _hashed_probe_sql() -> str:
+    return (
+        f"WITH clf AS ({_hashed_clf_sql()})\n"
+        "SELECT doc_id, score_micro FROM clf"
+    )
+
+
 def _q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation flagship v4 — the TRAINED-filter pipeline (the round-10
     composition): train the quality classifier in-engine (distilling the
@@ -6342,9 +6483,13 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
     path = _bm25_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
-        (docs,) = _tables(spark, sf_dir, "documents")
-        bm25_save_index(docs, path, n_buckets=BM25_N_BUCKETS)
+    # gate on the LAST-written artifact (stats/, after postings/): a
+    # crash between the two writes must leave a gate that still fires
+    # and rebuilds, never a half-built index the probe trusts forever
+    with _ENSURE_LOCK:
+        if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+            (docs,) = _tables(spark, sf_dir, "documents")
+            bm25_save_index(docs, path, n_buckets=BM25_N_BUCKETS)
     return path
 
 
@@ -6417,6 +6562,109 @@ def _bm25_probe_sql() -> str:
         "WITH " + _bm25_core_sql(BM25_TOP_K, query=BM25_PROBE_QUERY)
         + "\nSELECT doc_id, n_terms_hit, score FROM bm25"
     )
+
+
+# the batch-probe face's query table: 5 fixed queries (round-11 verdict
+# item 3 — a production retrieval/eval pipeline scores a query TABLE,
+# not one string per job)
+BM25_MANY_QUERIES = [
+    (1, "spark window join customer"),
+    (2, "hash value scan order"),
+    (3, "stream batch merge"),
+    (4, "vector filter small table"),
+    (5, "query group agg"),
+]
+
+
+def _q_bm25_probe_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 BATCH serve face (operators/retrieval.
+    bm25_search_persisted_many): score a 5-query TABLE against the
+    persisted bucket-partitioned postings in ONE pruned scan — the
+    union of all queries' term buckets collects as one
+    n_buckets-bounded action and lands in PartitionFilters (plan-gated);
+    per-term df is a window count over (term, query_id) riding the same
+    lineage (no second index scan); top-k is a per-query window. The
+    oracle recomputes every query's BM25 from the corpus with the exact
+    micro-unit arithmetic of _bm25_core_sql."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_search_persisted_many,
+    )
+
+    path = _ensure_bm25_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        BM25_MANY_QUERIES, "query_id int, query string"
+    )
+    out = bm25_search_persisted_many(
+        spark, path, qdf, top_k=BM25_TOP_K
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        "doc_id",
+        "n_terms_hit",
+        "score",
+    )
+
+
+def _bm25_probe_many_sql() -> str:
+    from biomedical_data_integration_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+    )
+
+    vals = ", ".join(f"({i}, '{q}')" for i, q in BM25_MANY_QUERIES)
+    k1 = repr(BM25_K1)
+    k1p1 = repr(BM25_K1 + 1.0)
+    b = repr(BM25_B)
+    one_minus_b = repr(1.0 - BM25_B)
+    toks = _SQL_TOKS.format(col="text")
+    qtoks = _SQL_TOKS.format(col="qtext")
+    return f"""
+WITH
+toks AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+postings AS (
+  SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, len(t) AS dl, unnest(t) AS term FROM toks)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM (SELECT id, any_value(dl) AS dl FROM postings GROUP BY id)
+),
+queries(query_id, qtext) AS (VALUES {vals}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({qtoks}) AS term FROM queries),
+hits AS (
+  SELECT q.query_id, p.id, p.dl, p.term, p.tf
+  FROM postings p JOIN qterms q USING (term)),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS df
+  FROM hits GROUP BY term),
+scored AS (
+  SELECT h.query_id, h.id,
+         CAST(floor(
+           (floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 1000000.0
+                  + 0.5) / 1000000.0)
+           * ((h.tf * {k1p1}) /
+              (h.tf + {k1} * ({one_minus_b} + {b} * h.dl / s.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS si
+  FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(si) AS DOUBLE) / 1000000.0 AS score
+  FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, id, n_terms_hit, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, id ASC) AS rk
+  FROM agg)
+SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id,
+       n_terms_hit, score
+FROM ranked WHERE rk <= {BM25_TOP_K}
+"""
 
 
 def _hybrid_rrf_sql() -> str:
@@ -11292,7 +11540,7 @@ def _q_dedup_spans_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 40): every char position covered by a 40-char substring
     occurring >= 2 times corpus-wide is excised — catches duplicated
     markup/code runs that never align to word boundaries. Shuffle key is
-    substr(md5(gram),1,16) (16 bytes/position, not 40 text bytes); the
+    substr(md5(gram),1,24) (a 96-bit key: 24 bytes/position, not 40 text bytes, collision-free in expectation at corpus scale); the
     rebuild stitches merged intervals with substring folds — never a
     per-character explode."""
     from biomedical_data_integration_spark.operators.dedup import (
@@ -11309,7 +11557,7 @@ def _dedup_spans_chars_sql(src: str = "documents") -> str:
 WITH cs_tk AS (SELECT doc_id AS id, text AS t, length(text) AS n FROM {src}),
 cs_occ0 AS (SELECT id, CAST(unnest(range(1, n - {k} + 2)) AS INTEGER) AS pos, t
          FROM cs_tk WHERE n >= {k}),
-cs_occ AS (SELECT id, pos, substr(md5(substr(t, pos, {k})), 1, 16) AS gh
+cs_occ AS (SELECT id, pos, substr(md5(substr(t, pos, {k})), 1, 24) AS gh
         FROM cs_occ0),
 cs_dup AS (SELECT gh FROM cs_occ GROUP BY 1 HAVING count(*) >= 2),
 cs_dupocc AS (SELECT id, pos FROM cs_occ JOIN cs_dup USING (gh)),
@@ -11682,14 +11930,18 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
     )
 
     path = _ivfpq_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "index", "_SUCCESS")):
-        (emb,) = _tables(spark, sf_dir, "embeddings")
-        emb = emb.where(F.col("embedding").isNotNull())
-        idx, cents, cb = ivfpq_index(
-            emb, n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES,
-            max_iter=PQ_ITERS,
-        )
-        ivfpq_save(idx, cents, cb, path)
+    # gate on the LAST-written artifact (model/, after index/): a crash
+    # between the two writes must leave a rebuildable, never a
+    # half-built-but-gated, index
+    with _ENSURE_LOCK:
+        if not os.path.exists(os.path.join(path, "model", "_SUCCESS")):
+            (emb,) = _tables(spark, sf_dir, "embeddings")
+            emb = emb.where(F.col("embedding").isNotNull())
+            idx, cents, cb = ivfpq_index(
+                emb, n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES,
+                max_iter=PQ_ITERS,
+            )
+            ivfpq_save(idx, cents, cb, path)
     return ivfpq_load(spark, path)
 
 
@@ -11780,6 +12032,110 @@ def _q_ivfpq_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         idx, query, cents, cb, k=PQ_K, nprobe=IVFPQ_NPROBE
     )
+
+
+# the IVFPQ batch-probe face's query ids (round-11 verdict item 3):
+# five corpus vectors probed as one table in one pruned scan
+IVFPQ_MANY_QUERY_IDS = [100, 140, 180, 220, 260]
+
+
+def _q_ivfpq_probe_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ BATCH serve face (operators/similarity.ivfpq_probe_many):
+    score a 5-query TABLE against the persisted cell-partitioned index
+    in ONE partition-pruned scan — the union of all queries' probed
+    cells lands in PartitionFilters (plan-gated), a broadcast
+    (query_id, cell) pair join fans each pruned row out to exactly the
+    queries probing its cell, the per-(query, cell) integer ADC tables
+    ride as literals (bit-identical driver arithmetic to the single
+    probe), and top-k is a per-query window. No training in the plan;
+    corpus vectors never read. Oracle replays coarse assignment + PQ
+    training + the per-query ADC in SQL."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_probe_many,
+    )
+
+    idx, cents, cb = _ensure_ivfpq_index(spark, sf_dir)
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.where(
+        F.col("vec_id").isin(IVFPQ_MANY_QUERY_IDS)
+        & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivfpq_probe_many(
+        idx, queries, cents, cb, k=PQ_K, nprobe=IVFPQ_NPROBE
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        "vec_id",
+        "adist",
+    )
+
+
+def _ivfpq_probe_many_sql() -> str:
+    """Multi-query twin of _ivfpq_topk_sql: one CTE chain replays
+    training, then every query's probed cells, residual subvectors, ADC
+    table, and per-query top-k window."""
+    m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
+    nprobe = IVFPQ_NPROBE
+    dsub = dim // m
+    ids = ", ".join(str(i) for i in IVFPQ_MANY_QUERY_IDS)
+    qcd2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j])))"
+    )
+    qd2 = (
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        f" j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j])))"
+    )
+    parts = _ivfpq_base_ctes()
+    parts.append(
+        f"qs AS (SELECT id AS query_id, v FROM raw WHERE id IN ({ids}))"
+    )
+    parts.append(
+        f"""probed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST(floor({qcd2} * 1000000.0 + 0.5) AS BIGINT),
+                      c.cell) AS rn
+    FROM cents c CROSS JOIN qs q) WHERE rn <= {nprobe})""")
+    parts.append(
+        f"""qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, {dim + 1}), j -> q.v[j] - c.cv[j]) AS rv
+  FROM probed p
+  JOIN cents c ON c.cell = p.cell
+  JOIN qs q ON q.query_id = p.query_id)""")
+    parts.append(
+        f"""qsub AS (
+  SELECT query_id, cell, CAST(r.s AS INTEGER) AS s,
+         list_slice(rv, r.s * {dsub} + 1, (r.s + 1) * {dsub}) AS sv
+  FROM qres CROSS JOIN range(0, {m}) AS r(s))""")
+    parts.append(
+        f"""qtab AS (
+  SELECT q.query_id, q.cell, c.s, c.code,
+         CAST(floor({qd2} * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM cent{iters} c JOIN qsub q ON c.s = q.s)""")
+    parts.append(
+        f"""adist AS (
+  SELECT t.query_id, cd.id AS vec_id,
+         CAST(CAST(sum(t.micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS adist
+  FROM codes cd
+  JOIN acell a ON cd.id = a.id
+  JOIN qtab t ON a.cell = t.cell AND cd.s = t.s AND cd.code = t.code
+  GROUP BY t.query_id, cd.id)""")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, adist FROM (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rk
+  FROM adist)
+WHERE rk <= {k}
+"""
 
 
 def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12421,6 +12777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-11 additions (land in the tail; lead the NEXT
         # mechanical rotation as never-driver-graded names) ---
         "unigram_encode_large_vocab_documents": _q_unigram_encode_large_vocab,
+        "bm25_probe_persisted_many_documents": _q_bm25_probe_many,
+        "ivfpq_probe_persisted_many_embeddings": _q_ivfpq_probe_many,
+        "quality_probe_persisted_documents": _q_quality_probe_persisted,
+        "hashed_probe_persisted_documents": _q_hashed_probe_persisted,
     }
 
 
@@ -13334,6 +13694,10 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "unigram_encode_large_vocab_documents": (
             _unigram_encode_large_vocab_sql()
         ),
+        "bm25_probe_persisted_many_documents": _bm25_probe_many_sql(),
+        "ivfpq_probe_persisted_many_embeddings": _ivfpq_probe_many_sql(),
+        "quality_probe_persisted_documents": _quality_probe_sql(),
+        "hashed_probe_persisted_documents": _hashed_probe_sql(),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),
         "bm25_probe_persisted_documents": _bm25_probe_sql(),

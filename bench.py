@@ -85,22 +85,37 @@ def main() -> int:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
-        best = None
-        for _ in range(runs):
+
+        def one_run():
             # Clear persisted intermediates so every run pays its own
             # persist cost (no silent cache reuse between runs) and cached
             # blocks don't pile up in the heap across the 30-query session.
             spark.catalog.clearCache()
             t0 = time.monotonic()
-            try:
-                df = fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-            except Exception as e:  # record the failure, keep benching the rest
-                print(f"# bench FAIL {name}: {e}", file=sys.stderr)
-                best = -1.0
-                break
-            dt = round(time.monotonic() - t0, 3)
-            best = dt if best is None else min(best, dt)
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            return round(time.monotonic() - t0, 3)
+
+        samples: list[float] = []
+        best = None
+        try:
+            for _ in range(runs):
+                samples.append(one_run())
+            # Estimator hardening (round-11 verdict item 6): when the
+            # first two timings disagree by >1.5x, one of them was
+            # polluted by co-tenant load — min-of-2 can still pick a
+            # bad pair's lesser evil. A third sample lets min reject a
+            # single polluted run outright.
+            if (
+                len(samples) >= 2
+                and min(samples) > 0
+                and max(samples) / min(samples) > 1.5
+            ):
+                samples.append(one_run())
+            best = min(samples)
+        except Exception as e:  # record the failure, keep benching the rest
+            print(f"# bench FAIL {name}: {e}", file=sys.stderr)
+            best = -1.0
         timings[name] = best
         # bound driver-heap creep (unreferenced broadcast/shuffle state is
         # only reclaimed on GC, and an idle 16g heap rarely collects)
@@ -183,10 +198,28 @@ def main() -> int:
             }
         )
     )
-    # append this run's full map so the NEXT run can compute its drift
+    # append this run's full map so the NEXT run can compute its drift,
+    # then ROTATE: keep only the last 5 runs per scale factor so local
+    # sf0.001/sf0.01 smoke runs can't grow the committed history without
+    # bound (ADVICE r10 item 3)
     try:
         with open(hist_path, "a") as fh:
             fh.write(json.dumps(detail) + "\n")
+        with open(hist_path) as fh:
+            entries = [json.loads(ln) for ln in fh if ln.strip()]
+        keep_per_sf = 5
+        kept: list = []
+        seen: dict[str, int] = {}
+        for p in reversed(entries):
+            k = p.get("sf", "?")
+            if seen.get(k, 0) < keep_per_sf:
+                kept.append(p)
+                seen[k] = seen.get(k, 0) + 1
+        kept.reverse()
+        if len(kept) < len(entries):
+            with open(hist_path, "w") as fh:
+                for p in kept:
+                    fh.write(json.dumps(p) + "\n")
     except Exception as e:
         print(f"# history append skipped: {e}", file=sys.stderr)
     return 1 if any(v < 0 for v in timings.values()) else 0

@@ -1297,10 +1297,15 @@ def remove_duplicate_spans_chars(
     Scale shape (inverted-index discipline, plus two char-mode-specific
     moves):
 
-    - the shuffle key is ``substr(md5(gram), 1, 16)`` — 16 bytes per
-      position instead of ``gram_chars`` text bytes, so the frequency
-      groupBy moves ~0.4x the corpus instead of ~40x (the salted-md5
-      determinism discipline: identical function in the SQL oracle);
+    - the shuffle key is ``substr(md5(gram), 1, 24)`` — a 96-bit
+      prefix, 24 bytes per position instead of ``gram_chars`` text
+      bytes, so the frequency groupBy moves ~0.6x the corpus instead of
+      ~40x (the salted-md5 determinism discipline: identical function
+      in the SQL oracle). 96 bits keeps birthday collisions negligible
+      at corpus scale: ~1e14 gram positions yield ~6e-2 expected
+      colliding pairs (n^2 / 2^97), where the previous 64-bit prefix
+      would already expect ~2.7e8 — each a false duplicate excising up
+      to gram_chars characters (ADVICE r10 item 2);
     - duplicated occurrences return via a semi join on the hash key;
     - the rebuild NEVER explodes to characters: per affected document
       the duplicated spans fold into a sorted merged-interval list (one
@@ -1317,7 +1322,7 @@ def remove_duplicate_spans_chars(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t")
     ).withColumn("__n", F.length("__t"))
 
-    ghash = lambda s: F.substring(F.md5(s), 1, 16)  # noqa: E731
+    ghash = lambda s: F.substring(F.md5(s), 1, 24)  # noqa: E731
     pos_grams = F.when(
         F.col("__n") >= k,
         F.transform(

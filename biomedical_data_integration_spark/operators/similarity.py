@@ -917,33 +917,19 @@ def ivfpq_index(
     return index_df, centroids, codebooks
 
 
-def ivfpq_topk(
-    index_df: DataFrame,
-    query: list,
-    centroids: list,
-    codebooks: list,
-    k: int = 10,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """ADC search over an :func:`ivfpq_index`: the query probes its
-    ``nprobe`` closest cells (micro-quantized distance, cell-id
-    tiebreak — driver arithmetic, centroids are literals) and scores
-    ONLY their members: per probed cell the residual query folds into
-    an m·n_codes integer lookup table, per row the cost is one cell
-    gate + m array lookups + a bigint sum. The cell filter is a pushed
-    predicate — on a cell-partitioned index table it prunes
-    (n_cells - nprobe)/n_cells of the corpus before any IO. Returns
-    ``(id_col, adist)`` — TakeOrderedAndProject top-k on (adist, id).
-    """
+def _ivfpq_adc_tables(
+    query: list, centroids: list, codebooks: list, nprobe: int
+) -> tuple:
+    """Driver arithmetic shared by the single- and batch-probe faces:
+    the query's ``nprobe`` closest cells (micro-quantized coarse
+    distance, cell-id tiebreak) and, per probed cell, the m x n_codes
+    integer ADC lookup table of the residual query against every
+    codebook entry. Returns ``(probed_cells, {cell: table})``."""
+    import math
+
     m = len(codebooks)
     n_codes = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    dim = len(centroids[0])
-    if len(query) != dim:
-        raise ValueError(
-            f"ivfpq_topk: query dim {len(query)} != index dim {dim}"
-        )
     qd = [
         (
             int(
@@ -961,7 +947,6 @@ def ivfpq_topk(
         for cell in range(len(centroids))
     ]
     probed = [cell for _, cell in sorted(qd)[:nprobe]]
-
     tables = {}
     for cell in probed:
         qres = [a - b for a, b in zip(query, centroids[cell])]
@@ -984,6 +969,34 @@ def ivfpq_topk(
             ]
             for s in range(m)
         ]
+    return probed, tables
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    query: list,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search over an :func:`ivfpq_index`: the query probes its
+    ``nprobe`` closest cells (micro-quantized distance, cell-id
+    tiebreak — driver arithmetic, centroids are literals) and scores
+    ONLY their members: per probed cell the residual query folds into
+    an m·n_codes integer lookup table, per row the cost is one cell
+    gate + m array lookups + a bigint sum. The cell filter is a pushed
+    predicate — on a cell-partitioned index table it prunes
+    (n_cells - nprobe)/n_cells of the corpus before any IO. Returns
+    ``(id_col, adist)`` — TakeOrderedAndProject top-k on (adist, id).
+    """
+    dim = len(centroids[0])
+    if len(query) != dim:
+        raise ValueError(
+            f"ivfpq_topk: query dim {len(query)} != index dim {dim}"
+        )
+    probed, tables = _ivfpq_adc_tables(query, centroids, codebooks, nprobe)
 
     def lit_table(cell: int) -> Column:
         return F.array(
@@ -1065,6 +1078,103 @@ def ivfpq_load(spark: SparkSession, path: str) -> tuple:
         [[float(x) for x in cv] for cv in book] for book in r["codebooks"]
     ]
     return index_df, centroids, codebooks
+
+
+def ivfpq_probe_many(
+    index_df: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ADC probe (round-11 verdict item 3): score a query TABLE
+    against one (persisted) IVFPQ index in ONE partition-pruned scan —
+    the production retrieval/eval shape where :func:`ivfpq_topk`'s
+    single vector would mean one Spark job per query.
+
+    The query batch collects once (driver-sized by contract — it is the
+    same object the single face already takes as a Python list; web-
+    scale query STREAMS belong on the streaming faces). Per query the
+    shared driver arithmetic (:func:`_ivfpq_adc_tables` — bit-identical
+    to the single probe) yields its nprobe cells and integer ADC
+    tables; the UNION of all queries' cells lands in the scan's
+    PartitionFilters; a broadcast (query_id, cell) pair join fans each
+    pruned row out to exactly the queries probing its cell; the ADC sum
+    picks the (query_id, cell) table from a literal CASE (plan size
+    O(batch · nprobe · m · n_codes) — the batch twin of the single
+    face's O(nprobe) tables); top-k is a per-query window. The corpus
+    vectors are never read; per-row cost stays m lookups + a bigint
+    sum."""
+    rows = queries.select(query_id_col, vec_col).collect()
+    if not rows:
+        raise ValueError("ivfpq_probe_many: empty query table")
+    dim = len(centroids[0])
+    pairs = []
+    tables = {}
+    for r in rows:
+        qid, q = r[0], [float(x) for x in r[1]]
+        if len(q) != dim:
+            raise ValueError(
+                f"ivfpq_probe_many: query {qid!r} dim {len(q)} != "
+                f"index dim {dim}"
+            )
+        probed, tabs = _ivfpq_adc_tables(q, centroids, codebooks, nprobe)
+        for cell in probed:
+            pairs.append((qid, int(cell)))
+            tables[(qid, cell)] = tabs[cell]
+    spark = index_df.sparkSession
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    pairs_df = spark.createDataFrame(
+        pairs, f"{query_id_col} {qid_type}, cell int"
+    )
+    cells = sorted({c for _, c in pairs})
+
+    def lit_table(key: tuple) -> Column:
+        return F.array(
+            *[
+                F.array(*[F.lit(v).cast("bigint") for v in row])
+                for row in tables[key]
+            ]
+        )
+
+    table_sel = None
+    for qid, cell in tables:
+        cond = (F.col(query_id_col) == F.lit(qid)) & (
+            F.col("cell") == cell
+        )
+        table_sel = (
+            F.when(cond, lit_table((qid, cell)))
+            if table_sel is None
+            else table_sel.when(cond, lit_table((qid, cell)))
+        )
+    micro = F.aggregate(
+        F.zip_with(
+            table_sel,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        index_df.where(F.col("cell").isin(cells))
+        .join(F.broadcast(pairs_df), "cell")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (micro.cast("double") / F.lit(1_000_000.0)).alias("adist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adist", id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def mmr_topk(

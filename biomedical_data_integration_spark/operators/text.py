@@ -990,6 +990,62 @@ def train_hashed_text_classifier(
     return {"weights": w, "bias": bias, "n": int(n)}
 
 
+def save_classifier(spark, model: dict, path: str, mode: str = "overwrite") -> None:
+    """Persist a trained classifier model (round-11 verdict item 4: the
+    ``ivfpq_save`` model-sidecar pattern applied to
+    :func:`train_quality_classifier` / :func:`train_hashed_text_classifier`)
+    as a ONE-ROW parquet sidecar with typed integer columns — micro-unit
+    integers round-trip exactly, so a loaded model scores bit-identically.
+    Train-once/serve-many: the expensive GD rounds run at build time;
+    every subsequent scoring face is a pure projection (quality) or one
+    tokenize + id-keyed sum (hashed) with the weights as literals."""
+    wm = model["weights"]
+    is_map = isinstance(wm, dict)
+    means = model.get("means")
+    data = [
+        (
+            {str(k): int(v) for k, v in wm.items()} if is_map else None,
+            None if is_map else [int(x) for x in wm],
+            int(model["bias"]),
+            (
+                {str(k): int(v) for k, v in means.items()}
+                if means is not None
+                else None
+            ),
+            int(model["n"]),
+        )
+    ]
+    mdf = spark.createDataFrame(
+        data,
+        "weights_map map<string,bigint>, weights_arr array<bigint>, "
+        "bias bigint, means map<string,bigint>, n bigint",
+    )
+    mdf.coalesce(1).write.mode(mode).parquet(path)
+    # an overwrite re-names the part file; invalidate any stale
+    # FileStatusCache entry at the only writer
+    spark.catalog.refreshByPath(path)
+
+
+def load_classifier(spark, path: str) -> dict:
+    """Load a :func:`save_classifier` sidecar back into the exact model
+    dict the trainer returned (dict-weights for the quality model,
+    array-weights for the hashed model) — one driver-side row read, no
+    corpus work, no training."""
+    r = spark.read.parquet(path).first()
+    if r is None:
+        raise ValueError(f"load_classifier: no model row at {path}")
+    model: dict = {"bias": int(r["bias"]), "n": int(r["n"])}
+    if r["weights_map"] is not None:
+        model["weights"] = {
+            k: int(v) for k, v in r["weights_map"].items()
+        }
+    else:
+        model["weights"] = [int(x) for x in r["weights_arr"]]
+    if r["means"] is not None:
+        model["means"] = {k: int(v) for k, v in r["means"].items()}
+    return model
+
+
 def score_hashed_text_classifier(
     df: DataFrame,
     model: dict,

@@ -221,3 +221,46 @@ def test_unigram_join_segmentation_is_broadcast(all_plans):
     # greedy fold is constant-shape: no per-piece literal array rides
     # the plan (the literal kernel would inline 2500 strings)
     assert plan.count("q2") < 50  # no 2500-piece literal blob
+
+
+def test_batch_probe_faces_partition_pruned(all_plans):
+    """The BATCH serve faces (round-11 verdict item 3) must keep the
+    single-probe contract at table-of-queries scale: ONE pruned scan of
+    the persisted index (non-empty PartitionFilters on the cell / term
+    bucket), no corpus scan, no training jobs in the plan."""
+    plan = all_plans["ivfpq_probe_persisted_many_embeddings"]
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1]
+    assert not seg.startswith("]"), "empty PartitionFilters on the probe"
+    assert "cell" in seg.split("]", 1)[0]
+    # query vectors collected driver-side: the plan's ONLY scan is the
+    # pruned index (no corpus, no training lineage)
+    assert "embeddings.parquet" not in plan
+    assert plan.count("FileScan") == 1
+
+    plan = all_plans["bm25_probe_persisted_many_documents"]
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1]
+    assert not seg.startswith("]"), "empty PartitionFilters on the probe"
+    assert "bucket" in seg.split("]", 1)[0]
+    assert "documents.parquet" not in plan, "probe plan scans the corpus"
+    # df rides the hits lineage as a window count: ONE postings scan
+    assert plan.count("FileScan") == 1
+
+
+def test_classifier_probe_faces_have_no_training(all_plans):
+    """The persisted-classifier SERVE faces (round-11 verdict item 4)
+    must carry no training in the plan: the quality probe is ONE
+    documents scan + a pure projection (weights/means as literals —
+    zero exchanges); the hashed probe is the scoring shape only (token
+    explode + bias-row union + id-keyed sum) with no decimal(38,0)
+    gradient aggregation anywhere."""
+    plan = all_plans["quality_probe_persisted_documents"]
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
+    assert "decimal(38,0)" not in plan
+
+    plan = all_plans["hashed_probe_persisted_documents"]
+    assert "decimal(38,0)" not in plan, "gradient agg in a serve plan"
+    assert plan.count("FileScan") == 2  # token branch + bias-row branch
+    assert "embeddings.parquet" not in plan

@@ -226,3 +226,90 @@ def test_bm25_save_index_validation(spark):
         bm25_save_index(docs, "/tmp/x", n_buckets=0)
     with _pytest.raises(ValueError, match="no tokens"):
         bm25_search_persisted(spark, "/tmp/x", "   ")
+
+
+def test_bm25_persisted_many_matches_per_query_probes(spark):
+    """The batch face must return, per query, EXACTLY the single-probe
+    face's rows (same index, same top_k) — one pruned scan replacing
+    one job per query, never different arithmetic. Shared terms across
+    queries must not inflate df (the window-count derivation)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+        bm25_search_persisted,
+        bm25_search_persisted_many,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = os.path.join(tempfile.mkdtemp(), "bm25m")
+    bm25_save_index(docs, path, n_buckets=8)
+    queries = [
+        (1, "spark window join customer"),
+        (2, "hash value scan order"),
+        (3, "spark window"),  # shares terms with query 1
+    ]
+    qdf = spark.createDataFrame(queries, "query_id int, query string")
+    many = bm25_search_persisted_many(spark, path, qdf, top_k=12)
+    got = {
+        qid: [
+            (r["doc_id"], r["n_terms_hit"], r["score"])
+            for r in many.where(F.col("query_id") == qid)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        for qid, _ in queries
+    }
+    for qid, q in queries:
+        want = [
+            (r["doc_id"], r["n_terms_hit"], r["score"])
+            for r in bm25_search_persisted(
+                spark, path, q, top_k=12
+            ).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverges from single probe"
+
+
+def test_bm25_persisted_many_validation(spark):
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+        bm25_search_persisted_many,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    path = os.path.join(tempfile.mkdtemp(), "bm25v")
+    bm25_save_index(docs, path, n_buckets=2)
+    empty = spark.createDataFrame(
+        [(1, "   ")], "query_id int, query string"
+    )
+    with _pytest.raises(ValueError, match="no query has any tokens"):
+        bm25_search_persisted_many(spark, path, empty)
+
+
+def test_bm25_save_index_stats_exclude_empty_docs(spark):
+    """(n_docs, avgdl) must match the postings-derived doclens exactly:
+    a document with no tokens contributes no postings and must not
+    count (the stats-before-write refactor keeps this contract)."""
+    import os
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "a")], ["doc_id", "text"]
+    )
+    path = os.path.join(tempfile.mkdtemp(), "bm25s")
+    bm25_save_index(docs, path, n_buckets=2)
+    srow = spark.read.parquet(f"{path}/stats").first()
+    assert srow["n_docs"] == 2
+    assert srow["avgdl"] == 2.0  # (3 + 1) / 2

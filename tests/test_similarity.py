@@ -803,9 +803,70 @@ def test_ivfpq_ensure_gate_trains_once(spark):
     path = e._ivfpq_index_path(sf)
     shutil.rmtree(path, ignore_errors=True)
     idx1, cents1, cb1 = e._ensure_ivfpq_index(spark, sf)
-    marker = os.path.join(path, "index", "_SUCCESS")
+    # the gate keys on the LAST-written artifact (model/ lands after
+    # index/), so a crash between the writes stays rebuildable
+    marker = os.path.join(path, "model", "_SUCCESS")
     mtime1 = os.path.getmtime(marker)
     idx2, cents2, cb2 = e._ensure_ivfpq_index(spark, sf)
     assert os.path.getmtime(marker) == mtime1  # no rewrite, no retrain
     assert cents2 == cents1 and cb2 == cb1
     assert idx2.count() == idx1.count()
+
+
+def test_ivfpq_probe_many_matches_per_query_probes(spark):
+    """Batch ADC probe: per query, EXACTLY ivfpq_topk's rows (shared
+    _ivfpq_adc_tables arithmetic), one pruned scan for the whole
+    batch."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_probe_many,
+        ivfpq_topk,
+    )
+
+    df, rows = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=4, m=2, n_codes=4, max_iter=2)
+    qids = [rows[3][0], rows[7][0], rows[11][0]]
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    many = ivfpq_probe_many(idx, queries, cents, cb, k=8, nprobe=2)
+    got = {
+        qid: [
+            (r["vec_id"], r["adist"])
+            for r in many.where(F.col("query_id") == qid)
+            .orderBy("adist", "vec_id")
+            .collect()
+        ]
+        for qid in qids
+    }
+    by_id = dict(rows)
+    for qid in qids:
+        want = [
+            (r["vec_id"], r["adist"])
+            for r in ivfpq_topk(
+                idx, by_id[qid], cents, cb, k=8, nprobe=2
+            ).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverges from single probe"
+
+
+def test_ivfpq_probe_many_validation(spark):
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_probe_many,
+    )
+
+    df, _ = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=2, m=2, n_codes=4, max_iter=1)
+    empty = spark.createDataFrame([], "query_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty query table"):
+        ivfpq_probe_many(idx, empty, cents, cb)
+    bad = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0])], "query_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        ivfpq_probe_many(idx, bad, cents, cb)

@@ -1086,3 +1086,69 @@ def test_train_hashed_classifier_validation(spark):
         train_hashed_text_classifier(df, F.lit(1), n_buckets=1)
     with _pytest.raises(ValueError, match="empty"):
         train_hashed_text_classifier(df.where("doc_id > 9"), F.lit(1))
+
+
+def test_save_load_classifier_roundtrip_and_serves_identically(spark):
+    """save_classifier -> load_classifier must return the exact model
+    dict (integer micro-units round-trip losslessly) for BOTH model
+    shapes, and the loaded model must score bit-identically."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        load_classifier,
+        save_classifier,
+        score_hashed_text_classifier,
+        score_quality_classifier,
+        tokens_expr,
+        train_hashed_text_classifier,
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    base = tempfile.mkdtemp()
+
+    label = (F.col("quality_score") >= F.lit(0.66)).cast("int")
+    qm = train_quality_classifier(docs, label, iters=2, lr=10.0)
+    save_classifier(spark, qm, os.path.join(base, "q"))
+    qm2 = load_classifier(spark, os.path.join(base, "q"))
+    assert qm2 == qm
+    want = score_quality_classifier(docs, qm).orderBy("doc_id").collect()
+    got = score_quality_classifier(docs, qm2).orderBy("doc_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    njoin = F.size(
+        F.filter(tokens_expr(F.col("text")), lambda t: t == F.lit("join"))
+    )
+    hm = train_hashed_text_classifier(
+        docs, (njoin >= 2).cast("int"), n_buckets=32, iters=2, lr=0.4
+    )
+    save_classifier(spark, hm, os.path.join(base, "h"))
+    hm2 = load_classifier(spark, os.path.join(base, "h"))
+    assert hm2 == hm
+    wanth = score_hashed_text_classifier(docs, hm).orderBy("doc_id").collect()
+    goth = score_hashed_text_classifier(docs, hm2).orderBy("doc_id").collect()
+    assert [tuple(r) for r in goth] == [tuple(r) for r in wanth]
+
+
+def test_load_classifier_empty_raises(spark):
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.text import (
+        load_classifier,
+    )
+
+    base = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [], "weights_map map<string,bigint>, weights_arr array<bigint>, "
+        "bias bigint, means map<string,bigint>, n bigint"
+    ).write.parquet(os.path.join(base, "m"))
+    with _pytest.raises(ValueError, match="no model row"):
+        load_classifier(spark, os.path.join(base, "m"))
