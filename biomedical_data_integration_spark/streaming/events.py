@@ -3083,6 +3083,70 @@ def streaming_quality_score(
     )
 
 
+def streaming_hashed_score(
+    stream: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming face of the TRAINED hashed-unigram classifier (round-11
+    verdict item 8): serve a
+    :func:`~biomedical_data_integration_spark.operators.text.train_hashed_text_classifier`
+    model at ingest. The batch scorer aggregates an exploded
+    (id, bucket, f) table; a stream cannot pay that shuffle, so the
+    same arithmetic compiles to ONE stateless expression per document
+    (no watermark, no state, no aggregation — the
+    :func:`streaming_dsir_score` shape): bucket each token with the
+    salted-md5 hash, fold the document's DISTINCT buckets into the
+    exact integer logit — per bucket,
+    ``w_b * ((count_b * n_buckets * 1e6) DIV n_tokens)`` with the
+    256-entry weight vector riding as a literal array — add the bias
+    term, and micro-quantize the sigmoid. Integer-for-integer the batch
+    face's math (truncating DIV on non-negatives replayed as
+    ``(x - x % nt) / nt`` — exact in doubles far past any document's
+    feature range), so scores match bit-for-bit on replay
+    (parity-tested). Token-less and null-text documents score the pure
+    bias, exactly like the batch face's bias-only feature row."""
+    from biomedical_data_integration_spark.functions.hashing import (
+        md5_bigint,
+    )
+    from biomedical_data_integration_spark.operators.text import tokens_expr
+
+    weights = model["weights"]
+    n_buckets = len(weights)
+    if n_buckets < 1:
+        raise ValueError("streaming_hashed_score: empty weight vector")
+    w_lit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights])
+    toks = F.coalesce(
+        tokens_expr(F.col(text_col)), F.array().cast("array<string>")
+    )
+    buckets = F.transform(
+        toks,
+        lambda t: (md5_bigint(t, salt="hclf") % n_buckets).cast("int"),
+    )
+    nt = F.size(buckets).cast("bigint")
+
+    def bucket_term(acc, b):
+        c = F.size(F.filter(buckets, lambda x: x == b)).cast("bigint")
+        num = c * F.lit(int(n_buckets) * 1_000_000).cast("bigint")
+        f = ((num - num % nt) / nt).cast("bigint")  # truncating DIV
+        return acc + F.element_at(w_lit, b + 1) * f
+
+    z = F.when(nt > 0, F.aggregate(
+        F.array_distinct(buckets),
+        F.lit(0).cast("bigint"),
+        bucket_term,
+    )).otherwise(F.lit(0).cast("bigint")) + (
+        F.lit(int(model["bias"])).cast("bigint")
+        * F.lit(1_000_000).cast("bigint")
+    )
+    p = 1.0 / (1.0 + F.exp(-(z.cast("double") / F.lit(1e12))))
+    return stream.select(
+        F.col(id_col),
+        F.floor(p * 1_000_000.0 + 0.5).cast("bigint").alias("score_micro"),
+    )
+
+
 def sliding_active_users(
     df: DataFrame,
     window_days: int = 7,

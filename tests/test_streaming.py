@@ -1562,3 +1562,62 @@ def test_streaming_quality_score_matches_batch(spark):
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "Aggregate" not in plan and "Join" not in plan
     assert got == want
+
+
+def test_streaming_hashed_score_matches_batch(spark):
+    """The trained hashed-unigram classifier serves on a stream
+    bit-for-bit equal to the batch face — the shuffle-free expression
+    replay of the (bucket, occupancy) aggregation."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        score_hashed_text_classifier,
+        tokens_expr,
+        train_hashed_text_classifier,
+    )
+    from biomedical_data_integration_spark.streaming import (
+        streaming_hashed_score,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    # include degenerate rows: empty text and null text score pure bias
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, None)], "doc_id bigint, text string"
+    )
+    docs = docs.unionByName(extra)
+    njoin = F.size(
+        F.filter(tokens_expr(F.col("text")), lambda t: t == F.lit("join"))
+    )
+    model = train_hashed_text_classifier(
+        docs, (njoin >= 2).cast("int"), n_buckets=64, iters=3, lr=0.4
+    )
+    want = {
+        r["doc_id"]: r["score_micro"]
+        for r in score_hashed_text_classifier(docs, model).collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = streaming_hashed_score(stream, model)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("hclf_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            r["doc_id"]: r["score_micro"]
+            for r in spark.sql("select * from hclf_stream_test").collect()
+        }
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in plan and "Join" not in plan
+    assert got == want
