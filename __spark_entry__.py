@@ -12076,6 +12076,23 @@ def _ivfpq_probe_many_sql() -> str:
     """Multi-query twin of _ivfpq_topk_sql: one CTE chain replays
     training, then every query's probed cells, residual subvectors, ADC
     table, and per-query top-k window."""
+    parts = _ivfpq_probe_many_parts()
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, adist FROM (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rk
+  FROM adist)
+WHERE rk <= {PQ_K}
+"""
+
+
+def _ivfpq_probe_many_parts() -> list:
+    """Shared CTE chain (training replay + per-query ADC distances,
+    ending in ``adist(query_id, vec_id, adist)``) for the batch-probe
+    oracle and the recall-eval oracle."""
     m, nc, iters, dim, k = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM, PQ_K
     nprobe = IVFPQ_NPROBE
     dsub = dim // m
@@ -12126,15 +12143,117 @@ def _ivfpq_probe_many_sql() -> str:
   JOIN acell a ON cd.id = a.id
   JOIN qtab t ON a.cell = t.cell AND cd.s = t.s AND cd.code = t.code
   GROUP BY t.query_id, cd.id)""")
+    return parts
+
+
+def _q_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality EVAL face: recall@k of the persisted IVFPQ index's
+    batch probe against the EXACT squared-L2 top-k ground truth — the
+    offline eval loop a production ANN deployment runs after every
+    index build (compare ann_ranking_metrics_embeddings, which grades a
+    retrieval run against human qrels; this grades the INDEX against
+    brute force). The ANN side is ivfpq_probe_many (one pruned scan for
+    all 5 queries); the truth side is a broadcast 5-query cross join
+    over the raw vectors with micro-quantized distances (the index
+    arithmetic's quantization, vec_id tiebreak) and a per-query window
+    top-k; recall = |ANN ∩ truth| / k per query."""
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_probe_many,
+    )
+
+    idx, cents, cb = _ensure_ivfpq_index(spark, sf_dir)
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    emb = emb.where(F.col("embedding").isNotNull())
+    queries = emb.where(
+        F.col("vec_id").isin(IVFPQ_MANY_QUERY_IDS)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    ann = ivfpq_probe_many(
+        idx, queries, cents, cb, k=PQ_K, nprobe=IVFPQ_NPROBE
+    ).select("query_id", "vec_id")
+    q = queries.select(
+        F.col("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    micro = F.floor(d2 * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy("__d", "vec_id")
+    truth = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", micro.alias("__d"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= PQ_K)
+        .select("query_id", "vec_id")
+    )
+    hits = ann.join(truth, ["query_id", "vec_id"], "leftsemi")
+    return (
+        ann.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_hits")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(PQ_K)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivfpq_recall_eval_sql() -> str:
+    dim, k = ANN_DIM, PQ_K
+    ids = ", ".join(str(i) for i in IVFPQ_MANY_QUERY_IDS)
+    td2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" j -> (q.v[j] - r.v[j]) * (q.v[j] - r.v[j])))"
+    )
+    parts = _ivfpq_probe_many_parts()
+    parts.append(
+        f"""annk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, vec_id) AS rk
+    FROM adist) WHERE rk <= {k})""")
+    parts.append(
+        f"""truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, r.id AS vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY CAST(floor({td2} * 1000000.0 + 0.5) AS BIGINT),
+                      r.id) AS rk
+    FROM qs q CROSS JOIN raw r) WHERE rk <= {k})""")
     joined = ",\n".join(parts)
     return f"""
 WITH {joined}
-SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, adist FROM (
-  SELECT query_id, vec_id, adist,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY adist, vec_id) AS rk
-  FROM adist)
-WHERE rk <= {k}
+SELECT CAST(a.query_id AS BIGINT) AS query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       round(count(t.vec_id) / {float(k)!r}, 6) AS recall
+FROM annk a
+LEFT JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+GROUP BY a.query_id
 """
 
 
@@ -12781,6 +12900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_probe_persisted_many_embeddings": _q_ivfpq_probe_many,
         "quality_probe_persisted_documents": _q_quality_probe_persisted,
         "hashed_probe_persisted_documents": _q_hashed_probe_persisted,
+        "ivfpq_recall_eval_embeddings": _q_ivfpq_recall_eval,
     }
 
 
@@ -13698,6 +13818,7 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "ivfpq_probe_persisted_many_embeddings": _ivfpq_probe_many_sql(),
         "quality_probe_persisted_documents": _quality_probe_sql(),
         "hashed_probe_persisted_documents": _hashed_probe_sql(),
+        "ivfpq_recall_eval_embeddings": _ivfpq_recall_eval_sql(),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),
         "bm25_probe_persisted_documents": _bm25_probe_sql(),

@@ -216,6 +216,12 @@ def encode_bpe(
 UNIGRAM_LITERAL_LIMIT = 2_000
 
 
+def _seg_kernel(n_pieces: int) -> str:
+    from .. import planning
+
+    return planning.segmentation_kernel(n_pieces)
+
+
 def _greedy_segment(word, pieces: List[str]):
     """Expression: greedy longest-match-first segmentation of ``word``
     against the literal ``pieces`` vocabulary; returns array<string> of
@@ -494,6 +500,7 @@ def train_unigram(
     max_piece_len: int = 5,
     word_col: str = "word",
     count_col: str = "n_words",
+    kernel: str | None = None,
 ) -> List[Tuple[str, int]]:
     """Train a unigram-LM piece vocabulary (SentencePiece's other half,
     next to :func:`train_bpe`) by fixed-iteration hard-EM with greedy
@@ -542,21 +549,41 @@ def train_unigram(
     for _ in range(int(iters)):
         if not pieces:
             break
-        if len(pieces) > UNIGRAM_LITERAL_LIMIT:
-            raise ValueError(
-                f"train_unigram: candidate_pool {len(pieces)} exceeds "
-                f"UNIGRAM_LITERAL_LIMIT={UNIGRAM_LITERAL_LIMIT} — the "
-                "literal segmentation expression would not codegen; "
-                "reduce the pool (a broadcast-join segmentation kernel "
-                "is the at-scale alternative)"
+        # E-step kernel routing (planning.segmentation_kernel): the
+        # literal fold below the limit; past it — real SentencePiece
+        # candidate pools are 1M+ substrings — the broadcast-join
+        # kernel (segment_words_join), bit-equal by construction
+        kern = kernel or _seg_kernel(len(pieces))
+        if kern == "join":
+            pieces_df = wc.sparkSession.createDataFrame(
+                [(p,) for p in pieces], "piece string"
             )
-        seg = _greedy_segment(F.col(word_col), pieces)
-        rows = (
-            wc.select(
-                F.explode(seg).alias("piece"),
+            seg_rows = (
+                segment_words_join(
+                    wc.select(word_col), pieces_df, word_col=word_col
+                )
+                .join(wc, word_col)
+                .select(
+                    F.explode("pieces").alias("piece"),
+                    F.col(count_col).alias("__n"),
+                )
+            )
+        else:
+            if len(pieces) > UNIGRAM_LITERAL_LIMIT:
+                raise ValueError(
+                    f"train_unigram: candidate_pool {len(pieces)} "
+                    f"exceeds UNIGRAM_LITERAL_LIMIT="
+                    f"{UNIGRAM_LITERAL_LIMIT} for the literal kernel — "
+                    "use kernel='join' (segment_words_join)"
+                )
+            seg_rows = wc.select(
+                F.explode(
+                    _greedy_segment(F.col(word_col), pieces)
+                ).alias("piece"),
                 F.col(count_col).alias("__n"),
             )
-            .groupBy("piece")
+        rows = (
+            seg_rows.groupBy("piece")
             .agg(F.sum("__n").alias("n_uses"))
             .collect()
         )

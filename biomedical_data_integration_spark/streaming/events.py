@@ -3147,6 +3147,125 @@ def streaming_hashed_score(
     )
 
 
+def streaming_bm25_score(
+    spark,
+    stream: DataFrame,
+    index_path: str,
+    query: str,
+    k1: float | None = None,
+    b: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming face of the persisted BM25 index: score documents at
+    INGEST against a fixed query (topical routing / decontamination-by-
+    relevance — "how much does this incoming document smell like my
+    eval query"), completing index-time/serve-batch/serve-stream
+    uniformity for retrieval the way the classifier and DSIR gates
+    already have it.
+
+    Corpus statistics come from the
+    :func:`~biomedical_data_integration_spark.operators.retrieval.bm25_save_index`
+    sidecar, and per-term document frequencies from ONE bucket-pruned
+    postings read at stream-construction time (query-terms-bounded
+    collect — these are FROZEN at index time, exactly what "serve from
+    a persisted index" means; rebuild the face after reindexing). The
+    per-document score is then a stateless expression — tf from the
+    document's own tokens, dl its token count, idf built in-plan from
+    literal (n_docs, df) integers so the arithmetic is the batch
+    :func:`~biomedical_data_integration_spark.operators.retrieval._bm25_rank`'s
+    bit-for-bit (same quantized idf, same micro-unit floor; parity-
+    tested). Emits ``(id_col, n_terms_hit, score)`` for EVERY document
+    (0/0.0 when no query term hits — a stream cannot drop rows into a
+    top-k, gating is the consumer's cut)."""
+    from biomedical_data_integration_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        _bm25_term_bucket,
+        tokenize_query,
+    )
+    from biomedical_data_integration_spark.operators.text import tokens_expr
+
+    k1 = BM25_K1 if k1 is None else float(k1)
+    b = BM25_B if b is None else float(b)
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("streaming_bm25_score: query has no tokens")
+    srow = spark.read.parquet(f"{index_path}/stats").first()
+    if srow is None or not srow["n_docs"]:
+        raise ValueError(
+            f"streaming_bm25_score: index at {index_path} is empty"
+        )
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+    nb = int(srow["n_buckets"])
+    buckets = sorted({_bm25_term_bucket(t, nb) for t in terms})
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(f"{index_path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .collect()
+    }
+    toks = F.coalesce(
+        tokens_expr(F.col(text_col)), F.array().cast("array<string>")
+    )
+    dl = F.size(toks).cast("double")
+    def _tf(term: str):
+        # closure helper: a defaulted 2-arg lambda would be read by
+        # F.filter as the (element, index) form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast(
+            "double"
+        )
+
+    si_terms = []
+    hit_terms = []
+    for t in terms:
+        df_t = dfreq.get(t, 0)
+        if df_t == 0:
+            continue  # term absent from the corpus: idf undefined, no hits
+        tf = _tf(t)
+        idf6 = (
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.lit(float(df_t)) + F.lit(0.5))
+                    / (F.lit(float(df_t)) + F.lit(0.5))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        )
+        tfpart = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+        )
+        si = F.when(
+            tf > 0,
+            F.floor(idf6 * tfpart * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        si_terms.append(si)
+        hit_terms.append(F.when(tf > 0, 1).otherwise(0))
+    if not si_terms:
+        return stream.select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_terms_hit"),
+            F.lit(0.0).alias("score"),
+        )
+    zsum = si_terms[0]
+    for s in si_terms[1:]:
+        zsum = zsum + s
+    nhit = hit_terms[0]
+    for h in hit_terms[1:]:
+        nhit = nhit + h
+    return stream.select(
+        F.col(id_col),
+        nhit.cast("bigint").alias("n_terms_hit"),
+        (zsum.cast("double") / F.lit(1e6)).alias("score"),
+    )
+
+
 def sliding_active_users(
     df: DataFrame,
     window_days: int = 7,

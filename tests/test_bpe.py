@@ -384,3 +384,21 @@ def test_segment_words_join_longest_match_and_greedy(spark):
     assert got["abcd"] == ["abc"]
     # 'xabcd': pos1 'x' no match -> pos2 'abc' -> pos5 'd' no match
     assert got["xabcd"] == ["abc"]
+
+
+def test_train_unigram_join_kernel_parity(spark):
+    """The hard-EM trainer must learn the EXACT same vocabulary through
+    the broadcast-join E-step as through the literal fold — kernel
+    routing never changes the fit."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        train_unigram,
+    )
+
+    wc = word_counts(
+        _docs(spark, ["low lower lowering lowest", "new newest knew",
+                      "the theme there these", "slow slower slowest"])
+    ).localCheckpoint(eager=True)
+    kw = dict(vocab_size=10, iters=2, candidate_pool=40, max_piece_len=4)
+    lit = train_unigram(wc, kernel="literal", **kw)
+    jn = train_unigram(wc, kernel="join", **kw)
+    assert jn == lit

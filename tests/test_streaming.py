@@ -1621,3 +1621,58 @@ def test_streaming_hashed_score_matches_batch(spark):
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "Aggregate" not in plan and "Join" not in plan
     assert got == want
+
+
+def test_streaming_bm25_score_matches_persisted_probe(spark):
+    """The fixed-query BM25 stream gate must score every matching
+    document exactly as the persisted-index batch probe does (same
+    quantized idf from the frozen sidecar stats, same micro-unit
+    floor); non-matching documents emit (0, 0.0) instead of being
+    dropped into a top-k."""
+    import os
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+        bm25_search_persisted,
+    )
+    from biomedical_data_integration_spark.streaming import (
+        streaming_bm25_score,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+    )
+    q = "spark window join customer zzzunseen"
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "idx")
+        bm25_save_index(docs, path, n_buckets=8)
+        want = {
+            r["doc_id"]: (r["n_terms_hit"], r["score"])
+            for r in bm25_search_persisted(
+                spark, path, q, top_k=100000
+            ).collect()
+        }
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = streaming_bm25_score(spark, stream, path, q)
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("bm25_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        rows = spark.sql("select * from bm25_stream_test").collect()
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in plan and "Join" not in plan
+    got = {r["doc_id"]: (r["n_terms_hit"], r["score"]) for r in rows}
+    assert len(got) == docs.count()  # every doc emits
+    hits = {k: v for k, v in got.items() if v[0] > 0}
+    assert hits == want
+    assert all(v == (0, 0.0) for k, v in got.items() if k not in want)
