@@ -11683,15 +11683,27 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, query, cb, k=PQ_K)
 
 
-def _pq_fit_ctes(dim: int, m: int, nc: int, iters: int) -> list:
+def _pq_fit_ctes(
+    dim: int, m: int, nc: int, iters: int,
+    train_mod: tuple | None = None,
+) -> list:
     """CTE chain replaying operators/similarity.pq_train + pq_encode in
     SQL, assuming a CTE ``e(id, v)`` holds the vectors PQ trains on
     (raw embeddings for pq_topk, cell residuals for ivfpq): subspace
     explode, lowest-id seeds, ``iters`` Lloyd rounds (rounded-dist2
     argmin + code tiebreak; rounded per-dimension means; empty codes
     keep the previous centroid), then the final per-(id, s) code
-    assignment in ``codes``."""
+    assignment in ``codes``. ``train_mod=(m, r)`` restricts the FIT
+    (seeds + Lloyd assignments) to ids with ``id % m = r`` while codes
+    still cover every vector — the incremental-append oracle's
+    train-on-A / encode-all split."""
     dsub = dim // m
+    tw = (
+        f" WHERE id % {train_mod[0]} = {train_mod[1]}" if train_mod else ""
+    )
+    txw = (
+        f" AND x.id % {train_mod[0]} = {train_mod[1]}" if train_mod else ""
+    )
     d2 = (
         f"round(list_sum(list_transform(range(1, {dsub + 1}),"
         f" j -> (x.sv[j] - c.cv[j]) * (x.sv[j] - c.cv[j]))), 6)"
@@ -11704,7 +11716,7 @@ def _pq_fit_ctes(dim: int, m: int, nc: int, iters: int) -> list:
         f"""cent0 AS (
   SELECT s, CAST(__rn - 1 AS INTEGER) AS code, sv AS cv FROM (
     SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY id) AS __rn
-    FROM sub) WHERE __rn <= {nc})""",
+    FROM sub{tw}) WHERE __rn <= {nc})""",
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -11713,7 +11725,7 @@ def _pq_fit_ctes(dim: int, m: int, nc: int, iters: int) -> list:
     SELECT x.id, x.s, c.code,
            row_number() OVER (PARTITION BY x.id, x.s
                               ORDER BY {d2}, c.code) AS rn
-    FROM sub x JOIN cent{i - 1} c ON x.s = c.s) WHERE rn = 1)"""
+    FROM sub x JOIN cent{i - 1} c ON x.s = c.s{txw}) WHERE rn = 1)"""
         )
         parts.append(
             f"""cnew{i} AS (
@@ -11806,14 +11818,20 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_base_ctes() -> list:
+def _ivfpq_base_ctes(train_mod: tuple | None = None) -> list:
     """CTE chain replaying operators/similarity.ivfpq_index in SQL:
     coarse lowest-id centroids, rounded-dist2 cell assignment, residual
     vectors, then the shared _pq_fit_ctes Lloyd replay ending in
     ``codes(id, s, code)``. Shared by the in-query ivfpq oracle and the
-    persisted-index pair's oracles — ONE training replay, three faces."""
+    persisted-index pair's oracles — ONE training replay, three faces.
+    ``train_mod=(m, r)`` trains coarse centroids and PQ codebooks on
+    ids with ``id % m = r`` only while assigning/encoding ALL vectors —
+    the incremental-append oracle."""
     m, nc, iters, dim = PQ_M, PQ_CODES, PQ_ITERS, ANN_DIM
     n_cells = IVFPQ_CELLS
+    tw = (
+        f" WHERE id % {train_mod[0]} = {train_mod[1]}" if train_mod else ""
+    )
     cd2 = (
         f"round(list_sum(list_transform(range(1, {dim + 1}),"
         f" j -> (r.v[j] - c.cv[j]) * (r.v[j] - c.cv[j]))), 6)"
@@ -11824,7 +11842,7 @@ def _ivfpq_base_ctes() -> list:
         " FROM embeddings WHERE embedding IS NOT NULL)",
         f"""cents AS (
   SELECT CAST(__rn - 1 AS INTEGER) AS cell, v AS cv FROM (
-    SELECT id, v, row_number() OVER (ORDER BY id) AS __rn FROM raw)
+    SELECT id, v, row_number() OVER (ORDER BY id) AS __rn FROM raw{tw})
   WHERE __rn <= {n_cells})""",
         f"""acell AS (
   SELECT id, cell FROM (
@@ -11837,7 +11855,7 @@ def _ivfpq_base_ctes() -> list:
          list_transform(range(1, {dim + 1}), j -> r.v[j] - c.cv[j]) AS v
   FROM raw r JOIN acell a ON r.id = a.id JOIN cents c ON a.cell = c.cell)""",
     ]
-    parts.extend(_pq_fit_ctes(dim, m, nc, iters))
+    parts.extend(_pq_fit_ctes(dim, m, nc, iters, train_mod=train_mod))
     return parts
 
 
@@ -12254,6 +12272,93 @@ SELECT CAST(a.query_id AS BIGINT) AS query_id,
 FROM annk a
 LEFT JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
 GROUP BY a.query_id
+"""
+
+
+def _q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 ingestion (operators/retrieval.bm25_append_index
+    — round-11 third wave): build the index on the EVEN doc_ids, append
+    the ODD batch with the frozen bucket hash and exact-bigint stats
+    recombination, then probe. The oracle is the FULL-corpus BM25
+    recompute — incremental build must serve bit-identically to a
+    one-pass build, which is the whole contract."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_save_index,
+        bm25_search_persisted,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    # own path: overwritten every execution (never raced — no other
+    # face reads it)
+    path = _bm25_index_path(sf_dir, face="incr")
+    bm25_save_index(
+        docs.where(F.col("doc_id") % 2 == 0), path,
+        n_buckets=BM25_N_BUCKETS,
+    )
+    bm25_append_index(docs.where(F.col("doc_id") % 2 == 1), path)
+    return bm25_search_persisted(
+        spark, path, BM25_PROBE_QUERY, top_k=BM25_TOP_K
+    )
+
+
+def _q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVFPQ ingestion (operators/similarity.
+    ivfpq_append_index — the FAISS `add` contract): train coarse
+    centroids + PQ codebooks on the EVEN vec_ids only, persist, then
+    append the ODD batch encoded with the FROZEN model into the
+    existing cell partitions. Returns the persist face's per-cell
+    read-back checksums over the GROWN index; the oracle replays
+    train-on-even / encode-all in SQL (_ivfpq_base_ctes(train_mod))."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    emb = emb.where(F.col("embedding").isNotNull())
+    idx, cents, cb = ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0),
+        n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES, max_iter=PQ_ITERS,
+    )
+    path = _ivfpq_index_path(sf_dir, face="incr")
+    ivfpq_save(idx, cents, cb, path)
+    ivfpq_append_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    stored, _, _ = ivfpq_load(spark, path)
+    row_code = F.aggregate(
+        F.col("codes"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * PQ_CODES + x,
+    )
+    return stored.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("vec_id").cast("bigint").alias("ids_sum"),
+        F.sum(row_code).cast("bigint").alias("codes_checksum"),
+    )
+
+
+def _ivfpq_incremental_sql() -> str:
+    """Train-on-even / encode-all replay, then the persist face's
+    per-cell checksums."""
+    m, nc = PQ_M, PQ_CODES
+    weight = f"CAST(round(power({nc}, {m - 1} - cd.s)) AS BIGINT)"
+    joined = ",\n".join(_ivfpq_base_ctes(train_mod=(2, 0)))
+    return f"""
+WITH {joined}
+SELECT a.cell,
+       CAST(count(DISTINCT cd.id) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN cd.s = 0 THEN cd.id ELSE 0 END) AS BIGINT)
+         AS ids_sum,
+       CAST(sum(CAST(cd.code AS BIGINT) * {weight}) AS BIGINT)
+         AS codes_checksum
+FROM codes cd JOIN acell a ON cd.id = a.id
+GROUP BY a.cell
 """
 
 
@@ -12901,6 +13006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_probe_persisted_documents": _q_quality_probe_persisted,
         "hashed_probe_persisted_documents": _q_hashed_probe_persisted,
         "ivfpq_recall_eval_embeddings": _q_ivfpq_recall_eval,
+        "bm25_incremental_index_documents": _q_bm25_incremental,
+        "ivfpq_incremental_index_embeddings": _q_ivfpq_incremental,
     }
 
 
@@ -13819,6 +13926,8 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "quality_probe_persisted_documents": _quality_probe_sql(),
         "hashed_probe_persisted_documents": _hashed_probe_sql(),
         "ivfpq_recall_eval_embeddings": _ivfpq_recall_eval_sql(),
+        "bm25_incremental_index_documents": _bm25_probe_sql(),
+        "ivfpq_incremental_index_embeddings": _ivfpq_incremental_sql(),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),
         "bm25_probe_persisted_documents": _bm25_probe_sql(),

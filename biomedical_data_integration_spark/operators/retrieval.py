@@ -269,6 +269,10 @@ def bm25_save_index(
         .where(F.col("dl") > 0)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # the exact bigint token total rides along so incremental
+            # appends can recombine avgdl EXACTLY ((s1+s2)/(n1+n2) —
+            # recombining from the stored double avgdl would drift)
+            F.sum("dl").cast("bigint").alias("sum_dl"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         )
         .withColumn("n_buckets", F.lit(int(n_buckets)))
@@ -277,6 +281,69 @@ def bm25_save_index(
     # (the ensure-gates key on it — a crash between the two writes must
     # leave a rebuildable, never a half-built-but-gated, index)
     stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+    spark.catalog.refreshByPath(f"{path}/stats")
+
+
+def bm25_append_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental ingestion for a persisted BM25 index (round-11 third
+    wave): tokenize ONLY the new batch, append its postings into the
+    existing term-bucket partitions (the same md5 bucket hash, so every
+    term's postings still share one bucket and probe-time df stays
+    exact on the pruned read), and recombine the stats sidecar from
+    exact bigint token totals — ``avgdl = (sum_dl_old + sum_dl_new) /
+    (n_old + n_new)``, the same division a full rebuild computes, so an
+    index built incrementally serves BIT-IDENTICALLY to one built from
+    the full corpus in one pass (gated by tests). The never-rescan
+    contract holds: neither the old corpus nor the old postings are
+    read beyond the one-row stats sidecar.
+
+    Caller contract: the batch holds NEW doc ids (appending an existing
+    id double-counts its postings — dedup upstream)."""
+    from .text import tokens_expr
+    from ..functions.hashing import md5_bigint
+
+    spark = df.sparkSession
+    srow = spark.read.parquet(f"{path}/stats").first()
+    if srow is None:
+        raise ValueError(
+            f"bm25_append_index: no index at {path} — build with "
+            "bm25_save_index first"
+        )
+    if "sum_dl" not in srow.asDict():
+        raise ValueError(
+            "bm25_append_index: stats sidecar predates the sum_dl "
+            "column — rebuild once with bm25_save_index"
+        )
+    nb = int(srow["n_buckets"])
+    postings = bm25_postings(df, id_col=id_col, text_col=text_col).withColumn(
+        "bucket",
+        (md5_bigint(F.col("term"), salt="bm25") % nb).cast("int"),
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    spark.catalog.refreshByPath(f"{path}/postings")
+    new = (
+        df.select(F.size(tokens_expr(F.col(text_col))).alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("s"),
+        )
+        .first()
+    )
+    n = int(srow["n_docs"]) + int(new["n"] or 0)
+    s = int(srow["sum_dl"]) + int(new["s"] or 0)
+    stats = spark.createDataFrame(
+        [(n, s, float(s) / n if n else 0.0, nb)],
+        "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     spark.catalog.refreshByPath(f"{path}/stats")
 
 

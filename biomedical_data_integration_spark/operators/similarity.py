@@ -815,6 +815,58 @@ def pq_topk(
     return out.orderBy("adist", id_col).limit(k)
 
 
+def _ivfpq_residuals(
+    df: DataFrame, centroids: list, vec_col: str, id_col: str, scale: int
+) -> DataFrame:
+    """Coarse-assign every vector to its nearest centroid (rounded-dist2
+    + cell-id-tiebreak argmin over a literal centroid array — one
+    expression, no join) and emit the residual: ``(id_col, cell,
+    __resid)``. Shared by the trainer and the incremental-append face —
+    appended vectors route through EXACTLY the build-time assignment."""
+    n_cells = len(centroids)
+    lit_cents = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v"),
+                            F.array(*[F.lit(v) for v in centroids[cell]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    scale,
+                ).alias("dist2"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell in range(n_cells)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("__v"),
+        )
+        .withColumn("cell", F.array_min(scored)["cell"])
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(lit_cents, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ).alias("__resid"),
+        )
+    )
+
+
 def ivfpq_index(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -856,47 +908,7 @@ def ivfpq_index(
             f"got {len(cent_rows)}"
         )
     centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
-    lit_cents = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
-    )
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__v"),
-                            F.array(*[F.lit(v) for v in centroids[cell]]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    scale,
-                ).alias("dist2"),
-                F.lit(cell).alias("cell"),
-            )
-            for cell in range(n_cells)
-        ]
-    )
-    resid = (
-        df.select(
-            F.col(id_col),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double")
-            ).alias("__v"),
-        )
-        .withColumn("cell", F.array_min(scored)["cell"])
-        .select(
-            id_col,
-            "cell",
-            F.zip_with(
-                F.col("__v"),
-                F.element_at(lit_cents, F.col("cell") + 1),
-                lambda a, b: a - b,
-            ).alias("__resid"),
-        )
-    )
+    resid = _ivfpq_residuals(df, centroids, vec_col, id_col, scale)
     codebooks = pq_train(
         resid,
         vec_col="__resid",
@@ -1078,6 +1090,50 @@ def ivfpq_load(spark: SparkSession, path: str) -> tuple:
         [[float(x) for x in cv] for cv in book] for book in r["codebooks"]
     ]
     return index_df, centroids, codebooks
+
+
+def ivfpq_append_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: Optional[int] = None,
+) -> None:
+    """Incremental ingestion for a persisted IVFPQ index (round-11
+    third wave — the production story between full rebuilds: new
+    vectors arrive daily, retraining the quantizers per batch is both
+    wasteful and SEMANTICALLY wrong for ADC serving, which assumes one
+    frozen model): encode the new batch with the index's FROZEN
+    centroids + codebooks (the standard FAISS `add` contract) and
+    APPEND the resulting ``(id, cell, codes)`` rows into the existing
+    cell partitions — appended rows land in exactly the partitions the
+    probe faces already prune on, so serving needs no change and no
+    rebuild. Encoding is :func:`_ivfpq_residuals` + :func:`pq_encode`,
+    bit-identical to build-time encoding with the same model (gated by
+    tests: build-on-A + append-B == encode-A∪B-with-A's-model).
+
+    Caller contract: the batch holds NEW ids (appending an existing id
+    duplicates its rows — dedup upstream, the exact-dedup operator is
+    one groupBy away). The model sidecar is untouched; only the codes
+    table grows."""
+    if scale is None:
+        scale = config.SIMILARITY_SCALE
+    spark = df.sparkSession
+    _, centroids, codebooks = ivfpq_load(spark, path)
+    resid = _ivfpq_residuals(df, centroids, vec_col, id_col, scale)
+    new_idx = pq_encode(
+        resid,
+        codebooks,
+        vec_col="__resid",
+        id_col=id_col,
+        scale=scale,
+        extra_cols=("cell",),
+    )
+    new_idx.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/index"
+    )
+    # appends add part files; same-session readers hold a stale listing
+    spark.catalog.refreshByPath(f"{path}/index")
 
 
 def ivfpq_probe_many(

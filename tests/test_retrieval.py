@@ -313,3 +313,56 @@ def test_bm25_save_index_stats_exclude_empty_docs(spark):
     srow = spark.read.parquet(f"{path}/stats").first()
     assert srow["n_docs"] == 2
     assert srow["avgdl"] == 2.0  # (3 + 1) / 2
+
+
+def test_bm25_append_index_serves_identically_to_full_build(spark):
+    """build(A) + append(B) must serve EXACTLY like build(A ∪ B): same
+    postings set, stats recombined from exact bigint token totals."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_save_index,
+        bm25_search_persisted,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    base = tempfile.mkdtemp()
+    full, incr = os.path.join(base, "full"), os.path.join(base, "incr")
+    bm25_save_index(docs, full, n_buckets=8)
+    bm25_save_index(a, incr, n_buckets=8)
+    bm25_append_index(b, incr)
+    sf = spark.read.parquet(f"{full}/stats").first()
+    si = spark.read.parquet(f"{incr}/stats").first()
+    assert (si["n_docs"], si["sum_dl"], si["avgdl"]) == (
+        sf["n_docs"], sf["sum_dl"], sf["avgdl"],
+    )
+    q = "spark window join customer"
+    want = [tuple(r) for r in
+            bm25_search_persisted(spark, full, q, top_k=25).collect()]
+    got = [tuple(r) for r in
+           bm25_search_persisted(spark, incr, q, top_k=25).collect()]
+    assert got == want
+
+
+def test_bm25_append_index_validation(spark):
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_append_index,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    missing = os.path.join(tempfile.mkdtemp(), "nope")
+    with _pytest.raises(Exception):
+        bm25_append_index(docs, missing)

@@ -870,3 +870,51 @@ def test_ivfpq_probe_many_validation(spark):
     )
     with _pytest.raises(ValueError, match="dim"):
         ivfpq_probe_many(idx, bad, cents, cb)
+
+
+def test_ivfpq_append_index_matches_frozen_model_encoding(spark):
+    """build(A) + append(B) must equal encoding A ∪ B with A's frozen
+    model (the FAISS `add` contract): same (id, cell, codes) rows, and
+    probes serve the union."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        _ivfpq_residuals,
+        ivfpq_append_index,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_topk,
+        pq_encode,
+    )
+
+    df, rows = _pq_fixture(spark)
+    a = df.where(F.col("vec_id") % 2 == 0)
+    b = df.where(F.col("vec_id") % 2 == 1)
+    idx, cents, cb = ivfpq_index(a, n_cells=2, m=2, n_codes=4, max_iter=2)
+    path = os.path.join(tempfile.mkdtemp(), "ivfpq_incr")
+    ivfpq_save(idx, cents, cb, path)
+    ivfpq_append_index(b, path)
+    stored, cents2, cb2 = ivfpq_load(spark, path)
+    assert cents2 == cents and cb2 == cb
+    # ground truth: encode the union with A's frozen model
+    from biomedical_data_integration_spark import config
+    resid = _ivfpq_residuals(df, cents, "embedding", "vec_id",
+                             config.SIMILARITY_SCALE)
+    want = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in pq_encode(resid, cb, vec_col="__resid", id_col="vec_id",
+                           extra_cols=("cell",)).collect()
+    }
+    got = {
+        r["vec_id"]: (int(r["cell"]), list(r["codes"]))
+        for r in stored.collect()
+    }
+    assert got == want
+    # and the probe serves the grown index
+    q = rows[5][1]
+    served = ivfpq_topk(stored, q, cents2, cb2, k=8, nprobe=2).collect()
+    assert len(served) == 8
