@@ -69,19 +69,51 @@ def run(spark: SparkSession, sf_dir: str):
     for r in enc.select("doc_id", "unigram_tokens").collect():
         print(f"  doc {r['doc_id']}: {r['unigram_tokens'][:8]} ...")
 
+    # -- 1b. (round 11) persist the trained filter as a model sidecar --
+    from biomedical_data_integration_spark.operators.text import (
+        load_classifier,
+        save_classifier,
+    )
+
+    mpath = os.path.join(tempfile.mkdtemp(), "qclf")
+    save_classifier(spark, model, mpath)
+    served = score_quality_classifier(docs, load_classifier(spark, mpath))
+    print(
+        "persisted model sidecar serves "
+        f"{served.count()} docs without retraining"
+    )
+    shutil.rmtree(os.path.dirname(mpath), ignore_errors=True)
+
     # -- 3. ANN: build once, persist, probe without retraining ---------
     corpus = emb.where(F.col("embedding").isNotNull())
-    idx, cents, cb = ivfpq_index(corpus, n_cells=4, m=4, n_codes=8)
+    # train on the first half only: the second half arrives "tomorrow"
+    idx, cents, cb = ivfpq_index(
+        corpus.where("vec_id % 2 = 0"), n_cells=4, m=4, n_codes=8
+    )
     path = os.path.join(tempfile.mkdtemp(), "ivfpq")
     ivfpq_save(idx, cents, cb, path)
+    # (round 11) incremental ingestion: append the new batch encoded
+    # with the FROZEN model — no rebuild, serving unchanged
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_probe_many,
+    )
+
+    ivfpq_append_index(corpus.where("vec_id % 2 = 1"), path)
     idx2, cents2, cb2 = ivfpq_load(spark, path)
     query = [
         float(x) for x in corpus.where("vec_id = 0").first()["embedding"]
     ]
     hits = ivfpq_topk(idx2, query, cents2, cb2, k=5, nprobe=2)
-    print("persisted-index probe (no retraining):")
+    print("persisted-index probe over the grown index (no retraining):")
     for r in hits.collect():
         print(f"  vec {r['vec_id']}: adist {r['adist']:.4f}")
+    # (round 11) batch probe: a query TABLE in one pruned scan
+    queries = corpus.where("vec_id in (0, 2, 4)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    many = ivfpq_probe_many(idx2, queries, cents2, cb2, k=3, nprobe=2)
+    print(f"batch probe: {many.count()} rows for 3 queries in one scan")
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return hits
 
