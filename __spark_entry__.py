@@ -5204,6 +5204,72 @@ FROM usage{fin} u CROSS JOIN
 """
 
 
+def _unigram_vocab_path(sf_dir: str) -> str:
+    """Per-(sf, params) sidecar for the persisted unigram vocabulary
+    (the _clf_model_path discipline)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    name = (
+        f"uvocab_{base}_v{UNIGRAM_VOCAB}_i{UNIGRAM_ITERS}"
+        f"_p{UNIGRAM_POOL}_l{UNIGRAM_PIECE_LEN}"
+    )
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", name
+    )
+
+
+def _ensure_unigram_vocab(spark: SparkSession, sf_dir: str) -> list:
+    """Train-once gate for the persisted unigram vocabulary: the EM
+    rounds run only if the sidecar is absent; every caller serves from
+    the loaded (piece, n_uses) table."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        load_vocab,
+        save_vocab,
+        train_unigram,
+        word_counts,
+    )
+
+    path = _unigram_vocab_path(sf_dir)
+    with _ENSURE_LOCK:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (docs,) = _tables(spark, sf_dir, "documents")
+            usage = train_unigram(
+                word_counts(docs), vocab_size=UNIGRAM_VOCAB,
+                iters=UNIGRAM_ITERS, candidate_pool=UNIGRAM_POOL,
+                max_piece_len=UNIGRAM_PIECE_LEN,
+            )
+            save_vocab(spark, usage, path)
+    return load_vocab(spark, path)
+
+
+def _q_unigram_encode_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram encode SERVE face: segment the corpus with the PERSISTED
+    piece-vocabulary sidecar (train-once gate — the hard-EM rounds
+    never re-run; compare unigram_encode_documents, the build face that
+    retrains per execution by design). Same pure-expression projection,
+    same output, same oracle (the full training replay) — the
+    train-once/serve-many split now covers all three trainer families
+    (classifiers, indexes, tokenizer)."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram,
+    )
+
+    usage = _ensure_unigram_vocab(spark, sf_dir)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    enc = encode_unigram(docs, usage)
+    return enc.select(
+        "doc_id",
+        F.coalesce(F.size("unigram_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.coalesce(F.array_join("unigram_tokens", " "), F.lit(""))
+        .alias("pieces_str"),
+    )
+
+
 def _q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram ENCODE face (operators/bpe.encode_unigram): train the
     piece vocabulary (same fit as unigram_vocab_documents), then segment
@@ -13008,6 +13074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall_eval_embeddings": _q_ivfpq_recall_eval,
         "bm25_incremental_index_documents": _q_bm25_incremental,
         "ivfpq_incremental_index_embeddings": _q_ivfpq_incremental,
+        "unigram_encode_persisted_documents": _q_unigram_encode_persisted,
     }
 
 
@@ -13928,6 +13995,7 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "ivfpq_recall_eval_embeddings": _ivfpq_recall_eval_sql(),
         "bm25_incremental_index_documents": _bm25_probe_sql(),
         "ivfpq_incremental_index_embeddings": _ivfpq_incremental_sql(),
+        "unigram_encode_persisted_documents": _unigram_encode_sql(),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),
         "bm25_probe_persisted_documents": _bm25_probe_sql(),

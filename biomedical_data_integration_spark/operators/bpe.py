@@ -595,6 +595,36 @@ def train_unigram(
     return usage
 
 
+def save_vocab(
+    spark, usage: Sequence[Tuple[str, int]], path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a trained piece vocabulary (:func:`train_unigram` /
+    :func:`train_bpe` merge usage) as a (piece, n_uses) parquet sidecar
+    — the classifier/IVFPQ model-sidecar pattern applied to the third
+    trainer family, so tokenization serves without re-running the EM
+    rounds. Integer counts round-trip exactly; :func:`load_vocab`
+    restores the exact (n_uses desc, piece asc) order the trainer
+    emitted."""
+    mdf = spark.createDataFrame(
+        [(str(p), int(n)) for p, n in usage],
+        "piece string, n_uses bigint",
+    )
+    mdf.coalesce(1).write.mode(mode).parquet(path)
+    spark.catalog.refreshByPath(path)
+
+
+def load_vocab(spark, path: str) -> List[Tuple[str, int]]:
+    """Load a :func:`save_vocab` sidecar back into the trainer's exact
+    return value (sorted n_uses desc, piece asc — the order is part of
+    the model: logprobs and literal-kernel plans depend on it)."""
+    rows = spark.read.parquet(path).collect()
+    return sorted(
+        ((r["piece"], int(r["n_uses"])) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
 def unigram_logprobs(usage: Sequence[Tuple[str, int]]) -> List[Tuple[str, int]]:
     """Quantized unigram log-probabilities in micro-nats from a
     :func:`train_unigram` usage table: ``round(1e6 * ln(n/total))`` per

@@ -402,3 +402,22 @@ def test_train_unigram_join_kernel_parity(spark):
     lit = train_unigram(wc, kernel="literal", **kw)
     jn = train_unigram(wc, kernel="join", **kw)
     assert jn == lit
+
+
+def test_save_load_vocab_roundtrip(spark):
+    """save_vocab -> load_vocab restores the trainer's exact return
+    value (counts and the (n_uses desc, piece asc) order)."""
+    import os
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        load_vocab,
+        save_vocab,
+        train_unigram,
+    )
+
+    wc = word_counts(_docs(spark, ["low lower lowering", "new newest"]))
+    usage = train_unigram(wc, vocab_size=8, iters=2, candidate_pool=30)
+    path = os.path.join(tempfile.mkdtemp(), "vocab")
+    save_vocab(spark, usage, path)
+    assert load_vocab(spark, path) == usage
