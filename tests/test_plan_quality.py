@@ -264,3 +264,12 @@ def test_classifier_probe_faces_have_no_training(all_plans):
     assert "decimal(38,0)" not in plan, "gradient agg in a serve plan"
     assert plan.count("FileScan") == 2  # token branch + bias-row branch
     assert "embeddings.parquet" not in plan
+
+
+def test_unigram_persisted_encode_is_pure_projection(all_plans):
+    """The persisted-vocab encode serve face must be one documents scan
+    + a pure expression projection (pieces as literals from the
+    sidecar): no exchange, no aggregation, no training."""
+    plan = all_plans["unigram_encode_persisted_documents"]
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
