@@ -610,7 +610,9 @@ def save_vocab(
         [(str(p), int(n)) for p, n in usage],
         "piece string, n_uses bigint",
     )
-    mdf.coalesce(1).write.mode(mode).parquet(path)
+    # repartition(1), not coalesce(1) — the sequential-worker-startup
+    # stall on python-list local relations (see sources/writers.py)
+    mdf.repartition(1).write.mode(mode).parquet(path)
     spark.catalog.refreshByPath(path)
 
 

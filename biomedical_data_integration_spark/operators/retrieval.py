@@ -343,7 +343,9 @@ def bm25_append_index(
         [(n, s, float(s) / n if n else 0.0, nb)],
         "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    # repartition(1), not coalesce(1) — the sequential-worker-startup
+    # stall on python-list local relations (see sources/writers.py)
+    stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
     spark.catalog.refreshByPath(f"{path}/stats")
 
 

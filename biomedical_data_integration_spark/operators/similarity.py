@@ -1070,7 +1070,10 @@ def ivfpq_save(
         "centroids array<array<double>>, "
         "codebooks array<array<array<double>>>",
     )
-    model.coalesce(1).write.mode(mode).parquet(f"{path}/model")
+    # repartition(1), not coalesce(1) — the sequential-worker-startup
+    # stall on python-list local relations (see sources/writers.py);
+    # measured 4.4 s -> 0.9 s on the one-row model write
+    model.repartition(1).write.mode(mode).parquet(f"{path}/model")
     # an overwrite re-names every part file; readers that listed these
     # paths earlier in the session hold stale FileStatusCache entries
     # and would FileScanRDD-fail — invalidate at the only writer

@@ -1020,7 +1020,12 @@ def save_classifier(spark, model: dict, path: str, mode: str = "overwrite") -> N
         "weights_map map<string,bigint>, weights_arr array<bigint>, "
         "bias bigint, means map<string,bigint>, n bigint",
     )
-    mdf.coalesce(1).write.mode(mode).parquet(path)
+    # repartition(1), not coalesce(1): a python-list local relation
+    # scans via one Python worker per parallelize slice, and coalesce
+    # makes ONE task pay every slice's worker startup sequentially
+    # (~4.5 s of pure stall on local[32] — the writers.py lesson); the
+    # one-row shuffle keeps map tasks parallel and still lands one file
+    mdf.repartition(1).write.mode(mode).parquet(path)
     # an overwrite re-names the part file; invalidate any stale
     # FileStatusCache entry at the only writer
     spark.catalog.refreshByPath(path)
