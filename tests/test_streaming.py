@@ -1676,3 +1676,56 @@ def test_streaming_bm25_score_matches_persisted_probe(spark):
     hits = {k: v for k, v in got.items() if v[0] > 0}
     assert hits == want
     assert all(v == (0, 0.0) for k, v in got.items() if k not in want)
+
+
+def test_streaming_unigram_encode_matches_batch(spark):
+    """The unigram encode face (literal kernel) is a pure expression
+    projection, so the SAME operator compiles onto an unbounded stream
+    unchanged — tokenizer serving is stream-uniform like the classifier
+    and DSIR gates. Piece sequences match the batch face exactly."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_unigram,
+        train_unigram,
+        word_counts,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    usage = train_unigram(
+        word_counts(docs), vocab_size=16, iters=2, candidate_pool=40
+    )
+    want = {
+        r["doc_id"]: r["s"]
+        for r in encode_unigram(docs, usage)
+        .select("doc_id", F.array_join("unigram_tokens", " ").alias("s"))
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = encode_unigram(stream, usage).select(
+            "doc_id", F.array_join("unigram_tokens", " ").alias("s")
+        )
+        assert out.isStreaming
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("uenc_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        got = {
+            r["doc_id"]: r["s"]
+            for r in spark.sql("select * from uenc_stream_test").collect()
+        }
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in plan and "Join" not in plan
+    assert got == want
