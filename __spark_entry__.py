@@ -12740,7 +12740,13 @@ def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("flag_top_2_gram_char_frac AND flag_dup_5_gram_char_frac")
         .select("doc_id")
     )
-    kept = g.join(rep_keep, "doc_id", "leftsemi")
+    # THREE consumers below (span removal, UniMax allocation, the final
+    # lang join) — pin the survivor table so the c4 -> gopher ->
+    # repetition chain runs once, not once per consumer (the
+    # curation_v4 `scored` discipline; retimed 14.5 s -> see PERF_NOTES)
+    kept = g.join(rep_keep, "doc_id", "leftsemi").localCheckpoint(
+        eager=True
+    )
     spans = remove_duplicate_spans(kept, shingle_words=SPAN_SHINGLE_WORDS)
     alloc = unimax_allocation(
         kept, total_budget=CURATION_V3_BUDGET, max_epochs=CURATION_V3_EPOCHS
