@@ -176,3 +176,37 @@ def test_query_matches_oracle_all(spark, duck):
     with ThreadPoolExecutor(max_workers=8) as ex:
         failures = [r for r in ex.map(run, names) if r is not None]
     assert not failures, "\n".join(failures)
+
+
+def test_ensure_gates_single_build_under_concurrency(spark):
+    """Four threads racing an _ensure gate must produce ONE build (the
+    8-wide oracle replica's shape): _ENSURE_LOCK serializes the
+    train-once gates, every caller gets the same loaded model, and a
+    later call never rewrites the sidecar."""
+    import shutil
+    import threading
+
+    import __spark_entry__ as e
+
+    path = e._clf_model_path(SF_DIR, "quality")
+    shutil.rmtree(path, ignore_errors=True)
+    results, errors = [], []
+
+    def go():
+        try:
+            results.append(e._ensure_quality_clf(spark, SF_DIR))
+        except Exception as ex:  # noqa: BLE001 — surfaced below
+            errors.append(ex)
+
+    threads = [threading.Thread(target=go) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(results) == 4
+    assert all(r == results[0] for r in results)
+    marker = os.path.join(path, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    e._ensure_quality_clf(spark, SF_DIR)
+    assert os.path.getmtime(marker) == mtime  # no rebuild
