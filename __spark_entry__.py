@@ -12819,15 +12819,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value-hash treats arrays unreliably — the feature_hash_orders
     lesson)."""
     return {
-        # --- graded window (first 50), round 11: emitted MECHANICALLY
-        # by tools/next_window.py from the CORRECTNESS_r01-r10 history
-        # (never-graded first, then oldest driver evidence). Round-11
-        # shape: the TEN round-10 train/serve additions (persisted
-        # IVFPQ + BM25 pairs, char-span dedup, unigram vocab/encode,
-        # quality + hashed classifiers, curation v4 — never
-        # driver-graded), then the 32 round-6-evidence names and the
-        # 8 oldest round-7 names. The round-10 window rotates just
-        # past the cut (freshest evidence nearest the cut). ---
+        # --- graded window (first 50), round 12: emitted MECHANICALLY
+        # by tools/next_window.py from the CORRECTNESS_r01-r11 history
+        # (never-graded first, then oldest driver evidence). Round-12
+        # shape: the NINE round-11 additions (large-vocab unigram
+        # encode, BM25 + IVFPQ batch probes, quality/hashed classifier
+        # probes, ANN recall eval, BM25 + IVFPQ incremental appends,
+        # persisted-vocab encode — never driver-graded), then the 41
+        # oldest round-7-evidence names. The round-11 window rotates
+        # just past the cut (freshest evidence nearest the cut). ---
+        "unigram_encode_large_vocab_documents": _q_unigram_encode_large_vocab,
+        "bm25_probe_persisted_many_documents": _q_bm25_probe_many,
+        "ivfpq_probe_persisted_many_embeddings": _q_ivfpq_probe_many,
+        "quality_probe_persisted_documents": _q_quality_probe_persisted,
+        "hashed_probe_persisted_documents": _q_hashed_probe_persisted,
+        "ivfpq_recall_eval_embeddings": _q_ivfpq_recall_eval,
+        "bm25_incremental_index_documents": _q_bm25_incremental,
+        "ivfpq_incremental_index_embeddings": _q_ivfpq_incremental,
+        "unigram_encode_persisted_documents": _q_unigram_encode_persisted,
+        "cohen_kappa_events": _q_cohen_kappa_events,
+        "js_divergence_events": _q_js_divergence_events,
+        "spearman_events_daily": _q_spearman_events_daily,
+        "srm_check_events": _q_srm_events,
+        "lexical_diversity_documents": _q_lexical_diversity,
+        "chao1_vocab_documents": _q_chao1_documents,
+        "events_cohort_ltv": _q_cohort_ltv,
+        "rolling_corr_events": _q_rolling_corr,
+        "embedding_drift_halves": _q_embedding_drift,
+        "events_wau_trailing7": _q_wau,
+        "events_stickiness_dau_wau": _q_stickiness,
+        "events_time_to_convert": _q_time_to_convert,
+        "events_survival_km": _q_survival_km,
+        "rfm_segments_events": _q_rfm,
+        "zipf_alpha_documents": _q_zipf_alpha,
+        "events_audience_overlap": _q_audience_overlap,
+        "events_markov_stationary": _q_markov_stationary,
+        "events_markov_attribution": _q_markov_attribution,
+        "events_shapley_attribution": _q_shapley_attribution,
+        "hll_wau_events": _q_hll_wau,
+        "events_diff_in_diff": _q_diff_in_diff,
+        "events_cuped_effect": _q_cuped,
+        "bpe_pair_stats_documents": _q_bpe_pair_stats,
+        "corpus_report_documents": _q_corpus_report,
+        "discretize_frequency_events": _q_discretize_frequency_events,
+        "events_asof_forward": _q_events_asof_forward,
+        "events_attribution_last_touch": _q_events_attribution,
+        "events_cube_daily": _q_events_cube_daily,
+        "events_gapfill_locf": _q_events_gapfill_locf,
+        "events_m4_downsample": _q_events_m4,
+        "events_markov_transitions": _q_events_transitions,
+        "events_robust_zscore": _q_events_robust_z,
+        "events_seasonal_naive_eval": _q_events_seasonal_naive,
+        "events_top_paths": _q_events_top_paths,
+        "events_trailing_1h_user": _q_events_trailing_1h,
+        "events_upsert_tombstones": _q_events_upsert_tombstones,
+        "histogram_quantiles_events": _q_histogram_quantiles,
+        "lm_bigram_documents": _q_lm_bigram,
+        "triangle_counts_tokens": _q_triangle_counts,
+        "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
+        "zorder_key_events": _q_zorder_key_events,
         "ivfpq_persist_index_embeddings": _q_ivfpq_persist_index,
         "ivfpq_probe_persisted_embeddings": _q_ivfpq_probe_persisted,
         "dedup_spans_chars_documents": _q_dedup_spans_chars,
@@ -13028,59 +13078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_matches_hash_embedding": _q_top_matches_embedding,
         "dedup_ngram_jaccard_documents": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh_documents": _q_dedup_minhash_lsh,
-        "cohen_kappa_events": _q_cohen_kappa_events,
-        "js_divergence_events": _q_js_divergence_events,
-        "spearman_events_daily": _q_spearman_events_daily,
-        "srm_check_events": _q_srm_events,
-        "lexical_diversity_documents": _q_lexical_diversity,
-        "chao1_vocab_documents": _q_chao1_documents,
-        "events_cohort_ltv": _q_cohort_ltv,
-        "rolling_corr_events": _q_rolling_corr,
-        "embedding_drift_halves": _q_embedding_drift,
-        "events_wau_trailing7": _q_wau,
-        "events_stickiness_dau_wau": _q_stickiness,
-        "events_time_to_convert": _q_time_to_convert,
-        "events_survival_km": _q_survival_km,
-        "rfm_segments_events": _q_rfm,
-        "zipf_alpha_documents": _q_zipf_alpha,
-        "events_audience_overlap": _q_audience_overlap,
-        "events_markov_stationary": _q_markov_stationary,
-        "events_markov_attribution": _q_markov_attribution,
-        "events_shapley_attribution": _q_shapley_attribution,
-        "hll_wau_events": _q_hll_wau,
-        "events_diff_in_diff": _q_diff_in_diff,
-        "events_cuped_effect": _q_cuped,
-        "bpe_pair_stats_documents": _q_bpe_pair_stats,
-        "corpus_report_documents": _q_corpus_report,
-        "discretize_frequency_events": _q_discretize_frequency_events,
-        "events_asof_forward": _q_events_asof_forward,
-        "events_attribution_last_touch": _q_events_attribution,
-        "events_cube_daily": _q_events_cube_daily,
-        "events_gapfill_locf": _q_events_gapfill_locf,
-        "events_m4_downsample": _q_events_m4,
-        "events_markov_transitions": _q_events_transitions,
-        "events_robust_zscore": _q_events_robust_z,
-        "events_seasonal_naive_eval": _q_events_seasonal_naive,
-        "events_top_paths": _q_events_top_paths,
-        "events_trailing_1h_user": _q_events_trailing_1h,
-        "events_upsert_tombstones": _q_events_upsert_tombstones,
-        "histogram_quantiles_events": _q_histogram_quantiles,
-        "lm_bigram_documents": _q_lm_bigram,
-        "triangle_counts_tokens": _q_triangle_counts,
-        "weighted_sample_per_lang_documents": _q_weighted_sample_per_lang,
-        "zorder_key_events": _q_zorder_key_events,
         "harmonize_end_to_end": _q_harmonize_end_to_end,
-        # --- round-11 additions (land in the tail; lead the NEXT
-        # mechanical rotation as never-driver-graded names) ---
-        "unigram_encode_large_vocab_documents": _q_unigram_encode_large_vocab,
-        "bm25_probe_persisted_many_documents": _q_bm25_probe_many,
-        "ivfpq_probe_persisted_many_embeddings": _q_ivfpq_probe_many,
-        "quality_probe_persisted_documents": _q_quality_probe_persisted,
-        "hashed_probe_persisted_documents": _q_hashed_probe_persisted,
-        "ivfpq_recall_eval_embeddings": _q_ivfpq_recall_eval,
-        "bm25_incremental_index_documents": _q_bm25_incremental,
-        "ivfpq_incremental_index_embeddings": _q_ivfpq_incremental,
-        "unigram_encode_persisted_documents": _q_unigram_encode_persisted,
     }
 
 

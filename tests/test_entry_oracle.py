@@ -101,13 +101,13 @@ def test_graded_window_shape(spark):
 
 
 def test_graded_window_is_mechanical_rotation():
-    """The round-11 window must be exactly what tools/next_window.py
-    derives from the CORRECTNESS_r01..r10 history (never-driver-graded
+    """The round-12 window must be exactly what tools/next_window.py
+    derives from the CORRECTNESS_r01..r11 history (never-driver-graded
     first in registry order, then ascending last-graded round tie-broken
     by file position) — rotation is mechanical, not hand-ordered. The
-    history is PINNED to the r01–r10 files the round-11 window was
+    history is PINNED to the r01–r11 files the round-12 window was
     emitted from, so this guard stays green after the driver writes
-    newer CORRECTNESS files; round 12 re-pins when it re-rotates."""
+    newer CORRECTNESS files; round 13 re-pins when it re-rotates."""
     import glob
     import importlib.util
     import re
@@ -121,9 +121,9 @@ def test_graded_window_is_mechanical_rotation():
     pinned = sorted(
         f
         for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-        if int(re.search(r"r(\d+)", os.path.basename(f)).group(1)) <= 10
+        if int(re.search(r"r(\d+)", os.path.basename(f)).group(1)) <= 11
     )
-    assert len(pinned) == 10, "expected the r01..r10 history files"
+    assert len(pinned) == 11, "expected the r01..r11 history files"
     # registry pinned to what existed when the window was emitted:
     # ever-driver-graded names plus the window itself (queries added
     # AFTER the rotation land in the tail and lead the NEXT rotation)
