@@ -236,7 +236,16 @@ def bm25_save_index(
 
     At 100 TB this is the README's retrieval story made concrete: the
     corpus is tokenized ONCE at index time; every subsequent query is a
-    bucket-pruned scan + a (matching-docs)-sized aggregation."""
+    bucket-pruned scan + a (matching-docs)-sized aggregation.
+
+    Caller contract (ADVICE r11): ``id_col`` values are UNIQUE — the
+    same contract :func:`bm25_append_index` states. With duplicate ids
+    the postings table merges per (id, term) while the corpus-side
+    stats pass counts each input row, silently inflating n_docs/sum_dl
+    relative to what the postings imply. The alternative (a
+    ``groupBy(id)`` dedup inside the stats pass) would re-introduce
+    exactly the full-corpus shuffle this stats design exists to avoid;
+    dedup upstream (``dedup_exact`` is one call) if ids can repeat."""
     from biomedical_data_integration_spark.functions.hashing import (
         md5_bigint,
     )
@@ -302,12 +311,40 @@ def bm25_append_index(
     contract holds: neither the old corpus nor the old postings are
     read beyond the one-row stats sidecar.
 
+    Crash-safety (ADVICE r11, medium): postings append and stats
+    update are two writes; a crash between them would leave an index
+    whose old stats/_SUCCESS still gates as "complete" while the
+    postings already hold the new batch — silently inconsistent, and
+    nothing would ever trigger a rebuild. So an ``_APPEND_PENDING``
+    marker brackets the whole append: it is written FIRST, the stats
+    sidecar is replaced via a tmp-write + two atomic directory renames
+    (never an in-place overwrite of a served path —
+    :func:`~biomedical_data_integration_spark.sources.writers.replace_dir_atomically`),
+    and the marker is removed LAST. A crashed append leaves the marker
+    on disk and the next append refuses to run until the index is
+    rebuilt; concurrent probes during an append read either the old or
+    the new stats directory, never a half-written one.
+
     Caller contract: the batch holds NEW doc ids (appending an existing
     id double-counts its postings — dedup upstream)."""
     from .text import tokens_expr
     from ..functions.hashing import md5_bigint
+    from ..sources.writers import (
+        marker_exists,
+        remove_marker,
+        replace_dir_atomically,
+        touch_marker,
+    )
 
     spark = df.sparkSession
+    pending = f"{path}/_APPEND_PENDING"
+    if marker_exists(spark, pending):
+        raise ValueError(
+            f"bm25_append_index: a previous append to {path} did not "
+            "complete (_APPEND_PENDING present) — the postings may hold "
+            "a partial batch the stats sidecar does not account for; "
+            "rebuild with bm25_save_index"
+        )
     srow = spark.read.parquet(f"{path}/stats").first()
     if srow is None:
         raise ValueError(
@@ -320,6 +357,7 @@ def bm25_append_index(
             "column — rebuild once with bm25_save_index"
         )
     nb = int(srow["n_buckets"])
+    touch_marker(spark, pending)
     postings = bm25_postings(df, id_col=id_col, text_col=text_col).withColumn(
         "bucket",
         (md5_bigint(F.col("term"), salt="bm25") % nb).cast("int"),
@@ -344,9 +382,13 @@ def bm25_append_index(
         "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
     )
     # repartition(1), not coalesce(1) — the sequential-worker-startup
-    # stall on python-list local relations (see sources/writers.py)
-    stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
-    spark.catalog.refreshByPath(f"{path}/stats")
+    # stall on python-list local relations (see sources/writers.py).
+    # Written ASIDE then atomically renamed over stats/ — never an
+    # in-place overwrite of a served sidecar; marker removed LAST, the
+    # append's completion marker.
+    stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats.new")
+    replace_dir_atomically(spark, f"{path}/stats.new", f"{path}/stats")
+    remove_marker(spark, pending)
 
 
 def bm25_search_persisted(

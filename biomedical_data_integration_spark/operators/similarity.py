@@ -1123,6 +1123,29 @@ def ivfpq_append_index(
         scale = config.SIMILARITY_SCALE
     spark = df.sparkSession
     _, centroids, codebooks = ivfpq_load(spark, path)
+    # dim guard (ADVICE r11): the probe faces validate query dim
+    # against the loaded model; the append face must too, or a
+    # wrong-dim batch flows through zip_with with null padding and
+    # silently persists garbage (cell, codes) rows into the SERVED
+    # index. Enforced distributed and for every row — the guard rides
+    # the encoding lineage, so a bad row fails the append job with a
+    # clear message instead of landing in a partition.
+    dim = len(centroids[0])
+    df = df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ivfpq_append_index: vector dim "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != index dim {dim} for id "),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        ),
+    )
     resid = _ivfpq_residuals(df, centroids, vec_col, id_col, scale)
     new_idx = pq_encode(
         resid,
@@ -1171,6 +1194,17 @@ def ivfpq_probe_many(
     rows = queries.select(query_id_col, vec_col).collect()
     if not rows:
         raise ValueError("ivfpq_probe_many: empty query table")
+    # duplicate-id guard (ADVICE r11): repeated query_ids would produce
+    # duplicated (query_id, cell) pair rows (double-counted fan-out) and
+    # a last-wins tables dict — the per-query top-k could return the
+    # same vec_id twice with inconsistent scores. Fail loudly instead.
+    qids = [r[0] for r in rows]
+    if len(set(qids)) != len(qids):
+        dupes = sorted({q for q in qids if qids.count(q) > 1})[:5]
+        raise ValueError(
+            f"ivfpq_probe_many: duplicate {query_id_col} values "
+            f"{dupes} — query ids must be unique within a batch"
+        )
     dim = len(centroids[0])
     pairs = []
     tables = {}

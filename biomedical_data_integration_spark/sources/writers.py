@@ -25,6 +25,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — the
+    portable way to rename/delete directories that works identically on
+    local FS, HDFS, and any Hadoop-compatible store, unlike
+    ``os.rename`` which only sees the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def replace_dir_atomically(spark, tmp_path: str, final_path: str) -> None:
+    """Swap a freshly-written directory over a live one via two renames
+    (directory rename is atomic per-operation on local FS and HDFS):
+    ``final -> final.old``, ``tmp -> final``, delete ``final.old``.
+
+    This is the sidecar-update discipline for persisted-index stats
+    (ADVICE r11, medium): an in-place ``mode("overwrite")`` of a served
+    sidecar deletes-then-rewrites under concurrent readers (mid-window
+    probes FileScanRDD-fail on the vanished files) and a crash mid-write
+    leaves a sidecar whose ``_SUCCESS`` marker is gone — whereas with
+    the swap, readers see either the complete old or the complete new
+    directory except during the two-rename window (~ms, vs a full
+    parquet write). The ``.old`` directory is the crash-recovery copy:
+    if the process dies between the renames, the old sidecar is still
+    intact on disk under a deterministic name."""
+    fs, jtmp = _hadoop_fs(spark, tmp_path)
+    _, jfinal = _hadoop_fs(spark, final_path)
+    _, jold = _hadoop_fs(spark, final_path + ".old")
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if fs.exists(jfinal) and not fs.rename(jfinal, jold):
+        raise IOError(
+            f"replace_dir_atomically: rename {final_path} -> "
+            f"{final_path}.old failed"
+        )
+    if not fs.rename(jtmp, jfinal):
+        raise IOError(
+            f"replace_dir_atomically: rename {tmp_path} -> "
+            f"{final_path} failed"
+        )
+    fs.delete(jold, True)
+    spark.catalog.refreshByPath(final_path)
+
+
+def touch_marker(spark, path: str) -> None:
+    """Create an empty marker file (overwriting any stale one)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.create(jpath, True).close()
+
+
+def marker_exists(spark, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def remove_marker(spark, path: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

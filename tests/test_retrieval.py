@@ -366,3 +366,42 @@ def test_bm25_append_index_validation(spark):
     missing = os.path.join(tempfile.mkdtemp(), "nope")
     with _pytest.raises(Exception):
         bm25_append_index(docs, missing)
+
+
+def test_bm25_append_index_crash_safety_marker(spark):
+    """ADVICE r11 (medium): a crashed append leaves _APPEND_PENDING on
+    disk; the next append must refuse (postings may hold a partial
+    batch the stats sidecar does not account for) until a rebuild, and
+    a COMPLETED append must leave no marker and no stats.new/.old
+    residue — the stats swap is rename-based, never an in-place
+    overwrite of the served path."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_save_index,
+    )
+    from biomedical_data_integration_spark.sources.writers import (
+        touch_marker,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    path = os.path.join(tempfile.mkdtemp(), "idx")
+    bm25_save_index(docs, path, n_buckets=4)
+    more = spark.createDataFrame([(3, "gamma delta")], ["doc_id", "text"])
+    bm25_append_index(more, path)
+    # completed append: marker cleared, no swap residue, stats sane
+    assert not os.path.exists(os.path.join(path, "_APPEND_PENDING"))
+    assert not os.path.exists(os.path.join(path, "stats.new"))
+    assert not os.path.exists(os.path.join(path, "stats.old"))
+    srow = spark.read.parquet(f"{path}/stats").first()
+    assert srow["n_docs"] == 3 and srow["sum_dl"] == 6
+    # simulate a crash mid-append: marker present -> append refuses
+    touch_marker(spark, f"{path}/_APPEND_PENDING")
+    with _pytest.raises(ValueError, match="did not complete"):
+        bm25_append_index(more, path)

@@ -918,3 +918,54 @@ def test_ivfpq_append_index_matches_frozen_model_encoding(spark):
     q = rows[5][1]
     served = ivfpq_topk(stored, q, cents2, cb2, k=8, nprobe=2).collect()
     assert len(served) == 8
+
+
+def test_ivfpq_probe_many_rejects_duplicate_query_ids(spark):
+    """ADVICE r11: duplicate query_ids would double-count fan-out rows
+    and last-wins the ADC tables dict — the batch probe must refuse."""
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_probe_many,
+    )
+
+    df, _ = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=2, m=2, n_codes=4, max_iter=1)
+    dim = len(cents[0])
+    dupes = spark.createDataFrame(
+        [(7, [0.0] * dim), (7, [1.0] * dim)],
+        "query_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        ivfpq_probe_many(idx, dupes, cents, cb)
+
+
+def test_ivfpq_append_index_rejects_wrong_dim_batch(spark):
+    """ADVICE r11: a wrong-dim batch must fail the append job loudly
+    instead of persisting null-padded (cell, codes) garbage into the
+    served index."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_index,
+        ivfpq_save,
+    )
+
+    df, _ = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=2, m=2, n_codes=4, max_iter=1)
+    path = os.path.join(tempfile.mkdtemp(), "ivfpq_dim")
+    ivfpq_save(idx, cents, cb, path)
+    dim = len(cents[0])
+    bad = spark.createDataFrame(
+        [(999, [0.0] * (dim + 1))], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="dim"):
+        ivfpq_append_index(bad, path)
+    # the served index must NOT have gained the bad row
+    stored = spark.read.parquet(f"{path}/index")
+    assert stored.where("vec_id = 999").count() == 0
