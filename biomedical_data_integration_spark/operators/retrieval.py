@@ -330,7 +330,6 @@ def bm25_append_index(
     from .text import tokens_expr
     from ..functions.hashing import md5_bigint
     from ..sources.writers import (
-        marker_exists,
         remove_marker,
         replace_dir_atomically,
         touch_marker,
@@ -338,13 +337,7 @@ def bm25_append_index(
 
     spark = df.sparkSession
     pending = f"{path}/_APPEND_PENDING"
-    if marker_exists(spark, pending):
-        raise ValueError(
-            f"bm25_append_index: a previous append to {path} did not "
-            "complete (_APPEND_PENDING present) — the postings may hold "
-            "a partial batch the stats sidecar does not account for; "
-            "rebuild with bm25_save_index"
-        )
+    _check_no_pending_maintenance(spark, path, "bm25_append_index")
     srow = spark.read.parquet(f"{path}/stats").first()
     if srow is None:
         raise ValueError(
@@ -389,6 +382,149 @@ def bm25_append_index(
     stats.repartition(1).write.mode("overwrite").parquet(f"{path}/stats.new")
     replace_dir_atomically(spark, f"{path}/stats.new", f"{path}/stats")
     remove_marker(spark, pending)
+
+
+def _check_no_pending_maintenance(spark, path: str, op: str) -> None:
+    """Refuse to touch an index whose previous append/delete never
+    completed — its postings and stats sidecar may disagree."""
+    from ..sources.writers import marker_exists
+
+    for marker in ("_APPEND_PENDING", "_MAINT_PENDING"):
+        if marker_exists(spark, f"{path}/{marker}"):
+            raise ValueError(
+                f"{op}: a previous maintenance operation on {path} did "
+                f"not complete ({marker} present) — rebuild with "
+                "bm25_save_index"
+            )
+
+
+def bm25_compact_index(
+    spark, path: str, max_files_per_bucket: int = 1
+) -> list:
+    """Compact a persisted BM25 index's bucket partitions (round-11
+    verdict item 2 — the production lifecycle piece behind
+    :func:`bm25_append_index`): after N daily appends each bucket
+    partition holds N small part files, and small-file proliferation is
+    THE classic degradation of an append-only partitioned layout — scan
+    tasks go per-file, footer reads multiply, and partition pruning
+    saves ever less IO per pruned file. This face rewrites only the
+    FRAGMENTED partitions (more than ``max_files_per_bucket`` data
+    files, from a driver-side listing — no job) into one file each via
+    :func:`~biomedical_data_integration_spark.sources.writers.rewrite_partitions`:
+    partition-pruned read, one writer task per bucket, one atomic
+    rename per bucket. Row content is untouched, so the index serves
+    BIT-IDENTICALLY before and after (gated by tests); the stats
+    sidecar is not involved. Returns the compacted bucket values."""
+    from ..sources.writers import (
+        list_fragmented_partitions,
+        rewrite_partitions,
+    )
+
+    _check_no_pending_maintenance(spark, path, "bm25_compact_index")
+    frag = list_fragmented_partitions(
+        spark, f"{path}/postings", "bucket", max_files_per_bucket
+    )
+    return rewrite_partitions(spark, f"{path}/postings", "bucket", frag)
+
+
+def bm25_delete_ids(
+    spark, path: str, ids, id_col: str = "doc_id"
+) -> dict:
+    """Delete documents from a persisted BM25 index (round-11 verdict
+    item 3 — the FAISS ``remove_ids`` contract for the postings index):
+    anti-join rewrite of the AFFECTED bucket partitions plus an
+    exact-bigint stats decrement, so delete-then-probe serves
+    bit-identically to rebuild-without-the-deleted (gated by tests and
+    the registry oracle, which IS that rebuild).
+
+    Scale shape — a term-bucketed index spreads one document's postings
+    across up to (distinct terms) buckets, so doc deletion is
+    inherently index-wide; the costs still split the right way:
+    1. ONE column-pruned scan (id, bucket only — parquet reads two
+       columns) semi-joined against the broadcast id set finds the
+       affected buckets and the removed docs' exact (n_docs, sum_dl)
+       decrement (dl rides on every posting row, so no corpus access);
+    2. only the affected partitions are rewritten (anti-join), one
+       atomic rename each — untouched buckets keep their files;
+    3. stats recombine from exact bigint totals (the append face's
+       discipline in reverse) and swap in atomically; an
+       ``_MAINT_PENDING`` marker brackets the mutation so a crash is
+       detectable, never silent.
+
+    ``ids`` is a Python list or a single-column DataFrame; it is
+    broadcast, so batches are driver-sized by contract (a web-scale
+    purge is a rebuild, not a delete). Deleting an absent id is a
+    no-op. Returns ``{"n_docs_removed", "buckets_rewritten"}``."""
+    from ..sources.writers import (
+        remove_marker,
+        replace_dir_atomically,
+        rewrite_partitions,
+        touch_marker,
+    )
+
+    _check_no_pending_maintenance(spark, path, "bm25_delete_ids")
+    srow = spark.read.parquet(f"{path}/stats").first()
+    if srow is None:
+        raise ValueError(
+            f"bm25_delete_ids: no index at {path} — build with "
+            "bm25_save_index first"
+        )
+    if "sum_dl" not in srow.asDict():
+        raise ValueError(
+            "bm25_delete_ids: stats sidecar predates the sum_dl column "
+            "— rebuild once with bm25_save_index"
+        )
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], ["__del_id"])
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("__del_id"))
+    ids = ids.distinct()
+    postings = spark.read.parquet(f"{path}/postings")
+    doomed = postings.select("id", "dl", "bucket").join(
+        F.broadcast(ids), F.col("id") == F.col("__del_id"), "leftsemi"
+    )
+    # one action: affected buckets + the exact decrement. dl is
+    # constant per id (it rides every posting row), so min(dl) per id
+    # recovers each removed doc's token count without a corpus read.
+    agg = (
+        doomed.groupBy("id")
+        .agg(F.min("dl").alias("dl"), F.collect_set("bucket").alias("bks"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("s"),
+            F.array_distinct(F.flatten(F.collect_list("bks"))).alias(
+                "buckets"
+            ),
+        )
+        .first()
+    )
+    n_removed = int(agg["n"] or 0)
+    if n_removed == 0:
+        return {"n_docs_removed": 0, "buckets_rewritten": []}
+    affected = sorted(int(b) for b in agg["buckets"])
+    pending = f"{path}/_MAINT_PENDING"
+    touch_marker(spark, pending)
+    rewrite_partitions(
+        spark,
+        f"{path}/postings",
+        "bucket",
+        affected,
+        transform=lambda df: df.join(
+            F.broadcast(ids), F.col("id") == F.col("__del_id"), "left_anti"
+        ),
+    )
+    n = int(srow["n_docs"]) - n_removed
+    s = int(srow["sum_dl"]) - int(agg["s"])
+    stats = spark.createDataFrame(
+        [(n, s, float(s) / n if n else 0.0, int(srow["n_buckets"]))],
+        "n_docs bigint, sum_dl bigint, avgdl double, n_buckets int",
+    )
+    stats.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/stats.new"
+    )
+    replace_dir_atomically(spark, f"{path}/stats.new", f"{path}/stats")
+    remove_marker(spark, pending)
+    return {"n_docs_removed": n_removed, "buckets_rewritten": affected}
 
 
 def bm25_search_persisted(

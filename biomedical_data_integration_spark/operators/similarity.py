@@ -1122,6 +1122,7 @@ def ivfpq_append_index(
     if scale is None:
         scale = config.SIMILARITY_SCALE
     spark = df.sparkSession
+    _ivfpq_check_no_pending(spark, path, "ivfpq_append_index")
     _, centroids, codebooks = ivfpq_load(spark, path)
     # dim guard (ADVICE r11): the probe faces validate query dim
     # against the loaded model; the append face must too, or a
@@ -1160,6 +1161,112 @@ def ivfpq_append_index(
     )
     # appends add part files; same-session readers hold a stale listing
     spark.catalog.refreshByPath(f"{path}/index")
+
+
+def _ivfpq_check_no_pending(spark, path: str, op: str) -> None:
+    from ..sources.writers import marker_exists
+
+    if marker_exists(spark, f"{path}/_MAINT_PENDING"):
+        raise ValueError(
+            f"{op}: a previous maintenance operation on {path} did not "
+            "complete (_MAINT_PENDING present) — the index may be "
+            "partially mutated; rebuild with ivfpq_save"
+        )
+
+
+def ivfpq_compact_index(
+    spark, path: str, max_files_per_cell: int = 1
+) -> list:
+    """Compact a persisted IVFPQ index's cell partitions (round-11
+    verdict item 2): each :func:`ivfpq_append_index` drops its own part
+    files into the cell partitions, and after N daily appends a probe's
+    partition-pruned scan opens N small files per probed cell — footer
+    reads and per-file task overhead grow with ingestion history
+    instead of data size. Rewrites only the fragmented cells (driver
+    listing, no job) into one file each via
+    :func:`~biomedical_data_integration_spark.sources.writers.rewrite_partitions`
+    — partition-pruned read, one writer per cell, one atomic rename per
+    cell. Codes rows are untouched: probes serve bit-identically before
+    and after (gated), and the model sidecar is not involved. Returns
+    the compacted cell values."""
+    from ..sources.writers import (
+        list_fragmented_partitions,
+        rewrite_partitions,
+    )
+
+    _ivfpq_check_no_pending(spark, path, "ivfpq_compact_index")
+    frag = list_fragmented_partitions(
+        spark, f"{path}/index", "cell", max_files_per_cell
+    )
+    return rewrite_partitions(spark, f"{path}/index", "cell", frag)
+
+
+def ivfpq_delete_ids(spark, path: str, ids) -> dict:
+    """Delete vectors from a persisted IVFPQ index — the FAISS
+    ``remove_ids`` contract (round-11 verdict item 3): after the
+    delete, the index serves exactly as if the deleted vectors had
+    never been added; the frozen model (centroids + codebooks) is
+    untouched, because PQ training state does not depend on membership
+    the way the stats sidecar does for BM25.
+
+    Scale shape: one column-pruned scan (id, cell — two parquet
+    columns) semi-joined against the broadcast id set finds the
+    AFFECTED cells; only those partitions are rewritten (anti-join) via
+    :func:`~biomedical_data_integration_spark.sources.writers.rewrite_partitions`,
+    one atomic rename each — a delete touching 3 of 1024 cells rewrites
+    3 partitions. An ``_MAINT_PENDING`` marker brackets the mutation so
+    a crash mid-delete (some cells rewritten, some not) is detectable
+    by every subsequent maintenance call rather than silently served.
+    ``ids`` is a Python list or single-column DataFrame (broadcast —
+    driver-sized batches by contract). Deleting an absent id is a
+    no-op. Returns ``{"n_vectors_removed", "cells_rewritten"}``."""
+    from pyspark.sql import DataFrame as _DF
+
+    from ..sources.writers import (
+        remove_marker,
+        rewrite_partitions,
+        touch_marker,
+    )
+
+    _ivfpq_check_no_pending(spark, path, "ivfpq_delete_ids")
+    if not isinstance(ids, _DF):
+        ids = spark.createDataFrame([(i,) for i in ids], ["__del_id"])
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias("__del_id"))
+    ids = ids.distinct()
+    index = spark.read.parquet(f"{path}/index")
+    id_col = [c for c in index.columns if c not in ("cell", "codes")][0]
+    doomed = (
+        index.select(id_col, "cell")
+        .join(
+            F.broadcast(ids), F.col(id_col) == F.col("__del_id"), "leftsemi"
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.collect_set("cell").alias("cells"),
+        )
+        .first()
+    )
+    n_removed = int(doomed["n"] or 0)
+    if n_removed == 0:
+        return {"n_vectors_removed": 0, "cells_rewritten": []}
+    affected = sorted(int(c) for c in doomed["cells"])
+    pending = f"{path}/_MAINT_PENDING"
+    touch_marker(spark, pending)
+    rewrite_partitions(
+        spark,
+        f"{path}/index",
+        "cell",
+        affected,
+        transform=lambda df: df.join(
+            F.broadcast(ids),
+            F.col(id_col) == F.col("__del_id"),
+            "left_anti",
+        ),
+    )
+    remove_marker(spark, pending)
+    return {"n_vectors_removed": n_removed, "cells_rewritten": affected}
 
 
 def ivfpq_probe_many(

@@ -405,3 +405,94 @@ def test_bm25_append_index_crash_safety_marker(spark):
     touch_marker(spark, f"{path}/_APPEND_PENDING")
     with _pytest.raises(ValueError, match="did not complete"):
         bm25_append_index(more, path)
+
+
+def test_bm25_compact_index_serves_bit_identically(spark):
+    """Two appends leave >1 part file in the appended buckets; compact
+    must rewrite fragmented buckets to ONE file each with probe results
+    hash-equal before/after and the stats sidecar untouched."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_compact_index,
+        bm25_save_index,
+        bm25_search_persisted,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    path = os.path.join(tempfile.mkdtemp(), "idx")
+    bm25_save_index(docs.where(F.col("doc_id") % 3 == 0), path, n_buckets=8)
+    bm25_append_index(docs.where(F.col("doc_id") % 3 == 1), path)
+    bm25_append_index(docs.where(F.col("doc_id") % 3 == 2), path)
+
+    def files_per_bucket():
+        return {
+            b: len(glob.glob(os.path.join(b, "*.parquet")))
+            for b in glob.glob(os.path.join(path, "postings", "bucket=*"))
+        }
+
+    assert any(n > 1 for n in files_per_bucket().values())
+    q = "spark window join customer"
+    before = [tuple(r) for r in
+              bm25_search_persisted(spark, path, q, top_k=25).collect()]
+    stats_before = spark.read.parquet(f"{path}/stats").first()
+    compacted = bm25_compact_index(spark, path)
+    assert compacted  # something was fragmented
+    after_counts = files_per_bucket()
+    assert all(n == 1 for n in after_counts.values())
+    after = [tuple(r) for r in
+             bm25_search_persisted(spark, path, q, top_k=25).collect()]
+    assert after == before
+    assert spark.read.parquet(f"{path}/stats").first() == stats_before
+    # idempotent: nothing fragmented anymore
+    assert bm25_compact_index(spark, path) == []
+
+
+def test_bm25_delete_ids_equals_rebuild_without_deleted(spark):
+    """delete-then-probe must serve bit-identically to an index built
+    from the corpus minus the deleted docs — stats decremented from
+    exact bigints, only affected buckets rewritten."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_delete_ids,
+        bm25_save_index,
+        bm25_search_persisted,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    base = tempfile.mkdtemp()
+    full, truth = os.path.join(base, "full"), os.path.join(base, "truth")
+    bm25_save_index(docs, full, n_buckets=8)
+    deleted = [r[0] for r in
+               docs.where(F.col("doc_id") % 7 == 3).select("doc_id").collect()]
+    res = bm25_delete_ids(spark, full, deleted)
+    assert res["n_docs_removed"] == len(deleted)
+    bm25_save_index(
+        docs.where(F.col("doc_id") % 7 != 3), truth, n_buckets=8
+    )
+    sf, st = (spark.read.parquet(f"{p}/stats").first() for p in (full, truth))
+    assert (sf["n_docs"], sf["sum_dl"], sf["avgdl"]) == (
+        st["n_docs"], st["sum_dl"], st["avgdl"],
+    )
+    q = "spark window join customer"
+    got = [tuple(r) for r in
+           bm25_search_persisted(spark, full, q, top_k=25).collect()]
+    want = [tuple(r) for r in
+            bm25_search_persisted(spark, truth, q, top_k=25).collect()]
+    assert got == want
+    # no marker residue; absent-id delete is a no-op
+    assert not os.path.exists(os.path.join(full, "_MAINT_PENDING"))
+    assert bm25_delete_ids(spark, full, [10**9])["n_docs_removed"] == 0

@@ -969,3 +969,69 @@ def test_ivfpq_append_index_rejects_wrong_dim_batch(spark):
     # the served index must NOT have gained the bad row
     stored = spark.read.parquet(f"{path}/index")
     assert stored.where("vec_id = 999").count() == 0
+
+
+def test_ivfpq_compact_and_delete_lifecycle(spark):
+    """Append fragments cell partitions -> compact rewrites them to one
+    file each with probes hash-equal; delete anti-joins only affected
+    cells and equals never-having-added the deleted vectors."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_append_index,
+        ivfpq_compact_index,
+        ivfpq_delete_ids,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_topk,
+    )
+
+    df, rows = _pq_fixture(spark)
+    a = df.where(F.col("vec_id") % 2 == 0)
+    b = df.where(F.col("vec_id") % 2 == 1)
+    idx, cents, cb = ivfpq_index(a, n_cells=2, m=2, n_codes=4, max_iter=2)
+    path = os.path.join(tempfile.mkdtemp(), "ivfpq_life")
+    ivfpq_save(idx, cents, cb, path)
+    ivfpq_append_index(b, path)
+
+    def files_per_cell():
+        return {
+            c: len(glob.glob(os.path.join(c, "*.parquet")))
+            for c in glob.glob(os.path.join(path, "index", "cell=*"))
+        }
+
+    assert any(n > 1 for n in files_per_cell().values())
+    stored, c2, b2 = ivfpq_load(spark, path)
+    q = rows[0][1]
+    before = [tuple(r) for r in ivfpq_topk(stored, q, c2, b2, k=8,
+                                           nprobe=2).collect()]
+    compacted = ivfpq_compact_index(spark, path)
+    assert compacted
+    assert all(n == 1 for n in files_per_cell().values())
+    stored2, _, _ = ivfpq_load(spark, path)
+    after = [tuple(r) for r in ivfpq_topk(stored2, q, c2, b2, k=8,
+                                          nprobe=2).collect()]
+    assert after == before
+    assert ivfpq_compact_index(spark, path) == []
+
+    # delete the odd batch entirely -> stored rows == batch A's rows
+    odd_ids = [r[0] for r in b.select("vec_id").collect()]
+    res = ivfpq_delete_ids(spark, path, odd_ids)
+    assert res["n_vectors_removed"] == len(odd_ids)
+    remaining = {r["vec_id"] for r in
+                 spark.read.parquet(f"{path}/index").collect()}
+    assert remaining == {r[0] for r in a.select("vec_id").collect()}
+    # delete-then-probe == probe over A-only codes with the same model
+    storedA, _, _ = ivfpq_load(spark, path)
+    got = [tuple(r) for r in ivfpq_topk(storedA, q, c2, b2, k=8,
+                                        nprobe=2).collect()]
+    want = [tuple(r) for r in ivfpq_topk(idx, q, cents, cb, k=8,
+                                         nprobe=2).collect()]
+    assert got == want
+    assert not os.path.exists(os.path.join(path, "_MAINT_PENDING"))
+    assert ivfpq_delete_ids(spark, path, [10**9])["n_vectors_removed"] == 0
