@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from typing import Optional
 
-from biomedical_data_integration_spark import config
+from biomedical_data_integration_spark import config, planning
 from biomedical_data_integration_spark.functions.hashing import hex_nibble
 from biomedical_data_integration_spark.functions.vectors import cosine, dot, norm
 
@@ -1279,6 +1279,8 @@ def ivfpq_probe_many(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    kernel: Optional[str] = None,
+    literal_limit: Optional[int] = None,
 ) -> DataFrame:
     """Batch ADC probe (round-11 verdict item 3): score a query TABLE
     against one (persisted) IVFPQ index in ONE partition-pruned scan —
@@ -1292,12 +1294,21 @@ def ivfpq_probe_many(
     to the single probe) yields its nprobe cells and integer ADC
     tables; the UNION of all queries' cells lands in the scan's
     PartitionFilters; a broadcast (query_id, cell) pair join fans each
-    pruned row out to exactly the queries probing its cell; the ADC sum
-    picks the (query_id, cell) table from a literal CASE (plan size
-    O(batch · nprobe · m · n_codes) — the batch twin of the single
-    face's O(nprobe) tables); top-k is a per-query window. The corpus
-    vectors are never read; per-row cost stays m lookups + a bigint
-    sum."""
+    pruned row out to exactly the queries probing its cell; top-k is a
+    per-query window. The corpus vectors are never read; per-row cost
+    stays m lookups + a bigint sum under EITHER kernel.
+
+    Kernel routing (``planning.adc_kernel`` on
+    ``batch · nprobe · m · n_codes`` — round-11 verdict item 4): small
+    batches inline the per-(query, cell) tables as a literal CASE
+    (fully codegen-visible); past the limit the tables ship as ONE
+    broadcast single-row ``map<"qid|cell", table>`` relation and the
+    scoring expression does an ``element_at`` into it — the plan stays
+    CONSTANT-shape in batch size (a 500-query eval batch would
+    otherwise compile ~4M literals, past janino's method budget).
+    Bit-equal across kernels (parity-gated). ``kernel``/
+    ``literal_limit`` override the policy (tests drive the at-scale
+    kernel on small data)."""
     rows = queries.select(query_id_col, vec_col).collect()
     if not rows:
         raise ValueError("ivfpq_probe_many: empty query table")
@@ -1332,24 +1343,52 @@ def ivfpq_probe_many(
         pairs, f"{query_id_col} {qid_type}, cell int"
     )
     cells = sorted({c for _, c in pairs})
+    m, n_codes = len(codebooks), len(codebooks[0])
+    chosen = kernel or planning.adc_kernel(
+        len(tables) * m * n_codes, literal_limit
+    )
 
-    def lit_table(key: tuple) -> Column:
-        return F.array(
-            *[
-                F.array(*[F.lit(v).cast("bigint") for v in row])
-                for row in tables[key]
-            ]
-        )
+    pruned = index_df.where(F.col("cell").isin(cells)).join(
+        F.broadcast(pairs_df), "cell"
+    )
+    if chosen == "literal":
 
-    table_sel = None
-    for qid, cell in tables:
-        cond = (F.col(query_id_col) == F.lit(qid)) & (
-            F.col("cell") == cell
+        def lit_table(key: tuple) -> Column:
+            return F.array(
+                *[
+                    F.array(*[F.lit(v).cast("bigint") for v in row])
+                    for row in tables[key]
+                ]
+            )
+
+        table_sel = None
+        for qid, cell in tables:
+            cond = (F.col(query_id_col) == F.lit(qid)) & (
+                F.col("cell") == cell
+            )
+            table_sel = (
+                F.when(cond, lit_table((qid, cell)))
+                if table_sel is None
+                else table_sel.when(cond, lit_table((qid, cell)))
+            )
+    else:
+        # ONE broadcast single-row map relation carries every table;
+        # the cross join is a 1-row BroadcastNestedLoopJoin and the
+        # plan no longer mentions a single ADC value
+        mapping = {
+            f"{qid}|{cell}": tab for (qid, cell), tab in tables.items()
+        }
+        adc_df = spark.createDataFrame(
+            [(mapping,)], "__adc map<string,array<array<bigint>>>"
         )
-        table_sel = (
-            F.when(cond, lit_table((qid, cell)))
-            if table_sel is None
-            else table_sel.when(cond, lit_table((qid, cell)))
+        pruned = pruned.crossJoin(F.broadcast(adc_df))
+        table_sel = F.element_at(
+            F.col("__adc"),
+            F.concat(
+                F.col(query_id_col).cast("string"),
+                F.lit("|"),
+                F.col("cell").cast("string"),
+            ),
         )
     micro = F.aggregate(
         F.zip_with(
@@ -1360,14 +1399,10 @@ def ivfpq_probe_many(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    scored = (
-        index_df.where(F.col("cell").isin(cells))
-        .join(F.broadcast(pairs_df), "cell")
-        .select(
-            F.col(query_id_col),
-            F.col(id_col),
-            (micro.cast("double") / F.lit(1_000_000.0)).alias("adist"),
-        )
+    scored = pruned.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (micro.cast("double") / F.lit(1_000_000.0)).alias("adist"),
     )
     w = Window.partitionBy(query_id_col).orderBy("adist", id_col)
     return (

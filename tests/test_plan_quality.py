@@ -273,3 +273,24 @@ def test_unigram_persisted_encode_is_pure_projection(all_plans):
     plan = all_plans["unigram_encode_persisted_documents"]
     assert plan.count("FileScan") == 1
     assert "Exchange" not in plan
+
+
+def test_large_batch_probe_routes_broadcast_adc_kernel(all_plans):
+    """The 40-query face must route past ADC_LITERAL_LIMIT to the
+    broadcast-map kernel (round-11 verdict item 4): the pruned index
+    scan keeps its PartitionFilters, the ADC tables live in a 1-row
+    broadcast relation (BroadcastNestedLoopJoin is its sanctioned
+    join form), and the plan carries NO per-query literal CASE chain —
+    constant plan shape in batch size."""
+    plan = all_plans["ivfpq_probe_large_batch_embeddings"]
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1]
+    assert not seg.startswith("]")
+    assert "cell" in seg.split("]", 1)[0]
+    assert "__adc" in plan, "broadcast ADC map relation missing"
+    # the literal kernel compiles one CASE WHEN branch per (query,
+    # cell) pair — 80 for this face; the broadcast kernel none
+    assert plan.count("CASE WHEN") < 5
+    # index scan + the 1-row local map relation: no corpus scan
+    assert "embeddings.parquet" not in plan
+    assert plan.count("FileScan") == 1

@@ -1035,3 +1035,48 @@ def test_ivfpq_compact_and_delete_lifecycle(spark):
     assert got == want
     assert not os.path.exists(os.path.join(path, "_MAINT_PENDING"))
     assert ivfpq_delete_ids(spark, path, [10**9])["n_vectors_removed"] == 0
+
+
+def test_ivfpq_probe_many_kernels_bit_equal_and_constant_plan(spark):
+    """planning.adc_kernel routing (round-11 verdict item 4): the
+    broadcast kernel must score bit-identically to the literal CASE,
+    and its plan must stay constant-shape as the batch grows (the ADC
+    values live in the broadcast relation, not the plan)."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark import planning
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_probe_many,
+    )
+
+    df, rows = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=2, m=2, n_codes=4, max_iter=2)
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in rows[i][1]]) for i in range(6)],
+        "query_id bigint, embedding array<double>",
+    )
+    lit = ivfpq_probe_many(idx, queries, cents, cb, k=5, nprobe=2,
+                           kernel="literal")
+    bc = ivfpq_probe_many(idx, queries, cents, cb, k=5, nprobe=2,
+                          kernel="broadcast")
+    key = lambda out: sorted(
+        (r["query_id"], r["vec_id"], r["adist"]) for r in out.collect()
+    )
+    assert key(bc) == key(lit)
+
+    # policy: registry face (5q x 2probe x m4 x 8codes = 320) stays
+    # literal; a 500-query production batch routes to broadcast
+    assert planning.adc_kernel(5 * 2 * 4 * 8) == "literal"
+    assert planning.adc_kernel(500 * 2 * 8 * 256) == "broadcast"
+
+    # constant plan shape: doubling the batch under the broadcast
+    # kernel must not grow the plan string (same expressions, the map
+    # is data); the literal kernel's plan DOES grow with the batch
+    def plan_len(qdf):
+        out = ivfpq_probe_many(idx, qdf, cents, cb, k=5, nprobe=2,
+                               kernel="broadcast")
+        return len(out._jdf.queryExecution().executedPlan().toString())
+
+    small = queries.limit(3)
+    assert abs(plan_len(queries) - plan_len(small)) < 200
