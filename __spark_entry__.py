@@ -12488,6 +12488,143 @@ GROUP BY a.cell
 """
 
 
+# Fixed BPE merge table for the persisted-tokenizer probe face — the
+# BM25_PROBE_QUERY pattern: a deterministic constant (derived once via
+# train_bpe(word_counts(documents), num_merges=24, min_pair_count=2) on
+# the sf0.01 corpus) so the oracle replays ONLY the encode, not the
+# merge loop. Rank = list position; greedy encode applies
+# lowest-rank-first (operators/bpe._encode_word).
+BPE_PROBE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+]
+
+
+def _bpe_merges_path(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse",
+        f"bpe_merges_{base}_m{len(BPE_PROBE_MERGES)}",
+    )
+
+
+def _ensure_bpe_merges(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once gate for the BPE merges sidecar (the _ensure_bm25
+    pattern): the serve path is written at most once per (sf, params)
+    and never overwritten."""
+    from biomedical_data_integration_spark.operators.bpe import (
+        save_merges,
+    )
+
+    path = _bpe_merges_path(sf_dir)
+    with _ENSURE_LOCK:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            save_merges(spark, BPE_PROBE_MERGES, path)
+    return path
+
+
+def _q_bpe_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-BPE-merges SERVE face (operators/bpe.save_merges /
+    load_merges / encode_bpe_persisted — round-11 verdict item 6,
+    completing tokenizer-family symmetry with the unigram vocab pair):
+    tokenization serves from the (rank, left, right) sidecar with NO
+    training jobs in the plan (one driver-side sidecar read + the
+    Arrow-batched encode; plan-gated). Returns per-document piece
+    stats. The oracle replays encode_bpe's EXACT greedy
+    lowest-rank-first merge loop as a recursive CTE over the
+    document's word stream — the first SQL oracle the BPE encode
+    family has had (train-side pair stats were covered;
+    the encode itself was not)."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_bpe_persisted,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    path = _ensure_bpe_merges(spark, sf_dir)
+    enc = encode_bpe_persisted(spark, docs, path)
+    plen = F.transform(F.col("bpe_tokens"), lambda p: F.length(p))
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_pieces"),
+        F.size(
+            F.filter(F.col("bpe_tokens"), lambda p: F.length(p) > 1)
+        ).cast("bigint").alias("n_multichar"),
+        F.coalesce(F.array_max(plen).cast("bigint"), F.lit(0)).alias(
+            "max_piece_len"
+        ),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """Recursive-CTE replay of operators/bpe._encode_word: per distinct
+    word, repeatedly merge the LEFTMOST occurrence of the LOWEST-rank
+    applicable pair until none applies (single-occurrence steps are
+    equivalent to _merge_word's all-occurrence sweep: after merging the
+    leftmost, the same pair is still the lowest-rank present), then
+    re-join the word stream and aggregate per document."""
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}', '{a + b}')"
+        for i, (a, b) in enumerate(BPE_PROBE_MERGES)
+    )
+    toks = _SQL_TOKS.format(col="text")
+    return f"""
+WITH RECURSIVE
+merges(rank, a, b, ab) AS (VALUES {vals}),
+doctoks AS (
+  SELECT doc_id, unnest({toks}) AS word FROM documents),
+words(word) AS (SELECT DISTINCT word FROM doctoks),
+enc AS (
+  SELECT word,
+         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+  FROM words
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(
+           list_slice(syms, 1, bpos - 1),
+           [ab]),
+           list_slice(syms, bpos + 2, len(syms))) AS syms
+  FROM (
+    SELECT e.word, any_value(e.syms) AS syms,
+           min_by(m.ab, m.rank * 1000000 + p.pos) AS ab,
+           CAST(min(m.rank * 1000000 + p.pos) % 1000000 AS BIGINT)
+             AS bpos
+    FROM enc e,
+         UNNEST(range(1, len(e.syms))) AS p(pos)
+    JOIN merges m
+      ON e.syms[CAST(p.pos AS BIGINT)] = m.a
+     AND e.syms[CAST(p.pos AS BIGINT) + 1] = m.b
+    GROUP BY e.word)
+),
+final AS (
+  SELECT word,
+         CAST(len(syms) AS BIGINT) AS n_pieces,
+         CAST(len(list_filter(syms, s -> length(s) > 1)) AS BIGINT)
+           AS n_multi,
+         CAST(list_max(list_transform(syms, s -> length(s))) AS BIGINT)
+           AS max_len
+  FROM enc e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM UNNEST(range(1, len(e.syms))) AS p(pos)
+    JOIN merges m
+      ON e.syms[CAST(p.pos AS BIGINT)] = m.a
+     AND e.syms[CAST(p.pos AS BIGINT) + 1] = m.b)
+)
+SELECT d.doc_id,
+       CAST(coalesce(sum(f.n_pieces), 0) AS BIGINT) AS n_pieces,
+       CAST(coalesce(sum(f.n_multi), 0) AS BIGINT) AS n_multichar,
+       CAST(coalesce(max(f.max_len), 0) AS BIGINT) AS max_piece_len
+FROM documents d
+LEFT JOIN doctoks t USING (doc_id)
+LEFT JOIN final f USING (word)
+GROUP BY d.doc_id
+"""
+
+
 def _q_quality_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARM-START quality-classifier training (operators/text.
     train_quality_classifier(init=...) — round-11 verdict item 5: the
@@ -13412,6 +13549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_probe_large_batch_embeddings": _q_ivfpq_probe_large,
         "quality_warmstart_classifier_documents": _q_quality_warmstart,
         "hashed_warmstart_classifier_documents": _q_hashed_warmstart,
+        "bpe_encode_persisted_documents": _q_bpe_encode_persisted,
     }
 
 
@@ -14339,6 +14477,7 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "ivfpq_probe_large_batch_embeddings": _ivfpq_probe_large_sql(),
         "quality_warmstart_classifier_documents": _quality_clf_sql(),
         "hashed_warmstart_classifier_documents": _hashed_clf_sql(),
+        "bpe_encode_persisted_documents": _bpe_encode_sql(),
         "unigram_encode_persisted_documents": _unigram_encode_sql(),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),

@@ -595,6 +595,55 @@ def train_unigram(
     return usage
 
 
+def save_merges(
+    spark, merges: Sequence[Tuple[str, str]], path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a :func:`train_bpe` merge list as a (rank, left, right)
+    parquet sidecar — the :func:`save_vocab` pattern for the BPE family
+    (round-11 verdict item 6), completing tokenizer symmetry: both
+    trainers now have a train-once artifact their encode faces serve
+    from without retraining. Rank IS the model (greedy encode applies
+    merges lowest-rank-first); :func:`load_merges` restores the exact
+    ordered list."""
+    mdf = spark.createDataFrame(
+        [(int(i), str(a), str(b)) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+    # repartition(1), not coalesce(1) — the sequential-worker-startup
+    # stall on python-list local relations (see sources/writers.py)
+    mdf.repartition(1).write.mode(mode).parquet(path)
+    spark.catalog.refreshByPath(path)
+
+
+def load_merges(spark, path: str) -> List[Tuple[str, str]]:
+    """Load a :func:`save_merges` sidecar back into the trainer's exact
+    ordered merge list (rank ascending — the order is the model)."""
+    rows = spark.read.parquet(path).collect()
+    return [
+        (r["left"], r["right"])
+        for r in sorted(rows, key=lambda r: int(r["rank"]))
+    ]
+
+
+def encode_bpe_persisted(
+    spark,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Serve BPE tokenization from a :func:`save_merges` sidecar: one
+    driver-side sidecar read (merge lists are KBs), then
+    :func:`encode_bpe`'s exact Arrow-batched encode — no training jobs
+    in the plan (plan-gated); bit-identical to encoding with the
+    in-memory merge list (integer ranks and strings round-trip parquet
+    exactly)."""
+    return encode_bpe(
+        df, load_merges(spark, path), text_col=text_col, out_col=out_col
+    )
+
+
 def save_vocab(
     spark, usage: Sequence[Tuple[str, int]], path: str,
     mode: str = "overwrite",

@@ -3266,6 +3266,110 @@ def streaming_bm25_score(
     )
 
 
+def streaming_ivfpq_score(
+    spark,
+    stream: DataFrame,
+    index_path: str,
+    query: list,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Streaming face of the persisted IVFPQ index (round-11 verdict
+    item 8 — ANN serving gains the stream/batch/persisted symmetry the
+    classifier and BM25 gates have): score vectors at INGEST against
+    ONE fixed query with the frozen model's ADC arithmetic
+    ("how close is this incoming embedding to my probe" — semantic
+    routing / dedup-by-similarity / eval-decontamination at the vector
+    level).
+
+    The model sidecar
+    (:func:`~biomedical_data_integration_spark.operators.similarity.ivfpq_save`)
+    loads once at stream-construction time; the fixed query's probed
+    cells and integer ADC tables come from the shared driver arithmetic
+    (:func:`~biomedical_data_integration_spark.operators.similarity._ivfpq_adc_tables`
+    — bit-identical to the batch probe). Each incoming vector then
+    rides a STATELESS expression projection: coarse cell assignment and
+    PQ codes via the exact build-time encoders
+    (:func:`_ivfpq_residuals` + :func:`pq_encode` are pure expression
+    projections, so they compile onto an unbounded stream unchanged —
+    the appended-batch contract at stream granularity), and the ADC sum
+    is an nprobe-entry literal CASE over the query's probed cells.
+    Emits ``(id_col, cell, probed, adist)`` for EVERY vector — a
+    stream cannot drop rows into a top-k, so vectors landing outside
+    the probed cells carry ``probed=false, adist=null`` and gating is
+    the consumer's cut. Parity-tested: probed rows score exactly as
+    :func:`ivfpq_topk` over the same vectors with the same model."""
+    from biomedical_data_integration_spark import config
+    from biomedical_data_integration_spark.operators.similarity import (
+        _ivfpq_adc_tables,
+        _ivfpq_residuals,
+        pq_encode,
+    )
+
+    r = spark.read.parquet(f"{index_path}/model").first()
+    if r is None:
+        raise ValueError(
+            f"streaming_ivfpq_score: no model sidecar at {index_path}"
+        )
+    centroids = [[float(x) for x in c] for c in r["centroids"]]
+    codebooks = [
+        [[float(x) for x in cv] for cv in book] for book in r["codebooks"]
+    ]
+    query = [float(x) for x in query]
+    dim = len(centroids[0])
+    if len(query) != dim:
+        raise ValueError(
+            f"streaming_ivfpq_score: query dim {len(query)} != index "
+            f"dim {dim}"
+        )
+    probed, tables = _ivfpq_adc_tables(query, centroids, codebooks, nprobe)
+    scale = config.SIMILARITY_SCALE
+    resid = _ivfpq_residuals(stream, centroids, vec_col, id_col, scale)
+    coded = pq_encode(
+        resid,
+        codebooks,
+        vec_col="__resid",
+        id_col=id_col,
+        scale=scale,
+        extra_cols=("cell",),
+    )
+
+    def lit_table(cell: int):
+        return F.array(
+            *[
+                F.array(*[F.lit(v).cast("bigint") for v in row])
+                for row in tables[cell]
+            ]
+        )
+
+    table_for_cell = None
+    for cell in probed:
+        table_for_cell = (
+            F.when(F.col("cell") == cell, lit_table(cell))
+            if table_for_cell is None
+            else table_for_cell.when(F.col("cell") == cell, lit_table(cell))
+        )
+    micro = F.aggregate(
+        F.zip_with(
+            table_for_cell,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    is_probed = F.col("cell").isin([int(c) for c in probed])
+    return coded.select(
+        F.col(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        is_probed.alias("probed"),
+        F.when(is_probed, micro.cast("double") / F.lit(1_000_000.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("adist"),
+    )
+
+
 def sliding_active_users(
     df: DataFrame,
     window_days: int = 7,

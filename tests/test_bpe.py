@@ -421,3 +421,38 @@ def test_save_load_vocab_roundtrip(spark):
     path = os.path.join(tempfile.mkdtemp(), "vocab")
     save_vocab(spark, usage, path)
     assert load_vocab(spark, path) == usage
+
+
+def test_bpe_merges_sidecar_round_trip_and_persisted_encode(spark):
+    """save_merges/load_merges must restore the EXACT ordered merge
+    list (rank is the model), and encode_bpe_persisted must encode
+    bit-identically to the in-memory list."""
+    import os
+    import tempfile
+
+    from biomedical_data_integration_spark.operators.bpe import (
+        encode_bpe,
+        encode_bpe_persisted,
+        load_merges,
+        save_merges,
+        train_bpe,
+        word_counts,
+    )
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    merges = train_bpe(word_counts(df), num_merges=12, min_pair_count=2)
+    assert merges
+    path = os.path.join(tempfile.mkdtemp(), "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+    want = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in encode_bpe(df, merges).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in encode_bpe_persisted(spark, df, path).collect()
+    }
+    assert got == want

@@ -20,6 +20,7 @@ ARROW_OK = {
     "multimodal_audio_features",   # mapInPandas decode (audio leg)
     "harmonize_lineitem",          # FunctionValueMapper (pandas UDF)
     "harmonize_end_to_end",        # user-owned lambda mapper
+    "bpe_encode_persisted_documents",  # encode_bpe pandas UDF (declared)
 }
 
 
@@ -294,3 +295,14 @@ def test_large_batch_probe_routes_broadcast_adc_kernel(all_plans):
     # index scan + the 1-row local map relation: no corpus scan
     assert "embeddings.parquet" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_bpe_persisted_encode_has_no_training(all_plans):
+    """The persisted-merges BPE serve face (round-11 verdict item 6):
+    the sidecar is a driver-side read, so the PLAN is exactly one
+    corpus scan + the declared Arrow-batched encode — no second scan,
+    no aggregation-heavy training lineage."""
+    plan = all_plans["bpe_encode_persisted_documents"]
+    assert plan.count("FileScan") == 1
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan

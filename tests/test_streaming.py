@@ -1729,3 +1729,70 @@ def test_streaming_unigram_encode_matches_batch(spark):
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "Aggregate" not in plan and "Join" not in plan
     assert got == want
+
+
+def test_streaming_ivfpq_score_matches_batch_probe(spark):
+    """The fixed-query IVFPQ stream gate (round-11 verdict item 8) must
+    score every probed-cell vector exactly as ivfpq_topk does with the
+    same frozen model (same cell assignment, same PQ codes, same
+    integer ADC tables); vectors outside the probed cells emit
+    (probed=false, adist=null) instead of being dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_save,
+        ivfpq_topk,
+    )
+    from biomedical_data_integration_spark.streaming import (
+        streaming_ivfpq_score,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .limit(200)
+    )
+    idx, cents, cb = ivfpq_index(emb, n_cells=4, m=2, n_codes=4,
+                                 max_iter=2)
+    q = [float(x) for x in emb.first()["embedding"]]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "idx")
+        ivfpq_save(idx, cents, cb, path)
+        want = {
+            r["vec_id"]: r["adist"]
+            for r in ivfpq_topk(idx, q, cents, cb, k=100000,
+                                nprobe=2).collect()
+        }
+        src, ckpt = f"{d}/in", f"{d}/ckpt"
+        emb.select("vec_id", "embedding").write.parquet(src)
+        stream = spark.readStream.schema(
+            emb.select("vec_id", "embedding").schema
+        ).parquet(src)
+        out = streaming_ivfpq_score(spark, stream, path, q, nprobe=2)
+        assert out.isStreaming
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in plan and "Join" not in plan
+        sq = (
+            out.writeStream.format("memory")
+            .queryName("ivfpq_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        rows = spark.sql("select * from ivfpq_stream_test").collect()
+    assert len(rows) == emb.count()  # every vector emits
+    got = {r["vec_id"]: r["adist"] for r in rows if r["probed"]}
+    assert got == want
+    assert all(r["adist"] is None for r in rows if not r["probed"])
+    # wrong-dim query refuses at construction
+    import pytest as _pytest
+    with tempfile.TemporaryDirectory() as d2:
+        path2 = os.path.join(d2, "idx")
+        ivfpq_save(idx, cents, cb, path2)
+        with _pytest.raises(ValueError, match="dim"):
+            streaming_ivfpq_score(spark, stream, path2, q + [0.0])
