@@ -6465,7 +6465,8 @@ def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_core_sql(
-    limit: int, query: str | None = None, where: str = ""
+    limit: int, query: str | None = None, where: str = "",
+    src: str = "documents",
 ) -> str:
     """Shared BM25 CTE chain; float literals rendered with repr() so the
     oracle parses the EXACT doubles the Spark plan carries. ``query``
@@ -6474,7 +6475,8 @@ def _bm25_core_sql(
     (operators/retrieval._bm25_rank), so both faces share this oracle.
     ``where`` filters the corpus (e.g. ``" WHERE doc_id % 7 <> 3"``) —
     the delete face's oracle IS the rebuild-without-the-deleted
-    recompute."""
+    recompute; ``src`` swaps the corpus relation entirely (the upsert
+    face's rebuild-with-replacement)."""
     from biomedical_data_integration_spark.operators.retrieval import (
         BM25_B,
         BM25_K1,
@@ -6490,7 +6492,7 @@ def _bm25_core_sql(
     one_minus_b = repr(1.0 - BM25_B)
     toks = _SQL_TOKS.format(col="text")
     return f"""
-toks AS (SELECT doc_id AS id, {toks} AS t FROM documents{where}),
+toks AS (SELECT doc_id AS id, {toks} AS t FROM {src}{where}),
 postings AS (
   SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
   FROM (SELECT id, len(t) AS dl, unnest(t) AS term FROM toks)
@@ -12625,6 +12627,142 @@ GROUP BY d.doc_id
 """
 
 
+BM25_UPSERT_MOD, BM25_UPSERT_RESIDUE = 9, 4
+IVFPQ_UPSERT_MOD, IVFPQ_UPSERT_RESIDUE = 6, 1
+
+
+def _q_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index UPSERT face (operators/retrieval.bm25_upsert_docs —
+    replace-or-insert, completing the persisted index's CRUD next to
+    append/compact/delete): build the full-corpus index, upsert a
+    batch holding every doc_id % 9 == 4 document with MODIFIED text
+    (an appended token changes dl, sum_dl, avgdl — every score
+    shifts), then probe. The oracle IS the rebuild-with-replacement
+    recompute (_bm25_core_sql(src=...) over the unioned corpus) —
+    delete-then-append must equal having indexed the new versions from
+    the start, bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+        bm25_search_persisted,
+        bm25_upsert_docs,
+    )
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    # own path: the upsert MUTATES, so this face rebuilds every run
+    path = _bm25_index_path(sf_dir, face="upsert")
+    bm25_save_index(docs, path, n_buckets=BM25_N_BUCKETS)
+    batch = docs.where(
+        F.col("doc_id") % BM25_UPSERT_MOD == BM25_UPSERT_RESIDUE
+    ).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" upserted")).alias("text")
+    )
+    bm25_upsert_docs(batch, path)
+    return bm25_search_persisted(
+        spark, path, BM25_PROBE_QUERY, top_k=BM25_TOP_K
+    )
+
+
+def _bm25_upsert_sql() -> str:
+    m, r = BM25_UPSERT_MOD, BM25_UPSERT_RESIDUE
+    src = (
+        "(SELECT doc_id, text || ' upserted' AS text FROM documents "
+        f"WHERE doc_id % {m} = {r} "
+        "UNION ALL SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {m} <> {r})"
+    )
+    return (
+        "WITH "
+        + _bm25_core_sql(BM25_TOP_K, query=BM25_PROBE_QUERY, src=src)
+        + "\nSELECT doc_id, n_terms_hit, score FROM bm25"
+    )
+
+
+def _q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ UPSERT face (operators/similarity.ivfpq_upsert_vectors):
+    train + persist on ALL vectors, then upsert a batch where every
+    vec_id % 6 == 1 vector is REPLACED by its successor's embedding
+    (donor vec_id + 1 — modified data that stays SQL-expressible), and
+    return per-cell read-back checksums over the mutated index. The
+    frozen model means the upserted id's (cell, codes) equal its
+    donor's, so the oracle is the train-on-all replay aggregated over
+    a membership map (id -> donor id); n_vectors counts index ROWS on
+    the Spark side vs DISTINCT ids in the oracle — a failed delete leg
+    (duplicate rows) breaks the match."""
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_upsert_vectors,
+    )
+
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    emb = emb.where(F.col("embedding").isNotNull())
+    idx, cents, cb = ivfpq_index(
+        emb,
+        n_cells=IVFPQ_CELLS, m=PQ_M, n_codes=PQ_CODES, max_iter=PQ_ITERS,
+    )
+    path = _ivfpq_index_path(sf_dir, face="upsert")
+    ivfpq_save(idx, cents, cb, path)
+    a, b = emb.alias("a"), emb.alias("b")
+    batch = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .where(
+            F.col("a.vec_id") % IVFPQ_UPSERT_MOD == IVFPQ_UPSERT_RESIDUE
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.embedding").alias("embedding"),
+        )
+    )
+    ivfpq_upsert_vectors(batch, path)
+    stored, _, _ = ivfpq_load(spark, path)
+    row_code = F.aggregate(
+        F.col("codes"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * PQ_CODES + x,
+    )
+    return stored.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("vec_id").cast("bigint").alias("ids_sum"),
+        F.sum(row_code).cast("bigint").alias("codes_checksum"),
+    )
+
+
+def _ivfpq_upsert_sql() -> str:
+    """Train-on-all replay aggregated over the replacement membership
+    map: ids with a donor count under their own id but with the
+    donor's (cell, codes); everything else is itself."""
+    m, nc = PQ_M, PQ_CODES
+    um, ur = IVFPQ_UPSERT_MOD, IVFPQ_UPSERT_RESIDUE
+    weight = f"CAST(round(power({nc}, {m - 1} - cd.s)) AS BIGINT)"
+    joined = ",\n".join(_ivfpq_base_ctes())
+    return f"""
+WITH {joined},
+bsel AS (
+  SELECT r1.id FROM raw r1 JOIN raw r2 ON r2.id = r1.id + 1
+  WHERE r1.id % {um} = {ur}),
+mem AS (
+  SELECT id AS id_out, id AS src FROM raw
+  WHERE id NOT IN (SELECT id FROM bsel)
+  UNION ALL
+  SELECT id AS id_out, id + 1 AS src FROM bsel)
+SELECT a.cell,
+       CAST(count(DISTINCT mm.id_out) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN cd.s = 0 THEN mm.id_out ELSE 0 END) AS BIGINT)
+         AS ids_sum,
+       CAST(sum(CAST(cd.code AS BIGINT) * {weight}) AS BIGINT)
+         AS codes_checksum
+FROM codes cd
+JOIN acell a ON cd.id = a.id
+JOIN mem mm ON mm.src = cd.id
+GROUP BY a.cell
+"""
+
+
 def _q_quality_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARM-START quality-classifier training (operators/text.
     train_quality_classifier(init=...) — round-11 verdict item 5: the
@@ -13550,6 +13688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_warmstart_classifier_documents": _q_quality_warmstart,
         "hashed_warmstart_classifier_documents": _q_hashed_warmstart,
         "bpe_encode_persisted_documents": _q_bpe_encode_persisted,
+        "bm25_upsert_docs_documents": _q_bm25_upsert,
+        "ivfpq_upsert_vectors_embeddings": _q_ivfpq_upsert,
     }
 
 
@@ -14478,6 +14618,8 @@ FROM x WHERE p >= c0 GROUP BY 1, 2
         "quality_warmstart_classifier_documents": _quality_clf_sql(),
         "hashed_warmstart_classifier_documents": _hashed_clf_sql(),
         "bpe_encode_persisted_documents": _bpe_encode_sql(),
+        "bm25_upsert_docs_documents": _bm25_upsert_sql(),
+        "ivfpq_upsert_vectors_embeddings": _ivfpq_upsert_sql(),
         "unigram_encode_persisted_documents": _unigram_encode_sql(),
         "corpus_curation_v4_end_to_end": _curation_v4_sql(),
         "bm25_persist_index_documents": _bm25_persist_sql(),

@@ -427,9 +427,7 @@ def bm25_compact_index(
     return rewrite_partitions(spark, f"{path}/postings", "bucket", frag)
 
 
-def bm25_delete_ids(
-    spark, path: str, ids, id_col: str = "doc_id"
-) -> dict:
+def bm25_delete_ids(spark, path: str, ids) -> dict:
     """Delete documents from a persisted BM25 index (round-11 verdict
     item 3 — the FAISS ``remove_ids`` contract for the postings index):
     anti-join rewrite of the AFFECTED bucket partitions plus an
@@ -525,6 +523,27 @@ def bm25_delete_ids(
     replace_dir_atomically(spark, f"{path}/stats.new", f"{path}/stats")
     remove_marker(spark, pending)
     return {"n_docs_removed": n_removed, "buckets_rewritten": affected}
+
+
+def bm25_upsert_docs(
+    df: DataFrame, path: str, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Replace-or-insert for a persisted BM25 index — the composition
+    of the two maintenance primitives that completes the lifecycle
+    (build → append → compact → delete → UPSERT): delete the batch's
+    ids from the index (present ids only; absent ids no-op through the
+    anti-join), then append the batch with the frozen bucket hash.
+    Serve after upsert equals a rebuild where the batch's documents
+    replaced their old versions, bit-for-bit (gated; the registry
+    oracle IS that rebuild). Both legs keep their own crash markers —
+    a crash mid-upsert is detected by the next maintenance call, never
+    silently served. The batch is driver-sized by the delete leg's
+    broadcast contract."""
+    spark = df.sparkSession
+    res = bm25_delete_ids(spark, path, df.select(id_col))
+    bm25_append_index(df, path, id_col=id_col, text_col=text_col)
+    return res
 
 
 def bm25_search_persisted(

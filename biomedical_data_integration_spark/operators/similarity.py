@@ -1269,6 +1269,25 @@ def ivfpq_delete_ids(spark, path: str, ids) -> dict:
     return {"n_vectors_removed": n_removed, "cells_rewritten": affected}
 
 
+def ivfpq_upsert_vectors(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Replace-or-insert for a persisted IVFPQ index — delete the
+    batch's ids (absent ids no-op), then append the batch encoded with
+    the FROZEN model (:func:`ivfpq_append_index`). Completes the
+    lifecycle CRUD next to compact/delete: after an upsert the index
+    serves exactly as if the batch's vectors had replaced their old
+    versions at build time (gated). Batch is driver-sized by the
+    delete leg's broadcast contract; the model sidecar is untouched."""
+    spark = df.sparkSession
+    res = ivfpq_delete_ids(spark, path, df.select(id_col))
+    ivfpq_append_index(df, path, vec_col=vec_col, id_col=id_col)
+    return res
+
+
 def ivfpq_probe_many(
     index_df: DataFrame,
     queries: DataFrame,

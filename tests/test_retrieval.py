@@ -496,3 +496,42 @@ def test_bm25_delete_ids_equals_rebuild_without_deleted(spark):
     # no marker residue; absent-id delete is a no-op
     assert not os.path.exists(os.path.join(full, "_MAINT_PENDING"))
     assert bm25_delete_ids(spark, full, [10**9])["n_docs_removed"] == 0
+
+
+def test_bm25_upsert_equals_rebuild_with_replacement(spark):
+    """Upsert = delete + frozen-hash append: serve must equal a rebuild
+    where the batch's documents replaced their old versions."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.retrieval import (
+        bm25_save_index,
+        bm25_search_persisted,
+        bm25_upsert_docs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    base = tempfile.mkdtemp()
+    live, truth = os.path.join(base, "live"), os.path.join(base, "truth")
+    bm25_save_index(docs, live, n_buckets=8)
+    batch = docs.where(F.col("doc_id") % 9 == 4).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" upserted")).alias("text")
+    )
+    res = bm25_upsert_docs(batch, live)
+    assert res["n_docs_removed"] == batch.count()
+    replaced = docs.where(F.col("doc_id") % 9 != 4).unionByName(batch)
+    bm25_save_index(replaced, truth, n_buckets=8)
+    sf, st = (spark.read.parquet(f"{p}/stats").first() for p in (live, truth))
+    assert (sf["n_docs"], sf["sum_dl"], sf["avgdl"]) == (
+        st["n_docs"], st["sum_dl"], st["avgdl"],
+    )
+    for q in ("spark window join customer", "upserted"):
+        got = [tuple(r) for r in
+               bm25_search_persisted(spark, live, q, top_k=25).collect()]
+        want = [tuple(r) for r in
+                bm25_search_persisted(spark, truth, q, top_k=25).collect()]
+        assert got == want

@@ -1080,3 +1080,46 @@ def test_ivfpq_probe_many_kernels_bit_equal_and_constant_plan(spark):
 
     small = queries.limit(3)
     assert abs(plan_len(queries) - plan_len(small)) < 200
+
+
+def test_ivfpq_upsert_replaces_vectors(spark):
+    """Upsert = delete + frozen-model append: the upserted ids' stored
+    (cell, codes) must equal encoding the NEW vectors with the frozen
+    model, old rows gone, everything else untouched."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_save,
+        ivfpq_upsert_vectors,
+    )
+
+    df, rows = _pq_fixture(spark)
+    idx, cents, cb = ivfpq_index(df, n_cells=2, m=2, n_codes=4, max_iter=2)
+    path = os.path.join(tempfile.mkdtemp(), "ivfpq_up")
+    ivfpq_save(idx, cents, cb, path)
+    a, b = df.alias("a"), df.alias("b")
+    batch = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .where(F.col("a.vec_id") % 3 == 0)
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.embedding").alias("embedding"))
+    )
+    n_batch = batch.count()
+    assert n_batch > 0
+    res = ivfpq_upsert_vectors(batch, path)
+    assert res["n_vectors_removed"] == n_batch
+    stored = {r["vec_id"]: (int(r["cell"]), list(r["codes"]))
+              for r in spark.read.parquet(f"{path}/index").collect()}
+    orig = {r["vec_id"]: (int(r["cell"]), list(r["codes"]))
+            for r in idx.collect()}
+    assert len(stored) == len(orig)  # no dupes, no losses
+    donors = {r["vec_id"] for r in batch.collect()}
+    for vid, v in stored.items():
+        if vid in donors:
+            assert v == orig[vid + 1]  # donor's encoding under kept id
+        else:
+            assert v == orig[vid]
