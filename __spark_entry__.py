@@ -12783,16 +12783,27 @@ def _q_quality_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_classifier,
     )
 
+    from biomedical_data_integration_spark.operators.text import (
+        qclf_training_state,
+    )
+
     (docs,) = _tables(spark, sf_dir, "documents")
     label = (F.col("quality_score") >= F.lit(QCLF_THRESHOLD)).cast("int")
     k1 = QCLF_ITERS // 2
-    cold = train_quality_classifier(docs, label, iters=k1, lr=QCLF_LR)
+    # features/means are data statistics of (docs, label) — identical
+    # for both halves of the SAME batch, so compute once and pass to
+    # both train calls (round-12 optimization; bit-identical output,
+    # the oracle stays the one-shot replay)
+    st = qclf_training_state(docs, label)
+    cold = train_quality_classifier(
+        docs, label, iters=k1, lr=QCLF_LR, state=st
+    )
     # own path: overwritten every execution (never raced)
     path = _clf_model_path(sf_dir, "quality") + "_warm"
     save_classifier(spark, cold, path)
     model = train_quality_classifier(
         docs, label, iters=QCLF_ITERS - k1, lr=QCLF_LR,
-        init=load_classifier(spark, path),
+        init=load_classifier(spark, path), state=st,
     )
     scored = score_quality_classifier(docs, model)
     labels = quality_features(docs).select(
@@ -12820,20 +12831,30 @@ def _q_hashed_warmstart(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_hashed_text_classifier,
     )
 
+    from biomedical_data_integration_spark.operators.text import (
+        hclf_training_state,
+    )
+
     (docs,) = _tables(spark, sf_dir, "documents")
     njoin = F.size(
         F.filter(tokens_expr(F.col("text")), lambda t: t == F.lit("join"))
     )
     label = (njoin >= HCLF_MIN_JOIN).cast("int")
     k1 = HCLF_ITERS // 2
+    # feature arrays + curvature are data statistics of (docs, label,
+    # n_buckets) — identical for both halves of the SAME batch, so
+    # compute once and pass to both train calls (round-12 optimization;
+    # bit-identical output, the oracle stays the one-shot replay)
+    st = hclf_training_state(docs, label, n_buckets=HCLF_BUCKETS)
     cold = train_hashed_text_classifier(
-        docs, label, n_buckets=HCLF_BUCKETS, iters=k1, lr=HCLF_LR
+        docs, label, n_buckets=HCLF_BUCKETS, iters=k1, lr=HCLF_LR,
+        state=st,
     )
     path = _clf_model_path(sf_dir, "hashed") + "_warm"
     save_classifier(spark, cold, path)
     model = train_hashed_text_classifier(
         docs, label, n_buckets=HCLF_BUCKETS, iters=HCLF_ITERS - k1,
-        lr=HCLF_LR, init=load_classifier(spark, path),
+        lr=HCLF_LR, init=load_classifier(spark, path), state=st,
     )
     scored = score_hashed_text_classifier(docs, model)
     labels = docs.select("doc_id", label.cast("bigint").alias("label"))
@@ -13329,10 +13350,20 @@ def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "source", "n_chars",
         )
     )
+    # pin the gopher-rules survivors BEFORE the repetition gate: the
+    # repetition fold references the c4 text_clean expression many
+    # times (tokens, line units, paragraph units, the text itself),
+    # and CollapseProject inlines the whole unpinned c4 -> gopher
+    # lineage into EVERY reference — higher-order folds are
+    # CodegenFallback, so no subexpression elimination rescues it
+    # (measured 11.7 s for the composed rep stage vs 0.8 s over a
+    # pinned input, round-12 optimization; guide §3.3 "materialise an
+    # intermediate to truncate the plan")
     g = (
         gopher_rules(c4, min_words=CURATION_V3_MIN_WORDS)
         .where("flag_word_count AND flag_mean_word_len AND flag_alpha_words")
         .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(eager=True)
     )
     rep_keep = (
         gopher_repetition(g, top_ngrams=(2,), dup_ngrams=(5,))
@@ -13340,9 +13371,9 @@ def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     # THREE consumers below (span removal, UniMax allocation, the final
-    # lang join) — pin the survivor table so the c4 -> gopher ->
-    # repetition chain runs once, not once per consumer (the
-    # curation_v4 `scored` discipline; retimed 14.5 s -> see PERF_NOTES)
+    # lang join) — pin the survivor table so the repetition gate runs
+    # once, not once per consumer (the curation_v4 `scored` discipline;
+    # retimed 14.5 s -> see PERF_NOTES)
     kept = g.join(rep_keep, "doc_id", "leftsemi").localCheckpoint(
         eager=True
     )

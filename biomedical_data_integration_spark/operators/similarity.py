@@ -626,37 +626,31 @@ def pq_train(
         # tiebreak. m·n_codes·dsub literals = dim·n_codes doubles; past
         # ~10^5 of those, switch to the broadcast-join assignment kernel
         # (planning.centroid_assign_kernel) — same policy as kmeans.
-        lit_books = F.array(
-            *[
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("code"),
-                            F.array(
-                                *[F.lit(v) for v in cb[s][c]]
-                            ).alias("cv"),
-                        )
-                        for c in range(n_codes)
-                    ]
-                )
-                for s in range(m)
-            ]
+        # ONE nested array literal for every codebook and an indexed
+        # transform for the per-code distances: identical arithmetic
+        # and (dist2, code) tiebreak, but the per-round plan carries a
+        # single literal + one lambda — analysis/codegen time per
+        # Lloyd round stops growing with m·n_codes·dsub (round-12
+        # optimization; the literals change every round, so this plan
+        # re-analyzes and re-codegens each time)
+        lit_books = F.lit(
+            [[[float(v) for v in cv] for cv in book] for book in cb]
         )
         book = F.element_at(lit_books, F.col("s") + 1)
         scored = F.transform(
             book,
-            lambda e: F.struct(
+            lambda cv, i: F.struct(
                 F.round(
                     F.aggregate(
                         F.zip_with(
-                            F.col("sv"), e["cv"], lambda a, b: (a - b) * (a - b)
+                            F.col("sv"), cv, lambda a, b: (a - b) * (a - b)
                         ),
                         F.lit(0.0),
                         lambda acc, x: acc + x,
                     ),
                     scale,
                 ).alias("dist2"),
-                e["code"].alias("code"),
+                i.cast("int").alias("code"),
             ),
         )
         return F.array_min(scored)
@@ -724,31 +718,33 @@ def pq_encode(
     dsub = len(codebooks[0][0])
 
     def sub_code(s: int) -> Column:
+        # ONE indexed transform over the codebook literal instead of
+        # n_codes unrolled fold expressions: identical arithmetic per
+        # (subspace, code) and the same (dist2, code) argmin, but the
+        # plan carries one lambda per subspace — analysis + codegen
+        # time stops growing with n_codes (round-12 optimization; the
+        # planning gap before every encode/write job was ~2.5 s of
+        # pure driver time at n_codes=8)
         sv = F.transform(
             F.slice(F.col(vec_col), F.lit(s * dsub + 1), dsub),
             lambda x: x.cast("double"),
         )
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                sv,
-                                F.array(
-                                    *[F.lit(v) for v in codebooks[s][c]]
-                                ),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
+        book = F.lit([[float(v) for v in cv] for cv in codebooks[s]])
+        scored = F.transform(
+            book,
+            lambda cv, i: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sv, cv, lambda a, b: (a - b) * (a - b)
                         ),
-                        scale,
-                    ).alias("dist2"),
-                    F.lit(c).alias("code"),
-                )
-                for c in range(n_codes)
-            ]
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    scale,
+                ).alias("dist2"),
+                i.cast("int").alias("code"),
+            ),
         )
         return F.array_min(scored)["code"]
 
@@ -793,11 +789,8 @@ def pq_topk(
             d2 = sum((a - b) * (a - b) for a, b in zip(qs, codebooks[s][c]))
             row.append(int(math.floor(d2 * 1_000_000 + 0.5)))
         table.append(row)
-    lit_table = F.array(
-        *[
-            F.array(*[F.lit(v).cast("bigint") for v in row])
-            for row in table
-        ]
+    lit_table = F.lit([[int(v) for v in row] for row in table]).cast(
+        "array<array<bigint>>"
     )
     micro = F.aggregate(
         F.zip_with(
@@ -823,29 +816,25 @@ def _ivfpq_residuals(
     expression, no join) and emit the residual: ``(id_col, cell,
     __resid)``. Shared by the trainer and the incremental-append face —
     appended vectors route through EXACTLY the build-time assignment."""
-    n_cells = len(centroids)
-    lit_cents = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
-    )
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__v"),
-                            F.array(*[F.lit(v) for v in centroids[cell]]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
+    lit_cents = F.lit([[float(v) for v in c] for c in centroids])
+    # one indexed transform instead of n_cells unrolled folds — same
+    # rounded-dist2 + cell-id-tiebreak argmin, constant plan shape in
+    # n_cells (round-12 optimization, see pq_encode.sub_code)
+    scored = F.transform(
+        lit_cents,
+        lambda cv, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"), cv, lambda a, b: (a - b) * (a - b)
                     ),
-                    scale,
-                ).alias("dist2"),
-                F.lit(cell).alias("cell"),
-            )
-            for cell in range(n_cells)
-        ]
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                scale,
+            ).alias("dist2"),
+            i.cast("int").alias("cell"),
+        ),
     )
     return (
         df.select(
@@ -908,7 +897,15 @@ def ivfpq_index(
             f"got {len(cent_rows)}"
         )
     centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
-    resid = _ivfpq_residuals(df, centroids, vec_col, id_col, scale)
+    # pin the residual table: THREE consumers replan/re-evaluate it
+    # otherwise (pq_train's seed collect, pq_train's subvector
+    # checkpoint, the final pq_encode lineage) — one narrow
+    # (id, cell, resid) materialization against three full coarse-
+    # assignment evaluations and three deep-plan analyses (round-12
+    # optimization; the per-action planning gap was the measured cost)
+    resid = _ivfpq_residuals(
+        df, centroids, vec_col, id_col, scale
+    ).localCheckpoint(eager=True)
     codebooks = pq_train(
         resid,
         vec_col="__resid",
@@ -1011,11 +1008,8 @@ def ivfpq_topk(
     probed, tables = _ivfpq_adc_tables(query, centroids, codebooks, nprobe)
 
     def lit_table(cell: int) -> Column:
-        return F.array(
-            *[
-                F.array(*[F.lit(v).cast("bigint") for v in row])
-                for row in tables[cell]
-            ]
+        return F.lit([[int(v) for v in row] for row in tables[cell]]).cast(
+            "array<array<bigint>>"
         )
 
     table_for_cell = None
@@ -1373,12 +1367,9 @@ def ivfpq_probe_many(
     if chosen == "literal":
 
         def lit_table(key: tuple) -> Column:
-            return F.array(
-                *[
-                    F.array(*[F.lit(v).cast("bigint") for v in row])
-                    for row in tables[key]
-                ]
-            )
+            return F.lit(
+                [[int(v) for v in row] for row in tables[key]]
+            ).cast("array<array<bigint>>")
 
         table_sel = None
         for qid, cell in tables:
