@@ -4882,11 +4882,12 @@ def _q_hashed_probe_persisted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Hashed-classifier SERVE face: score from the PERSISTED weights
-    sidecar — one tokenize scan + one id-keyed sum with the 256 bucket
-    weights as literals; the 8 preconditioned GD rounds never re-run
-    (plan-gated: no decimal(38,0) gradient aggregation in the plan).
-    Oracle replays training + scoring from scratch, probe columns
-    only."""
+    sidecar — ONE tokenize scan, pure projection (per-doc feature-array
+    fold against the 256 literal bucket weights, round-12 optimization:
+    no explode, no id-keyed shuffle); the 8 preconditioned GD rounds
+    never re-run (plan-gated: one FileScan, zero Exchange, no
+    decimal(38,0) gradient aggregation in the plan). Oracle replays
+    training + scoring from scratch, probe columns only."""
     from biomedical_data_integration_spark.operators.text import (
         score_hashed_text_classifier,
     )

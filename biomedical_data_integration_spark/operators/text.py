@@ -850,65 +850,12 @@ def train_quality_classifier(
 HASHED_CLF_BUCKETS = 256
 
 
-def _hclf_features(
-    df: DataFrame, n_buckets: int, text_col: str, id_col: str
-) -> tuple:
-    """Hashed-unigram feature tables, computed ONCE per fit/score:
-    ``fb`` = (id, bucket, f) with
-    f = floor(count_b * n_buckets * 1e6 / n_tokens) — bucket occupancy
-    relative to the uniform 1/n_buckets mass (so a typical active
-    feature is O(1e6 micro) = O(1), the same scale as the bias — GD
-    then moves weights and bias at comparable rates), as an exact
-    integer (DIV on non-negatives; the oracle uses //). ``docs`` =
-    (id, n_toks >= 0)."""
-    from biomedical_data_integration_spark.functions.hashing import (
-        md5_bigint,
-    )
-
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        tokens_expr(F.col(text_col)).alias("__toks"),
-    ).select("id", F.size("__toks").alias("nt"), F.col("__toks"))
-    docs = toks.select(
-        "id", F.greatest(F.col("nt"), F.lit(0)).alias("nt")
-    )
-    fb = (
-        toks.select("id", "nt", F.explode("__toks").alias("__tok"))
-        .select(
-            "id",
-            "nt",
-            (md5_bigint(F.col("__tok"), salt="hclf") % n_buckets)
-            .cast("int")
-            .alias("bucket"),
-        )
-        .groupBy("id", "nt", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-        .select(
-            "id",
-            "bucket",
-            F.expr(
-                f"CAST((__c * {int(n_buckets)} * 1000000) DIV nt AS BIGINT)"
-            ).alias("f"),
-        )
-    )
-    # the BIAS is bucket -1 with constant feature 1e6 (value 1.0): its
-    # curvature is then n*1e12 and the preconditioned step reduces to
-    # exactly lr*sum(err)/n — the bias update — so one gradient
-    # aggregation covers weights AND bias, halving per-round jobs; it
-    # also guarantees every document (even token-less ones) has a
-    # feature row, so the logit join needs no outer handling
-    fb = fb.unionByName(
-        docs.select(
-            "id",
-            F.lit(-1).cast("int").alias("bucket"),
-            F.lit(1_000_000).cast("bigint").alias("f"),
-        )
-    )
-    return fb, docs
-
-
 def _hclf_feature_arrays(
-    df: DataFrame, n_buckets: int, text_col: str, id_col: str
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    carry: tuple = ("__y",),
 ) -> DataFrame:
     """TRAINING-side feature layout (round-12 optimization): ONE row per
     document carrying its hashed-unigram features as an
@@ -916,7 +863,8 @@ def _hclf_feature_arrays(
     f = 1e6) appended last, so every document (token-less ones included)
     has a complete feature array.
 
-    Bit-identical f values to :func:`_hclf_features` (same salted-md5
+    Bit-identical f values to the original (id, bucket, f) row-table
+    layout this replaced in round 12 (same salted-md5
     bucket expression; the integer ratio computed via the exact
     remainder identity ``(cK - cK % nt) / nt`` — the numerator is
     divisible, so the one double division is exact), but built as a
@@ -1003,32 +951,9 @@ def _hclf_feature_arrays(
     )
     return df.select(
         F.col(id_col).alias("id"),
-        F.col("__y"),
+        *[F.col(c) for c in carry],
         F.concat(F.coalesce(pairs, F.lit([]).cast(pair_t)), bias_entry)
         .alias("__feats"),
-    )
-
-
-def _hclf_scores(
-    fb: DataFrame, weights_micro: list, bias_micro: int
-) -> DataFrame:
-    """Per-document micro-quantized sigmoid scores for one weight
-    vector: weights (bias = bucket -1, see :func:`_hclf_features`) ride
-    as a literal array indexed by bucket+2, the logit accumulates as an
-    exact bigint over each document's feature rows, ONE double division
-    feeds exp. Every document has at least its bias row, so the id
-    group is complete with no outer join."""
-    w_lit = F.lit(
-        [int(bias_micro)] + [int(v) for v in weights_micro]
-    ).cast("array<bigint>")
-    zs = fb.select(
-        "id",
-        (F.element_at(w_lit, F.col("bucket") + 2) * F.col("f")).alias("__zt"),
-    ).groupBy("id").agg(F.sum("__zt").alias("__zsum"))
-    p = 1.0 / (1.0 + F.exp(-(F.col("__zsum").cast("double") / F.lit(1e12))))
-    return zs.select(
-        "id",
-        F.floor(p * 1_000_000.0 + 0.5).cast("bigint").alias("p"),
     )
 
 
@@ -1228,8 +1153,8 @@ def save_classifier(spark, model: dict, path: str, mode: str = "overwrite") -> N
     as a ONE-ROW parquet sidecar with typed integer columns — micro-unit
     integers round-trip exactly, so a loaded model scores bit-identically.
     Train-once/serve-many: the expensive GD rounds run at build time;
-    every subsequent scoring face is a pure projection (quality) or one
-    tokenize + id-keyed sum (hashed) with the weights as literals."""
+    every subsequent scoring face is a pure projection (both models)
+    with the weights as literals."""
     wm = model["weights"]
     is_map = isinstance(wm, dict)
     means = model.get("means")
@@ -1290,10 +1215,31 @@ def score_hashed_text_classifier(
 ) -> DataFrame:
     """Score with a :func:`train_hashed_text_classifier` model using the
     training-side arithmetic exactly. Returns ``(id_col,
-    score_micro)``; one tokenize scan + one id-keyed sum."""
-    fb, _ = _hclf_features(df, len(model["weights"]), text_col, id_col)
-    return _hclf_scores(fb, model["weights"], model["bias"]).select(
-        F.col("id").alias(id_col), F.col("p").alias("score_micro")
+    score_micro)``.
+
+    Round-12 optimization: ONE corpus scan, PURE PROJECTION — the
+    per-document feature array (:func:`_hclf_feature_arrays`, a
+    shuffle-free run-length fold) folds against the literal weight
+    array per row, so the serve plan has no explode, no groupBy, no
+    exchange (the previous shape shuffled an (id, bucket, f) row table
+    through an id-keyed sum). The logit is the same exact bigint sum,
+    the sigmoid/rounding the same expressions — scores bit-identical.
+    """
+    feats_df = _hclf_feature_arrays(
+        df, len(model["weights"]), text_col, id_col, carry=()
+    )
+    w_lit = F.lit(
+        [int(model["bias"])] + [int(v) for v in model["weights"]]
+    ).cast("array<bigint>")
+    zsum = F.aggregate(
+        F.col("__feats"),
+        F.lit(0).cast("bigint"),
+        lambda a, e: a + F.element_at(w_lit, e["bucket"] + 2) * e["f"],
+    )
+    p = 1.0 / (1.0 + F.exp(-(zsum.cast("double") / F.lit(1e12))))
+    return feats_df.select(
+        F.col("id").alias(id_col),
+        F.floor(p * 1_000_000.0 + 0.5).cast("bigint").alias("score_micro"),
     )
 
 

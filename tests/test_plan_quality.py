@@ -263,7 +263,11 @@ def test_classifier_probe_faces_have_no_training(all_plans):
 
     plan = all_plans["hashed_probe_persisted_documents"]
     assert "decimal(38,0)" not in plan, "gradient agg in a serve plan"
-    assert plan.count("FileScan") == 2  # token branch + bias-row branch
+    # round-12 optimization: the hashed scorer is now a PURE PROJECTION
+    # over per-document feature arrays (run-length fold + literal-weight
+    # fold) — one corpus scan, no bias-row union branch, no exchange
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
     assert "embeddings.parquet" not in plan
 
 
