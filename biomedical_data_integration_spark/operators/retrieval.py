@@ -256,9 +256,15 @@ def bm25_save_index(
         "bucket",
         (md5_bigint(F.col("term"), salt="bm25") % n_buckets).cast("int"),
     )
-    postings.write.mode(mode).partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # one writer per bucket (the rewrite_partitions discipline, round-12
+    # optimization): without the repartition every upstream task opens a
+    # writer in every bucket dir — n_tasks x n_buckets small files from
+    # one save, which every bucket-pruned probe then pays in footer
+    # reads (guide §6). At cluster scale bound per-file size with
+    # spark.sql.files.maxRecordsPerFile.
+    postings.repartition(F.col("bucket")).write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     spark = df.sparkSession
     # an overwrite re-names every part file; any reader that listed this
     # path earlier in the session holds a stale FileStatusCache entry and
@@ -355,9 +361,11 @@ def bm25_append_index(
         "bucket",
         (md5_bigint(F.col("term"), salt="bm25") % nb).cast("int"),
     )
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # one writer per bucket (see bm25_save_index) — an append adds ONE
+    # file per touched bucket, not n_tasks files
+    postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     spark.catalog.refreshByPath(f"{path}/postings")
     new = (
         df.select(F.size(tokens_expr(F.col(text_col))).alias("dl"))

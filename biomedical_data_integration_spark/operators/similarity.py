@@ -1058,7 +1058,18 @@ def ivfpq_save(
     and every subsequent query is a partition-pruned scan of the codes
     table — the corpus vectors are never read again."""
     spark = index_df.sparkSession
-    index_df.write.mode(mode).partitionBy("cell").parquet(f"{path}/index")
+    # repartition by the partition column before the dynamic-partition
+    # write (the rewrite_partitions discipline, round-12 optimization):
+    # without it every upstream task opens a writer in EVERY cell dir —
+    # n_tasks x n_cells small files from one save (129 files for a
+    # 4-cell index at sf0.1; guide §6 "coalesce on write"), which every
+    # partition-pruned probe then pays in footer reads. One writer per
+    # cell -> one file per cell; at cluster scale bound file size with
+    # spark.sql.files.maxRecordsPerFile (the standard knob — partition
+    # values stay far more numerous than executors there)
+    index_df.repartition(F.col("cell")).write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(f"{path}/index")
     model = spark.createDataFrame(
         [(centroids, codebooks)],
         "centroids array<array<double>>, "
@@ -1150,9 +1161,11 @@ def ivfpq_append_index(
         scale=scale,
         extra_cols=("cell",),
     )
-    new_idx.write.mode("append").partitionBy("cell").parquet(
-        f"{path}/index"
-    )
+    # one writer per cell (see ivfpq_save) — an append adds ONE file
+    # per touched cell, not n_tasks files
+    new_idx.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/index")
     # appends add part files; same-session readers hold a stale listing
     spark.catalog.refreshByPath(f"{path}/index")
 
