@@ -229,7 +229,11 @@ def _greedy_segment(word, pieces: List[str]):
     the cursor moving but are not emitted — they are coverage, not
     vocabulary). Deterministic: two distinct pieces of equal length
     cannot match the same position, so longest-match has no ties."""
-    lit = F.array(*[F.lit(p) for p in pieces])
+    # ONE array literal (F.lit(list)), not a per-piece CreateArray: a
+    # 2000-piece vocabulary otherwise rides the plan as 2000 literal
+    # expressions referenced once per cursor step — identical values,
+    # far cheaper analysis/codegen (round-12 optimization)
+    lit = F.lit([str(p) for p in pieces]).cast("array<string>")
 
     def step(acc, i):
         cand = F.filter(

@@ -55,7 +55,7 @@ def detect_language(
     toks_df = df.withColumn("__toks", tokens_expr(F.col(text_col)))
     hit_cols = {}
     for lang in sorted(STOPWORDS):
-        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        words = F.lit(list(STOPWORDS[lang])).cast("array<string>")
         hit_cols[f"__hit_{lang}"] = F.size(
             F.filter(F.col("__toks"), lambda t: F.array_contains(words, t))
         )
@@ -81,9 +81,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     features — a deterministic heuristic in the C4/Gopher-rules spirit.
     """
     text = F.col(text_col)
-    all_stop = F.array(
-        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
-    )
+    # single array literal: a CreateArray of ~hundreds of string
+    # literals is re-constructed on every interpreted lambda call
+    # (once per token) — a Literal returns its cached value (round-12)
+    all_stop = F.lit(
+        [w for ws in STOPWORDS.values() for w in ws]
+    ).cast("array<string>")
     # stage the token array and every O(tokens) count as real columns —
     # inlined, each of the ~10 references below would re-tokenize the text
     staged = df.withColumn("__toks", tokens_expr(text)).withColumns(
@@ -880,15 +883,32 @@ def _hclf_feature_arrays(
         md5_bigint,
     )
 
-    text = F.col(text_col)
-    toks = tokens_expr(text)
-    bks = F.array_sort(
-        F.transform(
-            toks,
-            lambda t: (md5_bigint(t, salt="hclf") % n_buckets).cast("int"),
-        )
+    # STAGED projections, not one select: the fold below references
+    # ``nt`` twice per run-close and the bucket array once — inlined,
+    # the tokenize (split+lower+trim+filter) would re-evaluate inside
+    # every division of the CodegenFallback fold, O(distinct_buckets ·
+    # tokenize) per document (the shingle_sets lesson; CollapseProject
+    # keeps these projections separate because the aliases are
+    # non-cheap and multiply-referenced)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    ).select(
+        "id",
+        *carry,
+        F.size(F.col("__toks")).cast("bigint").alias("__nt"),
+        F.array_sort(
+            F.transform(
+                F.col("__toks"),
+                lambda t: (md5_bigint(t, salt="hclf") % n_buckets).cast(
+                    "int"
+                ),
+            )
+        ).alias("__bks"),
     )
-    nt = F.size(toks)
+    bks = F.col("__bks")
+    nt = F.col("__nt")
     k_lit = F.lit(int(n_buckets) * 1_000_000).cast("bigint")
 
     def _f_of(c):
@@ -949,9 +969,9 @@ def _hclf_feature_arrays(
             F.lit(1_000_000).cast("bigint").alias("f"),
         )
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in carry],
+    return staged.select(
+        "id",
+        *carry,
         F.concat(F.coalesce(pairs, F.lit([]).cast(pair_t)), bias_entry)
         .alias("__feats"),
     )
@@ -1711,7 +1731,7 @@ def gopher_rules(
             "__n_stop_hits": F.size(
                 F.array_intersect(
                     F.array_distinct(F.col("__toks")),
-                    F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+                    F.lit(list(GOPHER_STOP_WORDS)).cast("array<string>"),
                 )
             ).cast("bigint"),
             "__lines": F.split(text, "\n"),

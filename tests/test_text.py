@@ -1071,6 +1071,53 @@ def test_hashed_classifier_learns_token_identity(spark):
     assert acc >= majority + 0.25
 
 
+def test_hclf_feature_arrays_match_naive(spark):
+    """Round-12 optimization gate: the shuffle-free run-length feature
+    build (_hclf_feature_arrays) produces EXACTLY the (bucket, f)
+    multiset a naive python replay computes — including the bias entry
+    for every document (empty and null text included), sorted-bucket
+    order, and the exact integer ratio f = (c*nb*1e6) // nt."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from biomedical_data_integration_spark.operators.text import (
+        _hclf_feature_arrays,
+    )
+
+    rows = [
+        (1, "join join filter sort"),
+        (2, "join merge join group join"),
+        (3, ""),
+        (4, None),
+        (5, "scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").select(
+        "doc_id", "text", F.lit(0).cast("bigint").alias("__y")
+    )
+    nb = 16
+    got = {
+        r["id"]: [(e["bucket"], e["f"]) for e in r["__feats"]]
+        for r in _hclf_feature_arrays(df, nb, "text", "doc_id").collect()
+    }
+
+    def bucket(t):
+        return int(
+            hashlib.md5(f"hclf|{t}".encode()).hexdigest()[:15], 16
+        ) % nb
+
+    for i, t in rows:
+        toks = t.split() if t else []
+        cnt: dict = {}
+        for tok in toks:
+            cnt[bucket(tok)] = cnt.get(bucket(tok), 0) + 1
+        n = len(toks)
+        want = sorted(
+            (b, (c * nb * 1_000_000) // n) for b, c in cnt.items()
+        ) + [(-1, 1_000_000)]
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_train_hashed_classifier_validation(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F
