@@ -256,15 +256,19 @@ def bm25_save_index(
         "bucket",
         (md5_bigint(F.col("term"), salt="bm25") % n_buckets).cast("int"),
     )
-    # one writer per bucket (the rewrite_partitions discipline, round-12
-    # optimization): without the repartition every upstream task opens a
-    # writer in every bucket dir — n_tasks x n_buckets small files from
-    # one save, which every bucket-pruned probe then pays in footer
-    # reads (guide §6). At cluster scale bound per-file size with
-    # spark.sql.files.maxRecordsPerFile.
-    postings.repartition(F.col("bucket")).write.mode(mode).partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
+    # NOT repartitioned by bucket before the write (round-12 A/B): the
+    # postings table is corpus-sized and its probe faces do real
+    # aggregation work over the pruned scan, so collapsing each bucket
+    # to ONE file halves their scan parallelism at bench scale
+    # (bm25_probe_persisted_many 3.1 s -> 6.2 s warm) — the AQE-sized
+    # upstream tasks already write reasonably-sized files per bucket.
+    # Contrast ivfpq_save, where the index is codes-only (tiny rows)
+    # and the probe cost IS the footer reads: there one-writer-per-cell
+    # wins and is applied. Appends DO repartition (one small batch file
+    # per touched bucket — that is what compaction is for).
+    postings.write.mode(mode).partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
     spark = df.sparkSession
     # an overwrite re-names every part file; any reader that listed this
     # path earlier in the session holds a stale FileStatusCache entry and
