@@ -231,6 +231,20 @@ def main() -> int:
         **summary_extra,
     }
     print(json.dumps(detail))
+    # Also persist the full per-query map to a file: the 261-entry detail
+    # line outgrew the driver's stdout tail capture in round 12
+    # (PERF_r12 per_query came back empty), so the driver/judge can read
+    # bench_last.json instead of re-parsing stdout.
+    try:
+        last_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+        )
+        tmp = last_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        os.replace(tmp, last_path)
+    except Exception as e:
+        print(f"# bench_last.json write skipped: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

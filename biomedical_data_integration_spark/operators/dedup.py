@@ -124,8 +124,11 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(freq_ok, "shingle")
     # sh feeds the size aggregation and BOTH sides of the candidate join;
-    # without a persist the tokenize+explode+distinct shuffle runs 3x
-    sh = sh.persist()
+    # EAGER pin — AQE submits those consumer stages concurrently, and a
+    # lazy persist lets each racing stage recompute the tokenize +
+    # explode + distinct lineage itself (round-13 profile: the dedup
+    # faces' shared-scan jobs ran 4-6x concurrently)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
 
     # Size-ratio pregate (lossless): |A∩B| ≤ min ⇒ J ≤ min(n_a,n_b)/max,
@@ -413,8 +416,15 @@ def minhash_lsh_join(
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    sh_n = shingle_sets(new_df, text_col, id_col, shingle_words).persist()
-    sh_c = shingle_sets(corpus_df, text_col, id_col, shingle_words).persist()
+    # eager pins (see minhash_lsh_pairs): each side feeds its signature
+    # build, size agg, and a verify-join side — concurrent AQE stages
+    # racing a lazy persist recompute the shingle lineage per consumer
+    sh_n = shingle_sets(
+        new_df, text_col, id_col, shingle_words
+    ).localCheckpoint(eager=True)
+    sh_c = shingle_sets(
+        corpus_df, text_col, id_col, shingle_words
+    ).localCheckpoint(eager=True)
     n_e = _band_entries(
         _signatures_from_shingles(sh_n, num_perm), num_perm, bands
     ).withColumnRenamed("id", "new_id")
@@ -525,10 +535,17 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
 
-    # ONE persisted shingle set feeds the signatures, the size agg, and
-    # both sides of the verify join — without it the tokenize + explode +
-    # distinct pipeline (the most expensive scan here) runs 4x
-    sh = shingle_sets(df, text_col, id_col, shingle_words).persist()
+    # ONE pinned shingle set feeds the signatures, the size agg, and
+    # both sides of the verify join. EAGER, not a lazy persist: AQE
+    # submits the consumers' independent query stages concurrently, and
+    # stages racing into a not-yet-populated cache each recompute the
+    # tokenize + explode + distinct lineage themselves (measured: six
+    # concurrent ~2 s jobs on dedup_keep_best at sf0.1, round 13) —
+    # materializing once up front turns that into one 2 s job + cached
+    # reads.
+    sh = shingle_sets(df, text_col, id_col, shingle_words).localCheckpoint(
+        eager=True
+    )
     sig = _signatures_from_shingles(sh, num_perm)
     band_entries = _band_entries(sig, num_perm, bands)
 
@@ -629,9 +646,11 @@ def simhash_pairs(
     """
     if chunks < max_hamming + 1:
         raise ValueError("need chunks >= max_hamming + 1 for exact blocking")
-    # the fingerprint table feeds both sides of the chunk join; persist so
-    # the tokenize + tf groupBy + 32-bit vote aggregation runs once
-    fp = simhash(df, text_col, id_col, bits).persist()
+    # the fingerprint table feeds both sides of the chunk join; eager pin
+    # so the tokenize + tf groupBy + 32-bit vote aggregation runs once
+    # (a lazy persist lets the two join-side stages race and both
+    # recompute it — round-13 profile lesson)
+    fp = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     chunk_bits = bits // chunks
 
     entries = fp.select(
@@ -777,6 +796,11 @@ def duplicate_clusters(
     id_type = dict(zip(pairs.columns, [f.dataType for f in pairs.schema.fields]))[
         id_a
     ]
+    # eager pin, not a lazy persist: the count-then-collect (or
+    # count-then-iterate) sequence below would otherwise re-analyze the
+    # full upstream pairs lineage once per action (~1.4-1.7 s of driver
+    # planning each on the minhash faces at sf0.1, round 13); pinned,
+    # both actions plan against an ExistingRDD
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -784,13 +808,12 @@ def duplicate_clusters(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
 
     if planning.components_kernel(n_edges, driver_threshold) == "driver":
         rows = edges.collect()
-        edges.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -818,9 +841,6 @@ def duplicate_clusters(
         )
         return spark.createDataFrame(labels, schema)
 
-    checkpointed = edges.localCheckpoint(eager=True)
-    edges.unpersist()  # the checkpoint owns the data now; drop the cache
-    edges = checkpointed
     converged = False
     for _ in range(max_iterations):
         # large-star: every node u connects its strictly-larger neighbors
@@ -911,10 +931,12 @@ def cross_corpus_contamination(
             .select("shingle")
         )
         tr = tr.join(freq_ok, "shingle")
-    # persisted for the duration of the session: ev feeds both ev_sizes and
-    # the overlap join, and eval benches are small (MBs) — an explicit
-    # unpersist here would invalidate the lazily-returned DataFrame.
-    ev = shingle_sets(eval_corpus, text_col, id_col, shingle_words).persist()
+    # eager pin: ev feeds both ev_sizes and the overlap join, and eval
+    # benches are small (MBs) — pinned once instead of racing stages
+    # recomputing the shingle lineage per consumer.
+    ev = shingle_sets(
+        eval_corpus, text_col, id_col, shingle_words
+    ).localCheckpoint(eager=True)
     ev_sizes = ev.groupBy("id").agg(F.count("*").alias("n_eval"))
     overlap = (
         tr.withColumnRenamed("id", "train_id")

@@ -441,9 +441,17 @@ class JaccardSchemaMatcher(BaseSchemaMatcher):
 
     def scores(self, source, target, allowed_pairs=None):
         # each side feeds both the fuzzy join and its own size aggregation;
-        # persist so the unpivot+distinct scan runs once per side
-        s = _unpivot_strings(source, "source", "sval").persist()
-        t = _unpivot_strings(target, "target", "tval").persist()
+        # EAGER pin so the unpivot+distinct scan runs once per side — a
+        # lazy persist lets the join-side and size-agg stages race into a
+        # cold cache and each recompute the scan (round-13 profile: the
+        # Jaccard matcher was 3.8 s warm on the 2-column GDC match, the
+        # composite matcher's dominant cost)
+        s = _unpivot_strings(source, "source", "sval").localCheckpoint(
+            eager=True
+        )
+        t = _unpivot_strings(target, "target", "tval").localCheckpoint(
+            eager=True
+        )
 
         if self.threshold >= 1.0:
             joined = s.join(t, F.col("sval") == F.col("tval"))
@@ -581,7 +589,15 @@ class DistributionBasedSchemaMatcher(BaseSchemaMatcher):
                 )
                 .drop("__ndv")
             )
-        dd = dd.persist()
+        # EAGER pin, not a lazy persist: dd feeds the splits
+        # (percentile_approx), bucket-offset, counts and rank-probe
+        # subtrees, and AQE submits those independent query stages
+        # concurrently — racing into a cold cache, each recomputed the
+        # full unpivot + frequency groupBy itself (measured round 13:
+        # five concurrent ~2.3 s jobs on the exact face, eight ~4.8 s
+        # on the approx face at sf0.1). One eager materialization turns
+        # that into one job + cached reads.
+        dd = dd.localCheckpoint(eager=True)
 
         # Two-phase bucketed prefix sum. A plain
         # Window.partitionBy("c").orderBy("v") cumulative sum sorts ALL

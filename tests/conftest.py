@@ -10,8 +10,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from pyspark.sql import SparkSession
 
+    # local[12], not local[4]: the suite's wall-clock ceiling is the
+    # 8-wide full-registry oracle replica plus ~700 tiny-data tests whose
+    # cost is per-job overhead — concurrent actions starve on 4 task
+    # slots (round-12 verdict item 1: the driver's pytest run outran its
+    # budget). shuffle.partitions stays 4 so tiny-data shuffles keep
+    # their shape (file counts, AQE coalescing) — this only widens the
+    # executor pool. Override with BDI_TEST_CPUS.
+    cpus = os.environ.get("BDI_TEST_CPUS", "12")
     spark = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

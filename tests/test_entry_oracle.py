@@ -88,15 +88,23 @@ def test_graded_window_shape(spark):
     Window entries must all carry an oracle."""
     names = list(QUERIES)
     window = names[:50]
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql.types import ArrayType, MapType
 
-    offenders = []
     for name in window:
         assert name in ORACLES, f"window query {name} lacks an oracle"
+
+    def bad_cols(name):
         df = QUERIES[name](spark, SF_DIR)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType)):
-                offenders.append(f"{name}.{f.name}")
+        return [
+            f"{name}.{f.name}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        offenders = [o for sub in ex.map(bad_cols, window) for o in sub]
     assert not offenders, f"array/map-typed columns in graded window: {offenders}"
 
 
@@ -173,7 +181,7 @@ def test_query_matches_oracle_all(spark, duck):
             return None
         except Exception as e:  # noqa: BLE001 — collected and re-raised
             return f"{n}: {e}"
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=12) as ex:
         failures = [r for r in ex.map(run, names) if r is not None]
     assert not failures, "\n".join(failures)
 

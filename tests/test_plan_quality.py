@@ -24,17 +24,27 @@ ARROW_OK = {
 }
 
 
-def _plans(spark):
-    import __spark_entry__ as entrymod
-
-    for name, fn in entrymod.queries().items():
-        df = fn(spark, SF)
-        yield name, df._jdf.queryExecution().executedPlan().toString()
+def _one_plan(spark, name, fn):
+    df = fn(spark, SF)
+    return name, df._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.fixture(scope="module")
 def all_plans(spark):
-    return dict(_plans(spark))
+    # Build-face queries run real work (train/save) at construction
+    # time, so building all ~260 plans serially was the suite's
+    # second-largest cost (147 s). Plan construction is JVM-side py4j
+    # work — an 8-wide thread fan-out overlaps it the same way the
+    # oracle replica overlaps its actions.
+    from concurrent.futures import ThreadPoolExecutor
+
+    import __spark_entry__ as entrymod
+
+    items = list(entrymod.queries().items())
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(
+            ex.map(lambda nf: _one_plan(spark, nf[0], nf[1]), items)
+        )
 
 
 def test_no_cartesian_product_anywhere(all_plans):
