@@ -415,11 +415,12 @@ class HashingColumnEmbedder(ColumnEmbedder):
             "__rh",
             F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in cols])),
         )
-        # feeds idf, the row scoring, and the final value pick — persist so
-        # the unpivot scan runs once
+        # feeds idf, the row scoring, and the final value pick — EAGER pin
+        # so the unpivot scan runs once (racing AQE stages over a lazy
+        # persist each recompute it, round-13 lesson)
         long_rows = rows.unpivot(["__rh"], cols, "column_name", "value").where(
             F.col("value").isNotNull()
-        ).persist()
+        ).localCheckpoint(eager=True)
         idf = self._token_idf(long_rows.select("column_name", "value"))
         row_scores = (
             long_rows.select(
@@ -462,8 +463,9 @@ class HashingColumnEmbedder(ColumnEmbedder):
         that ranking. The topic column pairs with itself, mirroring the
         reference's currIdx == topic case."""
         topic = cols[0]
-        # feeds topic counts, value counts, and the PMI join — persist so
-        # the scan + pair aggregation runs once
+        # feeds topic counts, value counts, and the PMI join — EAGER pin
+        # so the scan + pair aggregation runs once (racing AQE stages
+        # over a lazy persist each recompute it, round-13 lesson)
         pairs = (
             df.select([F.col(c).cast("string").alias(c) for c in cols])
             .withColumn("__t", F.col(topic))
@@ -472,7 +474,7 @@ class HashingColumnEmbedder(ColumnEmbedder):
             .where(F.col("value").isNotNull())
             .groupBy("__t", "column_name", "value")
             .agg(F.count("*").alias("__np"))
-        ).persist()
+        ).localCheckpoint(eager=True)
         tcounts = (
             pairs.where(F.col("column_name") == topic)
             .groupBy("__t")

@@ -1936,54 +1936,77 @@ def gopher_repetition(
         "struct<prev:string,run:bigint,dup:bigint,topc:bigint,topg:string>"
     )
 
-    def _run_stats(grams: Column, n: int) -> Column:
-        """struct(dupchars bigint, topchars bigint) for one n."""
-        glen = lambda g: F.length(g) - F.lit(n - 1)  # noqa: E731
+    def _run_stats_all(toks: Column) -> Column:
+        """array<struct<dupchars bigint, topchars bigint>>, one entry per
+        n in ``ns`` (ascending) — ONE shared fold lambda applied via
+        ``transform`` over an array of (n, grams) structs instead of
+        ``len(ns)`` inlined copies of the same ~40-node lambda body.
+        Identical arithmetic per element (n rides as a struct field, the
+        only place it appears is the joining-space correction
+        ``length(g) - (n-1)``); planning cost is ~len(ns)x smaller
+        (measured round 13: the 9 inlined folds cost ~3.9 s of pure
+        driver analysis per action on this face)."""
 
-        def step(acc, g):
-            same = acc["prev"].eqNullSafe(g)
-            closing_dup = F.when(
-                (~same) & (acc["run"] >= 2),
-                acc["run"] * glen(acc["prev"]),
-            ).otherwise(F.lit(0).cast("bigint"))
-            new_top = (~same) & (acc["run"] > acc["topc"])
-            return F.struct(
-                g.alias("prev"),
-                F.when(same, acc["run"] + 1)
-                .otherwise(F.lit(1).cast("bigint"))
-                .alias("run"),
-                (acc["dup"] + closing_dup).alias("dup"),
-                F.when(new_top, acc["run"])
-                .otherwise(acc["topc"])
-                .alias("topc"),
-                F.when(new_top, acc["prev"])
-                .otherwise(acc["topg"])
-                .alias("topg"),
+        def one_n(entry: Column) -> Column:
+            n_ = entry["n"]
+            grams = entry["g"]
+            glen = lambda g: F.length(g) - (n_ - F.lit(1))  # noqa: E731
+
+            def step(acc, g):
+                same = acc["prev"].eqNullSafe(g)
+                closing_dup = F.when(
+                    (~same) & (acc["run"] >= 2),
+                    acc["run"] * glen(acc["prev"]),
+                ).otherwise(F.lit(0).cast("bigint"))
+                new_top = (~same) & (acc["run"] > acc["topc"])
+                return F.struct(
+                    g.alias("prev"),
+                    F.when(same, acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("bigint"))
+                    .alias("run"),
+                    (acc["dup"] + closing_dup).alias("dup"),
+                    F.when(new_top, acc["run"])
+                    .otherwise(acc["topc"])
+                    .alias("topc"),
+                    F.when(new_top, acc["prev"])
+                    .otherwise(acc["topg"])
+                    .alias("topg"),
+                )
+
+            def finish(acc):
+                final_dup = acc["dup"] + F.when(
+                    acc["run"] >= 2, acc["run"] * glen(acc["prev"])
+                ).otherwise(F.lit(0).cast("bigint"))
+                last_top = acc["run"] > acc["topc"]
+                topc = F.when(last_top, acc["run"]).otherwise(acc["topc"])
+                topg = F.when(last_top, acc["prev"]).otherwise(acc["topg"])
+                return F.struct(
+                    final_dup.alias("dupchars"),
+                    F.coalesce(topc * glen(topg), F.lit(0).cast("bigint"))
+                    .alias("topchars"),
+                )
+
+            zero = F.named_struct(
+                F.lit("prev"), F.lit(None).cast("string"),
+                F.lit("run"), F.lit(0).cast("bigint"),
+                F.lit("dup"), F.lit(0).cast("bigint"),
+                F.lit("topc"), F.lit(0).cast("bigint"),
+                F.lit("topg"), F.lit(None).cast("string"),
+            )
+            return F.aggregate(
+                F.array_sort(grams), zero.cast(acc_t), step, finish
             )
 
-        def finish(acc):
-            final_dup = acc["dup"] + F.when(
-                acc["run"] >= 2, acc["run"] * glen(acc["prev"])
-            ).otherwise(F.lit(0).cast("bigint"))
-            last_top = acc["run"] > acc["topc"]
-            topc = F.when(last_top, acc["run"]).otherwise(acc["topc"])
-            topg = F.when(last_top, acc["prev"]).otherwise(acc["topg"])
-            return F.struct(
-                final_dup.alias("dupchars"),
-                F.coalesce(topc * glen(topg), F.lit(0).cast("bigint"))
-                .alias("topchars"),
-            )
-
-        zero = F.named_struct(
-            F.lit("prev"), F.lit(None).cast("string"),
-            F.lit("run"), F.lit(0).cast("bigint"),
-            F.lit("dup"), F.lit(0).cast("bigint"),
-            F.lit("topc"), F.lit(0).cast("bigint"),
-            F.lit("topg"), F.lit(None).cast("string"),
+        tagged = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("n"),
+                    word_ngrams_strict(toks, n).alias("g"),
+                )
+                for n in ns
+            ]
         )
-        return F.aggregate(
-            F.array_sort(grams), zero.cast(acc_t), step, finish
-        )
+        return F.transform(tagged, one_n)
 
     def _unit_stats(units: Column) -> Column:
         """struct(n, dup_n, chars, dup_chars) for lines/paragraphs."""
@@ -2053,14 +2076,12 @@ def gopher_repetition(
             ),
             "__ln": _unit_stats(_units("\n")),
             "__pa": _unit_stats(_units("\n\n")),
-            **{
-                f"__g{n}": _run_stats(
-                    word_ngrams_strict(F.col("__toks"), n), n
-                )
-                for n in ns
-            },
+            "__gs": _run_stats_all(F.col("__toks")),
         }
     )
+
+    def _g(n: int) -> Column:
+        return F.element_at(F.col("__gs"), ns.index(n) + 1)
 
     def ratio(num: Column, den: Column) -> Column:
         return F.when(
@@ -2087,12 +2108,12 @@ def gopher_repetition(
     }
     for n in top_ngrams:
         measures[f"top_{n}_gram_char_frac"] = (
-            F.col(f"__g{n}.topchars"),
+            _g(n)["topchars"],
             F.col("__tchars"),
         )
     for n in dup_ngrams:
         measures[f"dup_{n}_gram_char_frac"] = (
-            F.col(f"__g{n}.dupchars"),
+            _g(n)["dupchars"],
             F.col("__tchars"),
         )
     flags = {

@@ -463,9 +463,10 @@ class TfIdfValueMatcher(BaseValueMatcher):
         s_tf = self._tf_maps(src, "skey").withColumn("side", F.lit("s"))
         t_tf = self._tf_maps(tgt, "tkey").withColumn("side", F.lit("t"))
         # docs feeds three consumers (doc_freq, the n_docs broadcast, and
-        # the weighted join); persist so the tf-map build runs once, not
-        # once per broadcast collect
-        docs = s_tf.unionByName(t_tf).persist()
+        # the weighted join); EAGER pin so the tf-map build runs once —
+        # the broadcast subtree jobs launch concurrently and a lazy
+        # persist lets each recompute it (round-13 lesson)
+        docs = s_tf.unionByName(t_tf).localCheckpoint(eager=True)
 
         doc_freq = (
             docs.select(*PAIR, F.explode(F.map_keys("tf")).alias("term"))
