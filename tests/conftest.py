@@ -21,6 +21,15 @@ def spark():
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "4")
+        # the default 1g heap thrashes once the concurrent oracle
+        # replica + eager localCheckpoint pins hold blocks for many
+        # in-flight queries; the sandbox has 128 GiB
+        .config("spark.driver.memory", "6g")
+        # cap RDD-side default partitioning: with local[12] every tiny
+        # createDataFrame/parallelize otherwise splits into 12 tasks
+        # (pure scheduling overhead at test data sizes); 12 slots stay
+        # available for concurrent actions (the replica's thread pool)
+        .config("spark.default.parallelism", "4")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -29,6 +38,19 @@ def spark():
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
+
+
+@pytest.fixture(scope="session")
+def face_plan_cache():
+    """Session-wide (name, sf_dir) -> initial executedPlan STRING cache
+    for __spark_entry__ faces. Building a face runs its side effects
+    (index writes, training) — the suite's two full-registry passes
+    (oracle replica + plan-quality fixture) each paid that ~140 s bill.
+    The replica captures each face's plan string BEFORE executing it
+    (an executed AQE DataFrame would report the finalized plan, which
+    the plan-shape assertions don't parse), so the plan-quality fixture
+    reuses the strings instead of rebuilding every face."""
+    return {}
 
 
 def rows_set(df, *cols):

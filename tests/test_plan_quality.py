@@ -30,21 +30,31 @@ def _one_plan(spark, name, fn):
 
 
 @pytest.fixture(scope="module")
-def all_plans(spark):
+def all_plans(spark, face_plan_cache):
     # Build-face queries run real work (train/save) at construction
     # time, so building all ~260 plans serially was the suite's
-    # second-largest cost (147 s). Plan construction is JVM-side py4j
-    # work — an 8-wide thread fan-out overlaps it the same way the
-    # oracle replica overlaps its actions.
+    # second-largest cost (147 s). Two fixes: reuse the session-wide
+    # face_plan_cache (the oracle replica usually runs first and records
+    # every face's initial plan string), and thread-fan any misses
+    # 8-wide.
     from concurrent.futures import ThreadPoolExecutor
 
     import __spark_entry__ as entrymod
 
     items = list(entrymod.queries().items())
+
+    def plan_of(nf):
+        name, fn = nf
+        cached = face_plan_cache.get((name, SF))
+        if cached is not None:
+            return name, cached
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        face_plan_cache[(name, SF)] = plan
+        return name, plan
+
     with ThreadPoolExecutor(max_workers=8) as ex:
-        return dict(
-            ex.map(lambda nf: _one_plan(spark, nf[0], nf[1]), items)
-        )
+        return dict(ex.map(plan_of, items))
 
 
 def test_no_cartesian_product_anywhere(all_plans):
